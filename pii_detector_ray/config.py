@@ -1,0 +1,89 @@
+"""Pipeline configuration: detector sets, quality thresholds, execution sizing.
+
+This is the engine's user-extension surface (reference ``DataClassifiers``
+dynamic registry + sensitivity config, SURVEY.md §2.11): everything a user of
+the reference could tune — pattern sets, include/exclude filename filters,
+rescan subsets — is a field here, loadable from JSON.
+
+Quality thresholds implement Gopher/C4-style heuristic rules (north_star in
+BASELINE.json); defaults are documented per rule in
+``pii_detector_ray/stages/heuristics.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+
+
+@dataclass
+class QualityThresholds:
+    """Keep/drop rule thresholds. Rules evaluate in the declared order; the
+    first failing rule becomes ``drop_reason``."""
+
+    min_chars: int = 200            # Gopher: drop very short docs
+    max_chars: int = 1_000_000      # drop pathological giants
+    min_mean_word_len: float = 2.0  # Gopher: mean word length in [min,max]
+    max_mean_word_len: float = 12.0
+    max_symbol_word_ratio: float = 0.1   # Gopher: '#'/'…' per word
+    max_bullet_line_frac: float = 0.9    # Gopher: lines starting with bullets
+    max_ellipsis_line_frac: float = 0.3  # Gopher: lines ending with ellipsis
+    max_dup_line_frac: float = 0.3       # C4/Gopher: duplicate-line fraction
+    min_alpha_word_frac: float = 0.7     # Gopher: words containing >=1 alpha char
+    min_stopword_hits: int = 2           # Gopher: >=2 distinct stopwords (lang-aware)
+    max_perplexity: float = 25_000.0     # CCNet-style LM filter on char-trigram ppl
+    max_toxicity: float = 0.5            # toxicity classifier score
+    min_lang_confidence: float = 0.5     # langid softmax prob; below -> 'lang_confidence'
+    allowed_langs: list[str] | None = None  # None = keep all languages
+
+
+@dataclass
+class PipelineConfig:
+    # detector selection (maps to reference engine routing, SURVEY.md §2.4/2.11)
+    include_pii: bool = True
+    include_credentials: bool = True
+    include_extensions: bool = True
+    custom_patterns: dict[str, str] = field(default_factory=dict)
+    scrub_entities: list[str] | None = None  # None = all registered detectors
+    rescan_only: list[str] | None = None     # delta pattern set (rescan path, §3.2)
+
+    # object-selection filters (reference F1-F4, SURVEY.md §2.2)
+    url_extension_blocklist: tuple[str, ...] = (
+        # reference UNSUPPORTED/media extension blocklist, app/core/config.py:98-110
+        '.png', '.jpg', '.jpeg', '.gif', '.bmp', '.tiff', '.svg', '.ico',
+        '.mp3', '.mp4', '.avi',
+    )
+    url_log_filter: bool = True              # drop urls containing 'log' path parts (F2)
+    url_include_regex: str | None = None     # filename include classifier (F3)
+    url_exclude_regex: str | None = None     # filename exclude classifier (F3)
+
+    thresholds: QualityThresholds = field(default_factory=QualityThresholds)
+
+    # execution sizing (see SURVEY.md §4; derive pools from cluster size so the
+    # 8-vs-32-CPU scaling run isn't capped by a fixed pool)
+    scrub_batch_size: int = 1024
+    scorer_batch_size: int = 1024
+    min_read_blocks_per_cpu: int = 4
+
+    # checkpoint/resume layout
+    num_output_partitions: int = 8
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), default=str, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> 'PipelineConfig':
+        raw = json.loads(text)
+        thr = raw.pop('thresholds', None)
+        cfg = cls(**{k: v for k, v in raw.items() if k in {f.name for f in dataclasses.fields(cls)}})
+        if thr:
+            cfg.thresholds = QualityThresholds(**thr)
+        if isinstance(cfg.url_extension_blocklist, list):
+            cfg.url_extension_blocklist = tuple(cfg.url_extension_blocklist)
+        return cfg
+
+    def config_hash(self) -> str:
+        """Stable fingerprint recorded in partition manifests for lineage."""
+        import hashlib
+        return hashlib.sha256(self.to_json().encode()).hexdigest()[:16]

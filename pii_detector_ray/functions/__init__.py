@@ -1,0 +1,8 @@
+"""Scalar/per-finding functions shared by the Ray stages and the serial oracle."""
+
+from pii_detector_ray.functions.masking import (  # noqa: F401
+    get_region,
+    hash_data,
+    is_phi,
+    mask_data,
+)

@@ -1,0 +1,9 @@
+"""Self-contained, deterministic statistical models.
+
+The container has no fastText / KenLM / toxicity checkpoints (SURVEY.md §7),
+so the stateful scorer stages (the slots the reference fills with its MITIE
+NER model — ``app/services/mitie_service.py:37``, loaded once per process)
+are backed by pure-numpy character-n-gram models built deterministically from
+embedded seed corpora at actor ``__init__`` time.  Each hides behind a small
+interface so a real fastText/KenLM model can be dropped in unchanged.
+"""

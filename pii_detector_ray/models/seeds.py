@@ -1,0 +1,90 @@
+"""Embedded seed corpora, one per supported language.
+
+Used for BOTH sides of the conformance setup: the synthetic pages generator
+samples char-n-gram Markov text from these corpora, and the langid /
+perplexity models build their profiles from the same corpora — everything is
+deterministic and self-contained (no external data, FIXTURES.md §1).
+
+The texts are ordinary common-vocabulary prose written for this repo.
+"""
+
+SEED_CORPORA: dict[str, str] = {
+    "en": (
+        "The quick brown fox jumps over the lazy dog while the morning sun rises "
+        "over the quiet hills. People in the town walk to the market to buy bread, "
+        "milk, and fresh fruit for their families. The weather this week has been "
+        "warm and pleasant, with a light wind from the west. Children play in the "
+        "park after school and learn to read books about history and science. The "
+        "old library near the river holds thousands of stories from many countries. "
+        "Every evening the baker closes his shop and counts the day's earnings. "
+        "Travel by train remains the most comfortable way to see the countryside. "
+        "Scientists continue to study the climate and publish their findings in "
+        "journals. The government announced new plans for schools and hospitals. "
+        "Music and art bring people together in every culture around the world. "
+        "A good meal with friends is one of the simple pleasures of life. The "
+        "teacher explained the lesson slowly so that every student could follow. "
+        "Water flows down from the mountains into the broad green valley below."
+    ),
+    "de": (
+        "Der schnelle braune Fuchs springt über den faulen Hund, während die "
+        "Morgensonne über den stillen Hügeln aufgeht. Die Menschen in der Stadt "
+        "gehen zum Markt, um Brot, Milch und frisches Obst für ihre Familien zu "
+        "kaufen. Das Wetter war diese Woche warm und angenehm, mit leichtem Wind "
+        "aus dem Westen. Kinder spielen nach der Schule im Park und lernen Bücher "
+        "über Geschichte und Wissenschaft zu lesen. Die alte Bibliothek am Fluss "
+        "bewahrt tausende Geschichten aus vielen Ländern. Jeden Abend schließt der "
+        "Bäcker seinen Laden und zählt die Einnahmen des Tages. Die Reise mit dem "
+        "Zug bleibt die bequemste Art, das Land zu sehen. Wissenschaftler "
+        "untersuchen weiterhin das Klima und veröffentlichen ihre Ergebnisse. Die "
+        "Regierung kündigte neue Pläne für Schulen und Krankenhäuser an. Musik und "
+        "Kunst bringen Menschen in jeder Kultur zusammen. Ein gutes Essen mit "
+        "Freunden gehört zu den einfachen Freuden des Lebens. Der Lehrer erklärte "
+        "die Aufgabe langsam, damit jeder Schüler folgen konnte."
+    ),
+    "fr": (
+        "Le rapide renard brun saute par-dessus le chien paresseux pendant que le "
+        "soleil du matin se lève sur les collines tranquilles. Les gens de la "
+        "ville vont au marché pour acheter du pain, du lait et des fruits frais "
+        "pour leurs familles. Le temps cette semaine a été chaud et agréable, avec "
+        "un vent léger venant de l'ouest. Les enfants jouent dans le parc après "
+        "l'école et apprennent à lire des livres d'histoire et de science. La "
+        "vieille bibliothèque près de la rivière garde des milliers d'histoires de "
+        "nombreux pays. Chaque soir le boulanger ferme sa boutique et compte la "
+        "recette de la journée. Voyager en train reste la manière la plus "
+        "confortable de voir la campagne. Les chercheurs continuent d'étudier le "
+        "climat et publient leurs résultats dans des revues. Le gouvernement a "
+        "annoncé de nouveaux projets pour les écoles et les hôpitaux. La musique "
+        "et l'art rassemblent les gens dans toutes les cultures du monde."
+    ),
+    "ru": (
+        "Быстрая коричневая лиса прыгает через ленивую собаку, пока утреннее "
+        "солнце поднимается над тихими холмами. Люди в городе идут на рынок, "
+        "чтобы купить хлеб, молоко и свежие фрукты для своих семей. Погода на "
+        "этой неделе была тёплой и приятной, с лёгким ветром с запада. Дети "
+        "играют в парке после школы и учатся читать книги по истории и науке. "
+        "Старая библиотека у реки хранит тысячи историй из многих стран. Каждый "
+        "вечер пекарь закрывает свою лавку и считает дневную выручку. Поездка на "
+        "поезде остаётся самым удобным способом увидеть страну. Учёные продолжают "
+        "изучать климат и публикуют свои результаты в журналах. Правительство "
+        "объявило новые планы для школ и больниц. Музыка и искусство объединяют "
+        "людей во всех культурах мира. Хороший ужин с друзьями — одно из простых "
+        "удовольствий жизни. Учитель объяснял урок медленно, чтобы каждый ученик "
+        "мог понять."
+    ),
+}
+
+# Small per-language stopword lists for the Gopher-style stopword rule
+# (lang-aware variant of the 'common English words' check).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "with", "for"),
+    "de": ("der", "die", "das", "und", "zu", "mit", "von", "für", "ein", "den"),
+    "fr": ("le", "la", "les", "et", "de", "des", "pour", "dans", "avec", "que"),
+    "ru": ("и", "в", "на", "с", "по", "для", "не", "что", "из", "его"),
+}
+
+# Mild lexicon for the toxicity scorer; the pages generator injects these
+# tokens into a seeded fraction of documents.
+TOXIC_LEXICON: tuple[str, ...] = (
+    "stupid", "idiot", "hate", "moron", "dumb", "trash", "garbage",
+    "loser", "shut up", "ugly", "fool", "pathetic", "worthless", "disgusting",
+)

@@ -1,0 +1,170 @@
+"""Vectorized character-trigram machinery: langid + perplexity + toxicity.
+
+These models fill the reference's stateful-NER slot (MITIE loaded once per
+process, ``app/services/mitie_service.py:12-13,37``; SURVEY.md §2.7) with
+deterministic pure-numpy equivalents: build in an actor's ``__init__``, score
+whole batches vectorized in ``__call__``.
+
+The hot path never loops Python per character: codepoints come from
+``str.encode('utf-32-le')`` → ``np.frombuffer`` (one C call per batch),
+trigram hashes from shifted slices, per-document sums from
+``np.add.reduceat`` over document boundaries.
+
+Interfaces are drop-in slots for real models (fastText ``predict`` /
+KenLM ``perplexity``): anything exposing ``predict_batch(texts)`` /
+``perplexity_batch(texts)`` works in the pipeline stages.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+
+from pii_detector_ray.models.seeds import SEED_CORPORA, TOXIC_LEXICON
+
+V_BITS = 15
+V = 1 << V_BITS          # hashed trigram vocabulary
+_MASK = np.uint64(V - 1)
+_MUL = np.uint64(1000003)
+
+
+def _codepoints(text: str) -> np.ndarray:
+    return np.frombuffer(text.encode('utf-32-le'), dtype=np.uint32).astype(np.uint64)
+
+
+def trigram_hashes(cp: np.ndarray) -> np.ndarray:
+    """Hash every consecutive codepoint triple to [0, V)."""
+    if cp.shape[0] < 3:
+        return np.empty(0, dtype=np.int64)
+    h = (cp[:-2] * _MUL + cp[1:-1]) * _MUL + cp[2:]
+    return (h & _MASK).astype(np.int64)
+
+
+def _profile(text: str) -> np.ndarray:
+    """Add-one-smoothed log-probability vector over hashed trigrams."""
+    counts = np.bincount(trigram_hashes(_codepoints(text.lower())), minlength=V)
+    return np.log((counts + 1.0) / (counts.sum() + V))
+
+
+def _batch_trigrams(texts: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Concatenate a batch; return (valid_trigram_hashes, doc_id_per_trigram, n_valid_per_doc).
+
+    Documents are separated by 3 NUL codepoints; trigrams touching a NUL
+    (separators, or NULs inside a document) are excluded, so every document's
+    score depends only on its own characters — results are identical whatever
+    the batch composition (required: the serial oracle and the Ray pipeline
+    batch rows differently).
+    """
+    n = len(texts)
+    blob = '\x00\x00\x00'.join(t.lower() for t in texts)
+    cp = _codepoints(blob)
+    tris = trigram_hashes(cp)
+    counts = np.zeros(n, dtype=np.int64)
+    if tris.shape[0] == 0:
+        return tris, np.empty(0, dtype=np.int64), counts
+    valid = (cp[:-2] != 0) & (cp[1:-1] != 0) & (cp[2:] != 0)
+    # lowering can change string length (e.g. 'İ'); compute starts from the blob
+    lens = np.fromiter((len(t.lower()) for t in texts), dtype=np.int64, count=n)
+    starts_cp = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1] + 3, out=starts_cp[1:])
+    pos = np.nonzero(valid)[0]
+    doc_ids = np.searchsorted(starts_cp, pos, side='right') - 1
+    tris_valid = tris[pos]
+    counts = np.bincount(doc_ids, minlength=n)
+    return tris_valid, doc_ids, counts
+
+
+class LangIdModel:
+    """Character-trigram language identifier (fastText-style interface).
+
+    ``predict_batch(texts) -> (langs: list[str], confidences: np.ndarray)``.
+    Confidence is the softmax probability of the winning language over
+    per-trigram mean log-likelihoods.  Empty/short docs → ('und', 0.0).
+    """
+
+    def __init__(self, corpora: dict[str, str] | None = None) -> None:
+        corpora = corpora or SEED_CORPORA
+        self.langs = sorted(corpora)
+        self.table = np.stack([_profile(corpora[lang]) for lang in self.langs])  # (L, V)
+
+    def predict_batch(self, texts: list[str]) -> tuple[list[str], np.ndarray]:
+        n = len(texts)
+        if n == 0:
+            return [], np.empty(0)
+        tris, doc_ids, n_tris = _batch_trigrams(texts)
+        L = len(self.langs)
+        scores = np.zeros((L, n))
+        if tris.shape[0]:
+            for li in range(L):
+                scores[li] = np.bincount(doc_ids, weights=self.table[li][tris], minlength=n)
+        valid = n_tris > 0
+        mean_ll = np.where(valid, scores / np.maximum(n_tris, 1), 0.0)  # (L, n)
+        best = np.argmax(mean_ll, axis=0)
+        # softmax over mean log-likelihoods (temperature chosen so clear wins
+        # saturate; ties across languages → ~1/L)
+        z = mean_ll * 8.0
+        z -= z.max(axis=0, keepdims=True)
+        p = np.exp(z)
+        p /= p.sum(axis=0)
+        conf = p[best, np.arange(n)]
+        langs = [self.langs[b] if valid[i] else 'und' for i, b in enumerate(best)]
+        conf = np.where(valid, conf, 0.0)
+        return langs, conf
+
+
+class PerplexityModel:
+    """Char-trigram perplexity against a clean-text LM (KenLM-style interface).
+
+    ``perplexity_batch(texts) -> np.ndarray`` of
+    ``exp(-mean log p(trigram))``; gibberish / symbol spam scores high.
+    Docs with no trigrams get ``ppl = 0.0`` (they are dropped by the
+    min-length rule before perplexity matters).
+    """
+
+    def __init__(self, corpus: str | None = None) -> None:
+        self.table = _profile(corpus if corpus is not None else ' '.join(SEED_CORPORA.values()))
+
+    def perplexity_batch(self, texts: list[str]) -> np.ndarray:
+        n = len(texts)
+        if n == 0:
+            return np.empty(0)
+        tris, doc_ids, n_tris = _batch_trigrams(texts)
+        if not tris.shape[0]:
+            return np.zeros(n)
+        sums = np.bincount(doc_ids, weights=self.table[tris], minlength=n)
+        valid = n_tris > 0
+        mean_nll = np.where(valid, -sums / np.maximum(n_tris, 1), 0.0)
+        # clip the exponent: a fully-unseen-trigram doc hits the smoothing
+        # floor, exp() of which overflows float64 for V=2^15
+        return np.where(valid, np.exp(np.minimum(mean_nll, 700.0)), 0.0)
+
+
+class ToxicityModel:
+    """Lexicon-density toxicity scorer with a logistic squash.
+
+    ``score_batch(texts) -> np.ndarray`` in [0, 1): score =
+    sigmoid(steepness * (toxic_tokens_per_word - midpoint)).
+    """
+
+    def __init__(self, lexicon: tuple[str, ...] = TOXIC_LEXICON,
+                 midpoint: float = 0.02, steepness: float = 120.0) -> None:
+        alts = '|'.join(re.escape(w) for w in sorted(lexicon, key=len, reverse=True))
+        self.pattern = re.compile(r'\b(?:' + alts + r')\b', re.IGNORECASE)
+        self.word = re.compile(r'\S+')
+        self.midpoint = midpoint
+        self.steepness = steepness
+
+    def score_batch(self, texts: list[str]) -> np.ndarray:
+        n = len(texts)
+        hits = np.fromiter(
+            (len(self.pattern.findall(t)) for t in texts), dtype=np.float64, count=n)
+        words = np.fromiter(
+            (len(self.word.findall(t)) for t in texts), dtype=np.float64, count=n)
+        density = hits / np.maximum(words, 1.0)
+        return 1.0 / (1.0 + np.exp(-self.steepness * (density - self.midpoint)))
+
+
+def sigmoid(x: float) -> float:
+    return 1.0 / (1.0 + math.exp(-x))

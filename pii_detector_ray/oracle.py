@@ -1,0 +1,143 @@
+"""Serial single-process oracle for conformance testing.
+
+Mirrors the reference's own oracle path: ``EXECUTION_MODE == TEST`` bypasses
+the process pool and runs the same scan functions serially
+(``redis_tasks.py:239-240,396-399``; SURVEY.md §3.3).  Here the oracle goes
+one step further for the *vectorized* stages: every feature/decision is
+recomputed per-row with plain scalar Python (``scan_text`` instead of the
+megastring ``scan_texts``, ``re.findall`` instead of pandas ``.str.count``),
+so the tests genuinely cross-check the vectorized implementations instead of
+re-running them.
+
+The statistical models (langid/perplexity/toxicity) ARE the semantic
+definition and are row-independent by construction (verified by
+``tests/test_models.py``), so the oracle calls them one row at a time.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pii_detector_ray.config import PipelineConfig
+from pii_detector_ray.models.seeds import STOPWORDS
+from pii_detector_ray.models.textmodel import LangIdModel, PerplexityModel, ToxicityModel
+from pii_detector_ray.scan import scan_text, scrub_text, span_record
+from pii_detector_ray.stages.extract import extract_row
+from pii_detector_ray.stages.scrub import detectors_from_config
+from pii_detector_ray.functions.masking import is_phi
+
+_WORD = re.compile(r'\S+')
+_NONSPACE = re.compile(r'\S')
+_ALPHA_WORD = re.compile(r'(?<!\S)\S*[^\W\d_]\S*')
+_BULLET = re.compile(r'(?m)^[ \t]*[-*•]')
+_ELLIPSIS = re.compile(r'(?m)(\.\.\.|…)[ \t]*$')
+_SYMBOL = re.compile(r'#|…|\.\.\.')
+
+
+def url_passes_filters(url: str, cfg: PipelineConfig) -> bool:
+    if any(url.endswith(ext) for ext in cfg.url_extension_blocklist):
+        return False
+    if cfg.url_log_filter and ('log' in url.lower() or 'CloudTrail' in url):
+        return False
+    if cfg.url_exclude_regex and re.search(cfg.url_exclude_regex, url):
+        return False
+    if cfg.url_include_regex and not re.search(cfg.url_include_regex, url):
+        return False
+    return True
+
+
+def oracle_features(text: str) -> dict[str, Any]:
+    n_words = len(_WORD.findall(text))
+    nws = max(n_words, 1)
+    lines = text.split('\n')
+    nonempty = [ln for ln in lines if ln.strip()]
+    dup = 0.0 if len(nonempty) < 2 else 1.0 - len(set(nonempty)) / len(nonempty)
+    return {
+        'n_chars': len(text),
+        'n_words': n_words,
+        'mean_word_len': len(_NONSPACE.findall(text)) / nws,
+        'symbol_word_ratio': len(_SYMBOL.findall(text)) / nws,
+        'bullet_line_frac': len(_BULLET.findall(text)) / len(lines),
+        'ellipsis_line_frac': len(_ELLIPSIS.findall(text)) / len(lines),
+        'alpha_word_frac': len(_ALPHA_WORD.findall(text)) / nws,
+        'dup_line_frac': dup,
+    }
+
+
+def oracle_stopword_hits(text: str, lang: str) -> int:
+    if lang not in STOPWORDS:
+        return -1
+    hits = 0
+    for w in STOPWORDS[lang]:
+        if re.search(r'(?<!\w)' + re.escape(w) + r'(?!\w)', text, re.IGNORECASE):
+            hits += 1
+    return hits
+
+
+def oracle_keepdrop(feat: dict[str, Any], lang_pred: str, lang_conf: float,
+                    perplexity: float, toxicity: float, sw_hits: int,
+                    cfg: PipelineConfig) -> tuple[bool, str | None]:
+    thr = cfg.thresholds
+    checks: list[tuple[str, bool]] = [
+        ('too_short', feat['n_chars'] < thr.min_chars),
+        ('too_long', feat['n_chars'] > thr.max_chars),
+        ('mean_word_length', feat['mean_word_len'] < thr.min_mean_word_len
+         or feat['mean_word_len'] > thr.max_mean_word_len),
+        ('symbol_ratio', feat['symbol_word_ratio'] > thr.max_symbol_word_ratio),
+        ('bullet_lines', feat['bullet_line_frac'] > thr.max_bullet_line_frac),
+        ('ellipsis_lines', feat['ellipsis_line_frac'] > thr.max_ellipsis_line_frac),
+        ('dup_lines', feat['dup_line_frac'] > thr.max_dup_line_frac),
+        ('alpha_ratio', feat['alpha_word_frac'] < thr.min_alpha_word_frac),
+        ('stopwords', sw_hits >= 0 and sw_hits < thr.min_stopword_hits),
+        ('lang_confidence', lang_conf < thr.min_lang_confidence),
+        ('perplexity', perplexity > thr.max_perplexity),
+        ('toxicity', toxicity > thr.max_toxicity),
+    ]
+    if thr.allowed_langs is not None:
+        checks.append(('disallowed_lang', lang_pred not in thr.allowed_langs))
+    for name, failed in checks:
+        if failed:
+            return False, name
+    return True, None
+
+
+def run_oracle(rows: list[dict[str, Any]], cfg: PipelineConfig) -> list[dict[str, Any]]:
+    """Process pages rows one at a time; returns the expected-output rows
+    (FIXTURES.md §2 schema)."""
+    langid = LangIdModel()
+    ppl_model = PerplexityModel()
+    tox_model = ToxicityModel()
+    detectors = detectors_from_config(cfg)
+
+    out: list[dict[str, Any]] = []
+    for row in rows:
+        if not url_passes_filters(row['url'], cfg):
+            continue
+        text = extract_row(row.get('text'), row.get('html'))
+        feat = oracle_features(text)
+        [lang_pred], conf = langid.predict_batch([text])
+        lang_conf = float(conf[0])
+        perplexity = float(ppl_model.perplexity_batch([text])[0])
+        toxicity = float(tox_model.score_batch([text])[0])
+        sw = oracle_stopword_hits(text, lang_pred)
+        keep, reason = oracle_keepdrop(feat, lang_pred, lang_conf, perplexity,
+                                       toxicity, sw, cfg)
+        spans = scan_text(text, detectors)
+        out.append({
+            'url': row['url'],
+            'warc_ts': row.get('warc_ts'),
+            'extracted_text': text,
+            'keep': keep,
+            'drop_reason': reason,
+            'scrubbed_text': scrub_text(text, spans),
+            'pii_spans': [span_record(sp) for sp in spans],
+            'lang_pred': lang_pred,
+            'lang_conf': lang_conf,
+            'perplexity': perplexity,
+            'toxicity': toxicity,
+            'is_phi': is_phi(row['url'], text),
+            'n_pii': len(spans),
+            **feat,
+        })
+    return out

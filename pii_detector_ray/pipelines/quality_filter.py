@@ -1,0 +1,97 @@
+"""The flagship pipeline: read → filter → extract → score → keep/drop → scrub.
+
+Ray-Data-native replacement for the reference's scan lifecycle
+(``run_periodic_scanning_task`` → mp.Pool → ``run_scanner`` per chunk;
+SURVEY.md §3.1): the streaming executor owns scheduling/backpressure, stages
+are ``map_batches`` callables, the stateful scorers are an actor pool, and
+resumable execution comes from per-partition manifests
+(``pii_detector_ray/state/manifest.py``) instead of a status-CAS database.
+
+Stage order is chosen for scale (SURVEY.md §7):
+
+1. url filters (F1-F4) — cheap Arrow predicate, prunes rows first;
+2. extract (P1) — then the large ``html`` column is DROPPED so it never
+   flows through later stages or the object store again;
+3. optional exact url dedup — the only wide/shuffle step, key = ``url``;
+4. heuristics — vectorized, stateless;
+5. scorers — ONE fused actor pool (langid+perplexity+toxicity);
+6. keep/drop — vectorized, stateless;
+7. scrub — megastring regex pass, stateless (patterns cached per worker);
+8. finalize — restore ``timestamp[us]`` (pandas stages upcast to ns).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from pii_detector_ray.config import PipelineConfig
+from pii_detector_ray.stages.extract import extract_batch, make_url_filter
+from pii_detector_ray.stages.heuristics import heuristics_batch
+from pii_detector_ray.stages.keepdrop import make_keepdrop_stage
+from pii_detector_ray.stages.scorers import QualityScorers, scorer_concurrency
+from pii_detector_ray.stages.scrub import make_scrub_stage
+
+
+def dedup_exact_by_url(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact url dedup: keep the earliest (min ``warc_ts``) row per url.
+
+    Ray-native version of the reference's ``(path, etag)``/(path, offset,
+    hash) catalog diffs (``base_scan_service.py:643-731``; SURVEY.md §2.2 F7):
+    a hash-partitioned ``groupby('url')`` + per-group first — deterministic,
+    no uuid tiebreaks."""
+    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values('warc_ts', kind='mergesort').head(1)
+
+    return ds.groupby('url').map_groups(first_per_group, batch_format='pandas')
+
+
+def _finalize(batch: pa.Table) -> pa.Table:
+    if 'warc_ts' in batch.column_names:
+        idx = batch.column_names.index('warc_ts')
+        batch = batch.set_column(
+            idx, 'warc_ts', batch.column('warc_ts').cast(pa.timestamp('us')))
+    return batch
+
+
+def build_pipeline(
+    ds: ray.data.Dataset,
+    cfg: PipelineConfig | None = None,
+    *,
+    dedup_urls: bool = False,
+    keep_only: bool = False,
+    concurrency: tuple[int, int] | None = None,
+) -> ray.data.Dataset:
+    """Compose the flagship pipeline over a pages Dataset (lazy; caller
+    consumes via write_parquet / iter_batches / aggregate)."""
+    cfg = cfg or PipelineConfig()
+    ds = ds.map_batches(make_url_filter(cfg), batch_format='pyarrow')
+    ds = ds.map_batches(extract_batch, batch_format='pyarrow')
+    cols = [c for c in ['url', 'warc_ts', 'lang', 'extracted_text'] ]
+    ds = ds.select_columns(cols)
+    if dedup_urls:
+        ds = dedup_exact_by_url(ds)
+    ds = ds.map_batches(heuristics_batch, batch_format='pandas')
+    ds = ds.map_batches(
+        QualityScorers,
+        batch_format='pandas',
+        batch_size=cfg.scorer_batch_size,
+        concurrency=concurrency or scorer_concurrency(),
+        num_cpus=1,
+    )
+    ds = ds.map_batches(make_keepdrop_stage(cfg), batch_format='pandas')
+    ds = ds.map_batches(make_scrub_stage(cfg), batch_format='pyarrow',
+                        batch_size=cfg.scrub_batch_size)
+    if keep_only:
+        ds = ds.map_batches(lambda t: t.filter(t.column('keep')),
+                            batch_format='pyarrow')
+    ds = ds.map_batches(_finalize, batch_format='pyarrow')
+    return ds
+
+
+def read_pages(paths: str | list[str], *, override_num_blocks: int | None = None) -> ray.data.Dataset:
+    """Read the pages table (column-complete: all 5 input columns are used —
+    ``html`` only until extraction, after which it is dropped)."""
+    return ray.data.read_parquet(paths, override_num_blocks=override_num_blocks)

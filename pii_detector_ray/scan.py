@@ -1,0 +1,152 @@
+"""Core PII scanning: find spans, mask them, produce scrubbed text.
+
+Detection semantics anchor: the reference's ``ReService.extract_entity``
+(``app/services/re_service.py:26-28``) — for each recognizer, stdlib
+``re.finditer(pattern, text)``, collect ``match.group()`` per hit, exceptions
+swallowed per-recognizer (:30-31).  All engine families are fused into one
+pass (the reference cascade ``_analyze``, data_analysis_service.py:50-66,
+concatenates engines without cross-pattern dedup).  Credential-family matches
+that look like code are suppressed (hyperscan_service.py:57-60).
+
+Two scan paths, same results (asserted by tests):
+
+- :func:`scan_text`  — plain per-row loop.  This is the serial-oracle path.
+- :func:`scan_texts` — the batched fast path: all non-anchored patterns run
+  ONCE over a ``\\x00``-joined megastring of the whole batch (one C-level
+  ``finditer`` per pattern per batch instead of per row), results mapped back
+  to rows via ``searchsorted``.  Anchored patterns (``$``/``^`` — the
+  credential family) fall back to per-row, because joining changes anchor
+  semantics.  ``\\x00`` is safe as a separator: no registry pattern contains a
+  character class that admits NUL without also being row-local (verified by
+  ``tests/test_scan.py::test_megastring_equals_per_row``).
+
+Span scrubbing: spans are applied right-to-left (start descending) so earlier
+splices don't invalidate later offsets (SURVEY.md §7.3); overlapping spans
+from different patterns are all applied, mirroring the reference's
+no-cross-pattern-dedup behavior.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+
+from pii_detector_ray.detectors import (
+    SECRET_EXCLUDE,
+    Detector,
+    compiled,
+    system_entities,
+)
+from pii_detector_ray.functions.masking import hash_data, mask_data
+
+_SECRET_EXCLUDE_RE = re.compile(SECRET_EXCLUDE, re.IGNORECASE)
+_SYSTEM_ENTITIES = frozenset(system_entities())
+
+
+@dataclass(frozen=True)
+class Span:
+    """One PII finding (reference ``FileData``, app/schemas/file_data.py:96-122,
+    re-expressed with offsets for span-level F1)."""
+
+    type: str
+    start: int
+    end: int
+    value: str
+    score: float
+
+    def sort_key(self) -> tuple[int, int, str]:
+        return (self.start, self.end, self.type)
+
+
+def _emit(det: Detector, start: int, end: int, value: str, out: list[Span]) -> None:
+    if not value:
+        return
+    if det.suppress_codelike and _SECRET_EXCLUDE_RE.search(value):
+        return
+    out.append(Span(type=det.name, start=start, end=end, value=value, score=det.score))
+
+
+def scan_text(text: str, detectors: list[Detector]) -> list[Span]:
+    """Per-row scan — the oracle path (re_service.py:26-28 semantics)."""
+    spans: list[Span] = []
+    for det in detectors:
+        try:
+            for m in compiled(det.pattern).finditer(text):
+                _emit(det, m.start(), m.end(), m.group(), spans)
+        except Exception:
+            continue
+    spans.sort(key=Span.sort_key)
+    return spans
+
+
+def scan_texts(texts: list[str], detectors: list[Detector]) -> list[list[Span]]:
+    """Batched scan: one megastring ``finditer`` per non-anchored pattern.
+
+    Returns one sorted span list per input row; identical to mapping
+    :func:`scan_text` over rows.
+    """
+    n = len(texts)
+    per_row: list[list[Span]] = [[] for _ in range(n)]
+    if n == 0:
+        return per_row
+
+    fast = [d for d in detectors if not d.anchored]
+    slow = [d for d in detectors if d.anchored]
+
+    if fast:
+        big = '\x00'.join(texts)
+        # row i spans offsets[i] .. offsets[i] + len(texts[i]) in `big`
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+        offsets = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1] + 1, out=offsets[1:])
+        for det in fast:
+            try:
+                pat = compiled(det.pattern)
+                for m in pat.finditer(big):
+                    s = m.start()
+                    row = int(np.searchsorted(offsets, s, side='right')) - 1
+                    base = int(offsets[row])
+                    _emit(det, s - base, m.end() - base, m.group(), per_row[row])
+            except Exception:
+                continue
+
+    for det in slow:
+        pat = compiled(det.pattern)
+        for row, text in enumerate(texts):
+            try:
+                for m in pat.finditer(text):
+                    _emit(det, m.start(), m.end(), m.group(), per_row[row])
+            except Exception:
+                continue
+
+    for spans in per_row:
+        spans.sort(key=Span.sort_key)
+    return per_row
+
+
+def scrub_text(text: str, spans: list[Span]) -> str:
+    """Replace each span with its masked value, right-to-left by start."""
+    for sp in sorted(spans, key=Span.sort_key, reverse=True):
+        text = text[:sp.start] + mask_data(sp.type, sp.value) + text[sp.end:]
+    return text
+
+
+def span_record(sp: Span) -> dict:
+    """Arrow-friendly struct for the ``pii_spans`` list<struct> column.
+
+    Finding fields follow the reference's finding dict
+    (data_analysis_service.py:208-217) minus uuid/wall-clock — findings are
+    content-keyed ``(url, start, end, type)`` for idempotent, resumable output
+    (SURVEY.md §4 'Idempotence').
+    """
+    return {
+        'type': sp.type,
+        'start': sp.start,
+        'end': sp.end,
+        'hash': hash_data(sp.value),
+        'masked': mask_data(sp.type, sp.value),
+        'score': sp.score,
+        'is_custom_regex': sp.type not in _SYSTEM_ENTITIES,
+    }

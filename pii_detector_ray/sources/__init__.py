@@ -1,0 +1,2 @@
+"""Sources: the synthetic Common-Crawl-style pages table and adapters from
+the driver-provided TPC-H-ish tables (TESTDATA.md)."""

@@ -1,0 +1,264 @@
+"""Deterministic synthetic pages corpus (FIXTURES.md §1).
+
+Generates sharded Parquet with EXACTLY the ``input_hint`` schema::
+
+    url:string, warc_ts:timestamp[us], html:binary, text:string, lang:string
+
+plus a sidecar ``pii_truth.parquet`` of injected PII spans (url, type, start,
+end, value — offsets into the ``text`` column) for recall sanity checks.
+
+Everything is seeded (no wall-clock, no ``uuid4`` — the reference stamps
+findings with both, ``data_analysis_service.py:209``; our outputs must be
+reproducible, SURVEY.md §4 'Idempotence').  Text is word-sampled from the
+embedded seed corpora (``models/seeds.py``) so the langid/perplexity models —
+built from the same corpora — have real signal.
+
+Corpus shape knobs (fractions of rows, FIXTURES.md §1):
+
+- hosts Zipf-skewed from a pool of ~200; one hot host ≈ 30% of rows
+  (exercises salted-key skew mitigation);
+- ~2% exact-duplicate urls (dedup tests);
+- ~3% null ``text`` (forces extraction from ``html``), ~3% null ``html``,
+  ~5% invalid-UTF-8 bytes in ``html`` (exercises ``decode(errors='replace')``);
+- quality stressors: short docs, symbol spam, repeated lines, bullet lists,
+  ellipsis lines, gibberish, toxic terms;
+- ~30% of docs carry injected PII values shaped like the reference's own
+  sample CSVs (FIXTURES.md §3).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pii_detector_ray.models.seeds import SEED_CORPORA, TOXIC_LEXICON
+
+PAGES_SCHEMA = pa.schema([
+    ('url', pa.string()),
+    ('warc_ts', pa.timestamp('us')),
+    ('html', pa.binary()),
+    ('text', pa.string()),
+    ('lang', pa.string()),
+])
+
+TRUTH_SCHEMA = pa.schema([
+    ('url', pa.string()),
+    ('type', pa.string()),
+    ('start', pa.int32()),
+    ('end', pa.int32()),
+    ('value', pa.string()),
+])
+
+_BASE_TS_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
+
+_LANGS = ['en', 'de', 'fr', 'ru']
+_LANG_P = [0.55, 0.15, 0.15, 0.15]
+
+
+def _vocab(lang: str) -> list[str]:
+    return SEED_CORPORA[lang].split()
+
+
+@dataclass
+class PagesSpec:
+    n_rows: int
+    n_shards: int
+    seed: int = 42
+    dup_url_frac: float = 0.02
+    null_text_frac: float = 0.03
+    null_html_frac: float = 0.03
+    bad_utf8_frac: float = 0.05
+    pii_frac: float = 0.30
+    hot_host_frac: float = 0.30
+    n_hosts: int = 200
+
+
+def _gen_pii_value(rng: np.random.Generator) -> tuple[str, str]:
+    """Sample one PII value shaped like the reference sample CSVs (FIXTURES.md §3)."""
+    kind = rng.integers(0, 5)
+    d = lambda n: ''.join(str(x) for x in rng.integers(0, 10, n))  # noqa: E731
+    if kind == 0:
+        user = ''.join(rng.choice(list('abcdefghijklmnopqrstuvwxyz'), 7))
+        return 'EMAIL_ADDRESS', f'{user}@example{rng.integers(1, 99)}.com'
+    if kind == 1:
+        return 'PHONE', f'{d(3)}-{d(3)}-{d(4)}'
+    if kind == 2:
+        return 'US_SSN', f'{d(3)}-{d(2)}-{d(4)}'
+    if kind == 3:
+        prefix = str(rng.choice(['4', '50', '51', '52', '53', '54', '55']))
+        return 'CREDIT_CARD', f'{prefix}{d(4 - len(prefix))}-{d(4)}-{d(4)}-{d(4)}'
+    return 'IP_ADDRESSES', '.'.join(str(rng.integers(1, 255)) for _ in range(4))
+
+
+def _make_doc(rng: np.random.Generator, lang: str, vocabs: dict[str, list[str]],
+              inject_pii: bool) -> tuple[str, list[tuple[str, int, int, str]]]:
+    """Build one document; returns (text, [(type, start, end, value), ...])."""
+    vocab = vocabs[lang]
+    style = rng.random()
+    spans: list[tuple[str, int, int, str]] = []
+
+    if style < 0.02:    # gibberish
+        chars = rng.choice(list('zqxjkw#@%&*()+=~`|'), size=rng.integers(200, 600))
+        return ''.join(chars), spans
+    if style < 0.05:    # symbol spam
+        n = int(rng.integers(40, 120))
+        words = list(rng.choice(vocab, n))
+        for i in rng.choice(n, size=n // 2, replace=False):
+            words[i] = '#' * int(rng.integers(1, 4))
+        return ' '.join(words), spans
+    if style < 0.08:    # repeated lines
+        line = ' '.join(rng.choice(vocab, 8))
+        return '\n'.join([line] * int(rng.integers(8, 16)), ), spans
+    if style < 0.11:    # bullet list
+        lines = ['- ' + ' '.join(rng.choice(vocab, 5)) for _ in range(int(rng.integers(10, 20)))]
+        return '\n'.join(lines), spans
+    if style < 0.13:    # ellipsis lines
+        lines = [' '.join(rng.choice(vocab, 6)) + '...' for _ in range(int(rng.integers(6, 12)))]
+        return '\n'.join(lines), spans
+    if style < 0.17:    # short doc
+        n = int(rng.integers(3, 20))
+    else:               # normal prose
+        n = int(rng.lognormal(mean=4.8, sigma=0.5)) + 20
+
+    words = list(rng.choice(vocab, n))
+    if style >= 0.17 and rng.random() < 0.06:   # toxic injection
+        for _ in range(int(rng.integers(2, 6))):
+            words[int(rng.integers(0, len(words)))] = str(rng.choice(TOXIC_LEXICON))
+    if inject_pii and n >= 5:
+        for _ in range(int(rng.integers(1, 4))):
+            ptype, val = _gen_pii_value(rng)
+            slot = int(rng.integers(1, len(words)))
+            words.insert(slot, '\x01' + ptype + '\x02' + val + '\x03')
+    # newline every ~12 words for line-based features
+    parts: list[str] = []
+    for i, w in enumerate(words):
+        parts.append(w)
+        parts.append('\n' if (i + 1) % 12 == 0 else ' ')
+    raw = ''.join(parts[:-1])
+    # resolve PII placeholders into final offsets
+    out: list[str] = []
+    pos = 0
+    i = 0
+    while i < len(raw):
+        if raw[i] == '\x01':
+            j = raw.index('\x02', i)
+            k = raw.index('\x03', j)
+            ptype, val = raw[i + 1:j], raw[j + 1:k]
+            out.append(val)
+            spans.append((ptype, pos, pos + len(val), val))
+            pos += len(val)
+            i = k + 1
+        else:
+            out.append(raw[i])
+            pos += 1
+            i += 1
+    return ''.join(out), spans
+
+
+def _wrap_html(text: str, title: str) -> bytes:
+    return (f'<html><head><title>{title}</title><style>body{{margin:0}}</style></head>'
+            f'<body><p>{text}</p></body></html>').encode('utf-8')
+
+
+def generate_pages(out_dir: str, spec: PagesSpec, force: bool = False) -> str:
+    """Write ``pages/shard-XXXXX.parquet`` + ``pii_truth.parquet``; returns
+    the pages directory.  Cached: if the directory exists with the expected
+    shard count, generation is skipped."""
+    pages_dir = os.path.join(out_dir, 'pages')
+    done_marker = os.path.join(out_dir, f'.done-{spec.n_rows}-{spec.n_shards}-{spec.seed}')
+    if not force and os.path.exists(done_marker):
+        return pages_dir
+    os.makedirs(pages_dir, exist_ok=True)
+
+    vocabs = {lang: _vocab(lang) for lang in _LANGS}
+    hosts = [f'site{i:03d}.example{i % 7}.com' for i in range(spec.n_hosts)]
+    # Zipf weights over the cold hosts; host 0 is the hot host
+    zipf_w = 1.0 / np.arange(1, spec.n_hosts, dtype=np.float64)
+    zipf_w /= zipf_w.sum()
+
+    rows_per_shard = [spec.n_rows // spec.n_shards] * spec.n_shards
+    rows_per_shard[-1] += spec.n_rows - sum(rows_per_shard)
+
+    truth_rows: dict[str, list] = {k: [] for k in ('url', 'type', 'start', 'end', 'value')}
+    row_id = 0
+    recent_urls: list[str] = []
+    for shard in range(spec.n_shards):
+        rng = np.random.default_rng([spec.seed, shard])
+        n = rows_per_shard[shard]
+        cols: dict[str, list] = {k: [] for k in ('url', 'warc_ts', 'html', 'text', 'lang')}
+        lang_choices = rng.choice(len(_LANGS), size=n, p=_LANG_P)
+        for i in range(n):
+            lang = _LANGS[lang_choices[i]]
+            if recent_urls and rng.random() < spec.dup_url_frac:
+                url = recent_urls[int(rng.integers(0, len(recent_urls)))]
+            else:
+                if rng.random() < spec.hot_host_frac:
+                    host = hosts[0]
+                else:
+                    host = hosts[1 + rng.choice(spec.n_hosts - 1, p=zipf_w)]
+                url = f'https://{host}/articles/page-{row_id}'
+                recent_urls.append(url)
+                if len(recent_urls) > 1000:
+                    recent_urls.pop(0)
+
+            null_text = rng.random() < spec.null_text_frac
+            inject = (not null_text) and rng.random() < spec.pii_frac
+            text, spans = _make_doc(rng, lang, vocabs, inject)
+            html: bytes | None = _wrap_html(text, f'page {row_id}')
+            if rng.random() < spec.null_html_frac:
+                html = None
+            elif rng.random() < spec.bad_utf8_frac:
+                html = html[:20] + b'\xff\xfe\x80' + html[20:]
+
+            cols['url'].append(url)
+            cols['warc_ts'].append(_BASE_TS_US + row_id * 1_000_000
+                                   + int(rng.integers(0, 999_999)))
+            cols['html'].append(html)
+            cols['text'].append(None if null_text else text)
+            cols['lang'].append(None if rng.random() < 0.10 else lang)
+            if not null_text:
+                for ptype, s, e, val in spans:
+                    truth_rows['url'].append(url)
+                    truth_rows['type'].append(ptype)
+                    truth_rows['start'].append(s)
+                    truth_rows['end'].append(e)
+                    truth_rows['value'].append(val)
+            row_id += 1
+
+        table = pa.Table.from_arrays([
+            pa.array(cols['url'], pa.string()),
+            pa.array(cols['warc_ts'], pa.timestamp('us')),
+            pa.array(cols['html'], pa.binary()),
+            pa.array(cols['text'], pa.string()),
+            pa.array(cols['lang'], pa.string()),
+        ], schema=PAGES_SCHEMA)
+        pq.write_table(table, os.path.join(pages_dir, f'shard-{shard:05d}.parquet'))
+
+    truth = pa.Table.from_arrays([
+        pa.array(truth_rows['url'], pa.string()),
+        pa.array(truth_rows['type'], pa.string()),
+        pa.array(truth_rows['start'], pa.int32()),
+        pa.array(truth_rows['end'], pa.int32()),
+        pa.array(truth_rows['value'], pa.string()),
+    ], schema=TRUTH_SCHEMA)
+    pq.write_table(truth, os.path.join(out_dir, 'pii_truth.parquet'))
+    with open(done_marker, 'w') as f:
+        f.write('ok')
+    return pages_dir
+
+
+SIZES = {
+    'smoke': PagesSpec(n_rows=500, n_shards=1),
+    'correctness': PagesSpec(n_rows=5_000, n_shards=4),
+    'bench': PagesSpec(n_rows=200_000, n_shards=64),
+}
+
+
+def ensure_corpus(size: str, root: str = '/tmp/pii_ray_corpus') -> str:
+    """Generate (once) and return the pages dir for a named size."""
+    spec = SIZES[size]
+    return generate_pages(os.path.join(root, size), spec)

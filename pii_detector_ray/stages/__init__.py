@@ -1,0 +1,6 @@
+"""Composable Ray Data stages (each a `map_batches` callable).
+
+Stage inventory mapped from SURVEY.md §2 — stateless stages are plain
+functions (cheap elastic tasks), stateful scorer stages are callable classes
+run as actor pools (models built once per actor in ``__init__``).
+"""

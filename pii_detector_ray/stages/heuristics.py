@@ -1,0 +1,57 @@
+"""Gopher/C4-style heuristic quality features — vectorized per batch.
+
+The reference has no quality rules (it is a pure PII scanner); these implement
+the quality-filter half of the north star (BASELINE.json): document length,
+mean word length, symbol-to-word ratio, bullet/ellipsis line fractions,
+duplicate-line fraction, alphabetic-word fraction.  Rule thresholds live in
+``PipelineConfig.thresholds``; the keep/drop decision is a separate stage
+(``stages/keepdrop.py``) so features stay inspectable columns.
+
+Vectorization: counting features use pandas ``.str.count`` with compiled
+regexes (C-level per-string scans); only the duplicate-line fraction walks
+per-document line lists (a cheap set-insert per line, dominated by the regex
+scans around it).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_WORD = r'\S+'
+_NONSPACE = r'\S'
+_ALPHA_WORD = r'(?<!\S)\S*[^\W\d_]\S*'   # a word containing at least one letter
+_BULLET_LINE = r'(?m)^[ \t]*[-*•]'
+_ELLIPSIS_LINE = r'(?m)(\.\.\.|…)[ \t]*$'
+_SYMBOL = r'#|…|\.\.\.'
+
+
+def heuristics_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Adds feature columns: n_chars, n_words, mean_word_len,
+    symbol_word_ratio, bullet_line_frac, ellipsis_line_frac, dup_line_frac,
+    alpha_word_frac."""
+    s = df['extracted_text'].astype('string').fillna('')
+    n_chars = s.str.len().to_numpy(dtype=np.int64)
+    n_words = s.str.count(_WORD).to_numpy(dtype=np.int64)
+    n_words_safe = np.maximum(n_words, 1)
+    nonspace = s.str.count(_NONSPACE).to_numpy(dtype=np.int64)
+
+    df = df.copy()
+    df['n_chars'] = n_chars
+    df['n_words'] = n_words
+    df['mean_word_len'] = nonspace / n_words_safe
+    df['symbol_word_ratio'] = s.str.count(_SYMBOL).to_numpy(dtype=np.float64) / n_words_safe
+    n_lines = s.str.count('\n').to_numpy(dtype=np.int64) + 1
+    df['bullet_line_frac'] = s.str.count(_BULLET_LINE).to_numpy(dtype=np.float64) / n_lines
+    df['ellipsis_line_frac'] = s.str.count(_ELLIPSIS_LINE).to_numpy(dtype=np.float64) / n_lines
+    df['alpha_word_frac'] = s.str.count(_ALPHA_WORD).to_numpy(dtype=np.float64) / n_words_safe
+    df['dup_line_frac'] = np.fromiter(
+        (_dup_line_frac(t) for t in s), dtype=np.float64, count=len(s))
+    return df
+
+
+def _dup_line_frac(text: str) -> float:
+    lines = [ln for ln in text.split('\n') if ln.strip()]
+    if len(lines) < 2:
+        return 0.0
+    return 1.0 - len(set(lines)) / len(lines)

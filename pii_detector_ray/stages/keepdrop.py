@@ -1,0 +1,81 @@
+"""Keep/drop decision stage: fuse heuristic features + scorer outputs.
+
+Rules evaluate in a fixed order; the first failing rule names ``drop_reason``
+(null when kept).  The stopword rule is language-aware: it requires at least
+``min_stopword_hits`` distinct stopwords of the *predicted* language
+(per-language lists in ``models/seeds.py``); documents whose predicted
+language has no stopword list skip the rule.
+
+Vectorized: one boolean failure vector per rule, fused with ``np.select``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from pii_detector_ray.config import PipelineConfig
+from pii_detector_ray.models.seeds import STOPWORDS
+
+_STOPWORD_RES: dict[str, list[re.Pattern]] = {
+    lang: [re.compile(r'(?<!\w)' + re.escape(w) + r'(?!\w)', re.IGNORECASE) for w in words]
+    for lang, words in STOPWORDS.items()
+}
+
+
+def stopword_hits(texts: pd.Series, langs: pd.Series) -> np.ndarray:
+    """Distinct-stopword count for each doc, using its predicted language's
+    list; -1 where the language has no list (rule skipped)."""
+    hits = np.full(len(texts), -1, dtype=np.int64)
+    langs_np = langs.fillna('und').to_numpy(dtype=object)
+    for lang, patterns in _STOPWORD_RES.items():
+        mask = langs_np == lang
+        if not mask.any():
+            continue
+        sub = texts[mask]
+        count = np.zeros(int(mask.sum()), dtype=np.int64)
+        for pat in patterns:
+            count += sub.str.contains(pat, regex=True).fillna(False).to_numpy(dtype=np.int64)
+        hits[mask] = count
+    return hits
+
+
+def make_keepdrop_stage(cfg: PipelineConfig):
+    thr = cfg.thresholds
+
+    def keepdrop_batch(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        s = df['extracted_text'].astype('string').fillna('')
+        sw = stopword_hits(s, df['lang_pred'])
+
+        rules: list[tuple[str, np.ndarray]] = [
+            ('too_short', (df['n_chars'] < thr.min_chars).to_numpy()),
+            ('too_long', (df['n_chars'] > thr.max_chars).to_numpy()),
+            ('mean_word_length',
+             ((df['mean_word_len'] < thr.min_mean_word_len)
+              | (df['mean_word_len'] > thr.max_mean_word_len)).to_numpy()),
+            ('symbol_ratio', (df['symbol_word_ratio'] > thr.max_symbol_word_ratio).to_numpy()),
+            ('bullet_lines', (df['bullet_line_frac'] > thr.max_bullet_line_frac).to_numpy()),
+            ('ellipsis_lines', (df['ellipsis_line_frac'] > thr.max_ellipsis_line_frac).to_numpy()),
+            ('dup_lines', (df['dup_line_frac'] > thr.max_dup_line_frac).to_numpy()),
+            ('alpha_ratio', (df['alpha_word_frac'] < thr.min_alpha_word_frac).to_numpy()),
+            ('stopwords', (sw >= 0) & (sw < thr.min_stopword_hits)),
+            ('lang_confidence', (df['lang_conf'] < thr.min_lang_confidence).to_numpy()),
+            ('perplexity', (df['perplexity'] > thr.max_perplexity).to_numpy()),
+            ('toxicity', (df['toxicity'] > thr.max_toxicity).to_numpy()),
+        ]
+        if thr.allowed_langs is not None:
+            rules.append(('disallowed_lang',
+                          ~df['lang_pred'].isin(thr.allowed_langs).to_numpy()))
+
+        conds = [fail for _, fail in rules]
+        names = [name for name, _ in rules]
+        reason = np.select(conds, names, default=None)
+        df['keep'] = ~np.logical_or.reduce(conds)
+        df['drop_reason'] = pd.array(
+            [r if r is not None else None for r in reason], dtype='string')
+        return df
+
+    return keepdrop_batch

@@ -1,0 +1,53 @@
+"""Stateful scorer stage: language-ID + perplexity + toxicity, one actor pool.
+
+This is the engine's equivalent of the reference's stateful MITIE NER slot —
+the reference loads its model once per process at module import
+(``app/services/mitie_service.py:12-13,37``); here the models are built once
+per **actor** in ``__init__`` and applied to whole batches in ``__call__``
+(SURVEY.md §2.7).  The three scorers are fused into one pool so each batch
+crosses the object store once (§7.1 step 6).
+
+Usage::
+
+    ds.map_batches(QualityScorers, batch_format='pandas',
+                   batch_size=cfg.scorer_batch_size,
+                   concurrency=scorer_concurrency(), num_cpus=1)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pii_detector_ray.models.textmodel import LangIdModel, PerplexityModel, ToxicityModel
+
+
+class QualityScorers:
+    def __init__(self) -> None:
+        self.langid = LangIdModel()
+        self.ppl = PerplexityModel()
+        self.tox = ToxicityModel()
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        texts = df['extracted_text'].fillna('').tolist()
+        langs, conf = self.langid.predict_batch(texts)
+        df = df.copy()
+        df['lang_pred'] = pd.array(langs, dtype='string')
+        df['lang_conf'] = conf
+        df['perplexity'] = self.ppl.perplexity_batch(texts)
+        df['toxicity'] = self.tox.score_batch(texts)
+        return df
+
+
+def scorer_concurrency(num_cpus_hint: int | None = None) -> tuple[int, int]:
+    """Actor-pool size derived from cluster CPUs so the pool never caps the
+    two-parallelism-level scaling run (SURVEY.md §7.3 'Actor-pool sizing')."""
+    import ray
+
+    if num_cpus_hint is None:
+        try:
+            num_cpus_hint = int(ray.cluster_resources().get('CPU', 4))
+        except Exception:
+            num_cpus_hint = 4
+    hi = max(2, num_cpus_hint - 1)
+    lo = max(1, min(2, hi))
+    return (lo, hi)

@@ -1,0 +1,75 @@
+"""PII scrub stage: spans + masked values + scrubbed text, Arrow in / Arrow out.
+
+Ray-native re-expression of the reference's scan loop
+(``analyze_content_data`` → ``scan_file_object`` → engine cascade →
+per-finding POST; ``app/services/base_scan_service.py:902-943``,
+``data_analysis_service.py:173-226``): instead of per-chunk HTTP round-trips,
+each batch emits a ``pii_spans`` list<struct> column (finding fields per
+``data_analysis_service.py:208-217``, content-keyed instead of uuid4-stamped)
+plus the scrubbed text (mask semantics ``data_analysis_service.py:115-153``)
+and the PHI flag (``:38-41,86-100``).
+
+Detection itself runs one megastring ``finditer`` per pattern per batch
+(``pii_detector_ray/scan.py``), so the stage is a stateless task — patterns
+compile once per worker process via an ``lru_cache`` (the reference compiles
+its hyperscan DB once per spawned process, ``multiprocessing_tasks.py:34``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from pii_detector_ray.config import PipelineConfig
+from pii_detector_ray.detectors import Detector, build_registry
+from pii_detector_ray.functions.masking import is_phi
+from pii_detector_ray.scan import scan_texts, scrub_text, span_record
+
+SPAN_STRUCT = pa.struct([
+    ('type', pa.string()),
+    ('start', pa.int32()),
+    ('end', pa.int32()),
+    ('hash', pa.string()),
+    ('masked', pa.string()),
+    ('score', pa.float32()),
+    ('is_custom_regex', pa.bool_()),
+])
+SPAN_LIST = pa.list_(SPAN_STRUCT)
+
+
+def detectors_from_config(cfg: PipelineConfig) -> list[Detector]:
+    dets = build_registry(
+        include_pii=cfg.include_pii,
+        include_credentials=cfg.include_credentials,
+        include_extensions=cfg.include_extensions,
+        extra=cfg.custom_patterns or None,
+        only=cfg.rescan_only,
+    )
+    if cfg.scrub_entities is not None:
+        wanted = set(cfg.scrub_entities)
+        dets = [d for d in dets if d.name in wanted]
+    return dets
+
+
+def make_scrub_stage(cfg: PipelineConfig, text_col: str = 'extracted_text',
+                     name_col: str = 'url'):
+    """Build the scrub `map_batches` callable (pyarrow batch format)."""
+    detectors = detectors_from_config(cfg)
+
+    def scrub_batch(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        texts = ['' if t is None else t for t in texts]
+        names = batch.column(name_col).to_pylist() if name_col in batch.column_names \
+            else [''] * len(texts)
+        all_spans = scan_texts(texts, detectors)
+        span_lists = [[span_record(sp) for sp in spans] for spans in all_spans]
+        scrubbed = [scrub_text(t, spans) if spans else t
+                    for t, spans in zip(texts, all_spans)]
+        phi = [is_phi(nm or '', t) for nm, t in zip(names, texts)]
+        n_pii = [len(spans) for spans in all_spans]
+        batch = batch.append_column('pii_spans', pa.array(span_lists, type=SPAN_LIST))
+        batch = batch.append_column('scrubbed_text', pa.array(scrubbed, type=pa.string()))
+        batch = batch.append_column('is_phi', pa.array(phi, type=pa.bool_()))
+        batch = batch.append_column('n_pii', pa.array(n_pii, type=pa.int32()))
+        return batch
+
+    return scrub_batch

@@ -1,0 +1,21 @@
+"""Session-scoped Ray fixture (one init per pytest session, per driver contract)."""
+
+from __future__ import annotations
+
+import pytest
+import ray
+
+
+@pytest.fixture(scope='session', autouse=True)
+def ray_session():
+    if not ray.is_initialized():
+        ray.init(address='local', num_cpus=4, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level='ERROR')
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope='session')
+def smoke_pages_dir():
+    from pii_detector_ray.sources.pages import ensure_corpus
+    return ensure_corpus('smoke')

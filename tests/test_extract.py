@@ -1,0 +1,39 @@
+"""Extraction byte-identity tests (P1 fallback semantics,
+file_service.py:415: decode(errors='replace'))."""
+
+import pyarrow as pa
+
+from pii_detector_ray.stages.extract import extract_batch, extract_html, extract_row
+
+
+def test_extract_html_strips_tags_and_unescapes():
+    raw = b'<html><head><title>t</title><style>p{}</style></head><body><p>a &amp; b</p></body></html>'
+    assert extract_html(raw) == 'ta & b'
+
+
+def test_extract_html_invalid_utf8_replacement():
+    raw = b'<p>ok \xff\xfe\x80 end</p>'
+    out = extract_html(raw)
+    assert out == 'ok ��� end'
+
+
+def test_extract_row_prefers_text():
+    assert extract_row('already here', b'<p>other</p>') == 'already here'
+    assert extract_row(None, b'<p>other</p>') == 'other'
+    assert extract_row(None, None) == ''
+
+
+def test_extract_batch_mixed_nulls():
+    batch = pa.table({
+        'url': ['a', 'b', 'c'],
+        'html': pa.array([None, b'<p>from html</p>', b'<p>x</p>'], pa.binary()),
+        'text': pa.array(['plain', None, None], pa.string()),
+    })
+    out = extract_batch(batch)
+    assert out.column('extracted_text').to_pylist() == ['plain', 'from html', 'x']
+
+
+def test_extract_batch_no_nulls_zero_copy_path():
+    batch = pa.table({'url': ['a'], 'text': pa.array(['t'], pa.string())})
+    out = extract_batch(batch)
+    assert out.column('extracted_text').to_pylist() == ['t']

@@ -1,0 +1,55 @@
+"""Golden tests for mask/hash/region/PHI semantics (FIXTURES.md §4;
+reference data_analysis_service.py:68-153)."""
+
+import hashlib
+
+from pii_detector_ray.functions.masking import get_region, hash_data, is_phi, mask_data
+
+
+def test_mask_email_address_keeps_first_char_and_tld():
+    assert mask_data('EMAIL_ADDRESS', 'jwhite@domain.com') == 'j*****@******.com'
+
+
+def test_mask_org_email_keeps_two_chars_and_domain():
+    # non-EMAIL_ADDRESS email entity: first 2 chars + full domain kept
+    assert mask_data('ORG_EMAIL', 'jwhite@domain.com') == 'jw****@domain.com'
+
+
+def test_mask_email_multi_at_swallows_exception():
+    # reference raises in split('@') and returns the un-mutated value (:151-152)
+    assert mask_data('EMAIL_ADDRESS', 'a@b@c.com') == 'a@b@c.com'
+
+
+def test_mask_ssn_len_gt_6():
+    assert mask_data('US_SSN', '172-32-1176') == '17*-**-**76'
+
+
+def test_mask_person_short():
+    assert mask_data('PERSON', 'Bob') == 'B**'
+    assert mask_data('PERSON', 'Alice') == 'Al***'
+    assert mask_data('PERSON', 'Bobby') == 'Bo***'
+
+
+def test_mask_default_full():
+    assert mask_data('CREDIT_CARD', '5270-4267-6450-5516') == '****-****-****-****'
+
+
+def test_mask_empty():
+    assert mask_data('US_SSN', '') == ''
+
+
+def test_hash_is_sha384():
+    assert hash_data('x') == hashlib.sha384(b'x').hexdigest()
+
+
+def test_region_prefix_map():
+    assert get_region('US_SSN') == 'USA'
+    assert get_region('IN_PAN') == 'India'
+    assert get_region('EMAIL_ADDRESS') == 'All'
+
+
+def test_phi_flag():
+    assert is_phi('patient_records.csv', '')
+    assert is_phi('', 'the MRN is 12345')
+    assert is_phi('', 'routine pharmacy visit')
+    assert not is_phi('notes.txt', 'a walk in the park')

@@ -1,0 +1,60 @@
+"""Model tests: langid accuracy on seed-like text, batch independence
+(required because the oracle scores per-row while the pipeline scores per
+Ray batch), and perplexity/toxicity monotonicity."""
+
+import numpy as np
+
+from pii_detector_ray.models.seeds import SEED_CORPORA
+from pii_detector_ray.models.textmodel import LangIdModel, PerplexityModel, ToxicityModel
+
+SAMPLES = {
+    'en': 'The children walk to the market and the weather is pleasant this morning.',
+    'de': 'Die Kinder gehen zum Markt und das Wetter ist heute angenehm.',
+    'fr': 'Les enfants vont au marché et le temps est agréable ce matin.',
+    'ru': 'Дети идут на рынок и погода сегодня приятная.',
+}
+
+
+def test_langid_identifies_all_langs():
+    m = LangIdModel()
+    langs, conf = m.predict_batch(list(SAMPLES.values()))
+    assert langs == list(SAMPLES.keys())
+    assert (conf > 0.9).all()
+
+
+def test_langid_empty_is_und():
+    m = LangIdModel()
+    langs, conf = m.predict_batch(['', 'ab'])
+    assert langs == ['und', 'und']
+    assert (conf == 0).all()
+
+
+def test_batch_independence():
+    m = LangIdModel()
+    p = PerplexityModel()
+    texts = list(SAMPLES.values()) + ['', 'zz@@## qq!!', 'with \x00 nul \x00 chars ok']
+    langs_all, conf_all = m.predict_batch(texts)
+    ppl_all = p.perplexity_batch(texts)
+    for i, t in enumerate(texts):
+        langs_one, conf_one = m.predict_batch([t])
+        assert langs_one[0] == langs_all[i]
+        assert np.isclose(conf_one[0], conf_all[i])
+        assert np.isclose(p.perplexity_batch([t])[0], ppl_all[i])
+
+
+def test_perplexity_orders_clean_vs_gibberish():
+    p = PerplexityModel()
+    clean = SEED_CORPORA['en'][:300]
+    gibberish = 'zq#@%& ' * 40
+    ppl = p.perplexity_batch([clean, gibberish])
+    assert ppl[0] < ppl[1]
+    assert ppl[0] < 25_000 < ppl[1]
+
+
+def test_toxicity_orders():
+    t = ToxicityModel()
+    scores = t.score_batch([
+        'you stupid idiot moron I hate you, you worthless fool',
+        'a lovely walk in the quiet park this morning',
+    ])
+    assert scores[0] > 0.5 > scores[1]

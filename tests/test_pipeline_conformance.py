@@ -1,0 +1,107 @@
+"""End-to-end conformance: the Ray pipeline vs the serial oracle on the
+synthetic smoke corpus — byte-identical extracted text per url, identical
+keep/drop labels, identical span sets (the BASELINE.md correctness gates,
+checked at equality, i.e. F1 == 1.0)."""
+
+import math
+
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from pii_detector_ray.config import PipelineConfig
+from pii_detector_ray.oracle import run_oracle
+from pii_detector_ray.pipelines.quality_filter import build_pipeline
+
+
+@pytest.fixture(scope='module')
+def conformance(smoke_pages_dir):
+    cfg = PipelineConfig()
+    ds = ray.data.read_parquet(smoke_pages_dir)
+    result = build_pipeline(ds, cfg, concurrency=(1, 2)).to_pandas()
+
+    rows = pq.ParquetDataset(smoke_pages_dir).read().to_pylist()
+    expected = run_oracle(rows, cfg)
+    return result, expected
+
+
+def _index(result):
+    return {(r['url'], r['warc_ts'].to_pydatetime()): r for _, r in result.iterrows()}
+
+
+def test_row_counts_match(conformance):
+    result, expected = conformance
+    assert len(result) == len(expected)
+
+
+def test_extracted_text_byte_identical(conformance):
+    result, expected = conformance
+    got = _index(result)
+    for exp in expected:
+        row = got[(exp['url'], exp['warc_ts'])]
+        assert row['extracted_text'] == exp['extracted_text'], exp['url']
+
+
+def test_keep_drop_labels_match(conformance):
+    result, expected = conformance
+    got = _index(result)
+    mismatches = []
+    for exp in expected:
+        row = got[(exp['url'], exp['warc_ts'])]
+        if bool(row['keep']) != exp['keep']:
+            mismatches.append((exp['url'], exp['drop_reason'], row['drop_reason']))
+        reason = row['drop_reason'] if isinstance(row['drop_reason'], str) else None
+        assert reason == exp['drop_reason'], (exp['url'], reason, exp['drop_reason'])
+    assert not mismatches
+
+
+def test_scrubbed_text_and_spans_match(conformance):
+    result, expected = conformance
+    got = _index(result)
+    for exp in expected:
+        row = got[(exp['url'], exp['warc_ts'])]
+        assert row['scrubbed_text'] == exp['scrubbed_text'], exp['url']
+        got_spans = list(row['pii_spans'])
+        assert len(got_spans) == len(exp['pii_spans']), exp['url']
+        for g, e in zip(got_spans, exp['pii_spans']):
+            assert g['type'] == e['type']
+            assert g['start'] == e['start'] and g['end'] == e['end']
+            assert g['hash'] == e['hash'] and g['masked'] == e['masked']
+            assert math.isclose(g['score'], e['score'], rel_tol=1e-6)
+            assert bool(g['is_custom_regex']) == e['is_custom_regex']
+
+
+def test_scores_match(conformance):
+    result, expected = conformance
+    got = _index(result)
+    for exp in expected:
+        row = got[(exp['url'], exp['warc_ts'])]
+        assert row['lang_pred'] == exp['lang_pred']
+        assert math.isclose(row['lang_conf'], exp['lang_conf'], rel_tol=1e-9, abs_tol=1e-12)
+        assert math.isclose(row['perplexity'], exp['perplexity'], rel_tol=1e-9)
+        assert math.isclose(row['toxicity'], exp['toxicity'], rel_tol=1e-9)
+        assert bool(row['is_phi']) == exp['is_phi']
+
+
+def test_truth_spans_recalled(smoke_pages_dir, conformance):
+    """Injected PII values must be found (recall sanity vs generator truth)."""
+    import os
+    result, expected = conformance
+    truth = pq.read_table(os.path.join(os.path.dirname(smoke_pages_dir),
+                                       'pii_truth.parquet')).to_pylist()
+    exp_by_url: dict[str, list] = {}
+    for e in expected:
+        exp_by_url.setdefault(e['url'], []).append(e)
+    missed = 0
+    total = 0
+    for t in truth:
+        total += 1
+        rows = exp_by_url.get(t['url'], [])
+        found = any(
+            any(s['start'] <= t['start'] and s['end'] >= t['end'] and s['type'] == t['type']
+                for s in r['pii_spans'])
+            for r in rows)
+        if not found:
+            missed += 1
+    assert total > 0
+    assert missed / total < 0.02, f'{missed}/{total} injected PII values not recalled'
