@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray itself before importing this module; nothing here
+(or in the library code it calls) touches ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship quality-filter pipeline over pages derived from
+  ``/root/testdata/sf0.001`` documents; returns a ``ray.data.Dataset``.
+- ``queries()``: one callable per implemented operator/pipeline
+  (SURVEY.md §2 coverage; implementations in ``pii_detector_ray/queries.py``).
+- ``oracle_sql()``: DuckDB-equivalent SQL per SQL-expressible query.
 """
 
 from __future__ import annotations
@@ -18,27 +15,22 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from pii_detector_ray import queries as _q
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from pii_detector_ray.config import PipelineConfig
+    from pii_detector_ray.pipelines.quality_filter import build_pipeline
+    from pii_detector_ray.sources.docs_adapter import docs_to_pages
+
+    ds = docs_to_pages('/root/testdata/sf0.001')
+    return build_pipeline(ds, PipelineConfig())
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _q.oracle_sql()

@@ -1,0 +1,442 @@
+"""Named queries over the driver tables + their DuckDB oracle SQL.
+
+This is the engine's operator coverage surface for the driver's correctness
+gate (``__ray_entry__.py``): every operator family from SURVEY.md §2 has at
+least one entry, each implemented Ray-Data-first and (where SQL-expressible)
+paired with an ANSI-SQL oracle that DuckDB runs on the same parquet.
+
+Column names match between Ray results and oracle SQL exactly (driver
+hash-compares values after sorting columns by name).
+
+Scale notes per query are in the docstrings — the sf0.01 tables are tiny,
+but each plan is written for the 100 TB shape: prune columns at the read,
+drop payload columns before any shuffle, pre-aggregate inside map_batches
+where the key cardinality allows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from pii_detector_ray.config import PipelineConfig
+from pii_detector_ray.detectors import (
+    CREDENTIAL_PATTERNS,
+    EXTENSION_PATTERNS,
+    PII_PATTERNS,
+    Detector,
+    compiled,
+)
+from pii_detector_ray.functions.masking import PHI_PATTERN, mask_data
+from pii_detector_ray.sources.docs_adapter import (
+    SQL_AUG_CTE,
+    augment_batch,
+    docs_to_pages,
+    read_documents,
+)
+
+
+def _sql_quote(pattern: str) -> str:
+    return pattern.replace("'", "''")
+
+
+def _events(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    import os
+    return ray.data.read_parquet(os.path.join(sf_dir, 'events.parquet'), columns=columns)
+
+
+def _embeddings(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    import os
+    return ray.data.read_parquet(os.path.join(sf_dir, 'embeddings.parquet'), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# D1 detection queries: per-doc match counts for each north-star entity.
+# Raw pattern counts (no credential code-suppression) so the SQL oracle is an
+# exact mirror; suppression semantics are covered by tests/test_scan.py.
+# ---------------------------------------------------------------------------
+
+_QUERY_PATTERNS = {
+    'pii_email_counts': PII_PATTERNS['EMAIL_ADDRESS'],
+    'pii_ssn_counts': PII_PATTERNS['US_SSN'],
+    'pii_credit_card_counts': PII_PATTERNS['CREDIT_CARD'],
+    'pii_phone_counts': EXTENSION_PATTERNS['PHONE'],
+    'pii_ip_counts': CREDENTIAL_PATTERNS['IP_ADDRESSES'],
+}
+
+
+def _make_pii_counts(pattern: str) -> Callable[[str], ray.data.Dataset]:
+    def q(sf_dir: str) -> ray.data.Dataset:
+        rex = compiled(pattern)
+
+        def count(batch: pa.Table) -> pa.Table:
+            texts = batch.column('aug_text').to_pylist()
+            n = pa.array([len(rex.findall(t)) for t in texts], pa.int64())
+            out = pa.table({'doc_id': batch.column('doc_id'), 'n_matches': n})
+            return out.filter(pc.greater(out.column('n_matches'), 0))
+
+        return (read_documents(sf_dir, ['doc_id', 'text'])
+                .map_batches(augment_batch, batch_format='pyarrow')
+                .map_batches(count, batch_format='pyarrow'))
+    return q
+
+
+def _pii_counts_sql(pattern: str) -> str:
+    p = _sql_quote(pattern)
+    return (f"{SQL_AUG_CTE} SELECT doc_id, len(regexp_extract_all(text, '{p}')) AS n_matches "
+            f"FROM aug WHERE len(regexp_extract_all(text, '{p}')) > 0")
+
+
+# ---------------------------------------------------------------------------
+# T1 masking oracle: first email per injected doc, masked.
+# ---------------------------------------------------------------------------
+
+def q_mask_email(sf_dir: str) -> ray.data.Dataset:
+    rex = compiled(PII_PATTERNS['EMAIL_ADDRESS'])
+
+    def mask(batch: pa.Table) -> pa.Table:
+        ids, emails, masked = [], [], []
+        for did, t in zip(batch.column('doc_id').to_pylist(),
+                          batch.column('aug_text').to_pylist()):
+            if did % 3 != 0:
+                continue
+            m = rex.search(t)
+            email = m.group() if m else ''
+            ids.append(did)
+            emails.append(email)
+            masked.append(mask_data('EMAIL_ADDRESS', email))
+        return pa.table({'doc_id': pa.array(ids, pa.int64()),
+                         'email': pa.array(emails, pa.string()),
+                         'masked_email': pa.array(masked, pa.string())})
+
+    return (read_documents(sf_dir, ['doc_id', 'text'])
+            .map_batches(augment_batch, batch_format='pyarrow')
+            .map_batches(mask, batch_format='pyarrow'))
+
+
+_MASK_EMAIL_SQL = (
+    f"{SQL_AUG_CTE} SELECT doc_id, regexp_extract(text, '{_sql_quote(PII_PATTERNS['EMAIL_ADDRESS'])}') AS email, "
+    f"substr(regexp_extract(text, '{_sql_quote(PII_PATTERNS['EMAIL_ADDRESS'])}'), 1, 1) || "
+    f"regexp_replace(substr(regexp_extract(text, '{_sql_quote(PII_PATTERNS['EMAIL_ADDRESS'])}'), 2, "
+    f"length(regexp_extract(text, '{_sql_quote(PII_PATTERNS['EMAIL_ADDRESS'])}')) - 4), '[A-Za-z0-9]', '*', 'g') || 'com' "
+    f"AS masked_email FROM aug WHERE doc_id % 3 = 0"
+)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations / shuffles over documents
+# ---------------------------------------------------------------------------
+
+def q_lang_distribution(sf_dir: str) -> ray.data.Dataset:
+    """Tiny-key groupby: shuffle carries only (lang) after column pruning."""
+    return (read_documents(sf_dir, ['lang'])
+            .groupby('lang').aggregate(Count(alias_name='n_docs')))
+
+
+def q_source_stats(sf_dir: str) -> ray.data.Dataset:
+    return (read_documents(sf_dir, ['source', 'n_chars'])
+            .groupby('source')
+            .aggregate(Count(alias_name='n_docs'),
+                       Sum('n_chars', alias_name='total_chars')))
+
+
+def q_length_histogram(sf_dir: str) -> ray.data.Dataset:
+    def bucket(batch: pa.Table) -> pa.Table:
+        b = pc.divide(batch.column('n_chars'), 100)
+        return pa.table({'bucket': pc.cast(b, pa.int64())})
+
+    return (read_documents(sf_dir, ['n_chars'])
+            .map_batches(bucket, batch_format='pyarrow')
+            .groupby('bucket').aggregate(Count(alias_name='n_docs')))
+
+
+def q_token_counts(sf_dir: str) -> ray.data.Dataset:
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            'doc_id': df['doc_id'],
+            'n_tokens': df['text'].astype('string').str.count(r'\S+').astype('int64'),
+        })
+
+    return read_documents(sf_dir, ['doc_id', 'text']).map_batches(count, batch_format='pandas')
+
+
+def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
+    """Exact dedup (F7 / §2.9): hash text per batch, DROP the payload, then a
+    groupby over (hash, doc_id) only — at 100 TB the shuffle moves 48 B/row,
+    not the documents."""
+    def h(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((t or '').encode('utf-8')).hexdigest()
+              for t in batch.column('text').to_pylist()]
+        return pa.table({'h': pa.array(hs, pa.string()), 'doc_id': batch.column('doc_id')})
+
+    out = (read_documents(sf_dir, ['doc_id', 'text'])
+           .map_batches(h, batch_format='pyarrow')
+           .groupby('h')
+           .aggregate(Min('doc_id', alias_name='doc_id'), Count(alias_name='n_dups')))
+    return out.select_columns(['doc_id', 'n_dups'])
+
+
+def q_phi_flag(sf_dir: str) -> pa.Table:
+    """T5 PHI keyword flag as a global count (pattern data_analysis_service.py:38-41)."""
+    rex = re.compile(PHI_PATTERN, re.IGNORECASE)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = sum(1 for t in batch.column('text').to_pylist() if rex.search(t or ''))
+        return pa.table({'n': pa.array([n], pa.int64())})
+
+    total = (read_documents(sf_dir, ['text'])
+             .map_batches(partial, batch_format='pyarrow')
+             .sum('n') or 0)
+    return pa.table({'n_phi': pa.array([total], pa.int64())})
+
+
+def q_url_filter(sf_dir: str) -> ray.data.Dataset:
+    """F1/F2 object-selection filters over deterministically derived urls."""
+    cfg = PipelineConfig()
+    from pii_detector_ray.stages.extract import make_url_filter
+    filt = make_url_filter(cfg)
+
+    def mk_urls(batch: pa.Table) -> pa.Table:
+        ids = batch.column('doc_id').to_pylist()
+        srcs = batch.column('source').to_pylist()
+        urls = [f'https://{s}.example.com/doc/{i}'
+                + ('.jpg' if i % 17 == 0 else ('-log' if i % 13 == 0 else '.html'))
+                for s, i in zip(srcs, ids)]
+        return pa.table({'url': pa.array(urls, pa.string()),
+                         'source': batch.column('source')})
+
+    return (read_documents(sf_dir, ['doc_id', 'source'])
+            .map_batches(mk_urls, batch_format='pyarrow')
+            .map_batches(filt, batch_format='pyarrow')
+            .groupby('source').aggregate(Count(alias_name='n_kept')))
+
+
+_URL_FILTER_SQL = (
+    "WITH urls AS (SELECT source, 'https://' || source || '.example.com/doc/' || doc_id || "
+    "CASE WHEN doc_id % 17 = 0 THEN '.jpg' WHEN doc_id % 13 = 0 THEN '-log' ELSE '.html' END AS url "
+    "FROM documents) "
+    "SELECT source, count(*) AS n_kept FROM urls "
+    "WHERE NOT url LIKE '%.jpg' AND NOT contains(lower(url), 'log') "
+    "AND NOT contains(url, 'CloudTrail') GROUP BY source"
+)
+
+
+# ---------------------------------------------------------------------------
+# Events: windowed aggregate (streaming-shaped extension; the reference has
+# no aggregates at all, SURVEY.md §2.9/2.10)
+# ---------------------------------------------------------------------------
+
+def q_events_hourly(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling 1-hour window per event_type: vectorized bucketing then a
+    small groupby (pre-aggregation happens inside map_batches at scale via
+    the combiner in q_events_hourly_prepartial)."""
+    def bucket(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column('ts'), pa.int64())
+        hb = pc.cast(pc.divide(us, 3_600_000_000), pa.int64())
+        return pa.table({'event_type': batch.column('event_type'),
+                         'hour_bucket': hb,
+                         'value': batch.column('value')})
+
+    agg = (_events(sf_dir, ['ts', 'event_type', 'value'])
+           .map_batches(bucket, batch_format='pyarrow')
+           .groupby(['event_type', 'hour_bucket'])
+           .aggregate(Count(alias_name='n_events'), Sum('value', alias_name='sum_value')))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return batch.set_column(batch.column_names.index('sum_value'), 'sum_value',
+                                pc.round(batch.column('sum_value'), 2))
+    return agg.map_batches(fin, batch_format='pyarrow')
+
+
+_EVENTS_HOURLY_SQL = (
+    "SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket, "
+    "count(*) AS n_events, round(sum(value), 2) AS sum_value "
+    "FROM events GROUP BY event_type, hour_bucket"
+)
+
+
+def q_events_user_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-user rollup with pre-aggregation: partial (count,sum,min,max) per
+    batch inside map_batches, then the groupby shuffles ONE ROW per
+    (user_id, batch) — the two-phase combiner pattern for 10^12-row scale."""
+    def partial(batch: pa.Table) -> pa.Table:
+        tbl = pa.table({'user_id': batch.column('user_id'),
+                        'value': batch.column('value')})
+        return tbl.group_by('user_id').aggregate(
+            [('value', 'count'), ('value', 'sum'), ('value', 'max')])
+
+    agg = (_events(sf_dir, ['user_id', 'value'])
+           .map_batches(partial, batch_format='pyarrow')
+           .groupby('user_id')
+           .aggregate(Sum('value_count', alias_name='n_events'),
+                      Sum('value_sum', alias_name='_sum'),
+                      Max('value_max', alias_name='max_value')))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        out = pa.table({
+            'user_id': batch.column('user_id'),
+            'n_events': batch.column('n_events'),
+            'sum_value': pc.round(batch.column('_sum'), 2),
+            'max_value': pc.round(batch.column('max_value'), 2),
+        })
+        return out
+    return agg.map_batches(fin, batch_format='pyarrow')
+
+
+_EVENTS_USER_SQL = (
+    "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value, "
+    "round(max(value), 2) AS max_value FROM events GROUP BY user_id"
+)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings (brute-force cosine top-k baseline)
+# ---------------------------------------------------------------------------
+
+def q_similarity_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pd.DataFrame:
+    """Brute-force cosine top-k vs a broadcast query vector: numpy matmul per
+    batch against the (ray.put) query — no shuffle; a per-batch local top-k
+    then a tiny driver-side merge (at scale: partial top-k per block keeps
+    driver traffic at k rows/block)."""
+    import os
+    query = None
+    for b in _embeddings(sf_dir, ['vec_id', 'embedding']).iter_batches(
+            batch_size=4096, batch_format='pyarrow'):
+        ids = b.column('vec_id').to_pylist()
+        if query_vec_id in ids:
+            arr = b.column('embedding').to_pylist()[ids.index(query_vec_id)]
+            query = np.asarray(arr, dtype=np.float64)
+            break
+    assert query is not None
+    qn = query / np.linalg.norm(query)
+    qref = ray.put(qn)
+
+    def topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        mat = np.asarray(batch.column('embedding').to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        sims = (mat @ q) / np.where(norms == 0, 1.0, norms)
+        sims = np.round(sims, 4)
+        vec_ids = batch.column('vec_id').to_numpy(zero_copy_only=False)
+        order = np.lexsort((vec_ids, -sims))[:k]
+        return pa.table({
+            'vec_id': pa.array(vec_ids[order]),
+            'sim': pa.array(sims[order], pa.float64()),
+        })
+
+    parts = _embeddings(sf_dir, ['vec_id', 'embedding']) \
+        .map_batches(topk, batch_format='pyarrow').to_pandas()
+    parts = parts.sort_values(['sim', 'vec_id'], ascending=[False, True],
+                              kind='mergesort').head(k).reset_index(drop=True)
+    return parts
+
+
+_SIMILARITY_SQL = (
+    "SELECT vec_id, round(list_cosine_similarity(embedding, "
+    "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS sim "
+    "FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10"
+)
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (not SQL-expressible; the driver records a weaker check)
+# ---------------------------------------------------------------------------
+
+def q_scrub_documents(sf_dir: str) -> ray.data.Dataset:
+    """Full-registry scrub over augmented documents (the reference's whole
+    detection+mask path; SQL can't express the masking cascade)."""
+    from pii_detector_ray.stages.scrub import make_scrub_stage
+    cfg = PipelineConfig()
+    stage = make_scrub_stage(cfg, text_col='aug_text', name_col='doc_id_str')
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            'doc_id_str', pc.cast(batch.column('doc_id'), pa.string()))
+
+    ds = (read_documents(sf_dir, ['doc_id', 'text'])
+          .map_batches(augment_batch, batch_format='pyarrow')
+          .map_batches(prep, batch_format='pyarrow')
+          .map_batches(stage, batch_format='pyarrow'))
+    return ds.select_columns(['doc_id', 'scrubbed_text', 'n_pii'])
+
+
+def q_langid_documents(sf_dir: str) -> ray.data.Dataset:
+    from pii_detector_ray.stages.scorers import QualityScorers, scorer_concurrency
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={'text': 'extracted_text'})
+
+    ds = (read_documents(sf_dir, ['doc_id', 'text', 'lang'])
+          .map_batches(rename, batch_format='pandas')
+          .map_batches(QualityScorers, batch_format='pandas', batch_size=1024,
+                       concurrency=scorer_concurrency(), num_cpus=1))
+    return ds.select_columns(['doc_id', 'lang', 'lang_pred'])
+
+
+def q_pages_pipeline(sf_dir: str) -> ray.data.Dataset:
+    """The flagship quality-filter pipeline over pages derived from the
+    driver's documents table."""
+    from pii_detector_ray.pipelines.quality_filter import build_pipeline
+    ds = docs_to_pages(sf_dir)
+    out = build_pipeline(ds, PipelineConfig())
+    return out.select_columns(['url', 'keep', 'drop_reason', 'lang_pred', 'n_pii'])
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    out: dict[str, Callable[[str], Any]] = {}
+    for name, pattern in _QUERY_PATTERNS.items():
+        out[name] = _make_pii_counts(pattern)
+    out.update({
+        'mask_email': q_mask_email,
+        'lang_distribution': q_lang_distribution,
+        'source_stats': q_source_stats,
+        'length_histogram': q_length_histogram,
+        'token_counts': q_token_counts,
+        'dedup_exact': q_dedup_exact,
+        'phi_flag': q_phi_flag,
+        'url_filter': q_url_filter,
+        'events_hourly': q_events_hourly,
+        'events_user_stats': q_events_user_stats,
+        'similarity_topk': q_similarity_topk,
+        # rows-only
+        'scrub_documents': q_scrub_documents,
+        'langid_documents': q_langid_documents,
+        'pages_pipeline': q_pages_pipeline,
+    })
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    out = {name: _pii_counts_sql(pattern) for name, pattern in _QUERY_PATTERNS.items()}
+    out.update({
+        'mask_email': _MASK_EMAIL_SQL,
+        'lang_distribution': 'SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang',
+        'source_stats': ('SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars '
+                         'FROM documents GROUP BY source'),
+        'length_histogram': ('SELECT n_chars // 100 AS bucket, count(*) AS n_docs '
+                             'FROM documents GROUP BY n_chars // 100'),
+        'token_counts': ("SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens "
+                         'FROM documents'),
+        'dedup_exact': ('SELECT min(doc_id) AS doc_id, count(*) AS n_dups '
+                        'FROM documents GROUP BY md5(text)'),
+        'phi_flag': (f"SELECT count(*) AS n_phi FROM documents "
+                     f"WHERE regexp_matches(text, '(?i){_sql_quote(PHI_PATTERN)}')"),
+        'url_filter': _URL_FILTER_SQL,
+        'events_hourly': _EVENTS_HOURLY_SQL,
+        'events_user_stats': _EVENTS_USER_SQL,
+        'similarity_topk': _SIMILARITY_SQL,
+    })
+    return out

@@ -1,0 +1,89 @@
+"""Adapters from the driver-provided tables (TESTDATA.md) to this engine.
+
+Two jobs:
+
+1. ``augment_batch`` — deterministically inject PII values into ``documents``
+   text as a pure function of ``doc_id``.  The driver's synthetic corpus
+   contains no PII, so the correctness gate needs injected values whose
+   generating expression is replicable in ANSI SQL; ``SQL_AUG_EXPR`` is the
+   character-identical DuckDB expression (used in every ``oracle_sql`` CTE).
+2. ``docs_to_pages`` — derive a pages-shaped table (the ``input_hint``
+   schema) from ``documents`` so the flagship pipeline can run over driver
+   data: url from (source, doc_id), warc_ts from doc_id, html wrapping text.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+import ray.data
+
+_BASE_TS_US = 1_704_067_200_000_000  # matches sources/pages.py
+
+
+def augment_text(doc_id: int, text: str) -> str:
+    """Python side of the shared augmentation expression (keep in lockstep
+    with ``SQL_AUG_EXPR`` below — tests assert equality via DuckDB)."""
+    t = text or ''
+    if doc_id % 3 == 0:
+        t += f' Contact user{doc_id}@mail{doc_id % 7}.com now.'
+    if doc_id % 5 == 0:
+        t += f' SSN {100 + doc_id % 900}-{10 + doc_id % 89}-{1000 + doc_id % 9000}.'
+    if doc_id % 7 == 0:
+        t += f' Call {200 + doc_id % 700} {100 + doc_id % 900}-{1000 + doc_id % 9000}.'
+    if doc_id % 11 == 0:
+        t += (f' Card 5155-{1000 + doc_id % 9000}-{1000 + (doc_id * 7) % 9000}'
+              f'-{1000 + (doc_id * 13) % 9000}.')
+    if doc_id % 13 == 0:
+        t += f' Host 10.{doc_id % 250}.{(doc_id // 3) % 250}.{1 + doc_id % 254}.'
+    return t
+
+
+SQL_AUG_EXPR = (
+    "COALESCE(text, '')"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' Contact user' || doc_id || '@mail' || (doc_id % 7) || '.com now.' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' SSN ' || (100 + doc_id % 900) || '-' || (10 + doc_id % 89) || '-' || (1000 + doc_id % 9000) || '.' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' Call ' || (200 + doc_id % 700) || ' ' || (100 + doc_id % 900) || '-' || (1000 + doc_id % 9000) || '.' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' Card 5155-' || (1000 + doc_id % 9000) || '-' || (1000 + (doc_id * 7) % 9000) || '-' || (1000 + (doc_id * 13) % 9000) || '.' ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 0 THEN ' Host 10.' || (doc_id % 250) || '.' || ((doc_id // 3) % 250) || '.' || (1 + doc_id % 254) || '.' ELSE '' END"
+)
+
+SQL_AUG_CTE = f"WITH aug AS (SELECT doc_id, {SQL_AUG_EXPR} AS text FROM documents)"
+
+
+def augment_batch(batch: pa.Table) -> pa.Table:
+    ids = batch.column('doc_id').to_pylist()
+    texts = batch.column('text').to_pylist()
+    out = [augment_text(i, t) for i, t in zip(ids, texts)]
+    if 'aug_text' in batch.column_names:
+        batch = batch.drop_columns(['aug_text'])
+    return batch.append_column('aug_text', pa.array(out, pa.string()))
+
+
+def read_documents(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=columns)
+
+
+def docs_to_pages(sf_dir: str) -> ray.data.Dataset:
+    """documents → pages (input_hint schema), deterministically."""
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column('doc_id').to_pylist()
+        texts = batch.column('text').to_pylist()
+        sources = batch.column('source').to_pylist()
+        langs = batch.column('lang').to_pylist()
+        urls = [f'https://{s}.example.com/doc/{i}' for s, i in zip(sources, ids)]
+        ts = [_BASE_TS_US + i * 1_000_000 for i in ids]
+        htmls = [f'<html><body><p>{t}</p></body></html>'.encode() for t in texts]
+        return pa.table({
+            'url': pa.array(urls, pa.string()),
+            'warc_ts': pa.array(ts, pa.timestamp('us')),
+            'html': pa.array(htmls, pa.binary()),
+            'text': pa.array(texts, pa.string()),
+            'lang': pa.array(langs, pa.string()),
+        })
+
+    return read_documents(sf_dir, ['doc_id', 'text', 'source', 'lang']) \
+        .map_batches(to_pages, batch_format='pyarrow')

@@ -1,0 +1,1 @@
+"""Checkpoint/resume state: per-partition manifests + metrics (no external DB)."""

@@ -1,0 +1,66 @@
+"""Kill-and-resume test (BASELINE.md resumability gate): a job killed after
+some partitions commits must resume running only the remaining partitions and
+produce identical output."""
+
+import glob
+import os
+
+import pytest
+import ray.data
+
+from pii_detector_ray.config import PipelineConfig
+from pii_detector_ray.pipelines.runner import run_partitioned
+from pii_detector_ray.state.manifest import completed_partitions, read_manifest
+
+
+@pytest.fixture(scope='module')
+def corr_files():
+    from pii_detector_ray.sources.pages import ensure_corpus
+    pages = ensure_corpus('correctness')
+    return sorted(glob.glob(os.path.join(pages, '*.parquet')))
+
+
+def _read_sorted(out_dir):
+    df = ray.data.read_parquet(
+        sorted(glob.glob(os.path.join(out_dir, 'part=*', '*.parquet'))),
+        columns=['url', 'warc_ts', 'keep', 'scrubbed_text'],
+    ).to_pandas()
+    return df.sort_values(['url', 'warc_ts']).reset_index(drop=True)
+
+
+def test_kill_and_resume_identical(tmp_path, corr_files):
+    cfg = PipelineConfig()
+    out_a = str(tmp_path / 'a')
+    out_b = str(tmp_path / 'b')
+
+    # uninterrupted reference run
+    summary = run_partitioned(corr_files, out_a, cfg, num_partitions=4)
+    assert summary['partitions_run'] == 4 and summary['rows'] == 5000
+
+    # killed run: commits 2 partitions then dies
+    with pytest.raises(RuntimeError, match='injected failure'):
+        run_partitioned(corr_files, out_b, cfg, num_partitions=4,
+                        fail_after_partitions=2)
+    assert len(completed_partitions(out_b)) == 2
+
+    # resume: only the missing partitions run
+    summary = run_partitioned(corr_files, out_b, cfg, num_partitions=4)
+    assert summary['partitions_skipped'] == 2
+    assert summary['partitions_run'] == 2
+    assert summary['rows'] == 5000
+
+    a = _read_sorted(out_a)
+    b = _read_sorted(out_b)
+    assert a.equals(b)
+
+
+def test_manifest_lineage_fields(tmp_path, corr_files):
+    cfg = PipelineConfig()
+    out = str(tmp_path / 'm')
+    run_partitioned(corr_files[:1], out, cfg, num_partitions=1)
+    m = read_manifest(out, 0)
+    assert m['config_hash'] == cfg.config_hash()
+    assert m['rows'] == m['kept'] + m['dropped']
+    assert m['input'][0]['path'] == corr_files[0]
+    assert m['pii_findings'] == sum(m['pii_type_counts'].values())
+    assert 'wall_sec' in m and m['rows'] > 0
