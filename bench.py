@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: one fresh Ray session (``num_cpus = $RAY_GRAFT_CPUS`` or 32),
+runs the headline flagship pipeline over the 200k-row synthetic pages corpus
+(generated once, cached under /tmp — generation is excluded from timing) plus
+representative queries over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
+then prints ONE JSON line::
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+``--scaling``: runs the same job in two fresh subprocesses at 8 and 32 CPUs
+on the same input and reports both throughputs plus scaling efficiency
+(the sandbox substitute for the N-vs-4N-node cluster criterion; BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get('GRAFT_SF_DIR', '/root/testdata/sf0.1')
+NUM_CPUS = int(os.environ.get('RAY_GRAFT_CPUS', '32'))
+BENCH_ROWS = 600_000
+
+
+def run_bench() -> dict:
+    import ray
+
+    from pii_detector_ray.sources.pages import ensure_corpus
+
+    # corpus generation + page-cache warm-up happen before ray/time start
+    pages_dir = ensure_corpus('bench')
+    for name in sorted(os.listdir(pages_dir)):
+        with open(os.path.join(pages_dir, name), 'rb') as f:
+            while f.read(1 << 24):
+                pass
+
+    ray.init(address='local', num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level='ERROR')
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from pii_detector_ray import queries as q
+    from pii_detector_ray.config import PipelineConfig
+    from pii_detector_ray.pipelines.quality_filter import build_pipeline, read_pages
+
+    timings: dict[str, float] = {}
+
+    # headline: flagship pipeline, read -> ... -> write
+    out_dir = f'/tmp/bench_out/cpus{NUM_CPUS}'
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = PipelineConfig()
+    t0 = time.monotonic()
+    ds = read_pages(pages_dir, override_num_blocks=max(4 * NUM_CPUS, 64))
+    build_pipeline(ds, cfg).write_parquet(out_dir)
+    headline = time.monotonic() - t0
+    timings['flagship_pipeline'] = round(headline, 3)
+
+    if not os.environ.get('GRAFT_BENCH_HEADLINE_ONLY'):
+        for name in ['pii_email_counts', 'dedup_exact', 'events_user_stats',
+                     'events_hourly', 'similarity_topk', 'token_counts',
+                     'scrub_documents']:
+            fn = q.queries()[name]
+            t0 = time.monotonic()
+            res = fn(SF_DIR)
+            if hasattr(res, 'materialize'):
+                res.materialize()
+            timings[name] = round(time.monotonic() - t0, 3)
+
+    ray.shutdown()
+    return {
+        'metric': 'flagship quality-filter+scrub pipeline wall time '
+                  f'({BENCH_ROWS} synthetic pages) + query timings over {SF_DIR}',
+        'value': round(headline, 3),
+        'unit': 'sec',
+        'queries': timings,
+        'sf': SF_DIR.rstrip('/').rsplit('sf', 1)[-1],
+        'num_cpus': NUM_CPUS,
+        'docs_per_sec': round(BENCH_ROWS / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Same job at 8 and 32 CPUs in fresh subprocesses.  The sandbox host is
+    noisy (shared cores, dirty-page flushing from the previous run's 600 MB
+    write), so each level runs twice interleaved with an fsync barrier, and
+    the per-level minimum is reported — the standard noise-robust estimator."""
+    def run(ncpu: int) -> dict:
+        subprocess.run(['sync'], check=False)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_HEADLINE_ONLY='1')
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    runs = {lo: [], hi: []}
+    for ncpu in (hi, lo, hi, lo):
+        runs[ncpu].append(run(ncpu)['value'])
+    sec_lo, sec_hi = min(runs[lo]), min(runs[hi])
+    eff = (sec_lo / sec_hi) / (hi / lo)
+    return {
+        'metric': 'scaling efficiency (same job, fresh sessions, '
+                  f'{lo} vs {hi} CPUs, min of 2 runs each)',
+        'cpus_lo': lo, 'cpus_hi': hi,
+        'sec_lo': sec_lo, 'sec_hi': sec_hi,
+        'sec_lo_runs': runs[lo], 'sec_hi_runs': runs[hi],
+        'docs_per_sec_lo': round(BENCH_ROWS / sec_lo, 1),
+        'docs_per_sec_hi': round(BENCH_ROWS / sec_hi, 1),
+        'scaling_efficiency': round(eff, 3),
+    }
+
+
+if __name__ == '__main__':
+    if '--scaling' in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

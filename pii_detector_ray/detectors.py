@@ -167,7 +167,57 @@ SECRET_EXCLUDE = r'(?i)(\(.*\))|(=\s*get)'
 
 # Patterns using `$`/`^` anchors cannot be scanned over a \x00-joined batch
 # megastring (anchor semantics change); the scanner routes them per-row.
-_ANCHORED = re.compile(r'(?<!\\)[$^]')
+def _has_anchor(pattern: str) -> bool:
+    """True if `$` or `^` appears as an anchor (outside char classes, not escaped)."""
+    in_class = False
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == '\\':
+            i += 2
+            continue
+        if in_class:
+            if c == ']':
+                in_class = False
+        elif c == '[':
+            in_class = True
+        elif c in '$^':
+            return True
+        i += 1
+    return False
+
+
+# Match-prefilter gates: a detector's pattern provably cannot match a row
+# unless the gate holds, so gated rows can be skipped wholesale (a pure
+# optimization — tests assert gated scanning equals ungated scan_text).
+#   'digit'      -> row contains an ASCII digit (pattern requires [0-9])
+#   ('lit', ...) -> lowercased row contains one of the literal substrings
+GATES: dict[str, object] = {
+    'IN_PAN': 'digit', 'IN_AADHAR': 'digit', 'CREDIT_CARD': 'digit',
+    'IBAN_CODE': 'digit', 'CRYPTO': 'digit', 'US_SSN': 'digit',
+    'UK_NHS': 'digit', 'US_ITIN': 'digit', 'US_PASSPORT': 'digit',
+    'MEDICAL_LICENSE': 'digit', 'US_BANK_NUMBER': 'digit', 'PHONE': 'digit',
+    'IP_ADDRESSES': 'digit',
+    'EMAIL_ADDRESS': ('lit', '@'),
+    # US_DRIVER_LICENSE: alternatives 2 and 3 all require a digit; on
+    # digit-less rows the full pattern is equivalent to alternative 1 alone,
+    # so those rows are scanned with the (much cheaper) reduced pattern.
+    'US_DRIVER_LICENSE': ('split', r'(\b([A-Z][A-Z0-9*]{11})\b)'),
+    'AWS_CREDENTIALS': ('lit', 'aws', 'sha'),
+    'AZURE_CREDENTIALS': ('lit', 'azure'),
+    'STRIPE_CREDENTIALS': ('lit', 'stripe'),
+    'SSH_KEYS': ('lit', 'ssh', 'ecdsa'),
+    'TWILIO_CREDENTIALS': ('lit', 'twilio'),
+    'CELERY_CREDENTIALS': ('lit', 'celery'),
+    'SENDGRID_CREDENTIALS': ('lit', 'send'),
+    'GCP_CREDENTIALS': ('lit', 'google', 'gcp'),
+    'AUTH0_CREDENTIALS': ('lit', 'auth0'),
+    'SNOWFLAKE_CREDENTIALS': ('lit', 'snowflake'),
+    'PRIVATE_CREDENTIALS': ('lit', '='),
+    'OPENAI_KEY': ('lit', 'open'),
+    'GITHUB_CREDENTIALS': ('lit', 'github'),
+    'INSURANCE_INFORMATION': ('lit', 'blue', 'member', 'rx'),
+}
 
 
 @dataclass(frozen=True)
@@ -182,7 +232,11 @@ class Detector:
 
     @property
     def anchored(self) -> bool:
-        return bool(_ANCHORED.search(self.pattern))
+        return _has_anchor(self.pattern)
+
+    @property
+    def gate(self) -> object | None:
+        return GATES.get(self.name)
 
     @property
     def suppress_codelike(self) -> bool:

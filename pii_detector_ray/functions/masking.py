@@ -90,3 +90,24 @@ def is_phi(name: str, data: str) -> bool:
     """True when the object name OR payload matches the PHI keyword pattern
     (data_analysis_service.py:86-100)."""
     return bool(_PHI_RE.search(name) or _PHI_RE.search(data))
+
+
+def is_phi_batch(names: list[str], texts: list[str]) -> list[bool]:
+    """Vectorized :func:`is_phi`: one megastring scan for the text side
+    (keyword matches cannot span the NUL separator), per-row scan only for
+    the short ``names``.  Equals ``[is_phi(n, t) ...]`` (asserted in tests)."""
+    import numpy as np
+    n = len(texts)
+    out = [False] * n
+    big = '\x00'.join(texts)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    offsets = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        np.cumsum(lens[:-1] + 1, out=offsets[1:])
+    for m in _PHI_RE.finditer(big):
+        row = int(np.searchsorted(offsets, m.start(), side='right')) - 1
+        out[row] = True
+    for i, nm in enumerate(names):
+        if not out[i] and nm and _PHI_RE.search(nm):
+            out[i] = True
+    return out

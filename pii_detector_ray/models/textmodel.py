@@ -26,6 +26,17 @@ from pii_detector_ray.models.seeds import SEED_CORPORA, TOXIC_LEXICON
 
 V_BITS = 15
 V = 1 << V_BITS          # hashed trigram vocabulary
+
+# Langid/perplexity read at most this many chars per document (fastText-style
+# truncation): language and fluency are stable within a prefix, and the cap
+# bounds scorer cost on pathological giants.  Applied identically in the
+# batch entry points (predict_batch / perplexity_batch) and the fused scorer
+# stage, so oracle and pipeline always agree.
+SCORER_MAX_CHARS = 1200
+
+
+def cap_texts(texts: list[str]) -> list[str]:
+    return [t if len(t) <= SCORER_MAX_CHARS else t[:SCORER_MAX_CHARS] for t in texts]
 _MASK = np.uint64(V - 1)
 _MUL = np.uint64(1000003)
 
@@ -93,7 +104,10 @@ class LangIdModel:
         n = len(texts)
         if n == 0:
             return [], np.empty(0)
-        tris, doc_ids, n_tris = _batch_trigrams(texts)
+        return self.predict_from_trigrams(n, *_batch_trigrams(cap_texts(texts)))
+
+    def predict_from_trigrams(self, n: int, tris: np.ndarray, doc_ids: np.ndarray,
+                              n_tris: np.ndarray) -> tuple[list[str], np.ndarray]:
         L = len(self.langs)
         scores = np.zeros((L, n))
         if tris.shape[0]:
@@ -130,7 +144,10 @@ class PerplexityModel:
         n = len(texts)
         if n == 0:
             return np.empty(0)
-        tris, doc_ids, n_tris = _batch_trigrams(texts)
+        return self.ppl_from_trigrams(n, *_batch_trigrams(cap_texts(texts)))
+
+    def ppl_from_trigrams(self, n: int, tris: np.ndarray, doc_ids: np.ndarray,
+                          n_tris: np.ndarray) -> np.ndarray:
         if not tris.shape[0]:
             return np.zeros(n)
         sums = np.bincount(doc_ids, weights=self.table[tris], minlength=n)

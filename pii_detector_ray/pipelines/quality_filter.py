@@ -73,15 +73,27 @@ def build_pipeline(
     ds = ds.select_columns(cols)
     if dedup_urls:
         ds = dedup_exact_by_url(ds)
-    ds = ds.map_batches(heuristics_batch, batch_format='pandas')
-    ds = ds.map_batches(
-        QualityScorers,
-        batch_format='pandas',
-        batch_size=cfg.scorer_batch_size,
-        concurrency=concurrency or scorer_concurrency(),
-        num_cpus=1,
-    )
-    ds = ds.map_batches(make_keepdrop_stage(cfg), batch_format='pandas')
+    keepdrop = make_keepdrop_stage(cfg)
+    if cfg.scorer_mode == 'actors':
+        ds = ds.map_batches(heuristics_batch, batch_format='pandas')
+        ds = ds.map_batches(
+            QualityScorers,
+            batch_format='pandas',
+            batch_size=cfg.scorer_batch_size,
+            concurrency=concurrency or scorer_concurrency(),
+            num_cpus=1,
+        )
+        ds = ds.map_batches(keepdrop, batch_format='pandas')
+    else:
+        # fuse the three pandas stages into ONE map_batches: a single
+        # arrow->pandas->arrow conversion per batch instead of three
+        from pii_detector_ray.stages.scorers import score_batch_stateless
+
+        def quality_stage(df: pd.DataFrame) -> pd.DataFrame:
+            return keepdrop(score_batch_stateless(heuristics_batch(df)))
+
+        ds = ds.map_batches(quality_stage, batch_format='pandas',
+                            batch_size=cfg.scorer_batch_size)
     ds = ds.map_batches(make_scrub_stage(cfg), batch_format='pyarrow',
                         batch_size=cfg.scrub_batch_size)
     if keep_only:

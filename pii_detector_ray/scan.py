@@ -81,45 +81,103 @@ def scan_text(text: str, detectors: list[Detector]) -> list[Span]:
     return spans
 
 
-def scan_texts(texts: list[str], detectors: list[Detector]) -> list[list[Span]]:
-    """Batched scan: one megastring ``finditer`` per non-anchored pattern.
+_DIGIT_RE = re.compile(r'[0-9]')
 
-    Returns one sorted span list per input row; identical to mapping
-    :func:`scan_text` over rows.
+
+class _SubCorpus:
+    """\\x00-joined megastring over a row subset, with position→row mapping."""
+
+    def __init__(self, texts: list[str], rows: list[int] | None):
+        self.rows = rows
+        sel = texts if rows is None else [texts[i] for i in rows]
+        self.big = '\x00'.join(sel)
+        n = len(sel)
+        lens = np.fromiter((len(t) for t in sel), dtype=np.int64, count=n)
+        self.offsets = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            np.cumsum(lens[:-1] + 1, out=self.offsets[1:])
+
+    def locate(self, pos: int) -> tuple[int, int]:
+        """megastring position → (global row index, row base offset)."""
+        local = int(np.searchsorted(self.offsets, pos, side='right')) - 1
+        row = local if self.rows is None else self.rows[local]
+        return row, int(self.offsets[local])
+
+
+def scan_texts(texts: list[str], detectors: list[Detector]) -> list[list[Span]]:
+    """Batched scan, identical results to mapping :func:`scan_text` over rows
+    (asserted by tests), but engineered for the hot path:
+
+    - non-anchored patterns run ONE C-level ``finditer`` over a megastring of
+      the eligible rows instead of a Python loop per row;
+    - each detector's gate (``detectors.GATES``) prunes rows that provably
+      cannot match (no digit / no '@' / no keyword), so most of a clean
+      webtext batch is never scanned by most patterns;
+    - anchored patterns (``$``/``^`` change meaning under joining) fall back
+      to per-row ``finditer`` over gated rows only.
     """
     n = len(texts)
     per_row: list[list[Span]] = [[] for _ in range(n)]
     if n == 0:
         return per_row
 
-    fast = [d for d in detectors if not d.anchored]
-    slow = [d for d in detectors if d.anchored]
+    lowered: list[str] | None = None
+    digit_rows: list[int] | None = None
+    corpora: dict[object, _SubCorpus] = {}
 
-    if fast:
-        big = '\x00'.join(texts)
-        # row i spans offsets[i] .. offsets[i] + len(texts[i]) in `big`
-        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
-        offsets = np.zeros(n, dtype=np.int64)
-        np.cumsum(lens[:-1] + 1, out=offsets[1:])
-        for det in fast:
+    def eligible(det: Detector) -> tuple[object, list[int] | None]:
+        nonlocal lowered, digit_rows
+        g = det.gate
+        if g is None:
+            return ('all',), None
+        if g == 'digit':
+            if digit_rows is None:
+                digit_rows = [i for i, t in enumerate(texts) if _DIGIT_RE.search(t)]
+            return ('digit',), digit_rows
+        keys = tuple(g[1:])  # type: ignore[index]
+        if lowered is None:
+            lowered = [t.lower() for t in texts]
+        rows = [i for i, t in enumerate(lowered) if any(k in t for k in keys)]
+        return ('lit', keys), rows
+
+    def scan_sub(det: Detector, pattern: str, key: object, rows: list[int] | None) -> None:
+        pat = compiled(pattern)
+        sub = corpora.get(key)
+        if sub is None:
+            sub = corpora[key] = _SubCorpus(texts, rows)
+        for m in pat.finditer(sub.big):
+            row, base = sub.locate(m.start())
+            _emit(det, m.start() - base, m.end() - base, m.group(), per_row[row])
+
+    for det in detectors:
+        g = det.gate
+        if isinstance(g, tuple) and g and g[0] == 'split':
+            # digit rows: full pattern; digit-less rows: reduced equivalent
+            if digit_rows is None:
+                digit_rows = [i for i, t in enumerate(texts) if _DIGIT_RE.search(t)]
+            nondigit = [i for i in range(n) if i not in set(digit_rows)] \
+                if digit_rows else list(range(n))
             try:
+                if digit_rows:
+                    scan_sub(det, det.pattern, ('digit',), digit_rows)
+                if nondigit:
+                    scan_sub(det, g[1], ('nondigit',), nondigit)
+            except Exception:
+                pass
+            continue
+        key, rows = eligible(det)
+        if rows is not None and not rows:
+            continue
+        try:
+            if not det.anchored:
+                scan_sub(det, det.pattern, key, rows)
+            else:
                 pat = compiled(det.pattern)
-                for m in pat.finditer(big):
-                    s = m.start()
-                    row = int(np.searchsorted(offsets, s, side='right')) - 1
-                    base = int(offsets[row])
-                    _emit(det, s - base, m.end() - base, m.group(), per_row[row])
-            except Exception:
-                continue
-
-    for det in slow:
-        pat = compiled(det.pattern)
-        for row, text in enumerate(texts):
-            try:
-                for m in pat.finditer(text):
-                    _emit(det, m.start(), m.end(), m.group(), per_row[row])
-            except Exception:
-                continue
+                for row in (rows if rows is not None else range(n)):
+                    for m in pat.finditer(texts[row]):
+                        _emit(det, m.start(), m.end(), m.group(), per_row[row])
+        except Exception:
+            continue
 
     for spans in per_row:
         spans.sort(key=Span.sort_key)

@@ -254,7 +254,7 @@ def generate_pages(out_dir: str, spec: PagesSpec, force: bool = False) -> str:
 SIZES = {
     'smoke': PagesSpec(n_rows=500, n_shards=1),
     'correctness': PagesSpec(n_rows=5_000, n_shards=4),
-    'bench': PagesSpec(n_rows=200_000, n_shards=64),
+    'bench': PagesSpec(n_rows=600_000, n_shards=128),
 }
 
 

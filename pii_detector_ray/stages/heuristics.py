@@ -36,7 +36,7 @@ def heuristics_batch(df: pd.DataFrame) -> pd.DataFrame:
     n_words_safe = np.maximum(n_words, 1)
     nonspace = s.str.count(_NONSPACE).to_numpy(dtype=np.int64)
 
-    df = df.copy()
+    # no defensive copy: stages only append new columns to the batch
     df['n_chars'] = n_chars
     df['n_words'] = n_words
     df['mean_word_len'] = nonspace / n_words_safe

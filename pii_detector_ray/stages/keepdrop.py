@@ -46,7 +46,7 @@ def make_keepdrop_stage(cfg: PipelineConfig):
     thr = cfg.thresholds
 
     def keepdrop_batch(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
+        # no defensive copy: stages only append new columns to the batch
         s = df['extracted_text'].astype('string').fillna('')
         sw = stopword_hits(s, df['lang_pred'])
 

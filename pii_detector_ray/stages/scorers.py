@@ -27,15 +27,46 @@ class QualityScorers:
         self.ppl = PerplexityModel()
         self.tox = ToxicityModel()
 
+    @classmethod
+    def process_cached(cls) -> 'QualityScorers':
+        """Per-worker-process singleton for the stateless-task mode: Ray
+        reuses worker processes across tasks, so the models build once per
+        process — the same amortization as an actor, but the stage stays an
+        elastic task pool (no actor-pool ramp-up, ideal when model build is
+        cheap).  Heavy models (a real fastText/KenLM checkpoint) should use
+        the actor-pool mode instead (``PipelineConfig.scorer_mode='actors'``)
+        so memory is bounded by pool size."""
+        global _PROCESS_SCORERS
+        if _PROCESS_SCORERS is None:
+            _PROCESS_SCORERS = cls()
+        return _PROCESS_SCORERS
+
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from pii_detector_ray.models.textmodel import _batch_trigrams, cap_texts
         texts = df['extracted_text'].fillna('').tolist()
-        langs, conf = self.langid.predict_batch(texts)
-        df = df.copy()
-        df['lang_pred'] = pd.array(langs, dtype='string')
-        df['lang_conf'] = conf
-        df['perplexity'] = self.ppl.perplexity_batch(texts)
-        df['toxicity'] = self.tox.score_batch(texts)
+        n = len(texts)
+        tri = _batch_trigrams(cap_texts(texts)) if n else None   # computed once, shared
+        # no defensive copy: stages only append new columns to the batch
+        if n:
+            langs, conf = self.langid.predict_from_trigrams(n, *tri)
+            df['lang_pred'] = pd.array(langs, dtype='string')
+            df['lang_conf'] = conf
+            df['perplexity'] = self.ppl.ppl_from_trigrams(n, *tri)
+            df['toxicity'] = self.tox.score_batch(texts)
+        else:
+            df['lang_pred'] = pd.array([], dtype='string')
+            df['lang_conf'] = pd.array([], dtype='float64')
+            df['perplexity'] = pd.array([], dtype='float64')
+            df['toxicity'] = pd.array([], dtype='float64')
         return df
+
+
+_PROCESS_SCORERS: QualityScorers | None = None
+
+
+def score_batch_stateless(df: pd.DataFrame) -> pd.DataFrame:
+    """Task-mode scorer stage (see :meth:`QualityScorers.process_cached`)."""
+    return QualityScorers.process_cached()(df)
 
 
 def scorer_concurrency(num_cpus_hint: int | None = None) -> tuple[int, int]:

@@ -21,7 +21,7 @@ import pyarrow as pa
 
 from pii_detector_ray.config import PipelineConfig
 from pii_detector_ray.detectors import Detector, build_registry
-from pii_detector_ray.functions.masking import is_phi
+from pii_detector_ray.functions.masking import is_phi_batch
 from pii_detector_ray.scan import scan_texts, scrub_text, span_record
 
 SPAN_STRUCT = pa.struct([
@@ -62,9 +62,15 @@ def make_scrub_stage(cfg: PipelineConfig, text_col: str = 'extracted_text',
             else [''] * len(texts)
         all_spans = scan_texts(texts, detectors)
         span_lists = [[span_record(sp) for sp in spans] for spans in all_spans]
-        scrubbed = [scrub_text(t, spans) if spans else t
-                    for t, spans in zip(texts, all_spans)]
-        phi = [is_phi(nm or '', t) for nm, t in zip(names, texts)]
+        # splice with the already-computed masked values (avoids re-masking);
+        # equals scrub_text() because mask_data is deterministic
+        scrubbed = []
+        for t, spans, recs in zip(texts, all_spans, span_lists):
+            for sp, rec in sorted(zip(spans, recs),
+                                  key=lambda p: p[0].sort_key(), reverse=True):
+                t = t[:sp.start] + rec['masked'] + t[sp.end:]
+            scrubbed.append(t)
+        phi = is_phi_batch([nm or '' for nm in names], texts)
         n_pii = [len(spans) for spans in all_spans]
         batch = batch.append_column('pii_spans', pa.array(span_lists, type=SPAN_LIST))
         batch = batch.append_column('scrubbed_text', pa.array(scrubbed, type=pa.string()))

@@ -53,3 +53,10 @@ def test_phi_flag():
     assert is_phi('', 'the MRN is 12345')
     assert is_phi('', 'routine pharmacy visit')
     assert not is_phi('notes.txt', 'a walk in the park')
+
+
+def test_phi_batch_equals_scalar():
+    from pii_detector_ray.functions.masking import is_phi_batch
+    names = ['patient_records.csv', 'notes.txt', '', 'x', 'phi_dump']
+    texts = ['', 'a walk in the park', 'the MRN is 12345', 'health_check ok', '']
+    assert is_phi_batch(names, texts) == [is_phi(n, t) for n, t in zip(names, texts)]
