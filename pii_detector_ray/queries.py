@@ -348,6 +348,139 @@ _SIMILARITY_SQL = (
 
 
 # ---------------------------------------------------------------------------
+# Dedup family (stages/dedup.py) + similarity + text stats + multimodal
+# ---------------------------------------------------------------------------
+
+def q_word_stats(sf_dir: str) -> ray.data.Dataset:
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        s = df['text'].astype('string').fillna('')
+        return pd.DataFrame({
+            'doc_id': df['doc_id'],
+            'n_words': s.str.count(r'\S+').astype('int64'),
+            'n_nonspace': s.str.count(r'\S').astype('int64'),
+        })
+    return read_documents(sf_dir, ['doc_id', 'text']).map_batches(stats, batch_format='pandas')
+
+
+_WORD_STATS_SQL = (
+    "SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_words, "
+    "len(regexp_extract_all(text, '\\S')) AS n_nonspace FROM documents"
+)
+
+
+def q_embedding_dup_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Exact cosine near-dup pairs (broadcast small side); threshold chosen
+    so the driver corpus yields a non-trivial result set."""
+    from pii_detector_ray.stages.dedup import embedding_dup_pairs_exact
+    return embedding_dup_pairs_exact(_embeddings(sf_dir, ['vec_id', 'embedding']),
+                                     threshold=0.45)
+
+
+_EMBEDDING_DUP_SQL = (
+    "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+    "round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
+)
+
+
+def _docs_with_near_dups(sf_dir: str) -> ray.data.Dataset:
+    """documents ∪ deterministic near-copies (doc_id%20==0 → id+1_000_000,
+    text + ' extra words appended here') — gives the near-dup operators a
+    non-trivial, reproducible workload on the driver corpus."""
+    base = read_documents(sf_dir, ['doc_id', 'text'])
+
+    def copies(batch: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for did, t in zip(batch.column('doc_id').to_pylist(),
+                          batch.column('text').to_pylist()):
+            if did % 20 == 0:
+                ids.append(did + 1_000_000)
+                texts.append((t or '') + ' extra words appended here')
+        return pa.table({'doc_id': pa.array(ids, pa.int64()),
+                         'text': pa.array(texts, pa.string())})
+
+    return base.union(base.map_batches(copies, batch_format='pyarrow'))
+
+
+def q_minhash_dedup(sf_dir: str) -> ray.data.Dataset:
+    from pii_detector_ray.stages.dedup import minhash_dup_groups
+    out = minhash_dup_groups(_docs_with_near_dups(sf_dir))
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        df['doc_ids'] = df['doc_ids'].map(
+            lambda v: ','.join(str(x) for x in v))
+        return df
+    return out.map_batches(fmt, batch_format='pandas')
+
+
+def q_simhash_dedup(sf_dir: str) -> ray.data.Dataset:
+    from pii_detector_ray.stages.dedup import simhash_dup_pairs
+    return simhash_dup_pairs(_docs_with_near_dups(sf_dir))
+
+
+def q_ngram_jaccard_dedup(sf_dir: str) -> ray.data.Dataset:
+    from pii_detector_ray.stages.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_docs_with_near_dups(sf_dir), threshold=0.7)
+
+
+def q_embedding_dup_lsh(sf_dir: str) -> ray.data.Dataset:
+    from pii_detector_ray.stages.dedup import embedding_dup_pairs_lsh
+    return embedding_dup_pairs_lsh(_embeddings(sf_dir, ['vec_id', 'embedding']),
+                                   threshold=0.45)
+
+
+def q_similarity_ann(sf_dir: str) -> pd.DataFrame:
+    """LSH-bucketed ANN top-10 for the vec_id=0 query vector (scale path;
+    recall vs brute force tested in tests/test_similarity.py)."""
+    from pii_detector_ray.stages.similarity import LshIndex
+    ds = _embeddings(sf_dir, ['vec_id', 'embedding'])
+    index = LshIndex(ds, n_planes=8)
+    qvec = index.mat[np.nonzero(index.ids == 0)[0][0]]
+    hits = index.query(qvec, k=10, probes=3)
+    return pd.DataFrame({'vec_id': [h[0] for h in hits],
+                         'sim': [h[1] for h in hits]})
+
+
+def q_doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    from pii_detector_ray.stages.textstats import fingerprint_batch
+    return (read_documents(sf_dir, ['doc_id', 'text'])
+            .map_batches(fingerprint_batch, batch_format='pyarrow')
+            .select_columns(['doc_id', 'n_fingerprints']))
+
+
+def q_token_stats(sf_dir: str) -> ray.data.Dataset:
+    from pii_detector_ray.stages.textstats import token_stats_batch
+    return (read_documents(sf_dir, ['doc_id', 'text'])
+            .map_batches(token_stats_batch, batch_format='pandas')
+            .select_columns(['doc_id', 'n_tokens_ws', 'n_tokens_bpe']))
+
+
+def q_quality_scores(sf_dir: str) -> ray.data.Dataset:
+    from pii_detector_ray.stages.heuristics import heuristics_batch
+    from pii_detector_ray.stages.textstats import quality_score_batch
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={'text': 'extracted_text'})
+
+    return (read_documents(sf_dir, ['doc_id', 'text'])
+            .map_batches(rename, batch_format='pandas')
+            .map_batches(heuristics_batch, batch_format='pandas')
+            .map_batches(quality_score_batch, batch_format='pandas')
+            .select_columns(['doc_id', 'quality_score']))
+
+
+def q_media_features(sf_dir: str) -> ray.data.Dataset:
+    """Multimodal plumbing: synthetic binary media → actor-pool decode stage
+    (deterministic fake decoder; real codecs absent in this container)."""
+    from pii_detector_ray.stages.multimodal import MediaDecodeStage, synth_media_table
+    ds = ray.data.from_arrow(synth_media_table(200))
+    out = ds.map_batches(MediaDecodeStage, batch_format='pyarrow', batch_size=64,
+                         concurrency=2, num_cpus=1)
+    return out.select_columns(['media_id', 'media_type', 'features'])
+
+
+# ---------------------------------------------------------------------------
 # Rows-only queries (not SQL-expressible; the driver records a weaker check)
 # ---------------------------------------------------------------------------
 
@@ -411,10 +544,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'events_hourly': q_events_hourly,
         'events_user_stats': q_events_user_stats,
         'similarity_topk': q_similarity_topk,
+        'word_stats': q_word_stats,
+        'embedding_dup_pairs': q_embedding_dup_pairs,
         # rows-only
         'scrub_documents': q_scrub_documents,
         'langid_documents': q_langid_documents,
         'pages_pipeline': q_pages_pipeline,
+        'minhash_dedup': q_minhash_dedup,
+        'simhash_dedup': q_simhash_dedup,
+        'ngram_jaccard_dedup': q_ngram_jaccard_dedup,
+        'embedding_dup_lsh': q_embedding_dup_lsh,
+        'similarity_ann': q_similarity_ann,
+        'doc_fingerprints': q_doc_fingerprints,
+        'token_stats': q_token_stats,
+        'quality_scores': q_quality_scores,
+        'media_features': q_media_features,
     })
     return out
 
@@ -438,5 +582,7 @@ def oracle_sql() -> dict[str, str]:
         'events_hourly': _EVENTS_HOURLY_SQL,
         'events_user_stats': _EVENTS_USER_SQL,
         'similarity_topk': _SIMILARITY_SQL,
+        'word_stats': _WORD_STATS_SQL,
+        'embedding_dup_pairs': _EMBEDDING_DUP_SQL,
     })
     return out

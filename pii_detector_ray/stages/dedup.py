@@ -1,0 +1,324 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+The reference's only dedup is the exact ``(path, offset, md5(chunk))`` catalog
+diff (``base_scan_service.py:643-731``; SURVEY.md §2.2 F7) — covered by
+``queries.q_dedup_exact``.  The near-dup family here is the standard
+training-data-pipeline extension (MinHash/LSH per Broder; SimHash per
+Charikar), implemented Ray-Data-first:
+
+- per-batch vectorized signature computation (numpy) inside ``map_batches``;
+- candidate generation is the ONLY shuffle: explode to (band_id, band_hash,
+  doc_id) rows — a few dozen bytes per row — and ``groupby`` the band key.
+  The documents themselves never shuffle;
+- verification (exact Jaccard / exact cosine) runs per candidate group.
+
+All hashing is seeded + content-derived → deterministic, resumable outputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+_P = np.uint64((1 << 61) - 1)   # Mersenne prime modulus for minhash perms
+_SHINGLE_K = 5                   # character shingle width
+
+
+def _shingle_hashes(text: str, k: int = _SHINGLE_K) -> np.ndarray:
+    """Rolling polynomial hashes of all k-char shingles (uint64)."""
+    cp = np.frombuffer(text.lower().encode('utf-32-le'), dtype=np.uint32).astype(np.uint64)
+    n = cp.shape[0]
+    if n < k:
+        return np.zeros(1, dtype=np.uint64) if n == 0 else \
+            np.array([np.sum(cp * np.uint64(1000003) ** np.arange(n, dtype=np.uint64))],
+                     dtype=np.uint64)
+    base = np.uint64(1000003)
+    h = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):                       # k=5 vectorized passes, not per-char
+        h = h * base + cp[j:n - k + 1 + j]
+    return h
+
+
+def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """num_perm-wide MinHash signature over character shingles."""
+    sh = np.unique(_shingle_hashes(text))
+    # (a*x + b) mod p, vectorized over (shingles, perms)
+    vals = (sh[:, None] * a[None, :] + b[None, :]) % _P
+    return vals.min(axis=0)
+
+
+def make_minhash_stage(num_perm: int = 64, bands: int = 16,
+                       text_col: str = 'text', id_col: str = 'doc_id'):
+    """map_batches stage: doc → exploded (band_id, band_hash, doc_id) rows."""
+    a, b = _minhash_params(num_perm)
+    rows_per_band = num_perm // bands
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_band, out_hash, out_id = [], [], []
+        for did, t in zip(ids, texts):
+            sig = minhash_signature(t or '', a, b)
+            for band in range(bands):
+                chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
+                bh = int(np.bitwise_xor.reduce(chunk * np.uint64(0x9E3779B97F4A7C15))
+                         & np.uint64(0x7FFFFFFFFFFFFFFF))
+                out_band.append(band)
+                out_hash.append(bh)
+                out_id.append(did)
+        return pa.table({'band_id': pa.array(out_band, pa.int32()),
+                         'band_hash': pa.array(out_hash, pa.int64()),
+                         id_col: pa.array(out_id)})
+
+    return stage
+
+
+def minhash_dup_groups(ds: ray.data.Dataset, *, num_perm: int = 64, bands: int = 16,
+                       text_col: str = 'text', id_col: str = 'doc_id') -> ray.data.Dataset:
+    """Near-dup candidate groups: docs sharing any LSH band bucket.
+
+    Returns (band_id, band_hash, group_size, doc_ids sorted list) for buckets
+    with >= 2 docs.  Skew note: a degenerate corpus (one boilerplate page
+    repeated) makes one bucket huge; ``map_groups`` handles each bucket in one
+    task, so cap pathological buckets upstream with an exact-dedup pass first.
+    """
+    exploded = ds.map_batches(make_minhash_stage(num_perm, bands, text_col, id_col),
+                              batch_format='pyarrow')
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({'band_id': [], 'band_hash': [], 'group_size': [],
+                                 'doc_ids': []})
+        ids = sorted(g[id_col].tolist())
+        return pd.DataFrame({'band_id': [g['band_id'].iloc[0]],
+                             'band_hash': [g['band_hash'].iloc[0]],
+                             'group_size': [len(ids)],
+                             'doc_ids': [ids]})
+
+    return exploded.groupby(['band_id', 'band_hash']).map_groups(
+        collect, batch_format='pandas')
+
+
+def jaccard(text_a: str, text_b: str, k: int = _SHINGLE_K) -> float:
+    """Exact character-shingle Jaccard similarity."""
+    sa = set(np.unique(_shingle_hashes(text_a, k)).tolist())
+    sb = set(np.unique(_shingle_hashes(text_b, k)).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def ngram_jaccard_pairs(ds: ray.data.Dataset, *, threshold: float = 0.7,
+                        num_perm: int = 64, bands: int = 16,
+                        text_col: str = 'text', id_col: str = 'doc_id') -> ray.data.Dataset:
+    """MinHash-LSH candidates verified with exact shingle Jaccard.
+
+    The verify step needs candidate texts co-located: explode (band, hash,
+    doc_id, text) — text rides along ONLY for bucketed docs (at scale,
+    restrict to the candidate subset or fetch via a keyed side table).
+    Returns unique (doc_a, doc_b, jaccard>=threshold) pairs.
+    """
+    a, b = _minhash_params(num_perm)
+    rows_per_band = num_perm // bands
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        ob, oh, oi, ot = [], [], [], []
+        for did, t in zip(ids, texts):
+            sig = minhash_signature(t or '', a, b)
+            for band in range(bands):
+                chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
+                bh = int(np.bitwise_xor.reduce(chunk * np.uint64(0x9E3779B97F4A7C15))
+                         & np.uint64(0x7FFFFFFFFFFFFFFF))
+                ob.append(band); oh.append(bh); oi.append(did); ot.append(t or '')
+        return pa.table({'band_id': pa.array(ob, pa.int32()),
+                         'band_hash': pa.array(oh, pa.int64()),
+                         id_col: pa.array(oi), 'text': pa.array(ot, pa.string())})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({'doc_a': [], 'doc_b': [], 'jaccard': []})
+        g = g.sort_values(id_col)
+        ids = g[id_col].tolist()
+        texts = g['text'].tolist()
+        pa_, pb_, js = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                sim = jaccard(texts[i], texts[j])
+                if sim >= threshold:
+                    pa_.append(ids[i]); pb_.append(ids[j]); js.append(round(sim, 4))
+        return pd.DataFrame({'doc_a': pa_, 'doc_b': pb_, 'jaccard': js})
+
+    pairs = (ds.map_batches(explode, batch_format='pyarrow')
+             .groupby(['band_id', 'band_hash'])
+             .map_groups(verify, batch_format='pandas'))
+    # distinct pairs (a pair can surface from several bands)
+    return pairs.groupby(['doc_a', 'doc_b']).map_groups(
+        lambda g: g.head(1), batch_format='pandas')
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _fnv1a(word: str) -> int:
+    """Stable (non-randomized) 64-bit FNV-1a word hash."""
+    h = 1469598103934665603
+    for ch in word.encode('utf-8'):
+        h = ((h ^ ch) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash64(text: str) -> int:
+    """Charikar 64-bit SimHash over stable word-unigram hashes."""
+    words = text.lower().split()
+    if not words:
+        return 0
+    hs = np.fromiter((_fnv1a(w) for w in words), dtype=np.uint64, count=len(words))
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+    votes = bits.sum(axis=0).astype(np.int64) * 2 - len(words)
+    return int(np.packbits(votes > 0, bitorder='little').view(np.uint64)[0])
+
+
+def make_simhash_stage(text_col: str = 'text', id_col: str = 'doc_id'):
+    """map_batches stage emitting (doc_id, simhash, 4×16-bit block keys).
+
+    Two fingerprints within Hamming distance 3 share at least one of the four
+    16-bit blocks (pigeonhole), so grouping by block key finds all candidates.
+    """
+    def stage(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        fps = [simhash64(t or '') for t in texts]
+        fp_arr = np.array(fps, dtype=np.uint64)
+        tbl = {'doc_id': pa.array(ids), 'simhash': pa.array(fp_arr.view(np.int64))}
+        for blk in range(4):
+            tbl[f'block{blk}'] = pa.array(
+                ((fp_arr >> np.uint64(16 * blk)) & np.uint64(0xFFFF)).astype(np.int32))
+        return pa.table(tbl)
+
+    return stage
+
+
+def simhash_dup_pairs(ds: ray.data.Dataset, *, max_hamming: int = 3,
+                      text_col: str = 'text', id_col: str = 'doc_id') -> ray.data.Dataset:
+    """SimHash near-dup pairs: block-key grouping (pigeonhole over 4×16-bit
+    blocks covers Hamming<=3) then exact Hamming verify inside groups."""
+    sigs = ds.map_batches(make_simhash_stage(text_col, id_col), batch_format='pyarrow')
+
+    def pairs_for_block(blk: int):
+        def verify(g: pd.DataFrame) -> pd.DataFrame:
+            if len(g) < 2:
+                return pd.DataFrame({'doc_a': [], 'doc_b': [], 'hamming': []})
+            g = g.sort_values('doc_id')
+            ids = g['doc_id'].tolist()
+            fps = g['simhash'].to_numpy().view(np.uint64)
+            pa_, pb_, hm = [], [], []
+            for i in range(len(ids)):
+                x = fps[i] ^ fps[i + 1:]
+                d = np.array([bin(int(v)).count('1') for v in x])
+                for j in np.nonzero(d <= max_hamming)[0]:
+                    pa_.append(ids[i]); pb_.append(ids[i + 1 + j]); hm.append(int(d[j]))
+            return pd.DataFrame({'doc_a': pa_, 'doc_b': pb_, 'hamming': hm})
+
+        return sigs.groupby(f'block{blk}').map_groups(verify, batch_format='pandas')
+
+    out = pairs_for_block(0)
+    for blk in range(1, 4):
+        out = out.union(pairs_for_block(blk))
+    return out.groupby(['doc_a', 'doc_b']).map_groups(
+        lambda g: g.head(1), batch_format='pandas')
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs_exact(ds: ray.data.Dataset, *, threshold: float = 0.95,
+                              id_col: str = 'vec_id',
+                              vec_col: str = 'embedding') -> ray.data.Dataset:
+    """Exact cosine near-dup pairs via broadcast: the full (small-side)
+    matrix is ``ray.put`` once; each batch matmuls against it and keeps pairs
+    with id_a < id_b and cosine >= threshold.  For big embedding sets use
+    :func:`embedding_dup_pairs_lsh` instead."""
+    rows = ds.select_columns([id_col, vec_col]).take_all()
+    ids = np.array([r[id_col] for r in rows])
+    mat = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    mat = mat / np.where(norms == 0, 1.0, norms)[:, None]
+    ref = ray.put((ids, mat))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(ref)
+        bids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        bmat = np.array([np.asarray(v, dtype=np.float64)
+                         for v in batch.column(vec_col).to_pylist()])
+        bn = np.linalg.norm(bmat, axis=1)
+        bmat = bmat / np.where(bn == 0, 1.0, bn)[:, None]
+        sims = bmat @ all_mat.T
+        out_a, out_b, out_s = [], [], []
+        for i in range(len(bids)):
+            mask = (sims[i] >= threshold) & (all_ids > bids[i])
+            for j in np.nonzero(mask)[0]:
+                out_a.append(int(bids[i])); out_b.append(int(all_ids[j]))
+                out_s.append(round(float(sims[i, j]), 4))
+        return pa.table({'vec_a': pa.array(out_a, pa.int64()),
+                         'vec_b': pa.array(out_b, pa.int64()),
+                         'sim': pa.array(out_s, pa.float64())})
+
+    return ds.map_batches(pairs, batch_format='pyarrow')
+
+
+def embedding_dup_pairs_lsh(ds: ray.data.Dataset, *, threshold: float = 0.95,
+                            n_planes: int = 12, seed: int = 11,
+                            id_col: str = 'vec_id',
+                            vec_col: str = 'embedding') -> ray.data.Dataset:
+    """Scale path: random-hyperplane LSH buckets (sign bits -> bucket id),
+    exact cosine verify inside each bucket.  Approximate — near-dups split
+    across buckets are missed with probability falling as cos -> 1."""
+    def bucketize(batch: pa.Table) -> pa.Table:
+        mat = np.array([np.asarray(v, dtype=np.float64)
+                        for v in batch.column(vec_col).to_pylist()])
+        if mat.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             'bucket': pa.array([], pa.int64()),
+                             vec_col: batch.column(vec_col)})
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((mat.shape[1], n_planes))
+        signs = (mat @ planes) > 0
+        bucket = np.packbits(signs, axis=1, bitorder='little')[:, :2].copy().view(np.uint16)[:, 0]
+        return pa.table({id_col: batch.column(id_col),
+                         'bucket': pa.array(bucket.astype(np.int64)),
+                         vec_col: batch.column(vec_col)})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({'vec_a': [], 'vec_b': [], 'sim': []})
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
+        n = np.linalg.norm(mat, axis=1)
+        mat = mat / np.where(n == 0, 1.0, n)[:, None]
+        sims = mat @ mat.T
+        out_a, out_b, out_s = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sims[i, j] >= threshold:
+                    out_a.append(int(ids[i])); out_b.append(int(ids[j]))
+                    out_s.append(round(float(sims[i, j]), 4))
+        return pd.DataFrame({'vec_a': out_a, 'vec_b': out_b, 'sim': out_s})
+
+    return (ds.map_batches(bucketize, batch_format='pyarrow')
+            .groupby('bucket').map_groups(verify, batch_format='pandas'))

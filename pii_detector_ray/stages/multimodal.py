@@ -1,0 +1,112 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+Images/audio/video are carried as ``binary`` columns with a
+``media_type`` tag, processed by actor-pool ``map_batches`` stages.  This
+container has no image/audio libraries (PIL, ffmpeg, torchaudio...), so the
+DECODE step is stubbed exactly as the build contract requires: the Ray-side
+plumbing — schema, batch sizing, actor signature, output layout — is real and
+tested; the codec call sites raise ``NotImplementedError`` unless the
+deterministic fake decoder is enabled.
+
+Scale notes: large binary payloads need SMALL ``batch_size`` (a batch ×
+concurrency must fit worker heap) and benefit from a larger
+``DataContext.target_max_block_size`` so Arrow doesn't fragment wide rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ('media_id', pa.int64()),
+    ('media_type', pa.string()),      # 'image/png', 'audio/wav', ...
+    ('payload', pa.binary()),
+    ('width', pa.int32()),            # typed metadata (nullable)
+    ('height', pa.int32()),
+    ('duration_ms', pa.int32()),
+])
+
+FEATURE_DIM = 16
+
+
+class MediaDecodeStage:
+    """Actor-pool stage: binary payload → fixed-width feature vector.
+
+    ``use_fake_decoder=True`` (default in this container) replaces the codec
+    with a deterministic byte-histogram "decoder": a 16-bin histogram of the
+    payload bytes, L1-normalized — real vectorized numpy work with the same
+    output shape a thumbnail/mel-spectrogram embedding stage would have.
+
+    With a real codec installed, subclass and override :meth:`decode`.
+
+    Usage::
+
+        ds.map_batches(MediaDecodeStage, batch_format='pyarrow',
+                       batch_size=64,                  # small: wide rows
+                       concurrency=(2, 8), num_cpus=1)
+    """
+
+    def __init__(self, use_fake_decoder: bool = True) -> None:
+        self.use_fake_decoder = use_fake_decoder
+        try:                                # real codec slot (absent here)
+            import PIL.Image                # noqa: F401
+            self._pil = True
+        except ImportError:
+            self._pil = False
+
+    def decode(self, payload: bytes, media_type: str) -> np.ndarray:
+        if self.use_fake_decoder:
+            if not payload:
+                return np.zeros(FEATURE_DIM)
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype(np.float64)
+            return hist / hist.sum()
+        if media_type.startswith('image/') and self._pil:
+            raise NotImplementedError('real image decode: wire PIL here')
+        raise NotImplementedError(
+            f'no codec available for {media_type}; this container has no '
+            f'image/audio libraries — use use_fake_decoder=True for plumbing tests')
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column('payload').to_pylist()
+        types = batch.column('media_type').to_pylist()
+        feats = np.stack([self.decode(p or b'', t or '') for p, t in zip(payloads, types)]) \
+            if len(payloads) else np.zeros((0, FEATURE_DIM))
+        out = batch.drop_columns(['payload'])     # features replace the heavy bytes
+        return out.append_column('features', pa.array(
+            [row.tolist() for row in feats], pa.list_(pa.float32(), FEATURE_DIM)))
+
+
+class FrameSampleStage:
+    """Video frame-sampling stage signature (stubbed): emits ``n_frames``
+    offsets per row deterministically; the actual frame extraction raises
+    unless the fake path is on."""
+
+    def __init__(self, n_frames: int = 4, use_fake_decoder: bool = True) -> None:
+        self.n_frames = n_frames
+        self.use_fake_decoder = use_fake_decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.use_fake_decoder:
+            raise NotImplementedError('video decode unavailable in this container')
+        durs = batch.column('duration_ms').to_pylist()
+        offs = [[int(d * (i + 0.5) / self.n_frames) if d else 0
+                 for i in range(self.n_frames)] for d in durs]
+        return batch.append_column(
+            'frame_offsets_ms', pa.array(offs, pa.list_(pa.int32(), self.n_frames)))
+
+
+def synth_media_table(n: int, seed: int = 9) -> pa.Table:
+    """Deterministic fake media table for plumbing tests."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, size=int(rng.integers(64, 512)),
+                             dtype=np.uint8).tobytes() for _ in range(n)]
+    return pa.Table.from_arrays([
+        pa.array(range(n), pa.int64()),
+        pa.array(['image/png' if i % 2 == 0 else 'audio/wav' for i in range(n)], pa.string()),
+        pa.array(payloads, pa.binary()),
+        pa.array([64] * n, pa.int32()),
+        pa.array([64] * n, pa.int32()),
+        pa.array([1000 + 10 * i for i in range(n)], pa.int32()),
+    ], schema=MEDIA_SCHEMA)

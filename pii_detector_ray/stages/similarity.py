@@ -1,0 +1,96 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k per batch against a broadcast query matrix
+(``queries.q_similarity_topk``).  Scale path here: LSH-bucketed ANN — random
+hyperplane sign buckets with multi-probe (flip one bit), so only a few
+buckets' vectors are scanned per query; recall is tested against brute force
+in ``tests/test_similarity.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1)
+    return mat / np.where(n == 0, 1.0, n)[:, None]
+
+
+def _buckets_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    signs = (mat @ planes) > 0
+    packed = np.packbits(signs, axis=1, bitorder='little')
+    width = (planes.shape[1] + 7) // 8
+    out = np.zeros(mat.shape[0], dtype=np.int64)
+    for b in range(width):
+        out |= packed[:, b].astype(np.int64) << (8 * b)
+    return out
+
+
+class LshIndex:
+    """Driver-side ANN index built from a Dataset; queries are vectorized.
+
+    At 10^12-vector scale this state becomes one actor per bucket-range
+    (hash-partitioned by bucket id); the probe fan-out logic is identical.
+    """
+
+    def __init__(self, ds: ray.data.Dataset, *, n_planes: int = 10, seed: int = 11,
+                 id_col: str = 'vec_id', vec_col: str = 'embedding') -> None:
+        rows = ds.select_columns([id_col, vec_col]).take_all()
+        self.ids = np.array([r[id_col] for r in rows])
+        self.mat = _normalize(np.array([np.asarray(r[vec_col], dtype=np.float64)
+                                        for r in rows]))
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((self.mat.shape[1], n_planes))
+        self.n_planes = n_planes
+        buckets = _buckets_of(self.mat, self.planes)
+        order = np.argsort(buckets, kind='stable')
+        self._sorted_buckets = buckets[order]
+        self._order = order
+
+    def _bucket_members(self, bucket: int) -> np.ndarray:
+        lo = np.searchsorted(self._sorted_buckets, bucket, side='left')
+        hi = np.searchsorted(self._sorted_buckets, bucket, side='right')
+        return self._order[lo:hi]
+
+    def query(self, vec: np.ndarray, k: int = 10, probes: int = 1) -> list[tuple[int, float]]:
+        """Top-k (vec_id, cosine) from the query's bucket plus ``probes``
+        single-bit-flip neighbor buckets."""
+        q = vec / (np.linalg.norm(vec) or 1.0)
+        base = int(_buckets_of(q[None, :], self.planes)[0])
+        cand: list[np.ndarray] = [self._bucket_members(base)]
+        if probes:
+            margins = np.abs(q @ self.planes)
+            for bit in np.argsort(margins)[:probes]:    # flip least-confident bits
+                cand.append(self._bucket_members(base ^ (1 << int(bit))))
+        idx = np.unique(np.concatenate(cand)) if cand else np.empty(0, dtype=np.int64)
+        if idx.size == 0:
+            return []
+        sims = self.mat[idx] @ q
+        top = np.argsort(-sims, kind='stable')[:k]
+        return [(int(self.ids[idx[t]]), round(float(sims[t]), 4)) for t in top]
+
+
+def brute_force_topk(ds: ray.data.Dataset, query: np.ndarray, k: int = 10,
+                     *, id_col: str = 'vec_id', vec_col: str = 'embedding'):
+    """Exact cosine top-k: broadcast query, per-batch partial top-k, tiny
+    driver-side merge (k rows per block cross the wire, not the vectors)."""
+    q = query / (np.linalg.norm(query) or 1.0)
+    qref = ray.put(q)
+
+    def topk(batch: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mat = _normalize(np.array([np.asarray(v, dtype=np.float64)
+                                   for v in batch.column(vec_col).to_pylist()]))
+        sims = mat @ qv
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table({id_col: pa.array(ids[order]),
+                         'sim': pa.array(np.round(sims[order], 4), pa.float64())})
+
+    parts = ds.map_batches(topk, batch_format='pyarrow').to_pandas()
+    return (parts.sort_values(['sim', id_col], ascending=[False, True], kind='mergesort')
+            .head(k).reset_index(drop=True))

@@ -1,0 +1,88 @@
+"""Text-analysis operators: token counting, quality scoring, fingerprinting.
+
+Language-ID lives in ``stages/scorers.py``; token counting has a SQL-checked
+query (``queries.q_token_counts``).  Here:
+
+- ``bpe_ish_token_count``: a BPE-ish token estimate (whitespace words split
+  further at letter/digit/punct transitions, long words charged extra) —
+  the standard cheap proxy for tokenizer cost in data pipelines.
+- ``quality_score``: a [0,1] composite of the Gopher/C4 heuristic features.
+- ``winnow_fingerprint``: winnowing document fingerprint (Schleimer et al.):
+  min rolling-hash per sliding window, deduped — robust to small edits, used
+  for copy detection.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_BPE_PIECE = re.compile(r"[A-Za-zÀ-ÿ]+|[0-9]+|[^\sA-Za-zÀ-ÿ0-9]")
+
+
+def bpe_ish_token_count(text: str, max_piece_chars: int = 6) -> int:
+    """Pieces at letter/digit/punct boundaries; pieces longer than
+    ``max_piece_chars`` count ceil(len/max) (a long word costs several
+    subword tokens)."""
+    n = 0
+    for m in _BPE_PIECE.finditer(text):
+        n += -(-len(m.group()) // max_piece_chars)
+    return n
+
+
+def token_stats_batch(df: pd.DataFrame, text_col: str = 'text') -> pd.DataFrame:
+    s = df[text_col].astype('string').fillna('')
+    df['n_tokens_ws'] = s.str.count(r'\S+').astype('int64')
+    df['n_tokens_bpe'] = np.fromiter((bpe_ish_token_count(t) for t in s),
+                                     dtype=np.int64, count=len(s))
+    return df
+
+
+def quality_score_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Composite quality in [0,1] from heuristic feature columns (expects the
+    ``stages/heuristics.py`` outputs).  1 = clean prose; each violated
+    dimension multiplies the score down."""
+    score = np.ones(len(df))
+    score *= np.clip(df['n_chars'].to_numpy() / 200.0, 0, 1)           # length
+    score *= np.clip(1.0 - df['symbol_word_ratio'].to_numpy() * 5, 0, 1)
+    score *= np.clip(1.0 - df['dup_line_frac'].to_numpy(), 0, 1)
+    score *= np.clip(df['alpha_word_frac'].to_numpy(), 0, 1)
+    mwl = df['mean_word_len'].to_numpy()
+    score *= np.where((mwl >= 2.0) & (mwl <= 12.0), 1.0, 0.2)
+    df['quality_score'] = np.round(score, 4)
+    return df
+
+
+def winnow_fingerprint(text: str, k: int = 5, window: int = 8) -> list[int]:
+    """Winnowing: min k-gram rolling hash per sliding window, deduplicated,
+    order-preserved.  Empty/short text -> []."""
+    from pii_detector_ray.stages.dedup import _shingle_hashes
+    h = _shingle_hashes(text, k)
+    if h.size == 0 or not text:
+        return []
+    if h.size <= window:
+        return [int(h.min() & 0x7FFFFFFFFFFFFFFF)]
+    view = np.lib.stride_tricks.sliding_window_view(h, window)
+    mins = view.min(axis=1)
+    out: list[int] = []
+    prev = None
+    for v in mins:
+        iv = int(v & np.uint64(0x7FFFFFFFFFFFFFFF))
+        if iv != prev:
+            out.append(iv)
+            prev = iv
+    return out
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = 'text',
+                      id_col: str = 'doc_id') -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    fps = [winnow_fingerprint(t or '') for t in texts]
+    return pa.table({
+        id_col: batch.column(id_col),
+        'fingerprint': pa.array(fps, pa.list_(pa.int64())),
+        'n_fingerprints': pa.array([len(f) for f in fps], pa.int32()),
+    })

@@ -1,0 +1,108 @@
+"""Dedup-operator tests: MinHash/LSH finds planted near-dups, SimHash pairs
+are Hamming-verified, Jaccard math is exact, embedding near-dup exact==LSH on
+co-bucketed pairs."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from pii_detector_ray.stages.dedup import (
+    _minhash_params,
+    embedding_dup_pairs_exact,
+    embedding_dup_pairs_lsh,
+    jaccard,
+    minhash_dup_groups,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_dup_pairs,
+)
+
+BASE = ('the quick brown fox jumps over the lazy dog while the morning sun '
+        'rises over the quiet hills and people walk to the market to buy bread')
+
+
+def _docs():
+    docs = {
+        0: BASE,
+        1: BASE + ' with a tiny suffix change',                  # near-dup of 0
+        2: 'completely different content about trains and stations and tickets '
+           'and platforms and conductors checking papers on the night express',
+        3: BASE,                                                  # exact dup of 0
+        4: 'short one',
+    }
+    return ray.data.from_arrow(pa.table({
+        'doc_id': pa.array(list(docs), pa.int64()),
+        'text': pa.array(list(docs.values()), pa.string()),
+    }))
+
+
+def test_jaccard_math():
+    assert jaccard(BASE, BASE) == 1.0
+    assert jaccard(BASE, 'zzzz qqqq') < 0.05
+    assert 0.5 < jaccard(BASE, BASE + ' small suffix') < 1.0
+
+
+def test_minhash_signature_similarity_tracks_jaccard():
+    a, b = _minhash_params(128)
+    s1 = minhash_signature(BASE, a, b)
+    s2 = minhash_signature(BASE + ' small suffix', a, b)
+    s3 = minhash_signature('totally unrelated text about other things', a, b)
+    est_close = (s1 == s2).mean()
+    est_far = (s1 == s3).mean()
+    assert est_close > 0.6 > est_far
+
+
+def test_minhash_dup_groups_finds_planted_dups():
+    groups = minhash_dup_groups(_docs()).to_pandas()
+    grouped_ids = set()
+    for ids in groups['doc_ids']:
+        grouped_ids.update(ids)
+    assert {0, 1, 3} <= grouped_ids
+    assert 2 not in grouped_ids and 4 not in grouped_ids
+
+
+def test_ngram_jaccard_pairs():
+    pairs = ngram_jaccard_pairs(_docs(), threshold=0.7).to_pandas()
+    got = {(a, b) for a, b in zip(pairs['doc_a'], pairs['doc_b'])}
+    assert (0, 1) in got and (0, 3) in got and (1, 3) in got
+    assert all(2 not in p and 4 not in p for p in got)
+    exact = pairs[(pairs['doc_a'] == 0) & (pairs['doc_b'] == 3)]['jaccard'].iloc[0]
+    assert exact == 1.0
+
+
+def test_simhash_dup_pairs():
+    pairs = simhash_dup_pairs(_docs(), max_hamming=3).to_pandas()
+    got = {(a, b) for a, b in zip(pairs['doc_a'], pairs['doc_b'])}
+    assert (0, 3) in got                      # exact dup: hamming 0
+    h01 = bin(simhash64(BASE) ^ simhash64(BASE + ' with a tiny suffix change')).count('1')
+    assert ((0, 1) in got) == (h01 <= 3)      # consistency with the fingerprint math
+    assert all(2 not in p for p in got)
+
+
+def _embeddings_ds(n=60, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((n, dim))
+    mat[1] = mat[0] + 0.01 * rng.standard_normal(dim)     # planted near-dup
+    mat[7] = mat[6] * 1.5                                  # exact direction dup
+    return ray.data.from_arrow(pa.table({
+        'vec_id': pa.array(range(n), pa.int64()),
+        'embedding': pa.array([row.tolist() for row in mat],
+                              pa.list_(pa.float32())),
+    }))
+
+
+def test_embedding_dup_exact_finds_planted():
+    pairs = embedding_dup_pairs_exact(_embeddings_ds(), threshold=0.95).to_pandas()
+    got = {(a, b) for a, b in zip(pairs['vec_a'], pairs['vec_b'])}
+    assert (0, 1) in got and (6, 7) in got
+
+
+def test_embedding_dup_lsh_subset_of_exact():
+    exact = embedding_dup_pairs_exact(_embeddings_ds(), threshold=0.95).to_pandas()
+    lsh = embedding_dup_pairs_lsh(_embeddings_ds(), threshold=0.95).to_pandas()
+    exact_pairs = {(a, b) for a, b in zip(exact['vec_a'], exact['vec_b'])}
+    lsh_pairs = {(a, b) for a, b in zip(lsh['vec_a'], lsh['vec_b'])}
+    assert lsh_pairs <= exact_pairs           # LSH never invents pairs
+    assert len(lsh_pairs) >= 1                # and finds at least the closest dup

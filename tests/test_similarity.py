@@ -1,0 +1,48 @@
+"""ANN tests: brute force is exact; LSH index recall@10 vs brute force."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from pii_detector_ray.stages.similarity import LshIndex, brute_force_topk
+
+
+def _ds(n=300, dim=32, seed=5):
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((10, dim))
+    mat = base[rng.integers(0, 10, n)] + 0.3 * rng.standard_normal((n, dim))
+    return ray.data.from_arrow(pa.table({
+        'vec_id': pa.array(range(n), pa.int64()),
+        'embedding': pa.array([r.tolist() for r in mat], pa.list_(pa.float32())),
+    })), mat
+
+
+def test_brute_force_topk_exact():
+    ds, mat = _ds()
+    q = mat[0]
+    got = brute_force_topk(ds, q.astype(np.float64), k=10)
+    qn = q / np.linalg.norm(q)
+    mn = mat / np.linalg.norm(mat, axis=1)[:, None]
+    sims = np.round(mn @ qn, 4)
+    order = np.lexsort((np.arange(len(sims)), -sims))[:10]
+    assert got['vec_id'].tolist() == order.tolist()
+    assert got['vec_id'].iloc[0] == 0 and got['sim'].iloc[0] == 1.0
+
+
+def test_lsh_index_recall():
+    ds, mat = _ds()
+    index = LshIndex(ds, n_planes=8)
+    recalls = []
+    for qi in range(0, 50, 5):
+        q = mat[qi].astype(np.float64)
+        truth = set(brute_force_topk(ds, q, k=10)['vec_id'])
+        got = {h[0] for h in index.query(q, k=10, probes=3)}
+        recalls.append(len(got & truth) / 10)
+    assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_lsh_index_query_vector_is_own_top1():
+    ds, mat = _ds()
+    index = LshIndex(ds, n_planes=8)
+    hits = index.query(mat[3].astype(np.float64), k=5, probes=2)
+    assert hits[0][0] == 3 and hits[0][1] == 1.0

@@ -1,0 +1,89 @@
+"""Text-stats + multimodal plumbing tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pii_detector_ray.stages.multimodal import (
+    FEATURE_DIM,
+    FrameSampleStage,
+    MediaDecodeStage,
+    synth_media_table,
+)
+from pii_detector_ray.stages.textstats import (
+    bpe_ish_token_count,
+    quality_score_batch,
+    token_stats_batch,
+    winnow_fingerprint,
+)
+
+
+def test_bpe_ish_token_count():
+    assert bpe_ish_token_count('hello world') == 2
+    assert bpe_ish_token_count("don't stop") == 4          # don ' t stop
+    assert bpe_ish_token_count('internationalization') == 4  # 20 chars / 6 -> 4 pieces
+    assert bpe_ish_token_count('a1b') == 3
+    assert bpe_ish_token_count('') == 0
+
+
+def test_token_stats_batch():
+    df = token_stats_batch(pd.DataFrame({'text': ['two words', '', None]}))
+    assert df['n_tokens_ws'].tolist() == [2, 0, 0]
+    assert df['n_tokens_bpe'].tolist() == [2, 0, 0]
+
+
+def test_winnow_fingerprint_robust_to_small_edits():
+    a = 'the quick brown fox jumps over the lazy dog again and again today'
+    b = a.replace('today', 'tonite')
+    fa, fb = set(winnow_fingerprint(a)), set(winnow_fingerprint(b))
+    overlap = len(fa & fb) / max(1, len(fa | fb))
+    assert overlap > 0.5                      # small edit, mostly shared
+    c = set(winnow_fingerprint('completely unrelated content here entirely'))
+    assert len(fa & c) / max(1, len(fa | c)) < 0.1
+    assert winnow_fingerprint('') == []
+    # deterministic
+    assert winnow_fingerprint(a) == winnow_fingerprint(a)
+
+
+def test_quality_score_ordering():
+    from pii_detector_ray.stages.heuristics import heuristics_batch
+    df = pd.DataFrame({'extracted_text': [
+        'The children walk to the market and the weather is pleasant this '
+        'morning. ' * 10,
+        '### ## # ### ## zz',
+    ]})
+    out = quality_score_batch(heuristics_batch(df))
+    assert out['quality_score'].iloc[0] > 0.8 > out['quality_score'].iloc[1]
+
+
+def test_media_decode_stage_plumbing():
+    ds = ray.data.from_arrow(synth_media_table(50))
+    out = ds.map_batches(MediaDecodeStage, batch_format='pyarrow', batch_size=16,
+                         concurrency=2, num_cpus=1).to_pandas()
+    assert len(out) == 50
+    assert 'payload' not in out.columns           # heavy bytes dropped
+    feats = np.stack(out['features'].to_numpy())
+    assert feats.shape == (50, FEATURE_DIM)
+    assert np.allclose(feats.sum(axis=1), 1.0)    # L1-normalized histograms
+    # deterministic across runs
+    out2 = ray.data.from_arrow(synth_media_table(50)).map_batches(
+        MediaDecodeStage, batch_format='pyarrow', batch_size=16,
+        concurrency=2, num_cpus=1).to_pandas()
+    assert np.allclose(np.stack(out2['features'].to_numpy()), feats)
+
+
+def test_media_decode_real_codec_path_raises():
+    stage = MediaDecodeStage(use_fake_decoder=False)
+    with pytest.raises(NotImplementedError):
+        stage.decode(b'\x89PNG...', 'image/png')
+
+
+def test_frame_sample_stage():
+    out = FrameSampleStage(n_frames=4)(synth_media_table(3))
+    offs = out.column('frame_offsets_ms').to_pylist()
+    assert len(offs) == 3 and all(len(o) == 4 for o in offs)
+    assert offs[0] == [125, 375, 625, 875]        # duration 1000ms midpoints
+    with pytest.raises(NotImplementedError):
+        FrameSampleStage(use_fake_decoder=False)(synth_media_table(1))
