@@ -1,0 +1,128 @@
+"""Command-line entry point — the unit you hand to ``ray job submit``.
+
+Examples::
+
+    # full (resumable) run over an input directory of pages parquet
+    ray job submit -- python -m pii_detector_ray.cli run \\
+        --input /data/pages --output /data/out --partitions 64
+
+    # resume after a kill: identical command — committed partitions skip
+    ray job submit -- python -m pii_detector_ray.cli run \\
+        --input /data/pages --output /data/out --partitions 64
+
+    # rescan prior output with a delta pattern set
+    python -m pii_detector_ray.cli rescan --prior /data/out \\
+        --out /data/rescan --only EMAIL_ADDRESS US_SSN
+
+    # synthesize a test corpus
+    python -m pii_detector_ray.cli synth --size correctness
+
+The CLI owns the Ray session (``ray.init`` guarded for pre-initialized
+environments); library code never calls ``ray.init`` (driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def _ray_init(num_cpus: int | None) -> None:
+    import ray
+    if not ray.is_initialized():
+        kwargs = dict(include_dashboard=False, ignore_reinit_error=True,
+                      logging_level='ERROR')
+        if num_cpus:
+            kwargs['num_cpus'] = num_cpus
+        ray.init(address=os.environ.get('RAY_ADDRESS', 'local'), **kwargs)
+
+
+def _load_cfg(args: argparse.Namespace):
+    from pii_detector_ray.config import PipelineConfig
+    if getattr(args, 'config', None):
+        with open(args.config) as f:
+            cfg = PipelineConfig.from_json(f.read())
+    else:
+        cfg = PipelineConfig()
+    if getattr(args, 'only', None):
+        cfg.rescan_only = list(args.only)
+    return cfg
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    _ray_init(args.num_cpus)
+    from pii_detector_ray.pipelines.runner import run_partitioned
+    files = sorted(glob.glob(os.path.join(args.input, '*.parquet'))) \
+        or sorted(glob.glob(os.path.join(args.input, '**', '*.parquet'), recursive=True))
+    if not files:
+        print(f'no parquet files under {args.input}', file=sys.stderr)
+        return 2
+    cfg = _load_cfg(args)
+    summary = run_partitioned(files, args.output, cfg,
+                              num_partitions=args.partitions,
+                              dedup_urls=args.dedup_urls,
+                              keep_only=args.keep_only)
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_rescan(args: argparse.Namespace) -> int:
+    _ray_init(args.num_cpus)
+    from pii_detector_ray.pipelines.rescan import rescan_output
+    cfg = _load_cfg(args)
+    ds = rescan_output(args.prior, cfg)
+    ds.write_parquet(args.out)
+    print(json.dumps({'rescanned_rows_with_findings': ds.count()}))
+    return 0
+
+
+def cmd_synth(args: argparse.Namespace) -> int:
+    from pii_detector_ray.sources.pages import SIZES, generate_pages
+    out = generate_pages(args.out or f'/tmp/pii_ray_corpus/{args.size}',
+                         SIZES[args.size], force=args.force)
+    print(json.dumps({'pages_dir': out}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog='pii_detector_ray')
+    sub = p.add_subparsers(dest='cmd', required=True)
+
+    r = sub.add_parser('run', help='run (or resume) the quality-filter pipeline')
+    r.add_argument('--input', required=True, help='directory of pages parquet')
+    r.add_argument('--output', required=True)
+    r.add_argument('--partitions', type=int, default=8)
+    r.add_argument('--num-cpus', type=int, default=None)
+    r.add_argument('--config', help='PipelineConfig JSON file')
+    r.add_argument('--dedup-urls', action='store_true')
+    r.add_argument('--keep-only', action='store_true')
+    r.set_defaults(fn=cmd_run)
+
+    s = sub.add_parser('rescan', help='re-scrub prior output with a delta pattern set')
+    s.add_argument('--prior', required=True)
+    s.add_argument('--out', required=True)
+    s.add_argument('--only', nargs='*', help='detector names to rescan with')
+    s.add_argument('--num-cpus', type=int, default=None)
+    s.add_argument('--config')
+    s.set_defaults(fn=cmd_rescan)
+
+    g = sub.add_parser('synth', help='generate a synthetic pages corpus')
+    g.add_argument('--size', choices=['smoke', 'correctness', 'bench'],
+                   default='correctness')
+    g.add_argument('--out')
+    g.add_argument('--force', action='store_true')
+    g.set_defaults(fn=cmd_synth)
+
+    args = p.parse_args(argv)
+    code = args.fn(args)
+    import ray
+    if ray.is_initialized():
+        ray.shutdown()
+    return code
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -1,0 +1,41 @@
+"""Rescan-by-classifier: re-score already-processed output with a delta
+pattern set.
+
+Ray-native version of the reference's ``rescan_by_data_type_task``
+(``redis_tasks.py:174-260``; SURVEY.md §3.2): when classifiers change, the
+reference pulls SCANNED chunks and re-runs analysis with ONLY the new
+patterns (``DataAnalysisService(rescan_mode=True)`` — NER disabled).  Here:
+read the prior run's partitioned output (``extracted_text`` is already
+materialized — no re-extraction), run the scrub stage with
+``cfg.rescan_only`` / ``cfg.custom_patterns`` as the delta registry, and
+write a findings-only delta table per url.  Scorer stages don't rerun —
+rescan is detection-only, exactly like the reference's rescan mode.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+
+import ray.data
+
+from pii_detector_ray.config import PipelineConfig
+from pii_detector_ray.stages.scrub import make_scrub_stage
+
+
+def rescan_output(prior_out_dir: str, cfg: PipelineConfig) -> ray.data.Dataset:
+    """Scrub the prior run's output with the delta pattern set; returns
+    (url, pii_spans, scrubbed_text, n_pii) for rows with new findings."""
+    files = sorted(glob.glob(os.path.join(prior_out_dir, 'part=*', '*.parquet')))
+    ds = ray.data.read_parquet(files, columns=['url', 'extracted_text'])
+    stage = make_scrub_stage(cfg)
+    ds = ds.map_batches(stage, batch_format='pyarrow', batch_size=cfg.scrub_batch_size)
+
+    def only_hits(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.greater(batch.column('n_pii'), 0))
+
+    return ds.map_batches(only_hits, batch_format='pyarrow') \
+        .select_columns(['url', 'pii_spans', 'scrubbed_text', 'n_pii'])

@@ -351,6 +351,20 @@ _SIMILARITY_SQL = (
 # Dedup family (stages/dedup.py) + similarity + text stats + multimodal
 # ---------------------------------------------------------------------------
 
+def q_host_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-host doc counts over derived pages urls via the salted two-phase
+    aggregation (stages/hostagg.py) — the skew-mitigation pattern for the
+    hot-host shuffle (SURVEY.md §4)."""
+    from pii_detector_ray.stages.hostagg import host_stats
+    return host_stats(docs_to_pages(sf_dir), n_salts=16)
+
+
+_HOST_STATS_SQL = (
+    "SELECT source || '.example.com' AS host, count(*) AS n_docs "
+    "FROM documents GROUP BY source"
+)
+
+
 def q_word_stats(sf_dir: str) -> ray.data.Dataset:
     def stats(df: pd.DataFrame) -> pd.DataFrame:
         s = df['text'].astype('string').fillna('')
@@ -545,6 +559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'events_user_stats': q_events_user_stats,
         'similarity_topk': q_similarity_topk,
         'word_stats': q_word_stats,
+        'host_stats': q_host_stats,
         'embedding_dup_pairs': q_embedding_dup_pairs,
         # rows-only
         'scrub_documents': q_scrub_documents,
@@ -583,6 +598,7 @@ def oracle_sql() -> dict[str, str]:
         'events_user_stats': _EVENTS_USER_SQL,
         'similarity_topk': _SIMILARITY_SQL,
         'word_stats': _WORD_STATS_SQL,
+        'host_stats': _HOST_STATS_SQL,
         'embedding_dup_pairs': _EMBEDDING_DUP_SQL,
     })
     return out

@@ -1,0 +1,77 @@
+"""Host-level aggregation with skew mitigation (salted two-phase groupby).
+
+The north star calls for hash-partitioning by url with groupby-aggregate skew
+mitigation for near-duplicate hosts (BASELINE.json): a hot host (the
+synthetic corpus gives one host ~30% of rows, FIXTURES.md §1) would send 30%
+of the shuffle to one reducer.  Standard fix, implemented here:
+
+1. partial aggregation inside ``map_batches``: each batch emits ONE row per
+   (host, salt) — salt = ``hash(url) % n_salts`` — so the shuffle carries
+   per-batch partials, never documents;
+2. final ``groupby(host)`` over the partials: the hot host arrives as
+   ``n_salts × n_batches`` small rows spread across reducers instead of one
+   giant group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def host_of(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """url -> host: the third '/'-separated field of the url."""
+    parts = pc.split_pattern(urls, pattern='/')
+    return pc.list_element(parts, 2)
+
+
+def host_stats(ds: ray.data.Dataset, *, n_salts: int = 16,
+               keep_col: str | None = None) -> ray.data.Dataset:
+    """Per-host (n_docs [, n_kept]) via salted two-phase aggregation.
+
+    Result columns: host, n_docs[, n_kept].
+    """
+    with_keep = keep_col is not None
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hosts = host_of(batch.column('url'))
+        salts = _hash_mod(batch.column('url'), n_salts)
+        tbl = pa.table({'host': hosts, 'salt': salts})
+        if with_keep:
+            tbl = tbl.append_column('kept', pc.cast(batch.column(keep_col), pa.int64()))
+            agg = tbl.group_by(['host', 'salt']).aggregate(
+                [('kept', 'sum'), ('kept', 'count')])
+            return pa.table({'host': agg.column('host'),
+                             'salt': agg.column('salt'),
+                             'part_kept': agg.column('kept_sum'),
+                             'part_docs': agg.column('kept_count')})
+        agg = tbl.group_by(['host', 'salt']).aggregate([('salt', 'count')])
+        return pa.table({'host': agg.column('host'),
+                         'salt': agg.column('salt'),
+                         'part_docs': pc.cast(agg.column('salt_count'), pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format='pyarrow')
+    aggs = [Sum('part_docs', alias_name='n_docs')]
+    if with_keep:
+        aggs.append(Sum('part_kept', alias_name='n_kept'))
+    out = partials.groupby('host').aggregate(*aggs)
+    cols = ['host', 'n_docs'] + (['n_kept'] if with_keep else [])
+    return out.select_columns(cols)
+
+
+def _hash_mod(urls: pa.ChunkedArray | pa.Array, n: int) -> pa.Array:
+    """Deterministic per-url salt in [0, n) (stable FNV over the url bytes,
+    vectorized via numpy on the flattened buffer)."""
+    vals = urls.to_pylist() if hasattr(urls, 'to_pylist') else list(urls)
+    out = np.zeros(len(vals), dtype=np.int32)
+    for i, u in enumerate(vals):
+        h = 2166136261
+        for ch in (u or '').encode('utf-8')[-12:]:   # suffix is enough for a salt
+            h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
+        out[i] = h % n
+    return pa.array(out, pa.int32())

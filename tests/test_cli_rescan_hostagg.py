@@ -1,0 +1,77 @@
+"""CLI run/resume/rescan/synth + salted host aggregation tests."""
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pii_detector_ray.cli import main as cli_main
+from pii_detector_ray.config import PipelineConfig
+from pii_detector_ray.stages.hostagg import host_stats
+
+
+@pytest.fixture(scope='module')
+def smoke_files(smoke_pages_dir):
+    return smoke_pages_dir
+
+
+def test_cli_run_and_resume(tmp_path, smoke_files, capsys):
+    out = str(tmp_path / 'out')
+    # smoke corpus has a single shard -> partition count clamps to 1
+    rc = cli_main(['run', '--input', smoke_files, '--output', out, '--partitions', '2'])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary['partitions_run'] == 1 and summary['rows'] == 500
+    # second invocation = pure resume, runs nothing
+    rc = cli_main(['run', '--input', smoke_files, '--output', out, '--partitions', '2'])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary['partitions_run'] == 0 and summary['partitions_skipped'] == 1
+
+
+def test_cli_run_empty_input(tmp_path, capsys):
+    rc = cli_main(['run', '--input', str(tmp_path / 'nope'), '--output',
+                   str(tmp_path / 'o')])
+    assert rc == 2
+
+
+def test_cli_rescan_delta_patterns(tmp_path, smoke_files, capsys):
+    out = str(tmp_path / 'full')
+    cli_main(['run', '--input', smoke_files, '--output', out, '--partitions', '1'])
+    capsys.readouterr()
+    rescan_out = str(tmp_path / 'delta')
+    rc = cli_main(['rescan', '--prior', out, '--out', rescan_out,
+                   '--only', 'EMAIL_ADDRESS'])
+    assert rc == 0
+    files = glob.glob(os.path.join(rescan_out, '*.parquet'))
+    assert files
+    df = ray.data.read_parquet(files).to_pandas()
+    assert (df['n_pii'] > 0).all()
+    types = {s['type'] for spans in df['pii_spans'] for s in spans}
+    assert types == {'EMAIL_ADDRESS'}         # delta registry only
+
+
+def test_host_stats_salted_agg_correct():
+    urls = (['https://hot.example.com/p%d' % i for i in range(300)]
+            + ['https://cold%d.example.com/x' % (i % 7) for i in range(70)])
+    keeps = [i % 3 != 0 for i in range(370)]
+    ds = ray.data.from_arrow(pa.table({
+        'url': pa.array(urls, pa.string()),
+        'keep': pa.array(keeps, pa.bool_()),
+    })).repartition(8)
+    out = host_stats(ds, n_salts=4, keep_col='keep').to_pandas() \
+        .set_index('host').sort_index()
+    assert out.loc['hot.example.com', 'n_docs'] == 300
+    assert int(out['n_docs'].sum()) == 370
+    assert int(out['n_kept'].sum()) == sum(keeps)
+    # per-host kept counts match a plain pandas groupby
+    import pandas as pd
+    exp = pd.DataFrame({'url': urls, 'keep': keeps})
+    exp['host'] = exp['url'].str.split('/').str[2]
+    exp = exp.groupby('host')['keep'].agg(['sum', 'count'])
+    for host, row in exp.iterrows():
+        assert out.loc[host, 'n_docs'] == row['count']
+        assert out.loc[host, 'n_kept'] == row['sum']
