@@ -48,15 +48,17 @@ class PipelineConfig:
     scrub_entities: list[str] | None = None  # None = all registered detectors
     rescan_only: list[str] | None = None     # delta pattern set (rescan path, §3.2)
 
-    # object-selection filters (reference F1-F4, SURVEY.md §2.2)
+    # object-selection filters (reference F1-F4, F8; SURVEY.md §2.2)
     url_extension_blocklist: tuple[str, ...] = (
-        # reference UNSUPPORTED/media extension blocklist, app/core/config.py:98-110
-        '.png', '.jpg', '.jpeg', '.gif', '.bmp', '.tiff', '.svg', '.ico',
-        '.mp3', '.mp4', '.avi',
+        # the reference's UNSUPPORTED_EXTENSIONS, verbatim (app/core/config.py:98-110)
+        '.png', '.jpg', '.jpeg', '.gif', '.bmp', '.svg', '.tif', '.tiff',
+        '.ico', '.mbox', '.webm',
     )
     url_log_filter: bool = True              # drop urls containing 'log' path parts (F2)
     url_include_regex: str | None = None     # filename include classifier (F3)
     url_exclude_regex: str | None = None     # filename exclude classifier (F3)
+    url_include_set: list[str] | None = None  # classification include-set (F4)
+    max_doc_bytes: int | None = 16_000_000   # F8 row-size guard on the html payload
 
     thresholds: QualityThresholds = field(default_factory=QualityThresholds)
 

@@ -1,0 +1,86 @@
+"""P1 parser dispatch: bytes → scannable text/DataFrame by extension.
+
+Re-expression of the reference's ``prepare_file``
+(``app/services/file_service.py:353-422``) with the same dispatch table and
+the same swallow-to-None error contract:
+
+- **CSV** — REAL: pandas headerless parse with the reference's 4-delimiter ×
+  7-encoding sniffing loop (``file_service.py:377-390``; constants
+  ``file_service.py:25-26``).
+- **fallback** — REAL: ``data.decode(errors='replace')[offset:offset+limit]``
+  (``file_service.py:415``) — the byte-identity anchor.
+- **unsupported media extensions** — '' (``file_service.py:411-412`` with the
+  blocklist from ``app/core/config.py:98-110``).
+- **PDF / XLSX / XLS / DOCX / DOC** — the libraries (PyPDF2, openpyxl, xlrd,
+  python-docx, antiword) are NOT in this container; the dispatch sites are
+  real, the codec calls raise ``NotImplementedError`` which the outer
+  try/except converts to the reference's ``None`` return (the reference
+  likewise returns None when a parser throws, ``file_service.py:417-422``).
+"""
+
+from __future__ import annotations
+
+from io import BytesIO
+from typing import Any
+
+import pandas as pd
+
+# Constants mirrored from reference file_service.py:23-26 / config.py:98-110.
+ARCHIVE_EXTENSIONS = ('.zip', '.tar', '.tar.gz', '.tar.bz2')
+CONTAINER_TYPES = ('.csv', '.doc', '.docx', '.xlsx', '.xls', '.pdf')
+CSV_DELIMITERS = (',', '\t', ';', '|')
+CSV_ENCODINGS = ('ISO-8859-1', 'utf-8', 'windows-1252', 'utf-16', 'utf-16le',
+                 'utf-16be', 'ascii')
+UNSUPPORTED_EXTENSIONS = ('.png', '.jpg', '.jpeg', '.gif', '.bmp', '.svg',
+                          '.tif', '.tiff', '.ico', '.mbox', '.webm')
+
+
+def _require(module: str) -> Any:
+    try:
+        return __import__(module)
+    except ImportError as e:
+        raise NotImplementedError(
+            f'{module} is not installed in this container; the {module} '
+            f'parse path is stubbed (dispatch is real, codec is not)') from e
+
+
+def parse_csv_sniffed(data: bytes) -> pd.DataFrame | None:
+    """Headerless CSV parse, trying delimiter × encoding like the reference."""
+    for delimiter in CSV_DELIMITERS:
+        for encoding in CSV_ENCODINGS:
+            try:
+                return pd.read_csv(BytesIO(data), encoding=encoding,
+                                   delimiter=delimiter, header=None,
+                                   engine='python')
+            except (UnicodeError, pd.errors.ParserError):
+                continue
+    return None
+
+
+def prepare_file(object_data: bytes, file_name: str,
+                 limit: int | None = None, offset: int = 0) -> Any:
+    """bytes → text / DataFrame / '' / None, per the reference dispatch."""
+    if limit is None:
+        limit = len(object_data) + 1
+    try:
+        if file_name.endswith('pdf'):
+            _require('PyPDF2')                      # stub: no PDF lib here
+        elif file_name.endswith(('xlsx', 'xls')):
+            _require('openpyxl' if file_name.endswith('xlsx') else 'xlrd')
+        elif file_name.endswith('csv'):
+            content = parse_csv_sniffed(object_data)
+            if content is None:
+                return None
+            return content.iloc[offset:offset + limit]
+        elif file_name.endswith('docx'):
+            _require('docx')
+        elif file_name.endswith('doc'):
+            raise NotImplementedError('antiword is not installed in this container')
+        elif file_name.endswith(UNSUPPORTED_EXTENSIONS):
+            return ''
+        else:
+            return object_data.decode(errors='replace')[offset:offset + limit]
+    except Exception:
+        # reference contract: parser failures return None (file_service.py:417-422)
+        return None
+    return None

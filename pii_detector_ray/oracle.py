@@ -35,7 +35,7 @@ _ELLIPSIS = re.compile(r'(?m)(\.\.\.|…)[ \t]*$')
 _SYMBOL = re.compile(r'#|…|\.\.\.')
 
 
-def url_passes_filters(url: str, cfg: PipelineConfig) -> bool:
+def url_passes_filters(url: str, cfg: PipelineConfig, html: bytes | None = None) -> bool:
     if any(url.endswith(ext) for ext in cfg.url_extension_blocklist):
         return False
     if cfg.url_log_filter and ('log' in url.lower() or 'CloudTrail' in url):
@@ -43,6 +43,10 @@ def url_passes_filters(url: str, cfg: PipelineConfig) -> bool:
     if cfg.url_exclude_regex and re.search(cfg.url_exclude_regex, url):
         return False
     if cfg.url_include_regex and not re.search(cfg.url_include_regex, url):
+        return False
+    if cfg.url_include_set is not None and url not in cfg.url_include_set:
+        return False
+    if cfg.max_doc_bytes is not None and html is not None and len(html) > cfg.max_doc_bytes:
         return False
     return True
 
@@ -112,7 +116,7 @@ def run_oracle(rows: list[dict[str, Any]], cfg: PipelineConfig) -> list[dict[str
 
     out: list[dict[str, Any]] = []
     for row in rows:
-        if not url_passes_filters(row['url'], cfg):
+        if not url_passes_filters(row['url'], cfg, row.get('html')):
             continue
         text = extract_row(row.get('text'), row.get('html'))
         feat = oracle_features(text)

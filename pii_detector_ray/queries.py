@@ -365,6 +365,21 @@ _HOST_STATS_SQL = (
 )
 
 
+def q_sample_documents(sf_dir: str) -> ray.data.Dataset:
+    """F9 deterministic sampling (the reference's random-sampling path,
+    base_scan_service.py:193-231, made reproducible): keep ~10% of docs by a
+    multiplicative hash of doc_id — expressible identically in SQL."""
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column('doc_id').to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (ids * 2654435761) % 100 < 10
+        return pa.table({'doc_id': pa.array(ids[keep], pa.int64())})
+
+    return read_documents(sf_dir, ['doc_id']).map_batches(sample, batch_format='pyarrow')
+
+
+_SAMPLE_SQL = 'SELECT doc_id FROM documents WHERE (doc_id * 2654435761) % 100 < 10'
+
+
 def q_word_stats(sf_dir: str) -> ray.data.Dataset:
     def stats(df: pd.DataFrame) -> pd.DataFrame:
         s = df['text'].astype('string').fillna('')
@@ -560,6 +575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'similarity_topk': q_similarity_topk,
         'word_stats': q_word_stats,
         'host_stats': q_host_stats,
+        'sample_documents': q_sample_documents,
         'embedding_dup_pairs': q_embedding_dup_pairs,
         # rows-only
         'scrub_documents': q_scrub_documents,
@@ -599,6 +615,7 @@ def oracle_sql() -> dict[str, str]:
         'similarity_topk': _SIMILARITY_SQL,
         'word_stats': _WORD_STATS_SQL,
         'host_stats': _HOST_STATS_SQL,
+        'sample_documents': _SAMPLE_SQL,
         'embedding_dup_pairs': _EMBEDDING_DUP_SQL,
     })
     return out

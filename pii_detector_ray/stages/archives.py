@@ -1,0 +1,103 @@
+"""P3 archive expansion: zip/tar{,.gz,.bz2} → member rows (a flat_map stage).
+
+Re-expression of the reference's archive unpacking
+(``app/services/file_service.py:172-351``): recursive extraction with a
+``PK``-signature retry for zips with junk prefixes, nested-archive recursion,
+and an uncompressed-size guard (the reference checks free disk before
+unpacking, ``file_service.py:137-139``; here the guard is a per-member byte
+cap since members stream through the object store, not a local disk).
+
+Stdlib-only (zipfile/tarfile).  As a Ray stage: one archive row in →
+N member rows out, so downstream stages (extract/scrub) treat members like
+any other object.
+"""
+
+from __future__ import annotations
+
+import io
+import tarfile
+import zipfile
+
+import pyarrow as pa
+
+_ZIP_MAGIC = b'PK\x03\x04'
+MAX_MEMBER_BYTES = 64 * 1024 * 1024     # uncompressed-size guard per member
+MAX_DEPTH = 3                            # nested-archive recursion cap
+
+ARCHIVE_SUFFIXES = ('.zip', '.tar', '.tar.gz', '.tar.bz2', '.tgz')
+
+
+def _is_archive(name: str) -> bool:
+    return name.lower().endswith(ARCHIVE_SUFFIXES)
+
+
+def _iter_zip(data: bytes):
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(data))
+    except zipfile.BadZipFile:
+        # PK-signature retry: skip junk before the first local-file header
+        at = data.find(_ZIP_MAGIC)
+        if at <= 0:
+            return
+        try:
+            zf = zipfile.ZipFile(io.BytesIO(data[at:]))
+        except zipfile.BadZipFile:
+            return
+    for info in zf.infolist():
+        if info.is_dir() or info.file_size > MAX_MEMBER_BYTES:
+            continue
+        try:
+            yield info.filename, zf.read(info)
+        except Exception:
+            continue
+
+
+def _iter_tar(data: bytes):
+    try:
+        tf = tarfile.open(fileobj=io.BytesIO(data), mode='r:*')
+    except tarfile.TarError:
+        return
+    for member in tf:
+        if not member.isfile() or member.size > MAX_MEMBER_BYTES:
+            continue
+        f = tf.extractfile(member)
+        if f is None:
+            continue
+        try:
+            yield member.name, f.read()
+        except Exception:
+            continue
+
+
+def iter_archive(name: str, data: bytes, depth: int = 0):
+    """Yield (member_path, member_bytes) recursively; nested archives expand
+    in place with '::'-joined paths (the reference's fetch_path convention,
+    ``file_service.py:112``)."""
+    if depth >= MAX_DEPTH:
+        return
+    low = name.lower()
+    members = _iter_zip(data) if low.endswith('.zip') else \
+        _iter_tar(data) if low.endswith(('.tar', '.tar.gz', '.tar.bz2', '.tgz')) else ()
+    for mname, mdata in members:
+        if _is_archive(mname):
+            yield from iter_archive(f'{name}::{mname}', mdata, depth + 1)
+        else:
+            yield f'{name}::{mname}', mdata
+
+
+def expand_archives_batch(batch: pa.Table, name_col: str = 'url',
+                          data_col: str = 'payload') -> pa.Table:
+    """flat_map-style stage: archive rows expand to member rows; non-archive
+    rows pass through unchanged."""
+    names_out, data_out = [], []
+    for name, data in zip(batch.column(name_col).to_pylist(),
+                          batch.column(data_col).to_pylist()):
+        if name and data and _is_archive(name):
+            for mname, mdata in iter_archive(name, data):
+                names_out.append(mname)
+                data_out.append(mdata)
+        else:
+            names_out.append(name)
+            data_out.append(data)
+    return pa.table({name_col: pa.array(names_out, pa.string()),
+                     data_col: pa.array(data_out, pa.binary())})

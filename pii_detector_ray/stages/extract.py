@@ -91,6 +91,16 @@ def make_url_filter(cfg: PipelineConfig):
             keep &= ~pc.match_substring_regex(urls, exclude_re.pattern).to_numpy(zero_copy_only=False)
         if include_re is not None:
             keep &= pc.match_substring_regex(urls, include_re.pattern).to_numpy(zero_copy_only=False)
+        if cfg.url_include_set is not None:
+            # F4 classification include-set (base_scan_service.py:621-641):
+            # small set broadcast by closure capture
+            keep &= pc.is_in(urls, value_set=pa.array(cfg.url_include_set)) \
+                .to_numpy(zero_copy_only=False)
+        if cfg.max_doc_bytes is not None and 'html' in batch.column_names:
+            # F8 size guard (file_service.py:137-139 / base_scan_service.py:49)
+            sizes = pc.binary_length(batch.column('html'))
+            ok = pc.fill_null(pc.less_equal(sizes, cfg.max_doc_bytes), True)
+            keep &= ok.to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(keep))
 
     return url_filter

@@ -1,0 +1,114 @@
+"""P1 parser dispatch + P3 archive expansion tests."""
+
+import io
+import tarfile
+import zipfile
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from pii_detector_ray.functions.prepare import (
+    parse_csv_sniffed,
+    prepare_file,
+)
+from pii_detector_ray.stages.archives import expand_archives_batch, iter_archive
+
+
+def test_prepare_fallback_decode_is_byte_identical():
+    raw = 'hello é world'.encode('utf-8') + b'\xff\x80'
+    out = prepare_file(raw, 'notes.txt')
+    assert out == raw.decode(errors='replace')
+
+
+def test_prepare_fallback_offset_limit():
+    assert prepare_file(b'abcdefgh', 'x.bin', limit=3, offset=2) == 'cde'
+
+
+def test_prepare_unsupported_extension_empty():
+    assert prepare_file(b'\x89PNG', 'img.png') == ''
+    assert prepare_file(b'x', 'clip.webm') == ''
+
+
+def test_prepare_csv_sniffing_delimiters_and_encodings():
+    # comma files parse into columns; other delimiters still parse (the
+    # reference's loop tries ',' + ISO-8859-1 first, which never raises — a
+    # ';' file comes back single-column there too; we replicate, not fix)
+    df = prepare_file(b'a,b,c\n1,2,3\n', 'data.csv')
+    assert isinstance(df, pd.DataFrame) and df.shape == (2, 3)
+    for delim in (';', '\t', '|'):
+        raw = f'a{delim}b{delim}c\n1{delim}2{delim}3\n'.encode('utf-8')
+        df = prepare_file(raw, 'data.csv')
+        assert isinstance(df, pd.DataFrame) and len(df) == 2
+    # quoted-comma chaos forces a ParserError for ',' and falls through
+    bad_comma = b'a,b\n"unclosed,quote\nx;y;z\n1;2;3\n'
+    assert prepare_file(bad_comma, 'data.csv') is not None
+    # utf-16 bytes decode under ISO-8859-1 without error -> mojibake parse,
+    # exactly like the reference's encoding order
+    utf16 = 'x,y\n1,2\n'.encode('utf-16')
+    assert isinstance(prepare_file(utf16, 'data.csv'), pd.DataFrame)
+
+
+def test_prepare_missing_codecs_return_none():
+    # PDF/XLSX/DOCX/DOC libs absent in this container -> reference-style None
+    assert prepare_file(b'%PDF-1.4', 'doc.pdf') is None
+    assert prepare_file(b'PK\x03\x04', 'book.xlsx') is None
+    assert prepare_file(b'PK\x03\x04', 'text.docx') is None
+    assert prepare_file(b'\xd0\xcf', 'old.doc') is None
+
+
+def _make_zip(members: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, 'w') as zf:
+        for name, data in members.items():
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+def _make_targz(members: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode='w:gz') as tf:
+        for name, data in members.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def test_iter_archive_zip_and_nested():
+    inner = _make_zip({'inner.txt': b'deep'})
+    outer = _make_zip({'a.txt': b'A', 'sub/b.txt': b'B', 'nested.zip': inner})
+    got = dict(iter_archive('outer.zip', outer))
+    assert got['outer.zip::a.txt'] == b'A'
+    assert got['outer.zip::sub/b.txt'] == b'B'
+    assert got['outer.zip::nested.zip::inner.txt'] == b'deep'
+
+
+def test_iter_archive_pk_signature_retry():
+    raw = _make_zip({'f.txt': b'data'})
+    junked = b'JUNKJUNK' + raw
+    got = dict(iter_archive('x.zip', junked))
+    assert got.get('x.zip::f.txt') == b'data'
+
+
+def test_iter_archive_targz():
+    raw = _make_targz({'doc.txt': b'tar content'})
+    got = dict(iter_archive('x.tar.gz', raw))
+    assert got['x.tar.gz::doc.txt'] == b'tar content'
+
+
+def test_iter_archive_garbage_safe():
+    assert list(iter_archive('x.zip', b'not an archive')) == []
+    assert list(iter_archive('x.tar', b'nope')) == []
+
+
+def test_expand_archives_batch_mixed():
+    z = _make_zip({'m.txt': b'member'})
+    batch = pa.table({
+        'url': pa.array(['plain.txt', 'arch.zip'], pa.string()),
+        'payload': pa.array([b'passthrough', z], pa.binary()),
+    })
+    out = expand_archives_batch(batch)
+    rows = dict(zip(out.column('url').to_pylist(), out.column('payload').to_pylist()))
+    assert rows['plain.txt'] == b'passthrough'
+    assert rows['arch.zip::m.txt'] == b'member'
