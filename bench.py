@@ -118,8 +118,72 @@ def run_scaling() -> dict:
     }
 
 
+def run_reference_style(n_rows: int = 60_000) -> dict:
+    """Single-node throughput comparison point built from the REFERENCE's own
+    execution model (SURVEY.md §3.1/§4): a spawn multiprocessing.Pool of
+    MAX_PYTHON_PROCESSES=5 workers (app/core/config.py:95), each scanning
+    whole documents with the per-recognizer stdlib-``re`` loop
+    (re_service.py:26-28) + mask/hash per finding — i.e. what the reference
+    would sustain on this machine for the same detection work, minus its
+    HTTP-catalog overhead (so this is an UPPER bound on the reference).
+    Compares against this engine's flagship docs/sec from the same corpus."""
+    import multiprocessing as mp
+
+    from pii_detector_ray.sources.pages import ensure_corpus
+
+    pages_dir = ensure_corpus('bench')
+    import pyarrow.parquet as pq
+    texts: list[str] = []
+    for name in sorted(os.listdir(pages_dir)):
+        if len(texts) >= n_rows:
+            break
+        t = pq.read_table(os.path.join(pages_dir, name), columns=['text'])
+        texts.extend(x or '' for x in t.column('text').to_pylist())
+    texts = texts[:n_rows]
+
+    chunks = [texts[i::5] for i in range(5)]
+    with mp.get_context('spawn').Pool(5) as pool:
+        t0 = time.monotonic()
+        pool.map(_reference_style_scan, chunks)
+        wall = time.monotonic() - t0
+    return {
+        'metric': 'reference-style single-node scan (5-process pool, per-row '
+                  're cascade + mask/hash), same corpus subset',
+        'rows': len(texts),
+        'sec': round(wall, 3),
+        'docs_per_sec': round(len(texts) / wall, 1),
+    }
+
+
+def _reference_style_scan(texts: list[str]) -> int:
+    import re as _re
+
+    from pii_detector_ray.detectors import build_registry
+    from pii_detector_ray.functions.masking import hash_data, mask_data
+    pats = []
+    for d in build_registry():
+        try:        # per-recognizer swallow, like re_service.py:30-31
+            pats.append((d.name, _re.compile(d.pattern)))
+        except Exception:
+            continue
+    n = 0
+    for t in texts:
+        for name, pat in pats:
+            try:
+                for m in pat.finditer(t):
+                    v = m.group()
+                    hash_data(v)
+                    mask_data(name, v)
+                    n += 1
+            except Exception:
+                continue
+    return n
+
+
 if __name__ == '__main__':
     if '--scaling' in sys.argv:
         print(json.dumps(run_scaling()))
+    elif '--reference-style' in sys.argv:
+        print(json.dumps(run_reference_style()))
     else:
         print(json.dumps(run_bench()))

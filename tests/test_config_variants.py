@@ -1,0 +1,97 @@
+"""Pipeline behavior under non-default configs: url dedup, custom patterns,
+scrub subsets, allowed langs, include-set/size guards — each checked against
+the serial oracle or direct expectations."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from pii_detector_ray.config import PipelineConfig, QualityThresholds
+from pii_detector_ray.oracle import run_oracle
+from pii_detector_ray.pipelines.quality_filter import build_pipeline
+from pii_detector_ray.sources.pages import PAGES_SCHEMA
+
+
+def _pages_table(rows):
+    return pa.Table.from_arrays([
+        pa.array([r[0] for r in rows], pa.string()),
+        pa.array([r[1] for r in rows], pa.timestamp('us')),
+        pa.array([r[2] for r in rows], pa.binary()),
+        pa.array([r[3] for r in rows], pa.string()),
+        pa.array([r[4] for r in rows], pa.string()),
+    ], schema=PAGES_SCHEMA)
+
+
+def test_dedup_urls_keeps_min_warc_ts(smoke_pages_dir):
+    cfg = PipelineConfig()
+    ds = ray.data.read_parquet(smoke_pages_dir)
+    out = build_pipeline(ds, cfg, dedup_urls=True, concurrency=(1, 2)).to_pandas()
+    assert out['url'].is_unique
+    # dedup keeps the earliest timestamp per url
+    src = pq.ParquetDataset(smoke_pages_dir).read().to_pandas()
+    first_ts = src.groupby('url')['warc_ts'].min()
+    merged = out.set_index('url')['warc_ts']
+    for url, ts in merged.items():
+        assert ts == first_ts[url]
+    assert len(out) == src['url'].nunique()
+
+
+def test_custom_pattern_end_to_end():
+    text = ('The children walk to the market and the weather is pleasant this '
+            'morning. ' * 5) + ' ticket ZZ1234 issued.'
+    rows = [(f'https://a.com/{i}', 1000 + i, None, text, 'en') for i in range(3)]
+    cfg = PipelineConfig(custom_patterns={'TICKET_ID': r'\bZZ\d{4}\b'})
+    out = build_pipeline(ray.data.from_arrow(_pages_table(rows)), cfg,
+                         concurrency=(1, 2)).to_pandas()
+    spans = [s for row in out['pii_spans'] for s in row]
+    tickets = [s for s in spans if s['type'] == 'TICKET_ID']
+    assert len(tickets) == 3
+    assert all(s['is_custom_regex'] for s in tickets)
+    assert 'ZZ1234' not in out['scrubbed_text'].iloc[0]
+    assert '**1234'[0] not in ('',)  # mask keeps structure: ZZ1234 -> ******
+    assert out['scrubbed_text'].iloc[0].count('******') >= 1
+
+
+def test_scrub_entities_subset():
+    text = ('word ' * 60) + 'mail a9f3k2b@example7.com ssn 172-32-1176 end'
+    rows = [('https://a.com/1', 1, None, text, 'en')]
+    cfg = PipelineConfig(scrub_entities=['EMAIL_ADDRESS'])
+    out = build_pipeline(ray.data.from_arrow(_pages_table(rows)), cfg,
+                         concurrency=(1, 2)).to_pandas()
+    types = {s['type'] for s in out['pii_spans'].iloc[0]}
+    assert types == {'EMAIL_ADDRESS'}
+    assert '172-32-1176' in out['scrubbed_text'].iloc[0]   # ssn untouched
+
+
+def test_allowed_langs_drop_reason():
+    en = ('The children walk to the market and the weather is pleasant. ' * 8)
+    ru = ('Дети идут на рынок и погода сегодня приятная и тёплая весь день. ' * 8)
+    rows = [('https://a.com/en', 1, None, en, 'en'),
+            ('https://a.com/ru', 2, None, ru, 'ru')]
+    cfg = PipelineConfig(thresholds=QualityThresholds(allowed_langs=['en']))
+    out = build_pipeline(ray.data.from_arrow(_pages_table(rows)), cfg,
+                        concurrency=(1, 2)).to_pandas().set_index('url')
+    assert bool(out.loc['https://a.com/en', 'keep'])
+    assert not bool(out.loc['https://a.com/ru', 'keep'])
+    assert out.loc['https://a.com/ru', 'drop_reason'] == 'disallowed_lang'
+
+
+def test_include_set_and_size_guard_match_oracle():
+    big_html = b'<p>' + b'x' * 100 + b'</p>'
+    rows = [('https://a.com/keep', 1, None, 'text one here', 'en'),
+            ('https://a.com/other', 2, None, 'text two here', 'en'),
+            ('https://a.com/big', 3, big_html, None, 'en')]
+    cfg = PipelineConfig(url_include_set=['https://a.com/keep', 'https://a.com/big'],
+                         max_doc_bytes=50)
+    tbl = _pages_table(rows)
+    out = build_pipeline(ray.data.from_arrow(tbl), cfg, concurrency=(1, 2)).to_pandas()
+    exp = run_oracle(tbl.to_pylist(), cfg)
+    assert sorted(out['url']) == sorted(e['url'] for e in exp) == ['https://a.com/keep']
+
+
+def test_rescan_only_subset_config():
+    cfg = PipelineConfig(rescan_only=['US_SSN'])
+    from pii_detector_ray.stages.scrub import detectors_from_config
+    dets = detectors_from_config(cfg)
+    assert [d.name for d in dets] == ['US_SSN']
