@@ -39,6 +39,7 @@ from pii_detector_ray.detectors import (
 from pii_detector_ray.functions.masking import PHI_PATTERN, mask_data
 from pii_detector_ray.sources.docs_adapter import (
     SQL_AUG_CTE,
+    SQL_AUG_EXPR,
     augment_batch,
     docs_to_pages,
     read_documents,
@@ -365,6 +366,33 @@ _HOST_STATS_SQL = (
 )
 
 
+def q_scan_table_columns(sf_dir: str) -> ray.data.Dataset:
+    """P4 multi-column DB-style scan (column_name-tagged findings like the
+    reference's DataFrame path, data_analysis_service.py:184-190,218-219):
+    phone-shaped matches per (augmented-documents) column, grouped
+    (column_name, n_matches)."""
+    from pii_detector_ray.detectors import Detector
+    from pii_detector_ray.stages.columns import make_column_scan_stage
+    det = Detector(id=0, name='PHONE', pattern=EXTENSION_PATTERNS['PHONE'],
+                   family='extension')
+    stage = make_column_scan_stage(['aug_text', 'source'], [det], key_col='doc_id')
+    ds = (read_documents(sf_dir, ['doc_id', 'text', 'source'])
+          .map_batches(augment_batch, batch_format='pyarrow'))
+    return (ds.map_batches(stage, batch_format='pyarrow')
+            .groupby('column_name').aggregate(Count(alias_name='n_matches')))
+
+
+_SCAN_COLUMNS_SQL = (
+    "WITH aug2 AS (SELECT doc_id, source, {expr} AS aug_text FROM documents), "
+    "hits AS ("
+    "  SELECT 'aug_text' AS column_name, len(regexp_extract_all(aug_text, '{p}')) AS n FROM aug2"
+    "  UNION ALL "
+    "  SELECT 'source', len(regexp_extract_all(source, '{p}')) FROM aug2) "
+    "SELECT column_name, sum(n)::BIGINT AS n_matches FROM hits "
+    "GROUP BY column_name HAVING sum(n) > 0"
+)
+
+
 def q_sample_documents(sf_dir: str) -> ray.data.Dataset:
     """F9 deterministic sampling (the reference's random-sampling path,
     base_scan_service.py:193-231, made reproducible): keep ~10% of docs by a
@@ -576,6 +604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'word_stats': q_word_stats,
         'host_stats': q_host_stats,
         'sample_documents': q_sample_documents,
+        'scan_table_columns': q_scan_table_columns,
         'embedding_dup_pairs': q_embedding_dup_pairs,
         # rows-only
         'scrub_documents': q_scrub_documents,
@@ -616,6 +645,9 @@ def oracle_sql() -> dict[str, str]:
         'word_stats': _WORD_STATS_SQL,
         'host_stats': _HOST_STATS_SQL,
         'sample_documents': _SAMPLE_SQL,
+        'scan_table_columns': _SCAN_COLUMNS_SQL.replace(
+            '{expr}', SQL_AUG_EXPR).replace(
+            '{p}', _sql_quote(EXTENSION_PATTERNS['PHONE'])),
         'embedding_dup_pairs': _EMBEDDING_DUP_SQL,
     })
     return out

@@ -1,0 +1,63 @@
+"""Alternate ingest formats for the pages pipeline (S-series breadth).
+
+The reference reads objects from 9 services and many file formats
+(SURVEY.md §2.1); in this engine any source that yields the pages schema
+feeds the same pipeline.  Adapters here normalize CSV / JSONL / raw-text
+inputs into the ``input_hint`` schema — missing columns become nulls (the
+extract stage's null contract handles them), extra columns are dropped.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+from pii_detector_ray.sources.pages import PAGES_SCHEMA, _BASE_TS_US
+
+_COLS = [f.name for f in PAGES_SCHEMA]
+
+
+def _conform(batch: pa.Table) -> pa.Table:
+    n = len(batch)
+    arrays = []
+    for field in PAGES_SCHEMA:
+        if field.name in batch.column_names:
+            col = batch.column(field.name)
+            try:
+                col = col.cast(field.type)
+            except Exception:
+                col = pa.nulls(n, field.type)
+        else:
+            col = pa.nulls(n, field.type)
+        arrays.append(col)
+    return pa.Table.from_arrays(arrays, schema=PAGES_SCHEMA)
+
+
+def read_pages_csv(paths: str | list[str]) -> ray.data.Dataset:
+    """CSV with (a subset of) url,warc_ts,html,text,lang headers → pages."""
+    return ray.data.read_csv(paths).map_batches(_conform, batch_format='pyarrow')
+
+
+def read_pages_json(paths: str | list[str]) -> ray.data.Dataset:
+    """JSONL records → pages."""
+    return ray.data.read_json(paths).map_batches(_conform, batch_format='pyarrow')
+
+
+def read_pages_text(paths: str | list[str]) -> ray.data.Dataset:
+    """Raw text files → one page per file (url = file path, text = content;
+    the reference's generic-file fallback, file_service.py:415)."""
+    ds = ray.data.read_binary_files(paths, include_paths=True)
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        paths_col = batch.column('path').to_pylist()
+        blobs = batch.column('bytes').to_pylist()
+        return pa.Table.from_arrays([
+            pa.array([f'file://{p}' for p in paths_col], pa.string()),
+            pa.array([_BASE_TS_US] * len(paths_col), pa.timestamp('us')),
+            pa.array(blobs, pa.binary()),
+            pa.array([None] * len(paths_col), pa.string()),
+            pa.array([None] * len(paths_col), pa.string()),
+        ], schema=PAGES_SCHEMA)
+
+    return ds.map_batches(to_pages, batch_format='pyarrow')

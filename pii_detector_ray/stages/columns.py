@@ -1,0 +1,52 @@
+"""P4: multi-column scanning for table-shaped (database) inputs.
+
+The reference scans DB tables by flattening each column to one string and
+tagging findings with ``column_name``
+(``data_analysis_service.py:184-190,218-219``; SURVEY.md §2.3 P4).  The
+Ray-native version scans each configured column's values per batch (one
+megastring scan per column per pattern via ``scan.scan_texts``) and emits one
+finding row per match with row-key + column provenance — strictly more
+attribution than the reference's per-chunk flattening, same match set.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from pii_detector_ray.detectors import Detector
+from pii_detector_ray.scan import scan_texts, span_record
+
+
+def make_column_scan_stage(columns: list[str], detectors: list[Detector],
+                           key_col: str):
+    """map_batches stage: rows → finding rows
+    (key, column_name, type, start, end, masked, hash, score)."""
+    def stage(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        out = {k: [] for k in ('key', 'column_name', 'type', 'start', 'end',
+                               'masked', 'hash', 'score')}
+        for col in columns:
+            texts = ['' if v is None else str(v) for v in batch.column(col).to_pylist()]
+            for row_idx, spans in enumerate(scan_texts(texts, detectors)):
+                for sp in spans:
+                    rec = span_record(sp)
+                    out['key'].append(keys[row_idx])
+                    out['column_name'].append(col)
+                    out['type'].append(rec['type'])
+                    out['start'].append(rec['start'])
+                    out['end'].append(rec['end'])
+                    out['masked'].append(rec['masked'])
+                    out['hash'].append(rec['hash'])
+                    out['score'].append(rec['score'])
+        return pa.table({
+            'key': pa.array(out['key']),
+            'column_name': pa.array(out['column_name'], pa.string()),
+            'type': pa.array(out['type'], pa.string()),
+            'start': pa.array(out['start'], pa.int32()),
+            'end': pa.array(out['end'], pa.int32()),
+            'masked': pa.array(out['masked'], pa.string()),
+            'hash': pa.array(out['hash'], pa.string()),
+            'score': pa.array(out['score'], pa.float32()),
+        })
+
+    return stage
