@@ -105,3 +105,28 @@ def test_truth_spans_recalled(smoke_pages_dir, conformance):
             missed += 1
     assert total > 0
     assert missed / total < 0.02, f'{missed}/{total} injected PII values not recalled'
+
+
+def test_big_conformance_correctness_corpus():
+    """Full conformance at the 5k-row 'correctness' size (slow; opt-in via
+    GRAFT_BIG_CONFORMANCE=1 — the driver's default run covers smoke)."""
+    import os
+    if not os.environ.get('GRAFT_BIG_CONFORMANCE'):
+        pytest.skip('set GRAFT_BIG_CONFORMANCE=1 to run')
+    from pii_detector_ray.sources.pages import ensure_corpus
+    pages = ensure_corpus('correctness')
+    cfg = PipelineConfig()
+    result = build_pipeline(ray.data.read_parquet(pages), cfg).to_pandas()
+    rows = pq.ParquetDataset(pages).read().to_pylist()
+    expected = run_oracle(rows, cfg)
+    assert len(result) == len(expected)
+    got = _index(result)
+    bad = 0
+    for exp in expected:
+        row = got[(exp['url'], exp['warc_ts'])]
+        if (row['extracted_text'] != exp['extracted_text']
+                or bool(row['keep']) != exp['keep']
+                or row['scrubbed_text'] != exp['scrubbed_text']
+                or len(row['pii_spans']) != len(exp['pii_spans'])):
+            bad += 1
+    assert bad == 0, f'{bad}/{len(expected)} rows diverged'
