@@ -197,7 +197,9 @@ GATES: dict[str, object] = {
     'IBAN_CODE': 'digit', 'CRYPTO': 'digit', 'US_SSN': 'digit',
     'UK_NHS': 'digit', 'US_ITIN': 'digit', 'US_PASSPORT': 'digit',
     'MEDICAL_LICENSE': 'digit', 'US_BANK_NUMBER': 'digit', 'PHONE': 'digit',
-    'IP_ADDRESSES': 'digit',
+    # IPv6 can be all hex letters (abcd::beef) — a bare digit gate would miss
+    # it; every IPv4/IPv6 match contains a digit or a colon
+    'IP_ADDRESSES': ('re', r'[0-9:]'),
     'EMAIL_ADDRESS': ('lit', '@'),
     # US_DRIVER_LICENSE: alternatives 2 and 3 all require a digit; on
     # digit-less rows the full pattern is equivalent to alternative 1 alone,

@@ -92,22 +92,25 @@ def is_phi(name: str, data: str) -> bool:
     return bool(_PHI_RE.search(name) or _PHI_RE.search(data))
 
 
+# the PHI pattern is an alternation of exactly these literals (plus boundary
+# conditions), so a row without any of them cannot match — cheap C substring
+# prefilter before the (expensive) regex
+_PHI_KEYWORDS = ('health', 'medical', 'immun', 'pharmacy', 'disease',
+                 'patient', 'insura', 'rh', 'mrn', 'phi')
+
+
 def is_phi_batch(names: list[str], texts: list[str]) -> list[bool]:
-    """Vectorized :func:`is_phi`: one megastring scan for the text side
-    (keyword matches cannot span the NUL separator), per-row scan only for
-    the short ``names``.  Equals ``[is_phi(n, t) ...]`` (asserted in tests)."""
-    import numpy as np
-    n = len(texts)
-    out = [False] * n
-    big = '\x00'.join(texts)
-    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
-    offsets = np.zeros(n, dtype=np.int64)
-    if n > 1:
-        np.cumsum(lens[:-1] + 1, out=offsets[1:])
-    for m in _PHI_RE.finditer(big):
-        row = int(np.searchsorted(offsets, m.start(), side='right')) - 1
-        out[row] = True
-    for i, nm in enumerate(names):
-        if not out[i] and nm and _PHI_RE.search(nm):
-            out[i] = True
+    """Vectorized :func:`is_phi`: keyword-gated per-row regex.  Equals
+    ``[is_phi(n, t) ...]`` (asserted in tests)."""
+    out = []
+    for nm, t in zip(names, texts):
+        low = t.lower()
+        hit = False
+        if any(k in low for k in _PHI_KEYWORDS):
+            hit = bool(_PHI_RE.search(t))
+        if not hit and nm:
+            lnm = nm.lower()
+            if any(k in lnm for k in _PHI_KEYWORDS):
+                hit = bool(_PHI_RE.search(nm))
+        out.append(hit)
     return out

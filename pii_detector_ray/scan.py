@@ -134,6 +134,10 @@ def scan_texts(texts: list[str], detectors: list[Detector]) -> list[list[Span]]:
             if digit_rows is None:
                 digit_rows = [i for i, t in enumerate(texts) if _DIGIT_RE.search(t)]
             return ('digit',), digit_rows
+        if g[0] == 're':     # quick-regex gate (e.g. [0-9:] for IP)
+            quick = compiled(g[1])  # type: ignore[index]
+            rows = [i for i, t in enumerate(texts) if quick.search(t)]
+            return ('re', g[1]), rows
         keys = tuple(g[1:])  # type: ignore[index]
         if lowered is None:
             lowered = [t.lower() for t in texts]

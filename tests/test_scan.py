@@ -66,6 +66,8 @@ def test_megastring_equals_per_row():
         'github_token = ' + 'a' * 40,
         'no digits no at signs no keywords here at all',
         'letters ABCDEFGHIJKL runs',     # DL pattern without digits
+        'hex ipv6 abcd:abcd:abcd:abcd:abcd:abcd:abcd:beef here',  # no ASCII digit
+        'short hex six abcd::beef end',
     ]
     batched = scan_texts(texts, ALL)
     for i, t in enumerate(texts):
