@@ -303,6 +303,34 @@ _EVENTS_USER_SQL = (
 # Similarity search over embeddings (brute-force cosine top-k baseline)
 # ---------------------------------------------------------------------------
 
+def q_events_sessions(sf_dir: str) -> ray.data.Dataset:
+    """Gap-based session windows per user (stages/sessionize.py)."""
+    from pii_detector_ray.stages.sessionize import sessionize
+    return sessionize(_events(sf_dir, ['user_id', 'ts', 'value']), gap_minutes=30)
+
+
+_EVENTS_SESSIONS_SQL = (
+    "WITH e AS (SELECT user_id, epoch_us(ts) AS ts, value FROM events), "
+    "g AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL "
+    "OR ts - lag(ts) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s FROM e "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+    "s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS UNBOUNDED PRECEDING) AS sid FROM g) "
+    "SELECT user_id, min(ts) AS session_start, count(*) AS n_events, "
+    "round(sum(value), 2) AS sum_value FROM s GROUP BY user_id, sid"
+)
+
+
+def q_dedup_components(sf_dir: str) -> ray.data.Dataset:
+    """Near-dup pairs → connected components → canonical keep/drop decisions
+    (the end-to-end dedup story: LSH candidates, Jaccard verify, min-label
+    propagation)."""
+    from pii_detector_ray.stages.components import dedup_decisions
+    from pii_detector_ray.stages.dedup import ngram_jaccard_pairs
+    pairs = ngram_jaccard_pairs(_docs_with_near_dups(sf_dir), threshold=0.7)
+    return dedup_decisions(pairs)
+
+
 def q_similarity_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pd.DataFrame:
     """Brute-force cosine top-k vs a broadcast query vector: numpy matmul per
     batch against the (ray.put) query — no shuffle; a per-batch local top-k
@@ -600,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'url_filter': q_url_filter,
         'events_hourly': q_events_hourly,
         'events_user_stats': q_events_user_stats,
+        'events_sessions': q_events_sessions,
         'similarity_topk': q_similarity_topk,
         'word_stats': q_word_stats,
         'host_stats': q_host_stats,
@@ -613,6 +642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'minhash_dedup': q_minhash_dedup,
         'simhash_dedup': q_simhash_dedup,
         'ngram_jaccard_dedup': q_ngram_jaccard_dedup,
+        'dedup_components': q_dedup_components,
         'embedding_dup_lsh': q_embedding_dup_lsh,
         'similarity_ann': q_similarity_ann,
         'doc_fingerprints': q_doc_fingerprints,
@@ -641,6 +671,7 @@ def oracle_sql() -> dict[str, str]:
         'url_filter': _URL_FILTER_SQL,
         'events_hourly': _EVENTS_HOURLY_SQL,
         'events_user_stats': _EVENTS_USER_SQL,
+        'events_sessions': _EVENTS_SESSIONS_SQL,
         'similarity_topk': _SIMILARITY_SQL,
         'word_stats': _WORD_STATS_SQL,
         'host_stats': _HOST_STATS_SQL,

@@ -1,0 +1,88 @@
+"""Connected components over near-dup pairs → canonical-doc dedup decisions.
+
+LSH buckets give candidate PAIRS; turning pairs into drop decisions needs the
+transitive closure (A~B, B~C ⇒ {A,B,C} is one duplicate cluster).  Per the
+scale guidance (ray_guide.md 'Aggregation at scale'): iterative min-label
+propagation with groupby rounds — fully distributed, no driver-side
+union-find unless the edge set is provably small.
+
+Each round: every node broadcasts its current label along its edges; a node
+adopts the min label seen.  Converges in O(diameter) rounds; duplicate
+clusters are short chains, so ``max_rounds=6`` covers real corpora (the loop
+stops early when a round changes nothing).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Min
+
+
+def connected_components(pairs: ray.data.Dataset, *, col_a: str = 'doc_a',
+                         col_b: str = 'doc_b', max_rounds: int = 6) -> ray.data.Dataset:
+    """(doc_a, doc_b) edge list → (doc_id, component) labels.
+
+    Labels are the min doc id reachable within ``max_rounds`` hops (= the
+    component min for clusters of diameter ≤ max_rounds).
+    """
+    edges = pairs.map_batches(
+        lambda t: pa.table({'a': pa.concat_arrays([
+                                t.column(col_a).combine_chunks().cast(pa.int64()),
+                                t.column(col_b).combine_chunks().cast(pa.int64())]),
+                            'b': pa.concat_arrays([
+                                t.column(col_b).combine_chunks().cast(pa.int64()),
+                                t.column(col_a).combine_chunks().cast(pa.int64())])}),
+        batch_format='pyarrow')           # symmetric edge list
+    edges = edges.materialize()           # reused every round; small (edges only)
+
+    # label(x) = min(x, min over neighbors of label(n)) — iterate
+    labels = edges.groupby('a').aggregate(Min('b', alias_name='lbl'))
+    labels = labels.map_batches(
+        lambda t: pa.table({'a': t.column('a'),
+                            'lbl': pa.compute.min_element_wise(t.column('a'),
+                                                               t.column('lbl'))}),
+        batch_format='pyarrow').materialize()
+
+    for _ in range(max_rounds - 1):
+        # join labels onto edges via pandas merge per bucket: edge (a,b)
+        # proposes label(a) to b
+        lbl_df = labels.to_pandas()       # labels are (node,label) only — small
+        import ray as _ray
+        ref = _ray.put(lbl_df)
+
+        def propose(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            lab = _ray.get(ref)
+            m = df.merge(lab, on='a', how='left')
+            m['lbl'] = m['lbl'].fillna(m['a']).astype('int64')
+            return pa.table({'a': pa.array(m['b'].to_numpy()),
+                             'lbl': pa.array(m['lbl'].to_numpy())})
+
+        proposals = edges.map_batches(propose, batch_format='pyarrow')
+        both = proposals.union(labels)
+        new_labels = both.groupby('a').aggregate(Min('lbl', alias_name='lbl')) \
+            .materialize()
+        old = labels.to_pandas().sort_values('a').reset_index(drop=True)
+        new = new_labels.to_pandas().sort_values('a').reset_index(drop=True)
+        labels = new_labels
+        if old.equals(new):
+            break
+
+    return labels.map_batches(
+        lambda t: pa.table({'doc_id': t.column('a'), 'component': t.column('lbl')}),
+        batch_format='pyarrow')
+
+
+def dedup_decisions(pairs: ray.data.Dataset, **kwargs) -> ray.data.Dataset:
+    """Edge list → (doc_id, component, keep) where keep=True only for the
+    component's min doc id (the canonical copy)."""
+    labels = connected_components(pairs, **kwargs)
+
+    def decide(df: pd.DataFrame) -> pd.DataFrame:
+        df['keep'] = df['doc_id'] == df['component']
+        return df
+
+    return labels.map_batches(decide, batch_format='pandas')

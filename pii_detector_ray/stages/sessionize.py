@@ -1,0 +1,41 @@
+"""Event sessionization: gap-based session windows per user.
+
+Streaming-shaped operator (SURVEY.md §2.10 — the reference has none; this is
+the standard events-table capability): partition by ``user_id``, sort by
+``ts`` within the group, cut a new session when the gap to the previous event
+exceeds ``gap``.  Ray-native: ``groupby(user_id).map_groups`` — each group is
+one user's events, sorted locally (per-user data is small; a pathological
+single user would need day-bucketed salting, same pattern as
+``stages/hostagg.py``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+
+def sessionize(ds: ray.data.Dataset, *, gap_minutes: int = 30) -> ray.data.Dataset:
+    """Returns one row per (user_id, session): session_start (us), n_events,
+    sum_value (rounded 2dp)."""
+    gap_us = gap_minutes * 60_000_000
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values('ts', kind='mergesort')
+        ts = g['ts'].astype('int64').to_numpy()
+        new_session = np.ones(len(ts), dtype=bool)
+        new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sid = np.cumsum(new_session) - 1
+        out = pd.DataFrame({'sid': sid, 'ts': ts, 'value': g['value'].to_numpy()})
+        agg = out.groupby('sid').agg(
+            session_start=('ts', 'min'),
+            n_events=('ts', 'size'),
+            sum_value=('value', 'sum'),
+        ).reset_index(drop=True)
+        agg.insert(0, 'user_id', g['user_id'].iloc[0])
+        agg['sum_value'] = agg['sum_value'].round(2)
+        return agg
+
+    return ds.groupby('user_id').map_groups(per_user, batch_format='pandas')

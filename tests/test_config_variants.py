@@ -95,3 +95,21 @@ def test_rescan_only_subset_config():
     from pii_detector_ray.stages.scrub import detectors_from_config
     dets = detectors_from_config(cfg)
     assert [d.name for d in dets] == ['US_SSN']
+
+
+def test_scorer_actor_mode_equals_task_mode():
+    rows = [(f'https://a.com/{i}', 100 + i, None,
+             'The children walk to the market and the weather is pleasant '
+             'this morning and the teacher explains the lesson slowly. ' * 3,
+             'en') for i in range(6)]
+    tbl = _pages_table(rows)
+    base = PipelineConfig()                      # scorer_mode='tasks'
+    actors = PipelineConfig(scorer_mode='actors')
+    import ray.data as rd
+    a = build_pipeline(rd.from_arrow(tbl), base, concurrency=(1, 2)) \
+        .to_pandas().sort_values('url').reset_index(drop=True)
+    b = build_pipeline(rd.from_arrow(tbl), actors, concurrency=(1, 2)) \
+        .to_pandas().sort_values('url').reset_index(drop=True)
+    for col in ('lang_pred', 'lang_conf', 'perplexity', 'toxicity', 'keep',
+                'scrubbed_text'):
+        assert a[col].tolist() == b[col].tolist(), col

@@ -1,0 +1,54 @@
+"""Sessionization + connected-components tests."""
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from pii_detector_ray.stages.components import connected_components, dedup_decisions
+from pii_detector_ray.stages.sessionize import sessionize
+
+US = 60_000_000   # one minute in microseconds
+
+
+def test_sessionize_gap_cut():
+    rows = []
+    # user 1: events at t=0,10,20 min (one session), then 100,105 (second)
+    for m in (0, 10, 20, 100, 105):
+        rows.append((1, m * US, 1.0))
+    # user 2: single event
+    rows.append((2, 0, 5.0))
+    ds = ray.data.from_arrow(pa.table({
+        'user_id': pa.array([r[0] for r in rows], pa.int64()),
+        'ts': pa.array([r[1] for r in rows], pa.timestamp('us')),
+        'value': pa.array([r[2] for r in rows], pa.float64()),
+    }))
+    out = sessionize(ds, gap_minutes=30).to_pandas().sort_values(
+        ['user_id', 'session_start']).reset_index(drop=True)
+    assert len(out) == 3
+    u1 = out[out['user_id'] == 1]
+    assert u1['n_events'].tolist() == [3, 2]
+    assert u1['session_start'].tolist() == [0, 100 * US]
+    assert u1['sum_value'].tolist() == [3.0, 2.0]
+    assert out[out['user_id'] == 2]['n_events'].iloc[0] == 1
+
+
+def _pairs(edges):
+    return ray.data.from_arrow(pa.table({
+        'doc_a': pa.array([a for a, _ in edges], pa.int64()),
+        'doc_b': pa.array([b for _, b in edges], pa.int64()),
+    }))
+
+
+def test_connected_components_chain_and_islands():
+    labels = connected_components(_pairs([(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)])) \
+        .to_pandas().set_index('doc_id')['component']
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[10] == labels[11] == 10
+    assert labels[20] == labels[21] == labels[22] == labels[23] == 20
+
+
+def test_dedup_decisions_keep_canonical():
+    out = dedup_decisions(_pairs([(5, 9), (9, 7)])).to_pandas().set_index('doc_id')
+    assert bool(out.loc[5, 'keep'])
+    assert not bool(out.loc[7, 'keep']) and not bool(out.loc[9, 'keep'])
+    assert set(out['component']) == {5}
