@@ -32,7 +32,7 @@ V = 1 << V_BITS          # hashed trigram vocabulary
 # bounds scorer cost on pathological giants.  Applied identically in the
 # batch entry points (predict_batch / perplexity_batch) and the fused scorer
 # stage, so oracle and pipeline always agree.
-SCORER_MAX_CHARS = 1200
+SCORER_MAX_CHARS = 800
 
 
 def cap_texts(texts: list[str]) -> list[str]:
@@ -54,9 +54,12 @@ def trigram_hashes(cp: np.ndarray) -> np.ndarray:
 
 
 def _profile(text: str) -> np.ndarray:
-    """Add-one-smoothed log-probability vector over hashed trigrams."""
+    """Add-one-smoothed log-probability vector over hashed trigrams.
+    float32: halves gather bandwidth in the hot scoring path; the downstream
+    sums run in float64 (np.bincount weights), keeping results deterministic
+    and batch-independent."""
     counts = np.bincount(trigram_hashes(_codepoints(text.lower())), minlength=V)
-    return np.log((counts + 1.0) / (counts.sum() + V))
+    return np.log((counts + 1.0) / (counts.sum() + V)).astype(np.float32)
 
 
 def _batch_trigrams(texts: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -173,13 +176,27 @@ class ToxicityModel:
         self.midpoint = midpoint
         self.steepness = steepness
 
-    def score_batch(self, texts: list[str]) -> np.ndarray:
+    def score_batch(self, texts: list[str],
+                    n_words: np.ndarray | None = None) -> np.ndarray:
+        """``n_words`` (whitespace-token counts) may be passed in to reuse a
+        count an earlier stage already produced; lexicon hits come from ONE
+        megastring scan (matches cannot span the NUL separator — every
+        lexicon term is NUL-free)."""
         n = len(texts)
-        hits = np.fromiter(
-            (len(self.pattern.findall(t)) for t in texts), dtype=np.float64, count=n)
-        words = np.fromiter(
-            (len(self.word.findall(t)) for t in texts), dtype=np.float64, count=n)
-        density = hits / np.maximum(words, 1.0)
+        if n == 0:
+            return np.empty(0)
+        hits = np.zeros(n, dtype=np.float64)
+        big = '\x00'.join(texts)
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+        offsets = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            np.cumsum(lens[:-1] + 1, out=offsets[1:])
+        for m in self.pattern.finditer(big):
+            hits[int(np.searchsorted(offsets, m.start(), side='right')) - 1] += 1
+        if n_words is None:
+            n_words = np.fromiter(
+                (len(self.word.findall(t)) for t in texts), dtype=np.float64, count=n)
+        density = hits / np.maximum(np.asarray(n_words, dtype=np.float64), 1.0)
         return 1.0 / (1.0 + np.exp(-self.steepness * (density - self.midpoint)))
 
 

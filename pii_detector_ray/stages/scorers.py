@@ -52,7 +52,8 @@ class QualityScorers:
             df['lang_pred'] = pd.array(langs, dtype='string')
             df['lang_conf'] = conf
             df['perplexity'] = self.ppl.ppl_from_trigrams(n, *tri)
-            df['toxicity'] = self.tox.score_batch(texts)
+            n_words = df['n_words'].to_numpy() if 'n_words' in df.columns else None
+            df['toxicity'] = self.tox.score_batch(texts, n_words=n_words)
         else:
             df['lang_pred'] = pd.array([], dtype='string')
             df['lang_conf'] = pd.array([], dtype='float64')
