@@ -56,6 +56,32 @@ SEED_CORPORA: dict[str, str] = {
         "annoncé de nouveaux projets pour les écoles et les hôpitaux. La musique "
         "et l'art rassemblent les gens dans toutes les cultures du monde."
     ),
+    "es": (
+        "El rápido zorro marrón salta sobre el perro perezoso mientras el sol "
+        "de la mañana se levanta sobre las colinas tranquilas. La gente del "
+        "pueblo va al mercado para comprar pan, leche y fruta fresca para sus "
+        "familias. El tiempo esta semana ha sido cálido y agradable, con un "
+        "viento ligero del oeste. Los niños juegan en el parque después de la "
+        "escuela y aprenden a leer libros de historia y ciencia. La vieja "
+        "biblioteca junto al río guarda miles de historias de muchos países. "
+        "Cada tarde el panadero cierra su tienda y cuenta las ganancias del "
+        "día. Viajar en tren sigue siendo la manera más cómoda de ver el "
+        "campo. Los científicos continúan estudiando el clima y publican sus "
+        "resultados en revistas. El gobierno anunció nuevos planes para "
+        "escuelas y hospitales. La música y el arte unen a las personas en "
+        "todas las culturas del mundo. Una buena comida con amigos es uno de "
+        "los placeres sencillos de la vida."
+    ),
+    "zh": (
+        "敏捷的棕色狐狸跳过懒惰的狗，清晨的太阳从安静的山丘上升起。镇上的人们走到市场去为"
+        "家人买面包、牛奶和新鲜的水果。这个星期的天气温暖宜人，西边吹来轻柔的风。孩子们放学"
+        "后在公园里玩耍，学习阅读关于历史和科学的书籍。河边的老图书馆保存着来自许多国家的"
+        "成千上万个故事。每天傍晚，面包师关上店门，数一数当天的收入。乘火车旅行仍然是欣赏"
+        "乡村风景最舒适的方式。科学家继续研究气候，并在期刊上发表他们的研究结果。政府宣布了"
+        "针对学校和医院的新计划。音乐和艺术把世界上每一种文化中的人们聚集在一起。和朋友一起"
+        "吃一顿好饭是生活中简单的乐趣之一。老师慢慢地讲解课文，让每个学生都能跟上。水从山上"
+        "流下来，流进宽阔碧绿的山谷。"
+    ),
     "ru": (
         "Быстрая коричневая лиса прыгает через ленивую собаку, пока утреннее "
         "солнце поднимается над тихими холмами. Люди в городе идут на рынок, "
@@ -80,6 +106,8 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
     "de": ("der", "die", "das", "und", "zu", "mit", "von", "für", "ein", "den"),
     "fr": ("le", "la", "les", "et", "de", "des", "pour", "dans", "avec", "que"),
     "ru": ("и", "в", "на", "с", "по", "для", "не", "что", "из", "его"),
+    "es": ("el", "la", "los", "las", "de", "que", "y", "en", "para", "con"),
+    "zh": ("的", "了", "和", "是", "在", "我", "有", "他", "这", "们"),
 }
 
 # Mild lexicon for the toxicity scorer; the pages generator injects these

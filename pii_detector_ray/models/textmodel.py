@@ -132,28 +132,54 @@ class LangIdModel:
 
 
 class PerplexityModel:
-    """Char-trigram perplexity against a clean-text LM (KenLM-style interface).
+    """Char-trigram perplexity against clean-text LMs (KenLM-style interface).
 
-    ``perplexity_batch(texts) -> np.ndarray`` of
+    CCNet-style per-language scoring: when a document's (predicted) language
+    has a seed LM, its perplexity is computed against THAT language's table;
+    unknown languages fall back to the combined all-language table.  This
+    keeps legitimate non-Latin text from scoring as gibberish merely because
+    its trigrams are rare in a pooled LM.
+
+    ``perplexity_batch(texts, langs=None) -> np.ndarray`` of
     ``exp(-mean log p(trigram))``; gibberish / symbol spam scores high.
     Docs with no trigrams get ``ppl = 0.0`` (they are dropped by the
     min-length rule before perplexity matters).
     """
 
     def __init__(self, corpus: str | None = None) -> None:
-        self.table = _profile(corpus if corpus is not None else ' '.join(SEED_CORPORA.values()))
+        if corpus is not None:
+            self.lang_tables: dict[str, np.ndarray] = {}
+            self.table = _profile(corpus)
+        else:
+            self.lang_tables = {lang: _profile(c) for lang, c in SEED_CORPORA.items()}
+            self.table = _profile(' '.join(SEED_CORPORA.values()))
 
-    def perplexity_batch(self, texts: list[str]) -> np.ndarray:
+    def perplexity_batch(self, texts: list[str],
+                         langs: list[str] | None = None) -> np.ndarray:
         n = len(texts)
         if n == 0:
             return np.empty(0)
-        return self.ppl_from_trigrams(n, *_batch_trigrams(cap_texts(texts)))
+        return self.ppl_from_trigrams(n, *_batch_trigrams(cap_texts(texts)),
+                                      langs=langs)
 
     def ppl_from_trigrams(self, n: int, tris: np.ndarray, doc_ids: np.ndarray,
-                          n_tris: np.ndarray) -> np.ndarray:
+                          n_tris: np.ndarray,
+                          langs: list[str] | None = None) -> np.ndarray:
         if not tris.shape[0]:
             return np.zeros(n)
-        sums = np.bincount(doc_ids, weights=self.table[tris], minlength=n)
+        if langs is None:
+            sums = np.bincount(doc_ids, weights=self.table[tris], minlength=n)
+        else:
+            # per-language tables: one bincount per distinct language present
+            lang_arr = np.array([l if l in self.lang_tables else '*' for l in langs])
+            sums = np.zeros(n)
+            for lang in np.unique(lang_arr):
+                table = self.lang_tables.get(lang, self.table)
+                rows = np.nonzero(lang_arr == lang)[0]
+                mask = np.isin(doc_ids, rows)
+                if mask.any():
+                    sums += np.bincount(doc_ids[mask], weights=table[tris[mask]],
+                                        minlength=n)
         valid = n_tris > 0
         mean_nll = np.where(valid, -sums / np.maximum(n_tris, 1), 0.0)
         # clip the exponent: a fully-unseen-trigram doc hits the smoothing

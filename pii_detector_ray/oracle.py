@@ -122,7 +122,7 @@ def run_oracle(rows: list[dict[str, Any]], cfg: PipelineConfig) -> list[dict[str
         feat = oracle_features(text)
         [lang_pred], conf = langid.predict_batch([text])
         lang_conf = float(conf[0])
-        perplexity = float(ppl_model.perplexity_batch([text])[0])
+        perplexity = float(ppl_model.perplexity_batch([text], [lang_pred])[0])
         toxicity = float(tox_model.score_batch([text])[0])
         sw = oracle_stopword_hits(text, lang_pred)
         keep, reason = oracle_keepdrop(feat, lang_pred, lang_conf, perplexity,

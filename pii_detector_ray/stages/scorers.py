@@ -51,7 +51,7 @@ class QualityScorers:
             langs, conf = self.langid.predict_from_trigrams(n, *tri)
             df['lang_pred'] = pd.array(langs, dtype='string')
             df['lang_conf'] = conf
-            df['perplexity'] = self.ppl.ppl_from_trigrams(n, *tri)
+            df['perplexity'] = self.ppl.ppl_from_trigrams(n, *tri, langs=langs)
             n_words = df['n_words'].to_numpy() if 'n_words' in df.columns else None
             df['toxicity'] = self.tox.score_batch(texts, n_words=n_words)
         else:
