@@ -23,6 +23,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
+from ray.data.aggregate import Min
 
 _P = np.uint64((1 << 61) - 1)   # Mersenne prime modulus for minhash perms
 _SHINGLE_K = 5                   # character shingle width
@@ -212,34 +213,62 @@ def make_simhash_stage(text_col: str = 'text', id_col: str = 'doc_id'):
     return stage
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized population count of a uint64 array."""
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+
 def simhash_dup_pairs(ds: ray.data.Dataset, *, max_hamming: int = 3,
-                      text_col: str = 'text', id_col: str = 'doc_id') -> ray.data.Dataset:
-    """SimHash near-dup pairs: block-key grouping (pigeonhole over 4×16-bit
-    blocks covers Hamming<=3) then exact Hamming verify inside groups."""
+                      text_col: str = 'text', id_col: str = 'doc_id',
+                      num_partitions: int = 8) -> ray.data.Dataset:
+    """SimHash near-dup pairs: pigeonhole over 4×16-bit blocks (fingerprints
+    within Hamming<=3 share at least one block) generates candidates via a
+    hash-partitioned SELF-JOIN on the block key — fully vectorized, no
+    per-group Python — then an exact Hamming verify per batch.
+
+    Scale shape: the join shuffles (block_key, doc_id, simhash) rows (24 B),
+    never documents; candidate volume is quadratic only within identical
+    16-bit-block buckets (near-dups + hash collisions)."""
     sigs = ds.map_batches(make_simhash_stage(text_col, id_col), batch_format='pyarrow')
 
-    def pairs_for_block(blk: int):
-        def verify(g: pd.DataFrame) -> pd.DataFrame:
-            if len(g) < 2:
-                return pd.DataFrame({'doc_a': [], 'doc_b': [], 'hamming': []})
-            g = g.sort_values('doc_id')
-            ids = g['doc_id'].tolist()
-            fps = g['simhash'].to_numpy().view(np.uint64)
-            pa_, pb_, hm = [], [], []
-            for i in range(len(ids)):
-                x = fps[i] ^ fps[i + 1:]
-                d = np.array([bin(int(v)).count('1') for v in x])
-                for j in np.nonzero(d <= max_hamming)[0]:
-                    pa_.append(ids[i]); pb_.append(ids[i + 1 + j]); hm.append(int(d[j]))
-            return pd.DataFrame({'doc_a': pa_, 'doc_b': pb_, 'hamming': hm})
+    def explode(t: pa.Table) -> pa.Table:
+        parts = []
+        for blk in range(4):
+            parts.append(pa.table({
+                'bkey': pa.compute.add(
+                    pa.compute.multiply(t.column(f'block{blk}').cast(pa.int64()), 4),
+                    blk),
+                'doc_id': t.column('doc_id'),
+                'simhash': t.column('simhash'),
+            }))
+        return pa.concat_tables(parts)
 
-        return sigs.groupby(f'block{blk}').map_groups(verify, batch_format='pandas')
+    left = sigs.map_batches(explode, batch_format='pyarrow')
+    right = left.map_batches(
+        lambda t: t.rename_columns(['bkey', 'doc_id_r', 'simhash_r']),
+        batch_format='pyarrow')
+    joined = left.join(right, join_type='inner', num_partitions=num_partitions,
+                       on=('bkey',))
 
-    out = pairs_for_block(0)
-    for blk in range(1, 4):
-        out = out.union(pairs_for_block(blk))
-    return out.groupby(['doc_a', 'doc_b']).map_groups(
-        lambda g: g.head(1), batch_format='pandas')
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({'doc_a': pa.array([], pa.int64()),
+                             'doc_b': pa.array([], pa.int64()),
+                             'hamming': pa.array([], pa.int64())})
+        a = t.column('doc_id').to_numpy(zero_copy_only=False)
+        b = t.column('doc_id_r').to_numpy(zero_copy_only=False)
+        fa = t.column('simhash').to_numpy(zero_copy_only=False).view(np.uint64)
+        fb = t.column('simhash_r').to_numpy(zero_copy_only=False).view(np.uint64)
+        keep = a < b
+        d = _popcount64(fa ^ fb)
+        keep &= d <= max_hamming
+        return pa.table({'doc_a': pa.array(a[keep]), 'doc_b': pa.array(b[keep]),
+                         'hamming': pa.array(d[keep].astype(np.int64))})
+
+    pairs = joined.map_batches(verify, batch_format='pyarrow')
+    # a pair can surface from several blocks → keep one (hamming is identical)
+    return pairs.groupby(['doc_a', 'doc_b']).aggregate(
+        Min('hamming', alias_name='hamming'))
 
 
 # ---------------------------------------------------------------------------
