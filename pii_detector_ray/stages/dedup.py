@@ -59,6 +59,30 @@ def minhash_signature(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return vals.min(axis=0)
 
 
+def minhash_signatures_batch(texts: list[str], a: np.ndarray,
+                             b: np.ndarray) -> np.ndarray:
+    """(n_docs, num_perm) MinHash signatures for a whole batch.
+
+    Equals stacking :func:`minhash_signature` per doc (asserted in tests) but
+    runs one ``minimum.reduceat`` per permutation over the concatenated
+    shingle array instead of allocating a (shingles × perms) matrix per doc —
+    the memory stays O(total_shingles) and the loop count is num_perm, not
+    n_docs."""
+    per_doc = [np.unique(_shingle_hashes(t)) for t in texts]
+    n = len(per_doc)
+    if n == 0:
+        return np.empty((0, a.shape[0]), dtype=np.uint64)
+    lens = np.fromiter((s.shape[0] for s in per_doc), dtype=np.int64, count=n)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    sh = np.concatenate(per_doc) if n else np.empty(0, dtype=np.uint64)
+    out = np.empty((n, a.shape[0]), dtype=np.uint64)
+    for i in range(a.shape[0]):
+        vals = (sh * a[i] + b[i]) % _P
+        out[:, i] = np.minimum.reduceat(vals, starts)
+    return out
+
+
 def make_minhash_stage(num_perm: int = 64, bands: int = 16,
                        text_col: str = 'text', id_col: str = 'doc_id'):
     """map_batches stage: doc → exploded (band_id, band_hash, doc_id) rows."""
@@ -66,23 +90,25 @@ def make_minhash_stage(num_perm: int = 64, bands: int = 16,
     rows_per_band = num_perm // bands
 
     def stage(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        out_band, out_hash, out_id = [], [], []
-        for did, t in zip(ids, texts):
-            sig = minhash_signature(t or '', a, b)
-            for band in range(bands):
-                chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
-                bh = int(np.bitwise_xor.reduce(chunk * np.uint64(0x9E3779B97F4A7C15))
-                         & np.uint64(0x7FFFFFFFFFFFFFFF))
-                out_band.append(band)
-                out_hash.append(bh)
-                out_id.append(did)
-        return pa.table({'band_id': pa.array(out_band, pa.int32()),
-                         'band_hash': pa.array(out_hash, pa.int64()),
-                         id_col: pa.array(out_id)})
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = [t or '' for t in batch.column(text_col).to_pylist()]
+        bh = band_hashes(minhash_signatures_batch(texts, a, b), bands)  # (n, bands)
+        n = bh.shape[0]
+        return pa.table({
+            'band_id': pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            'band_hash': pa.array(bh.reshape(-1).view(np.int64)),
+            id_col: pa.array(np.repeat(ids, bands)),
+        })
 
     return stage
+
+
+def band_hashes(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n, num_perm) signatures → (n, bands) band-bucket hashes."""
+    n, num_perm = sigs.shape
+    rpb = num_perm // bands
+    mixed = sigs.reshape(n, bands, rpb) * np.uint64(0x9E3779B97F4A7C15)
+    return np.bitwise_xor.reduce(mixed, axis=2) & np.uint64(0x7FFFFFFFFFFFFFFF)
 
 
 def minhash_dup_groups(ds: ray.data.Dataset, *, num_perm: int = 64, bands: int = 16,
@@ -134,19 +160,17 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, *, threshold: float = 0.7,
     rows_per_band = num_perm // bands
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        ob, oh, oi, ot = [], [], [], []
-        for did, t in zip(ids, texts):
-            sig = minhash_signature(t or '', a, b)
-            for band in range(bands):
-                chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
-                bh = int(np.bitwise_xor.reduce(chunk * np.uint64(0x9E3779B97F4A7C15))
-                         & np.uint64(0x7FFFFFFFFFFFFFFF))
-                ob.append(band); oh.append(bh); oi.append(did); ot.append(t or '')
-        return pa.table({'band_id': pa.array(ob, pa.int32()),
-                         'band_hash': pa.array(oh, pa.int64()),
-                         id_col: pa.array(oi), 'text': pa.array(ot, pa.string())})
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = [t or '' for t in batch.column(text_col).to_pylist()]
+        bh = band_hashes(minhash_signatures_batch(texts, a, b), bands)
+        n = bh.shape[0]
+        return pa.table({
+            'band_id': pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            'band_hash': pa.array(bh.reshape(-1).view(np.int64)),
+            id_col: pa.array(np.repeat(ids, bands)),
+            'text': pa.array(np.repeat(np.array(texts, dtype=object), bands),
+                             pa.string()),
+        })
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:

@@ -106,3 +106,12 @@ def test_embedding_dup_lsh_subset_of_exact():
     lsh_pairs = {(a, b) for a, b in zip(lsh['vec_a'], lsh['vec_b'])}
     assert lsh_pairs <= exact_pairs           # LSH never invents pairs
     assert len(lsh_pairs) >= 1                # and finds at least the closest dup
+
+
+def test_minhash_batch_equals_per_doc():
+    from pii_detector_ray.stages.dedup import minhash_signatures_batch
+    a, b = _minhash_params(64)
+    texts = [BASE, '', 'x', BASE + ' suffix', 'another different document here']
+    batched = minhash_signatures_batch(texts, a, b)
+    for i, t in enumerate(texts):
+        assert (batched[i] == minhash_signature(t, a, b)).all(), i
