@@ -26,14 +26,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from pii_detector_ray.config import PipelineConfig
 from pii_detector_ray.detectors import (
     CREDENTIAL_PATTERNS,
     EXTENSION_PATTERNS,
     PII_PATTERNS,
-    Detector,
     compiled,
 )
 from pii_detector_ray.functions.masking import PHI_PATTERN, mask_data
@@ -238,8 +237,8 @@ _URL_FILTER_SQL = (
 
 def q_events_hourly(sf_dir: str) -> ray.data.Dataset:
     """Tumbling 1-hour window per event_type: vectorized bucketing then a
-    small groupby (pre-aggregation happens inside map_batches at scale via
-    the combiner in q_events_hourly_prepartial)."""
+    small groupby.  (The two-phase pre-aggregation pattern for high-cardinality
+    keys is demonstrated in q_events_user_stats.)"""
     def bucket(batch: pa.Table) -> pa.Table:
         us = pc.cast(batch.column('ts'), pa.int64())
         hb = pc.cast(pc.divide(us, 3_600_000_000), pa.int64())
