@@ -73,6 +73,30 @@ def _partition_metrics(part_dir: str) -> dict[str, Any]:
             'pii_findings': sum(types.values())}
 
 
+def _check_run_manifest(out_dir: str, num_partitions: int, cfg: PipelineConfig) -> None:
+    """Resume safety: a rerun must use the same partition layout and config
+    as the original run, else committed partitions would not line up with the
+    new assignment.  The run-level manifest pins both; a mismatch fails fast
+    instead of silently mixing layouts."""
+    import json
+    path = os.path.join(out_dir, 'manifests', '_run.json')
+    current = {'num_partitions': num_partitions, 'config_hash': cfg.config_hash()}
+    if os.path.exists(path):
+        with open(path) as f:
+            prior = json.load(f)
+        if prior != current:
+            raise ValueError(
+                f'resume mismatch in {out_dir}: prior run used {prior}, this '
+                f'invocation uses {current}; use a fresh --output (or delete '
+                f'the manifests) to change partitioning/config')
+    else:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + '.tmp'
+        with open(tmp, 'w') as f:
+            json.dump(current, f)
+        os.replace(tmp, path)
+
+
 def run_partitioned(
     input_files: list[str],
     out_dir: str,
@@ -91,6 +115,7 @@ def run_partitioned(
     """
     cfg = cfg or PipelineConfig()
     parts = assign_partitions(input_files, num_partitions or cfg.num_output_partitions)
+    _check_run_manifest(out_dir, len(parts), cfg)
     done = completed_partitions(out_dir)
     ran = 0
     skipped = 0

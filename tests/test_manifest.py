@@ -1,0 +1,55 @@
+"""Manifest-primitive unit tests + resume-layout guard."""
+
+import glob
+import os
+
+import pytest
+
+from pii_detector_ray.config import PipelineConfig
+from pii_detector_ray.state.manifest import (
+    assign_partitions,
+    completed_partitions,
+    manifest_path,
+    read_manifest,
+    write_manifest,
+)
+
+
+def test_assign_partitions_deterministic_and_balanced():
+    files = [f'/x/shard-{i:03d}.parquet' for i in range(10)]
+    import random
+    shuffled = files[:]
+    random.Random(1).shuffle(shuffled)
+    a = assign_partitions(files, 3)
+    b = assign_partitions(shuffled, 3)      # order-insensitive (sorted inside)
+    assert a == b
+    assert [len(p) for p in a] == [4, 3, 3]
+    # clamps to file count
+    assert len(assign_partitions(files[:2], 8)) == 2
+    assert len(assign_partitions(files, 0)) == 1
+
+
+def test_write_read_manifest_atomic(tmp_path):
+    out = str(tmp_path)
+    assert read_manifest(out, 0) is None
+    write_manifest(out, 0, {'rows': 5})
+    assert read_manifest(out, 0) == {'rows': 5}
+    write_manifest(out, 0, {'rows': 9})      # overwrite is atomic replace
+    assert read_manifest(out, 0) == {'rows': 9}
+    assert completed_partitions(out) == {0}
+    # no stray temp files left behind
+    assert glob.glob(os.path.join(out, 'manifests', '.*.tmp')) == []
+
+
+def test_resume_layout_guard(tmp_path, smoke_pages_dir):
+    from pii_detector_ray.pipelines.runner import run_partitioned
+    files = sorted(glob.glob(os.path.join(smoke_pages_dir, '*.parquet')))
+    out = str(tmp_path / 'o')
+    run_partitioned(files, out, PipelineConfig(), num_partitions=1)
+    # same layout+config resumes fine
+    summary = run_partitioned(files, out, PipelineConfig(), num_partitions=1)
+    assert summary['partitions_skipped'] == 1
+    # changed config must fail fast
+    with pytest.raises(ValueError, match='resume mismatch'):
+        run_partitioned(files, out, PipelineConfig(scrub_entities=['US_SSN']),
+                        num_partitions=1)
