@@ -526,6 +526,18 @@ def q_similarity_ann(sf_dir: str) -> pd.DataFrame:
                          'sim': [h[1] for h in hits]})
 
 
+def q_similarity_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF ANN top-10 for the vec_id=0 query (k-means coarse quantizer, the
+    data-adaptive scale path; recall tested vs brute force)."""
+    from pii_detector_ray.stages.similarity import IvfIndex
+    ds = _embeddings(sf_dir, ['vec_id', 'embedding'])
+    index = IvfIndex(ds, n_lists=16)
+    qvec = index.mat[np.nonzero(index.ids == 0)[0][0]]
+    hits = index.query(qvec, k=10, nprobe=4)
+    return pd.DataFrame({'vec_id': [h[0] for h in hits],
+                         'sim': [h[1] for h in hits]})
+
+
 def q_doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
     from pii_detector_ray.stages.textstats import fingerprint_batch
     return (read_documents(sf_dir, ['doc_id', 'text'])
@@ -644,6 +656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'dedup_components': q_dedup_components,
         'embedding_dup_lsh': q_embedding_dup_lsh,
         'similarity_ann': q_similarity_ann,
+        'similarity_ivf': q_similarity_ivf,
         'doc_fingerprints': q_doc_fingerprints,
         'token_stats': q_token_stats,
         'quality_scores': q_quality_scores,

@@ -74,6 +74,59 @@ class LshIndex:
         return [(int(self.ids[idx[t]]), round(float(sims[t]), 4)) for t in top]
 
 
+class IvfIndex:
+    """IVF (inverted-file) ANN index: deterministic k-means coarse quantizer,
+    per-centroid posting lists, ``nprobe``-nearest-centroid search.
+
+    The alternate scale path to :class:`LshIndex` (quantizer adapts to the
+    data distribution; LSH is data-independent).  At cluster scale the
+    posting lists shard by centroid id across actors; the probe logic is
+    identical.
+    """
+
+    def __init__(self, ds: ray.data.Dataset, *, n_lists: int = 16, iters: int = 10,
+                 seed: int = 13, id_col: str = 'vec_id', vec_col: str = 'embedding') -> None:
+        rows = ds.select_columns([id_col, vec_col]).take_all()
+        self.ids = np.array([r[id_col] for r in rows])
+        self.mat = _normalize(np.array([np.asarray(r[vec_col], dtype=np.float64)
+                                        for r in rows]))
+        n = self.mat.shape[0]
+        n_lists = min(n_lists, max(1, n // 4))
+        rng = np.random.default_rng(seed)
+        centroids = self.mat[rng.choice(n, size=n_lists, replace=False)]
+        assign = np.zeros(n, dtype=np.int64)
+        for _ in range(iters):
+            sims = self.mat @ centroids.T            # cosine on normalized rows
+            assign = np.argmax(sims, axis=1)
+            for c in range(n_lists):
+                members = self.mat[assign == c]
+                if len(members):
+                    v = members.mean(axis=0)
+                    nv = np.linalg.norm(v)
+                    if nv > 0:
+                        centroids[c] = v / nv
+        self.centroids = centroids
+        order = np.argsort(assign, kind='stable')
+        self._sorted_assign = assign[order]
+        self._order = order
+
+    def _list_members(self, c: int) -> np.ndarray:
+        lo = np.searchsorted(self._sorted_assign, c, side='left')
+        hi = np.searchsorted(self._sorted_assign, c, side='right')
+        return self._order[lo:hi]
+
+    def query(self, vec: np.ndarray, k: int = 10, nprobe: int = 2) -> list[tuple[int, float]]:
+        q = vec / (np.linalg.norm(vec) or 1.0)
+        probe = np.argsort(-(self.centroids @ q), kind='stable')[:nprobe]
+        idx = np.concatenate([self._list_members(int(c)) for c in probe]) \
+            if len(probe) else np.empty(0, dtype=np.int64)
+        if idx.size == 0:
+            return []
+        sims = self.mat[idx] @ q
+        top = np.argsort(-sims, kind='stable')[:k]
+        return [(int(self.ids[idx[t]]), round(float(sims[t]), 4)) for t in top]
+
+
 def brute_force_topk(ds: ray.data.Dataset, query: np.ndarray, k: int = 10,
                      *, id_col: str = 'vec_id', vec_col: str = 'embedding'):
     """Exact cosine top-k: broadcast query, per-batch partial top-k, tiny

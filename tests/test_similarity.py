@@ -46,3 +46,22 @@ def test_lsh_index_query_vector_is_own_top1():
     index = LshIndex(ds, n_planes=8)
     hits = index.query(mat[3].astype(np.float64), k=5, probes=2)
     assert hits[0][0] == 3 and hits[0][1] == 1.0
+
+
+def test_ivf_index_recall():
+    from pii_detector_ray.stages.similarity import IvfIndex
+    ds, mat = _ds()
+    index = IvfIndex(ds, n_lists=10)
+    recalls = []
+    for qi in range(0, 50, 5):
+        q = mat[qi].astype(np.float64)
+        truth = set(brute_force_topk(ds, q, k=10)['vec_id'])
+        got = {h[0] for h in index.query(q, k=10, nprobe=3)}
+        recalls.append(len(got & truth) / 10)
+    assert np.mean(recalls) >= 0.6, recalls
+    # query vector is its own top-1
+    hits = index.query(mat[4].astype(np.float64), k=3, nprobe=2)
+    assert hits[0][0] == 4 and hits[0][1] == 1.0
+    # deterministic across rebuilds
+    index2 = IvfIndex(ds, n_lists=10)
+    assert index.query(mat[9].astype(np.float64)) == index2.query(mat[9].astype(np.float64))
