@@ -1,0 +1,34 @@
+"""The deterministic PII augmentation must be character-identical between the
+Python implementation and the SQL expression the oracles embed — this is the
+lynchpin of every SQL-checked PII query."""
+
+import duckdb
+
+from pii_detector_ray.sources.docs_adapter import SQL_AUG_EXPR, augment_text
+
+
+def test_python_and_sql_augmentation_identical():
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.01/documents.parquet')")
+    rows = con.execute(
+        f"SELECT doc_id, text, {SQL_AUG_EXPR} AS aug FROM documents ORDER BY doc_id"
+    ).fetchall()
+    assert len(rows) == 500
+    mismatches = [did for did, text, aug in rows
+                  if augment_text(did, text) != aug]
+    assert mismatches == []
+
+
+def test_augmentation_covers_all_entities():
+    con = duckdb.connect()
+    # doc_id divisible by 3,5,7,11,13 → all five injections fire
+    did = 3 * 5 * 7 * 11 * 13
+    out = augment_text(did, 'base')
+    assert f'user{did}@mail' in out
+    assert ' SSN ' in out and ' Call ' in out
+    assert ' Card 5155-' in out and ' Host 10.' in out
+    # and the SQL produces the same thing
+    sql = SQL_AUG_EXPR.replace('doc_id', str(did)).replace(
+        "COALESCE(text, '')", "'base'")
+    assert con.execute(f'SELECT {sql}').fetchone()[0] == out

@@ -102,3 +102,19 @@ def test_custom_pattern_marked_custom():
     # builtin entity is not custom
     ssn = scan_text('172-32-1176', [d for d in dets if d.name == 'US_SSN'])
     assert span_record(ssn[0])['is_custom_regex'] is False
+
+
+def test_overlapping_identical_spans_scrub_deterministic():
+    """'123-456-7890' matches BOTH UK_NHS and PHONE (identical range):
+    the scrubber applies every span right-to-left; identical full-mask spans
+    collapse to one masked region, and results equal the oracle path."""
+    text = 'call 123-456-7890 now'
+    spans = scan_text(text, ALL)
+    types = {s.type for s in spans}
+    assert {'UK_NHS', 'PHONE'} <= types
+    same_range = [s for s in spans if (s.start, s.end) == (5, 17)]
+    assert len(same_range) >= 2
+    out = scrub_text(text, spans)
+    assert out == 'call ***-***-**** now'
+    # batched path produces the identical span set
+    assert scan_texts([text], ALL)[0] == spans
