@@ -242,9 +242,18 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
 
 
+def _join_partitions(default: int = 8) -> int:
+    """Dataset.join spawns one aggregator actor per partition; size to the
+    cluster so joins don't starve under small CPU budgets."""
+    try:
+        return max(2, min(default, int(ray.cluster_resources().get('CPU', 4)) // 2))
+    except Exception:
+        return 2
+
+
 def simhash_dup_pairs(ds: ray.data.Dataset, *, max_hamming: int = 3,
                       text_col: str = 'text', id_col: str = 'doc_id',
-                      num_partitions: int = 8) -> ray.data.Dataset:
+                      num_partitions: int | None = None) -> ray.data.Dataset:
     """SimHash near-dup pairs: pigeonhole over 4×16-bit blocks (fingerprints
     within Hamming<=3 share at least one block) generates candidates via a
     hash-partitioned SELF-JOIN on the block key — fully vectorized, no
@@ -271,7 +280,8 @@ def simhash_dup_pairs(ds: ray.data.Dataset, *, max_hamming: int = 3,
     right = left.map_batches(
         lambda t: t.rename_columns(['bkey', 'doc_id_r', 'simhash_r']),
         batch_format='pyarrow')
-    joined = left.join(right, join_type='inner', num_partitions=num_partitions,
+    joined = left.join(right, join_type='inner',
+                       num_partitions=num_partitions or _join_partitions(),
                        on=('bkey',))
 
     def verify(t: pa.Table) -> pa.Table:
