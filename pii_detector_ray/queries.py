@@ -435,6 +435,21 @@ def q_sample_documents(sf_dir: str) -> ray.data.Dataset:
 _SAMPLE_SQL = 'SELECT doc_id FROM documents WHERE (doc_id * 2654435761) % 100 < 10'
 
 
+def q_top_sources(sf_dir: str) -> pd.DataFrame:
+    """Top-5 sources by total chars (sort + limit operators; deterministic
+    tiebreak on source name)."""
+    agg = (read_documents(sf_dir, ['source', 'n_chars'])
+           .groupby('source').aggregate(Sum('n_chars', alias_name='total_chars')))
+    out = agg.sort(['total_chars', 'source'], descending=[True, False]).limit(5)
+    return out.to_pandas()
+
+
+_TOP_SOURCES_SQL = (
+    'SELECT source, sum(n_chars) AS total_chars FROM documents '
+    'GROUP BY source ORDER BY total_chars DESC, source LIMIT 5'
+)
+
+
 def q_word_stats(sf_dir: str) -> ray.data.Dataset:
     def stats(df: pd.DataFrame) -> pd.DataFrame:
         s = df['text'].astype('string').fillna('')
@@ -643,6 +658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'similarity_topk': q_similarity_topk,
         'word_stats': q_word_stats,
         'host_stats': q_host_stats,
+        'top_sources': q_top_sources,
         'sample_documents': q_sample_documents,
         'scan_table_columns': q_scan_table_columns,
         'embedding_dup_pairs': q_embedding_dup_pairs,
@@ -687,6 +703,7 @@ def oracle_sql() -> dict[str, str]:
         'similarity_topk': _SIMILARITY_SQL,
         'word_stats': _WORD_STATS_SQL,
         'host_stats': _HOST_STATS_SQL,
+        'top_sources': _TOP_SOURCES_SQL,
         'sample_documents': _SAMPLE_SQL,
         'scan_table_columns': _SCAN_COLUMNS_SQL.replace(
             '{expr}', SQL_AUG_EXPR).replace(
