@@ -435,6 +435,28 @@ def q_sample_documents(sf_dir: str) -> ray.data.Dataset:
 _SAMPLE_SQL = 'SELECT doc_id FROM documents WHERE (doc_id * 2654435761) % 100 < 10'
 
 
+def q_source_anti_join(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast anti-join (§2.8: the reference's set semi/anti-joins against
+    its catalog, base_scan_service.py:379,442-447): drop docs whose source is
+    in a small excluded set carried in the task closure — no shuffle."""
+    excluded = {'src0', 'src1', 'src2'}
+
+    def anti(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(batch.column('source'),
+                                  value_set=pa.array(sorted(excluded))))
+        return pa.table({'doc_id': batch.column('doc_id'),
+                         'source': batch.column('source')}).filter(mask)
+
+    return read_documents(sf_dir, ['doc_id', 'source']) \
+        .map_batches(anti, batch_format='pyarrow')
+
+
+_SOURCE_ANTI_JOIN_SQL = (
+    "SELECT doc_id, source FROM documents "
+    "WHERE source NOT IN ('src0', 'src1', 'src2')"
+)
+
+
 def q_top_sources(sf_dir: str) -> pd.DataFrame:
     """Top-5 sources by total chars (sort + limit operators; deterministic
     tiebreak on source name)."""
@@ -659,6 +681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'word_stats': q_word_stats,
         'host_stats': q_host_stats,
         'top_sources': q_top_sources,
+        'source_anti_join': q_source_anti_join,
         'sample_documents': q_sample_documents,
         'scan_table_columns': q_scan_table_columns,
         'embedding_dup_pairs': q_embedding_dup_pairs,
@@ -704,6 +727,7 @@ def oracle_sql() -> dict[str, str]:
         'word_stats': _WORD_STATS_SQL,
         'host_stats': _HOST_STATS_SQL,
         'top_sources': _TOP_SOURCES_SQL,
+        'source_anti_join': _SOURCE_ANTI_JOIN_SQL,
         'sample_documents': _SAMPLE_SQL,
         'scan_table_columns': _SCAN_COLUMNS_SQL.replace(
             '{expr}', SQL_AUG_EXPR).replace(
