@@ -34,7 +34,9 @@ def heuristics_batch(df: pd.DataFrame) -> pd.DataFrame:
     n_chars = s.str.len().to_numpy(dtype=np.int64)
     n_words = s.str.count(_WORD).to_numpy(dtype=np.int64)
     n_words_safe = np.maximum(n_words, 1)
-    nonspace = s.str.count(_NONSPACE).to_numpy(dtype=np.int64)
+    # \S-char count == len - \s-char count (every char is one or the other);
+    # counting the (much rarer) whitespace matches is ~5x cheaper
+    nonspace = n_chars - s.str.count(r'\s').to_numpy(dtype=np.int64)
 
     # no defensive copy: stages only append new columns to the batch
     df['n_chars'] = n_chars
