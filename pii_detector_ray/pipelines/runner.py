@@ -34,6 +34,11 @@ from pii_detector_ray.state.manifest import (
 
 def _partition_metrics(part_dir: str) -> dict[str, Any]:
     """Distributed rollup over the partition's (small) label columns."""
+    # a partition whose rows were ALL filtered writes no files at all
+    # (write_parquet creates nothing for an empty dataset) — commit zeros
+    if not os.path.isdir(part_dir) or not os.listdir(part_dir):
+        return {'rows': 0, 'kept': 0, 'dropped': 0, 'drop_reasons': {},
+                'pii_type_counts': {}, 'pii_findings': 0}
     ds = ray.data.read_parquet(part_dir, columns=['keep', 'drop_reason', 'pii_spans'])
 
     def partial(batch: pa.Table) -> pa.Table:

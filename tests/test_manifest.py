@@ -53,3 +53,33 @@ def test_resume_layout_guard(tmp_path, smoke_pages_dir):
     with pytest.raises(ValueError, match='resume mismatch'):
         run_partitioned(files, out, PipelineConfig(scrub_entities=['US_SSN']),
                         num_partitions=1)
+
+
+def test_all_filtered_partition_commits_zero_manifest(tmp_path):
+    """A partition whose rows are all dropped by url filters writes no
+    parquet; the runner must still commit a zero-row manifest (regression:
+    metrics read crashed on the missing directory)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pii_detector_ray.pipelines.runner import run_partitioned
+    from pii_detector_ray.sources.pages import PAGES_SCHEMA
+    t = pa.Table.from_arrays([
+        pa.array(['https://a.com/x.jpg', 'https://b.com/logfile'], pa.string()),
+        pa.array([1, 2], pa.timestamp('us')),
+        pa.array([b'x', b'y'], pa.binary()),
+        pa.array(['a', 'b'], pa.string()),
+        pa.array(['en', 'en'], pa.string()),
+    ], schema=PAGES_SCHEMA)
+    src = tmp_path / 'in'
+    src.mkdir()
+    pq.write_table(t, str(src / 'shard.parquet'))
+    out = str(tmp_path / 'out')
+    summary = run_partitioned([str(src / 'shard.parquet')], out,
+                              PipelineConfig(), num_partitions=1)
+    assert summary == {'partitions_total': 1, 'partitions_run': 1,
+                       'partitions_skipped': 0, 'rows': 0, 'kept': 0}
+    assert read_manifest(out, 0)['rows'] == 0
+    # resume skips it
+    summary = run_partitioned([str(src / 'shard.parquet')], out,
+                              PipelineConfig(), num_partitions=1)
+    assert summary['partitions_skipped'] == 1
