@@ -113,3 +113,32 @@ def test_scorer_actor_mode_equals_task_mode():
     for col in ('lang_pred', 'lang_conf', 'perplexity', 'toxicity', 'keep',
                 'scrubbed_text'):
         assert a[col].tolist() == b[col].tolist(), col
+
+
+def test_config_json_roundtrip():
+    cfg = PipelineConfig(scrub_entities=['US_SSN'],
+                         custom_patterns={'X': r'\bX\d\b'},
+                         thresholds=QualityThresholds(min_chars=10,
+                                                      allowed_langs=['en']))
+    cfg2 = PipelineConfig.from_json(cfg.to_json())
+    assert cfg2.scrub_entities == ['US_SSN']
+    assert cfg2.custom_patterns == {'X': r'\bX\d\b'}
+    assert cfg2.thresholds.min_chars == 10
+    assert cfg2.thresholds.allowed_langs == ['en']
+    assert cfg2.config_hash() == cfg.config_hash()
+    assert isinstance(cfg2.url_extension_blocklist, tuple)
+
+
+def test_cli_config_file_applies(tmp_path, smoke_pages_dir, capsys):
+    import json as _json
+
+    from pii_detector_ray.cli import main as cli_main
+    from pii_detector_ray.state.manifest import read_manifest
+    cfg_path = tmp_path / 'cfg.json'
+    cfg_path.write_text(PipelineConfig(scrub_entities=['US_SSN']).to_json())
+    out = str(tmp_path / 'out')
+    rc = cli_main(['run', '--input', smoke_pages_dir, '--output', out,
+                   '--partitions', '1', '--config', str(cfg_path)])
+    assert rc == 0
+    m = read_manifest(out, 0)
+    assert set(m['pii_type_counts']) <= {'US_SSN'}
