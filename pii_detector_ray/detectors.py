@@ -245,6 +245,17 @@ class Detector:
         """Credential matches that look like code are dropped (hyperscan_service.py:57-60)."""
         return self.family == 'credential'
 
+    @property
+    def megastring_safe(self) -> bool:
+        """True when the pattern provably cannot match across a ``\\x00`` join
+        boundary, so the batched megastring scan is byte-equivalent to per-row
+        scanning.  The registry families are audited (no char class admits NUL
+        without being row-local — tests/test_scan.py); arbitrary user-supplied
+        ``custom`` patterns are NOT (``.``, ``\\S``, negated classes all match
+        NUL and would leak the neighboring document into the span), so they
+        always take the per-row path."""
+        return self.family != 'custom'
+
 
 def build_registry(
     include_pii: bool = True,

@@ -467,7 +467,9 @@ def q_top_sources(sf_dir: str) -> pd.DataFrame:
 
 
 _TOP_SOURCES_SQL = (
-    'SELECT source, sum(n_chars) AS total_chars FROM documents '
+    # ::BIGINT — DuckDB sum(int) is HUGEINT (float64 in pandas); Ray returns
+    # int64, so cast for the driver's value-hash compare
+    'SELECT source, sum(n_chars)::BIGINT AS total_chars FROM documents '
     'GROUP BY source ORDER BY total_chars DESC, source LIMIT 5'
 )
 
@@ -709,7 +711,7 @@ def oracle_sql() -> dict[str, str]:
     out.update({
         'mask_email': _MASK_EMAIL_SQL,
         'lang_distribution': 'SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang',
-        'source_stats': ('SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars '
+        'source_stats': ('SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars '
                          'FROM documents GROUP BY source'),
         'length_histogram': ('SELECT n_chars // 100 AS bucket, count(*) AS n_docs '
                              'FROM documents GROUP BY n_chars // 100'),

@@ -16,9 +16,13 @@ Two scan paths, same results (asserted by tests):
   ``finditer`` per pattern per batch instead of per row), results mapped back
   to rows via ``searchsorted``.  Anchored patterns (``$``/``^`` — the
   credential family) fall back to per-row, because joining changes anchor
-  semantics.  ``\\x00`` is safe as a separator: no registry pattern contains a
-  character class that admits NUL without also being row-local (verified by
-  ``tests/test_scan.py::test_megastring_equals_per_row``).
+  semantics.  ``\\x00`` is safe as a separator for REGISTRY patterns: no
+  registry pattern contains a character class that admits NUL without also
+  being row-local (verified by
+  ``tests/test_scan.py::test_megastring_equals_per_row``).  User-supplied
+  ``custom`` patterns carry no such proof (``.`` / ``\\S`` / negated classes
+  match NUL and would leak the neighboring document into a span), so they
+  always take the per-row path (``Detector.megastring_safe``).
 
 Span scrubbing: spans are applied right-to-left (start descending) so earlier
 splices don't invalidate later offsets (SURVEY.md §7.3); overlapping spans
@@ -159,7 +163,8 @@ def scan_texts(texts: list[str], detectors: list[Detector]) -> list[list[Span]]:
             # digit rows: full pattern; digit-less rows: reduced equivalent
             if digit_rows is None:
                 digit_rows = [i for i, t in enumerate(texts) if _DIGIT_RE.search(t)]
-            nondigit = [i for i in range(n) if i not in set(digit_rows)] \
+            digit_set = set(digit_rows)
+            nondigit = [i for i in range(n) if i not in digit_set] \
                 if digit_rows else list(range(n))
             try:
                 if digit_rows:
@@ -173,7 +178,7 @@ def scan_texts(texts: list[str], detectors: list[Detector]) -> list[list[Span]]:
         if rows is not None and not rows:
             continue
         try:
-            if not det.anchored:
+            if not det.anchored and det.megastring_safe:
                 scan_sub(det, det.pattern, key, rows)
             else:
                 pat = compiled(det.pattern)

@@ -64,14 +64,45 @@ def host_stats(ds: ray.data.Dataset, *, n_salts: int = 16,
     return out.select_columns(cols)
 
 
+def _hash_mod_scalar(url: str | None, n: int) -> int:
+    """Per-row reference implementation of the salt (tests assert the
+    vectorized path below equals this exactly)."""
+    h = 2166136261
+    for ch in (url or '').encode('utf-8')[-12:]:   # suffix is enough for a salt
+        h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
+    return h % n
+
+
 def _hash_mod(urls: pa.ChunkedArray | pa.Array, n: int) -> pa.Array:
-    """Deterministic per-url salt in [0, n) (stable FNV over the url bytes,
-    vectorized via numpy on the flattened buffer)."""
-    vals = urls.to_pylist() if hasattr(urls, 'to_pylist') else list(urls)
-    out = np.zeros(len(vals), dtype=np.int32)
-    for i, u in enumerate(vals):
-        h = 2166136261
-        for ch in (u or '').encode('utf-8')[-12:]:   # suffix is enough for a salt
-            h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
-        out[i] = h % n
-    return pa.array(out, pa.int32())
+    """Deterministic per-url salt in [0, n): FNV-1a over the last <=12 utf-8
+    bytes, vectorized over the Arrow string array's flat data buffer — no
+    per-row Python.  12 byte-wide numpy passes, each a masked gather from the
+    flattened utf-8 buffer at (row_end - 12 + j)."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    if not isinstance(urls, pa.Array):
+        urls = pa.array([u or '' for u in urls], pa.string())
+    arr = pc.fill_null(urls, '')
+    if arr.type != pa.string():
+        arr = pc.cast(arr, pa.string())
+    n_rows = len(arr)
+    if n_rows == 0:
+        return pa.array([], pa.int32())
+    bufs = arr.buffers()                      # [validity, int32 offsets, data]
+    off = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset:arr.offset + n_rows + 1] \
+        .astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.empty(0, dtype=np.uint8)
+    ends = off[1:]
+    starts = np.maximum(off[:-1], ends - 12)  # last min(12, len) bytes
+    h = np.full(n_rows, 2166136261, dtype=np.uint64)
+    mask32 = np.uint64(0xFFFFFFFF)
+    for j in range(12):
+        p = starts + j
+        active = p < ends
+        if not active.any():
+            break
+        ch = data[np.clip(p, 0, data.size - 1)].astype(np.uint64) if data.size \
+            else np.zeros(n_rows, dtype=np.uint64)
+        h = np.where(active, ((h ^ ch) * np.uint64(16777619)) & mask32, h)
+    return pa.array((h % np.uint64(n)).astype(np.int32), pa.int32())

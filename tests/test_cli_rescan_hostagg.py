@@ -75,3 +75,20 @@ def test_host_stats_salted_agg_correct():
     for host, row in exp.iterrows():
         assert out.loc[host, 'n_docs'] == row['count']
         assert out.loc[host, 'n_kept'] == row['sum']
+
+
+def test_hash_mod_vectorized_equals_scalar():
+    """The numpy flat-buffer FNV salt equals the per-row reference impl,
+    including multi-byte utf-8, empties, nulls, and <12-byte strings."""
+    from pii_detector_ray.stages.hostagg import _hash_mod, _hash_mod_scalar
+    urls = ['https://hot.example.com/page/%d' % i for i in range(50)]
+    urls += ['', 'a', 'short.io', 'héllo wörld/ünïcode-ÿ', '日本語のページ/テスト',
+             'x' * 11, 'y' * 12, 'z' * 13, None]
+    arr = pa.array(urls, pa.string())
+    for n in (4, 16):
+        vec = _hash_mod(arr, n).to_pylist()
+        ref = [_hash_mod_scalar(u, n) for u in urls]
+        assert vec == ref
+    # chunked input (multi-chunk arrays hit the combine_chunks path)
+    chunked = pa.chunked_array([arr[:5], arr[5:]])
+    assert _hash_mod(chunked, 8).to_pylist() == [_hash_mod_scalar(u, 8) for u in urls]

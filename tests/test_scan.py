@@ -118,3 +118,28 @@ def test_overlapping_identical_spans_scrub_deterministic():
     assert out == 'call ***-***-**** now'
     # batched path produces the identical span set
     assert scan_texts([text], ALL)[0] == spans
+
+
+def test_custom_pattern_never_crosses_document_boundary():
+    """Regression (ADVICE r1): a custom pattern that can match NUL ('.*')
+    must not leak the neighboring document through the megastring join —
+    custom-family detectors are routed per-row (Detector.megastring_safe)."""
+    dets = [d for d in build_registry(extra={'KEYLINE': r'key:.*'})
+            if d.name == 'KEYLINE']
+    texts = ['key: alpha', 'beta row']
+    batched = scan_texts(texts, dets)
+    serial = [scan_text(t, dets) for t in texts]
+    assert batched == serial
+    assert len(batched[0]) == 1
+    assert batched[0][0].value == 'key: alpha'      # not 'key: alpha\x00beta row'
+    assert batched[0][0].end <= len(texts[0])
+    assert batched[1] == []
+
+
+def test_custom_nul_capable_patterns_equal_serial():
+    """Adversarial custom patterns (\\S+, negated class, dot-star) agree with
+    the serial oracle on multi-row batches."""
+    extra = {'DOTALL': r'alpha.*', 'NONSPACE': r'q\S+', 'NEG': r'v[^ ]+'}
+    dets = [d for d in build_registry(extra=extra) if d.family == 'custom']
+    texts = ['alpha one', 'qwerty here', 'value=x y', 'plain']
+    assert scan_texts(texts, dets) == [scan_text(t, dets) for t in texts]
