@@ -548,9 +548,13 @@ def q_ngram_jaccard_dedup(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_embedding_dup_lsh(sf_dir: str) -> ray.data.Dataset:
+    """Banded multi-table LSH near-dup pairs.  At this low threshold (0.45,
+    chosen so the random driver embeddings yield pairs at all) the banding
+    math wants few planes and many tables: p_agree = 1 - arccos(0.45)/pi ≈
+    0.65, recall ≈ 1 - (1 - 0.65^3)^12 ≈ 0.98 vs the exact query's pairs."""
     from pii_detector_ray.stages.dedup import embedding_dup_pairs_lsh
     return embedding_dup_pairs_lsh(_embeddings(sf_dir, ['vec_id', 'embedding']),
-                                   threshold=0.45)
+                                   threshold=0.45, n_tables=12, n_planes=3)
 
 
 def q_similarity_ann(sf_dir: str) -> pd.DataFrame:
