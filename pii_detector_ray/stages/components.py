@@ -46,30 +46,30 @@ def connected_components(pairs: ray.data.Dataset, *, col_a: str = 'doc_a',
                                                                t.column('lbl'))}),
         batch_format='pyarrow').materialize()
 
+    # Distributed rounds (round-2 rewrite; round 1 pulled the full label set
+    # to the driver twice per round): proposals come from a hash-partitioned
+    # edges⋈labels join, and convergence is detected from the scalar
+    # sum(lbl) — min-label propagation is MONOTONE (a node's label only ever
+    # decreases), so the sum strictly decreases iff any label changed.  The
+    # only driver traffic per round is that one aggregate scalar.
+    from pii_detector_ray.stages.dedup import join_partitions
+    nparts = join_partitions()
+    prev_sum = labels.sum('lbl')
     for _ in range(max_rounds - 1):
-        # join labels onto edges via pandas merge per bucket: edge (a,b)
-        # proposes label(a) to b
-        lbl_df = labels.to_pandas()       # labels are (node,label) only — small
-        import ray as _ray
-        ref = _ray.put(lbl_df)
-
-        def propose(t: pa.Table) -> pa.Table:
-            df = t.to_pandas()
-            lab = _ray.get(ref)
-            m = df.merge(lab, on='a', how='left')
-            m['lbl'] = m['lbl'].fillna(m['a']).astype('int64')
-            return pa.table({'a': pa.array(m['b'].to_numpy()),
-                             'lbl': pa.array(m['lbl'].to_numpy())})
-
-        proposals = edges.map_batches(propose, batch_format='pyarrow')
-        both = proposals.union(labels)
-        new_labels = both.groupby('a').aggregate(Min('lbl', alias_name='lbl')) \
-            .materialize()
-        old = labels.to_pandas().sort_values('a').reset_index(drop=True)
-        new = new_labels.to_pandas().sort_values('a').reset_index(drop=True)
-        labels = new_labels
-        if old.equals(new):
+        # edge (a,b) proposes label(a) to b; every node appears on the 'a'
+        # side of the symmetric edge list, so the inner join covers all edges
+        joined = edges.join(labels, join_type='inner', num_partitions=nparts,
+                            on=('a',))
+        proposals = joined.map_batches(
+            lambda t: pa.table({'a': t.column('b'), 'lbl': t.column('lbl')}),
+            batch_format='pyarrow')
+        labels = (proposals.union(labels)
+                  .groupby('a').aggregate(Min('lbl', alias_name='lbl'))
+                  .materialize())
+        new_sum = labels.sum('lbl')
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
 
     return labels.map_batches(
         lambda t: pa.table({'doc_id': t.column('a'), 'component': t.column('lbl')}),

@@ -307,13 +307,16 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
 
 
-def _join_partitions(default: int = 8) -> int:
+def join_partitions(default: int = 8) -> int:
     """Dataset.join spawns one aggregator actor per partition; size to the
     cluster so joins don't starve under small CPU budgets."""
     try:
         return max(2, min(default, int(ray.cluster_resources().get('CPU', 4)) // 2))
     except Exception:
         return 2
+
+
+_join_partitions = join_partitions   # internal alias
 
 
 def simhash_dup_pairs(ds: ray.data.Dataset, *, max_hamming: int = 3,

@@ -52,3 +52,24 @@ def test_dedup_decisions_keep_canonical():
     assert bool(out.loc[5, 'keep'])
     assert not bool(out.loc[7, 'keep']) and not bool(out.loc[9, 'keep'])
     assert set(out['component']) == {5}
+
+
+def test_connected_components_long_chain_triangle():
+    """A 6-node chain (needs multiple propagation rounds), an isolated pair,
+    and a triangle all resolve to their component-min labels via the
+    distributed join rounds."""
+    import pyarrow as pa
+    import ray.data
+    from pii_detector_ray.stages.components import connected_components
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),       # chain 1..6
+             (10, 11),                                     # pair
+             (20, 21), (21, 22), (20, 22)]                 # triangle
+    pairs = ray.data.from_arrow(pa.table({
+        'doc_a': pa.array([a for a, _ in edges], pa.int64()),
+        'doc_b': pa.array([b for _, b in edges], pa.int64()),
+    }))
+    out = connected_components(pairs, max_rounds=10).to_pandas() \
+        .set_index('doc_id')['component'].to_dict()
+    assert {k: v for k, v in out.items() if k <= 6} == {i: 1 for i in range(1, 7)}
+    assert out[10] == 10 and out[11] == 10
+    assert out[20] == 20 and out[21] == 20 and out[22] == 20
