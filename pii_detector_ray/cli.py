@@ -117,9 +117,12 @@ def main(argv: list[str] | None = None) -> int:
     g.set_defaults(fn=cmd_synth)
 
     args = p.parse_args(argv)
-    code = args.fn(args)
     import ray
-    if ray.is_initialized():
+    pre_initialized = ray.is_initialized()
+    code = args.fn(args)
+    # shut down only a session this CLI created — when embedded in a larger
+    # process (tests, the driver) the caller owns the session lifecycle
+    if not pre_initialized and ray.is_initialized():
         ray.shutdown()
     return code
 

@@ -47,6 +47,12 @@ class PipelineConfig:
     custom_patterns: dict[str, str] = field(default_factory=dict)
     scrub_entities: list[str] | None = None  # None = all registered detectors
     rescan_only: list[str] | None = None     # delta pattern set (rescan path, §3.2)
+    # D4 NER slot: deterministic PERSON detector (ner.py; reference MITIE
+    # cascade keeps PERSON with round(score,1)>=0.8, mitie_service.py:15-34)
+    include_ner: bool = True
+    # opt-in hyperscan (type,start)-keep-longest credential dedup
+    # (hyperscan_service.py:62); default False = the D1 re-engine semantics
+    credential_keep_longest: bool = False
 
     # object-selection filters (reference F1-F4, F8; SURVEY.md §2.2)
     url_extension_blocklist: tuple[str, ...] = (

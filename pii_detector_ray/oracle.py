@@ -127,7 +127,8 @@ def run_oracle(rows: list[dict[str, Any]], cfg: PipelineConfig) -> list[dict[str
         sw = oracle_stopword_hits(text, lang_pred)
         keep, reason = oracle_keepdrop(feat, lang_pred, lang_conf, perplexity,
                                        toxicity, sw, cfg)
-        spans = scan_text(text, detectors)
+        spans = scan_text(text, detectors, ner=cfg.include_ner,
+                          credential_keep_longest=cfg.credential_keep_longest)
         out.append({
             'url': row['url'],
             'warc_ts': row.get('warc_ts'),

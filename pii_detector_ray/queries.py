@@ -97,6 +97,73 @@ def _pii_counts_sql(pattern: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# D4 PERSON NER (deterministic gazetteer NER, pii_detector_ray/ner.py):
+# person-shaped augmentation with a gazetteer-positive name pair AND a
+# shape-only decoy pair (dropped by the round(score,1)>=0.8 keep rule on both
+# the Ray and the SQL side).
+# ---------------------------------------------------------------------------
+
+_PERSON_FIRSTS = ['John', 'Mary', 'Robert', 'Linda', 'Michael']
+_PERSON_LASTS = ['Smith', 'Johnson', 'Brown', 'Davis']
+
+
+def person_augment_text(doc_id: int, text: str | None) -> str:
+    """Python side of the person augmentation (lockstep with
+    ``_PERSON_AUG_SQL`` below)."""
+    t = text or ''
+    if doc_id % 4 == 0:
+        t += (f' Ask {_PERSON_FIRSTS[doc_id % 5]} '
+              f'{_PERSON_LASTS[(doc_id // 4) % 4]} about it.')
+    if doc_id % 6 == 0:
+        t += ' Meet Zorbo Quent now.'      # shape-only decoy: score 0.6, dropped
+    return t
+
+
+_PERSON_AUG_SQL = (
+    "COALESCE(text, '')"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' Ask '"
+    " || CASE doc_id % 5 WHEN 0 THEN 'John' WHEN 1 THEN 'Mary' WHEN 2 THEN 'Robert'"
+    " WHEN 3 THEN 'Linda' ELSE 'Michael' END || ' '"
+    " || CASE (doc_id // 4) % 4 WHEN 0 THEN 'Smith' WHEN 1 THEN 'Johnson'"
+    " WHEN 2 THEN 'Brown' ELSE 'Davis' END || ' about it.' ELSE '' END"
+    " || CASE WHEN doc_id % 6 = 0 THEN ' Meet Zorbo Quent now.' ELSE '' END"
+)
+
+
+def q_pii_person_counts(sf_dir: str) -> ray.data.Dataset:
+    from pii_detector_ray.scan import scan_texts
+
+    def count(batch: pa.Table) -> pa.Table:
+        ids = batch.column('doc_id').to_pylist()
+        texts = [person_augment_text(i, t)
+                 for i, t in zip(ids, batch.column('text').to_pylist())]
+        spans = scan_texts(texts, [], ner=True)
+        n = pa.array([len(s) for s in spans], pa.int64())
+        out = pa.table({'doc_id': pa.array(ids, pa.int64()), 'n_person': n})
+        return out.filter(pc.greater(out.column('n_person'), 0))
+
+    return read_documents(sf_dir, ['doc_id', 'text']).map_batches(
+        count, batch_format='pyarrow')
+
+
+def _person_counts_sql() -> str:
+    # a candidate survives iff any NON-FINAL token is a gazetteer first name
+    # (mirrors ner.trim_candidate: the anchor needs a following surname token)
+    from pii_detector_ray.ner import FIRST_NAMES, PERSON_PATTERN
+    names = ', '.join(f"'{n}'" for n in sorted(FIRST_NAMES))
+    toks = "string_split(x, ' ')"
+    return (
+        f"WITH paug AS (SELECT doc_id, {_PERSON_AUG_SQL} AS text FROM documents), "
+        f"hits AS (SELECT doc_id, len(list_filter("
+        f"regexp_extract_all(text, '{PERSON_PATTERN}'), "
+        f"x -> len(list_intersect(list_slice({toks}, 1, len({toks}) - 1), "
+        f"[{names}])) > 0)) AS n_person "
+        f"FROM paug) "
+        f"SELECT doc_id, n_person FROM hits WHERE n_person > 0"
+    )
+
+
+# ---------------------------------------------------------------------------
 # T1 masking oracle: first email per injected doc, masked.
 # ---------------------------------------------------------------------------
 
@@ -672,6 +739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     for name, pattern in _QUERY_PATTERNS.items():
         out[name] = _make_pii_counts(pattern)
     out.update({
+        'pii_person_counts': q_pii_person_counts,
         'mask_email': q_mask_email,
         'lang_distribution': q_lang_distribution,
         'source_stats': q_source_stats,
@@ -713,6 +781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     out = {name: _pii_counts_sql(pattern) for name, pattern in _QUERY_PATTERNS.items()}
     out.update({
+        'pii_person_counts': _person_counts_sql(),
         'mask_email': _MASK_EMAIL_SQL,
         'lang_distribution': 'SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang',
         'source_stats': ('SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars '

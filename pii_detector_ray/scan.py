@@ -38,15 +38,18 @@ from dataclasses import dataclass
 import numpy as np
 
 from pii_detector_ray.detectors import (
+    CREDENTIAL_PATTERNS,
     SECRET_EXCLUDE,
     Detector,
     compiled,
     system_entities,
 )
-from pii_detector_ray.functions.masking import hash_data, mask_data
+from pii_detector_ray.functions.masking import get_region, hash_data, mask_data
+from pii_detector_ray.ner import PERSON_ENTITY, PERSON_PATTERN, trim_candidate
 
 _SECRET_EXCLUDE_RE = re.compile(SECRET_EXCLUDE, re.IGNORECASE)
 _SYSTEM_ENTITIES = frozenset(system_entities())
+_CREDENTIAL_NAMES = frozenset(CREDENTIAL_PATTERNS)
 
 
 @dataclass(frozen=True)
@@ -72,15 +75,53 @@ def _emit(det: Detector, start: int, end: int, value: str, out: list[Span]) -> N
     out.append(Span(type=det.name, start=start, end=end, value=value, score=det.score))
 
 
-def scan_text(text: str, detectors: list[Detector]) -> list[Span]:
+def _person_scan(text: str, out: list[Span]) -> None:
+    """PERSON NER pass (pii_detector_ray/ner.py; reference keep rule
+    mitie_service.py:22): capitalized-run candidates, trimmed to the first
+    gazetteer anchor; anchorless runs score 0.6 and fail the keep rule."""
+    for m in compiled(PERSON_PATTERN).finditer(text):
+        hit = trim_candidate(m.group())
+        if hit is not None:
+            off, value, score = hit
+            out.append(Span(type=PERSON_ENTITY, start=m.start() + off,
+                            end=m.end(), value=value, score=score))
+
+
+def _scan_overlapping(det: Detector, text: str, out: list[Span]) -> None:
+    """Hyperscan-style all-starts scan (opt-in D3 semantics): hyperscan
+    reports a match from EVERY start position, and the reference collapses
+    them per ``(id, start)`` keeping the longest (hyperscan_service.py:62).
+    Emulated with a capturing lookahead — ``(?=(pattern))`` yields one
+    (greedy ≈ longest) match per start position, including starts inside
+    other matches, which plain ``finditer`` skips past."""
+    # hoist leading global flags — '(?i)' inside a group is illegal on 3.11
+    pat = det.pattern
+    flags = ''
+    fm = re.match(r'^\(\?([aiLmsux]+)\)', pat)
+    if fm:
+        flags, pat = fm.group(0), pat[fm.end():]
+    wrapped = compiled(flags + '(?=(' + pat + '))')
+    for m in wrapped.finditer(text):
+        val = m.group(1)
+        if val:
+            _emit(det, m.start(1), m.end(1), val, out)
+
+
+def scan_text(text: str, detectors: list[Detector], *, ner: bool = False,
+              credential_keep_longest: bool = False) -> list[Span]:
     """Per-row scan — the oracle path (re_service.py:26-28 semantics)."""
     spans: list[Span] = []
     for det in detectors:
         try:
-            for m in compiled(det.pattern).finditer(text):
-                _emit(det, m.start(), m.end(), m.group(), spans)
+            if credential_keep_longest and det.suppress_codelike:
+                _scan_overlapping(det, text, spans)
+            else:
+                for m in compiled(det.pattern).finditer(text):
+                    _emit(det, m.start(), m.end(), m.group(), spans)
         except Exception:
             continue
+    if ner:
+        _person_scan(text, spans)
     spans.sort(key=Span.sort_key)
     return spans
 
@@ -108,7 +149,8 @@ class _SubCorpus:
         return row, int(self.offsets[local])
 
 
-def scan_texts(texts: list[str], detectors: list[Detector]) -> list[list[Span]]:
+def scan_texts(texts: list[str], detectors: list[Detector], *, ner: bool = False,
+               credential_keep_longest: bool = False) -> list[list[Span]]:
     """Batched scan, identical results to mapping :func:`scan_text` over rows
     (asserted by tests), but engineered for the hot path:
 
@@ -178,7 +220,10 @@ def scan_texts(texts: list[str], detectors: list[Detector]) -> list[list[Span]]:
         if rows is not None and not rows:
             continue
         try:
-            if not det.anchored and det.megastring_safe:
+            if credential_keep_longest and det.suppress_codelike:
+                for row in (rows if rows is not None else range(n)):
+                    _scan_overlapping(det, texts[row], per_row[row])
+            elif not det.anchored and det.megastring_safe:
                 scan_sub(det, det.pattern, key, rows)
             else:
                 pat = compiled(det.pattern)
@@ -187,6 +232,21 @@ def scan_texts(texts: list[str], detectors: list[Detector]) -> list[list[Span]]:
                         _emit(det, m.start(), m.end(), m.group(), per_row[row])
         except Exception:
             continue
+
+    if ner:
+        # PERSON pattern is letters+spaces only — megastring-safe (ner.py)
+        sub = corpora.get(('all',))
+        if sub is None:
+            sub = corpora[('all',)] = _SubCorpus(texts, None)
+        for m in compiled(PERSON_PATTERN).finditer(sub.big):
+            hit = trim_candidate(m.group())
+            if hit is not None:
+                off, value, score = hit
+                row, base = sub.locate(m.start())
+                per_row[row].append(Span(type=PERSON_ENTITY,
+                                         start=m.start() + off - base,
+                                         end=m.end() - base, value=value,
+                                         score=score))
 
     for spans in per_row:
         spans.sort(key=Span.sort_key)
@@ -214,6 +274,9 @@ def span_record(sp: Span) -> dict:
         'end': sp.end,
         'hash': hash_data(sp.value),
         'masked': mask_data(sp.type, sp.value),
+        'region': get_region(sp.type),
         'score': sp.score,
+        # PERSON is deliberately custom=True: the reference's system_entities
+        # omits it (regex_patterns.py:214-217 'todo add ... person')
         'is_custom_regex': sp.type not in _SYSTEM_ENTITIES,
     }

@@ -30,6 +30,7 @@ SPAN_STRUCT = pa.struct([
     ('end', pa.int32()),
     ('hash', pa.string()),
     ('masked', pa.string()),
+    ('region', pa.string()),       # T4 region map (data_analysis_service.py:68-84,212)
     ('score', pa.float32()),
     ('is_custom_regex', pa.bool_()),
 ])
@@ -60,7 +61,8 @@ def make_scrub_stage(cfg: PipelineConfig, text_col: str = 'extracted_text',
         texts = ['' if t is None else t for t in texts]
         names = batch.column(name_col).to_pylist() if name_col in batch.column_names \
             else [''] * len(texts)
-        all_spans = scan_texts(texts, detectors)
+        all_spans = scan_texts(texts, detectors, ner=cfg.include_ner,
+                               credential_keep_longest=cfg.credential_keep_longest)
         span_lists = [[span_record(sp) for sp in spans] for spans in all_spans]
         # splice with the already-computed masked values (avoids re-masking);
         # equals scrub_text() because mask_data is deterministic

@@ -143,3 +143,57 @@ def test_custom_nul_capable_patterns_equal_serial():
     dets = [d for d in build_registry(extra=extra) if d.family == 'custom']
     texts = ['alpha one', 'qwerty here', 'value=x y', 'plain']
     assert scan_texts(texts, dets) == [scan_text(t, dets) for t in texts]
+
+
+def test_person_ner_gazetteer_and_keep_rule():
+    """PERSON spans: gazetteer-anchored runs kept (score 0.9), trimmed past
+    sentence-capital lead-ins; shape-only runs fail round(score,1)>=0.8."""
+    text = 'Please Ask John Smith today. Meet Zorbo Quent now.'
+    spans = scan_text(text, [], ner=True)
+    assert len(spans) == 1
+    sp = spans[0]
+    assert sp.type == 'PERSON' and sp.value == 'John Smith' and sp.score == 0.9
+    assert text[sp.start:sp.end] == 'John Smith'
+    # batched path identical
+    assert scan_texts([text, 'no people here'], [], ner=True) == \
+        [spans, scan_text('no people here', [], ner=True)]
+
+
+def test_person_mask_and_region_in_span_record():
+    from pii_detector_ray.scan import span_record
+    spans = scan_text('Ask John Smith now', [], ner=True)
+    rec = span_record(spans[0])
+    assert rec['masked'] == 'Jo** ***th'          # mask_data PERSON branch
+    assert rec['region'] == 'All'
+    assert rec['is_custom_regex'] is True          # reference system_entities omits PERSON
+    ssn = scan_text('ssn 172-32-1176', ALL)
+    ssn_rec = span_record([s for s in ssn if s.type == 'US_SSN'][0])
+    assert ssn_rec['region'] == 'USA'
+    pan = build_registry(only=['IN_PAN'])
+    pan_rec = span_record(scan_text('id ABCPX1234F ok', pan)[0])
+    assert pan_rec['region'] == 'India'
+
+
+def test_person_ner_off_by_default_in_scan():
+    assert scan_text('Ask John Smith now', []) == []
+
+
+def test_credential_keep_longest_flag():
+    """Opt-in hyperscan D3 semantics (hyperscan_service.py:62): matches are
+    reported from EVERY start position (emulated with a capturing
+    lookahead), longest per (type, start).  Default D1 finditer skips starts
+    inside an earlier match, so flagged mode is a superset here: the \\s+
+    prefix admits two start positions on a double-spaced keyword."""
+    dets = build_registry(only=['PRIVATE_CREDENTIALS'])
+    text = 'x  secret_token = abcdef1234'
+    base = scan_text(text, dets)
+    flagged = scan_text(text, dets, credential_keep_longest=True)
+    assert len(base) == 1
+    assert len(flagged) == 2                       # starts at both spaces
+    assert {s.start for s in flagged} == {1, 2}
+    assert all(s.end == flagged[0].end for s in flagged)
+    # per (type, start) exactly one span
+    assert len({(s.type, s.start) for s in flagged}) == len(flagged)
+    # batched path identical; default path unaffected by the flag elsewhere
+    assert scan_texts([text], dets, credential_keep_longest=True)[0] == flagged
+    assert scan_texts([text], dets)[0] == base
