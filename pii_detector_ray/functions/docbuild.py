@@ -1,0 +1,124 @@
+"""Deterministic DOCX / XLSX / PDF builders (stdlib only).
+
+Fixture generators for the container parsers in ``prepare.py``: the
+reference ships binary sample files with its tests; this engine builds them
+deterministically so conformance fixtures and driver queries are
+reproducible byte streams (no binary blobs in the repo).
+"""
+
+from __future__ import annotations
+
+import zipfile
+import zlib
+from io import BytesIO
+from xml.sax.saxutils import escape
+
+_CONTENT_TYPES_DOCX = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/word/document.xml" ContentType='
+    '"application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>'
+    '</Types>'
+)
+
+_W = 'http://schemas.openxmlformats.org/wordprocessingml/2006/main'
+
+
+def build_docx(paragraphs: list[str]) -> bytes:
+    """Minimal valid-enough DOCX: one run per paragraph."""
+    body = ''.join(
+        f'<w:p><w:r><w:t xml:space="preserve">{escape(p)}</w:t></w:r></w:p>'
+        for p in paragraphs)
+    doc = (f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+           f'<w:document xmlns:w="{_W}"><w:body>{body}</w:body></w:document>')
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, 'w', zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr('[Content_Types].xml', _CONTENT_TYPES_DOCX)
+        zf.writestr('word/document.xml', doc)
+    return buf.getvalue()
+
+
+_S = 'http://schemas.openxmlformats.org/spreadsheetml/2006/main'
+
+
+def build_xlsx(sheets: list[list[list[object]]]) -> bytes:
+    """Minimal XLSX: ``sheets`` is a list of row-major cell grids.  Strings
+    go through sharedStrings (the common producer layout); numbers inline."""
+    shared: list[str] = []
+    shared_idx: dict[str, int] = {}
+
+    def cell_xml(col: int, row: int, value: object) -> str:
+        ref = ''
+        c = col
+        while True:
+            ref = chr(ord('A') + c % 26) + ref
+            c = c // 26 - 1
+            if c < 0:
+                break
+        ref = f'{ref}{row + 1}'
+        if value is None:
+            return ''
+        if isinstance(value, bool):
+            return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
+        if isinstance(value, (int, float)):
+            return f'<c r="{ref}"><v>{value}</v></c>'
+        s = str(value)
+        if s not in shared_idx:
+            shared_idx[s] = len(shared)
+            shared.append(s)
+        return f'<c r="{ref}" t="s"><v>{shared_idx[s]}</v></c>'
+
+    sheet_xmls = []
+    for grid in sheets:
+        rows_xml = ''.join(
+            f'<row r="{ri + 1}">'
+            + ''.join(cell_xml(ci, ri, v) for ci, v in enumerate(row))
+            + '</row>'
+            for ri, row in enumerate(grid))
+        sheet_xmls.append(
+            f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<worksheet xmlns="{_S}"><sheetData>{rows_xml}</sheetData></worksheet>')
+    shared_xml = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<sst xmlns="{_S}" count="{len(shared)}" uniqueCount="{len(shared)}">'
+        + ''.join(f'<si><t xml:space="preserve">{escape(s)}</t></si>' for s in shared)
+        + '</sst>')
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, 'w', zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr('xl/sharedStrings.xml', shared_xml)
+        for i, xml in enumerate(sheet_xmls):
+            zf.writestr(f'xl/worksheets/sheet{i + 1}.xml', xml)
+    return buf.getvalue()
+
+
+def _pdf_escape(text: str) -> str:
+    return text.replace('\\', r'\\').replace('(', r'\(').replace(')', r'\)')
+
+
+def build_pdf(lines: list[str]) -> bytes:
+    """Minimal single-page PDF with a FlateDecode content stream of Tj ops."""
+    ops = 'BT /F1 12 Tf 72 720 Td ' + ' '.join(
+        f'({_pdf_escape(ln)}) Tj 0 -14 Td' for ln in lines) + ' ET'
+    stream = zlib.compress(ops.encode('latin-1', errors='replace'))
+    objs = [
+        b'<< /Type /Catalog /Pages 2 0 R >>',
+        b'<< /Type /Pages /Kids [3 0 R] /Count 1 >>',
+        b'<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>',
+        b'<< /Length ' + str(len(stream)).encode()
+        + b' /Filter /FlateDecode >>\nstream\n' + stream + b'\nendstream',
+    ]
+    out = BytesIO()
+    out.write(b'%PDF-1.4\n')
+    offsets = []
+    for i, obj in enumerate(objs, start=1):
+        offsets.append(out.tell())
+        out.write(f'{i} 0 obj\n'.encode() + obj + b'\nendobj\n')
+    xref_at = out.tell()
+    out.write(f'xref\n0 {len(objs) + 1}\n'.encode())
+    out.write(b'0000000000 65535 f \n')
+    for off in offsets:
+        out.write(f'{off:010d} 00000 n \n'.encode())
+    out.write(f'trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n'
+              f'startxref\n{xref_at}\n%%EOF\n'.encode())
+    return out.getvalue()

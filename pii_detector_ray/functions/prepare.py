@@ -7,21 +7,35 @@ the same swallow-to-None error contract:
 - **CSV** — REAL: pandas headerless parse with the reference's 4-delimiter ×
   7-encoding sniffing loop (``file_service.py:377-390``; constants
   ``file_service.py:25-26``).
+- **DOCX** — REAL, stdlib: zip + ElementTree over ``word/document.xml``;
+  reference semantics = non-empty paragraph texts joined with ``'\\n'``
+  (``file_service.py:393-396``, python-docx ``paragraph.text`` = run concat).
+- **XLSX** — REAL, stdlib: zip + ElementTree over worksheets +
+  sharedStrings; reference semantics = all sheets parsed headerless and
+  concatenated ignore_index into one DataFrame (``file_service.py:369-375``).
+- **PDF** — REAL best-effort, stdlib: FlateDecode (zlib) content streams,
+  ``Tj``/``TJ``/``'`` text operators concatenated per page like PyPDF2's
+  ``extractText`` (``file_service.py:361-368``); non-Flate/encrypted PDFs
+  fall through to the None contract.
 - **fallback** — REAL: ``data.decode(errors='replace')[offset:offset+limit]``
   (``file_service.py:415``) — the byte-identity anchor.
 - **unsupported media extensions** — '' (``file_service.py:411-412`` with the
   blocklist from ``app/core/config.py:98-110``).
-- **PDF / XLSX / XLS / DOCX / DOC** — the libraries (PyPDF2, openpyxl, xlrd,
-  python-docx, antiword) are NOT in this container; the dispatch sites are
-  real, the codec calls raise ``NotImplementedError`` which the outer
-  try/except converts to the reference's ``None`` return (the reference
-  likewise returns None when a parser throws, ``file_service.py:417-422``).
+- **XLS / DOC** — the binary codecs (xlrd, antiword) are NOT in this
+  container; the dispatch sites are real, the codec calls raise
+  ``NotImplementedError`` which the outer try/except converts to the
+  reference's ``None`` return (the reference likewise returns None when a
+  parser throws, ``file_service.py:417-422``).
 """
 
 from __future__ import annotations
 
+import re
+import zipfile
+import zlib
 from io import BytesIO
 from typing import Any
+from xml.etree import ElementTree
 
 import pandas as pd
 
@@ -44,6 +58,163 @@ def _require(module: str) -> Any:
             f'parse path is stubbed (dispatch is real, codec is not)') from e
 
 
+_W_NS = '{http://schemas.openxmlformats.org/wordprocessingml/2006/main}'
+_S_NS = '{http://schemas.openxmlformats.org/spreadsheetml/2006/main}'
+
+
+def parse_docx(data: bytes) -> str:
+    """DOCX → text, python-docx semantics (reference file_service.py:393-396):
+    ``'\\n'.join(p.text for p in doc.paragraphs if p.text)`` where a
+    paragraph's text is the concatenation of its run texts (``w:t``
+    elements, tab elements count as ``\\t``)."""
+    with zipfile.ZipFile(BytesIO(data)) as zf:
+        root = ElementTree.fromstring(zf.read('word/document.xml'))
+    paragraphs = []
+    for p in root.iter(f'{_W_NS}p'):
+        parts = []
+        for el in p.iter():
+            if el.tag == f'{_W_NS}t':
+                parts.append(el.text or '')
+            elif el.tag == f'{_W_NS}tab':
+                parts.append('\t')
+        text = ''.join(parts)
+        if text:
+            paragraphs.append(text)
+    return '\n'.join(paragraphs)
+
+
+def _xlsx_cell_value(c: ElementTree.Element, shared: list[str]) -> Any:
+    t = c.get('t')
+    if t == 'inlineStr':
+        return ''.join(e.text or '' for e in c.iter(f'{_S_NS}t')) or None
+    v = c.find(f'{_S_NS}v')
+    if v is None or v.text is None:
+        return None
+    if t == 's':
+        return shared[int(v.text)]
+    if t == 'str':
+        return v.text
+    if t == 'b':
+        return bool(int(v.text))
+    try:
+        f = float(v.text)
+        return int(f) if f.is_integer() else f
+    except ValueError:
+        return v.text
+
+
+_COL_RE = re.compile(r'([A-Z]+)[0-9]+$')
+
+
+def _col_index(ref: str | None, fallback: int) -> int:
+    """'C7' → 2; cells without an r attribute take the next position."""
+    if not ref:
+        return fallback
+    m = _COL_RE.match(ref)
+    if not m:
+        return fallback
+    idx = 0
+    for ch in m.group(1):
+        idx = idx * 26 + (ord(ch) - ord('A') + 1)
+    return idx - 1
+
+
+def parse_xlsx(data: bytes) -> pd.DataFrame:
+    """XLSX → one headerless DataFrame, reference semantics
+    (file_service.py:369-375): every sheet parsed with ``header=None``,
+    sheets concatenated with ``ignore_index=True``."""
+    with zipfile.ZipFile(BytesIO(data)) as zf:
+        names = zf.namelist()
+        shared: list[str] = []
+        if 'xl/sharedStrings.xml' in names:
+            sroot = ElementTree.fromstring(zf.read('xl/sharedStrings.xml'))
+            for si in sroot.iter(f'{_S_NS}si'):
+                shared.append(''.join(t.text or '' for t in si.iter(f'{_S_NS}t')))
+        sheets = sorted(n for n in names
+                        if re.fullmatch(r'xl/worksheets/sheet[0-9]+\.xml', n))
+        frames = []
+        for sheet in sheets:
+            root = ElementTree.fromstring(zf.read(sheet))
+            rows = []
+            for row in root.iter(f'{_S_NS}row'):
+                cells: dict[int, Any] = {}
+                pos = 0
+                for c in row.iter(f'{_S_NS}c'):
+                    pos = _col_index(c.get('r'), pos)
+                    cells[pos] = _xlsx_cell_value(c, shared)
+                    pos += 1
+                rows.append(cells)
+            width = max((max(r) + 1 for r in rows if r), default=0)
+            frames.append(pd.DataFrame(
+                [[r.get(i) for i in range(width)] for r in rows]))
+    if not frames:
+        return pd.DataFrame()
+    return pd.concat(frames, ignore_index=True)
+
+
+_PDF_STREAM_RE = re.compile(rb'stream\r?\n(.*?)endstream', re.DOTALL)
+_PDF_TEXT_OP_RE = re.compile(rb"\((?:\\.|[^\\()])*\)|TJ|Tj|'")
+_PDF_STR_RE = re.compile(rb'\((?:\\.|[^\\()])*\)')
+
+
+def _pdf_unescape(raw: bytes) -> str:
+    out = []
+    i = 0
+    while i < len(raw):
+        ch = raw[i:i + 1]
+        if ch == b'\\' and i + 1 < len(raw):
+            nxt = raw[i + 1:i + 2]
+            if nxt in b'nrtbf':
+                out.append({'n': '\n', 'r': '\r', 't': '\t', 'b': '\b',
+                            'f': '\f'}[nxt.decode()])
+                i += 2
+                continue
+            if nxt.isdigit():
+                oct_digits = raw[i + 1:i + 4]
+                j = 1
+                while j < 3 and i + 1 + j < len(raw) and raw[i + 1 + j:i + 2 + j].isdigit():
+                    j += 1
+                out.append(chr(int(raw[i + 1:i + 1 + j], 8)))
+                i += 1 + j
+                continue
+            out.append(nxt.decode('latin-1'))
+            i += 2
+            continue
+        out.append(ch.decode('latin-1'))
+        i += 1
+    return ''.join(out)
+
+
+def parse_pdf(data: bytes) -> str:
+    """Best-effort PDF text extraction (PyPDF2 ``extractText`` slot,
+    file_service.py:361-368): decompress FlateDecode content streams with
+    stdlib zlib, concatenate the strings consumed by ``Tj`` / ``'`` / ``TJ``
+    text-showing operators.  Raises on encrypted or non-Flate PDFs — the
+    outer dispatch converts that to the reference's None contract."""
+    pieces: list[str] = []
+    saw_stream = False
+    for m in _PDF_STREAM_RE.finditer(data):
+        raw = m.group(1)
+        try:
+            content = zlib.decompress(raw)
+        except zlib.error:
+            content = raw   # uncompressed content stream
+        if b'Tj' not in content and b'TJ' not in content:
+            continue
+        saw_stream = True
+        pending: list[bytes] = []
+        for tok in _PDF_TEXT_OP_RE.finditer(content):
+            t = tok.group(0)
+            if t.startswith(b'('):
+                pending.append(t[1:-1])
+            elif t in (b'Tj', b"'", b'TJ') and pending:
+                pieces.extend(_pdf_unescape(s) for s in pending)
+                pending = []
+    if not saw_stream and b'/Encrypt' in data:
+        raise ValueError('encrypted pdf')
+    return ''.join(pieces)
+
+
 def parse_csv_sniffed(data: bytes) -> pd.DataFrame | None:
     """Headerless CSV parse, trying delimiter × encoding like the reference."""
     for delimiter in CSV_DELIMITERS:
@@ -64,16 +235,18 @@ def prepare_file(object_data: bytes, file_name: str,
         limit = len(object_data) + 1
     try:
         if file_name.endswith('pdf'):
-            _require('PyPDF2')                      # stub: no PDF lib here
-        elif file_name.endswith(('xlsx', 'xls')):
-            _require('openpyxl' if file_name.endswith('xlsx') else 'xlrd')
+            return parse_pdf(object_data)[offset:offset + limit]
+        elif file_name.endswith('xlsx'):
+            return parse_xlsx(object_data).iloc[offset:offset + limit]
+        elif file_name.endswith('xls'):
+            _require('xlrd')                        # stub: no BIFF codec here
         elif file_name.endswith('csv'):
             content = parse_csv_sniffed(object_data)
             if content is None:
                 return None
             return content.iloc[offset:offset + limit]
         elif file_name.endswith('docx'):
-            _require('docx')
+            return parse_docx(object_data)[offset:offset + limit]
         elif file_name.endswith('doc'):
             raise NotImplementedError('antiword is not installed in this container')
         elif file_name.endswith(UNSUPPORTED_EXTENSIONS):

@@ -164,6 +164,41 @@ def _person_counts_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# P1 container roundtrip: wrap document text in a real DOCX (stdlib builder),
+# extract it back through prepare_file's zip+XML parser, count chars.  The
+# SQL oracle mirrors the docx paragraph semantics: non-empty lines joined
+# with \n (prepare.parse_docx; reference file_service.py:393-396).
+# ---------------------------------------------------------------------------
+
+def q_docx_extract(sf_dir: str) -> ray.data.Dataset:
+    from pii_detector_ray.functions.docbuild import build_docx
+    from pii_detector_ray.functions.prepare import prepare_file
+
+    def ext(batch: pa.Table) -> pa.Table:
+        ids, ns = [], []
+        for did, t in zip(batch.column('doc_id').to_pylist(),
+                          batch.column('text').to_pylist()):
+            if did % 50 != 0:
+                continue
+            data = build_docx((t or '').split('\n'))
+            out = prepare_file(data, f'doc{did}.docx')
+            ids.append(did)
+            ns.append(len(out or ''))
+        return pa.table({'doc_id': pa.array(ids, pa.int64()),
+                         'n_chars_docx': pa.array(ns, pa.int64())})
+
+    return read_documents(sf_dir, ['doc_id', 'text']).map_batches(
+        ext, batch_format='pyarrow')
+
+
+_DOCX_EXTRACT_SQL = (
+    "SELECT doc_id, length(array_to_string(list_filter("
+    "string_split(COALESCE(text, ''), chr(10)), x -> x <> ''), chr(10)))::BIGINT "
+    "AS n_chars_docx FROM documents WHERE doc_id % 50 = 0"
+)
+
+
+# ---------------------------------------------------------------------------
 # T1 masking oracle: first email per injected doc, masked.
 # ---------------------------------------------------------------------------
 
@@ -740,6 +775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out[name] = _make_pii_counts(pattern)
     out.update({
         'pii_person_counts': q_pii_person_counts,
+        'docx_extract': q_docx_extract,
         'mask_email': q_mask_email,
         'lang_distribution': q_lang_distribution,
         'source_stats': q_source_stats,
@@ -782,6 +818,7 @@ def oracle_sql() -> dict[str, str]:
     out = {name: _pii_counts_sql(pattern) for name, pattern in _QUERY_PATTERNS.items()}
     out.update({
         'pii_person_counts': _person_counts_sql(),
+        'docx_extract': _DOCX_EXTRACT_SQL,
         'mask_email': _MASK_EMAIL_SQL,
         'lang_distribution': 'SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang',
         'source_stats': ('SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars '

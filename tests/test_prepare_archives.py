@@ -50,8 +50,10 @@ def test_prepare_csv_sniffing_delimiters_and_encodings():
 
 
 def test_prepare_missing_codecs_return_none():
-    # PDF/XLSX/DOCX/DOC libs absent in this container -> reference-style None
-    assert prepare_file(b'%PDF-1.4', 'doc.pdf') is None
+    # XLS/DOC binary codecs absent in this container -> reference-style None;
+    # truncated zip containers for the (now real) docx/xlsx parsers -> None;
+    # a stream-less PDF parses to empty text
+    assert prepare_file(b'%PDF-1.4', 'doc.pdf') == ''
     assert prepare_file(b'PK\x03\x04', 'book.xlsx') is None
     assert prepare_file(b'PK\x03\x04', 'text.docx') is None
     assert prepare_file(b'\xd0\xcf', 'old.doc') is None
@@ -112,3 +114,46 @@ def test_expand_archives_batch_mixed():
     rows = dict(zip(out.column('url').to_pylist(), out.column('payload').to_pylist()))
     assert rows['plain.txt'] == b'passthrough'
     assert rows['arch.zip::m.txt'] == b'member'
+
+
+def test_prepare_docx_real_text():
+    from pii_detector_ray.functions.docbuild import build_docx
+    data = build_docx(['First paragraph', '', 'mail jwhite@domain.com now',
+                       'x & y < z'])
+    out = prepare_file(data, 'report.docx')
+    # reference semantics: non-empty paragraph texts joined with \n
+    assert out == 'First paragraph\nmail jwhite@domain.com now\nx & y < z'
+    # offset/limit slice on the joined string (file_service.py:396)
+    assert prepare_file(data, 'report.docx', limit=5, offset=6) == 'parag'
+
+
+def test_prepare_xlsx_sheets_concat():
+    import pandas as pd
+    from pii_detector_ray.functions.docbuild import build_xlsx
+    data = build_xlsx([[['h1', 'h2'], ['a', 1], [None, 2.5]],
+                       [['second', 'sheet']]])
+    df = prepare_file(data, 'book.xlsx')
+    assert isinstance(df, pd.DataFrame)
+    assert df.shape == (4, 2)                  # sheets concat ignore_index
+    assert list(df.iloc[0]) == ['h1', 'h2']
+    assert df.iloc[1, 1] == 1 and df.iloc[2, 1] == 2.5
+    assert list(df.iloc[3]) == ['second', 'sheet']
+    assert df.iloc[2, 0] is None or pd.isna(df.iloc[2, 0])
+
+
+def test_prepare_pdf_flate_text():
+    from pii_detector_ray.functions.docbuild import build_pdf
+    data = build_pdf(['ssn 172-32-1176 here', 'escaped (parens) \\ ok'])
+    out = prepare_file(data, 'scan.pdf')
+    assert 'ssn 172-32-1176 here' in out
+    assert 'escaped (parens) \\ ok' in out
+
+
+def test_prepare_container_corrupt_returns_none():
+    # swallow-to-None contract for malformed containers (file_service.py:417-422)
+    assert prepare_file(b'PK\x03\x04 garbage', 'x.docx') is None
+    assert prepare_file(b'PK\x03\x04 garbage', 'x.xlsx') is None
+    assert prepare_file(b'%PDF-1.4 /Encrypt stream data', 'x.pdf') is None
+    # xls/doc codecs remain stubbed -> None
+    assert prepare_file(b'\xd0\xcf\x11\xe0 data', 'x.xls') is None
+    assert prepare_file(b'\xd0\xcf\x11\xe0 data', 'x.doc') is None
