@@ -78,14 +78,21 @@ def _partition_metrics(part_dir: str) -> dict[str, Any]:
             'pii_findings': sum(types.values())}
 
 
-def _check_run_manifest(out_dir: str, num_partitions: int, cfg: PipelineConfig) -> None:
-    """Resume safety: a rerun must use the same partition layout and config
-    as the original run, else committed partitions would not line up with the
-    new assignment.  The run-level manifest pins both; a mismatch fails fast
+def _check_run_manifest(out_dir: str, num_partitions: int, cfg: PipelineConfig,
+                        input_files: list[str]) -> None:
+    """Resume safety: a rerun must use the same partition layout, config AND
+    input file set as the original run — ``assign_partitions`` is a sorted
+    round-robin, so adding/removing/renaming any input file shifts files
+    across ALL partitions and committed manifests would silently cover stale
+    subsets.  The run-level manifest pins all three; a mismatch fails fast
     instead of silently mixing layouts."""
+    import hashlib
     import json
     path = os.path.join(out_dir, 'manifests', '_run.json')
-    current = {'num_partitions': num_partitions, 'config_hash': cfg.config_hash()}
+    input_hash = hashlib.sha256(
+        '\n'.join(sorted(input_files)).encode()).hexdigest()[:16]
+    current = {'num_partitions': num_partitions, 'config_hash': cfg.config_hash(),
+               'input_set_hash': input_hash}
     if os.path.exists(path):
         with open(path) as f:
             prior = json.load(f)
@@ -120,7 +127,7 @@ def run_partitioned(
     """
     cfg = cfg or PipelineConfig()
     parts = assign_partitions(input_files, num_partitions or cfg.num_output_partitions)
-    _check_run_manifest(out_dir, len(parts), cfg)
+    _check_run_manifest(out_dir, len(parts), cfg, input_files)
     done = completed_partitions(out_dir)
     ran = 0
     skipped = 0

@@ -199,6 +199,58 @@ _DOCX_EXTRACT_SQL = (
 
 
 # ---------------------------------------------------------------------------
+# F7 row-level changed-chunk diff (state/chunkdiff.py): chunk the current
+# text, diff against a catalog built from a deterministically 'stale'
+# older version (doc_id%10==0 docs prefixed), emit chunks to rescan.
+# ---------------------------------------------------------------------------
+
+_CHUNK_CHARS = 256
+
+
+def q_chunk_diff(sf_dir: str) -> ray.data.Dataset:
+    from pii_detector_ray.state.chunkdiff import changed_chunks, make_chunker
+    chunker = make_chunker(_CHUNK_CHARS, path_col='doc_id', text_col='text')
+    docs = read_documents(sf_dir, ['doc_id', 'text'])
+    cur = docs.map_batches(chunker, batch_format='pyarrow')
+
+    def stale(batch: pa.Table) -> pa.Table:
+        ids = batch.column('doc_id').to_pylist()
+        texts = batch.column('text').to_pylist()
+        old = [('STALE ' + t) if (i % 10 == 0 and t is not None) else t
+               for i, t in zip(ids, texts)]
+        return pa.table({'doc_id': batch.column('doc_id'),
+                         'text': pa.array(old, pa.string())})
+
+    cat = docs.map_batches(stale, batch_format='pyarrow') \
+        .map_batches(chunker, batch_format='pyarrow')
+    out = changed_chunks(cur, cat, keys=('doc_id', 'chunk_offset', 'md5'))
+    return out.select_columns(['doc_id', 'chunk_offset'])
+
+
+_MAX_CHUNKS = 64   # covers docs up to 16 KB; driver corpus max is ~600 chars
+
+
+def _chunk_sql(src: str) -> str:
+    # DuckDB's generate_series takes only constants (no lateral column refs,
+    # no subqueries), so cross-join a fixed series and filter per-row
+    n = _CHUNK_CHARS
+    return (f"SELECT doc_id, (i - 1) * {n} AS chunk_offset, "
+            f"md5(substring(text, (i - 1) * {n} + 1, {n})) AS md5 FROM {src}, "
+            f"generate_series(1, {_MAX_CHUNKS}) AS s(i) "
+            f"WHERE (i - 1) * {n} < greatest(length(text), 1)")
+
+
+_CHUNK_DIFF_SQL = (
+    "WITH curdoc AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents), "
+    "olddoc AS (SELECT doc_id, COALESCE(CASE WHEN doc_id % 10 = 0 "
+    "THEN 'STALE ' || text ELSE text END, '') AS text FROM documents), "
+    f"cur AS ({_chunk_sql('curdoc')}), cat AS ({_chunk_sql('olddoc')}) "
+    "SELECT doc_id, chunk_offset FROM "
+    "(SELECT * FROM cur EXCEPT SELECT * FROM cat)"
+)
+
+
+# ---------------------------------------------------------------------------
 # T1 masking oracle: first email per injected doc, masked.
 # ---------------------------------------------------------------------------
 
@@ -776,6 +828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({
         'pii_person_counts': q_pii_person_counts,
         'docx_extract': q_docx_extract,
+        'chunk_diff': q_chunk_diff,
         'mask_email': q_mask_email,
         'lang_distribution': q_lang_distribution,
         'source_stats': q_source_stats,
@@ -819,6 +872,7 @@ def oracle_sql() -> dict[str, str]:
     out.update({
         'pii_person_counts': _person_counts_sql(),
         'docx_extract': _DOCX_EXTRACT_SQL,
+        'chunk_diff': _CHUNK_DIFF_SQL,
         'mask_email': _MASK_EMAIL_SQL,
         'lang_distribution': 'SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang',
         'source_stats': ('SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars '

@@ -1,0 +1,50 @@
+"""F7 row-level changed-chunk diff (state/chunkdiff.py)."""
+
+import pyarrow as pa
+import ray.data
+
+from pii_detector_ray.state.chunkdiff import (
+    changed_chunks,
+    make_chunker,
+    stale_chunks,
+)
+
+
+def _catalog(rows):
+    return ray.data.from_arrow(pa.table({
+        'path': pa.array([r[0] for r in rows], pa.string()),
+        'chunk_offset': pa.array([r[1] for r in rows], pa.int64()),
+        'md5': pa.array([r[2] for r in rows], pa.string()),
+    }))
+
+
+def _chunks_of(files, chunk_chars=8):
+    ds = ray.data.from_arrow(pa.table({
+        'path': pa.array([f[0] for f in files], pa.string()),
+        'text': pa.array([f[1] for f in files], pa.string()),
+    }))
+    return ds.map_batches(make_chunker(chunk_chars), batch_format='pyarrow')
+
+
+def test_chunker_offsets_and_hashes():
+    import hashlib
+    out = _chunks_of([('a.txt', 'abcdefghij'), ('b.txt', ''), ('c.txt', None)]) \
+        .to_pandas().sort_values(['path', 'chunk_offset']).reset_index(drop=True)
+    assert list(out['path']) == ['a.txt', 'a.txt', 'b.txt', 'c.txt']
+    assert list(out['chunk_offset']) == [0, 8, 0, 0]
+    assert out.loc[0, 'md5'] == hashlib.md5(b'abcdefgh').hexdigest()
+    assert out.loc[2, 'md5'] == hashlib.md5(b'').hexdigest()    # empty stays cataloged
+
+
+def test_changed_and_stale_chunks():
+    """One-chunk edit requeues ONLY that chunk; removed files surface as
+    stale catalog rows; unchanged chunks are never requeued."""
+    old = _chunks_of([('a.txt', 'abcdefghij'), ('gone.txt', 'x')])
+    cur = _chunks_of([('a.txt', 'abcdefghiJ'),      # second chunk changed ('ij'->'iJ')
+                      ('new.txt', 'hello')])
+    changed = changed_chunks(cur, old).to_pandas() \
+        .sort_values(['path', 'chunk_offset']).reset_index(drop=True)
+    assert [tuple(r) for r in changed[['path', 'chunk_offset']].to_numpy()] == \
+        [('a.txt', 8), ('new.txt', 0)]              # chunk 0 of a.txt NOT requeued
+    stale = stale_chunks(cur, old).to_pandas()
+    assert set(stale['path']) == {'a.txt', 'gone.txt'}  # old ij-chunk + removed file

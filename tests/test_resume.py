@@ -64,3 +64,20 @@ def test_manifest_lineage_fields(tmp_path, corr_files):
     assert m['input'][0]['path'] == corr_files[0]
     assert m['pii_findings'] == sum(m['pii_type_counts'].values())
     assert 'wall_sec' in m and m['rows'] > 0
+
+
+def test_resume_rejects_changed_input_set(tmp_path, smoke_pages_dir):
+    """ADVICE r1: resuming with a different input file list must fail fast —
+    the sorted round-robin assignment would shift files across every
+    partition and committed manifests would cover stale subsets."""
+    import glob
+    import shutil
+
+    import pytest as _pytest
+    files = sorted(glob.glob(os.path.join(smoke_pages_dir, '*.parquet')))
+    out = str(tmp_path / 'out')
+    run_partitioned(files, out, PipelineConfig(), num_partitions=2)
+    extra = str(tmp_path / 'extra-shard.parquet')
+    shutil.copy(files[0], extra)
+    with _pytest.raises(ValueError, match='resume mismatch'):
+        run_partitioned(files + [extra], out, PipelineConfig(), num_partitions=2)
