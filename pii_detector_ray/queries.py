@@ -723,6 +723,27 @@ def q_similarity_ann(sf_dir: str) -> pd.DataFrame:
                          'sim': [h[1] for h in hits]})
 
 
+def q_similarity_ann_sharded(sf_dir: str) -> pd.DataFrame:
+    """Distributed LSH ANN (stages/similarity.ShardedLshIndex): bucketized
+    vectors stay a Ray Dataset; identical results to the driver-side
+    LshIndex for the same (seed, n_planes) — this is the 10^12-vector
+    shape of similarity_ann."""
+    from pii_detector_ray.stages.similarity import ShardedLshIndex
+    ds = _embeddings(sf_dir, ['vec_id', 'embedding'])
+    index = ShardedLshIndex(ds, n_planes=8)
+    qvec = None
+    for b in ds.iter_batches(batch_size=4096, batch_format='pyarrow'):
+        ids = b.column('vec_id').to_pylist()
+        if 0 in ids:
+            qvec = np.asarray(b.column('embedding').to_pylist()[ids.index(0)],
+                              dtype=np.float64)
+            break
+    assert qvec is not None
+    hits = index.query(qvec, k=10, probes=3)
+    return pd.DataFrame({'vec_id': [h[0] for h in hits],
+                         'sim': [h[1] for h in hits]})
+
+
 def q_similarity_ivf(sf_dir: str) -> pd.DataFrame:
     """IVF ANN top-10 for the vec_id=0 query (k-means coarse quantizer, the
     data-adaptive scale path; recall tested vs brute force)."""
@@ -858,6 +879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'dedup_components': q_dedup_components,
         'embedding_dup_lsh': q_embedding_dup_lsh,
         'similarity_ann': q_similarity_ann,
+        'similarity_ann_sharded': q_similarity_ann_sharded,
         'similarity_ivf': q_similarity_ivf,
         'doc_fingerprints': q_doc_fingerprints,
         'token_stats': q_token_stats,

@@ -65,3 +65,17 @@ def test_ivf_index_recall():
     # deterministic across rebuilds
     index2 = IvfIndex(ds, n_lists=10)
     assert index.query(mat[9].astype(np.float64)) == index2.query(mat[9].astype(np.float64))
+
+
+def test_sharded_lsh_matches_driver_side_index():
+    """ShardedLshIndex (distributed dataset, no driver materialization of
+    vectors) returns the identical top-k as LshIndex for the same
+    (seed, n_planes) — including probe fan-out."""
+    from pii_detector_ray.stages.similarity import ShardedLshIndex
+    ds, mat = _ds(n=80)
+    local = LshIndex(ds, n_planes=8)
+    sharded = ShardedLshIndex(ds, n_planes=8)
+    q = mat[5].astype(np.float64) * 2.0
+    for probes in (0, 2):
+        assert sharded.query(q, k=7, probes=probes) == \
+            local.query(q, k=7, probes=probes)
