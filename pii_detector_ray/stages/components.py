@@ -52,9 +52,10 @@ def connected_components(pairs: ray.data.Dataset, *, col_a: str = 'doc_a',
     # sum(lbl) — min-label propagation is MONOTONE (a node's label only ever
     # decreases), so the sum strictly decreases iff any label changed.  The
     # only driver traffic per round is that one aggregate scalar.
-    from pii_detector_ray.stages.dedup import join_partitions
+    from pii_detector_ray.stages.dedup import drop_empty_blocks, join_partitions
     nparts = join_partitions()
-    prev_sum = labels.sum('lbl')
+    labels = drop_empty_blocks(labels)     # aggregate-derived join input
+    prev_sum = labels.sum('lbl') or 0
     for _ in range(max_rounds - 1):
         # edge (a,b) proposes label(a) to b; every node appears on the 'a'
         # side of the symmetric edge list, so the inner join covers all edges
@@ -63,10 +64,10 @@ def connected_components(pairs: ray.data.Dataset, *, col_a: str = 'doc_a',
         proposals = joined.map_batches(
             lambda t: pa.table({'a': t.column('b'), 'lbl': t.column('lbl')}),
             batch_format='pyarrow')
-        labels = (proposals.union(labels)
-                  .groupby('a').aggregate(Min('lbl', alias_name='lbl'))
-                  .materialize())
-        new_sum = labels.sum('lbl')
+        labels = drop_empty_blocks(
+            proposals.union(labels)
+            .groupby('a').aggregate(Min('lbl', alias_name='lbl')))
+        new_sum = labels.sum('lbl') or 0
         if new_sum == prev_sum:
             break
         prev_sum = new_sum

@@ -198,6 +198,7 @@ def _attach_pair_payloads(pairs: ray.data.Dataset, payload: ray.data.Dataset,
     side_b = payload.map_batches(
         lambda t: t.rename_columns(['doc_b', f'{payload_col}_b']),
         batch_format='pyarrow')
+    pairs = drop_empty_blocks(pairs)   # aggregate-derived: see drop_empty_blocks
     out = pairs.join(side_a, join_type='inner', num_partitions=nparts,
                      on=('doc_a',))
     return out.join(side_b, join_type='inner', num_partitions=nparts,
@@ -305,6 +306,28 @@ def make_simhash_stage(text_col: str = 'text', id_col: str = 'doc_id'):
 def _popcount64(x: np.ndarray) -> np.ndarray:
     """Vectorized population count of a uint64 array."""
     return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+
+def drop_empty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Ray 2.49 workaround, measured in this sandbox: ``groupby().aggregate()``
+    emits 0-row blocks with an EMPTY (zero-column) schema; when such a block
+    is what a ``Dataset.join`` hash-shuffle broadcasts for schema, the join
+    aggregator dies with ``ArrowInvalid: No match or multiple matches for key
+    field reference``.  ``map_batches`` can't normalize them (empty blocks
+    are skipped without invoking the fn), so: materialize and rebuild from
+    the non-empty block refs.  Metadata-only — no blocks are fetched to the
+    driver — but it does force materialization, so use it ONLY on narrow
+    aggregate outputs that feed a join (winner keys, labels, candidate
+    pairs), never on payload datasets."""
+    m = ds.materialize()
+    refs = []
+    for bundle in m.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(ref)
+    if not refs:
+        return m
+    return ray.data.from_arrow_refs(refs)
 
 
 def join_partitions(default: int = 8) -> int:

@@ -53,11 +53,13 @@ def _anti_join(left: ray.data.Dataset, right: ray.data.Dataset,
                keys: tuple[str, ...],
                num_partitions: int | None = None) -> ray.data.Dataset:
     """Rows of ``left`` whose key tuple does not appear in ``right``."""
-    from pii_detector_ray.stages.dedup import join_partitions
-    marker = right.map_batches(
+    from pii_detector_ray.stages.dedup import drop_empty_blocks, join_partitions
+    marker = drop_empty_blocks(right.map_batches(
         lambda t: t.select(list(keys)).append_column(
             '_present', pa.array([1] * len(t), pa.int8())),
-        batch_format='pyarrow')
+        batch_format='pyarrow'))
+    if marker.count() == 0:       # nothing on the right → everything is a miss
+        return left
     joined = left.join(marker, join_type='left_outer',
                        num_partitions=num_partitions or join_partitions(),
                        on=keys)

@@ -142,3 +142,23 @@ def test_cli_config_file_applies(tmp_path, smoke_pages_dir, capsys):
     assert rc == 0
     m = read_manifest(out, 0)
     assert set(m['pii_type_counts']) <= {'US_SSN'}
+
+
+def test_dedup_urls_full_tie_keeps_single_row():
+    """Byte-identical duplicate captures (same url, warc_ts, text) collapse
+    to ONE row through the tie path of the narrow-winners dedup."""
+    import pyarrow as pa
+    import ray.data
+
+    from pii_detector_ray.pipelines.quality_filter import dedup_exact_by_url
+    rows = {
+        'url': ['https://a/x', 'https://a/x', 'https://a/x', 'https://b/y'],
+        'warc_ts': pa.array([1000, 1000, 2000, 500], pa.timestamp('us')),
+        'lang': ['en'] * 4,
+        'extracted_text': ['same text', 'same text', 'later text', 'other'],
+    }
+    ds = ray.data.from_arrow(pa.table(rows)).repartition(3)
+    out = dedup_exact_by_url(ds).to_pandas().sort_values('url').reset_index(drop=True)
+    assert len(out) == 2
+    assert out.loc[0, 'extracted_text'] == 'same text'       # earliest, once
+    assert out.loc[1, 'url'] == 'https://b/y'
