@@ -474,6 +474,108 @@ _EVENTS_SESSIONS_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Custom join/window operators (stages/joins.py): as-of join, range join,
+# sliding windows — each with an exact SQL oracle.
+# ---------------------------------------------------------------------------
+
+def q_events_asof(sf_dir: str) -> ray.data.Dataset:
+    """Backward as-of join: each 'click' event picks up the latest PRIOR
+    'purchase' by the same user (DuckDB ASOF JOIN oracle).  The right side
+    is pre-deduped per (user_id, ts) so tie semantics are well-defined."""
+    from pii_detector_ray.stages.joins import asof_join
+
+    def proj(etype: str):
+        def f(batch: pa.Table) -> pa.Table:
+            mask = pc.equal(batch.column('event_type'), etype)
+            t = batch.filter(mask)
+            out = {'user_id': t.column('user_id'),
+                   'ts_us': pc.cast(t.column('ts'), pa.int64()),
+                   'value': t.column('value')}
+            if etype == 'click':
+                out = {'event_id': t.column('event_id'), **out}
+            return pa.table(out)
+        return f
+
+    ev = _events(sf_dir, ['event_id', 'ts', 'user_id', 'event_type', 'value'])
+    left = ev.map_batches(proj('click'), batch_format='pyarrow')
+    right = ev.map_batches(proj('purchase'), batch_format='pyarrow') \
+        .groupby(['user_id', 'ts_us']).aggregate(Max('value', alias_name='value'))
+    out = asof_join(left, right, by='user_id', on='ts_us',
+                    right_value_cols=['value'])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            'event_id': df['event_id'].astype('int64'),
+            'user_id': df['user_id'].astype('int64'),
+            'ts_us': df['ts_us'].astype('int64'),
+            'value': df['value'].round(2),
+            'prior_ts_us': df['prior_ts_us'].astype('int64'),
+            'prior_value': df['prior_value'].round(2),
+        })
+    return out.map_batches(fin, batch_format='pandas')
+
+
+_EVENTS_ASOF_SQL = (
+    "WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value "
+    "FROM events WHERE event_type = 'click'), "
+    "r AS (SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS value "
+    "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) "
+    "SELECT l.event_id, l.user_id, l.ts_us, round(l.value, 2) AS value, "
+    "r.ts_us AS prior_ts_us, round(r.value, 2) AS prior_value "
+    "FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us"
+)
+
+
+def q_orders_price_bands(sf_dir: str) -> ray.data.Dataset:
+    """Non-equi range join against a broadcast band table, then a small
+    aggregate — the scale shape for small-side range joins."""
+    import os
+
+    from pii_detector_ray.stages.joins import range_join_broadcast
+    orders = ray.data.read_parquet(os.path.join(sf_dir, 'orders.parquet'),
+                                   columns=['o_orderkey', 'o_totalprice'])
+    banded = range_join_broadcast(orders, value_col='o_totalprice',
+                                  bounds=[0.0, 100_000.0, 300_000.0],
+                                  labels=['low', 'mid', 'high'])
+    agg = banded.groupby('band').aggregate(
+        Count(alias_name='n_orders'), Sum('o_totalprice', alias_name='_t'))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({'band': t.column('band'),
+                         'n_orders': t.column('n_orders'),
+                         'total_price': pc.round(t.column('_t'), 2)})
+    return agg.map_batches(fin, batch_format='pyarrow')
+
+
+_ORDERS_BANDS_SQL = (
+    "WITH bands(lo, hi, band) AS (VALUES (0.0, 100000.0, 'low'), "
+    "(100000.0, 300000.0, 'mid'), (300000.0, 1e15, 'high')) "
+    "SELECT b.band, count(*) AS n_orders, "
+    "round(sum(o.o_totalprice), 2) AS total_price "
+    "FROM orders o JOIN bands b "
+    "ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi GROUP BY b.band"
+)
+
+
+def q_events_sliding(sf_dir: str) -> ray.data.Dataset:
+    """Sliding 1-hour windows every 15 min per event_type (each event
+    explodes into 4 windows; shuffle carries only per-batch partials)."""
+    from pii_detector_ray.stages.joins import sliding_window_agg
+    return sliding_window_agg(_events(sf_dir, ['ts', 'event_type', 'value']),
+                              key_col='event_type', ts_col='ts',
+                              value_col='value',
+                              window_us=3_600_000_000, slide_us=900_000_000)
+
+
+_EVENTS_SLIDING_SQL = (
+    "SELECT event_type, "
+    "((epoch_us(ts) // 900000000) - j) * 900000000 AS window_start, "
+    "count(*) AS n_events, round(sum(value), 2) AS sum_value "
+    "FROM events, generate_series(0, 3) AS s(j) GROUP BY 1, 2"
+)
+
+
 def q_dedup_components(sf_dir: str) -> ray.data.Dataset:
     """Near-dup pairs → connected components → canonical keep/drop decisions
     (the end-to-end dedup story: LSH candidates, Jaccard verify, min-label
@@ -861,6 +963,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'events_hourly': q_events_hourly,
         'events_user_stats': q_events_user_stats,
         'events_sessions': q_events_sessions,
+        'events_asof': q_events_asof,
+        'events_sliding': q_events_sliding,
+        'orders_price_bands': q_orders_price_bands,
         'similarity_topk': q_similarity_topk,
         'word_stats': q_word_stats,
         'host_stats': q_host_stats,
@@ -911,6 +1016,9 @@ def oracle_sql() -> dict[str, str]:
         'events_hourly': _EVENTS_HOURLY_SQL,
         'events_user_stats': _EVENTS_USER_SQL,
         'events_sessions': _EVENTS_SESSIONS_SQL,
+        'events_asof': _EVENTS_ASOF_SQL,
+        'events_sliding': _EVENTS_SLIDING_SQL,
+        'orders_price_bands': _ORDERS_BANDS_SQL,
         'similarity_topk': _SIMILARITY_SQL,
         'word_stats': _WORD_STATS_SQL,
         'host_stats': _HOST_STATS_SQL,

@@ -1,0 +1,150 @@
+"""Custom join/window operators Ray Data lacks natively.
+
+Per the build contract (custom operators: compose ``map_batches`` +
+``groupby().map_groups`` + explode where semantics allow), each operator
+documents the partitioning assumption it relies on:
+
+- :func:`asof_join` — co-partitions BOTH sides by the ``by`` key with one
+  groupby over a tagged union; per-key merge is a vectorized
+  ``searchsorted``.  Assumes per-key row counts fit one task (true for
+  per-user event streams; a mega-key needs time-bucket salting).
+- :func:`range_join_broadcast` — the band table is the SMALL side by
+  definition (a handful of ranges); it ships once via the task closure and
+  each batch resolves bands with one ``searchsorted`` — no shuffle at all.
+- :func:`sliding_window_agg` — explodes each row into the (few) windows
+  covering it, then a two-phase aggregate; shuffle carries only
+  (key, window, partials).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
+              by: str, on: str,
+              right_value_cols: list[str],
+              tolerance_us: int | None = None) -> ray.data.Dataset:
+    """Backward as-of join: for each left row, attach the LATEST right row
+    with ``right.on <= left.on`` within the same ``by`` key (DuckDB
+    ``ASOF JOIN`` semantics, inner flavor — left rows with no prior right
+    row are dropped).
+
+    Both sides are tagged and unioned, so ONE groupby co-partitions them;
+    the per-key merge is ``np.searchsorted`` over the sorted right
+    timestamps.  ``on`` must be int64-comparable (cast timestamps up front).
+    """
+    # pandas tagging keeps the union schema stable across heterogeneous
+    # side schemas (missing columns become NaN instead of a schema error)
+    def tag_simple(side: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df['_side'] = side
+            df['_on'] = df[on].astype('int64')
+            return df
+        return f
+
+    tagged = left.map_batches(tag_simple(0), batch_format='pandas').union(
+        right.map_batches(tag_simple(1), batch_format='pandas'))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g['_side'] == 0]
+        rg = g[g['_side'] == 1].sort_values('_on', kind='mergesort')
+        if lg.empty or rg.empty:
+            return pd.DataFrame()
+        lt = lg['_on'].to_numpy()
+        rt = rg['_on'].to_numpy()
+        idx = np.searchsorted(rt, lt, side='right') - 1
+        ok = idx >= 0
+        if tolerance_us is not None:
+            ok &= (lt - rt[np.clip(idx, 0, None)]) <= tolerance_us
+        lg = lg[ok]
+        picked = rg.iloc[idx[ok]]
+        out = lg.drop(columns=['_side', '_on']).reset_index(drop=True)
+        for c in right_value_cols:
+            out[f'prior_{c}'] = picked[c].to_numpy()
+        out['prior_' + on] = picked[on].to_numpy()
+        return out
+
+    return tagged.groupby(by).map_groups(merge, batch_format='pandas')
+
+
+def range_join_broadcast(ds: ray.data.Dataset, *, value_col: str,
+                         bounds: list[float], labels: list[str],
+                         out_col: str = 'band') -> ray.data.Dataset:
+    """Non-equi range join against a small band table: band i covers
+    ``[bounds[i], bounds[i+1])`` (the last band is open-ended when
+    ``len(bounds) == len(labels)``).  The band table rides the task closure
+    (broadcast); each batch resolves membership with one ``searchsorted`` —
+    the 100 TB shape for small-side non-equi joins."""
+    edges = np.asarray(bounds, dtype=np.float64)
+    names = list(labels)
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.searchsorted(edges, v, side='right') - 1
+        keep = idx >= 0
+        if len(edges) > len(names):      # explicit upper edge on the last band
+            keep &= v < edges[-1]
+        idx = np.clip(idx, 0, len(names) - 1)
+        lab = np.array(names, dtype=object)[idx]
+        out = t.append_column(out_col, pa.array(lab, pa.string()))
+        return out.filter(pa.array(keep))
+
+    return ds.map_batches(assign, batch_format='pyarrow')
+
+
+def sliding_window_agg(ds: ray.data.Dataset, *, key_col: str, ts_col: str,
+                       value_col: str, window_us: int,
+                       slide_us: int) -> ray.data.Dataset:
+    """Sliding-window aggregate: count + sum of ``value_col`` per
+    (key, window_start) for windows of ``window_us`` sliding every
+    ``slide_us`` (``window_us`` must be a multiple of ``slide_us``).
+
+    Each row explodes into the ``window_us / slide_us`` windows covering
+    it; the shuffle then carries only (key, window_start, partial) rows via
+    a per-batch pre-aggregate."""
+    k = window_us // slide_us
+    assert k * slide_us == window_us, 'window must be a multiple of slide'
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        vals = t.column(value_col).to_numpy(zero_copy_only=False)
+        base = (ts // slide_us) * slide_us
+        starts = (base[:, None] - np.arange(k, dtype=np.int64)[None, :] * slide_us)
+        tbl = pa.table({
+            key_col: pa.array(np.repeat(keys, k)),
+            'window_start': pa.array(starts.reshape(-1)),
+            value_col: pa.array(np.repeat(vals, k)),
+        })
+        # per-batch partial aggregate: one row per (key, window) per batch
+        agg = tbl.group_by([key_col, 'window_start']).aggregate(
+            [(value_col, 'count'), (value_col, 'sum')])
+        return pa.table({
+            key_col: agg.column(key_col),
+            'window_start': agg.column('window_start'),
+            '_n': pc.cast(agg.column(f'{value_col}_count'), pa.int64()),
+            '_sum': agg.column(f'{value_col}_sum'),
+        })
+
+    out = (ds.map_batches(explode, batch_format='pyarrow')
+           .groupby([key_col, 'window_start'])
+           .aggregate(Sum('_n', alias_name='n_events'),
+                      Sum('_sum', alias_name='sum_value')))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: t.column(key_col),
+            'window_start': t.column('window_start'),
+            'n_events': t.column('n_events'),
+            'sum_value': pc.round(t.column('sum_value'), 2),
+        })
+
+    return out.map_batches(fin, batch_format='pyarrow')

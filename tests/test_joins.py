@@ -1,0 +1,78 @@
+"""Custom join/window operators (stages/joins.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from pii_detector_ray.stages.joins import (
+    asof_join,
+    range_join_broadcast,
+    sliding_window_agg,
+)
+
+
+def _ds(tbl: dict) -> ray.data.Dataset:
+    return ray.data.from_arrow(pa.table(tbl)).repartition(3)
+
+
+def test_asof_join_backward_semantics():
+    left = _ds({'k': [1, 1, 1, 2, 3], 'ts_us': [10, 20, 4, 50, 9],
+                'v': [1.0, 2.0, 3.0, 4.0, 5.0]})
+    right = _ds({'k': [1, 1, 2], 'ts_us': [5, 15, 50], 'w': [9.0, 8.0, 7.0]})
+    out = asof_join(left, right, by='k', on='ts_us', right_value_cols=['w']) \
+        .to_pandas().sort_values(['k', 'ts_us']).reset_index(drop=True)
+    # k=1,ts=4 has no prior right row -> dropped; k=3 has no right side at all
+    assert [tuple(r) for r in out[['k', 'ts_us', 'prior_ts_us']].to_numpy()] == \
+        [(1, 10, 5), (1, 20, 15), (2, 50, 50)]
+    assert list(out['prior_w']) == [9.0, 8.0, 7.0]
+
+
+def test_asof_join_tolerance():
+    left = _ds({'k': [1, 1], 'ts_us': [100, 200], 'v': [0.0, 0.0]})
+    right = _ds({'k': [1], 'ts_us': [95], 'w': [1.0]})
+    out = asof_join(left, right, by='k', on='ts_us', right_value_cols=['w'],
+                    tolerance_us=10).to_pandas()
+    assert list(out['ts_us']) == [100]          # 200-95=105 > 10 -> dropped
+
+
+def test_range_join_broadcast_edges():
+    ds = _ds({'id': [1, 2, 3, 4, 5],
+              'x': [-1.0, 0.0, 99.9, 100.0, 1e9]})
+    out = range_join_broadcast(ds, value_col='x', bounds=[0.0, 100.0],
+                               labels=['a', 'b']).to_pandas() \
+        .sort_values('id').reset_index(drop=True)
+    # -1 below first bound -> dropped; [0,100) -> a; >=100 open-ended -> b
+    assert list(out['id']) == [2, 3, 4, 5]
+    assert list(out['band']) == ['a', 'a', 'b', 'b']
+    # with an explicit upper edge the tail is dropped
+    closed = range_join_broadcast(ds, value_col='x', bounds=[0.0, 100.0, 200.0],
+                                  labels=['a', 'b']).to_pandas()
+    assert set(closed['id']) == {2, 3, 4}
+
+
+def test_sliding_window_matches_manual():
+    rng = np.random.default_rng(4)
+    ts = rng.integers(0, 10_000, 300)
+    keys = rng.choice(['a', 'b'], 300)
+    vals = np.round(rng.random(300), 3)
+    ds = _ds({'k': keys.tolist(), 'ts': ts.tolist(), 'v': vals.tolist()})
+    out = sliding_window_agg(ds, key_col='k', ts_col='ts', value_col='v',
+                             window_us=400, slide_us=100).to_pandas()
+    # manual: event at t belongs to windows w in {floor(t/100)*100 - j*100}
+    rows = {}
+    for k, t, v in zip(keys, ts, vals):
+        base = (t // 100) * 100
+        for j in range(4):
+            w = base - j * 100
+            n, s = rows.get((k, w), (0, 0.0))
+            rows[(k, w)] = (n + 1, s + v)
+    exp = pd.DataFrame([(k, w, n, round(s, 2)) for (k, w), (n, s) in rows.items()],
+                       columns=['k', 'window_start', 'n_events', 'sum_value'])
+    got = out.sort_values(['k', 'window_start']).reset_index(drop=True)
+    exp = exp.sort_values(['k', 'window_start']).reset_index(drop=True)
+    assert got[['k', 'window_start', 'n_events']].astype(str).equals(
+        exp[['k', 'window_start', 'n_events']].astype(str))
+    # sums compared with tolerance: round-to-2dp at a .xx5 boundary depends
+    # on float accumulation order (distributed vs serial)
+    assert np.allclose(got['sum_value'], exp['sum_value'], atol=0.011)
