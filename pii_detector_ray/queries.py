@@ -453,6 +453,119 @@ _EVENTS_USER_SQL = (
 
 
 # ---------------------------------------------------------------------------
+# TPC-H-style analytics over the relational driver tables: the wide-agg and
+# broadcast-join shapes a pipeline engine needs beyond the documents path.
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-shaped pricing summary: per-batch partial aggregates inside
+    map_batches (Arrow group_by), then a tiny 4-group global groupby — the
+    two-phase combiner shape for a 10^12-row lineitem."""
+    import os
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, 'lineitem.parquet'),
+        columns=['l_returnflag', 'l_linestatus', 'l_quantity',
+                 'l_extendedprice', 'l_discount'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t.column('l_extendedprice'),
+                           pc.subtract(pa.scalar(1.0), t.column('l_discount')))
+        tbl = pa.table({
+            'l_returnflag': t.column('l_returnflag'),
+            'l_linestatus': t.column('l_linestatus'),
+            'qty': t.column('l_quantity'),
+            'price': t.column('l_extendedprice'),
+            'disc_price': disc,
+        })
+        agg = tbl.group_by(['l_returnflag', 'l_linestatus']).aggregate(
+            [('qty', 'sum'), ('price', 'sum'), ('disc_price', 'sum'),
+             ('qty', 'count')])
+        return pa.table({
+            'l_returnflag': agg.column('l_returnflag'),
+            'l_linestatus': agg.column('l_linestatus'),
+            '_qty': agg.column('qty_sum'),
+            '_price': agg.column('price_sum'),
+            '_disc': agg.column('disc_price_sum'),
+            '_n': pc.cast(agg.column('qty_count'), pa.int64()),
+        })
+
+    agg = (li.map_batches(partial, batch_format='pyarrow')
+           .groupby(['l_returnflag', 'l_linestatus'])
+           .aggregate(Sum('_qty', alias_name='sum_qty'),
+                      Sum('_price', alias_name='sum_base_price'),
+                      Sum('_disc', alias_name='sum_disc_price'),
+                      Sum('_n', alias_name='count_order')))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            'l_returnflag': t.column('l_returnflag'),
+            'l_linestatus': t.column('l_linestatus'),
+            'sum_qty': pc.round(t.column('sum_qty'), 2),
+            'sum_base_price': pc.round(t.column('sum_base_price'), 2),
+            'sum_disc_price': pc.round(t.column('sum_disc_price'), 2),
+            'count_order': t.column('count_order'),
+        })
+    return agg.map_batches(fin, batch_format='pyarrow')
+
+
+_PRICING_SUMMARY_SQL = (
+    "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+    "round(sum(l_extendedprice), 2) AS sum_base_price, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+    "count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus"
+)
+
+
+def q_nation_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Revenue per nation: orders x customer x nation resolved with TWO
+    broadcast lookups (`ray.put` once, read per task) — the small sides
+    (customer keys→nationkey, nation) never shuffle; only the narrow
+    (nationkey, partial) rows do."""
+    import os
+    cust = ray.data.read_parquet(os.path.join(sf_dir, 'customer.parquet'),
+                                 columns=['c_custkey', 'c_nationkey']).to_pandas()
+    nation = ray.data.read_parquet(os.path.join(sf_dir, 'nation.parquet'),
+                                   columns=['n_nationkey', 'n_name']).to_pandas()
+    cust_map = ray.put(dict(zip(cust['c_custkey'], cust['c_nationkey'])))
+    nation_map = ray.put(dict(zip(nation['n_nationkey'], nation['n_name'])))
+
+    orders = ray.data.read_parquet(os.path.join(sf_dir, 'orders.parquet'),
+                                   columns=['o_custkey', 'o_totalprice'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cmap = ray.get(cust_map)
+        nmap = ray.get(nation_map)
+        keys = t.column('o_custkey').to_numpy(zero_copy_only=False)
+        names = [nmap.get(cmap.get(int(k), -1), 'UNKNOWN') for k in keys]
+        tbl = pa.table({'n_name': pa.array(names, pa.string()),
+                        'price': t.column('o_totalprice')})
+        agg = tbl.group_by('n_name').aggregate([('price', 'sum'),
+                                                ('price', 'count')])
+        return pa.table({'n_name': agg.column('n_name'),
+                         '_rev': agg.column('price_sum'),
+                         '_n': pc.cast(agg.column('price_count'), pa.int64())})
+
+    agg = (orders.map_batches(partial, batch_format='pyarrow')
+           .groupby('n_name')
+           .aggregate(Sum('_rev', alias_name='revenue'),
+                      Sum('_n', alias_name='n_orders')))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({'n_name': t.column('n_name'),
+                         'revenue': pc.round(t.column('revenue'), 2),
+                         'n_orders': t.column('n_orders')})
+    return agg.map_batches(fin, batch_format='pyarrow')
+
+
+_NATION_REVENUE_SQL = (
+    "SELECT n.n_name, round(sum(o.o_totalprice), 2) AS revenue, "
+    "count(*) AS n_orders FROM orders o "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"
+)
+
+
+# ---------------------------------------------------------------------------
 # Similarity search over embeddings (brute-force cosine top-k baseline)
 # ---------------------------------------------------------------------------
 
@@ -966,6 +1079,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'events_asof': q_events_asof,
         'events_sliding': q_events_sliding,
         'orders_price_bands': q_orders_price_bands,
+        'pricing_summary': q_pricing_summary,
+        'nation_revenue': q_nation_revenue,
         'similarity_topk': q_similarity_topk,
         'word_stats': q_word_stats,
         'host_stats': q_host_stats,
@@ -1019,6 +1134,8 @@ def oracle_sql() -> dict[str, str]:
         'events_asof': _EVENTS_ASOF_SQL,
         'events_sliding': _EVENTS_SLIDING_SQL,
         'orders_price_bands': _ORDERS_BANDS_SQL,
+        'pricing_summary': _PRICING_SUMMARY_SQL,
+        'nation_revenue': _NATION_REVENUE_SQL,
         'similarity_topk': _SIMILARITY_SQL,
         'word_stats': _WORD_STATS_SQL,
         'host_stats': _HOST_STATS_SQL,
