@@ -999,6 +999,24 @@ def q_quality_scores(sf_dir: str) -> ray.data.Dataset:
             .select_columns(['doc_id', 'quality_score']))
 
 
+def q_media_decode(sf_dir: str) -> ray.data.Dataset:
+    """Multimodal REAL-decode path: gradient PNGs + sine WAVs built with the
+    stdlib codecs, decoded (not faked) by the actor-pool stage into feature
+    vectors, then resized thumbnails for the image rows."""
+    from pii_detector_ray.stages.multimodal import (
+        MediaDecodeStage,
+        ResizeStage,
+        synth_real_media_table,
+    )
+    ds = ray.data.from_arrow(synth_real_media_table(120))
+    resized = ds.map_batches(ResizeStage, batch_format='pyarrow', batch_size=32,
+                             concurrency=2, num_cpus=1)
+    out = resized.map_batches(MediaDecodeStage, batch_format='pyarrow',
+                              batch_size=32, concurrency=2, num_cpus=1,
+                              fn_constructor_kwargs={'use_fake_decoder': False})
+    return out.select_columns(['media_id', 'media_type', 'resized', 'features'])
+
+
 def q_media_features(sf_dir: str) -> ray.data.Dataset:
     """Multimodal plumbing: synthetic binary media → actor-pool decode stage
     (deterministic fake decoder; real codecs absent in this container)."""
@@ -1105,6 +1123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'token_stats': q_token_stats,
         'quality_scores': q_quality_scores,
         'media_features': q_media_features,
+        'media_decode': q_media_decode,
     })
     return out
 

@@ -1,12 +1,17 @@
 """Multimodal column plumbing: opaque binary media + typed metadata.
 
 Images/audio/video are carried as ``binary`` columns with a
-``media_type`` tag, processed by actor-pool ``map_batches`` stages.  This
-container has no image/audio libraries (PIL, ffmpeg, torchaudio...), so the
-DECODE step is stubbed exactly as the build contract requires: the Ray-side
-plumbing — schema, batch sizing, actor signature, output layout — is real and
-tested; the codec call sites raise ``NotImplementedError`` unless the
-deterministic fake decoder is enabled.
+``media_type`` tag, processed by actor-pool ``map_batches`` stages.
+
+Codec status in this container (no PIL/ffmpeg/torchaudio):
+
+- **PNG** — REAL, stdlib: chunk parse + zlib IDAT inflate + scanline
+  unfilter (filter types 0–4), 8-bit gray/RGB/RGBA non-interlaced
+  (:func:`decode_png`; encoder for fixtures :func:`encode_png`).
+- **WAV** — REAL, stdlib: ``wave`` module, 16-bit PCM (:func:`decode_wav`).
+- everything else (JPEG, video, ...) — stubbed: the Ray-side plumbing is
+  real, the codec call raises ``NotImplementedError`` unless the
+  deterministic fake byte-histogram decoder is enabled.
 
 Scale notes: large binary payloads need SMALL ``batch_size`` (a batch ×
 concurrency must fit worker heap) and benefit from a larger
@@ -15,8 +20,155 @@ concurrency must fit worker heap) and benefit from a larger
 
 from __future__ import annotations
 
+import struct
+import wave
+import zlib
+from io import BytesIO
+
 import numpy as np
 import pyarrow as pa
+
+
+# ---------------------------------------------------------------------------
+# Stdlib PNG codec (8-bit gray / RGB / RGBA, non-interlaced)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b'\x89PNG\r\n\x1a\n'
+_COLOR_CHANNELS = {0: 1, 2: 3, 6: 4}      # gray, RGB, RGBA
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack('>I', len(body)) + tag + body
+            + struct.pack('>I', zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w) or (h, w, 3|4) uint8 array → PNG bytes.  ``filter_type``
+    selects the per-scanline filter (0–4) so decoder tests can exercise
+    every unfilter path."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    bpp = ch
+    raw = bytearray()
+    prev = np.zeros((w, ch), dtype=np.uint8)
+    for y in range(h):
+        row = img[y]
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:     # Sub
+            left = np.vstack([np.zeros((1, ch), np.uint8), row[:-1]])
+            filt = (row.astype(np.int16) - left.astype(np.int16)) % 256
+        elif filter_type == 2:     # Up
+            filt = (row.astype(np.int16) - prev.astype(np.int16)) % 256
+        elif filter_type == 3:     # Average
+            left = np.vstack([np.zeros((1, ch), np.uint8), row[:-1]])
+            filt = (row.astype(np.int16)
+                    - (left.astype(np.int16) + prev.astype(np.int16)) // 2) % 256
+        elif filter_type == 4:     # Paeth
+            left = np.vstack([np.zeros((1, ch), np.uint8), row[:-1]])
+            ul = np.vstack([np.zeros((1, ch), np.uint8), prev[:-1]])
+            pred = _paeth(left.astype(np.int16), prev.astype(np.int16),
+                          ul.astype(np.int16))
+            filt = (row.astype(np.int16) - pred) % 256
+        else:
+            raise ValueError(f'bad filter type {filter_type}')
+        raw.append(filter_type)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack('>IIBBBBB', w, h, 8, color, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b'IHDR', ihdr)
+            + _png_chunk(b'IDAT', zlib.compress(bytes(raw)))
+            + _png_chunk(b'IEND', b''))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a + b - c
+    pa_, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa_ <= pb) & (pa_ <= pc), a, np.where(pb <= pc, b, c))
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, channels) uint8.  8-bit depth, color types
+    gray/RGB/RGBA, non-interlaced; raises on anything else (the outer stage
+    treats that like any missing codec)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError('not a png')
+    pos = 8
+    idat = bytearray()
+    w = h = ch = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack('>I', data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b'IHDR':
+            w, h, depth, color, comp, filt, interlace = struct.unpack('>IIBBBBB', body)
+            if depth != 8 or color not in _COLOR_CHANNELS or interlace != 0:
+                raise ValueError('unsupported png variant')
+            ch = _COLOR_CHANNELS[color]
+        elif tag == b'IDAT':
+            idat.extend(body)
+        elif tag == b'IEND':
+            break
+    if w is None or not idat:
+        raise ValueError('truncated png')
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    out = np.zeros((h, w, ch), dtype=np.uint8)
+    prev = np.zeros((w, ch), dtype=np.int16)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        row = np.frombuffer(raw, dtype=np.uint8,
+                            count=stride, offset=y * (stride + 1) + 1) \
+            .reshape(w, ch).astype(np.int16)
+        if ft == 0:
+            cur = row
+        elif ft == 2:      # Up
+            cur = (row + prev) % 256
+        elif ft in (1, 3, 4):   # Sub / Average / Paeth need the running left
+            cur = np.zeros_like(row)
+            left = np.zeros(ch, dtype=np.int16)
+            ulrow = np.vstack([np.zeros((1, ch), np.int16), prev[:-1]])
+            for x in range(w):
+                if ft == 1:
+                    cur[x] = (row[x] + left) % 256
+                elif ft == 3:
+                    cur[x] = (row[x] + (left + prev[x]) // 2) % 256
+                else:
+                    cur[x] = (row[x] + _paeth(left, prev[x], ulrow[x])) % 256
+                left = cur[x]
+        else:
+            raise ValueError(f'bad filter byte {ft}')
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """int16 mono samples → WAV bytes (stdlib ``wave``)."""
+    buf = BytesIO()
+    with wave.open(buf, 'wb') as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(np.asarray(samples, dtype='<i2').tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (int16 samples [n, channels], sample rate)."""
+    with wave.open(BytesIO(data), 'rb') as wf:
+        rate = wf.getframerate()
+        n = wf.getnframes()
+        ch = wf.getnchannels()
+        if wf.getsampwidth() != 2:
+            raise ValueError('only 16-bit PCM supported')
+        arr = np.frombuffer(wf.readframes(n), dtype='<i2').reshape(-1, ch)
+    return arr, rate
 
 MEDIA_SCHEMA = pa.schema([
     ('media_id', pa.int64()),
@@ -49,24 +201,26 @@ class MediaDecodeStage:
 
     def __init__(self, use_fake_decoder: bool = True) -> None:
         self.use_fake_decoder = use_fake_decoder
-        try:                                # real codec slot (absent here)
-            import PIL.Image                # noqa: F401
-            self._pil = True
-        except ImportError:
-            self._pil = False
 
     def decode(self, payload: bytes, media_type: str) -> np.ndarray:
-        if self.use_fake_decoder:
-            if not payload:
-                return np.zeros(FEATURE_DIM)
-            arr = np.frombuffer(payload, dtype=np.uint8)
-            hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype(np.float64)
-            return hist / hist.sum()
-        if media_type.startswith('image/') and self._pil:
-            raise NotImplementedError('real image decode: wire PIL here')
-        raise NotImplementedError(
-            f'no codec available for {media_type}; this container has no '
-            f'image/audio libraries — use use_fake_decoder=True for plumbing tests')
+        if not payload:
+            return np.zeros(FEATURE_DIM)
+        if not self.use_fake_decoder:
+            if media_type == 'image/png':
+                img = decode_png(payload).astype(np.float64).mean(axis=2)
+                return mean_pool(img, 4, 4).reshape(-1) / 255.0
+            if media_type == 'audio/wav':
+                samples, _ = decode_wav(payload)
+                mono = samples.astype(np.float64).mean(axis=1)
+                segs = np.array_split(mono, FEATURE_DIM)
+                return np.array([np.sqrt(np.mean(s * s)) if s.size else 0.0
+                                 for s in segs]) / 32768.0
+            raise NotImplementedError(
+                f'no codec available for {media_type}; only stdlib PNG/WAV '
+                f'decode is wired in this container')
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype(np.float64)
+        return hist / hist.sum()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column('payload').to_pylist()
@@ -95,6 +249,74 @@ class FrameSampleStage:
                  for i in range(self.n_frames)] for d in durs]
         return batch.append_column(
             'frame_offsets_ms', pa.array(offs, pa.list_(pa.int32(), self.n_frames)))
+
+
+def mean_pool(img: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """(h, w) → (th, tw) by block mean-pooling (trailing rows/cols trimmed
+    so blocks divide evenly) — the stdlib-only 'resize'."""
+    h, w = img.shape
+    h2, w2 = (h // th) * th, (w // tw) * tw
+    if h2 == 0 or w2 == 0:
+        return np.zeros((th, tw))
+    blocks = img[:h2, :w2].reshape(th, h2 // th, tw, w2 // tw)
+    return blocks.mean(axis=(1, 3))
+
+
+class ResizeStage:
+    """Actor-pool image resize: PNG payload → mean-pooled thumbnail PNG.
+    Real stdlib work end-to-end (decode → pool → re-encode); non-PNG rows
+    pass through unchanged with ``resized=False``."""
+
+    def __init__(self, target: tuple[int, int] = (8, 8)) -> None:
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        th, tw = self.target
+        payloads = batch.column('payload').to_pylist()
+        types = batch.column('media_type').to_pylist()
+        out_payloads, resized = [], []
+        for p, t in zip(payloads, types):
+            if t == 'image/png' and p:
+                img = decode_png(p).astype(np.float64)
+                pooled = np.stack([mean_pool(img[:, :, c], th, tw)
+                                   for c in range(img.shape[2])], axis=2)
+                out_payloads.append(encode_png(pooled.astype(np.uint8)))
+                resized.append(True)
+            else:
+                out_payloads.append(p)
+                resized.append(False)
+        batch = batch.drop_columns(['payload'])
+        batch = batch.append_column('payload', pa.array(out_payloads, pa.binary()))
+        return batch.append_column('resized', pa.array(resized, pa.bool_()))
+
+
+def synth_real_media_table(n: int, seed: int = 17) -> pa.Table:
+    """Fixture table whose payloads are REAL decodable media: deterministic
+    gradient PNGs (even ids) and sine-burst WAVs (odd ids)."""
+    rng = np.random.default_rng(seed)
+    ids, types, payloads, widths, heights, durs = [], [], [], [], [], []
+    for i in range(n):
+        ids.append(i)
+        if i % 2 == 0:
+            w, h = 16 + int(rng.integers(0, 16)), 16 + int(rng.integers(0, 16))
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack([(xx * (i + 1)) % 256, (yy * 3) % 256,
+                            ((xx + yy + i) % 256)], axis=2).astype(np.uint8)
+            payloads.append(encode_png(img, filter_type=int(rng.integers(0, 5))))
+            types.append('image/png')
+            widths.append(w); heights.append(h); durs.append(None)
+        else:
+            t = np.arange(1600)
+            freq = 220.0 * (1 + (i % 5))
+            samples = (10_000 * np.sin(2 * np.pi * freq * t / 16_000)).astype(np.int16)
+            payloads.append(encode_wav(samples))
+            types.append('audio/wav')
+            widths.append(None); heights.append(None); durs.append(100)
+    return pa.Table.from_arrays([
+        pa.array(ids, pa.int64()), pa.array(types, pa.string()),
+        pa.array(payloads, pa.binary()), pa.array(widths, pa.int32()),
+        pa.array(heights, pa.int32()), pa.array(durs, pa.int32()),
+    ], schema=MEDIA_SCHEMA)
 
 
 def synth_media_table(n: int, seed: int = 9) -> pa.Table:

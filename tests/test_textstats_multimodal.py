@@ -74,10 +74,14 @@ def test_media_decode_stage_plumbing():
     assert np.allclose(np.stack(out2['features'].to_numpy()), feats)
 
 
-def test_media_decode_real_codec_path_raises():
+def test_media_decode_codecless_types_raise():
+    # PNG/WAV are now REAL stdlib codecs (r2); formats without a codec in
+    # this container keep the NotImplementedError stub contract
     stage = MediaDecodeStage(use_fake_decoder=False)
     with pytest.raises(NotImplementedError):
-        stage.decode(b'\x89PNG...', 'image/png')
+        stage.decode(b'\x00\x00\x01\xba mpeg', 'video/mp4')
+    with pytest.raises(NotImplementedError):
+        stage.decode(b'\xff\xd8\xff jpeg', 'image/jpeg')
 
 
 def test_frame_sample_stage():
@@ -87,3 +91,66 @@ def test_frame_sample_stage():
     assert offs[0] == [125, 375, 625, 875]        # duration 1000ms midpoints
     with pytest.raises(NotImplementedError):
         FrameSampleStage(use_fake_decoder=False)(synth_media_table(1))
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png/decode_png roundtrip exactly for every scanline filter
+    type (0=None 1=Sub 2=Up 3=Average 4=Paeth), gray and RGB and RGBA."""
+    import numpy as np
+
+    from pii_detector_ray.stages.multimodal import decode_png, encode_png
+    rng = np.random.default_rng(2)
+    for ch in (1, 3, 4):
+        img = rng.integers(0, 256, size=(11, 7, ch), dtype=np.uint8)
+        if ch == 1:
+            img = img[:, :, 0]
+        for ft in range(5):
+            out = decode_png(encode_png(img, filter_type=ft))
+            exp = img if img.ndim == 3 else img[:, :, None]
+            assert out.shape == exp.shape and (out == exp).all(), (ch, ft)
+
+
+def test_wav_roundtrip():
+    import numpy as np
+
+    from pii_detector_ray.stages.multimodal import decode_wav, encode_wav
+    s = (np.sin(np.linspace(0, 20, 800)) * 12000).astype(np.int16)
+    out, rate = decode_wav(encode_wav(s, rate=8000))
+    assert rate == 8000
+    assert (out[:, 0] == s).all()
+
+
+def test_media_real_decode_and_resize():
+    import numpy as np
+    import ray.data
+
+    from pii_detector_ray.stages.multimodal import (
+        FEATURE_DIM,
+        MediaDecodeStage,
+        ResizeStage,
+        decode_png,
+        synth_real_media_table,
+    )
+    tbl = synth_real_media_table(20)
+    ds = ray.data.from_arrow(tbl)
+    resized = ds.map_batches(ResizeStage, batch_format='pyarrow', batch_size=8,
+                             concurrency=2, num_cpus=1).to_pandas() \
+        .sort_values('media_id').reset_index(drop=True)
+    assert resized.loc[0, 'resized'] and not resized.loc[1, 'resized']
+    thumb = decode_png(resized.loc[0, 'payload'])
+    assert thumb.shape == (8, 8, 3)
+    out = ray.data.from_arrow(tbl).map_batches(
+        MediaDecodeStage, batch_format='pyarrow', batch_size=8,
+        concurrency=2, num_cpus=1,
+        fn_constructor_kwargs={'use_fake_decoder': False}).to_pandas() \
+        .sort_values('media_id').reset_index(drop=True)
+    feats = np.stack(out['features'].to_numpy())
+    assert feats.shape == (20, FEATURE_DIM)
+    assert (feats[::2] <= 1.0).all() and feats[1::2].max() > 0.1  # wav RMS energy
+    # deterministic: same table decodes identically
+    again = ray.data.from_arrow(synth_real_media_table(20)).map_batches(
+        MediaDecodeStage, batch_format='pyarrow', batch_size=8,
+        concurrency=2, num_cpus=1,
+        fn_constructor_kwargs={'use_fake_decoder': False}).to_pandas() \
+        .sort_values('media_id').reset_index(drop=True)
+    assert np.allclose(np.stack(again['features'].to_numpy()), feats)
