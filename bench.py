@@ -65,7 +65,8 @@ def run_bench() -> dict:
     if not os.environ.get('GRAFT_BENCH_HEADLINE_ONLY'):
         for name in ['pii_email_counts', 'dedup_exact', 'events_user_stats',
                      'events_hourly', 'similarity_topk', 'token_counts',
-                     'scrub_documents']:
+                     'scrub_documents', 'events_asof', 'pricing_summary',
+                     'pii_person_counts']:
             fn = q.queries()[name]
             t0 = time.monotonic()
             res = fn(SF_DIR)
