@@ -44,6 +44,123 @@ def read_pages_json(paths: str | list[str]) -> ray.data.Dataset:
     return ray.data.read_json(paths).map_batches(_conform, batch_format='pyarrow')
 
 
+# ---------------------------------------------------------------------------
+# WARC (the Common-Crawl container format) — stdlib parser + fixture writer
+# ---------------------------------------------------------------------------
+
+def parse_warc(data: bytes) -> list[tuple[str, int, bytes]]:
+    """WARC bytes → [(url, ts_us, html_payload)] for ``response`` records.
+
+    Handles WARC/1.0-1.1, plain or gzip (including Common Crawl's
+    one-gzip-member-per-record layout — ``gzip.GzipFile`` reads concatenated
+    members transparently).  The HTTP response envelope inside a response
+    record is stripped to its body; malformed records are skipped (the
+    reference swallows per-object parse failures, file_service.py:417-422).
+    """
+    import gzip as _gzip
+    from datetime import datetime, timezone
+    from io import BytesIO
+
+    if data[:2] == b'\x1f\x8b':
+        data = _gzip.GzipFile(fileobj=BytesIO(data)).read()
+    out: list[tuple[str, int, bytes]] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = data.find(b'WARC/', pos)
+        if start < 0:
+            break
+        hdr_end = data.find(b'\r\n\r\n', start)
+        if hdr_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in data[start:hdr_end].split(b'\r\n')[1:]:
+            if b':' in line:
+                k, v = line.split(b':', 1)
+                headers[k.decode('latin-1').strip().lower()] = \
+                    v.decode('latin-1').strip()
+        try:
+            length = int(headers.get('content-length', '0'))
+        except ValueError:
+            length = 0
+        block = data[hdr_end + 4:hdr_end + 4 + length]
+        pos = hdr_end + 4 + length
+        if headers.get('warc-type', '').lower() != 'response':
+            continue
+        url = headers.get('warc-target-uri', '')
+        if not url:
+            continue
+        ts_us = _BASE_TS_US
+        date = headers.get('warc-date')
+        if date:
+            try:
+                dt = datetime.strptime(date, '%Y-%m-%dT%H:%M:%SZ') \
+                    .replace(tzinfo=timezone.utc)
+                ts_us = int(dt.timestamp() * 1_000_000)
+            except ValueError:
+                pass
+        # strip the HTTP response envelope when present
+        if block[:5] in (b'HTTP/',):
+            sep = block.find(b'\r\n\r\n')
+            body = block[sep + 4:] if sep >= 0 else block
+        else:
+            body = block
+        out.append((url, ts_us, body))
+    return out
+
+
+def write_warc(records: list[tuple[str, str, bytes]], path: str,
+               gzip_members: bool = False) -> None:
+    """Fixture writer: [(url, iso_date, html_body)] → WARC file with HTTP
+    response envelopes; ``gzip_members=True`` writes the Common Crawl
+    one-member-per-record gzip layout (suffix the path ``.warc.gz``)."""
+    import gzip as _gzip
+
+    chunks: list[bytes] = []
+    for url, date, body in records:
+        http = (b'HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n'
+                + f'Content-Length: {len(body)}\r\n\r\n'.encode() + body)
+        rec = (b'WARC/1.0\r\n'
+               b'WARC-Type: response\r\n'
+               + f'WARC-Target-URI: {url}\r\n'.encode()
+               + f'WARC-Date: {date}\r\n'.encode()
+               + f'Content-Length: {len(http)}\r\n'.encode()
+               + b'\r\n' + http + b'\r\n\r\n')
+        chunks.append(_gzip.compress(rec) if gzip_members else rec)
+    with open(path, 'wb') as f:
+        f.write(b''.join(chunks))
+
+
+def read_pages_warc(paths: str | list[str]) -> ray.data.Dataset:
+    """WARC / WARC.GZ files → pages: one file per read task
+    (``read_binary_files``), records parsed and conformed per batch.  At
+    crawl scale WARC shards are ~1 GB each, so file-granular parallelism is
+    the natural partitioning (the same shape Common Crawl itself shards by)."""
+    ds = ray.data.read_binary_files(paths)
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        urls, tss, htmls = [], [], []
+        for blob in batch.column('bytes').to_pylist():
+            try:
+                recs = parse_warc(blob or b'')
+            except Exception:
+                continue              # malformed shard: skip, don't kill the job
+            for url, ts_us, body in recs:
+                urls.append(url)
+                tss.append(ts_us)
+                htmls.append(body)
+        n = len(urls)
+        return pa.Table.from_arrays([
+            pa.array(urls, pa.string()),
+            pa.array(tss, pa.timestamp('us')),
+            pa.array(htmls, pa.binary()),
+            pa.array([None] * n, pa.string()),
+            pa.array([None] * n, pa.string()),
+        ], schema=PAGES_SCHEMA)
+
+    return ds.map_batches(to_pages, batch_format='pyarrow')
+
+
 def read_pages_text(paths: str | list[str]) -> ray.data.Dataset:
     """Raw text files → one page per file (url = file path, text = content;
     the reference's generic-file fallback, file_service.py:415)."""

@@ -42,3 +42,47 @@ def test_text_ingest_html_fallback(tmp_path):
                          concurrency=(1, 2)).to_pandas()
     assert len(out) == 1
     assert out['extracted_text'].iloc[0] == DOC
+
+
+def test_warc_roundtrip_plain_and_gzip(tmp_path):
+    """WARC writer → parser roundtrip: urls, dates, HTTP body stripping; the
+    Common Crawl member-gzip layout parses identically."""
+    from pii_detector_ray.sources.ingest import parse_warc, write_warc
+    recs = [
+        ('https://a.example.com/1', '2024-03-01T12:00:00Z',
+         b'<html><body>mail jwhite@domain.com</body></html>'),
+        ('https://b.example.com/2', '2024-03-02T00:30:00Z',
+         b'<html><body>plain page</body></html>'),
+    ]
+    for gz, name in ((False, 'x.warc'), (True, 'x.warc.gz')):
+        p = str(tmp_path / name)
+        write_warc(recs, p, gzip_members=gz)
+        parsed = parse_warc(open(p, 'rb').read())
+        assert [(u, b) for u, _, b in parsed] == [(u, b) for u, _, b in recs]
+        from datetime import datetime, timezone
+        exp_ts = int(datetime(2024, 3, 1, 12, tzinfo=timezone.utc)
+                     .timestamp() * 1_000_000)
+        assert parsed[0][1] == exp_ts
+
+
+def test_warc_to_pages_pipeline(tmp_path):
+    """read_pages_warc conforms to the pages schema and feeds the flagship
+    pipeline end-to-end (extract pulls text out of the html payload)."""
+    from pii_detector_ray.config import PipelineConfig
+    from pii_detector_ray.pipelines.quality_filter import build_pipeline
+    from pii_detector_ray.sources.ingest import read_pages_warc, write_warc
+    body = ('word ' * 60 + 'ssn 172-32-1176 and the morning train arrives '
+            + 'with people walking to the market every day to buy bread '
+            * 3).encode()
+    recs = [(f'https://w{i}.example.com/p', '2024-01-05T00:00:00Z',
+             b'<html><body><p>' + body + b'</p></body></html>')
+            for i in range(6)]
+    p = str(tmp_path / 'crawl.warc.gz')
+    write_warc(recs, p, gzip_members=True)
+    ds = read_pages_warc(p)
+    assert ds.schema().names == ['url', 'warc_ts', 'html', 'text', 'lang']
+    out = build_pipeline(ds, PipelineConfig()).to_pandas()
+    assert len(out) == 6
+    assert (out['n_pii'] >= 1).all()               # the ssn is found
+    assert out['extracted_text'].str.contains('172-32-1176').all()
+    assert not out['scrubbed_text'].str.contains('172-32-1176').any()
