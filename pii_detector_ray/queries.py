@@ -452,6 +452,76 @@ _EVENTS_USER_SQL = (
 )
 
 
+def q_stratified_sample(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+    """Top-k-per-group operator: k docs per source, ranked by a
+    deterministic hash (reproducible stratified sampling).  Only narrow
+    (source, rank_key, doc_id) rows shuffle; per-group work is a vectorized
+    partial-sort over each (small) group."""
+    def keys(batch: pa.Table) -> pa.Table:
+        ids = batch.column('doc_id').to_numpy(zero_copy_only=False).astype(np.int64)
+        rk = (ids * 2654435761) % 1000000007
+        return pa.table({'source': batch.column('source'),
+                         'rank_key': pa.array(rk),
+                         'doc_id': pa.array(ids)})
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['rank_key', 'doc_id'], kind='mergesort').head(k)
+        return g[['source', 'doc_id']]
+
+    return (read_documents(sf_dir, ['doc_id', 'source'])
+            .map_batches(keys, batch_format='pyarrow')
+            .groupby('source').map_groups(topk, batch_format='pandas'))
+
+
+_STRATIFIED_SQL = (
+    "SELECT source, doc_id FROM (SELECT source, doc_id, row_number() OVER "
+    "(PARTITION BY source ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) "
+    "AS rn FROM documents) WHERE rn <= 5"
+)
+
+
+def q_user_value_median(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-user median of event values via per-group compute (the
+    group count is the user count — small; at 10^12 events per user a
+    t-digest/KLL sketch replaces the exact group sort, same plan shape)."""
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({'user_id': [g['user_id'].iloc[0]],
+                             'median_value': [round(float(g['value'].median()), 4)]})
+
+    return _events(sf_dir, ['user_id', 'value']) \
+        .groupby('user_id').map_groups(med, batch_format='pandas')
+
+
+_USER_MEDIAN_SQL = (
+    'SELECT user_id, round(median(value), 4) AS median_value '
+    'FROM events GROUP BY user_id'
+)
+
+
+def q_distinct_users(sf_dir: str) -> ray.data.Dataset:
+    """Exact distinct-count per event_type, two-phase: per-batch dedupe of
+    (event_type, user_id) pairs first, then a groupby over the already-
+    deduped narrow pairs and a per-type count — the shuffle carries at most
+    one row per (type, user) per batch, never raw events."""
+    def pairs(batch: pa.Table) -> pa.Table:
+        tbl = pa.table({'event_type': batch.column('event_type'),
+                        'user_id': batch.column('user_id')})
+        return tbl.group_by(['event_type', 'user_id']).aggregate([])
+
+    dedup = (_events(sf_dir, ['event_type', 'user_id'])
+             .map_batches(pairs, batch_format='pyarrow')
+             .groupby(['event_type', 'user_id'])
+             .aggregate(Count(alias_name='_n')))
+    return (dedup.select_columns(['event_type'])
+            .groupby('event_type').aggregate(Count(alias_name='n_users')))
+
+
+_DISTINCT_USERS_SQL = (
+    'SELECT event_type, count(DISTINCT user_id) AS n_users '
+    'FROM events GROUP BY event_type'
+)
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-style analytics over the relational driver tables: the wide-agg and
 # broadcast-join shapes a pipeline engine needs beyond the documents path.
@@ -1099,6 +1169,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'orders_price_bands': q_orders_price_bands,
         'pricing_summary': q_pricing_summary,
         'nation_revenue': q_nation_revenue,
+        'stratified_sample': q_stratified_sample,
+        'user_value_median': q_user_value_median,
+        'distinct_users': q_distinct_users,
         'similarity_topk': q_similarity_topk,
         'word_stats': q_word_stats,
         'host_stats': q_host_stats,
@@ -1155,6 +1228,9 @@ def oracle_sql() -> dict[str, str]:
         'orders_price_bands': _ORDERS_BANDS_SQL,
         'pricing_summary': _PRICING_SUMMARY_SQL,
         'nation_revenue': _NATION_REVENUE_SQL,
+        'stratified_sample': _STRATIFIED_SQL,
+        'user_value_median': _USER_MEDIAN_SQL,
+        'distinct_users': _DISTINCT_USERS_SQL,
         'similarity_topk': _SIMILARITY_SQL,
         'word_stats': _WORD_STATS_SQL,
         'host_stats': _HOST_STATS_SQL,
