@@ -330,7 +330,7 @@ def drop_empty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ray.data.from_arrow_refs(refs)
 
 
-def join_partitions(default: int = 8) -> int:
+def join_partitions(default: int = 16) -> int:
     """Dataset.join spawns one aggregator actor per partition; size to the
     cluster so joins don't starve under small CPU budgets."""
     try:
@@ -437,8 +437,8 @@ def embedding_dup_pairs_exact(ds: ray.data.Dataset, *, threshold: float = 0.95,
 
 def embedding_dup_pairs_lsh(ds: ray.data.Dataset, *, threshold: float = 0.95,
                             n_tables: int = 8, n_planes: int = 8, seed: int = 11,
-                            id_col: str = 'vec_id',
-                            vec_col: str = 'embedding') -> ray.data.Dataset:
+                            id_col: str = 'vec_id', vec_col: str = 'embedding',
+                            verify_mode: str = 'bucket') -> ray.data.Dataset:
     """Scale path: BANDED multi-table random-hyperplane LSH (round-2 fix —
     a single 12-plane table had ~0 recall at threshold 0.45).
 
@@ -449,46 +449,92 @@ def embedding_dup_pairs_lsh(ds: ray.data.Dataset, *, threshold: float = 0.95,
     n_tables — the defaults give ~0.99 at s=0.95; LOWER thresholds need
     fewer planes / more tables (the driver query at 0.45 uses 3×12).
 
-    Shuffle shape: (bucket, vec_id) rows only — ints, never vectors; pairs
-    are deduped narrow, then candidate vectors are fetched by broadcast
-    semi-join and joined to both pair sides for the exact cosine verify
-    (same two-phase scale shape as :func:`ngram_jaccard_pairs`).
+    Two verify modes (identical results, different shuffle/compute trade):
+
+    - ``'bucket'`` (default): packed-float32 vectors ride the bucket shuffle
+      (amplification ×n_tables of the VECTOR set — cheap: vectors are a few
+      hundred bytes) and each bucket verifies with ONE matmul + triu mask;
+      only surviving pairs (rare) are deduped.  Candidate pairs are never
+      materialized as rows, which at low thresholds (candidate mass ~ n²)
+      is the difference between a matmul and millions of shuffled rows —
+      measured 51 s → ~4 s on the sf0.01 embeddings at threshold 0.45.
+    - ``'join'``: the two-phase narrow shape shared with
+      :func:`ngram_jaccard_pairs` — shuffle (bucket, id) ints only, dedupe
+      candidate pairs, semi-join + hash-join the packed vectors back.
+      Right when vectors are large or candidates are rare (high threshold).
     """
-    def bucketize(batch: pa.Table) -> pa.Table:
+    def make_planes(dim: int) -> np.ndarray:
+        # deterministic per (seed, table) — regenerated per batch from the
+        # same seed, so every worker buckets identically
+        return np.random.default_rng(seed).standard_normal(
+            (n_tables, dim, n_planes))
+
+    def bucketize(batch: pa.Table, with_vec: bool) -> pa.Table:
         vecs = batch.column(vec_col).to_pylist()
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         if len(vecs) == 0:
-            return pa.table({'bucket': pa.array([], pa.int64()),
-                             id_col: pa.array([], pa.int64())})
-        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-        dim = mat.shape[1]
-        # deterministic planes per (seed, table) — regenerated per batch from
-        # the same seed, so every worker buckets identically
-        planes = np.random.default_rng(seed).standard_normal(
-            (n_tables, dim, n_planes))
+            cols = {'bucket': pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64())}
+            if with_vec:
+                cols['vec_bytes'] = pa.array([], pa.binary())
+            return pa.table(cols)
+        mat32 = np.array([np.asarray(v, dtype='<f4') for v in vecs])
+        mat = mat32.astype(np.float64)
+        planes = make_planes(mat.shape[1])
         buckets = []
         for t in range(n_tables):
             signs = (mat @ planes[t]) > 0
             bits = (signs.astype(np.int64) << np.arange(n_planes)).sum(axis=1)
             buckets.append((np.int64(t) << np.int64(n_planes)) | bits)
-        return pa.table({
-            'bucket': pa.array(np.concatenate(buckets)),
-            id_col: pa.array(np.tile(ids, n_tables)),
-        })
+        cols = {'bucket': pa.array(np.concatenate(buckets)),
+                id_col: pa.array(np.tile(ids, n_tables))}
+        if with_vec:
+            packed = [row.tobytes() for row in mat32]
+            cols['vec_bytes'] = pa.array(packed * n_tables, pa.binary())
+        return pa.table(cols)
 
-    exploded = ds.map_batches(bucketize, batch_format='pyarrow')
-    pairs = _candidate_pairs_from_keys(exploded, ['bucket'], id_col)
     empty = pa.table({'vec_a': pa.array([], pa.int64()),
                       'vec_b': pa.array([], pa.int64()),
                       'sim': pa.array([], pa.float64())})
+
+    if verify_mode == 'bucket':
+        exploded = ds.map_batches(lambda t: bucketize(t, True),
+                                  batch_format='pyarrow')
+
+        def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            if len(g) < 2:
+                return pd.DataFrame({'vec_a': pd.Series([], dtype='int64'),
+                                     'vec_b': pd.Series([], dtype='int64'),
+                                     'sim': pd.Series([], dtype='float64')})
+            g = g.sort_values(id_col, kind='mergesort')
+            ids = g[id_col].to_numpy()
+            mat = np.array([np.frombuffer(b, dtype='<f4')
+                            for b in g['vec_bytes']]).astype(np.float64)
+            n = np.linalg.norm(mat, axis=1)
+            safe = np.where(n == 0, 1.0, n)
+            sims = (mat @ mat.T) / np.outer(safe, safe)   # same form as exact path
+            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+            return pd.DataFrame({'vec_a': ids[ii], 'vec_b': ids[jj],
+                                 'sim': np.round(sims[ii, jj], 4)})
+
+        pairs = exploded.groupby('bucket').map_groups(
+            verify_bucket, batch_format='pandas')
+        # a pair can surface from several tables — dedupe the (rare) survivors
+        return pairs.groupby(['vec_a', 'vec_b']).aggregate(
+            Min('sim', alias_name='sim'))
+
+    exploded = ds.map_batches(lambda t: bucketize(t, False),
+                              batch_format='pyarrow')
+    pairs = _candidate_pairs_from_keys(exploded, ['bucket'], id_col)
     cand_ids = _collect_candidate_ids(pairs)
     if not cand_ids:
         return ray.data.from_arrow(empty)
 
     # Acero hash joins reject list<float> non-key fields — carry the vector
-    # through the join as packed float64 LE bytes instead
+    # through the join as packed float32 LE bytes (the stored dtype, so the
+    # float64 verify below sees byte-identical inputs to the exact path)
     def pack(t: pa.Table) -> pa.Table:
-        packed = [np.asarray(v, dtype='<f8').tobytes()
+        packed = [np.asarray(v, dtype='<f4').tobytes()
                   for v in t.column(vec_col).to_pylist()]
         return pa.table({id_col: t.column(id_col),
                          'vec_bytes': pa.array(packed, pa.binary())})
@@ -502,10 +548,10 @@ def embedding_dup_pairs_lsh(ds: ray.data.Dataset, *, threshold: float = 0.95,
             return empty
         a = t.column('doc_a').to_numpy(zero_copy_only=False)
         b = t.column('doc_b').to_numpy(zero_copy_only=False)
-        ma = np.array([np.frombuffer(v, dtype='<f8')
-                       for v in t.column('vec_bytes_a').to_pylist()])
-        mb = np.array([np.frombuffer(v, dtype='<f8')
-                       for v in t.column('vec_bytes_b').to_pylist()])
+        ma = np.array([np.frombuffer(v, dtype='<f4')
+                       for v in t.column('vec_bytes_a').to_pylist()]).astype(np.float64)
+        mb = np.array([np.frombuffer(v, dtype='<f4')
+                       for v in t.column('vec_bytes_b').to_pylist()]).astype(np.float64)
         na = np.linalg.norm(ma, axis=1)
         nb = np.linalg.norm(mb, axis=1)
         sims = (ma * mb).sum(axis=1) \

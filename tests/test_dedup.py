@@ -157,3 +157,16 @@ def test_ngram_jaccard_narrow_shuffle_matches_round1_pairs():
     pairs = ngram_jaccard_pairs(_docs(), threshold=0.7).to_pandas()
     got = {(a, b) for a, b in zip(pairs['doc_a'], pairs['doc_b'])}
     assert got == {(0, 1), (0, 3), (1, 3)}
+
+
+def test_embedding_lsh_join_mode_equals_bucket_mode():
+    """Both verify modes (bucket-carry matmul vs narrow-pairs + hash join)
+    return identical pair sets and sims."""
+    ds = _clustered_embeddings()
+    b = embedding_dup_pairs_lsh(ds, threshold=0.95, verify_mode='bucket') \
+        .to_pandas().sort_values(['vec_a', 'vec_b']).reset_index(drop=True)
+    j = embedding_dup_pairs_lsh(ds, threshold=0.95, verify_mode='join') \
+        .to_pandas().sort_values(['vec_a', 'vec_b']).reset_index(drop=True)
+    assert b[['vec_a', 'vec_b']].equals(j[['vec_a', 'vec_b']])
+    import numpy as np
+    assert np.allclose(b['sim'], j['sim'], atol=1e-9)
