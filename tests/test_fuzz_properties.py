@@ -56,3 +56,55 @@ def test_scrub_is_idempotent_on_clean_text(text):
         if re.search(r'[A-Za-z0-9]{2}', sp.value):
             pass  # masked forms may keep head/tail chars by design
     assert len(out) >= 0  # and never throws
+
+
+person_snippets = st.sampled_from([
+    'Ask John Smith now', 'Mary Johnson arrived', 'Zorbo Quent is fake',
+    'The Quick Brown Fox', 'meet Linda Davis and Robert Brown today',
+    'John', 'John ', ' Smith John', 'JohnSmith', 'John  Smith',
+])
+ner_docs = st.lists(st.one_of(texty, person_snippets), max_size=8)
+
+
+@settings(max_examples=60, deadline=None)
+@given(ner_docs)
+def test_ner_batched_equals_per_row(texts):
+    """The megastring PERSON pass equals per-row NER on arbitrary unicode +
+    name-shaped snippets, composed with the full registry."""
+    batched = scan_texts(texts, ALL, ner=True)
+    serial = [scan_text(t, ALL, ner=True) for t in texts]
+    assert batched == serial
+    for t, spans in zip(texts, serial):
+        for sp in spans:
+            assert 0 <= sp.start <= sp.end <= len(t)
+            assert t[sp.start:sp.end] == sp.value
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs)
+def test_keep_longest_batched_equals_per_row(texts):
+    """Flagged hyperscan-style scanning: batched equals serial, and within
+    the credential family each (type, start) appears at most once."""
+    from pii_detector_ray.detectors import CREDENTIAL_PATTERNS
+    batched = scan_texts(texts, ALL, credential_keep_longest=True)
+    serial = [scan_text(t, ALL, credential_keep_longest=True) for t in texts]
+    assert batched == serial
+    cred = frozenset(CREDENTIAL_PATTERNS)
+    for spans in serial:
+        keys = [(s.type, s.start) for s in spans if s.type in cred]
+        assert len(keys) == len(set(keys))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.one_of(texty, pii_snippets), max_size=6))
+def test_custom_patterns_fuzz_no_cross_document_leak(texts):
+    """NUL-capable custom patterns never produce spans exceeding their row
+    and always equal the serial scan."""
+    dets = [d for d in build_registry(extra={'GRAB': r'k.*', 'NS': r'q\S+'})
+            if d.family == 'custom']
+    batched = scan_texts(texts, dets)
+    assert batched == [scan_text(t, dets) for t in texts]
+    for t, spans in zip(texts, batched):
+        for sp in spans:
+            assert sp.end <= len(t)
+            assert '\x00' not in sp.value or '\x00' in t
