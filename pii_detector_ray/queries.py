@@ -1103,20 +1103,33 @@ def q_media_features(sf_dir: str) -> ray.data.Dataset:
 
 def q_scrub_documents(sf_dir: str) -> ray.data.Dataset:
     """Full-registry scrub over augmented documents (the reference's whole
-    detection+mask path; SQL can't express the masking cascade)."""
+    detection+mask path; SQL can't express the masking cascade).  The
+    person augmentation rides on top of the shared PII augmentation so the
+    NER slot's PERSON spans appear in the output too."""
     from pii_detector_ray.stages.scrub import make_scrub_stage
     cfg = PipelineConfig()
     stage = make_scrub_stage(cfg, text_col='aug_text', name_col='doc_id_str')
 
     def prep(batch: pa.Table) -> pa.Table:
+        ids = batch.column('doc_id').to_pylist()
+        aug = [person_augment_text(i, t)
+               for i, t in zip(ids, batch.column('aug_text').to_pylist())]
+        batch = batch.drop_columns(['aug_text'])
+        batch = batch.append_column('aug_text', pa.array(aug, pa.string()))
         return batch.append_column(
             'doc_id_str', pc.cast(batch.column('doc_id'), pa.string()))
+
+    def count_person(batch: pa.Table) -> pa.Table:
+        spans = batch.column('pii_spans').to_pylist()
+        n_person = [sum(1 for s in row if s['type'] == 'PERSON') for row in spans]
+        return batch.append_column('n_person', pa.array(n_person, pa.int32()))
 
     ds = (read_documents(sf_dir, ['doc_id', 'text'])
           .map_batches(augment_batch, batch_format='pyarrow')
           .map_batches(prep, batch_format='pyarrow')
-          .map_batches(stage, batch_format='pyarrow'))
-    return ds.select_columns(['doc_id', 'scrubbed_text', 'n_pii'])
+          .map_batches(stage, batch_format='pyarrow')
+          .map_batches(count_person, batch_format='pyarrow'))
+    return ds.select_columns(['doc_id', 'scrubbed_text', 'n_pii', 'n_person'])
 
 
 def q_langid_documents(sf_dir: str) -> ray.data.Dataset:
