@@ -1,0 +1,36 @@
+"""SQL-compatible rounding.
+
+DuckDB's ``round(x, n)`` on DOUBLE rounds halves AWAY FROM ZERO, while
+``numpy.round`` / ``pandas.round`` / ``pyarrow.compute.round`` default to
+half-to-even — so any oracle-mirrored value that lands exactly on a
+representable half (0.125 → 0.13 vs 0.12) would hash-mismatch the driver
+gate.  Every rounding site that mirrors a SQL ``round()`` uses these
+helpers (verified equal to DuckDB on boundary values in
+``tests/test_rounding.py``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def sql_round_np(x: np.ndarray, ndigits: int) -> np.ndarray:
+    """Half-away-from-zero round of a float array (DuckDB semantics)."""
+    x = np.asarray(x, dtype=np.float64)
+    m = 10.0 ** ndigits
+    return np.sign(x) * np.floor(np.abs(x) * m + 0.5) / m
+
+
+def sql_round_scalar(v: float, ndigits: int) -> float:
+    return float(sql_round_np(np.array([v]), ndigits)[0])
+
+
+def sql_round_pa(arr: pa.Array | pa.ChunkedArray, ndigits: int) -> pa.Array:
+    """Arrow column → half-away-rounded float64 Arrow array (nulls map to
+    NaN→null via the numpy nan passthrough)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    np_in = arr.to_numpy(zero_copy_only=False)
+    out = sql_round_np(np_in.astype(np.float64), ndigits)
+    return pa.array(out, pa.float64(), from_pandas=True)

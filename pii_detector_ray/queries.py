@@ -36,6 +36,11 @@ from pii_detector_ray.detectors import (
     compiled,
 )
 from pii_detector_ray.functions.masking import PHI_PATTERN, mask_data
+from pii_detector_ray.functions.rounding import (
+    sql_round_np,
+    sql_round_pa,
+    sql_round_scalar,
+)
 from pii_detector_ray.sources.docs_adapter import (
     SQL_AUG_CTE,
     SQL_AUG_EXPR,
@@ -407,7 +412,7 @@ def q_events_hourly(sf_dir: str) -> ray.data.Dataset:
 
     def fin(batch: pa.Table) -> pa.Table:
         return batch.set_column(batch.column_names.index('sum_value'), 'sum_value',
-                                pc.round(batch.column('sum_value'), 2))
+                                sql_round_pa(batch.column('sum_value'), 2))
     return agg.map_batches(fin, batch_format='pyarrow')
 
 
@@ -439,8 +444,8 @@ def q_events_user_stats(sf_dir: str) -> ray.data.Dataset:
         out = pa.table({
             'user_id': batch.column('user_id'),
             'n_events': batch.column('n_events'),
-            'sum_value': pc.round(batch.column('_sum'), 2),
-            'max_value': pc.round(batch.column('max_value'), 2),
+            'sum_value': sql_round_pa(batch.column('_sum'), 2),
+            'max_value': sql_round_pa(batch.column('max_value'), 2),
         })
         return out
     return agg.map_batches(fin, batch_format='pyarrow')
@@ -486,7 +491,7 @@ def q_user_value_median(sf_dir: str) -> ray.data.Dataset:
     t-digest/KLL sketch replaces the exact group sort, same plan shape)."""
     def med(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({'user_id': [g['user_id'].iloc[0]],
-                             'median_value': [round(float(g['value'].median()), 4)]})
+                             'median_value': [sql_round_scalar(float(g['value'].median()), 4)]})
 
     return _events(sf_dir, ['user_id', 'value']) \
         .groupby('user_id').map_groups(med, batch_format='pandas')
@@ -570,9 +575,9 @@ def q_pricing_summary(sf_dir: str) -> ray.data.Dataset:
         return pa.table({
             'l_returnflag': t.column('l_returnflag'),
             'l_linestatus': t.column('l_linestatus'),
-            'sum_qty': pc.round(t.column('sum_qty'), 2),
-            'sum_base_price': pc.round(t.column('sum_base_price'), 2),
-            'sum_disc_price': pc.round(t.column('sum_disc_price'), 2),
+            'sum_qty': sql_round_pa(t.column('sum_qty'), 2),
+            'sum_base_price': sql_round_pa(t.column('sum_base_price'), 2),
+            'sum_disc_price': sql_round_pa(t.column('sum_disc_price'), 2),
             'count_order': t.column('count_order'),
         })
     return agg.map_batches(fin, batch_format='pyarrow')
@@ -622,7 +627,7 @@ def q_nation_revenue(sf_dir: str) -> ray.data.Dataset:
 
     def fin(t: pa.Table) -> pa.Table:
         return pa.table({'n_name': t.column('n_name'),
-                         'revenue': pc.round(t.column('revenue'), 2),
+                         'revenue': sql_round_pa(t.column('revenue'), 2),
                          'n_orders': t.column('n_orders')})
     return agg.map_batches(fin, batch_format='pyarrow')
 
@@ -692,9 +697,9 @@ def q_events_asof(sf_dir: str) -> ray.data.Dataset:
             'event_id': df['event_id'].astype('int64'),
             'user_id': df['user_id'].astype('int64'),
             'ts_us': df['ts_us'].astype('int64'),
-            'value': df['value'].round(2),
+            'value': sql_round_np(df['value'].to_numpy(), 2),
             'prior_ts_us': df['prior_ts_us'].astype('int64'),
-            'prior_value': df['prior_value'].round(2),
+            'prior_value': sql_round_np(df['prior_value'].to_numpy(), 2),
         })
     return out.map_batches(fin, batch_format='pandas')
 
@@ -727,7 +732,7 @@ def q_orders_price_bands(sf_dir: str) -> ray.data.Dataset:
     def fin(t: pa.Table) -> pa.Table:
         return pa.table({'band': t.column('band'),
                          'n_orders': t.column('n_orders'),
-                         'total_price': pc.round(t.column('_t'), 2)})
+                         'total_price': sql_round_pa(t.column('_t'), 2)})
     return agg.map_batches(fin, batch_format='pyarrow')
 
 
@@ -792,7 +797,7 @@ def q_similarity_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pd.Dat
         mat = np.asarray(batch.column('embedding').to_pylist(), dtype=np.float64)
         norms = np.linalg.norm(mat, axis=1)
         sims = (mat @ q) / np.where(norms == 0, 1.0, norms)
-        sims = np.round(sims, 4)
+        sims = sql_round_np(sims, 4)
         vec_ids = batch.column('vec_id').to_numpy(zero_copy_only=False)
         order = np.lexsort((vec_ids, -sims))[:k]
         return pa.table({

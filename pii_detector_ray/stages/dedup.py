@@ -25,6 +25,8 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Min
 
+from pii_detector_ray.functions.rounding import sql_round_np, sql_round_scalar
+
 _P = np.uint64((1 << 61) - 1)   # Mersenne prime modulus for minhash perms
 _SHINGLE_K = 5                   # character shingle width
 
@@ -254,7 +256,7 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, *, threshold: float = 0.7,
         keep = [i for i, s in enumerate(sims) if s >= threshold]
         return pa.table({'doc_a': pa.array([a[i] for i in keep], pa.int64()),
                          'doc_b': pa.array([b[i] for i in keep], pa.int64()),
-                         'jaccard': pa.array([round(sims[i], 4) for i in keep],
+                         'jaccard': pa.array([sql_round_scalar(sims[i], 4) for i in keep],
                                              pa.float64())})
 
     return joined.map_batches(verify, batch_format='pyarrow')
@@ -427,7 +429,7 @@ def embedding_dup_pairs_exact(ds: ray.data.Dataset, *, threshold: float = 0.95,
             mask = (sims[i] >= threshold) & (all_ids > bids[i])
             for j in np.nonzero(mask)[0]:
                 out_a.append(int(bids[i])); out_b.append(int(all_ids[j]))
-                out_s.append(round(float(sims[i, j]), 4))
+                out_s.append(sql_round_scalar(float(sims[i, j]), 4))
         return pa.table({'vec_a': pa.array(out_a, pa.int64()),
                          'vec_b': pa.array(out_b, pa.int64()),
                          'sim': pa.array(out_s, pa.float64())})
@@ -515,7 +517,7 @@ def embedding_dup_pairs_lsh(ds: ray.data.Dataset, *, threshold: float = 0.95,
             sims = (mat @ mat.T) / np.outer(safe, safe)   # same form as exact path
             ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
             return pd.DataFrame({'vec_a': ids[ii], 'vec_b': ids[jj],
-                                 'sim': np.round(sims[ii, jj], 4)})
+                                 'sim': sql_round_np(sims[ii, jj], 4)})
 
         pairs = exploded.groupby('bucket').map_groups(
             verify_bucket, batch_format='pandas')
@@ -559,6 +561,6 @@ def embedding_dup_pairs_lsh(ds: ray.data.Dataset, *, threshold: float = 0.95,
         keep = sims >= threshold          # threshold on RAW sims like the exact path
         return pa.table({'vec_a': pa.array(a[keep], pa.int64()),
                          'vec_b': pa.array(b[keep], pa.int64()),
-                         'sim': pa.array(np.round(sims[keep], 4), pa.float64())})
+                         'sim': pa.array(sql_round_np(sims[keep], 4), pa.float64())})
 
     return joined.map_batches(verify, batch_format='pyarrow')

@@ -26,6 +26,8 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from pii_detector_ray.functions.rounding import sql_round_pa
+
 
 def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
               by: str, on: str,
@@ -144,7 +146,7 @@ def sliding_window_agg(ds: ray.data.Dataset, *, key_col: str, ts_col: str,
             key_col: t.column(key_col),
             'window_start': t.column('window_start'),
             'n_events': t.column('n_events'),
-            'sum_value': pc.round(t.column('sum_value'), 2),
+            'sum_value': sql_round_pa(t.column('sum_value'), 2),
         })
 
     return out.map_batches(fin, batch_format='pyarrow')

@@ -35,7 +35,8 @@ def sessionize(ds: ray.data.Dataset, *, gap_minutes: int = 30) -> ray.data.Datas
             sum_value=('value', 'sum'),
         ).reset_index(drop=True)
         agg.insert(0, 'user_id', g['user_id'].iloc[0])
-        agg['sum_value'] = agg['sum_value'].round(2)
+        from pii_detector_ray.functions.rounding import sql_round_np
+        agg['sum_value'] = sql_round_np(agg['sum_value'].to_numpy(), 2)
         return agg
 
     return ds.groupby('user_id').map_groups(per_user, batch_format='pandas')

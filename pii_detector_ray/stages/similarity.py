@@ -14,6 +14,8 @@ import pyarrow as pa
 
 import ray.data
 
+from pii_detector_ray.functions.rounding import sql_round_np, sql_round_scalar
+
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(mat, axis=1)
@@ -71,7 +73,8 @@ class LshIndex:
             return []
         sims = self.mat[idx] @ q
         top = np.argsort(-sims, kind='stable')[:k]
-        return [(int(self.ids[idx[t]]), round(float(sims[t]), 4)) for t in top]
+        return [(int(self.ids[idx[t]]), sql_round_scalar(float(sims[t]), 4))
+                for t in top]
 
 
 class IvfIndex:
@@ -124,7 +127,8 @@ class IvfIndex:
             return []
         sims = self.mat[idx] @ q
         top = np.argsort(-sims, kind='stable')[:k]
-        return [(int(self.ids[idx[t]]), round(float(sims[t]), 4)) for t in top]
+        return [(int(self.ids[idx[t]]), sql_round_scalar(float(sims[t]), 4))
+                for t in top]
 
 
 class ShardedLshIndex:
@@ -191,7 +195,7 @@ class ShardedLshIndex:
             sims = mat @ qv
             order = np.lexsort((ids, -sims))[:k]
             return pa.table({id_col: pa.array(ids[order]),
-                             'sim': pa.array(np.round(sims[order], 4), pa.float64())})
+                             'sim': pa.array(sql_round_np(sims[order], 4), pa.float64())})
 
         parts = self._data.map_batches(topk, batch_format='pyarrow').to_pandas()
         parts = parts.sort_values(['sim', id_col], ascending=[False, True],
@@ -214,7 +218,7 @@ def brute_force_topk(ds: ray.data.Dataset, query: np.ndarray, k: int = 10,
         sims = mat @ qv
         order = np.lexsort((ids, -sims))[:k]
         return pa.table({id_col: pa.array(ids[order]),
-                         'sim': pa.array(np.round(sims[order], 4), pa.float64())})
+                         'sim': pa.array(sql_round_np(sims[order], 4), pa.float64())})
 
     parts = ds.map_batches(topk, batch_format='pyarrow').to_pandas()
     return (parts.sort_values(['sim', id_col], ascending=[False, True], kind='mergesort')

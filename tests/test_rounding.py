@@ -1,0 +1,41 @@
+"""SQL-compatible rounding (functions/rounding.py) vs DuckDB on boundary
+values where numpy/pandas/pyarrow half-to-even would diverge."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+from pii_detector_ray.functions.rounding import (
+    sql_round_np,
+    sql_round_pa,
+    sql_round_scalar,
+)
+
+VALS = [0.125, -0.125, 2.675, 0.005, 1.005, 2.5, -2.5, 0.375, 8.875,
+        123.4565, -8.875, 0.0, 1e9 + 0.125, -0.005]
+
+
+def test_sql_round_matches_duckdb():
+    con = duckdb.connect()
+    for nd in (0, 2, 4):
+        exp = [con.execute(f'SELECT round({repr(v)}::DOUBLE, {nd})').fetchone()[0]
+               for v in VALS]
+        got_np = sql_round_np(np.array(VALS), nd).tolist()
+        got_pa = sql_round_pa(pa.array(VALS, pa.float64()), nd).to_pylist()
+        got_sc = [sql_round_scalar(v, nd) for v in VALS]
+        assert got_np == exp, nd
+        assert got_pa == exp, nd
+        assert got_sc == exp, nd
+
+
+def test_sql_round_diverges_from_half_even_on_boundaries():
+    # the reason this module exists: numpy/pyarrow round 0.125 to 0.12
+    assert sql_round_scalar(0.125, 2) == 0.13
+    assert float(np.round(0.125, 2)) == 0.12
+    assert sql_round_scalar(-0.125, 2) == -0.13
+
+
+def test_sql_round_pa_null_passthrough():
+    out = sql_round_pa(pa.array([1.235, None], pa.float64()), 2)
+    assert out[0].as_py() == 1.24 or out[0].as_py() == 1.23  # repr-dependent
+    assert out[1].as_py() is None
