@@ -175,12 +175,12 @@ def _semi_join_payload(corpus: ray.data.Dataset, cand_ids: frozenset,
     """Broadcast semi-join: keep only candidate rows of the corpus.  The id
     SET crosses the driver (ints only); the payload stays distributed."""
     import ray as _ray
-    ref = _ray.put(cand_ids)
+    ref = _ray.put(pa.array(sorted(cand_ids), pa.int64()))
 
     def keep(batch: pa.Table) -> pa.Table:
-        ids = _ray.get(ref)
-        mask = pa.array([i in ids for i in batch.column(id_col).to_pylist()],
-                        pa.bool_())
+        value_set = _ray.get(ref)
+        mask = pa.compute.is_in(batch.column(id_col).cast(pa.int64()),
+                                value_set=value_set)
         return batch.select([id_col, payload_col]).filter(mask)
 
     return corpus.map_batches(keep, batch_format='pyarrow')
