@@ -1034,6 +1034,25 @@ def q_similarity_ann_sharded(sf_dir: str) -> pd.DataFrame:
                          'sim': [h[1] for h in hits]})
 
 
+def q_similarity_ivf_sharded(sf_dir: str) -> pd.DataFrame:
+    """Distributed IVF ANN: centroids via distributed k-means (per-batch
+    partial sums only cross the driver), posting lists stay a Ray Dataset."""
+    from pii_detector_ray.stages.similarity import ShardedIvfIndex
+    ds = _embeddings(sf_dir, ['vec_id', 'embedding'])
+    index = ShardedIvfIndex(ds, n_lists=16, iters=5)
+    qvec = None
+    for b in ds.iter_batches(batch_size=4096, batch_format='pyarrow'):
+        ids = b.column('vec_id').to_pylist()
+        if 0 in ids:
+            qvec = np.asarray(b.column('embedding').to_pylist()[ids.index(0)],
+                              dtype=np.float64)
+            break
+    assert qvec is not None
+    hits = index.query(qvec, k=10, nprobe=4)
+    return pd.DataFrame({'vec_id': [h[0] for h in hits],
+                         'sim': [h[1] for h in hits]})
+
+
 def q_similarity_ivf(sf_dir: str) -> pd.DataFrame:
     """IVF ANN top-10 for the vec_id=0 query (k-means coarse quantizer, the
     data-adaptive scale path; recall tested vs brute force)."""
@@ -1210,6 +1229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'similarity_ann': q_similarity_ann,
         'similarity_ann_sharded': q_similarity_ann_sharded,
         'similarity_ivf': q_similarity_ivf,
+        'similarity_ivf_sharded': q_similarity_ivf_sharded,
         'doc_fingerprints': q_doc_fingerprints,
         'token_stats': q_token_stats,
         'quality_scores': q_quality_scores,

@@ -203,6 +203,113 @@ class ShardedLshIndex:
         return [(int(r[id_col]), float(r['sim'])) for _, r in parts.iterrows()]
 
 
+def distributed_kmeans(ds: ray.data.Dataset, *, n_lists: int, iters: int = 10,
+                       vec_col: str = 'embedding') -> np.ndarray:
+    """Spherical k-means over an embedding Dataset without collecting it:
+    each iteration broadcasts the (small) centroid matrix, every batch emits
+    ONE partial row — packed per-centroid vector sums + counts — and only
+    those partials reach the driver (k×dim floats per batch, not the data).
+    Deterministic: init from the first ``n_lists`` rows, fixed iteration
+    count, batch sums reduced in sorted order."""
+    first = ds.limit(n_lists).take_all()
+    init = _normalize(np.array([np.asarray(r[vec_col], dtype=np.float64)
+                                for r in first]))
+    centroids = init.copy()
+    n_lists = centroids.shape[0]
+    dim = centroids.shape[1]
+    for _ in range(iters):
+        ref = ray.put(centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cen = ray.get(ref)
+            mat = _normalize(np.array([np.asarray(v, dtype=np.float64)
+                                       for v in batch.column(vec_col).to_pylist()]))
+            if mat.size == 0:
+                sums = np.zeros((n_lists, dim))
+                counts = np.zeros(n_lists, dtype=np.int64)
+            else:
+                assign = np.argmax(mat @ cen.T, axis=1)
+                sums = np.zeros((n_lists, dim))
+                np.add.at(sums, assign, mat)
+                counts = np.bincount(assign, minlength=n_lists).astype(np.int64)
+            return pa.table({'sums': pa.array([sums.tobytes()], pa.binary()),
+                             'counts': pa.array([counts.tobytes()], pa.binary())})
+
+        parts = ds.map_batches(partial, batch_format='pyarrow').take_all()
+        total = np.zeros((n_lists, dim))
+        counts = np.zeros(n_lists, dtype=np.int64)
+        for p in sorted(parts, key=lambda r: r['sums']):
+            total += np.frombuffer(p['sums']).reshape(n_lists, dim)
+            counts += np.frombuffer(p['counts'], dtype=np.int64)
+        for c in range(n_lists):
+            if counts[c]:
+                v = total[c] / counts[c]
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    centroids[c] = v / nv
+    return centroids
+
+
+class ShardedIvfIndex:
+    """Distributed IVF ANN: centroids from :func:`distributed_kmeans`,
+    posting lists kept as a materialized Ray Dataset sorted by centroid id
+    (never collected to the driver); queries probe the ``nprobe`` nearest
+    centroids with a distributed filter + per-block partial top-k — the
+    data-adaptive sibling of :class:`ShardedLshIndex`."""
+
+    def __init__(self, ds: ray.data.Dataset, *, n_lists: int = 16, iters: int = 10,
+                 id_col: str = 'vec_id', vec_col: str = 'embedding') -> None:
+        self.id_col = id_col
+        self.centroids = distributed_kmeans(ds, n_lists=n_lists, iters=iters,
+                                            vec_col=vec_col)
+        cen_ref = ray.put(self.centroids)
+
+        def post(batch: pa.Table) -> pa.Table:
+            cen = ray.get(cen_ref)
+            mat = _normalize(np.array([np.asarray(v, dtype=np.float64)
+                                       for v in batch.column(vec_col).to_pylist()]))
+            assign = np.argmax(mat @ cen.T, axis=1) if mat.size else \
+                np.zeros(0, dtype=np.int64)
+            return pa.table({
+                id_col: batch.column(id_col),
+                'list_id': pa.array(assign.astype(np.int64)),
+                'vec_bytes': pa.array([row.tobytes() for row in mat], pa.binary()),
+            })
+
+        self._data = ds.select_columns([id_col, vec_col]) \
+            .map_batches(post, batch_format='pyarrow') \
+            .sort('list_id').materialize()
+
+    def query(self, vec: np.ndarray, k: int = 10,
+              nprobe: int = 2) -> list[tuple[int, float]]:
+        q = vec / (np.linalg.norm(vec) or 1.0)
+        probe = np.argsort(-(self.centroids @ q), kind='stable')[:nprobe]
+        qref = ray.put((q, np.sort(probe.astype(np.int64))))
+        id_col = self.id_col
+
+        def topk(batch: pa.Table) -> pa.Table:
+            qv, lists = ray.get(qref)
+            mask = pa.compute.is_in(batch.column('list_id'),
+                                    value_set=pa.array(lists))
+            hit = batch.filter(mask)
+            if len(hit) == 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 'sim': pa.array([], pa.float64())})
+            mat = np.array([np.frombuffer(b, dtype=np.float64)
+                            for b in hit.column('vec_bytes').to_pylist()])
+            ids = hit.column(id_col).to_numpy(zero_copy_only=False)
+            sims = mat @ qv
+            order = np.lexsort((ids, -sims))[:k]
+            return pa.table({id_col: pa.array(ids[order]),
+                             'sim': pa.array(sql_round_np(sims[order], 4),
+                                             pa.float64())})
+
+        parts = self._data.map_batches(topk, batch_format='pyarrow').to_pandas()
+        parts = parts.sort_values(['sim', id_col], ascending=[False, True],
+                                  kind='mergesort').head(k)
+        return [(int(r[id_col]), float(r['sim'])) for _, r in parts.iterrows()]
+
+
 def brute_force_topk(ds: ray.data.Dataset, query: np.ndarray, k: int = 10,
                      *, id_col: str = 'vec_id', vec_col: str = 'embedding'):
     """Exact cosine top-k: broadcast query, per-batch partial top-k, tiny
