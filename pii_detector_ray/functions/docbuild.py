@@ -11,7 +11,17 @@ from __future__ import annotations
 import zipfile
 import zlib
 from io import BytesIO
-from xml.sax.saxutils import escape
+import re as _re
+from xml.sax.saxutils import escape as _xml_escape
+
+# XML 1.0 forbids C0 controls except \t \n \r; embedding them raw would make
+# the container unparseable (-> None downstream), so they become U+FFFD —
+# one char for one char, keeping extracted-length parity with the source
+_XML_INVALID = _re.compile('[\x00-\x08\x0b\x0c\x0e-\x1f]')
+
+
+def escape(text: str) -> str:
+    return _xml_escape(_XML_INVALID.sub('�', text))
 
 _CONTENT_TYPES_DOCX = (
     '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'

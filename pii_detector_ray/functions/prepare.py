@@ -130,8 +130,11 @@ def parse_xlsx(data: bytes) -> pd.DataFrame:
             sroot = ElementTree.fromstring(zf.read('xl/sharedStrings.xml'))
             for si in sroot.iter(f'{_S_NS}si'):
                 shared.append(''.join(t.text or '' for t in si.iter(f'{_S_NS}t')))
-        sheets = sorted(n for n in names
-                        if re.fullmatch(r'xl/worksheets/sheet[0-9]+\.xml', n))
+        # numeric order — lexical sort would put sheet10 before sheet2
+        sheets = sorted(
+            (n for n in names
+             if re.fullmatch(r'xl/worksheets/sheet[0-9]+\.xml', n)),
+            key=lambda n: int(re.search(r'sheet([0-9]+)', n).group(1)))
         frames = []
         for sheet in sheets:
             root = ElementTree.fromstring(zf.read(sheet))
@@ -232,7 +235,9 @@ def prepare_file(object_data: bytes, file_name: str,
                  limit: int | None = None, offset: int = 0) -> Any:
     """bytes → text / DataFrame / '' / None, per the reference dispatch."""
     if limit is None:
-        limit = len(object_data) + 1
+        # unbounded: containers are deflate-compressed, so extracted text can
+        # be LONGER than the input bytes — len(data)+1 would truncate it
+        limit = (1 << 62)
     try:
         if file_name.endswith('pdf'):
             return parse_pdf(object_data)[offset:offset + limit]

@@ -25,7 +25,13 @@ megastring fast path (``scan.py``).
 from __future__ import annotations
 
 PERSON_ENTITY = 'PERSON'
-PERSON_PATTERN = r'\b[A-Z][a-z]+(?: [A-Z][a-z]+)+\b'
+# RE2-compatible core (used verbatim in the DuckDB oracle — RE2's \b is
+# ASCII-only) ...
+PERSON_PATTERN_SQL = r'\b[A-Z][a-z]+(?: [A-Z][a-z]+)+\b'
+# ... and the Python pattern pins (?a) so stdlib re's Unicode \b agrees with
+# RE2 on non-ASCII-adjacent runs ('caféJohn': Unicode \b sees no boundary
+# before J, ASCII \b does — both sides must see the same candidates)
+PERSON_PATTERN = '(?a)' + PERSON_PATTERN_SQL
 SCORE_GAZETTEER = 0.9     # first token is a known first name
 SCORE_SHAPE_ONLY = 0.6    # capitalized run without gazetteer support
 KEEP_MIN_ROUNDED = 0.8    # reference keep rule: round(score, 1) >= 0.8

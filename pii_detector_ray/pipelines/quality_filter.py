@@ -65,10 +65,16 @@ def dedup_exact_by_url(ds: ray.data.Dataset) -> ray.data.Dataset:
 
     from pii_detector_ray.stages.dedup import join_partitions
 
+    # lexicographic winner key: offset keeps negative (pre-1970) timestamps
+    # ordered, and NULL warc_ts sorts LAST ('~' > any digit) — matching the
+    # round-1 sort_values semantics (pandas puts NaT last)
+    _TS_OFFSET = 1 << 62
+
     def wkey(batch: pa.Table) -> pa.Table:
         ts = batch.column('warc_ts').cast(pa.int64()).to_pylist()
         texts = batch.column('extracted_text').to_pylist()
-        keys = [f'{t:020d}|{hashlib.md5((x or "").encode()).hexdigest()}'
+        keys = [('~' if t is None else f'{t + _TS_OFFSET:020d}')
+                + f'|{hashlib.md5((x or "").encode()).hexdigest()}'
                 for t, x in zip(ts, texts)]
         return batch.append_column('_wkey', pa.array(keys, pa.string()))
 

@@ -30,6 +30,10 @@ def rescan_output(prior_out_dir: str, cfg: PipelineConfig) -> ray.data.Dataset:
     (url, pii_spans, scrubbed_text, n_pii) for rows with new findings."""
     files = sorted(glob.glob(os.path.join(prior_out_dir, 'part=*', '*.parquet')))
     ds = ray.data.read_parquet(files, columns=['url', 'extracted_text'])
+    # reference rescan runs with rescan_mode=True → NER DISABLED; only the
+    # delta pattern set fires (redis_tasks.py:174-260)
+    import dataclasses
+    cfg = dataclasses.replace(cfg, include_ner=False)
     stage = make_scrub_stage(cfg)
     ds = ds.map_batches(stage, batch_format='pyarrow', batch_size=cfg.scrub_batch_size)
 

@@ -154,13 +154,13 @@ def q_pii_person_counts(sf_dir: str) -> ray.data.Dataset:
 def _person_counts_sql() -> str:
     # a candidate survives iff any NON-FINAL token is a gazetteer first name
     # (mirrors ner.trim_candidate: the anchor needs a following surname token)
-    from pii_detector_ray.ner import FIRST_NAMES, PERSON_PATTERN
+    from pii_detector_ray.ner import FIRST_NAMES, PERSON_PATTERN_SQL
     names = ', '.join(f"'{n}'" for n in sorted(FIRST_NAMES))
     toks = "string_split(x, ' ')"
     return (
         f"WITH paug AS (SELECT doc_id, {_PERSON_AUG_SQL} AS text FROM documents), "
         f"hits AS (SELECT doc_id, len(list_filter("
-        f"regexp_extract_all(text, '{PERSON_PATTERN}'), "
+        f"regexp_extract_all(text, '{PERSON_PATTERN_SQL}'), "
         f"x -> len(list_intersect(list_slice({toks}, 1, len({toks}) - 1), "
         f"[{names}])) > 0)) AS n_person "
         f"FROM paug) "
@@ -644,6 +644,18 @@ _NATION_REVENUE_SQL = (
 # Similarity search over embeddings (brute-force cosine top-k baseline)
 # ---------------------------------------------------------------------------
 
+
+def _fetch_embedding(sf_dir: str, vec_id: int) -> np.ndarray:
+    """Stream batches until the query vector is found (no full collect)."""
+    for b in _embeddings(sf_dir, ['vec_id', 'embedding']).iter_batches(
+            batch_size=4096, batch_format='pyarrow'):
+        ids = b.column('vec_id').to_pylist()
+        if vec_id in ids:
+            return np.asarray(b.column('embedding').to_pylist()[ids.index(vec_id)],
+                              dtype=np.float64)
+    raise KeyError(f'vec_id {vec_id} not found')
+
+
 def q_events_sessions(sf_dir: str) -> ray.data.Dataset:
     """Gap-based session windows per user (stages/sessionize.py)."""
     from pii_detector_ray.stages.sessionize import sessionize
@@ -779,16 +791,7 @@ def q_similarity_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pd.Dat
     batch against the (ray.put) query — no shuffle; a per-batch local top-k
     then a tiny driver-side merge (at scale: partial top-k per block keeps
     driver traffic at k rows/block)."""
-    import os
-    query = None
-    for b in _embeddings(sf_dir, ['vec_id', 'embedding']).iter_batches(
-            batch_size=4096, batch_format='pyarrow'):
-        ids = b.column('vec_id').to_pylist()
-        if query_vec_id in ids:
-            arr = b.column('embedding').to_pylist()[ids.index(query_vec_id)]
-            query = np.asarray(arr, dtype=np.float64)
-            break
-    assert query is not None
+    query = _fetch_embedding(sf_dir, query_vec_id)
     qn = query / np.linalg.norm(query)
     qref = ray.put(qn)
 
@@ -1021,15 +1024,7 @@ def q_similarity_ann_sharded(sf_dir: str) -> pd.DataFrame:
     from pii_detector_ray.stages.similarity import ShardedLshIndex
     ds = _embeddings(sf_dir, ['vec_id', 'embedding'])
     index = ShardedLshIndex(ds, n_planes=8)
-    qvec = None
-    for b in ds.iter_batches(batch_size=4096, batch_format='pyarrow'):
-        ids = b.column('vec_id').to_pylist()
-        if 0 in ids:
-            qvec = np.asarray(b.column('embedding').to_pylist()[ids.index(0)],
-                              dtype=np.float64)
-            break
-    assert qvec is not None
-    hits = index.query(qvec, k=10, probes=3)
+    hits = index.query(_fetch_embedding(sf_dir, 0), k=10, probes=3)
     return pd.DataFrame({'vec_id': [h[0] for h in hits],
                          'sim': [h[1] for h in hits]})
 
@@ -1040,15 +1035,7 @@ def q_similarity_ivf_sharded(sf_dir: str) -> pd.DataFrame:
     from pii_detector_ray.stages.similarity import ShardedIvfIndex
     ds = _embeddings(sf_dir, ['vec_id', 'embedding'])
     index = ShardedIvfIndex(ds, n_lists=16, iters=5)
-    qvec = None
-    for b in ds.iter_batches(batch_size=4096, batch_format='pyarrow'):
-        ids = b.column('vec_id').to_pylist()
-        if 0 in ids:
-            qvec = np.asarray(b.column('embedding').to_pylist()[ids.index(0)],
-                              dtype=np.float64)
-            break
-    assert qvec is not None
-    hits = index.query(qvec, k=10, nprobe=4)
+    hits = index.query(_fetch_embedding(sf_dir, 0), k=10, nprobe=4)
     return pd.DataFrame({'vec_id': [h[0] for h in hits],
                          'sim': [h[1] for h in hits]})
 

@@ -200,7 +200,8 @@ def _attach_pair_payloads(pairs: ray.data.Dataset, payload: ray.data.Dataset,
     side_b = payload.map_batches(
         lambda t: t.rename_columns(['doc_b', f'{payload_col}_b']),
         batch_format='pyarrow')
-    pairs = drop_empty_blocks(pairs)   # aggregate-derived: see drop_empty_blocks
+    # callers pass pairs already materialized via drop_empty_blocks — do
+    # NOT re-materialize here (it would re-execute the whole explode+shuffle)
     out = pairs.join(side_a, join_type='inner', num_partitions=nparts,
                      on=('doc_a',))
     return out.join(side_b, join_type='inner', num_partitions=nparts,
@@ -235,7 +236,11 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, *, threshold: float = 0.7,
     """
     exploded = ds.map_batches(make_minhash_stage(num_perm, bands, text_col, id_col),
                               batch_format='pyarrow')
-    pairs = _candidate_pairs_from_keys(exploded, ['band_id', 'band_hash'], id_col)
+    # materialize ONCE (drop_empty_blocks): both the id collection and the
+    # payload joins consume `pairs`, and a lazy dataset would re-run the
+    # whole explode + band shuffle for each consumer
+    pairs = drop_empty_blocks(
+        _candidate_pairs_from_keys(exploded, ['band_id', 'band_hash'], id_col))
     cand_ids = _collect_candidate_ids(pairs)
     empty = pa.table({'doc_a': pa.array([], pa.int64()),
                       'doc_b': pa.array([], pa.int64()),
@@ -527,7 +532,8 @@ def embedding_dup_pairs_lsh(ds: ray.data.Dataset, *, threshold: float = 0.95,
 
     exploded = ds.map_batches(lambda t: bucketize(t, False),
                               batch_format='pyarrow')
-    pairs = _candidate_pairs_from_keys(exploded, ['bucket'], id_col)
+    pairs = drop_empty_blocks(            # materialize once for both consumers
+        _candidate_pairs_from_keys(exploded, ['bucket'], id_col))
     cand_ids = _collect_candidate_ids(pairs)
     if not cand_ids:
         return ray.data.from_arrow(empty)

@@ -17,6 +17,24 @@ import ray.data
 from pii_detector_ray.functions.rounding import sql_round_np, sql_round_scalar
 
 
+def _block_topk_table(ids: np.ndarray, sims: np.ndarray, k: int,
+                      id_col: str) -> pa.Table:
+    """Per-block partial top-k carrying RAW sims (rounding happens only at
+    the final merge, so tie order across blocks matches a driver-side sort
+    of raw similarities)."""
+    order = np.lexsort((ids, -sims))[:k]
+    return pa.table({id_col: pa.array(ids[order]),
+                     'sim': pa.array(sims[order], pa.float64())})
+
+
+def _merge_topk(parts, k: int, id_col: str) -> list[tuple[int, float]]:
+    """Driver-side merge of per-block partials: sort raw sims, round last."""
+    parts = parts.sort_values(['sim', id_col], ascending=[False, True],
+                              kind='mergesort').head(k)
+    return [(int(r[id_col]), sql_round_scalar(float(r['sim']), 4))
+            for _, r in parts.iterrows()]
+
+
 def _normalize(mat: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(mat, axis=1)
     return mat / np.where(n == 0, 1.0, n)[:, None]
@@ -298,16 +316,10 @@ class ShardedIvfIndex:
             mat = np.array([np.frombuffer(b, dtype=np.float64)
                             for b in hit.column('vec_bytes').to_pylist()])
             ids = hit.column(id_col).to_numpy(zero_copy_only=False)
-            sims = mat @ qv
-            order = np.lexsort((ids, -sims))[:k]
-            return pa.table({id_col: pa.array(ids[order]),
-                             'sim': pa.array(sql_round_np(sims[order], 4),
-                                             pa.float64())})
+            return _block_topk_table(ids, mat @ qv, k, id_col)
 
         parts = self._data.map_batches(topk, batch_format='pyarrow').to_pandas()
-        parts = parts.sort_values(['sim', id_col], ascending=[False, True],
-                                  kind='mergesort').head(k)
-        return [(int(r[id_col]), float(r['sim'])) for _, r in parts.iterrows()]
+        return _merge_topk(parts, k, id_col)
 
 
 def brute_force_topk(ds: ray.data.Dataset, query: np.ndarray, k: int = 10,
@@ -322,11 +334,10 @@ def brute_force_topk(ds: ray.data.Dataset, query: np.ndarray, k: int = 10,
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         mat = _normalize(np.array([np.asarray(v, dtype=np.float64)
                                    for v in batch.column(vec_col).to_pylist()]))
-        sims = mat @ qv
-        order = np.lexsort((ids, -sims))[:k]
-        return pa.table({id_col: pa.array(ids[order]),
-                         'sim': pa.array(sql_round_np(sims[order], 4), pa.float64())})
+        return _block_topk_table(ids, mat @ qv, k, id_col)
 
     parts = ds.map_batches(topk, batch_format='pyarrow').to_pandas()
-    return (parts.sort_values(['sim', id_col], ascending=[False, True], kind='mergesort')
-            .head(k).reset_index(drop=True))
+    parts = parts.sort_values(['sim', id_col], ascending=[False, True],
+                              kind='mergesort').head(k).reset_index(drop=True)
+    parts['sim'] = sql_round_np(parts['sim'].to_numpy(), 4)
+    return parts

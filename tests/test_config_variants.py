@@ -162,3 +162,24 @@ def test_dedup_urls_full_tie_keeps_single_row():
     assert len(out) == 2
     assert out.loc[0, 'extracted_text'] == 'same text'       # earliest, once
     assert out.loc[1, 'url'] == 'https://b/y'
+
+
+def test_dedup_urls_null_and_negative_warc_ts():
+    """Review r2: null warc_ts (CSV/JSONL ingest conforms missing columns to
+    null) must not crash the dedup and must lose to any real timestamp;
+    pre-1970 (negative) timestamps order correctly."""
+    import pyarrow as pa
+    import ray.data
+
+    from pii_detector_ray.pipelines.quality_filter import dedup_exact_by_url
+    rows = {
+        'url': ['https://a/x', 'https://a/x', 'https://b/y', 'https://b/y'],
+        'warc_ts': pa.array([None, 5_000_000, -10_000_000, -5_000_000],
+                            pa.timestamp('us')),
+        'lang': ['en'] * 4,
+        'extracted_text': ['null-ts copy', 'real-ts copy', 'older', 'newer'],
+    }
+    out = dedup_exact_by_url(ray.data.from_arrow(pa.table(rows)).repartition(2)) \
+        .to_pandas().set_index('url')
+    assert out.loc['https://a/x', 'extracted_text'] == 'real-ts copy'
+    assert out.loc['https://b/y', 'extracted_text'] == 'older'

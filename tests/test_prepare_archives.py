@@ -157,3 +157,29 @@ def test_prepare_container_corrupt_returns_none():
     # xls/doc codecs remain stubbed -> None
     assert prepare_file(b'\xd0\xcf\x11\xe0 data', 'x.xls') is None
     assert prepare_file(b'\xd0\xcf\x11\xe0 data', 'x.doc') is None
+
+
+def test_prepare_docx_longer_than_container():
+    """Review r2: deflate makes extracted text longer than the container
+    bytes; the default limit must not truncate it."""
+    from pii_detector_ray.functions.docbuild import build_docx
+    text = ('repetitive words ' * 200).strip()
+    data = build_docx([text])
+    assert len(data) < len(text)            # genuinely compressed fixture
+    assert prepare_file(data, 'big.docx') == text
+
+
+def test_build_docx_control_chars_roundtrip_length():
+    """Review r2: XML-invalid control chars become U+FFFD (1 char for
+    1 char) instead of producing an unparseable container."""
+    from pii_detector_ray.functions.docbuild import build_docx
+    out = prepare_file(build_docx(['hello \x0c world \x01!']), 'c.docx')
+    assert out == 'hello � world �!'
+    assert len(out) == len('hello \x0c world \x01!')
+
+
+def test_parse_xlsx_ten_plus_sheets_in_order():
+    from pii_detector_ray.functions.docbuild import build_xlsx
+    sheets = [[[f'sheet{i}']] for i in range(1, 12)]
+    df = prepare_file(build_xlsx(sheets), 'wide.xlsx')
+    assert list(df[0]) == [f'sheet{i}' for i in range(1, 12)]

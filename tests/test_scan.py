@@ -197,3 +197,19 @@ def test_credential_keep_longest_flag():
     # batched path identical; default path unaffected by the flag elsewhere
     assert scan_texts([text], dets, credential_keep_longest=True)[0] == flagged
     assert scan_texts([text], dets)[0] == base
+
+
+def test_person_boundary_ascii_matches_re2():
+    """Review r2: (?a) pins Python's \\b to ASCII so candidates agree with
+    the RE2 oracle around non-ASCII word chars ('caféJohn')."""
+    import duckdb
+
+    from pii_detector_ray.ner import PERSON_PATTERN_SQL
+    text = 'café John Smith and caféJohn Smith end'
+    spans = scan_text(text, [], ner=True)
+    sql = duckdb.sql(
+        "SELECT regexp_extract_all(?, ?)",
+        params=[text, PERSON_PATTERN_SQL]).fetchone()[0]
+    # both sides see the same candidate runs (2: one per 'John Smith' region)
+    assert len(sql) == 2
+    assert [s.value for s in spans] == ['John Smith', 'John Smith']
