@@ -130,3 +130,32 @@ def test_big_conformance_correctness_corpus():
                 or len(row['pii_spans']) != len(exp['pii_spans'])):
             bad += 1
     assert bad == 0, f'{bad}/{len(expected)} rows diverged'
+
+
+def test_keepdrop_stopwords_combined_equals_per_word():
+    """The combined-alternation megastring stopword scan equals the per-word
+    oracle count on adversarial cases (prefix words, punctuation boundaries,
+    case, empty/multilingual rows)."""
+    import numpy as np
+    import pandas as pd
+
+    from pii_detector_ray.models.seeds import STOPWORDS
+    from pii_detector_ray.oracle import oracle_stopword_hits
+    from pii_detector_ray.stages.keepdrop import stopword_hits
+    langs = list(STOPWORDS)
+    samples = []
+    for lang in langs:
+        ws = list(STOPWORDS[lang])
+        samples += [
+            (' '.join(ws[:3]) + ' filler', lang),
+            (ws[0].upper() + ',' + ws[0] + 'x ' + ws[-1], lang),
+            ('', lang),
+            ('nothing matching here 123', lang),
+            (ws[0] * 3 + ' ' + ws[0], lang),
+        ]
+    samples.append(('some text', 'zz'))           # no stopword list -> -1
+    texts = pd.Series([t for t, _ in samples], dtype='string')
+    langs_s = pd.Series([l for _, l in samples])
+    got = stopword_hits(texts, langs_s)
+    exp = np.array([oracle_stopword_hits(t, l) for t, l in samples])
+    assert (got == exp).all(), list(zip(samples, got, exp))
