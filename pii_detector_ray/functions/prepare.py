@@ -172,10 +172,10 @@ def _pdf_unescape(raw: bytes) -> str:
                             'f': '\f'}[nxt.decode()])
                 i += 2
                 continue
-            if nxt.isdigit():
-                oct_digits = raw[i + 1:i + 4]
+            if nxt in b'01234567':      # octal escape: 1-3 OCTAL digits only
                 j = 1
-                while j < 3 and i + 1 + j < len(raw) and raw[i + 1 + j:i + 2 + j].isdigit():
+                while j < 3 and i + 1 + j < len(raw) \
+                        and raw[i + 1 + j:i + 2 + j] in b'01234567':
                     j += 1
                 out.append(chr(int(raw[i + 1:i + 1 + j], 8)))
                 i += 1 + j

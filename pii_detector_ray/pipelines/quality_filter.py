@@ -80,13 +80,20 @@ def dedup_exact_by_url(ds: ray.data.Dataset) -> ray.data.Dataset:
 
     from pii_detector_ray.stages.dedup import drop_empty_blocks
 
-    keyed = ds.map_batches(wkey, batch_format='pyarrow')
+    # materialize ONCE: keyed feeds the counts aggregate AND the winner
+    # join(s); left lazy, the whole upstream read→filter→extract chain plus
+    # the md5 pass would re-execute per consumer (measured 2× upstream
+    # executions).  The object store holds (and spills) the keyed payload —
+    # the groupby shuffle would materialize comparable volume anyway.
+    keyed = ds.map_batches(wkey, batch_format='pyarrow').materialize()
     nparts = join_partitions()
     # drop_empty_blocks: both aggregates are narrow join inputs (Ray 2.49
     # empty-schema-block workaround, see stages/dedup.drop_empty_blocks)
     counts = drop_empty_blocks(
         keyed.select_columns(['url', '_wkey'])
         .groupby(['url', '_wkey']).aggregate(Count(alias_name='_n')))
+    if counts.count() == 0:               # empty input: nothing to dedup
+        return keyed.drop_columns(['_wkey'])
     winners = drop_empty_blocks(
         counts.groupby('url').aggregate(Min('_wkey', alias_name='_wkey')))
     winners_n = winners.join(counts, join_type='inner', num_partitions=nparts,

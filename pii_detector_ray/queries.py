@@ -611,9 +611,11 @@ def q_nation_revenue(sf_dir: str) -> ray.data.Dataset:
         cmap = ray.get(cust_map)
         nmap = ray.get(nation_map)
         keys = t.column('o_custkey').to_numpy(zero_copy_only=False)
-        names = [nmap.get(cmap.get(int(k), -1), 'UNKNOWN') for k in keys]
+        # lookup misses DROP the row — the oracle's inner joins do the same
+        names = [nmap.get(cmap.get(int(k), -1)) for k in keys]
+        hit = pa.array([n is not None for n in names], pa.bool_())
         tbl = pa.table({'n_name': pa.array(names, pa.string()),
-                        'price': t.column('o_totalprice')})
+                        'price': t.column('o_totalprice')}).filter(hit)
         agg = tbl.group_by('n_name').aggregate([('price', 'sum'),
                                                 ('price', 'count')])
         return pa.table({'n_name': agg.column('n_name'),
@@ -768,9 +770,14 @@ def q_events_sliding(sf_dir: str) -> ray.data.Dataset:
                               window_us=3_600_000_000, slide_us=900_000_000)
 
 
+# exact integer FLOOR division (numpy // floors; DuckDB // truncates toward
+# zero, diverging on negative pre-epoch timestamps): subtract the
+# floor-modulus first so the quotient is exact
+_SQL_TS_FLOORDIV = ("((epoch_us(ts) - (((epoch_us(ts) % 900000000) + 900000000) "
+                    "% 900000000)) // 900000000)")
+
 _EVENTS_SLIDING_SQL = (
-    "SELECT event_type, "
-    "((epoch_us(ts) // 900000000) - j) * 900000000 AS window_start, "
+    f"SELECT event_type, ({_SQL_TS_FLOORDIV} - j) * 900000000 AS window_start, "
     "count(*) AS n_events, round(sum(value), 2) AS sum_value "
     "FROM events, generate_series(0, 3) AS s(j) GROUP BY 1, 2"
 )

@@ -93,12 +93,14 @@ def parse_warc(data: bytes) -> list[tuple[str, int, bytes]]:
         ts_us = _BASE_TS_US
         date = headers.get('warc-date')
         if date:
-            try:
-                dt = datetime.strptime(date, '%Y-%m-%dT%H:%M:%SZ') \
-                    .replace(tzinfo=timezone.utc)
-                ts_us = int(dt.timestamp() * 1_000_000)
-            except ValueError:
-                pass
+            # WARC 1.1 allows fractional seconds
+            for fmt in ('%Y-%m-%dT%H:%M:%SZ', '%Y-%m-%dT%H:%M:%S.%fZ'):
+                try:
+                    dt = datetime.strptime(date, fmt).replace(tzinfo=timezone.utc)
+                    ts_us = int(dt.timestamp() * 1_000_000)
+                    break
+                except ValueError:
+                    continue
         # strip the HTTP response envelope when present
         if block[:5] in (b'HTTP/',):
             sep = block.find(b'\r\n\r\n')

@@ -37,6 +37,10 @@ def connected_components(pairs: ray.data.Dataset, *, col_a: str = 'doc_a',
                                 t.column(col_a).combine_chunks().cast(pa.int64())])}),
         batch_format='pyarrow')           # symmetric edge list
     edges = edges.materialize()           # reused every round; small (edges only)
+    if edges.count() == 0:                # empty pair set → no components
+        return ray.data.from_arrow(pa.table({
+            'doc_id': pa.array([], pa.int64()),
+            'component': pa.array([], pa.int64())}))
 
     # label(x) = min(x, min over neighbors of label(n)) — iterate
     labels = edges.groupby('a').aggregate(Min('b', alias_name='lbl'))

@@ -315,7 +315,8 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
 
 
-def drop_empty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
+def drop_empty_blocks(ds: ray.data.Dataset,
+                      schema: pa.Schema | None = None) -> ray.data.Dataset:
     """Ray 2.49 workaround, measured in this sandbox: ``groupby().aggregate()``
     emits 0-row blocks with an EMPTY (zero-column) schema; when such a block
     is what a ``Dataset.join`` hash-shuffle broadcasts for schema, the join
@@ -325,7 +326,12 @@ def drop_empty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
     the non-empty block refs.  Metadata-only — no blocks are fetched to the
     driver — but it does force materialization, so use it ONLY on narrow
     aggregate outputs that feed a join (winner keys, labels, candidate
-    pairs), never on payload datasets."""
+    pairs), never on payload datasets.
+
+    When EVERY block is empty the materialized dataset still has only
+    schema-less blocks; pass ``schema`` so an all-empty input comes back as
+    one schema-carrying empty block (else the caller must guard the empty
+    case itself before any join)."""
     m = ds.materialize()
     refs = []
     for bundle in m.iter_internal_ref_bundles():
@@ -333,6 +339,9 @@ def drop_empty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
             if meta.num_rows is None or meta.num_rows > 0:
                 refs.append(ref)
     if not refs:
+        if schema is not None:
+            return ray.data.from_arrow(
+                pa.table({f.name: pa.array([], f.type) for f in schema}))
         return m
     return ray.data.from_arrow_refs(refs)
 

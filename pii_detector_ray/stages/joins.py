@@ -42,6 +42,9 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     the per-key merge is ``np.searchsorted`` over the sorted right
     timestamps.  ``on`` must be int64-comparable (cast timestamps up front).
     """
+    left_cols = list(left.schema().names)   # output carries ONLY left columns
+                                            # + the prior_* attachments
+
     # pandas tagging keeps the union schema stable across heterogeneous
     # side schemas (missing columns become NaN instead of a schema error)
     def tag_simple(side: int):
@@ -68,7 +71,7 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
             ok &= (lt - rt[np.clip(idx, 0, None)]) <= tolerance_us
         lg = lg[ok]
         picked = rg.iloc[idx[ok]]
-        out = lg.drop(columns=['_side', '_on']).reset_index(drop=True)
+        out = lg[left_cols].reset_index(drop=True)   # no right-only NaN leaks
         for c in right_value_cols:
             out[f'prior_{c}'] = picked[c].to_numpy()
         out['prior_' + on] = picked[on].to_numpy()
@@ -91,7 +94,8 @@ def range_join_broadcast(ds: ray.data.Dataset, *, value_col: str,
     def assign(t: pa.Table) -> pa.Table:
         v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
         idx = np.searchsorted(edges, v, side='right') - 1
-        keep = idx >= 0
+        # nulls (NaN) match no band — SQL comparison semantics drop them
+        keep = (idx >= 0) & ~np.isnan(v)
         if len(edges) > len(names):      # explicit upper edge on the last band
             keep &= v < edges[-1]
         idx = np.clip(idx, 0, len(names) - 1)

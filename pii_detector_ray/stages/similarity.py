@@ -210,15 +210,10 @@ class ShardedLshIndex:
             mat = np.array([np.frombuffer(b, dtype=np.float64)
                             for b in hit.column('vec_bytes').to_pylist()])
             ids = hit.column(id_col).to_numpy(zero_copy_only=False)
-            sims = mat @ qv
-            order = np.lexsort((ids, -sims))[:k]
-            return pa.table({id_col: pa.array(ids[order]),
-                             'sim': pa.array(sql_round_np(sims[order], 4), pa.float64())})
+            return _block_topk_table(ids, mat @ qv, k, id_col)
 
         parts = self._data.map_batches(topk, batch_format='pyarrow').to_pandas()
-        parts = parts.sort_values(['sim', id_col], ascending=[False, True],
-                                  kind='mergesort').head(k)
-        return [(int(r[id_col]), float(r['sim'])) for _, r in parts.iterrows()]
+        return _merge_topk(parts, k, id_col)
 
 
 def distributed_kmeans(ds: ray.data.Dataset, *, n_lists: int, iters: int = 10,

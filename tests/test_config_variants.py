@@ -183,3 +183,21 @@ def test_dedup_urls_null_and_negative_warc_ts():
         .to_pandas().set_index('url')
     assert out.loc['https://a/x', 'extracted_text'] == 'real-ts copy'
     assert out.loc['https://b/y', 'extracted_text'] == 'older'
+
+
+def test_dedup_urls_empty_input_no_crash():
+    """Review r2 pass 2: a fully-empty input (all rows filtered upstream)
+    must flow through the winner-join dedup without the empty-schema join
+    crash and come out empty."""
+    import pyarrow as pa
+    import ray.data
+
+    from pii_detector_ray.pipelines.quality_filter import dedup_exact_by_url
+    empty = pa.table({
+        'url': pa.array([], pa.string()),
+        'warc_ts': pa.array([], pa.timestamp('us')),
+        'lang': pa.array([], pa.string()),
+        'extracted_text': pa.array([], pa.string()),
+    })
+    out = dedup_exact_by_url(ray.data.from_arrow(empty))
+    assert out.count() == 0

@@ -86,3 +86,19 @@ def test_warc_to_pages_pipeline(tmp_path):
     assert (out['n_pii'] >= 1).all()               # the ssn is found
     assert out['extracted_text'].str.contains('172-32-1176').all()
     assert not out['scrubbed_text'].str.contains('172-32-1176').any()
+
+
+def test_warc_fractional_second_date():
+    from datetime import datetime, timezone
+
+    from pii_detector_ray.sources.ingest import parse_warc, write_warc
+    rec = [('https://f.example.com/x', '2024-03-01T12:00:00.123456Z',
+            b'<html>f</html>')]
+    import io
+    buf = io.BytesIO()
+    # write_warc emits the date string verbatim
+    write_warc(rec, '/tmp/warc_frac.warc')
+    parsed = parse_warc(open('/tmp/warc_frac.warc', 'rb').read())
+    exp = int(datetime(2024, 3, 1, 12, 0, 0, 123456,
+                       tzinfo=timezone.utc).timestamp() * 1_000_000)
+    assert parsed[0][1] == exp

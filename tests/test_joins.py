@@ -76,3 +76,34 @@ def test_sliding_window_matches_manual():
     # sums compared with tolerance: round-to-2dp at a .xx5 boundary depends
     # on float accumulation order (distributed vs serial)
     assert np.allclose(got['sum_value'], exp['sum_value'], atol=0.011)
+
+
+def test_asof_join_no_right_column_leak():
+    left = _ds({'k': [1], 'ts_us': [10], 'v': [1.0]})
+    right = _ds({'k': [1], 'ts_us': [5], 'w': [9.0], 'extra_right': ['x']})
+    out = asof_join(left, right, by='k', on='ts_us', right_value_cols=['w']) \
+        .to_pandas()
+    assert sorted(out.columns) == ['k', 'prior_ts_us', 'prior_w', 'ts_us', 'v']
+
+
+def test_range_join_drops_nulls():
+    ds = _ds({'id': [1, 2], 'x': [50.0, None]})
+    out = range_join_broadcast(ds, value_col='x', bounds=[0.0],
+                               labels=['all']).to_pandas()
+    assert list(out['id']) == [1]
+
+
+def test_sliding_window_negative_ts_matches_duckdb_floor():
+    """Pre-epoch timestamps: numpy floors, DuckDB // truncates — the oracle
+    emulates floor exactly."""
+    import duckdb
+    ds = _ds({'k': ['a', 'a'], 'ts': [-950, 50], 'v': [1.0, 2.0]})
+    got = sliding_window_agg(ds, key_col='k', ts_col='ts', value_col='v',
+                             window_us=400, slide_us=100).to_pandas()
+    floordiv = "((t - (((t % 100) + 100) % 100)) // 100)"
+    exp = duckdb.sql(
+        f"SELECT ({floordiv} - j) * 100 AS window_start, count(*) AS n "
+        f"FROM (VALUES (-950), (50)) AS v(t), generate_series(0, 3) AS s(j) "
+        f"GROUP BY 1").df()
+    assert set(got['window_start']) == set(exp['window_start'])
+    assert -1000 in set(got['window_start'])       # floor(-950/100)*100

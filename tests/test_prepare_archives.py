@@ -183,3 +183,13 @@ def test_parse_xlsx_ten_plus_sheets_in_order():
     sheets = [[[f'sheet{i}']] for i in range(1, 12)]
     df = prepare_file(build_xlsx(sheets), 'wide.xlsx')
     assert list(df[0]) == [f'sheet{i}' for i in range(1, 12)]
+
+
+def test_pdf_nonoctal_backslash_escape():
+    """Review r2 pass 2: \\8 / \\9 are not octal — the backslash is dropped
+    per the PDF spec instead of raising and nulling the document."""
+    from pii_detector_ray.functions.docbuild import build_pdf
+    from pii_detector_ray.functions.prepare import _pdf_unescape
+    assert _pdf_unescape(rb'foo\8bar\101') == 'foo8barA'
+    out = prepare_file(build_pdf(['ok text']), 'p.pdf')
+    assert 'ok text' in out
