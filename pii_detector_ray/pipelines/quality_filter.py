@@ -80,12 +80,13 @@ def dedup_exact_by_url(ds: ray.data.Dataset) -> ray.data.Dataset:
 
     from pii_detector_ray.stages.dedup import drop_empty_blocks
 
-    # materialize ONCE: keyed feeds the counts aggregate AND the winner
-    # join(s); left lazy, the whole upstream read→filter→extract chain plus
-    # the md5 pass would re-execute per consumer (measured 2× upstream
-    # executions).  The object store holds (and spills) the keyed payload —
-    # the groupby shuffle would materialize comparable volume anyway.
-    keyed = ds.map_batches(wkey, batch_format='pyarrow').materialize()
+    # DELIBERATELY LAZY: keyed feeds both the counts aggregate and the
+    # winner join, so the upstream read→filter→extract→md5 chain executes
+    # twice — but materializing keyed instead (payload through the object
+    # store as a hard barrier) measured 40.9 s vs 19.6 s min-of-3 on the
+    # 600k corpus @32 CPUs: the recompute is cheap, parallel and overlapped,
+    # while the materialize serializes the pipeline and spills ~600 MB.
+    keyed = ds.map_batches(wkey, batch_format='pyarrow')
     nparts = join_partitions()
     # drop_empty_blocks: both aggregates are narrow join inputs (Ray 2.49
     # empty-schema-block workaround, see stages/dedup.drop_empty_blocks)
