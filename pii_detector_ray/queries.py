@@ -457,6 +457,59 @@ _EVENTS_USER_SQL = (
 )
 
 
+def q_frequent_users(sf_dir: str) -> ray.data.Dataset:
+    """Exact top-10 heaviest users via the two-pass Misra–Gries shape
+    (stages/sketches.py): bounded per-batch sketch state → merged candidate
+    set → exact recount of candidates only.  Output is exact, so the SQL
+    oracle is a plain ORDER BY count."""
+    from pii_detector_ray.stages.sketches import heavy_hitters
+    return heavy_hitters(_events(sf_dir, ['user_id']), 'user_id', k=10,
+                         capacity=256)
+
+
+_FREQUENT_USERS_SQL = (
+    'SELECT user_id, count(*) AS n FROM events GROUP BY user_id '
+    'ORDER BY n DESC, user_id LIMIT 10'
+)
+
+
+def q_source_lang_rollup(sf_dir: str) -> ray.data.Dataset:
+    """ROLLUP-style aggregate: (source, lang) cells + per-source subtotals +
+    grand total, expressed as three pre-aggregated levels unioned — each
+    level shuffles only its (narrow) group keys."""
+    base = read_documents(sf_dir, ['source', 'lang'])
+    lvl2 = base.groupby(['source', 'lang']).aggregate(Count(alias_name='n_docs'))
+
+    def pad_lang(t: pa.Table) -> pa.Table:
+        return pa.table({'source': t.column('source'),
+                         'lang': pa.nulls(len(t), pa.string()),
+                         'n_docs': t.column('n_docs')})
+
+    lvl1 = base.groupby('source').aggregate(Count(alias_name='n_docs')) \
+        .map_batches(pad_lang, batch_format='pyarrow')
+    total = base.count()
+    lvl0 = ray.data.from_arrow(pa.table({
+        'source': pa.array([None], pa.string()),
+        'lang': pa.array([None], pa.string()),
+        'n_docs': pa.array([total], pa.int64()),
+    }))
+
+    def order_cols(t: pa.Table) -> pa.Table:
+        return pa.table({'source': t.column('source').cast(pa.string()),
+                         'lang': t.column('lang').cast(pa.string()),
+                         'n_docs': t.column('n_docs').cast(pa.int64())})
+
+    return lvl2.map_batches(order_cols, batch_format='pyarrow') \
+        .union(lvl1.map_batches(order_cols, batch_format='pyarrow')) \
+        .union(lvl0.map_batches(order_cols, batch_format='pyarrow'))
+
+
+_ROLLUP_SQL = (
+    'SELECT source, lang, count(*) AS n_docs FROM documents '
+    'GROUP BY ROLLUP(source, lang)'
+)
+
+
 def q_stratified_sample(sf_dir: str, k: int = 5) -> ray.data.Dataset:
     """Top-k-per-group operator: k docs per source, ranked by a
     deterministic hash (reproducible stratified sampling).  Only narrow
@@ -1203,6 +1256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'stratified_sample': q_stratified_sample,
         'user_value_median': q_user_value_median,
         'distinct_users': q_distinct_users,
+        'frequent_users': q_frequent_users,
+        'source_lang_rollup': q_source_lang_rollup,
         'similarity_topk': q_similarity_topk,
         'word_stats': q_word_stats,
         'host_stats': q_host_stats,
@@ -1263,6 +1318,8 @@ def oracle_sql() -> dict[str, str]:
         'stratified_sample': _STRATIFIED_SQL,
         'user_value_median': _USER_MEDIAN_SQL,
         'distinct_users': _DISTINCT_USERS_SQL,
+        'frequent_users': _FREQUENT_USERS_SQL,
+        'source_lang_rollup': _ROLLUP_SQL,
         'similarity_topk': _SIMILARITY_SQL,
         'word_stats': _WORD_STATS_SQL,
         'host_stats': _HOST_STATS_SQL,

@@ -1,0 +1,75 @@
+"""Streaming sketch operators: frequent items (heavy hitters).
+
+The classic two-pass exact heavy-hitters shape for 10^12-row columns:
+
+1. **Candidate pass** — every batch runs a Misra–Gries summary (bounded
+   state: at most ``capacity`` counters) and emits its counters as narrow
+   (item, weight) rows; a tiny groupby merges them.  MG guarantees any item
+   with true frequency > n/capacity survives merging, so the union of
+   per-batch summaries is a superset of every true heavy hitter.
+2. **Exact pass** — the (small) candidate set broadcasts; one more scan
+   counts ONLY candidate occurrences exactly.
+
+The output is therefore EXACT top-k (SQL-checkable), while the shuffle
+carries bounded sketch state plus one count row per candidate per batch —
+never the raw column.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def misra_gries(values: list, capacity: int) -> dict:
+    """Classic Misra–Gries summary: at most ``capacity`` counters; any item
+    with frequency > n/(capacity+1) is guaranteed present."""
+    counters: dict = {}
+    for v in values:
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < capacity:
+            counters[v] = 1
+        else:
+            for key in list(counters):
+                counters[key] -= 1
+                if counters[key] == 0:
+                    del counters[key]
+    return counters
+
+
+def heavy_hitters(ds: ray.data.Dataset, col: str, k: int = 10,
+                  capacity: int = 64) -> ray.data.Dataset:
+    """Exact top-k most frequent values of ``col`` via the two-pass
+    MG-candidates → exact-recount shape.  ``capacity`` must exceed the
+    number of distinct items that could tie into the top-k (capacity >> k
+    is cheap — the state is ``capacity`` counters per batch)."""
+    def summarize(batch: pa.Table) -> pa.Table:
+        counters = misra_gries(batch.column(col).to_pylist(), capacity)
+        return pa.table({col: pa.array(list(counters)),
+                         '_w': pa.array(list(counters.values()), pa.int64())})
+
+    merged = (ds.map_batches(summarize, batch_format='pyarrow')
+              .groupby(col).aggregate(Sum('_w', alias_name='_w')))
+    # candidate set: top candidates by merged MG weight, padded well past k
+    cand_rows = merged.sort('_w', descending=True).limit(capacity).take_all()
+    cand = pa.array(sorted(r[col] for r in cand_rows))
+    ref = ray.put(cand)
+
+    def exact(batch: pa.Table) -> pa.Table:
+        value_set = ray.get(ref)
+        colv = batch.column(col)
+        hit = batch.filter(pc.is_in(colv, value_set=value_set))
+        agg = pa.table({col: hit.column(col)}).group_by(col).aggregate([([], 'count_all')])
+        return pa.table({col: agg.column(col),
+                         '_n': pc.cast(agg.column('count_all'), pa.int64())})
+
+    counts = (ds.map_batches(exact, batch_format='pyarrow')
+              .groupby(col).aggregate(Sum('_n', alias_name='n')))
+    # final top-k: candidate counts are tiny — one small sort+limit
+    return counts.sort(['n', col], descending=[True, False]).limit(k)

@@ -1,0 +1,30 @@
+"""Heavy-hitters sketch operator (stages/sketches.py)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from pii_detector_ray.stages.sketches import heavy_hitters, misra_gries
+
+
+def test_misra_gries_guarantee():
+    # any item with freq > n/(capacity+1) must be present
+    vals = ['hot'] * 60 + [f'c{i}' for i in range(100)] + ['warm'] * 30
+    counters = misra_gries(vals, capacity=8)
+    assert 'hot' in counters and 'warm' in counters
+    assert len(counters) <= 8
+
+
+def test_heavy_hitters_exact_topk_with_skew():
+    rng = np.random.default_rng(6)
+    # zipf-ish: item i appears ~ 1000/(i+1) times
+    items = []
+    for i in range(80):
+        items += [f'host{i:03d}'] * (1000 // (i + 1))
+    rng.shuffle(items)
+    ds = ray.data.from_arrow(pa.table({'h': pa.array(items)})).repartition(7)
+    got = heavy_hitters(ds, 'h', k=10, capacity=128).to_pandas()
+    import collections
+    exact = collections.Counter(items)
+    exp = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got['h'], got['n'])) == exp
