@@ -163,6 +163,29 @@ def read_pages_warc(paths: str | list[str]) -> ray.data.Dataset:
     return ds.map_batches(to_pages, batch_format='pyarrow')
 
 
+def read_pages_orc(paths: str | list[str]) -> ray.data.Dataset:
+    """ORC files → pages (Ray 2.49 has no ``read_orc``; decode per file with
+    pyarrow.orc inside ``map_batches`` over ``read_binary_files`` — ORC
+    stripes make files the natural read-parallelism unit, like WARC)."""
+    ds = ray.data.read_binary_files(paths)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        from io import BytesIO
+
+        import pyarrow.orc as orc
+        parts = []
+        for blob in batch.column('bytes').to_pylist():
+            try:
+                parts.append(orc.ORCFile(BytesIO(blob)).read())
+            except Exception:
+                continue              # malformed file: skip, don't kill the job
+        if not parts:
+            return _conform(pa.table({}))
+        return _conform(pa.concat_tables(parts, promote_options='default'))
+
+    return ds.map_batches(decode, batch_format='pyarrow')
+
+
 def read_pages_text(paths: str | list[str]) -> ray.data.Dataset:
     """Raw text files → one page per file (url = file path, text = content;
     the reference's generic-file fallback, file_service.py:415)."""

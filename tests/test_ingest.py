@@ -102,3 +102,21 @@ def test_warc_fractional_second_date():
     exp = int(datetime(2024, 3, 1, 12, 0, 0, 123456,
                        tzinfo=timezone.utc).timestamp() * 1_000_000)
     assert parsed[0][1] == exp
+
+
+def test_read_pages_orc(tmp_path):
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    from pii_detector_ray.sources.ingest import read_pages_orc
+    t = pa.table({'url': [f'https://o{i}.example.com/p' for i in range(4)],
+                  'text': ['orc page text with words here'] * 4,
+                  'extra_col': [1, 2, 3, 4]})
+    path = str(tmp_path / 'pages.orc')
+    orc.write_table(t, path)
+    ds = read_pages_orc(path)
+    assert ds.schema().names == ['url', 'warc_ts', 'html', 'text', 'lang']
+    df = ds.to_pandas()
+    assert len(df) == 4
+    assert df['text'].iloc[0] == 'orc page text with words here'
+    assert df['warc_ts'].isna().all()            # missing columns -> nulls
