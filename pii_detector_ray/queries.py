@@ -457,6 +457,69 @@ _EVENTS_USER_SQL = (
 )
 
 
+_EVENT_TYPES = ['click', 'error', 'purchase', 'signup', 'view']
+
+
+def q_events_pivot(sf_dir: str) -> ray.data.Dataset:
+    """Long→wide pivot: one column per event_type with per-user counts,
+    computed as conditional partial counts inside map_batches (the shuffle
+    carries one 6-int row per (user, batch), never events)."""
+    def partial(t: pa.Table) -> pa.Table:
+        users = t.column('user_id').to_numpy(zero_copy_only=False)
+        types = np.asarray(t.column('event_type').to_pylist(), dtype=object)
+        uniq, inv = np.unique(users, return_inverse=True)
+        cols: dict[str, Any] = {'user_id': pa.array(uniq, pa.int64())}
+        for et in _EVENT_TYPES:
+            counts = np.bincount(inv[types == et], minlength=len(uniq))
+            cols[f'n_{et}'] = pa.array(counts.astype(np.int64))
+        return pa.table(cols)
+
+    agg_cols = [Sum(f'n_{et}', alias_name=f'n_{et}') for et in _EVENT_TYPES]
+    return (_events(sf_dir, ['user_id', 'event_type'])
+            .map_batches(partial, batch_format='pyarrow')
+            .groupby('user_id').aggregate(*agg_cols))
+
+
+_EVENTS_PIVOT_SQL = (
+    'SELECT user_id, '
+    + ', '.join(f"count(*) FILTER (event_type = '{et}') AS n_{et}"
+                for et in _EVENT_TYPES)
+    + ' FROM events GROUP BY user_id'
+)
+
+
+def q_event_deltas(sf_dir: str) -> ray.data.Dataset:
+    """lag() window: per event, microseconds since the user's previous event
+    (first event per user dropped).  Per-user map_groups with a vectorized
+    diff over the (ts, event_id)-sorted stream — same co-partitioning shape
+    as sessionize."""
+    def deltas(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['_ts', 'event_id'], kind='mergesort')
+        d = g['_ts'].diff()
+        out = pd.DataFrame({'event_id': g['event_id'].astype('int64'),
+                            'delta_us': d})
+        out = out[out['delta_us'].notna()]
+        out['delta_us'] = out['delta_us'].astype('int64')
+        return out
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({'user_id': t.column('user_id'),
+                         'event_id': t.column('event_id'),
+                         '_ts': pc.cast(t.column('ts'), pa.int64())})
+
+    return (_events(sf_dir, ['user_id', 'event_id', 'ts'])
+            .map_batches(prep, batch_format='pyarrow')
+            .groupby('user_id').map_groups(deltas, batch_format='pandas'))
+
+
+_EVENT_DELTAS_SQL = (
+    'SELECT event_id, delta_us FROM ('
+    'SELECT event_id, epoch_us(ts) - lag(epoch_us(ts)) OVER '
+    '(PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS delta_us '
+    'FROM events) WHERE delta_us IS NOT NULL'
+)
+
+
 def q_frequent_users(sf_dir: str) -> ray.data.Dataset:
     """Exact top-10 heaviest users via the two-pass Misra–Gries shape
     (stages/sketches.py): bounded per-batch sketch state → merged candidate
@@ -1258,6 +1321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'distinct_users': q_distinct_users,
         'frequent_users': q_frequent_users,
         'source_lang_rollup': q_source_lang_rollup,
+        'events_pivot': q_events_pivot,
+        'event_deltas': q_event_deltas,
         'similarity_topk': q_similarity_topk,
         'word_stats': q_word_stats,
         'host_stats': q_host_stats,
@@ -1320,6 +1385,8 @@ def oracle_sql() -> dict[str, str]:
         'distinct_users': _DISTINCT_USERS_SQL,
         'frequent_users': _FREQUENT_USERS_SQL,
         'source_lang_rollup': _ROLLUP_SQL,
+        'events_pivot': _EVENTS_PIVOT_SQL,
+        'event_deltas': _EVENT_DELTAS_SQL,
         'similarity_topk': _SIMILARITY_SQL,
         'word_stats': _WORD_STATS_SQL,
         'host_stats': _HOST_STATS_SQL,
