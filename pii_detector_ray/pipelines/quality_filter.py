@@ -82,10 +82,12 @@ def dedup_exact_by_url(ds: ray.data.Dataset) -> ray.data.Dataset:
 
     # DELIBERATELY LAZY: keyed feeds both the counts aggregate and the
     # winner join, so the upstream read→filter→extract→md5 chain executes
-    # twice — but materializing keyed instead (payload through the object
-    # store as a hard barrier) measured 40.9 s vs 19.6 s min-of-3 on the
-    # 600k corpus @32 CPUs: the recompute is cheap, parallel and overlapped,
-    # while the materialize serializes the pipeline and spills ~600 MB.
+    # twice (three times in the rare ties branch; counts/winners themselves
+    # are narrow and materialized, so their downstream reuse is free) — but
+    # materializing keyed instead (payload through the object store as a
+    # hard barrier) measured 40.9 s vs 19.6 s min-of-3 on the 600k corpus
+    # @32 CPUs: the recompute is cheap, parallel and overlapped, while the
+    # materialize serializes the pipeline and spills ~600 MB.
     keyed = ds.map_batches(wkey, batch_format='pyarrow')
     nparts = join_partitions()
     # drop_empty_blocks: both aggregates are narrow join inputs (Ray 2.49

@@ -466,12 +466,20 @@ def q_events_pivot(sf_dir: str) -> ray.data.Dataset:
     carries one 6-int row per (user, batch), never events)."""
     def partial(t: pa.Table) -> pa.Table:
         users = t.column('user_id').to_numpy(zero_copy_only=False)
-        types = np.asarray(t.column('event_type').to_pylist(), dtype=object)
+        # vectorized type codes (no Python objects on the hot path), then
+        # one 2-D bincount over user x type
+        codes = pc.index_in(t.column('event_type'),
+                            value_set=pa.array(_EVENT_TYPES)) \
+            .to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(users, return_inverse=True)
+        n_types = len(_EVENT_TYPES)
+        known = codes >= 0                       # unknown types count nowhere
+        flat = np.bincount(inv[known] * n_types + codes[known].astype(np.int64),
+                           minlength=len(uniq) * n_types) \
+            .reshape(len(uniq), n_types)
         cols: dict[str, Any] = {'user_id': pa.array(uniq, pa.int64())}
-        for et in _EVENT_TYPES:
-            counts = np.bincount(inv[types == et], minlength=len(uniq))
-            cols[f'n_{et}'] = pa.array(counts.astype(np.int64))
+        for j, et in enumerate(_EVENT_TYPES):
+            cols[f'n_{et}'] = pa.array(flat[:, j].astype(np.int64))
         return pa.table(cols)
 
     agg_cols = [Sum(f'n_{et}', alias_name=f'n_{et}') for et in _EVENT_TYPES]
@@ -540,17 +548,20 @@ def q_source_lang_rollup(sf_dir: str) -> ray.data.Dataset:
     """ROLLUP-style aggregate: (source, lang) cells + per-source subtotals +
     grand total, expressed as three pre-aggregated levels unioned — each
     level shuffles only its (narrow) group keys."""
+    # ONE scan of the base table: the subtotal and grand-total levels roll
+    # up from the (tiny) materialized cell level, not from re-reads
     base = read_documents(sf_dir, ['source', 'lang'])
-    lvl2 = base.groupby(['source', 'lang']).aggregate(Count(alias_name='n_docs'))
+    lvl2 = base.groupby(['source', 'lang']) \
+        .aggregate(Count(alias_name='n_docs')).materialize()
 
     def pad_lang(t: pa.Table) -> pa.Table:
         return pa.table({'source': t.column('source'),
                          'lang': pa.nulls(len(t), pa.string()),
                          'n_docs': t.column('n_docs')})
 
-    lvl1 = base.groupby('source').aggregate(Count(alias_name='n_docs')) \
+    lvl1 = lvl2.groupby('source').aggregate(Sum('n_docs', alias_name='n_docs')) \
         .map_batches(pad_lang, batch_format='pyarrow')
-    total = base.count()
+    total = lvl2.sum('n_docs') or 0
     lvl0 = ray.data.from_arrow(pa.table({
         'source': pa.array([None], pa.string()),
         'lang': pa.array([None], pa.string()),

@@ -176,12 +176,14 @@ def read_pages_orc(paths: str | list[str]) -> ray.data.Dataset:
         parts = []
         for blob in batch.column('bytes').to_pylist():
             try:
-                parts.append(orc.ORCFile(BytesIO(blob)).read())
+                # conform PER FILE: a file with wrong column types must be
+                # skipped here, not explode the cross-file concat below
+                parts.append(_conform(orc.ORCFile(BytesIO(blob)).read()))
             except Exception:
                 continue              # malformed file: skip, don't kill the job
         if not parts:
             return _conform(pa.table({}))
-        return _conform(pa.concat_tables(parts, promote_options='default'))
+        return pa.concat_tables(parts)
 
     return ds.map_batches(decode, batch_format='pyarrow')
 

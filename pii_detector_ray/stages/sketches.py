@@ -1,75 +1,87 @@
 """Streaming sketch operators: frequent items (heavy hitters).
 
-The classic two-pass exact heavy-hitters shape for 10^12-row columns:
+Exact top-k with a sketch fast path:
 
-1. **Candidate pass** — every batch runs a Misra–Gries summary (bounded
-   state: at most ``capacity`` counters) and emits its counters as narrow
-   (item, weight) rows; a tiny groupby merges them.  MG guarantees any item
-   with true frequency > n/capacity survives merging, so the union of
-   per-batch summaries is a superset of every true heavy hitter.
-2. **Exact pass** — the (small) candidate set broadcasts; one more scan
-   counts ONLY candidate occurrences exactly.
+- **Fast path** — every batch runs a Misra–Gries summary (bounded state: at
+  most ``capacity`` counters) and reports whether it ever EVICTED a counter.
+  If no batch evicted, every per-batch summary is simply an exact count
+  dict, so the merged sums are exact global counts and top-k falls out of a
+  tiny sort.  This covers the common skewed/low-cardinality case with
+  bounded shuffle state.
+- **Exact fallback** — if any batch evicted, MG weights underestimate and a
+  flat distribution can evict a true top-k item from EVERY batch (the
+  guarantee only covers freq > n/(capacity+1)), so no candidate set built
+  from the summaries is safe.  The operator then falls back to the honest
+  two-phase exact count: per-batch ``group_by`` pre-aggregation (one row
+  per distinct value per batch crosses the shuffle, never the raw column)
+  → global sum → sort+limit.
 
-The output is therefore EXACT top-k (SQL-checkable), while the shuffle
-carries bounded sketch state plus one count row per candidate per batch —
-never the raw column.
+Either way the result is EXACT (SQL-checkable); the sketch only changes the
+amount of shuffled state.
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Max, Sum
 
 
-def misra_gries(values: list, capacity: int) -> dict:
-    """Classic Misra–Gries summary: at most ``capacity`` counters; any item
-    with frequency > n/(capacity+1) is guaranteed present."""
+def misra_gries(values: list, capacity: int) -> tuple[dict, bool]:
+    """Classic Misra–Gries summary: at most ``capacity`` counters; returns
+    (counters, evicted).  When ``evicted`` is False the counters are EXACT
+    counts (no decrement ever happened); any item with frequency
+    > n/(capacity+1) is guaranteed present either way."""
     counters: dict = {}
+    evicted = False
     for v in values:
         if v in counters:
             counters[v] += 1
         elif len(counters) < capacity:
             counters[v] = 1
         else:
+            evicted = True
             for key in list(counters):
                 counters[key] -= 1
                 if counters[key] == 0:
                     del counters[key]
-    return counters
+    return counters, evicted
 
 
 def heavy_hitters(ds: ray.data.Dataset, col: str, k: int = 10,
                   capacity: int = 64) -> ray.data.Dataset:
-    """Exact top-k most frequent values of ``col`` via the two-pass
-    MG-candidates → exact-recount shape.  ``capacity`` must exceed the
-    number of distinct items that could tie into the top-k (capacity >> k
-    is cheap — the state is ``capacity`` counters per batch)."""
+    """Exact top-k most frequent values of ``col`` (see module docstring
+    for the sketch fast path / exact fallback)."""
     def summarize(batch: pa.Table) -> pa.Table:
-        counters = misra_gries(batch.column(col).to_pylist(), capacity)
+        counters, evicted = misra_gries(batch.column(col).to_pylist(), capacity)
+        n = len(counters)
         return pa.table({col: pa.array(list(counters)),
-                         '_w': pa.array(list(counters.values()), pa.int64())})
+                         '_w': pa.array(list(counters.values()), pa.int64()),
+                         '_e': pa.array([int(evicted)] * n, pa.int8())})
 
     merged = (ds.map_batches(summarize, batch_format='pyarrow')
-              .groupby(col).aggregate(Sum('_w', alias_name='_w')))
-    # candidate set: top candidates by merged MG weight, padded well past k
-    cand_rows = merged.sort('_w', descending=True).limit(capacity).take_all()
-    cand = pa.array(sorted(r[col] for r in cand_rows))
-    ref = ray.put(cand)
+              .groupby(col).aggregate(Sum('_w', alias_name='_w'),
+                                      Max('_e', alias_name='_e'))
+              .materialize())
+    any_evicted = (merged.max('_e') or 0) > 0
 
+    if not any_evicted:
+        # no batch ever evicted → merged sums ARE exact counts
+        out = merged.map_batches(
+            lambda t: pa.table({col: t.column(col),
+                                'n': t.column('_w')}),
+            batch_format='pyarrow')
+        return out.sort(['n', col], descending=[True, False]).limit(k)
+
+    # exact fallback: per-batch pre-aggregated counts → global sum
     def exact(batch: pa.Table) -> pa.Table:
-        value_set = ray.get(ref)
-        colv = batch.column(col)
-        hit = batch.filter(pc.is_in(colv, value_set=value_set))
-        agg = pa.table({col: hit.column(col)}).group_by(col).aggregate([([], 'count_all')])
+        agg = pa.table({col: batch.column(col)}).group_by(col) \
+            .aggregate([([], 'count_all')])
         return pa.table({col: agg.column(col),
                          '_n': pc.cast(agg.column('count_all'), pa.int64())})
 
     counts = (ds.map_batches(exact, batch_format='pyarrow')
               .groupby(col).aggregate(Sum('_n', alias_name='n')))
-    # final top-k: candidate counts are tiny — one small sort+limit
     return counts.sort(['n', col], descending=[True, False]).limit(k)

@@ -10,9 +10,11 @@ from pii_detector_ray.stages.sketches import heavy_hitters, misra_gries
 def test_misra_gries_guarantee():
     # any item with freq > n/(capacity+1) must be present
     vals = ['hot'] * 60 + [f'c{i}' for i in range(100)] + ['warm'] * 30
-    counters = misra_gries(vals, capacity=8)
+    counters, evicted = misra_gries(vals, capacity=8)
     assert 'hot' in counters and 'warm' in counters
-    assert len(counters) <= 8
+    assert len(counters) <= 8 and evicted
+    exact, ev2 = misra_gries(['a', 'b', 'a'], capacity=8)
+    assert exact == {'a': 2, 'b': 1} and not ev2
 
 
 def test_heavy_hitters_exact_topk_with_skew():
@@ -25,6 +27,25 @@ def test_heavy_hitters_exact_topk_with_skew():
     ds = ray.data.from_arrow(pa.table({'h': pa.array(items)})).repartition(7)
     got = heavy_hitters(ds, 'h', k=10, capacity=128).to_pandas()
     import collections
+    exact = collections.Counter(items)
+    exp = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got['h'], got['n'])) == exp
+
+
+def test_heavy_hitters_exact_on_flat_high_cardinality():
+    """Review r2 pass 3 regression: a flat distribution with far more
+    distinct items than the sketch capacity must STILL return the exact
+    top-k (the MG guarantee covers no item here; the operator must fall
+    back to the exact count path)."""
+    import collections
+    rng = np.random.default_rng(11)
+    # 1500 distinct items, counts 40..99 — nothing exceeds n/(capacity+1)
+    items = []
+    for i in range(1500):
+        items += [f'u{i:04d}'] * int(rng.integers(40, 100))
+    rng.shuffle(items)
+    ds = ray.data.from_arrow(pa.table({'h': pa.array(items)})).repartition(9)
+    got = heavy_hitters(ds, 'h', k=10, capacity=64).to_pandas()
     exact = collections.Counter(items)
     exp = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert list(zip(got['h'], got['n'])) == exp
