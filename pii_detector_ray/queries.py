@@ -528,6 +528,29 @@ _EVENT_DELTAS_SQL = (
 )
 
 
+def q_price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """EXACT continuous quantiles of o_totalprice via distributed
+    histogram-refinement order statistics (stages/sketches.py — no global
+    sort, no column collect; only per-batch bucket counts cross the
+    driver).  quantile_cont interpolation semantics."""
+    import os
+
+    from pii_detector_ray.stages.sketches import distributed_quantile
+    orders = ray.data.read_parquet(os.path.join(sf_dir, 'orders.parquet'),
+                                   columns=['o_totalprice'])
+    qs = [0.25, 0.5, 0.75]
+    vals = distributed_quantile(orders, 'o_totalprice', qs)
+    return pd.DataFrame({'q': qs,
+                         'quantile_price': sql_round_np(np.array(vals), 4)})
+
+
+# quantile_cont takes only constant parameters — one SELECT per q
+_PRICE_QUANTILES_SQL = ' UNION ALL '.join(
+    f'SELECT {q} AS q, round(quantile_cont(o_totalprice, {q}), 4) '
+    f'AS quantile_price FROM orders'
+    for q in (0.25, 0.5, 0.75))
+
+
 def q_frequent_users(sf_dir: str) -> ray.data.Dataset:
     """Exact top-10 heaviest users via the two-pass Misra–Gries shape
     (stages/sketches.py): bounded per-batch sketch state → merged candidate
@@ -1334,6 +1357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'source_lang_rollup': q_source_lang_rollup,
         'events_pivot': q_events_pivot,
         'event_deltas': q_event_deltas,
+        'price_quantiles': q_price_quantiles,
         'similarity_topk': q_similarity_topk,
         'word_stats': q_word_stats,
         'host_stats': q_host_stats,
@@ -1398,6 +1422,7 @@ def oracle_sql() -> dict[str, str]:
         'source_lang_rollup': _ROLLUP_SQL,
         'events_pivot': _EVENTS_PIVOT_SQL,
         'event_deltas': _EVENT_DELTAS_SQL,
+        'price_quantiles': _PRICE_QUANTILES_SQL,
         'similarity_topk': _SIMILARITY_SQL,
         'word_stats': _WORD_STATS_SQL,
         'host_stats': _HOST_STATS_SQL,

@@ -49,3 +49,24 @@ def test_heavy_hitters_exact_on_flat_high_cardinality():
     exact = collections.Counter(items)
     exp = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert list(zip(got['h'], got['n'])) == exp
+
+
+def test_distributed_quantile_matches_numpy_exact():
+    """Histogram-refinement order statistics equal numpy's linear-interp
+    quantiles on adversarial shapes: duplicates, skew, negatives, tiny n,
+    constant columns."""
+    from pii_detector_ray.stages.sketches import distributed_quantile
+    rng = np.random.default_rng(8)
+    cases = [
+        rng.normal(0, 1000, 5000),
+        np.concatenate([np.full(2000, 7.5), rng.random(50)]),   # heavy dupes
+        np.array([3.0]),                                        # single row
+        np.full(400, -2.25),                                    # constant
+        np.concatenate([rng.random(100) * -1e6, rng.random(5)]),
+    ]
+    for vals in cases:
+        ds = ray.data.from_arrow(pa.table({'x': pa.array(vals, pa.float64())})) \
+            .repartition(4)
+        got = distributed_quantile(ds, 'x', [0.0, 0.25, 0.5, 0.9, 1.0])
+        exp = [float(np.quantile(vals, q)) for q in (0.0, 0.25, 0.5, 0.9, 1.0)]
+        assert np.allclose(got, exp, rtol=0, atol=1e-9), (got, exp)
