@@ -73,3 +73,40 @@ def test_connected_components_long_chain_triangle():
     assert {k: v for k, v in out.items() if k <= 6} == {i: 1 for i in range(1, 7)}
     assert out[10] == 10 and out[11] == 10
     assert out[20] == 20 and out[21] == 20 and out[22] == 20
+
+
+def test_sessionize_and_asof_mega_user_skew():
+    """One user owning ~95% of events (the documented skew risk for per-key
+    map_groups): both sessionize and asof_join stay correct — the mega-key
+    lands in one task with vectorized per-group work."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pii_detector_ray.stages.joins import asof_join
+    from pii_detector_ray.stages.sessionize import sessionize
+    n_hot = 20_000
+    ts_hot = np.cumsum(np.full(n_hot, 60_000_000))          # 1/min, no gaps
+    users = np.concatenate([np.zeros(n_hot, dtype=np.int64),
+                            np.arange(1, 101)])
+    ts = np.concatenate([ts_hot, np.full(100, 1_000_000)])
+    ds = ray.data.from_arrow(pa.table({
+        'user_id': pa.array(users),
+        'ts': pa.array(ts.astype('int64'), pa.timestamp('us')),
+        'value': pa.array(np.ones(len(users)), pa.float64()),
+    })).repartition(8)
+    sessions = sessionize(ds, gap_minutes=30).to_pandas()
+    hot = sessions[sessions['user_id'] == 0]
+    assert len(hot) == 1 and int(hot['n_events'].iloc[0]) == n_hot
+    assert len(sessions) == 101                              # 1 + 100 singletons
+
+    left = ray.data.from_arrow(pa.table({
+        'k': pa.array(users), 'ts_us': pa.array(ts.astype('int64')),
+        'v': pa.array(np.ones(len(users)))})).repartition(8)
+    right = ray.data.from_arrow(pa.table({
+        'k': pa.array([0], pa.int64()), 'ts_us': pa.array([0], pa.int64()),
+        'w': pa.array([5.0])}))
+    out = asof_join(left, right, by='k', on='ts_us', right_value_cols=['w'])
+    df = out.to_pandas()
+    assert len(df) == n_hot                       # every hot event finds w=5
+    assert (df['prior_w'] == 5.0).all()
