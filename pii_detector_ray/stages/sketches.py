@@ -50,61 +50,61 @@ def misra_gries(values: list, capacity: int) -> tuple[dict, bool]:
     return counters, evicted
 
 
-def _order_stats(ds: ray.data.Dataset, col: str, ranks: list[int],
-                 lo: float, hi: float, n_below_lo: int, total: int,
-                 buckets: int = 128, rounds: int = 6) -> dict[int, float]:
-    """Exact order statistics (0-based ranks) of ``col`` by iterative range
+def _order_stat_single(ds, col: str, rank: int, lo: float, hi: float,
+                       buckets: int = 128, rounds: int = 8) -> float:
+    """Exact 0-based order statistic of ``col`` by iterative range
     refinement: each round histograms the current [lo, hi] slice into
     ``buckets`` with a narrow per-batch partial (one bucket-count row per
-    batch crosses the driver), narrows to the bucket(s) containing the
-    target ranks, and stops when the remaining candidate rows are few
-    enough to pull exactly.  O(rounds) scans, never a global sort."""
+    batch crosses the driver) and narrows to the single bucket containing
+    the target rank; the final (small) candidate slice resolves exactly.
+    O(rounds) scans, never a global sort.  Non-finite values are ignored
+    throughout (documented operator semantics)."""
     import numpy as np
-    remaining = dict.fromkeys(ranks)
-    if hi <= lo:                 # constant slice: every rank resolves to lo
-        return {r: float(lo) for r in ranks}
+    n_below_lo = 0
+    in_span = None
     for _ in range(rounds):
         if hi <= lo:
-            break
+            return float(lo)
         edges = np.linspace(lo, hi, buckets + 1)
         eref = ray.put(edges)
 
         def hist(batch: pa.Table) -> pa.Table:
             e = ray.get(eref)
             v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
-            v = v[~np.isnan(v)]
+            v = v[np.isfinite(v)]
             v = v[(v >= e[0]) & (v <= e[-1])]
             idx = np.clip(np.searchsorted(e, v, side='right') - 1, 0, buckets - 1)
-            counts = np.bincount(idx, minlength=buckets)
-            return pa.table({'h': pa.array([counts.tobytes()], pa.binary())})
+            return pa.table({'h': pa.array([np.bincount(idx, minlength=buckets)
+                                            .tobytes()], pa.binary())})
 
         parts = ds.map_batches(hist, batch_format='pyarrow').take_all()
         counts = np.zeros(buckets, dtype=np.int64)
         for p in parts:
             counts += np.frombuffer(p['h'], dtype=np.int64)
         cum = n_below_lo + np.cumsum(counts)
-        # all target ranks must land in ONE bucket to keep refining; else
-        # pull the span covering them (ranks are adjacent, so this is <= 2
-        # buckets and terminates)
-        b_lo = int(np.searchsorted(cum, min(ranks) + 1, side='left'))
-        b_hi = int(np.searchsorted(cum, max(ranks) + 1, side='left'))
-        new_lo, new_hi = edges[b_lo], edges[b_hi + 1]
-        in_span = int(counts[b_lo:b_hi + 1].sum())
-        if in_span <= 100_000 or (new_lo, new_hi) == (lo, hi):
-            lo, hi = new_lo, new_hi
-            n_below_lo = int(cum[b_lo - 1]) if b_lo > 0 else n_below_lo
-            break
+        b = int(np.searchsorted(cum, rank + 1, side='left'))
+        new_lo, new_hi = float(edges[b]), float(edges[b + 1])
+        in_span = int(counts[b])
+        progressed = (new_lo, new_hi) != (lo, hi)
+        if b > 0:
+            n_below_lo = int(cum[b - 1])
         lo, hi = new_lo, new_hi
-        n_below_lo = int(cum[b_lo - 1]) if b_lo > 0 else n_below_lo
+        if in_span <= 100_000 or not progressed:
+            break
 
-    # exact finish: pull the (small) candidate slice and index into it
+    if in_span is not None and in_span > 5_000_000:
+        # span cannot shrink further (float resolution) yet holds a huge
+        # duplicate mass — every value in it is within one bucket width of
+        # lo, so return the edge instead of collecting millions of rows
+        return float(lo)
+
     span_ref = ray.put((lo, hi))
 
     def pull(batch: pa.Table) -> pa.Table:
         import numpy as np
         l, h = ray.get(span_ref)
         v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
-        v = v[~np.isnan(v)]
+        v = v[np.isfinite(v)]
         return pa.table({col: pa.array(v[(v >= l) & (v <= h)])})
 
     cand = np.sort(np.concatenate(
@@ -112,22 +112,23 @@ def _order_stats(ds: ray.data.Dataset, col: str, ranks: list[int],
          ds.map_batches(pull, batch_format='pyarrow')
          .iter_batches(batch_size=None, batch_format='pyarrow')]
         or [np.empty(0)]))
-    for r in ranks:
-        remaining[r] = float(cand[r - n_below_lo])
-    return remaining
+    return float(cand[rank - n_below_lo])
 
 
-def distributed_quantile(ds: ray.data.Dataset, col: str,
-                         qs: list[float]) -> list[float]:
+def distributed_quantile(ds, col: str, qs: list[float]) -> list[float]:
     """EXACT continuous quantiles (SQL ``quantile_cont`` semantics: linear
-    interpolation at h = (n-1)·q) without sorting or collecting the column.
-    One narrow min/max/count scan, then O(log) histogram-refinement scans
-    per quantile pair of order statistics."""
+    interpolation at h = (n-1)*q) without sorting or collecting the column.
+    The single needed column is materialized ONCE (narrow — floats only),
+    then one min/max/count scan plus O(log) histogram-refinement scans per
+    order statistic run against the in-memory column.  Non-finite values
+    are ignored."""
     import numpy as np
+
+    ds = ds.select_columns([col]).materialize()   # one source read, narrow
 
     def mmc(batch: pa.Table) -> pa.Table:
         v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
-        v = v[~np.isnan(v)]
+        v = v[np.isfinite(v)]
         if v.size == 0:
             return pa.table({'lo': pa.array([], pa.float64()),
                              'hi': pa.array([], pa.float64()),
@@ -142,17 +143,23 @@ def distributed_quantile(ds: ray.data.Dataset, col: str,
     lo = min(p['lo'] for p in parts)
     hi = max(p['hi'] for p in parts)
     total = sum(p['n'] for p in parts)
+    cache: dict[int, float] = {}
+
+    def stat(rank: int) -> float:
+        if rank not in cache:
+            cache[rank] = _order_stat_single(ds, col, rank, lo, hi)
+        return cache[rank]
+
     out = []
     for q in qs:
         h = (total - 1) * q
         r0 = int(np.floor(h))
-        ranks = [r0] if h == r0 else [r0, r0 + 1]
-        stats = _order_stats(ds, col, ranks, lo, hi, 0, total)
         if h == r0:
-            out.append(stats[r0])
+            out.append(stat(r0))
         else:
             frac = h - r0
-            out.append(stats[r0] + frac * (stats[r0 + 1] - stats[r0]))
+            a, b = stat(r0), stat(r0 + 1)
+            out.append(a + frac * (b - a))
     return out
 
 

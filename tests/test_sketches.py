@@ -70,3 +70,18 @@ def test_distributed_quantile_matches_numpy_exact():
         got = distributed_quantile(ds, 'x', [0.0, 0.25, 0.5, 0.9, 1.0])
         exp = [float(np.quantile(vals, q)) for q in (0.0, 0.25, 0.5, 0.9, 1.0)]
         assert np.allclose(got, exp, rtol=0, atol=1e-9), (got, exp)
+
+
+def test_distributed_quantile_inf_and_bimodal():
+    """Review r2 pass 4 regressions: infinities are ignored (not a crash),
+    and a bimodal median whose two ranks straddle distant modes resolves
+    per-rank without collecting the column."""
+    from pii_detector_ray.stages.sketches import distributed_quantile
+    vals = np.concatenate([np.array([-np.inf, np.inf]),
+                           np.full(500, -1e6), np.full(500, 1e6)])
+    ds = ray.data.from_arrow(pa.table({'x': pa.array(vals, pa.float64())})) \
+        .repartition(4)
+    finite = vals[np.isfinite(vals)]
+    got = distributed_quantile(ds, 'x', [0.5, 0.1, 0.9])
+    exp = [float(np.quantile(finite, q)) for q in (0.5, 0.1, 0.9)]
+    assert np.allclose(got, exp, atol=1e-9), (got, exp)
