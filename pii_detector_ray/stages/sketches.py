@@ -115,16 +115,23 @@ def _order_stat_single(ds, col: str, rank: int, lo: float, hi: float,
     return float(cand[rank - n_below_lo])
 
 
-def distributed_quantile(ds, col: str, qs: list[float]) -> list[float]:
+def distributed_quantile(ds, col: str, qs: list[float],
+                         max_materialize_bytes: int = 8 << 30) -> list[float]:
     """EXACT continuous quantiles (SQL ``quantile_cont`` semantics: linear
     interpolation at h = (n-1)*q) without sorting or collecting the column.
-    The single needed column is materialized ONCE (narrow — floats only),
-    then one min/max/count scan plus O(log) histogram-refinement scans per
-    order statistic run against the in-memory column.  Non-finite values
-    are ignored."""
+
+    The single needed column is SIZE-GUARDED: the first (lazy) min/max/count
+    scan yields the row count, and the narrow column is materialized into
+    the object store only when ``rows * 8 <= max_materialize_bytes``
+    (default 8 GiB — generous on one node, a rounding error cluster-wide).
+    Above the budget the dataset stays lazy and each histogram-refinement
+    round re-executes the pruned upstream read (``read_parquet(columns=
+    [col])`` re-reads one column's row groups), so object-store residency
+    never exceeds one streaming pass even at 10^12 rows.  Non-finite
+    values are ignored."""
     import numpy as np
 
-    ds = ds.select_columns([col]).materialize()   # one source read, narrow
+    ds = ds.select_columns([col])   # narrow; stays lazy until guard passes
 
     def mmc(batch: pa.Table) -> pa.Table:
         v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
@@ -143,6 +150,8 @@ def distributed_quantile(ds, col: str, qs: list[float]) -> list[float]:
     lo = min(p['lo'] for p in parts)
     hi = max(p['hi'] for p in parts)
     total = sum(p['n'] for p in parts)
+    if total * 8 <= max_materialize_bytes:
+        ds = ds.materialize()   # small enough: refinement rounds hit memory
     cache: dict[int, float] = {}
 
     def stat(rank: int) -> float:
@@ -168,11 +177,19 @@ def heavy_hitters(ds: ray.data.Dataset, col: str, k: int = 10,
     """Exact top-k most frequent values of ``col`` (see module docstring
     for the sketch fast path / exact fallback)."""
     def summarize(batch: pa.Table) -> pa.Table:
-        counters, evicted = misra_gries(batch.column(col).to_pylist(), capacity)
-        n = len(counters)
-        return pa.table({col: pa.array(list(counters)),
-                         '_w': pa.array(list(counters.values()), pa.int64()),
-                         '_e': pa.array([int(evicted)] * n, pa.int8())})
+        vals = batch.column(col).to_pylist()
+        counters, evicted = misra_gries(vals, capacity)
+        keys, ws = list(counters), list(counters.values())
+        if evicted and not keys:
+            # a final eviction can wipe every counter (e.g. round-robin
+            # values at capacity); the flag must still reach the Max
+            # aggregate or the fast path would treat decremented sums as
+            # exact.  A zero-weight sentinel row carries it (weight 0
+            # cannot distort any merged count).
+            keys, ws = [vals[0]], [0]
+        return pa.table({col: pa.array(keys, batch.schema.field(col).type),
+                         '_w': pa.array(ws, pa.int64()),
+                         '_e': pa.array([int(evicted)] * len(keys), pa.int8())})
 
     merged = (ds.map_batches(summarize, batch_format='pyarrow')
               .groupby(col).aggregate(Sum('_w', alias_name='_w'),

@@ -51,6 +51,38 @@ def test_heavy_hitters_exact_on_flat_high_cardinality():
     assert list(zip(got['h'], got['n'])) == exp
 
 
+def test_heavy_hitters_eviction_wipe_still_exact():
+    """ADVICE r2: a batch whose final eviction wipes EVERY counter
+    (misra_gries(['x','y','z'], 2) -> ({}, True)) must still propagate the
+    eviction flag; otherwise the fast path would sum the other batches'
+    exact counts and silently drop this batch's contribution."""
+    import collections
+    wiped, ev = misra_gries(['x', 'y', 'z'], capacity=2)
+    assert wiped == {} and ev
+    b1 = pa.table({'h': pa.array(['x'] * 5 + ['y'] * 5)})
+    b2 = pa.table({'h': pa.array(['x', 'y', 'z'])})   # wipes at capacity 2
+    ds = ray.data.from_arrow([b1, b2])                # one block per table
+    got = heavy_hitters(ds, 'h', k=3, capacity=2).to_pandas()
+    exact = collections.Counter(['x'] * 6 + ['y'] * 6 + ['z'])
+    exp = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert list(zip(got['h'], got['n'])) == exp
+
+
+def test_distributed_quantile_lazy_over_budget_path():
+    """Size guard: with max_materialize_bytes=0 the narrow column is never
+    materialized (each refinement round re-executes the pruned read) and
+    results are identical to the in-memory path."""
+    from pii_detector_ray.stages.sketches import distributed_quantile
+    rng = np.random.default_rng(3)
+    vals = rng.normal(50, 12, 4000)
+    ds = ray.data.from_arrow(pa.table({'x': pa.array(vals, pa.float64())})) \
+        .repartition(5)
+    got = distributed_quantile(ds, 'x', [0.25, 0.5, 0.99],
+                               max_materialize_bytes=0)
+    exp = [float(np.quantile(vals, q)) for q in (0.25, 0.5, 0.99)]
+    assert np.allclose(got, exp, atol=1e-9), (got, exp)
+
+
 def test_distributed_quantile_matches_numpy_exact():
     """Histogram-refinement order statistics equal numpy's linear-interp
     quantiles on adversarial shapes: duplicates, skew, negatives, tiny n,
