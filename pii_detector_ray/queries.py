@@ -499,25 +499,10 @@ _EVENTS_PIVOT_SQL = (
 def q_event_deltas(sf_dir: str) -> ray.data.Dataset:
     """lag() window: per event, microseconds since the user's previous event
     (first event per user dropped).  Per-user map_groups with a vectorized
-    diff over the (ts, event_id)-sorted stream — same co-partitioning shape
-    as sessionize."""
-    def deltas(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(['_ts', 'event_id'], kind='mergesort')
-        d = g['_ts'].diff()
-        out = pd.DataFrame({'event_id': g['event_id'].astype('int64'),
-                            'delta_us': d})
-        out = out[out['delta_us'].notna()]
-        out['delta_us'] = out['delta_us'].astype('int64')
-        return out
-
-    def prep(t: pa.Table) -> pa.Table:
-        return pa.table({'user_id': t.column('user_id'),
-                         'event_id': t.column('event_id'),
-                         '_ts': pc.cast(t.column('ts'), pa.int64())})
-
-    return (_events(sf_dir, ['user_id', 'event_id', 'ts'])
-            .map_batches(prep, batch_format='pyarrow')
-            .groupby('user_id').map_groups(deltas, batch_format='pandas'))
+    diff over the (ts, event_id)-sorted stream; mega-users route through the
+    day-bucketed salted variant (stages/skew.py)."""
+    from pii_detector_ray.stages.skew import event_deltas
+    return event_deltas(_events(sf_dir, ['user_id', 'event_id', 'ts']))
 
 
 _EVENT_DELTAS_SQL = (
@@ -833,8 +818,11 @@ _EVENTS_SESSIONS_SQL = (
 
 def q_events_asof(sf_dir: str) -> ray.data.Dataset:
     """Backward as-of join: each 'click' event picks up the latest PRIOR
-    'purchase' by the same user (DuckDB ASOF JOIN oracle).  The right side
-    is pre-deduped per (user_id, ts) so tie semantics are well-defined."""
+    'purchase' by the same user (DuckDB ASOF JOIN oracle).  The oracle's
+    per-(user_id, ts) max(value) pre-dedup is FUSED into the join
+    (VERDICT r2 #6): ``right_tiebreak=['value']`` makes the per-key merge
+    pick the max-value row among duplicate timestamps, so the pipeline runs
+    ONE co-partitioning shuffle instead of a dedup groupby plus the join."""
     from pii_detector_ray.stages.joins import asof_join
 
     def proj(etype: str):
@@ -851,10 +839,9 @@ def q_events_asof(sf_dir: str) -> ray.data.Dataset:
 
     ev = _events(sf_dir, ['event_id', 'ts', 'user_id', 'event_type', 'value'])
     left = ev.map_batches(proj('click'), batch_format='pyarrow')
-    right = ev.map_batches(proj('purchase'), batch_format='pyarrow') \
-        .groupby(['user_id', 'ts_us']).aggregate(Max('value', alias_name='value'))
+    right = ev.map_batches(proj('purchase'), batch_format='pyarrow')
     out = asof_join(left, right, by='user_id', on='ts_us',
-                    right_value_cols=['value'])
+                    right_value_cols=['value'], right_tiebreak=['value'])
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

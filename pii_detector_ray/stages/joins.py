@@ -32,7 +32,10 @@ from pii_detector_ray.functions.rounding import sql_round_pa
 def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
               by: str, on: str,
               right_value_cols: list[str],
-              tolerance_us: int | None = None) -> ray.data.Dataset:
+              tolerance_us: int | None = None,
+              right_tiebreak: list[str] | None = None,
+              hot_key_threshold: int | None = 1_000_000,
+              bucket_us: int | None = None) -> ray.data.Dataset:
     """Backward as-of join: for each left row, attach the LATEST right row
     with ``right.on <= left.on`` within the same ``by`` key (DuckDB
     ``ASOF JOIN`` semantics, inner flavor — left rows with no prior right
@@ -41,9 +44,52 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     Both sides are tagged and unioned, so ONE groupby co-partitions them;
     the per-key merge is ``np.searchsorted`` over the sorted right
     timestamps.  ``on`` must be int64-comparable (cast timestamps up front).
+
+    ``right_tiebreak``: extra right-side sort columns after ``on`` — with
+    duplicate (by, on) right rows, the picked row is the LAST in
+    (on, *tiebreak) order, i.e. ``right_tiebreak=['v']`` gives SQL
+    ``max(v) GROUP BY by, on`` pre-dedup semantics WITHOUT a separate
+    dedup shuffle (one groupby total instead of two).
+
+    Mega-key guard (VERDICT r2 #4): keys whose combined row count reaches
+    ``hot_key_threshold`` (found by a narrow two-phase count; None
+    disables) are routed through :func:`stages.skew.asof_join_salted` —
+    time-bucketed groups with a boundary carry — so no single task ever
+    holds a whole mega-key.  Results are exact either way.
     """
-    left_cols = list(left.schema().names)   # output carries ONLY left columns
+    for side, name in ((left, 'left'), (right, 'right')):
+        clash = {'_side', '_on', '_bucket'} & set(side.schema().names)
+        assert not clash, (
+            f'asof_join reserves columns {sorted(clash)} but the {name} '
+            f'side already has them — rename them before joining')
+
+    hot: set = set()
+    if hot_key_threshold is not None:
+        from pii_detector_ray.stages import skew
+        keys = left.select_columns([by]).union(right.select_columns([by]))
+        hot = skew.hot_keys(keys, by, hot_key_threshold)
+
+    salted = None
+    if hot:
+        from pii_detector_ray.stages import skew
+        lh, left = skew.split_by_keys(left, by, hot)
+        rh, right = skew.split_by_keys(right, by, hot)
+        salted = skew.asof_join_salted(
+            lh, rh, by=by, on=on, right_value_cols=right_value_cols,
+            tolerance_us=tolerance_us, right_tiebreak=right_tiebreak,
+            bucket_us=bucket_us or skew.DEFAULT_BUCKET_US)
+
+    lschema, rschema = left.schema(), right.schema()
+    left_cols = list(lschema.names)         # output carries ONLY left columns
                                             # + the prior_* attachments
+    tiebreak = list(right_tiebreak or [])
+    # the tagged union NaN-fills side-missing columns, coercing int64 to
+    # float64 in the per-group frames; restore int dtypes on the way out
+    # (left rows and picked right rows are NaN-free by construction)
+    left_int = {n for n, t in zip(lschema.names, lschema.types)
+                if pa.types.is_integer(t)}
+    right_int = {n for n, t in zip(rschema.names, rschema.types)
+                 if pa.types.is_integer(t)}
 
     # pandas tagging keeps the union schema stable across heterogeneous
     # side schemas (missing columns become NaN instead of a schema error)
@@ -60,7 +106,8 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g['_side'] == 0]
-        rg = g[g['_side'] == 1].sort_values('_on', kind='mergesort')
+        rg = g[g['_side'] == 1].sort_values(['_on'] + tiebreak,
+                                            kind='mergesort')
         if lg.empty or rg.empty:
             return pd.DataFrame()
         lt = lg['_on'].to_numpy()
@@ -75,9 +122,18 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
         for c in right_value_cols:
             out[f'prior_{c}'] = picked[c].to_numpy()
         out['prior_' + on] = picked[on].to_numpy()
+        for c in left_cols:
+            if c in left_int:
+                out[c] = out[c].astype('int64')
+        if on in right_int:
+            out['prior_' + on] = out['prior_' + on].astype('int64')
+        for c in right_value_cols:
+            if c in right_int:
+                out[f'prior_{c}'] = out[f'prior_{c}'].astype('int64')
         return out
 
-    return tagged.groupby(by).map_groups(merge, batch_format='pandas')
+    plain = tagged.groupby(by).map_groups(merge, batch_format='pandas')
+    return plain.union(salted) if salted is not None else plain
 
 
 def range_join_broadcast(ds: ray.data.Dataset, *, value_col: str,

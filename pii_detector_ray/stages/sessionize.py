@@ -4,9 +4,11 @@ Streaming-shaped operator (SURVEY.md §2.10 — the reference has none; this is
 the standard events-table capability): partition by ``user_id``, sort by
 ``ts`` within the group, cut a new session when the gap to the previous event
 exceeds ``gap``.  Ray-native: ``groupby(user_id).map_groups`` — each group is
-one user's events, sorted locally (per-user data is small; a pathological
-single user would need day-bucketed salting, same pattern as
-``stages/hostagg.py``).
+one user's events, sorted locally.  Mega-keys (users whose row count reaches
+``hot_key_threshold``, found by a narrow two-phase count) route through
+``stages/skew.sessionize_salted`` — per-(user, day-bucket) local sessions
+plus a bounded boundary merge — so one pathological user never lands in one
+task (VERDICT r2 #4; same salting pattern as ``stages/hostagg.py``).
 """
 
 from __future__ import annotations
@@ -17,10 +19,23 @@ import pandas as pd
 import ray.data
 
 
-def sessionize(ds: ray.data.Dataset, *, gap_minutes: int = 30) -> ray.data.Dataset:
+def sessionize(ds: ray.data.Dataset, *, gap_minutes: int = 30,
+               hot_key_threshold: int | None = 1_000_000,
+               bucket_us: int | None = None) -> ray.data.Dataset:
     """Returns one row per (user_id, session): session_start (us), n_events,
-    sum_value (rounded 2dp)."""
+    sum_value (rounded 2dp).  ``hot_key_threshold=None`` disables the
+    mega-key guard."""
     gap_us = gap_minutes * 60_000_000
+
+    salted = None
+    if hot_key_threshold is not None:
+        from pii_detector_ray.stages import skew
+        hot = skew.hot_keys(ds, 'user_id', hot_key_threshold)
+        if hot:
+            hot_ds, ds = skew.split_by_keys(ds, 'user_id', hot)
+            salted = skew.sessionize_salted(
+                hot_ds, gap_us=gap_us,
+                bucket_us=bucket_us or skew.DEFAULT_BUCKET_US)
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values('ts', kind='mergesort')
@@ -39,4 +54,5 @@ def sessionize(ds: ray.data.Dataset, *, gap_minutes: int = 30) -> ray.data.Datas
         agg['sum_value'] = sql_round_np(agg['sum_value'].to_numpy(), 2)
         return agg
 
-    return ds.groupby('user_id').map_groups(per_user, batch_format='pandas')
+    plain = ds.groupby('user_id').map_groups(per_user, batch_format='pandas')
+    return plain.union(salted) if salted is not None else plain
