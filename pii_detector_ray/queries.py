@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import AggregateFn, Count, Max, Min, Sum
 
 from pii_detector_ray.config import PipelineConfig
 from pii_detector_ray.detectors import (
@@ -1313,6 +1313,204 @@ def q_pages_pipeline(sf_dir: str) -> ray.data.Dataset:
     return out.select_columns(['url', 'keep', 'drop_reason', 'lang_pred', 'n_pii'])
 
 
+def q_daily_active_users(sf_dir: str) -> ray.data.Dataset:
+    """Per-day distinct-user count (group-wise COUNT DISTINCT): per-batch
+    (day, user) dedup → global dedup groupby → per-batch partial counts →
+    per-day sum.  Both shuffles carry only (day, user) / (day, int) rows."""
+    def dd(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column('ts'), pa.int64()), 86_400_000_000)
+        return pa.table({'day': day, 'user_id': t.column('user_id')}) \
+            .group_by(['day', 'user_id']).aggregate([])
+
+    dedup = (_events(sf_dir, ['ts', 'user_id'])
+             .map_batches(dd, batch_format='pyarrow')
+             .groupby(['day', 'user_id']).aggregate(Count(alias_name='_c')))
+
+    def cnt(t: pa.Table) -> pa.Table:
+        agg = pa.table({'day': t.column('day')}).group_by('day') \
+            .aggregate([([], 'count_all')])
+        return pa.table({'day': agg.column('day'),
+                         '_n': pc.cast(agg.column('count_all'), pa.int64())})
+
+    return (dedup.map_batches(cnt, batch_format='pyarrow')
+            .groupby('day').aggregate(Sum('_n', alias_name='n_users')))
+
+
+_DAILY_ACTIVE_SQL = (
+    'SELECT epoch_us(ts) // 86400000000 AS day, '
+    'count(DISTINCT user_id) AS n_users FROM events GROUP BY 1'
+)
+
+
+def q_discount_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q6 shape: filtered scalar aggregate — per-batch masked partial
+    sums, ONE tiny row per batch crosses the wire."""
+    import os
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, 'lineitem.parquet'),
+        columns=['l_extendedprice', 'l_discount', 'l_quantity'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column('l_discount').to_numpy(zero_copy_only=False)
+        q = t.column('l_quantity').to_numpy(zero_copy_only=False)
+        p = t.column('l_extendedprice').to_numpy(zero_copy_only=False)
+        m = (d >= 0.05) & (d <= 0.07) & (q < 24)
+        return pa.table({'_rev': pa.array([float((p[m] * d[m]).sum())]),
+                         '_n': pa.array([int(m.sum())], pa.int64())})
+
+    agg = (li.map_batches(partial, batch_format='pyarrow')
+           .groupby(None).aggregate(Sum('_rev', alias_name='revenue'),
+                                    Sum('_n', alias_name='n_items')))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({'revenue': sql_round_pa(t.column('revenue'), 2),
+                         'n_items': t.column('n_items')})
+    return agg.map_batches(fin, batch_format='pyarrow')
+
+
+_DISCOUNT_REVENUE_SQL = (
+    'SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, '
+    'count(*) AS n_items FROM lineitem '
+    'WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24'
+)
+
+
+def q_big_spender_segments(sf_dir: str) -> ray.data.Dataset:
+    """Semi-join via broadcast: the distinct high-value custkey set is small
+    by the filter's selectivity (~6% of custkeys; documented assumption — a
+    low-selectivity variant would use the hash-partitioned join instead),
+    so it ships once via ``ray.put`` and the customer side filters with one
+    vectorized ``is_in`` per batch — no shuffle of either table."""
+    import os
+    big = (ray.data.read_parquet(os.path.join(sf_dir, 'orders.parquet'),
+                                 columns=['o_custkey', 'o_totalprice'])
+           .filter(expr='o_totalprice > 450000')
+           .groupby('o_custkey').aggregate(Count(alias_name='_c'))
+           .select_columns(['o_custkey']).take_all())
+    keys = ray.put(pa.array(sorted(r['o_custkey'] for r in big), pa.int64()))
+
+    cust = ray.data.read_parquet(os.path.join(sf_dir, 'customer.parquet'),
+                                 columns=['c_custkey', 'c_mktsegment'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hit = t.filter(pc.is_in(t.column('c_custkey'),
+                                value_set=ray.get(keys)))
+        agg = pa.table({'c_mktsegment': hit.column('c_mktsegment')}) \
+            .group_by('c_mktsegment').aggregate([([], 'count_all')])
+        return pa.table({'c_mktsegment': agg.column('c_mktsegment'),
+                         '_n': pc.cast(agg.column('count_all'), pa.int64())})
+
+    return (cust.map_batches(partial, batch_format='pyarrow')
+            .groupby('c_mktsegment')
+            .aggregate(Sum('_n', alias_name='n_customers')))
+
+
+_BIG_SPENDER_SQL = (
+    'SELECT c_mktsegment, count(*) AS n_customers FROM customer '
+    'WHERE c_custkey IN (SELECT o_custkey FROM orders '
+    'WHERE o_totalprice > 450000) GROUP BY c_mktsegment'
+)
+
+
+def q_top_order_per_cust(sf_dir: str) -> ray.data.Dataset:
+    """Argmax window shape (ROW_NUMBER()=1 per partition) WITHOUT per-key
+    tasks or a join: per-batch best-per-cust pre-reduction, then ONE
+    groupby with a custom vectorized AggregateFn carrying the
+    (max_price, min_orderkey-among-ties) pair — the shuffle sees one narrow
+    row per (cust, batch) and the reduce is numpy, never per-key Python."""
+    import os
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, 'orders.parquet'),
+        columns=['o_custkey', 'o_orderkey', 'o_totalprice'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t.column('o_custkey').to_numpy(zero_copy_only=False)
+        o = t.column('o_orderkey').to_numpy(zero_copy_only=False)
+        p = t.column('o_totalprice').to_numpy(zero_copy_only=False)
+        # sort by (cust, -price, orderkey); first occurrence per cust wins
+        order = np.lexsort((o, -p, c))
+        first = np.ones(len(order), dtype=bool)
+        cs = c[order]
+        first[1:] = cs[1:] != cs[:-1]
+        keep = order[first]
+        return pa.table({'o_custkey': pa.array(c[keep]),
+                         'o_orderkey': pa.array(o[keep]),
+                         'o_totalprice': pa.array(p[keep])})
+
+    def _better(a, b):
+        if b[0] != a[0]:
+            return b if b[0] > a[0] else a
+        return (a[0], min(a[1], b[1]))
+
+    def _acc(a, block: pa.Table):
+        p = block.column('o_totalprice').to_numpy(zero_copy_only=False)
+        o = block.column('o_orderkey').to_numpy(zero_copy_only=False)
+        if len(p) == 0:
+            return a
+        mx = p.max()
+        return _better(a, (float(mx), int(o[p == mx].min())))
+
+    best = AggregateFn(init=lambda k: (float('-inf'), 1 << 62),
+                       merge=_better, accumulate_block=_acc,
+                       finalize=lambda a: a[1], name='orderkey')
+
+    agg = (orders.map_batches(partial, batch_format='pyarrow')
+           .groupby('o_custkey')
+           .aggregate(Max('o_totalprice', alias_name='max_price'), best))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({'o_custkey': t.column('o_custkey'),
+                         'orderkey': pc.cast(t.column('orderkey'), pa.int64()),
+                         'max_price': t.column('max_price')})
+    return agg.map_batches(fin, batch_format='pyarrow')
+
+
+_TOP_ORDER_SQL = (
+    'WITH b AS (SELECT o_custkey, max(o_totalprice) AS max_price '
+    'FROM orders GROUP BY o_custkey) '
+    'SELECT o.o_custkey, min(o.o_orderkey) AS orderkey, b.max_price '
+    'FROM orders o JOIN b ON o.o_custkey = b.o_custkey '
+    'AND o.o_totalprice = b.max_price GROUP BY o.o_custkey, b.max_price'
+)
+
+
+_TOKEN_STATS_SQL = (
+    "SELECT doc_id, "
+    "len(regexp_extract_all(coalesce(text,''), '\\S+'))::BIGINT AS n_tokens_ws, "
+    "coalesce(list_sum(list_transform("
+    "regexp_extract_all(coalesce(text,''), '[A-Za-zÀ-ÿ]+|[0-9]+|[^\\sA-Za-zÀ-ÿ0-9]'), "
+    "p -> CAST(ceil(length(p) / 6.0) AS BIGINT))), 0)::BIGINT AS n_tokens_bpe "
+    "FROM documents"
+)
+
+
+# SQL mirror of stages/heuristics.py features feeding
+# stages/textstats.quality_score_batch; factor order matches the Python
+# product order (float multiplication is order-sensitive)
+_QUALITY_SCORES_SQL = (
+    "WITH f AS (SELECT doc_id, length(t) AS n_chars, "
+    "len(regexp_extract_all(t, '\\S+')) AS n_words, "
+    "length(t) - len(regexp_extract_all(t, '\\s')) AS nonspace, "
+    "len(regexp_extract_all(t, '#|…|\\.\\.\\.')) AS n_sym, "
+    "len(list_filter(regexp_extract_all(t, '\\S+'), "
+    "w -> regexp_matches(w, '[^\\W\\d_]'))) AS n_alpha, "
+    "list_filter(string_split(t, chr(10)), "
+    "l -> trim(l, ' ' || chr(9) || chr(13) || chr(12) || chr(11)) != '') AS lines "
+    "FROM (SELECT doc_id, coalesce(text,'') AS t FROM documents)), "
+    "g AS (SELECT doc_id, n_chars, greatest(n_words, 1) AS nw, nonspace, "
+    "n_sym, n_alpha, CASE WHEN len(lines) < 2 THEN 0.0 "
+    "ELSE 1.0 - len(list_distinct(lines))::DOUBLE / len(lines) END AS dlf "
+    "FROM f) "
+    "SELECT doc_id, round("
+    "least(n_chars / 200.0, 1.0) "
+    "* greatest(least(1.0 - (n_sym::DOUBLE / nw) * 5, 1.0), 0.0) "
+    "* greatest(least(1.0 - dlf, 1.0), 0.0) "
+    "* least(greatest(n_alpha::DOUBLE / nw, 0.0), 1.0) "
+    "* (CASE WHEN nonspace::DOUBLE / nw >= 2.0 AND nonspace::DOUBLE / nw <= 12.0 "
+    "THEN 1.0 ELSE 0.2 END), 4) AS quality_score FROM g"
+)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1357,6 +1555,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'sample_documents': q_sample_documents,
         'scan_table_columns': q_scan_table_columns,
         'embedding_dup_pairs': q_embedding_dup_pairs,
+        'daily_active_users': q_daily_active_users,
+        'discount_revenue': q_discount_revenue,
+        'big_spender_segments': q_big_spender_segments,
+        'top_order_per_cust': q_top_order_per_cust,
         # rows-only
         'scrub_documents': q_scrub_documents,
         'langid_documents': q_langid_documents,
@@ -1424,5 +1626,11 @@ def oracle_sql() -> dict[str, str]:
             '{expr}', SQL_AUG_EXPR).replace(
             '{p}', _sql_quote(EXTENSION_PATTERNS['PHONE'])),
         'embedding_dup_pairs': _EMBEDDING_DUP_SQL,
+        'daily_active_users': _DAILY_ACTIVE_SQL,
+        'discount_revenue': _DISCOUNT_REVENUE_SQL,
+        'big_spender_segments': _BIG_SPENDER_SQL,
+        'top_order_per_cust': _TOP_ORDER_SQL,
+        'token_stats': _TOKEN_STATS_SQL,
+        'quality_scores': _QUALITY_SCORES_SQL,
     })
     return out

@@ -52,7 +52,10 @@ def quality_score_batch(df: pd.DataFrame) -> pd.DataFrame:
     score *= np.clip(df['alpha_word_frac'].to_numpy(), 0, 1)
     mwl = df['mean_word_len'].to_numpy()
     score *= np.where((mwl >= 2.0) & (mwl <= 12.0), 1.0, 0.2)
-    df['quality_score'] = np.round(score, 4)
+    # sql_round (half away from zero) so the DuckDB oracle's round() agrees
+    # on .xxxx5 ties (numpy rounds half-even)
+    from pii_detector_ray.functions.rounding import sql_round_np
+    df['quality_score'] = sql_round_np(score, 4)
     return df
 
 
