@@ -17,7 +17,11 @@ from xml.sax.saxutils import escape as _xml_escape
 # XML 1.0 forbids C0 controls except \t \n \r; embedding them raw would make
 # the container unparseable (-> None downstream), so they become U+FFFD —
 # one char for one char, keeping extracted-length parity with the source
-_XML_INVALID = _re.compile('[\x00-\x08\x0b\x0c\x0e-\x1f]')
+#   \r is VALID XML but parsers apply mandatory line-ending normalization
+#   (\r\n and \r become \n), which would shrink the roundtripped char count
+#   vs the original text (ADVICE r2) — substituting it like the other
+#   controls preserves length through the parser
+_XML_INVALID = _re.compile('[\x00-\x08\x0b-\x0d\x0e-\x1f]')
 
 
 def escape(text: str) -> str:

@@ -96,11 +96,21 @@ def _check_run_manifest(out_dir: str, num_partitions: int, cfg: PipelineConfig,
     if os.path.exists(path):
         with open(path) as f:
             prior = json.load(f)
-        if prior != current:
+        # compare only the keys the prior manifest recorded: a manifest
+        # written before a new pin (e.g. input_set_hash) was added must
+        # stay resumable; the missing key is backfilled below
+        mismatched = {k: (prior[k], current[k]) for k in prior
+                      if k in current and prior[k] != current[k]}
+        if mismatched:
             raise ValueError(
                 f'resume mismatch in {out_dir}: prior run used {prior}, this '
                 f'invocation uses {current}; use a fresh --output (or delete '
                 f'the manifests) to change partitioning/config')
+        if set(current) - set(prior):      # backfill newly-pinned keys
+            tmp = path + '.tmp'
+            with open(tmp, 'w') as f:
+                json.dump(current, f)
+            os.replace(tmp, path)
     else:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + '.tmp'

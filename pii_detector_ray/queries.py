@@ -237,10 +237,15 @@ _MAX_CHUNKS = 64   # covers docs up to 16 KB; driver corpus max is ~600 chars
 
 def _chunk_sql(src: str) -> str:
     # DuckDB's generate_series takes only constants (no lateral column refs,
-    # no subqueries), so cross-join a fixed series and filter per-row
+    # no subqueries), so cross-join a fixed series and filter per-row.
+    # Mirrors the chunker's 255-char boundary overlap (reference
+    # OVERLAP_BYTES): the hashed window is
+    # text[greatest(off - 255, 0) : off + n]  (0-based half-open)
     n = _CHUNK_CHARS
     return (f"SELECT doc_id, (i - 1) * {n} AS chunk_offset, "
-            f"md5(substring(text, (i - 1) * {n} + 1, {n})) AS md5 FROM {src}, "
+            f"md5(substring(text, greatest((i - 1) * {n} - 255, 0) + 1, "
+            f"(i - 1) * {n} + {n} - greatest((i - 1) * {n} - 255, 0))) AS md5 "
+            f"FROM {src}, "
             f"generate_series(1, {_MAX_CHUNKS}) AS s(i) "
             f"WHERE (i - 1) * {n} < greatest(length(text), 1)")
 

@@ -24,14 +24,25 @@ import pyarrow.compute as pc
 import ray.data
 
 DEFAULT_CHUNK_CHARS = 4096
+# reference config.py:129 OVERLAP_BYTES = 255, applied s3_service.py:232-233:
+# every chunk after the first starts 255 units early so a match spanning a
+# chunk boundary is still inside one scan window
+DEFAULT_OVERLAP_CHARS = 255
 
 
 def make_chunker(chunk_chars: int = DEFAULT_CHUNK_CHARS,
-                 path_col: str = 'path', text_col: str = 'text'):
+                 path_col: str = 'path', text_col: str = 'text',
+                 overlap_chars: int = DEFAULT_OVERLAP_CHARS):
     """map_batches stage: (path, text) rows → (path, chunk_offset, md5) chunk
     catalog rows.  Offsets are character offsets (the reference chunks the
     *prepared* text, base_scan_service.py ``get_data_chunks``); empty/null
-    text yields one empty chunk so the object itself stays cataloged."""
+    text yields one empty chunk so the object itself stays cataloged.
+
+    Each chunk's content (and hence its md5) covers
+    ``text[max(0, off - overlap_chars):off + chunk_chars]`` — the
+    reference's 255-char boundary overlap, so a boundary-spanning match on a
+    giant document is never lost, and an edit in the overlap region
+    correctly invalidates the following chunk too."""
     def chunk(batch: pa.Table) -> pa.Table:
         paths, offsets, hashes = [], [], []
         for p, t in zip(batch.column(path_col).to_pylist(),
@@ -41,7 +52,8 @@ def make_chunker(chunk_chars: int = DEFAULT_CHUNK_CHARS,
                 paths.append(p)
                 offsets.append(off)
                 hashes.append(hashlib.md5(
-                    t[off:off + chunk_chars].encode('utf-8')).hexdigest())
+                    t[max(0, off - overlap_chars):off + chunk_chars]
+                    .encode('utf-8')).hexdigest())
         return pa.table({path_col: pa.array(paths),
                          'chunk_offset': pa.array(offsets, pa.int64()),
                          'md5': pa.array(hashes, pa.string())})

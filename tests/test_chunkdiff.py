@@ -36,6 +36,24 @@ def test_chunker_offsets_and_hashes():
     assert out.loc[2, 'md5'] == hashlib.md5(b'').hexdigest()    # empty stays cataloged
 
 
+def test_chunker_boundary_overlap():
+    """VERDICT r2 #7: non-first chunks hash a window that reaches 255 chars
+    back across the boundary (reference OVERLAP_BYTES), so boundary-spanning
+    matches stay inside one scan window and an edit just before a boundary
+    invalidates the following chunk too."""
+    import hashlib
+    out = _chunks_of([('a.txt', 'abcdefghij')]).to_pandas() \
+        .sort_values('chunk_offset').reset_index(drop=True)
+    # offset-8 window = text[max(0, 8-255):16] = the whole string
+    assert out.loc[1, 'md5'] == hashlib.md5(b'abcdefghij').hexdigest()
+
+    old = _chunks_of([('a.txt', 'abcdefghij')])
+    cur = _chunks_of([('a.txt', 'abcdefgHij')])     # edit at pos 7 (chunk 0)
+    changed = changed_chunks(cur, old).to_pandas() \
+        .sort_values('chunk_offset').reset_index(drop=True)
+    assert list(changed['chunk_offset']) == [0, 8]  # overlap requeues chunk 1
+
+
 def test_changed_and_stale_chunks():
     """One-chunk edit requeues ONLY that chunk; removed files surface as
     stale catalog rows; unchanged chunks are never requeued."""

@@ -178,6 +178,18 @@ def test_build_docx_control_chars_roundtrip_length():
     assert len(out) == len('hello \x0c world \x01!')
 
 
+def test_build_docx_carriage_return_preserves_length():
+    """ADVICE r2: \\r is valid XML but the parser's mandatory line-ending
+    normalization would collapse it (\\r\\n -> \\n, \\r -> \\n), shrinking
+    the roundtripped char count vs the original text.  Substituting it like
+    the other controls keeps the length contract exact."""
+    from pii_detector_ray.functions.docbuild import build_docx
+    text = 'line one\r\nline two\rend'
+    out = prepare_file(build_docx([text]), 'cr.docx')
+    assert len(out) == len(text)
+    assert out == 'line one�\nline two�end'   # \r -> �, \n survives as-is
+
+
 def test_parse_xlsx_ten_plus_sheets_in_order():
     from pii_detector_ray.functions.docbuild import build_xlsx
     sheets = [[[f'sheet{i}']] for i in range(1, 12)]

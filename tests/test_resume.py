@@ -81,3 +81,23 @@ def test_resume_rejects_changed_input_set(tmp_path, smoke_pages_dir):
     shutil.copy(files[0], extra)
     with _pytest.raises(ValueError, match='resume mismatch'):
         run_partitioned(files + [extra], out, PipelineConfig(), num_partitions=2)
+
+
+def test_resume_accepts_pre_input_hash_manifest(tmp_path, corr_files):
+    """ADVICE r2: a _run.json written before the input_set_hash pin existed
+    (missing key) must stay resumable — shared keys compared, new key
+    backfilled — rather than failing every old output directory."""
+    import json
+
+    from pii_detector_ray.pipelines.runner import _check_run_manifest
+    cfg = PipelineConfig()
+    out = str(tmp_path / 'legacy')
+    path = os.path.join(out, 'manifests', '_run.json')
+    os.makedirs(os.path.dirname(path))
+    with open(path, 'w') as f:      # legacy manifest: no input_set_hash
+        json.dump({'num_partitions': 2, 'config_hash': cfg.config_hash()}, f)
+    _check_run_manifest(out, 2, cfg, corr_files)        # must not raise
+    with open(path) as f:
+        assert 'input_set_hash' in json.load(f)         # backfilled
+    with pytest.raises(ValueError, match='resume mismatch'):
+        _check_run_manifest(out, 3, cfg, corr_files)    # real mismatch still fails
