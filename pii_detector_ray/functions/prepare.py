@@ -21,11 +21,16 @@ the same swallow-to-None error contract:
   (``file_service.py:415``) — the byte-identity anchor.
 - **unsupported media extensions** — '' (``file_service.py:411-412`` with the
   blocklist from ``app/core/config.py:98-110``).
-- **XLS / DOC** — the binary codecs (xlrd, antiword) are NOT in this
-  container; the dispatch sites are real, the codec calls raise
-  ``NotImplementedError`` which the outer try/except converts to the
-  reference's ``None`` return (the reference likewise returns None when a
-  parser throws, ``file_service.py:417-422``).
+- **XLS** — REAL, stdlib (round 3): minimal BIFF8 string extractor
+  (``functions/xlsbiff.py``, CFB container + SST/CONTINUE/LABELSST per the
+  public [MS-CFB]/[MS-XLS] specs); reference semantics = same headerless
+  concatenated-DataFrame shape as XLSX (``file_service.py:357-360`` uses
+  xlrd, absent here — strings are what the scan-time type system consumes).
+- **DOC** — the binary codec (antiword) is NOT in this container; the
+  dispatch site is real, the codec call raises ``NotImplementedError``
+  which the outer try/except converts to the reference's ``None`` return
+  (the reference likewise returns None when a parser throws,
+  ``file_service.py:417-422``).
 """
 
 from __future__ import annotations
@@ -244,7 +249,10 @@ def prepare_file(object_data: bytes, file_name: str,
         elif file_name.endswith('xlsx'):
             return parse_xlsx(object_data).iloc[offset:offset + limit]
         elif file_name.endswith('xls'):
-            _require('xlrd')                        # stub: no BIFF codec here
+            # stdlib BIFF8 string extractor (reference uses xlrd via
+            # pd.read_excel, file_service.py:357-360; xlrd absent here)
+            from pii_detector_ray.functions.xlsbiff import parse_xls
+            return parse_xls(object_data).iloc[offset:offset + limit]
         elif file_name.endswith('csv'):
             content = parse_csv_sniffed(object_data)
             if content is None:

@@ -1,0 +1,397 @@
+"""Minimal stdlib BIFF8 (.xls) codec: enough of the legacy Excel binary
+format to round-trip STRINGS — which is all the scan-time type system needs
+(the reference parses .xls with xlrd via ``pd.read_excel``,
+``app/services/file_service.py:357-360``; xlrd is absent in this container,
+so this implements the same string surface from the public [MS-XLS] and
+[MS-CFB] specifications).
+
+Reader (:func:`parse_xls`):
+
+- CFB compound file: header → DIFAT → FAT → directory → the ``Workbook`` /
+  ``Book`` stream, following either the regular FAT chain or (for streams
+  under the 4096-byte cutoff, as Excel writes small files) the mini-FAT
+  chain inside the root entry's ministream.
+- BIFF record stream: SST (0x00FC) with CONTINUE (0x003C) spans — including
+  the re-emitted option-flags byte when a string's *character data* crosses
+  a record boundary — LABELSST (0x00FD) cells resolved against the shared
+  string table, inline LABEL (0x0204) cells, one substream per sheet
+  (BOF 0x0809 … EOF 0x000A), zero-padding tolerated like real files.
+- Output matches :func:`prepare.parse_xlsx`'s reference semantics: one
+  headerless DataFrame per sheet, sheets concatenated ``ignore_index=True``;
+  non-string cells (numbers, formulas) are left as None — the scanners only
+  consume strings.
+
+Writer (:func:`build_xls`, test fixture builder like ``docbuild.build_docx``):
+a structurally valid CFB v3 file with the Workbook stream on the regular FAT
+(padded past the 4096-byte mini cutoff with the same zero-fill Excel uses),
+globals substream carrying the SST (compressed or UTF-16 per string, split
+across CONTINUE records when oversized), one worksheet substream of LABELSST
+cells per sheet.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pandas as pd
+
+_CFB_MAGIC = b'\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1'
+_SECT = 512
+_MINI_SECT = 64
+_MINI_CUTOFF = 4096
+_FREESECT = 0xFFFFFFFF
+_ENDOFCHAIN = 0xFFFFFFFE
+_FATSECT = 0xFFFFFFFD
+
+_R_BOF = 0x0809
+_R_EOF = 0x000A
+_R_SST = 0x00FC
+_R_CONTINUE = 0x003C
+_R_LABELSST = 0x00FD
+_R_LABEL = 0x0204
+# BIFF record payloads cap at 8224 bytes; longer data continues in CONTINUE
+_MAX_RECORD = 8224
+
+
+# ---------------------------------------------------------------------------
+# CFB container
+# ---------------------------------------------------------------------------
+
+def _read_chain(data: bytes, fat: list[int], start: int) -> bytes:
+    out = bytearray()
+    sect = start
+    seen = 0
+    while sect != _ENDOFCHAIN and sect != _FREESECT:
+        off = _SECT + sect * _SECT
+        out += data[off:off + _SECT]
+        if sect >= len(fat):
+            break
+        sect = fat[sect]
+        seen += 1
+        if seen > len(data) // _SECT + 2:   # cycle guard on corrupt files
+            break
+    return bytes(out)
+
+
+def _read_mini_chain(ministream: bytes, minifat: list[int], start: int) -> bytes:
+    out = bytearray()
+    sect = start
+    seen = 0
+    while sect != _ENDOFCHAIN and sect != _FREESECT and sect < len(minifat) + 1:
+        out += ministream[sect * _MINI_SECT:(sect + 1) * _MINI_SECT]
+        if sect >= len(minifat):
+            break
+        sect = minifat[sect]
+        seen += 1
+        if seen > len(ministream) // _MINI_SECT + 2:
+            break
+    return bytes(out)
+
+
+def _u32s(raw: bytes) -> list[int]:
+    return list(struct.unpack(f'<{len(raw) // 4}I', raw[:len(raw) // 4 * 4]))
+
+
+def cfb_stream(data: bytes, names: tuple[str, ...]) -> bytes | None:
+    """Extract the first directory stream whose name is in ``names`` from a
+    CFB compound file, or None if the container/stream is absent."""
+    if len(data) < _SECT or data[:8] != _CFB_MAGIC:
+        return None
+    sector_shift = struct.unpack('<H', data[30:32])[0]
+    if (1 << sector_shift) != _SECT:        # v4 (4096B sectors) not needed
+        return None
+    n_fat = struct.unpack('<I', data[44:48])[0]
+    first_dir = struct.unpack('<I', data[48:52])[0]
+    first_minifat = struct.unpack('<I', data[60:64])[0]
+    n_minifat = struct.unpack('<I', data[64:68])[0]
+    first_difat = struct.unpack('<I', data[68:72])[0]
+    difat = _u32s(data[76:76 + 109 * 4])
+    # DIFAT continuation sectors (files > ~6.8 MB)
+    sect = first_difat
+    while sect not in (_ENDOFCHAIN, _FREESECT) and len(difat) < n_fat + 127:
+        raw = data[_SECT + sect * _SECT:_SECT + (sect + 1) * _SECT]
+        entries = _u32s(raw)
+        difat += entries[:-1]
+        sect = entries[-1]
+    fat: list[int] = []
+    for s in difat[:n_fat]:
+        if s in (_FREESECT, _ENDOFCHAIN):
+            continue
+        fat += _u32s(data[_SECT + s * _SECT:_SECT + (s + 1) * _SECT])
+
+    directory = _read_chain(data, fat, first_dir)
+    root_start = root_size = None
+    target = None
+    for i in range(0, len(directory) - 127, 128):
+        entry = directory[i:i + 128]
+        name_len = struct.unpack('<H', entry[64:66])[0]
+        if not 2 <= name_len <= 64:
+            continue
+        name = entry[:name_len - 2].decode('utf-16-le', errors='replace')
+        etype = entry[66]
+        start = struct.unpack('<I', entry[116:120])[0]
+        size = struct.unpack('<Q', entry[120:128])[0]
+        if etype == 5:                      # root: holds the ministream
+            root_start, root_size = start, size
+        elif etype == 2 and name in names and target is None:
+            target = (start, size)
+    if target is None:
+        return None
+    start, size = target
+    if size >= _MINI_CUTOFF:
+        return _read_chain(data, fat, start)[:size]
+    if root_start is None or first_minifat in (_ENDOFCHAIN, _FREESECT):
+        # small stream written on the regular FAT (our builder's layout)
+        return _read_chain(data, fat, start)[:size]
+    minifat = _u32s(_read_chain(data, fat, first_minifat))[:n_minifat * 128]
+    ministream = _read_chain(data, fat, root_start)[:root_size]
+    return _read_mini_chain(ministream, minifat, start)[:size]
+
+
+# ---------------------------------------------------------------------------
+# BIFF8 reader
+# ---------------------------------------------------------------------------
+
+class _SstReader:
+    """Cursor over the SST record's data followed by its CONTINUE records.
+    ``read_raw`` spans segment boundaries transparently; ``read_chars``
+    re-reads the option-flags byte when CHARACTER data crosses into a
+    CONTINUE record (the [MS-XLS] continuation rule)."""
+
+    def __init__(self, segments: list[bytes]) -> None:
+        self.segs = segments
+        self.i = 0
+        self.pos = 0
+
+    def _advance(self) -> bool:
+        while self.i < len(self.segs) and self.pos >= len(self.segs[self.i]):
+            self.i += 1
+            self.pos = 0
+        return self.i < len(self.segs)
+
+    def exhausted(self) -> bool:
+        return not self._advance()
+
+    def read_raw(self, n: int) -> bytes:
+        out = bytearray()
+        while n > 0 and self._advance():
+            seg = self.segs[self.i]
+            take = min(n, len(seg) - self.pos)
+            out += seg[self.pos:self.pos + take]
+            self.pos += take
+            n -= take
+        return bytes(out)
+
+    def read_chars(self, cch: int, high: bool) -> str:
+        header_seg = self.i                 # segment holding this string's header
+        out: list[str] = []
+        while cch > 0:
+            if not self._advance():
+                break
+            seg = self.segs[self.i]
+            avail = len(seg) - self.pos
+            if self.i != header_seg and self.pos == 0:
+                # character data spilled into a CONTINUE record: a fresh
+                # option-flags byte precedes it ([MS-XLS] continuation rule)
+                high = bool(seg[0] & 0x01)
+                self.pos = 1
+                avail -= 1
+                if avail == 0:
+                    continue
+            width = 2 if high else 1
+            take = min(cch, avail // width)
+            if take == 0:                   # split utf-16 pair (non-spec): span
+                take = min(cch, 1)
+                raw = self.read_raw(width)
+            else:
+                raw = seg[self.pos:self.pos + take * width]
+                self.pos += take * width
+            out.append(raw.decode('utf-16-le' if high else 'latin-1',
+                                  errors='replace'))
+            cch -= take
+        return ''.join(out)
+
+
+def _parse_sst(segments: list[bytes]) -> list[str]:
+    r = _SstReader(segments)
+    r.read_raw(8)                           # cstTotal, cstUnique
+    out: list[str] = []
+    while not r.exhausted():
+        head = r.read_raw(3)
+        if len(head) < 3:
+            break
+        cch, grbit = struct.unpack('<HB', head)
+        c_run = struct.unpack('<H', r.read_raw(2))[0] if grbit & 0x08 else 0
+        cb_ext = struct.unpack('<i', r.read_raw(4))[0] if grbit & 0x04 else 0
+        out.append(r.read_chars(cch, bool(grbit & 0x01)))
+        r.read_raw(4 * c_run + max(cb_ext, 0))
+    return out
+
+
+def parse_xls(data: bytes) -> pd.DataFrame:
+    """.xls bytes → one headerless DataFrame (string cells only), reference
+    parse_xlsx conventions: per-sheet frames concatenated ignore_index."""
+    stream = cfb_stream(data, ('Workbook', 'Book'))
+    if stream is None:
+        raise ValueError('not a CFB/.xls container')
+    sst: list[str] = []
+    sheets: list[dict[tuple[int, int], str]] = []
+    cur: dict[tuple[int, int], str] | None = None
+    pos = 0
+    n_bof = 0
+    pending_sst: list[bytes] | None = None
+    while pos + 4 <= len(stream):
+        opcode, length = struct.unpack('<HH', stream[pos:pos + 4])
+        body = stream[pos + 4:pos + 4 + length]
+        pos += 4 + length
+        if opcode == 0x0000:                # zero padding after final EOF
+            break
+        if pending_sst is not None and opcode == _R_CONTINUE:
+            pending_sst.append(body)
+            continue
+        if pending_sst is not None:
+            sst = _parse_sst(pending_sst)
+            pending_sst = None
+        if opcode == _R_SST:
+            pending_sst = [body]
+        elif opcode == _R_BOF:
+            n_bof += 1
+            if n_bof > 1:                   # substreams after globals = sheets
+                cur = {}
+                sheets.append(cur)
+        elif opcode == _R_EOF:
+            cur = None
+        elif opcode == _R_LABELSST and cur is not None and len(body) >= 10:
+            rw, col, _ixfe, isst = struct.unpack('<HHHI', body[:10])
+            if isst < len(sst):
+                cur[(rw, col)] = sst[isst]
+        elif opcode == _R_LABEL and cur is not None and len(body) >= 9:
+            rw, col, _ixfe, cch, grbit = struct.unpack('<HHHHB', body[:9])
+            raw = body[9:9 + cch * (2 if grbit & 1 else 1)]
+            cur[(rw, col)] = raw.decode(
+                'utf-16-le' if grbit & 1 else 'latin-1', errors='replace')
+    if pending_sst is not None:
+        sst = _parse_sst(pending_sst)
+
+    frames = []
+    for cells in sheets:
+        if not cells:
+            continue
+        n_rows = max(r for r, _ in cells) + 1
+        n_cols = max(c for _, c in cells) + 1
+        frames.append(pd.DataFrame(
+            [[cells.get((r, c)) for c in range(n_cols)]
+             for r in range(n_rows)]))
+    if not frames:
+        return pd.DataFrame()
+    return pd.concat(frames, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# BIFF8 writer (test fixture builder)
+# ---------------------------------------------------------------------------
+
+def _rec(opcode: int, body: bytes) -> bytes:
+    return struct.pack('<HH', opcode, len(body)) + body
+
+
+def _sst_records(strings: list[str]) -> bytes:
+    """SST (+ CONTINUE) records; splits BETWEEN strings at the record cap
+    (mid-string continuation is reader-only here)."""
+    chunks: list[bytes] = []
+    buf = bytearray(struct.pack('<II', len(strings), len(strings)))
+    for s in strings:
+        high = any(ord(ch) > 0xFF for ch in s)
+        raw = s.encode('utf-16-le' if high else 'latin-1', errors='replace')
+        entry = struct.pack('<HB', len(s), 1 if high else 0) + raw
+        if len(buf) + len(entry) > _MAX_RECORD and len(buf) > 0:
+            chunks.append(bytes(buf))
+            buf = bytearray()
+        buf += entry
+    chunks.append(bytes(buf))
+    out = _rec(_R_SST, chunks[0])
+    for extra in chunks[1:]:
+        out += _rec(_R_CONTINUE, extra)
+    return out
+
+
+def build_xls(sheets: list[list[list[str]]]) -> bytes:
+    """Cell grids (strings; None skips the cell) → minimal .xls bytes."""
+    strings: list[str] = []
+    index: dict[str, int] = {}
+    for grid in sheets:
+        for row in grid:
+            for v in row:
+                if v is not None and v not in index:
+                    index[v] = len(strings)
+                    strings.append(v)
+
+    stream = bytearray()
+    # globals substream: BOF(workbook globals) + SST + EOF
+    stream += _rec(_R_BOF, struct.pack('<HHHHII', 0x0600, 0x0005, 0x0DBB,
+                                       0x07CC, 0xC9, 0x0206))
+    stream += _sst_records(strings)
+    stream += _rec(_R_EOF, b'')
+    for grid in sheets:
+        stream += _rec(_R_BOF, struct.pack('<HHHHII', 0x0600, 0x0010, 0x0DBB,
+                                           0x07CC, 0xC9, 0x0206))
+        for r, row in enumerate(grid):
+            for c, v in enumerate(row):
+                if v is None:
+                    continue
+                stream += _rec(_R_LABELSST,
+                               struct.pack('<HHHI', r, c, 0, index[v]))
+        stream += _rec(_R_EOF, b'')
+
+    # zero-pad past the mini cutoff so the stream lives on the regular FAT
+    # (real Excel zero-pads workbook streams the same way)
+    size = max(len(stream), _MINI_CUTOFF)
+    size = (size + _SECT - 1) // _SECT * _SECT
+    stream += b'\x00' * (size - len(stream))
+
+    n_stream_sects = len(stream) // _SECT
+    # sector layout: [0]=FAT, [1]=directory, [2..]=workbook stream
+    n_sects = 2 + n_stream_sects
+    fat = [_FATSECT, _ENDOFCHAIN]
+    fat += [2 + i + 1 for i in range(n_stream_sects - 1)] + [_ENDOFCHAIN]
+    assert len(fat) <= _SECT // 4, 'single-FAT-sector builder limit (~60 KB)'
+    fat += [_FREESECT] * (_SECT // 4 - len(fat))
+
+    def dirent(name: str, etype: int, start: int, size: int,
+               child: int = _FREESECT) -> bytes:
+        raw = name.encode('utf-16-le') + b'\x00\x00'
+        e = bytearray(128)
+        e[0:len(raw)] = raw
+        struct.pack_into('<H', e, 64, len(raw))
+        e[66] = etype
+        e[67] = 1                                        # black
+        struct.pack_into('<III', e, 68, _FREESECT, _FREESECT, child)
+        struct.pack_into('<I', e, 116, start)
+        struct.pack_into('<Q', e, 120, size)
+        return bytes(e)
+
+    directory = (dirent('Root Entry', 5, _ENDOFCHAIN, 0, child=1)
+                 + dirent('Workbook', 2, 2, len(stream))
+                 + bytes(128) + bytes(128))
+
+    header = bytearray(_SECT)
+    header[0:8] = _CFB_MAGIC
+    struct.pack_into('<H', header, 24, 0x003E)           # minor version
+    struct.pack_into('<H', header, 26, 0x0003)           # major version 3
+    struct.pack_into('<H', header, 28, 0xFFFE)           # little endian
+    struct.pack_into('<H', header, 30, 9)                # 512B sectors
+    struct.pack_into('<H', header, 32, 6)                # 64B mini sectors
+    struct.pack_into('<I', header, 44, 1)                # one FAT sector
+    struct.pack_into('<I', header, 48, 1)                # first dir sector
+    struct.pack_into('<I', header, 56, _MINI_CUTOFF)
+    struct.pack_into('<I', header, 60, _ENDOFCHAIN)      # no mini FAT
+    struct.pack_into('<I', header, 68, _ENDOFCHAIN)      # no DIFAT sectors
+    difat = [0] + [_FREESECT] * 108
+    struct.pack_into('<109I', header, 76, *difat)
+
+    out = bytes(header)
+    out += struct.pack(f'<{len(fat)}I', *fat)
+    out += directory
+    out += bytes(stream)
+    assert len(out) == _SECT * (1 + n_sects)
+    return out
