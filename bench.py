@@ -51,15 +51,24 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
 
-    # headline: flagship pipeline, read -> ... -> write
-    out_dir = f'/tmp/bench_out/cpus{NUM_CPUS}'
+    # headline: flagship pipeline, read -> ... -> write.  The FIRST
+    # in-session run pays a one-time worker spawn + import cost (~5s of 15s,
+    # measured) and this shared host is noisy (BASELINE.md), so the default
+    # is min-of-3 with every run reported — the same noise-robust estimator
+    # the scaling harness uses.  --scaling subprocesses set repeats=1 (they
+    # do their own warm-up + min-of-3 across processes).
     import shutil
-    shutil.rmtree(out_dir, ignore_errors=True)
     cfg = PipelineConfig()
-    t0 = time.monotonic()
-    ds = read_pages(pages_dir, override_num_blocks=max(4 * NUM_CPUS, 64))
-    build_pipeline(ds, cfg).write_parquet(out_dir)
-    headline = time.monotonic() - t0
+    repeats = int(os.environ.get('GRAFT_BENCH_REPEATS', '3'))
+    runs = []
+    for i in range(repeats):
+        out_dir = f'/tmp/bench_out/cpus{NUM_CPUS}/r{i}'
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.monotonic()
+        ds = read_pages(pages_dir, override_num_blocks=max(4 * NUM_CPUS, 64))
+        build_pipeline(ds, cfg).write_parquet(out_dir)
+        runs.append(round(time.monotonic() - t0, 3))
+    headline = min(runs)
     timings['flagship_pipeline'] = round(headline, 3)
 
     if not os.environ.get('GRAFT_BENCH_HEADLINE_ONLY'):
@@ -77,8 +86,11 @@ def run_bench() -> dict:
     ray.shutdown()
     return {
         'metric': 'flagship quality-filter+scrub pipeline wall time '
-                  f'({BENCH_ROWS} synthetic pages) + query timings over {SF_DIR}',
+                  f'({BENCH_ROWS} synthetic pages, min of {repeats} '
+                  f'in-session runs, all reported in flagship_runs) '
+                  f'+ query timings over {SF_DIR}',
         'value': round(headline, 3),
+        'flagship_runs': runs,
         'unit': 'sec',
         'queries': timings,
         'sf': SF_DIR.rstrip('/').rsplit('sf', 1)[-1],
@@ -95,7 +107,7 @@ def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         subprocess.run(['sync'], check=False)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_HEADLINE_ONLY='1')
+                   GRAFT_BENCH_HEADLINE_ONLY='1', GRAFT_BENCH_REPEATS='1')
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout

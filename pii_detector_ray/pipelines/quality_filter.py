@@ -27,6 +27,8 @@ import pyarrow as pa
 
 import ray.data
 
+from pii_detector_ray.sources.pqread import read_parquet_clean
+
 from pii_detector_ray.config import PipelineConfig
 from pii_detector_ray.stages.extract import extract_batch, make_url_filter
 from pii_detector_ray.stages.heuristics import heuristics_batch
@@ -121,7 +123,10 @@ def _finalize(batch: pa.Table) -> pa.Table:
         idx = batch.column_names.index('warc_ts')
         batch = batch.set_column(
             idx, 'warc_ts', batch.column('warc_ts').cast(pa.timestamp('us')))
-    return batch
+    # the fused pandas stage leaves b'pandas' schema metadata (a dict) on
+    # every block, which defeats Ray's schema-dedup hashing ("Failed to hash
+    # the schemas" log spam on every task) — strip it
+    return batch.replace_schema_metadata(None)
 
 
 def build_pipeline(
@@ -174,4 +179,4 @@ def build_pipeline(
 def read_pages(paths: str | list[str], *, override_num_blocks: int | None = None) -> ray.data.Dataset:
     """Read the pages table (column-complete: all 5 input columns are used —
     ``html`` only until extraction, after which it is dropped)."""
-    return ray.data.read_parquet(paths, override_num_blocks=override_num_blocks)
+    return read_parquet_clean(paths, override_num_blocks=override_num_blocks)

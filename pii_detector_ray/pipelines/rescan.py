@@ -21,6 +21,8 @@ import pyarrow as pa
 
 import ray.data
 
+from pii_detector_ray.sources.pqread import read_parquet_clean
+
 from pii_detector_ray.config import PipelineConfig
 from pii_detector_ray.stages.scrub import make_scrub_stage
 
@@ -29,7 +31,7 @@ def rescan_output(prior_out_dir: str, cfg: PipelineConfig) -> ray.data.Dataset:
     """Scrub the prior run's output with the delta pattern set; returns
     (url, pii_spans, scrubbed_text, n_pii) for rows with new findings."""
     files = sorted(glob.glob(os.path.join(prior_out_dir, 'part=*', '*.parquet')))
-    ds = ray.data.read_parquet(files, columns=['url', 'extracted_text'])
+    ds = read_parquet_clean(files, columns=['url', 'extracted_text'])
     # reference rescan runs with rescan_mode=True → NER DISABLED; only the
     # delta pattern set fires (redis_tasks.py:174-260)
     import dataclasses

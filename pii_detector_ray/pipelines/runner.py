@@ -21,6 +21,8 @@ from typing import Any
 import pyarrow as pa
 import ray.data
 
+from pii_detector_ray.sources.pqread import read_parquet_clean
+
 import pii_detector_ray
 from pii_detector_ray.config import PipelineConfig
 from pii_detector_ray.pipelines.quality_filter import build_pipeline
@@ -39,7 +41,7 @@ def _partition_metrics(part_dir: str) -> dict[str, Any]:
     if not os.path.isdir(part_dir) or not os.listdir(part_dir):
         return {'rows': 0, 'kept': 0, 'dropped': 0, 'drop_reasons': {},
                 'pii_type_counts': {}, 'pii_findings': 0}
-    ds = ray.data.read_parquet(part_dir, columns=['keep', 'drop_reason', 'pii_spans'])
+    ds = read_parquet_clean(part_dir, columns=['keep', 'drop_reason', 'pii_spans'])
 
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -151,7 +153,7 @@ def run_partitioned(
         if os.path.isdir(part_dir):
             shutil.rmtree(part_dir)   # uncommitted partial output from a crash
         t0 = time.monotonic()
-        ds = ray.data.read_parquet(files)
+        ds = read_parquet_clean(files)
         ds = build_pipeline(ds, cfg, dedup_urls=dedup_urls, keep_only=keep_only)
         ds.write_parquet(part_dir)
         metrics = _partition_metrics(part_dir)

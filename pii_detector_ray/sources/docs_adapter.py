@@ -20,6 +20,8 @@ import pyarrow as pa
 
 import ray.data
 
+from pii_detector_ray.sources.pqread import read_parquet_clean
+
 _BASE_TS_US = 1_704_067_200_000_000  # matches sources/pages.py
 
 
@@ -63,7 +65,7 @@ def augment_batch(batch: pa.Table) -> pa.Table:
 
 
 def read_documents(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+    return read_parquet_clean(os.path.join(sf_dir, 'documents.parquet'),
                                  columns=columns)
 
 

@@ -1,0 +1,55 @@
+"""Metadata-stripped parquet reads.
+
+Pandas-written parquet files carry a ``b'pandas'`` schema-metadata blob
+(a JSON dict).  Ray 2.49's block concatenation tries ``set(schemas)`` for
+dedup and the unhashable metadata makes every read log
+``Failed to hash the schemas (for deduplication): unhashable type: 'dict'``
+(ray/data/_internal/arrow_ops/transform_pyarrow.py).  Passing an explicit
+metadata-free schema to ``read_parquet`` removes the noise at the source and
+lets the executor's schema dedup work.  Column pruning is preserved — the
+schema is built from the footer restricted to ``columns``.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+
+def _first_file(paths) -> str | None:
+    if isinstance(paths, (list, tuple)):
+        return _first_file(paths[0]) if paths else None
+    if os.path.isdir(paths):
+        inside = sorted(glob.glob(os.path.join(paths, '**', '*.parquet'),
+                                  recursive=True))
+        return inside[0] if inside else None
+    return paths
+
+
+def clean_schema(paths, columns: list[str] | None = None) -> pa.Schema | None:
+    """Footer schema of the first file, metadata stripped, restricted to
+    ``columns`` (in the given order); None when the footer can't be read."""
+    first = _first_file(paths)
+    if first is None:
+        return None
+    try:
+        full = pq.read_schema(first)
+        names = columns if columns is not None else full.names
+        return pa.schema([full.field(n).remove_metadata() for n in names])
+    except Exception:
+        return None
+
+
+def read_parquet_clean(paths, *, columns: list[str] | None = None,
+                       **kwargs) -> ray.data.Dataset:
+    """``ray.data.read_parquet`` with a metadata-free explicit schema (falls
+    back to the plain read when the footer is unreadable)."""
+    schema = clean_schema(paths, columns)
+    if schema is not None:
+        kwargs['schema'] = schema
+    return ray.data.read_parquet(paths, columns=columns, **kwargs)

@@ -36,16 +36,44 @@ DEFAULT_BUCKET_US = 86_400_000_000
 
 
 def hot_keys(ds: ray.data.Dataset, key_col: str, threshold: int) -> set:
-    """Keys of ``ds`` with row count >= ``threshold``, via a narrow
-    two-phase count.  Only keys ABOVE the threshold reach the driver."""
+    """Keys of ``ds`` with row count >= ``threshold``.
+
+    Two-stage, so the common no-hot-key case costs ONE shuffle-free scan:
+
+    1. **Pigeonhole screen** — each batch emits one row (its max per-key
+       count + its row count); no shuffle, partials reduce on the driver.
+       A key with >= ``threshold`` rows across B batches must put
+       >= threshold/B rows into SOME batch, so
+       ``max_batch_count < threshold / n_batches`` PROVES no hot key
+       exists — zero false negatives, and the screen also exits early when
+       total rows < threshold.
+    2. **Exact count** — only when the screen fires: per-batch ``group_by``
+       partials (one int row per key per batch crosses the shuffle) →
+       global sum → filter; only keys above the threshold reach the driver.
+    """
+    narrow = ds.select_columns([key_col])
+
+    def screen(t: pa.Table) -> pa.Table:
+        agg = pa.table({key_col: t.column(key_col)}) \
+            .group_by(key_col).aggregate([([], 'count_all')])
+        mx = pc.max(agg.column('count_all')).as_py() or 0
+        return pa.table({'_max': pa.array([int(mx)], pa.int64()),
+                         '_rows': pa.array([len(t)], pa.int64())})
+
+    parts = narrow.map_batches(screen, batch_format='pyarrow').take_all()
+    n_batches = max(len(parts), 1)
+    total = sum(p['_rows'] for p in parts)
+    max_batch = max((p['_max'] for p in parts), default=0)
+    if total < threshold or max_batch < threshold / n_batches:
+        return set()
+
     def partial(t: pa.Table) -> pa.Table:
         agg = pa.table({key_col: t.column(key_col)}) \
             .group_by(key_col).aggregate([([], 'count_all')])
         return pa.table({key_col: agg.column(key_col),
                          '_n': pc.cast(agg.column('count_all'), pa.int64())})
 
-    counts = (ds.select_columns([key_col])
-              .map_batches(partial, batch_format='pyarrow')
+    counts = (narrow.map_batches(partial, batch_format='pyarrow')
               .groupby(key_col).aggregate(Sum('_n', alias_name='n')))
     rows = counts.filter(expr=f'n >= {int(threshold)}').take_all()
     return {r[key_col] for r in rows}
@@ -297,7 +325,7 @@ def asof_join_salted(left: ray.data.Dataset, right: ray.data.Dataset, *,
                                             kind='mergesort')
         lb = np.unique(g.loc[g['_side'] == 0, '_bucket'].to_numpy())
         if rp.empty or lb.size == 0:
-            return pd.DataFrame()
+            return rp.iloc[0:0]      # typed empty — keeps the block schema
         rb = rp['_bucket'].to_numpy()
         idx = np.searchsorted(rb, lb, side='left') - 1   # latest right bucket < b
         ok = idx >= 0
@@ -309,12 +337,16 @@ def asof_join_salted(left: ray.data.Dataset, right: ray.data.Dataset, *,
     carries = carry_in.groupby(by).map_groups(make_carries,
                                               batch_format='pandas')
 
+    from pii_detector_ray.stages.joins import _empty_asof_frame
+    empty_out = _empty_asof_frame(lschema, rschema, left_cols,
+                                  right_value_cols, on)
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g['_side'] == 0]
         rg = g[g['_side'] != 0].sort_values(['_on'] + tiebreak,
                                             kind='mergesort')
         if lg.empty or rg.empty:
-            return pd.DataFrame()
+            return empty_out.copy()  # typed empty — keeps the block schema
         lt = lg['_on'].to_numpy()
         rt = rg['_on'].to_numpy()
         idx = np.searchsorted(rt, lt, side='right') - 1
