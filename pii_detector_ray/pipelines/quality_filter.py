@@ -162,10 +162,17 @@ def build_pipeline(
         # arrow->pandas->arrow conversion per batch instead of three
         from pii_detector_ray.stages.scorers import score_batch_stateless
 
-        def quality_stage(df: pd.DataFrame) -> pd.DataFrame:
-            return keepdrop(score_batch_stateless(heuristics_batch(df)))
+        def quality_stage(t: pa.Table) -> pa.Table:
+            # arrow in/out with ONE pandas roundtrip inside: same conversion
+            # count as a pandas-format stage, but the output schema is
+            # stripped of the b'pandas' metadata blob that otherwise makes
+            # every mid-chain batch concat log "Failed to hash the schemas"
+            df = keepdrop(score_batch_stateless(heuristics_batch(
+                t.to_pandas())))
+            return pa.Table.from_pandas(df, preserve_index=False) \
+                .replace_schema_metadata(None)
 
-        ds = ds.map_batches(quality_stage, batch_format='pandas',
+        ds = ds.map_batches(quality_stage, batch_format='pyarrow',
                             batch_size=cfg.scorer_batch_size)
     ds = ds.map_batches(make_scrub_stage(cfg), batch_format='pyarrow',
                         batch_size=cfg.scrub_batch_size)
