@@ -303,7 +303,11 @@ def _sst_records(strings: list[str]) -> bytes:
     for s in strings:
         high = any(ord(ch) > 0xFF for ch in s)
         raw = s.encode('utf-16-le' if high else 'latin-1', errors='replace')
-        entry = struct.pack('<HB', len(s), 1 if high else 0) + raw
+        # cch is in UTF-16 CODE UNITS (surrogate pairs count 2), not Python
+        # codepoints — len(s) undercounts non-BMP chars and corrupts the
+        # stream for every string after.
+        cch = len(raw) // 2 if high else len(raw)
+        entry = struct.pack('<HB', cch, 1 if high else 0) + raw
         if len(buf) + len(entry) > _MAX_RECORD and len(buf) > 0:
             chunks.append(bytes(buf))
             buf = bytearray()

@@ -27,9 +27,10 @@ from pii_detector_ray.stages.extract import extract_row
 from pii_detector_ray.stages.scrub import detectors_from_config
 from pii_detector_ray.functions.masking import is_phi
 
-_WORD = re.compile(r'\S+')
-_NONSPACE = re.compile(r'\S')
-_ALPHA_WORD = re.compile(r'(?<!\S)\S*[^\W\d_]\S*')
+# ASCII-pinned like stages/heuristics.py (the RE2 oracles are ASCII-only)
+_WORD = re.compile(r'(?a)\S+')
+_NONSPACE = re.compile(r'(?a)\S')
+_ALPHA_WORD = re.compile(r'(?a)(?<!\S)\S*[^\W\d_]\S*')
 _BULLET = re.compile(r'(?m)^[ \t]*[-*•]')
 _ELLIPSIS = re.compile(r'(?m)(\.\.\.|…)[ \t]*$')
 _SYMBOL = re.compile(r'#|…|\.\.\.')

@@ -328,7 +328,7 @@ def q_token_counts(sf_dir: str) -> ray.data.Dataset:
     def count(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             'doc_id': df['doc_id'],
-            'n_tokens': df['text'].astype('string').str.count(r'\S+').astype('int64'),
+            'n_tokens': df['text'].astype('string').str.count(r'(?a)\S+').astype('int64'),
         })
 
     return read_documents(sf_dir, ['doc_id', 'text']).map_batches(count, batch_format='pandas')
@@ -1097,8 +1097,8 @@ def q_word_stats(sf_dir: str) -> ray.data.Dataset:
         s = df['text'].astype('string').fillna('')
         return pd.DataFrame({
             'doc_id': df['doc_id'],
-            'n_words': s.str.count(r'\S+').astype('int64'),
-            'n_nonspace': s.str.count(r'\S').astype('int64'),
+            'n_words': s.str.count(r'(?a)\S+').astype('int64'),
+            'n_nonspace': s.str.count(r'(?a)\S').astype('int64'),
         })
     return read_documents(sf_dir, ['doc_id', 'text']).map_batches(stats, batch_format='pandas')
 

@@ -21,26 +21,45 @@ import pyarrow.parquet as pq
 import ray.data
 
 
-def _first_file(paths) -> str | None:
+# above this many files the driver-side footer sweep isn't worth it; fall
+# back to the plain read (schema-unification behavior, noisier logs)
+_MAX_FOOTER_CHECKS = 512
+
+
+def _all_files(paths) -> list[str]:
     if isinstance(paths, (list, tuple)):
-        return _first_file(paths[0]) if paths else None
+        out: list[str] = []
+        for p in paths:
+            out.extend(_all_files(p))
+        return out
     if os.path.isdir(paths):
-        inside = sorted(glob.glob(os.path.join(paths, '**', '*.parquet'),
-                                  recursive=True))
-        return inside[0] if inside else None
-    return paths
+        return sorted(glob.glob(os.path.join(paths, '**', '*.parquet'),
+                                recursive=True))
+    return [paths]
 
 
 def clean_schema(paths, columns: list[str] | None = None) -> pa.Schema | None:
-    """Footer schema of the first file, metadata stripped, restricted to
-    ``columns`` (in the given order); None when the footer can't be read."""
-    first = _first_file(paths)
-    if first is None:
-        return None
+    """Metadata-stripped footer schema, restricted to ``columns`` (in the
+    given order) — but ONLY when every file's footer agrees.  Imposing one
+    file's schema on a heterogeneous set would silently null-fill or drop
+    columns that Ray's default schema unification used to carry, so a
+    mismatch (or an unreadable footer, or too many files to check) returns
+    None and the caller does a plain read."""
     try:
-        full = pq.read_schema(first)
-        names = columns if columns is not None else full.names
-        return pa.schema([full.field(n).remove_metadata() for n in names])
+        files = _all_files(paths)
+        if not files or len(files) > _MAX_FOOTER_CHECKS:
+            return None
+
+        def stripped(f: str) -> pa.Schema:
+            full = pq.read_schema(f)
+            names = columns if columns is not None else full.names
+            return pa.schema([full.field(n).remove_metadata() for n in names])
+
+        schema = stripped(files[0])
+        for f in files[1:]:
+            if not stripped(f).equals(schema):
+                return None
+        return schema
     except Exception:
         return None
 

@@ -472,7 +472,9 @@ def embedding_dup_pairs_exact(ds: ray.data.Dataset, *, threshold: float = 0.95,
 
     import math
     store = narrow.materialize()      # object-store resident, spillable
-    shards = store.split(math.ceil(total / max_broadcast_rows))
+    # equal=True: without it split() is block-granular and one big block can
+    # put ~all rows in a single shard, defeating the broadcast-size guard.
+    shards = store.split(math.ceil(total / max_broadcast_rows), equal=True)
     outs = []
     for shard in shards:
         rows = shard.take_all()                  # bounded by the guard

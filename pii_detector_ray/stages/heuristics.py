@@ -18,9 +18,12 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-_WORD = r'\S+'
-_NONSPACE = r'\S'
-_ALPHA_WORD = r'(?<!\S)\S*[^\W\d_]\S*'   # a word containing at least one letter
+# ASCII-pinned (?a) BY CONTRACT: the DuckDB oracles mirror these with RE2,
+# whose \s / \S / \W classes are ASCII-only — Python's Unicode classes would
+# diverge on NBSP tokens or accented-only words (r3 review finding).
+_WORD = r'(?a)\S+'
+_NONSPACE = r'(?a)\S'
+_ALPHA_WORD = r'(?a)(?<!\S)\S*[^\W\d_]\S*'   # a word containing >=1 letter
 _BULLET_LINE = r'(?m)^[ \t]*[-*•]'
 _ELLIPSIS_LINE = r'(?m)(\.\.\.|…)[ \t]*$'
 _SYMBOL = r'#|…|\.\.\.'
@@ -36,7 +39,7 @@ def heuristics_batch(df: pd.DataFrame) -> pd.DataFrame:
     n_words_safe = np.maximum(n_words, 1)
     # \S-char count == len - \s-char count (every char is one or the other);
     # counting the (much rarer) whitespace matches is ~5x cheaper
-    nonspace = n_chars - s.str.count(r'\s').to_numpy(dtype=np.int64)
+    nonspace = n_chars - s.str.count(r'(?a)\s').to_numpy(dtype=np.int64)
 
     # no defensive copy: stages only append new columns to the batch
     df['n_chars'] = n_chars

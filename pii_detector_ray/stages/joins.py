@@ -89,19 +89,14 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
             f'asof_join reserves columns {sorted(clash)} but the {name} '
             f'side already has them — rename them before joining')
 
-    hot: set = set()
-    if hot_key_threshold is not None:
-        from pii_detector_ray.stages import skew
-        keys = left.select_columns([by]).union(right.select_columns([by]))
-        hot = skew.hot_keys(keys, by, hot_key_threshold)
-
+    from pii_detector_ray.stages import skew
+    hot_parts, (left, right) = skew.split_hot([left, right], by,
+                                              hot_key_threshold)
     salted = None
-    if hot:
-        from pii_detector_ray.stages import skew
-        lh, left = skew.split_by_keys(left, by, hot)
-        rh, right = skew.split_by_keys(right, by, hot)
+    if hot_parts is not None:
         salted = skew.asof_join_salted(
-            lh, rh, by=by, on=on, right_value_cols=right_value_cols,
+            hot_parts[0], hot_parts[1], by=by, on=on,
+            right_value_cols=right_value_cols,
             tolerance_us=tolerance_us, right_tiebreak=right_tiebreak,
             bucket_us=bucket_us or skew.DEFAULT_BUCKET_US)
 
@@ -127,6 +122,13 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     all_fields = list(zip(lschema.names, lschema.types)) + \
         [(n, t) for n, t in zip(rschema.names, rschema.types)
          if n not in set(lschema.names)]
+    # int columns missing from one side get typed nulls in the union, so
+    # the per-group pandas frames coerce them to float64; values past 2^53
+    # would corrupt SILENTLY on the cast back — guard per batch (columns
+    # present on both sides stay int in pandas and need no check)
+    both = set(lschema.names) & set(rschema.names)
+    at_risk = {n for n, t in all_fields
+               if pa.types.is_integer(t) and n not in both}
 
     def tag_arrow(side: int, have: set[str]):
         def f(t: pa.Table) -> pa.Table:
@@ -135,6 +137,12 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
             for name, typ in all_fields:
                 if name in have:
                     c = t.column(name)
+                    if name in at_risk:
+                        from pii_detector_ray.stages.skew import \
+                            check_float_exact
+                        mm = pc.min_max(c)
+                        check_float_exact(name, mm['min'].as_py(),
+                                          mm['max'].as_py())
                     cols[name] = c.cast(typ) if c.type != typ else c
                 else:
                     cols[name] = pa.nulls(n, typ)

@@ -27,15 +27,13 @@ def sessionize(ds: ray.data.Dataset, *, gap_minutes: int = 30,
     mega-key guard."""
     gap_us = gap_minutes * 60_000_000
 
+    from pii_detector_ray.stages import skew
+    hot_parts, (ds,) = skew.split_hot([ds], 'user_id', hot_key_threshold)
     salted = None
-    if hot_key_threshold is not None:
-        from pii_detector_ray.stages import skew
-        hot = skew.hot_keys(ds, 'user_id', hot_key_threshold)
-        if hot:
-            hot_ds, ds = skew.split_by_keys(ds, 'user_id', hot)
-            salted = skew.sessionize_salted(
-                hot_ds, gap_us=gap_us,
-                bucket_us=bucket_us or skew.DEFAULT_BUCKET_US)
+    if hot_parts is not None:
+        salted = skew.sessionize_salted(
+            hot_parts[0], gap_us=gap_us,
+            bucket_us=bucket_us or skew.DEFAULT_BUCKET_US)
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values('ts', kind='mergesort')

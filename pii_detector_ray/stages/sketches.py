@@ -133,6 +133,17 @@ def distributed_quantile(ds, col: str, qs: list[float],
 
     ds = ds.select_columns([col])   # narrow; stays lazy until guard passes
 
+    # Guard on the cheap row count FIRST (metadata-only for parquet reads),
+    # so the under-budget path materializes once and every later scan —
+    # including the min/max/count pass below — hits the object store instead
+    # of re-executing the read.  The metadata count includes non-finite rows,
+    # so it upper-bounds the finite count: the guard is conservative.
+    try:
+        if ds.count() * 8 <= max_materialize_bytes:
+            ds = ds.materialize()
+    except Exception:
+        pass   # count unavailable → stay lazy; mmc below sizes the data
+
     def mmc(batch: pa.Table) -> pa.Table:
         v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
         v = v[np.isfinite(v)]
@@ -150,8 +161,6 @@ def distributed_quantile(ds, col: str, qs: list[float],
     lo = min(p['lo'] for p in parts)
     hi = max(p['hi'] for p in parts)
     total = sum(p['n'] for p in parts)
-    if total * 8 <= max_materialize_bytes:
-        ds = ds.materialize()   # small enough: refinement rounds hit memory
     cache: dict[int, float] = {}
 
     def stat(rank: int) -> float:

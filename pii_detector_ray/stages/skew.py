@@ -34,6 +34,44 @@ from ray.data.aggregate import Sum
 # mega-user's day is bounded even when their history is not)
 DEFAULT_BUCKET_US = 86_400_000_000
 
+# largest int64 magnitude exactly representable in float64; the as-of merge
+# round-trips side-missing int columns through float64 (typed nulls force
+# the pandas coercion), which is exact only below this bound
+MAX_FLOAT_EXACT_INT = 1 << 53
+
+
+def check_float_exact(name: str, lo, hi) -> None:
+    """Raise when [lo, hi] leaves the float64-exact int range.  Past the
+    bound the float round-trip is a SILENT low-bit corruption (2^53 + 1 →
+    2^53.0 → 2^53), undetectable after the fact — so the tagging stages
+    call this per batch on every at-risk int column."""
+    if lo is None or hi is None:
+        return
+    if lo < -MAX_FLOAT_EXACT_INT or hi > MAX_FLOAT_EXACT_INT:
+        raise ValueError(
+            f'asof_join: int column {name!r} holds values beyond 2^53; the '
+            f'null-fill float64 round-trip would corrupt them. Cast the '
+            f'column to string (or decimal) before joining.')
+
+
+def split_hot(datasets: list, key_col: str, threshold: int | None):
+    """Shared hot-key routing for the per-key window operators: find keys
+    whose row count across ALL ``datasets`` reaches ``threshold`` and split
+    each dataset on them.  Returns ``(hot_parts, cold_parts)`` —
+    ``hot_parts`` is ``None`` when the guard is disabled or no key is hot,
+    and ``cold_parts`` is then the input list unchanged (no filter stage
+    added)."""
+    if threshold is None:
+        return None, list(datasets)
+    keys = datasets[0].select_columns([key_col])
+    for d in datasets[1:]:
+        keys = keys.union(d.select_columns([key_col]))
+    hot = hot_keys(keys, key_col, threshold)
+    if not hot:
+        return None, list(datasets)
+    pairs = [split_by_keys(d, key_col, hot) for d in datasets]
+    return [p[0] for p in pairs], [p[1] for p in pairs]
+
 
 def hot_keys(ds: ray.data.Dataset, key_col: str, threshold: int) -> set:
     """Keys of ``ds`` with row count >= ``threshold``.
@@ -237,12 +275,10 @@ def event_deltas(ds: ray.data.Dataset, *,
     columns: user_id, event_id, ts.  Plain path: one per-user
     ``map_groups`` with a vectorized diff; mega-keys route through
     :func:`event_deltas_salted` (VERDICT r2 #4)."""
+    hot_parts, (ds,) = split_hot([ds], 'user_id', hot_key_threshold)
     salted = None
-    if hot_key_threshold is not None:
-        hot = hot_keys(ds, 'user_id', hot_key_threshold)
-        if hot:
-            hot_ds, ds = split_by_keys(ds, 'user_id', hot)
-            salted = event_deltas_salted(hot_ds, bucket_us=bucket_us)
+    if hot_parts is not None:
+        salted = event_deltas_salted(hot_parts[0], bucket_us=bucket_us)
 
     def prep(t: pa.Table) -> pa.Table:
         return pa.table({'user_id': t.column('user_id'),
@@ -288,9 +324,17 @@ def asof_join_salted(left: ray.data.Dataset, right: ray.data.Dataset, *,
                 if pa.types.is_integer(t)}
     right_int = {n for n, t in zip(rschema.names, rschema.types)
                  if pa.types.is_integer(t)}
+    # same 2^53 guard as joins.asof_join: side-missing int columns take the
+    # float64 round-trip and must stay in the exact range
+    _both = set(lschema.names) & set(rschema.names)
+    _at_risk = {n for n in (left_int | right_int) if n not in _both}
 
     def tag(side: int, cols: list[str]):
         def f(df: pd.DataFrame) -> pd.DataFrame:
+            for c in _at_risk.intersection(cols):
+                v = df[c].to_numpy()
+                if v.size:
+                    check_float_exact(c, int(v.min()), int(v.max()))
             out = df[cols].copy()
             out['_side'] = side
             out['_on'] = df[on].astype('int64')

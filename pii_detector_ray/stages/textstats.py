@@ -35,7 +35,8 @@ def bpe_ish_token_count(text: str, max_piece_chars: int = 6) -> int:
 
 def token_stats_batch(df: pd.DataFrame, text_col: str = 'text') -> pd.DataFrame:
     s = df[text_col].astype('string').fillna('')
-    df['n_tokens_ws'] = s.str.count(r'\S+').astype('int64')
+    # (?a): the DuckDB oracle's RE2 \S is ASCII-only; pin Python to match
+    df['n_tokens_ws'] = s.str.count(r'(?a)\S+').astype('int64')
     df['n_tokens_bpe'] = np.fromiter((bpe_ish_token_count(t) for t in s),
                                      dtype=np.int64, count=len(s))
     return df

@@ -120,3 +120,23 @@ def test_read_pages_orc(tmp_path):
     assert len(df) == 4
     assert df['text'].iloc[0] == 'orc page text with words here'
     assert df['warc_ts'].isna().all()            # missing columns -> nulls
+
+
+def test_clean_schema_heterogeneous_files_falls_back(tmp_path):
+    """r3 review: imposing file1's footer schema on a file set where file2
+    has an extra column would silently drop it — clean_schema must return
+    None so the caller takes Ray's schema-unification path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pii_detector_ray.sources.pqread import clean_schema
+
+    pq.write_table(pa.table({'a': [1]}), tmp_path / 'f1.parquet')
+    pq.write_table(pa.table({'a': [2], 'lang': ['en']}),
+                   tmp_path / 'f2.parquet')
+    assert clean_schema(str(tmp_path)) is None
+    # homogeneous set still yields the stripped schema
+    pq.write_table(pa.table({'a': [3], 'lang': ['de']}),
+                   tmp_path / 'f1.parquet')
+    sch = clean_schema(str(tmp_path))
+    assert sch is not None and sch.names == ['a', 'lang']

@@ -257,3 +257,12 @@ def test_parse_xls_mid_string_continue_with_flag_byte():
 def test_parse_xls_corrupt_returns_none_via_prepare():
     assert prepare_file(b'\xd0\xcf\x11\xe0 truncated-not-cfb', 'x.xls') is None
     assert prepare_file(b'not even cfb', 'y.xls') is None
+
+
+def test_parse_xls_non_bmp_roundtrip():
+    """r3 review: cch is UTF-16 code units — a surrogate-pair emoji must not
+    shift the parse of the following SST string."""
+    from pii_detector_ray.functions.xlsbiff import build_xls, parse_xls
+    grid = [['emoji \U0001F600 cell', 'plain']]
+    df = parse_xls(build_xls([grid]))
+    assert list(df.iloc[0]) == ['emoji \U0001F600 cell', 'plain']

@@ -174,3 +174,22 @@ def test_mega_user_half_of_sf01_events_bounded():
     d_plain = skew.event_deltas(ds, hot_key_threshold=None).to_pandas()
     d_routed = skew.event_deltas(ds, hot_key_threshold=10_000).to_pandas()
     assert _sorted(d_plain, ['event_id']).equals(_sorted(d_routed, ['event_id']))
+
+
+def test_asof_rejects_ints_beyond_float64_exact(ray_session):
+    """r3 review: side-missing int columns round-trip through float64 in the
+    per-group frames; values past 2^53 must raise, not silently corrupt."""
+    import pyarrow as pa
+    import pytest
+    import ray as _ray
+    from pii_detector_ray.stages.joins import asof_join
+
+    big = (1 << 53) + 1
+    left = _ray.data.from_arrow(pa.table(
+        {'user_id': [1], 'event_id': [big], 'ts': [100]}))
+    right = _ray.data.from_arrow(pa.table(
+        {'user_id': [1], 'ts': [50], 'v': [2.0]}))
+    out = asof_join(left, right, by='user_id', on='ts',
+                    right_value_cols=['v'], hot_key_threshold=None)
+    with pytest.raises(Exception, match='2\\^53'):
+        out.take_all()

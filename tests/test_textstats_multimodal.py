@@ -154,3 +154,16 @@ def test_media_real_decode_and_resize():
         fn_constructor_kwargs={'use_fake_decoder': False}).to_pandas() \
         .sort_values('media_id').reset_index(drop=True)
     assert np.allclose(np.stack(again['features'].to_numpy()), feats)
+
+
+def test_token_stats_ascii_pinned_nbsp():
+    """r3 review: the DuckDB oracles run RE2, whose \\s is ASCII-only — the
+    (?a)-pinned Python side must agree on NBSP-bearing text (both treat NBSP
+    as NON-space: one token)."""
+    import duckdb
+    txt = 'a' + chr(0xa0) + 'b'
+    df = token_stats_batch(pd.DataFrame({'text': [txt]}))
+    (oracle,) = duckdb.sql(
+        r"select len(regexp_extract_all('a' || chr(160) || 'b', '\S+'))"
+    ).fetchone()
+    assert df['n_tokens_ws'].iloc[0] == oracle == 1
