@@ -1038,6 +1038,60 @@ _SCAN_COLUMNS_SQL = (
 )
 
 
+def q_db_column_scan(sf_dir: str) -> ray.data.Dataset:
+    """S3–S5 live-DB ingestion surface (``sources/sqldb.py``; reference
+    rds_service.py:73-106,361-392): ``documents.parquet`` is loaded into a
+    DuckDB database FILE once (cached by source mtime+size), then scanned
+    back over the DB-API chunk path — information_schema discovery,
+    LIMIT/OFFSET windows, per-process worker connections — with EMAIL
+    findings grouped per (table_name, column_name)."""
+    import hashlib
+    import os
+    src = os.path.join(sf_dir, 'documents.parquet')
+    st = os.stat(src)
+    # tag covers the build EXPRESSION too, so an augmentation change can
+    # never hit a stale cached db
+    tag = hashlib.md5(
+        f'{src}:{st.st_mtime_ns}:{st.st_size}:{SQL_AUG_EXPR}'.encode()
+    ).hexdigest()[:10]
+    db_path = f'/tmp/pii_ray_dbscan_{tag}.duckdb'
+    if not os.path.exists(db_path):
+        import duckdb
+        tmp = f'{db_path}.build-{os.getpid()}'
+        con = duckdb.connect(tmp)
+        # the raw corpus is PII-free; inject with the shared deterministic
+        # augmentation (same SQL_AUG_EXPR the other PII oracles use)
+        con.execute('CREATE TABLE documents AS SELECT doc_id, '
+                    f"{SQL_AUG_EXPR} AS text, source "
+                    f"FROM read_parquet('{src}')")
+        con.close()
+        os.replace(tmp, db_path)   # atomic: concurrent builders both win
+
+    def factory(_p=db_path):
+        import duckdb
+        return duckdb.connect(_p, read_only=True)
+
+    from pii_detector_ray.detectors import Detector
+    from pii_detector_ray.sources.sqldb import scan_database
+    det = Detector(id=0, name='EMAIL_ADDRESS',
+                   pattern=PII_PATTERNS['EMAIL_ADDRESS'], family='pii')
+    return (scan_database(factory, [det], tables=['main.documents'],
+                          chunk_rows=2000)
+            .groupby(['table_name', 'column_name'])
+            .aggregate(Count(alias_name='n_matches')))
+
+
+_DB_COLUMN_SCAN_SQL = (
+    "WITH aug3 AS (SELECT doc_id, {expr} AS text, source FROM documents), "
+    "hits AS ("
+    "  SELECT 'text' AS column_name, len(regexp_extract_all(text, '{p}')) AS n FROM aug3"
+    "  UNION ALL "
+    "  SELECT 'source', len(regexp_extract_all(source, '{p}')) FROM aug3) "
+    "SELECT 'main.documents' AS table_name, column_name, sum(n)::BIGINT AS n_matches "
+    "FROM hits GROUP BY column_name HAVING sum(n) > 0"
+)
+
+
 def q_sample_documents(sf_dir: str) -> ray.data.Dataset:
     """F9 deterministic sampling (the reference's random-sampling path,
     base_scan_service.py:193-231, made reproducible): keep ~10% of docs by a
@@ -1581,6 +1635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'source_anti_join': q_source_anti_join,
         'sample_documents': q_sample_documents,
         'scan_table_columns': q_scan_table_columns,
+        'db_column_scan': q_db_column_scan,
         'embedding_dup_pairs': q_embedding_dup_pairs,
         'daily_active_users': q_daily_active_users,
         'discount_revenue': q_discount_revenue,
@@ -1652,6 +1707,9 @@ def oracle_sql() -> dict[str, str]:
         'scan_table_columns': _SCAN_COLUMNS_SQL.replace(
             '{expr}', SQL_AUG_EXPR).replace(
             '{p}', _sql_quote(EXTENSION_PATTERNS['PHONE'])),
+        'db_column_scan': _DB_COLUMN_SCAN_SQL.replace(
+            '{expr}', SQL_AUG_EXPR).replace(
+            '{p}', _sql_quote(PII_PATTERNS['EMAIL_ADDRESS'])),
         'embedding_dup_pairs': _EMBEDDING_DUP_SQL,
         'daily_active_users': _DAILY_ACTIVE_SQL,
         'discount_revenue': _DISCOUNT_REVENUE_SQL,

@@ -1,0 +1,190 @@
+"""S3–S5: live SQL-database ingestion, re-expressed Ray-Data-first.
+
+The reference scans Postgres / MySQL / Redshift / Snowflake tables by (a)
+discovering tables through ``information_schema`` minus system schemas
+(``app/services/rds_service.py:251-343``), (b) chunking each table into
+``LIMIT {limit} OFFSET {offset}`` windows of ``CHUNK_ROWS_CAPACITY`` rows
+(``rds_service.py:73-106``), and (c) fetching each chunk with
+``select * from {path} LIMIT .. OFFSET ..`` (``rds_service.py:361-392``).
+
+Ray-native translation: the DRIVER touches only metadata (table list + one
+``COUNT(*)`` per table); chunk windows become items of a tiny Dataset and the
+actual row fetches run INSIDE ``map_batches`` tasks — each worker process
+opens its own DB-API connection (connections cannot cross the object store)
+and caches it per process, so a 10^4-chunk scan opens ~num_cpus connections,
+not 10^4.  Works against any DB-API 2.0 driver; DuckDB stands in for the
+wire protocols in tests (same SQL surface, zero network in this container).
+
+Scale notes: ``LIMIT/OFFSET`` is the reference's contract and is preserved,
+but OFFSET is O(offset) server-side on most engines — for 10^9-row tables
+pass ``order_by`` + use keyset pagination out-of-band, or point the pipeline
+at a bulk Parquet export instead (SURVEY.md §2.1).  Chunks fetch in parallel
+with backpressure, so the DB sees at most ``concurrency`` simultaneous
+queries.
+"""
+
+from __future__ import annotations
+
+from math import ceil
+from typing import Any, Callable
+
+import pyarrow as pa
+
+import ray.data
+
+# system schemas excluded from discovery, per rds_service.py:188-189 (mysql)
+# and :278 (postgres); duckdb adds pg_catalog-compatible views
+_SYSTEM_SCHEMAS = ('information_schema', 'pg_catalog', 'performance_schema',
+                   'sys', 'mysql')
+
+# reference settings.CHUNK_ROWS_CAPACITY analog — rows per fetch window
+DEFAULT_CHUNK_ROWS = 50_000
+
+# per-process connection cache: one live connection per distinct factory key,
+# reused across every chunk fetch that lands on this worker
+_CONN_CACHE: dict[str, Any] = {}
+
+
+def _connect(factory: Callable[[], Any], key: str):
+    conn = _CONN_CACHE.get(key)
+    if conn is None:
+        conn = factory()
+        _CONN_CACHE[key] = conn
+    return conn
+
+
+def _fetch_arrow(conn, sql: str) -> pa.Table:
+    """Run ``sql`` and return an Arrow table.  DuckDB connections expose a
+    zero-copy ``.execute(...).arrow()``; generic DB-API cursors fall back to
+    ``fetchall`` + description names."""
+    if hasattr(conn, 'execute') and hasattr(conn, 'sql'):   # duckdb native
+        return conn.execute(sql).arrow()
+    cur = conn.cursor()
+    cur.execute(sql)
+    names = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    cols = list(zip(*rows)) if rows else [[] for _ in names]
+    return pa.table({n: list(c) for n, c in zip(names, cols)})
+
+
+def list_tables(factory: Callable[[], Any],
+                exclude_schemas: tuple[str, ...] = _SYSTEM_SCHEMAS) -> list[str]:
+    """Discover scannable tables (``schema.table``) via information_schema,
+    system schemas excluded — the reference's get_postgres_tables /
+    get_mysql_tables shape."""
+    conn = factory()
+    skip = ', '.join(f"'{s}'" for s in exclude_schemas)
+    t = _fetch_arrow(conn, (
+        "SELECT table_schema, table_name FROM information_schema.tables "
+        f"WHERE table_type = 'BASE TABLE' AND table_schema NOT IN ({skip}) "
+        "ORDER BY table_schema, table_name"))
+    return [f'{s}.{n}' for s, n in
+            zip(t.column('table_schema').to_pylist(),
+                t.column('table_name').to_pylist())]
+
+
+def list_text_columns(factory: Callable[[], Any], table: str) -> list[str]:
+    """String-typed columns of ``table`` (the scan targets; the reference
+    stringifies whole rows, data_analysis_service.py:184-190 — we keep
+    column provenance instead)."""
+    schema, _, name = table.rpartition('.')
+    conn = factory()
+    where = f"table_name = '{name}'"
+    if schema:
+        where += f" AND table_schema = '{schema}'"
+    t = _fetch_arrow(conn, (
+        "SELECT column_name, data_type FROM information_schema.columns "
+        f"WHERE {where} ORDER BY ordinal_position"))
+    return [c for c, d in zip(t.column('column_name').to_pylist(),
+                              t.column('data_type').to_pylist())
+            if 'CHAR' in d.upper() or 'TEXT' in d.upper()
+            or 'STRING' in d.upper()]
+
+
+def table_row_count(factory: Callable[[], Any], table: str) -> int:
+    conn = factory()
+    return _fetch_arrow(conn, f'SELECT COUNT(*) AS n FROM {table}') \
+        .column('n')[0].as_py()
+
+
+def read_sql_chunked(factory: Callable[[], Any], table: str, *,
+                     columns: list[str] | None = None,
+                     chunk_rows: int = DEFAULT_CHUNK_ROWS,
+                     order_by: str | None = None,
+                     cache_key: str | None = None,
+                     concurrency: int | None = None) -> ray.data.Dataset:
+    """Chunked parallel table read → ``ray.data.Dataset``.
+
+    Mirrors the reference's window plan (``ceil(count / chunk_rows)`` windows
+    of ``LIMIT chunk_rows OFFSET i*chunk_rows``, rds_service.py:96-105) but
+    executes the fetches as Ray tasks: the chunk SPEC dataset is tiny (one
+    row per window), each task pulls its window over its own cached
+    connection, and downstream stages stream with backpressure.
+
+    ``order_by`` makes window contents deterministic on engines that don't
+    guarantee unordered LIMIT/OFFSET stability (the reference omits it and
+    inherits that instability; pass the primary key when it matters).
+    Row-level provenance: every output row carries ``_src_offset`` (its
+    window start), the analog of the reference DataChunk.offset — drop it
+    with ``select_columns`` when not needed.
+    """
+    total = table_row_count(factory, table)
+    key = cache_key or f'{getattr(factory, "__qualname__", repr(factory))}'
+    n_chunks = max(1, ceil(total / chunk_rows))
+    cols = ', '.join(columns) if columns else '*'
+    tail = f' ORDER BY {order_by}' if order_by else ''
+    specs = [{'offset': i * chunk_rows} for i in range(n_chunks)]
+
+    def fetch(batch: dict) -> pa.Table:
+        conn = _connect(factory, key)
+        outs = []
+        for off in batch['offset']:
+            t = _fetch_arrow(conn, (
+                f'SELECT {cols} FROM {table}{tail} '
+                f'LIMIT {chunk_rows} OFFSET {int(off)}'))
+            outs.append(t.append_column(
+                '_src_offset', pa.array([int(off)] * len(t), pa.int64())))
+        return pa.concat_tables(outs)
+
+    spec_ds = ray.data.from_items(specs, override_num_blocks=n_chunks)
+    kwargs: dict[str, Any] = {'batch_size': 1, 'batch_format': 'numpy'}
+    if concurrency is not None:
+        kwargs['concurrency'] = concurrency
+    return spec_ds.map_batches(fetch, **kwargs)
+
+
+def scan_database(factory: Callable[[], Any], detectors, *,
+                  tables: list[str] | None = None,
+                  key_col: str | None = None,
+                  chunk_rows: int = DEFAULT_CHUNK_ROWS) -> ray.data.Dataset:
+    """Scan every string column of every (or the given) tables for PII,
+    emitting finding rows tagged (table_name, column_name) — the DB analog
+    of the flagship's page scan, composed from :func:`read_sql_chunked` +
+    ``stages/columns.make_column_scan_stage``.
+
+    ``key_col``: row-identity column for provenance; defaults to the
+    chunk-offset pseudo-key (reference parity — its DataChunk granularity is
+    the offset window, rds_service.py:96-105)."""
+    from pii_detector_ray.stages.columns import make_column_scan_stage
+
+    names = tables if tables is not None else list_tables(factory)
+    outs = []
+    for table in names:
+        text_cols = list_text_columns(factory, table)
+        if not text_cols:
+            continue
+        want = list(text_cols) + ([key_col] if key_col else [])
+        ds = read_sql_chunked(factory, table, columns=want,
+                              chunk_rows=chunk_rows)
+        stage = make_column_scan_stage(text_cols, detectors,
+                                       key_col=key_col or '_src_offset')
+
+        def tag(t: pa.Table, _name=table) -> pa.Table:
+            return t.append_column(
+                'table_name', pa.array([_name] * len(t), pa.string()))
+
+        outs.append(ds.map_batches(stage, batch_format='pyarrow')
+                    .map_batches(tag, batch_format='pyarrow'))
+    if not outs:
+        raise ValueError('no string columns found to scan')
+    return outs[0].union(*outs[1:]) if len(outs) > 1 else outs[0]

@@ -1,0 +1,71 @@
+"""S3–S5 SQL-database ingestion adapter (sources/sqldb.py) — DuckDB stands
+in for the wire protocols (same information_schema / LIMIT-OFFSET surface,
+rds_service.py:73-106,361-392)."""
+import duckdb
+import pytest
+
+
+def _make_db(path: str) -> None:
+    con = duckdb.connect(path)
+    con.execute("CREATE TABLE people (id INTEGER, name VARCHAR, note TEXT)")
+    con.execute(
+        "INSERT INTO people SELECT i, 'user' || i, "
+        "CASE WHEN i % 3 = 0 THEN 'mail me at u' || i || '@corp.example.com' "
+        "ELSE 'no pii here' END FROM range(10) t(i)")
+    con.execute("CREATE TABLE metrics (k INTEGER, v DOUBLE)")   # no strings
+    con.execute("INSERT INTO metrics VALUES (1, 2.5)")
+    con.close()
+
+
+@pytest.fixture()
+def db_factory(tmp_path):
+    path = str(tmp_path / 'scan_me.duckdb')
+    _make_db(path)
+
+    def factory():
+        import duckdb as _d
+        return _d.connect(path, read_only=True)
+
+    return factory
+
+
+def test_list_tables_and_text_columns(db_factory):
+    from pii_detector_ray.sources.sqldb import list_tables, list_text_columns
+    tables = list_tables(db_factory)
+    assert 'main.people' in tables and 'main.metrics' in tables
+    assert not any(t.startswith('information_schema') for t in tables)
+    assert list_text_columns(db_factory, 'main.people') == ['name', 'note']
+    assert list_text_columns(db_factory, 'main.metrics') == []
+
+
+def test_read_sql_chunked_windows(ray_session, db_factory):
+    from pii_detector_ray.sources.sqldb import read_sql_chunked
+    ds = read_sql_chunked(db_factory, 'main.people', chunk_rows=3,
+                          order_by='id', cache_key='t_people')
+    df = ds.to_pandas().sort_values('id').reset_index(drop=True)
+    assert len(df) == 10
+    assert list(df['id']) == list(range(10))
+    # 4 windows of <=3 rows; every row carries its window's offset
+    assert sorted(df['_src_offset'].unique()) == [0, 3, 6, 9]
+    assert (df['_src_offset'] == (df['id'] // 3) * 3).all()
+
+
+def test_read_sql_chunked_column_pruning(ray_session, db_factory):
+    from pii_detector_ray.sources.sqldb import read_sql_chunked
+    ds = read_sql_chunked(db_factory, 'main.people', columns=['id', 'note'],
+                          chunk_rows=100, cache_key='t_prune')
+    assert set(ds.schema().names) == {'id', 'note', '_src_offset'}
+
+
+def test_scan_database_findings(ray_session, db_factory):
+    from pii_detector_ray.detectors import PII_PATTERNS, Detector
+    from pii_detector_ray.sources.sqldb import scan_database
+    det = Detector(id=0, name='EMAIL_ADDRESS',
+                   pattern=PII_PATTERNS['EMAIL_ADDRESS'], family='pii')
+    out = scan_database(db_factory, [det], chunk_rows=4).to_pandas()
+    # ids 0,3,6,9 have an email in `note`; none anywhere else
+    assert len(out) == 4
+    assert set(out['table_name']) == {'main.people'}
+    assert set(out['column_name']) == {'note'}
+    assert set(out['type']) == {'EMAIL_ADDRESS'}
+    assert all('@' not in m.split('*')[0][1:] for m in out['masked'])
