@@ -1179,6 +1179,35 @@ _EMBEDDING_DUP_SQL = (
 )
 
 
+def q_components_exact(sf_dir: str) -> ray.data.Dataset:
+    """Hash-checked gate for the distributed connected-components operator:
+    min-label propagation (join rounds, scalar-sum convergence) over the
+    EXACT embedding near-dup pair graph — the same edge set
+    ``embedding_dup_pairs`` verifies against SQL, so the oracle can rebuild
+    the transitive closure with a recursive CTE.  ``max_rounds=64`` with
+    early exit: propagation needs O(cluster diameter) rounds and stops the
+    round nothing changes."""
+    from pii_detector_ray.stages.components import dedup_decisions
+    from pii_detector_ray.stages.dedup import embedding_dup_pairs_exact
+    pairs = embedding_dup_pairs_exact(
+        _embeddings(sf_dir, ['vec_id', 'embedding']), threshold=0.45)
+    return dedup_decisions(pairs, col_a='vec_a', col_b='vec_b',
+                           max_rounds=64)
+
+
+_COMPONENTS_EXACT_SQL = (
+    "WITH RECURSIVE pairs AS (" + _EMBEDDING_DUP_SQL + "), "
+    "edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs "
+    "UNION SELECT vec_b, vec_a FROM pairs), "
+    "reach(node, r) AS ("
+    "  SELECT a, a FROM edges "
+    "  UNION "
+    "  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node) "
+    "SELECT node AS doc_id, min(r)::BIGINT AS component, "
+    "node = min(r) AS keep FROM reach GROUP BY node"
+)
+
+
 def _docs_with_near_dups(sf_dir: str) -> ray.data.Dataset:
     """documents ∪ deterministic near-copies (doc_id%20==0 → id+1_000_000,
     text + ' extra words appended here') — gives the near-dup operators a
@@ -1637,6 +1666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'scan_table_columns': q_scan_table_columns,
         'db_column_scan': q_db_column_scan,
         'embedding_dup_pairs': q_embedding_dup_pairs,
+        'components_exact': q_components_exact,
         'daily_active_users': q_daily_active_users,
         'discount_revenue': q_discount_revenue,
         'big_spender_segments': q_big_spender_segments,
@@ -1711,6 +1741,7 @@ def oracle_sql() -> dict[str, str]:
             '{expr}', SQL_AUG_EXPR).replace(
             '{p}', _sql_quote(PII_PATTERNS['EMAIL_ADDRESS'])),
         'embedding_dup_pairs': _EMBEDDING_DUP_SQL,
+        'components_exact': _COMPONENTS_EXACT_SQL,
         'daily_active_users': _DAILY_ACTIVE_SQL,
         'discount_revenue': _DISCOUNT_REVENUE_SQL,
         'big_spender_segments': _BIG_SPENDER_SQL,
