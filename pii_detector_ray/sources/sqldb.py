@@ -153,6 +153,52 @@ def read_sql_chunked(factory: Callable[[], Any], table: str, *,
     return spec_ds.map_batches(fetch, **kwargs)
 
 
+def read_sql_ranges(factory: Callable[[], Any], table: str, key: str, *,
+                    columns: list[str] | None = None,
+                    n_ranges: int | None = None,
+                    rows_per_range: int = DEFAULT_CHUNK_ROWS,
+                    cache_key: str | None = None) -> ray.data.Dataset:
+    """Scale path for big tables: range-partition on a numeric ``key``
+    (``WHERE key >= lo AND key < hi``) instead of LIMIT/OFFSET.
+
+    OFFSET is O(offset) server-side — a 10^9-row table pays a quadratic
+    total scan under the reference's window plan — while key-range
+    predicates hit the index/zone-maps and every window costs the same, so
+    ranges can fetch fully in parallel with no sequential dependency (unlike
+    keyset/seek pagination).  The driver reads only (min, max, count); range
+    edges are equi-width over the key span, which is even for dense
+    auto-increment keys — pass explicit ``n_ranges`` tuned to key skew
+    otherwise.  Rows with NULL ``key`` are excluded (they have no range)."""
+    conn = factory()
+    mm = _fetch_arrow(conn, (
+        f'SELECT MIN({key}) AS lo, MAX({key}) AS hi, COUNT(*) AS n '
+        f'FROM {table}'))
+    lo, hi = mm.column('lo')[0].as_py(), mm.column('hi')[0].as_py()
+    total = mm.column('n')[0].as_py()
+    if lo is None or total == 0:
+        return ray.data.from_arrow(
+            _fetch_arrow(conn, f'SELECT {", ".join(columns) if columns else "*"} '
+                               f'FROM {table} WHERE 1=0'))
+    k = n_ranges or max(1, ceil(total / rows_per_range))
+    span = (hi - lo + 1) / k
+    edges = [lo + round(i * span) for i in range(k)] + [hi + 1]
+    key2 = cache_key or f'{getattr(factory, "__qualname__", repr(factory))}'
+    cols = ', '.join(columns) if columns else '*'
+    specs = [{'lo': int(a), 'hi': int(b)}
+             for a, b in zip(edges, edges[1:]) if a < b]
+
+    def fetch(batch: dict) -> pa.Table:
+        conn = _connect(factory, key2)
+        outs = [_fetch_arrow(conn, (
+            f'SELECT {cols} FROM {table} '
+            f'WHERE {key} >= {int(a)} AND {key} < {int(b)}'))
+            for a, b in zip(batch['lo'], batch['hi'])]
+        return pa.concat_tables(outs)
+
+    spec_ds = ray.data.from_items(specs, override_num_blocks=len(specs))
+    return spec_ds.map_batches(fetch, batch_size=1, batch_format='numpy')
+
+
 def scan_database(factory: Callable[[], Any], detectors, *,
                   tables: list[str] | None = None,
                   key_col: str | None = None,

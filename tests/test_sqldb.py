@@ -69,3 +69,33 @@ def test_scan_database_findings(ray_session, db_factory):
     assert set(out['column_name']) == {'note'}
     assert set(out['type']) == {'EMAIL_ADDRESS'}
     assert all('@' not in m.split('*')[0][1:] for m in out['masked'])
+
+
+def test_read_sql_ranges_matches_offset_path(ray_session, db_factory):
+    """Range partitioning (the no-OFFSET scale path) returns the same rows
+    as the windowed read; uneven key spans just shift rows between tasks."""
+    from pii_detector_ray.sources.sqldb import read_sql_chunked, read_sql_ranges
+    by_off = read_sql_chunked(db_factory, 'main.people', chunk_rows=4,
+                              cache_key='cmp_off').to_pandas() \
+        .drop(columns=['_src_offset']).sort_values('id').reset_index(drop=True)
+    by_rng = read_sql_ranges(db_factory, 'main.people', 'id', n_ranges=3,
+                             cache_key='cmp_rng').to_pandas() \
+        .sort_values('id').reset_index(drop=True)
+    assert by_rng.equals(by_off)
+
+
+def test_read_sql_ranges_empty_table(ray_session, tmp_path):
+    import duckdb as _d
+    path = str(tmp_path / 'empty.duckdb')
+    con = _d.connect(path)
+    con.execute('CREATE TABLE t (id INTEGER, s VARCHAR)')
+    con.close()
+
+    def factory():
+        import duckdb as _dd
+        return _dd.connect(path, read_only=True)
+
+    from pii_detector_ray.sources.sqldb import read_sql_ranges
+    ds = read_sql_ranges(factory, 'main.t', 'id', cache_key='t_empty')
+    assert ds.count() == 0
+    assert set(ds.schema().names) == {'id', 's'}
