@@ -1011,6 +1011,23 @@ _HOST_STATS_SQL = (
 )
 
 
+def q_host_quota(sf_dir: str) -> ray.data.Dataset:
+    """Domain-quota capping (≤ n docs per source, first-by-doc_id): the
+    two-phase per-key top-n from ``stages/hostagg.quota_per_key`` — hot keys
+    ship only their per-batch survivors, never the full row set."""
+    from pii_detector_ray.stages.hostagg import quota_per_key
+    return quota_per_key(read_documents(sf_dir, ['doc_id', 'source']),
+                         key_col='source', order_col='doc_id', n=20)
+
+
+_HOST_QUOTA_SQL = (
+    'SELECT doc_id, source FROM ('
+    '  SELECT doc_id, source, row_number() OVER ('
+    '    PARTITION BY source ORDER BY doc_id) AS rn FROM documents) '
+    'WHERE rn <= 20'
+)
+
+
 def q_scan_table_columns(sf_dir: str) -> ray.data.Dataset:
     """P4 multi-column DB-style scan (column_name-tagged findings like the
     reference's DataFrame path, data_analysis_service.py:184-190,218-219):
@@ -1660,6 +1677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'similarity_topk': q_similarity_topk,
         'word_stats': q_word_stats,
         'host_stats': q_host_stats,
+        'host_quota': q_host_quota,
         'top_sources': q_top_sources,
         'source_anti_join': q_source_anti_join,
         'sample_documents': q_sample_documents,
@@ -1731,6 +1749,7 @@ def oracle_sql() -> dict[str, str]:
         'similarity_topk': _SIMILARITY_SQL,
         'word_stats': _WORD_STATS_SQL,
         'host_stats': _HOST_STATS_SQL,
+        'host_quota': _HOST_QUOTA_SQL,
         'top_sources': _TOP_SOURCES_SQL,
         'source_anti_join': _SOURCE_ANTI_JOIN_SQL,
         'sample_documents': _SAMPLE_SQL,

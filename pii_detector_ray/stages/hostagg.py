@@ -106,3 +106,24 @@ def _hash_mod(urls: pa.ChunkedArray | pa.Array, n: int) -> pa.Array:
             else np.zeros(n_rows, dtype=np.uint64)
         h = np.where(active, ((h ^ ch) * np.uint64(16777619)) & mask32, h)
     return pa.array((h % np.uint64(n)).astype(np.int32), pa.int32())
+
+
+def quota_per_key(ds: ray.data.Dataset, *, key_col: str, order_col: str,
+                  n: int) -> ray.data.Dataset:
+    """Domain-quota capping (the standard webtext "≤ n docs per host" step):
+    keep the first ``n`` rows per key in ``order_col`` order.
+
+    Two-phase so the shuffle never carries a hot key's full row set: each
+    batch keeps its LOCAL first-n per key (any row outside a batch's top n
+    cannot be in the global top n), then one ``groupby(key)`` merges the
+    ≤ n-per-key-per-batch survivors and re-cuts.  A key with 10^8 rows
+    ships at most ``n × n_batches`` rows instead of 10^8."""
+    def local_cut(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values([key_col, order_col], kind='mergesort')
+                .groupby(key_col, sort=False).head(n))
+
+    def final_cut(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_col, kind='mergesort').head(n)
+
+    return (ds.map_batches(local_cut, batch_format='pandas')
+            .groupby(key_col).map_groups(final_cut, batch_format='pandas'))

@@ -193,3 +193,27 @@ def test_asof_rejects_ints_beyond_float64_exact(ray_session):
                     right_value_cols=['v'], hot_key_threshold=None)
     with pytest.raises(Exception, match='2\\^53'):
         out.take_all()
+
+
+def test_quota_per_key_hot_key_two_phase(ray_session):
+    """Per-key quota: a key holding most rows must yield exactly the global
+    first-n regardless of how rows scatter across batches."""
+    import numpy as np
+    import pandas as pd
+    import ray as _ray
+    from pii_detector_ray.stages.hostagg import quota_per_key
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame({
+        'k': np.where(rng.random(n) < 0.8, 'hot', 'cold' + pd.Series(
+            rng.integers(0, 5, n)).astype(str)),
+        'ord': rng.permutation(n),
+    })
+    ds = _ray.data.from_pandas(df, override_num_blocks=16)
+    got = quota_per_key(ds, key_col='k', order_col='ord', n=7).to_pandas() \
+        .sort_values(['k', 'ord']).reset_index(drop=True)
+    want = (df.sort_values(['k', 'ord'], kind='mergesort')
+            .groupby('k', sort=True).head(7)
+            .sort_values(['k', 'ord']).reset_index(drop=True))
+    assert got.equals(want)
