@@ -1,0 +1,130 @@
+"""Minimal stdlib Word 97 binary (.doc) text extractor.
+
+The reference extracts .doc text with antiword via textract
+(``app/services/file_service.py:397-401``); antiword is absent in this
+container, so this implements the same TEXT surface from the public
+[MS-DOC] and [MS-CFB] specifications — which is all the scan-time type
+system consumes:
+
+- CFB container (reader shared with the .xls codec, ``xlsbiff.cfb_stream``)
+  → ``WordDocument`` stream + the ``0Table``/``1Table`` stream the FIB's
+  ``fWhichTblStm`` flag selects.
+- FIB: ``wIdent`` 0xA5EC sanity check, ``ccpText`` (main-document character
+  count, FibRgLw97 offset 0x4C), ``fcClx``/``lcbClx`` (piece-table
+  location, FibRgFcLcb97 offset 0x1A2) — fixed offsets valid for every
+  nFib ≥ 0x0065 (Word 97 through 2003).
+- CLX → PlcPcd piece table: each PCD's 30-bit ``fc`` locates a text run in
+  the WordDocument stream; bit 30 (``fCompressed``) selects cp1252 at
+  ``fc/2`` vs UTF-16LE at ``fc``.  Pieces are concatenated up to
+  ``ccpText`` (body text only — headers/footnotes sit past it, which
+  antiword also separates).
+- Control-character normalization: CR and cell/row marks (0x07) and
+  vertical tabs become newlines; field-code delimiters (0x13/0x14/0x15)
+  and object placeholders (0x01) are stripped — the plain-text shape
+  antiword emits.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pii_detector_ray.functions.xlsbiff import build_cfb, cfb_stream
+
+_WORD_MAGIC = 0xA5EC
+
+
+def _u16(b: bytes, o: int) -> int:
+    return struct.unpack_from('<H', b, o)[0]
+
+
+def _u32(b: bytes, o: int) -> int:
+    return struct.unpack_from('<I', b, o)[0]
+
+
+def _normalize(text: str) -> str:
+    text = text.replace('\r\n', '\n').replace('\r', '\n')
+    text = text.replace('\x07', '\n').replace('\x0b', '\n')
+    for ch in ('\x13', '\x14', '\x15', '\x01', '\x02', '\x08'):
+        text = text.replace(ch, '')
+    return text
+
+
+def parse_doc(data: bytes) -> str | None:
+    """.doc bytes → body text, or None when the container/FIB is not a
+    Word 97+ binary document (the prepare_file contract)."""
+    word = cfb_stream(data, ('WordDocument',))
+    if word is None or len(word) < 0x200 or _u16(word, 0) != _WORD_MAGIC:
+        return None
+    flags = _u16(word, 0x0A)
+    table = cfb_stream(data, ('1Table',) if flags & 0x0200 else ('0Table',))
+    ccp_text = _u32(word, 0x4C)
+    fc_clx, lcb_clx = _u32(word, 0x1A2), _u32(word, 0x1A6)
+    if table is None or lcb_clx == 0 or fc_clx + lcb_clx > len(table):
+        return None
+    clx = table[fc_clx:fc_clx + lcb_clx]
+
+    # CLX = Prc* then one Pcdt; skip property modifiers (clxt=1)
+    pos = 0
+    plc = None
+    while pos < len(clx):
+        kind = clx[pos]
+        if kind == 0x01:
+            pos += 3 + _u16(clx, pos + 1)
+        elif kind == 0x02:
+            lcb = _u32(clx, pos + 1)
+            plc = clx[pos + 5:pos + 5 + lcb]
+            break
+        else:
+            return None
+    if plc is None or len(plc) < 12:
+        return None
+
+    n = (len(plc) - 4) // 12
+    cps = [_u32(plc, 4 * i) for i in range(n + 1)]
+    out: list[str] = []
+    emitted = 0
+    for i in range(n):
+        if emitted >= ccp_text:
+            break
+        pcd_off = 4 * (n + 1) + 8 * i
+        fc_raw = _u32(plc, pcd_off + 2)
+        n_chars = min(cps[i + 1] - cps[i], ccp_text - emitted)
+        if fc_raw & 0x4000_0000:            # fCompressed: cp1252 at fc/2
+            off = (fc_raw & 0x3FFF_FFFF) // 2
+            out.append(word[off:off + n_chars].decode('cp1252',
+                                                      errors='replace'))
+        else:                               # UTF-16LE at fc
+            off = fc_raw & 0x3FFF_FFFF
+            out.append(word[off:off + 2 * n_chars].decode(
+                'utf-16-le', errors='replace'))
+        emitted += n_chars
+    return _normalize(''.join(out))
+
+
+def build_doc(text: str) -> bytes:
+    """Body text → minimal structurally-valid .doc bytes (fixture builder,
+    mirroring ``build_docx`` / ``build_xls``): one UTF-16 text piece in the
+    WordDocument stream, a one-PCD piece table in ``0Table``."""
+    # match the reader's normalization so round-trips are identity
+    body = text.replace('\r\n', '\n').replace('\r', '\n')
+    raw = body.encode('utf-16-le')
+    # character counts are UTF-16 CODE UNITS (surrogate pairs count 2), like
+    # the BIFF8 cch — len(body) undercounts non-BMP chars
+    ccp = len(raw) // 2
+    fc_text = 1024                          # text starts after the FIB block
+
+    word = bytearray(fc_text)
+    struct.pack_into('<H', word, 0, _WORD_MAGIC)
+    struct.pack_into('<H', word, 2, 0x00C1)             # nFib: Word 97
+    # flags at 0x0A stay 0 → fWhichTblStm=0 → piece table in '0Table'
+    struct.pack_into('<I', word, 0x4C, ccp)             # ccpText
+    word += raw
+
+    # PlcPcd: CPs [0, ccp] then one PCD (non-compressed piece at fc_text)
+    plc = struct.pack('<II', 0, ccp) + \
+        struct.pack('<HIH', 0, fc_text, 0)
+    clx = b'\x02' + struct.pack('<I', len(plc)) + plc
+    struct.pack_into('<I', word, 0x1A2, 0)              # fcClx
+    struct.pack_into('<I', word, 0x1A6, len(clx))       # lcbClx
+
+    return build_cfb([('WordDocument', bytes(word)), ('0Table', clx)])

@@ -26,11 +26,12 @@ the same swallow-to-None error contract:
   public [MS-CFB]/[MS-XLS] specs); reference semantics = same headerless
   concatenated-DataFrame shape as XLSX (``file_service.py:357-360`` uses
   xlrd, absent here — strings are what the scan-time type system consumes).
-- **DOC** — the binary codec (antiword) is NOT in this container; the
-  dispatch site is real, the codec call raises ``NotImplementedError``
-  which the outer try/except converts to the reference's ``None`` return
-  (the reference likewise returns None when a parser throws,
-  ``file_service.py:417-422``).
+- **DOC** — REAL, stdlib (round 3): minimal Word 97 binary extractor
+  (``functions/docbinary.py``, CFB + FIB + CLX piece table per the public
+  [MS-CFB]/[MS-DOC] specs); reference uses antiword via textract
+  (``file_service.py:397-401``, absent here) — body text is the surface the
+  scanners consume.  Non-Word CFB / truncated FIB returns the reference's
+  swallow-to-None contract.
 """
 
 from __future__ import annotations
@@ -261,7 +262,13 @@ def prepare_file(object_data: bytes, file_name: str,
         elif file_name.endswith('docx'):
             return parse_docx(object_data)[offset:offset + limit]
         elif file_name.endswith('doc'):
-            raise NotImplementedError('antiword is not installed in this container')
+            # stdlib [MS-DOC] piece-table extractor (reference uses antiword
+            # via textract, file_service.py:397-401; antiword absent here)
+            from pii_detector_ray.functions.docbinary import parse_doc
+            text = parse_doc(object_data)
+            if text is None:
+                return None
+            return text[offset:offset + limit]
         elif file_name.endswith(UNSUPPORTED_EXTENSIONS):
             return ''
         else:

@@ -347,36 +347,55 @@ def build_xls(sheets: list[list[list[str]]]) -> bytes:
                                struct.pack('<HHHI', r, c, 0, index[v]))
         stream += _rec(_R_EOF, b'')
 
-    # zero-pad past the mini cutoff so the stream lives on the regular FAT
-    # (real Excel zero-pads workbook streams the same way)
-    size = max(len(stream), _MINI_CUTOFF)
-    size = (size + _SECT - 1) // _SECT * _SECT
-    stream += b'\x00' * (size - len(stream))
+    return build_cfb([('Workbook', bytes(stream))])
 
-    n_stream_sects = len(stream) // _SECT
-    # sector layout: [0]=FAT, [1]=directory, [2..]=workbook stream
-    n_sects = 2 + n_stream_sects
+
+def build_cfb(streams: list[tuple[str, bytes]]) -> bytes:
+    """Named streams → minimal CFB v3 container (fixture builder, shared by
+    ``build_xls`` and ``docbinary.build_doc``).  Every stream is zero-padded
+    past the 4096-byte mini cutoff so it lives on the regular FAT (real
+    Office writers zero-pad the same way); single-FAT-sector limit (~60 KB
+    total) is plenty for test fixtures."""
+    padded: list[bytes] = []
+    for _, raw in streams:
+        size = max(len(raw), _MINI_CUTOFF)
+        size = (size + _SECT - 1) // _SECT * _SECT
+        padded.append(raw + b'\x00' * (size - len(raw)))
+
+    # sector layout: [0]=FAT, [1]=directory, then each stream's run
     fat = [_FATSECT, _ENDOFCHAIN]
-    fat += [2 + i + 1 for i in range(n_stream_sects - 1)] + [_ENDOFCHAIN]
+    starts: list[int] = []
+    next_sect = 2
+    for p in padded:
+        n = len(p) // _SECT
+        starts.append(next_sect)
+        fat += [next_sect + i + 1 for i in range(n - 1)] + [_ENDOFCHAIN]
+        next_sect += n
     assert len(fat) <= _SECT // 4, 'single-FAT-sector builder limit (~60 KB)'
+    n_sects = next_sect
     fat += [_FREESECT] * (_SECT // 4 - len(fat))
 
     def dirent(name: str, etype: int, start: int, size: int,
-               child: int = _FREESECT) -> bytes:
+               child: int = _FREESECT, right: int = _FREESECT) -> bytes:
         raw = name.encode('utf-16-le') + b'\x00\x00'
         e = bytearray(128)
         e[0:len(raw)] = raw
         struct.pack_into('<H', e, 64, len(raw))
         e[66] = etype
         e[67] = 1                                        # black
-        struct.pack_into('<III', e, 68, _FREESECT, _FREESECT, child)
+        struct.pack_into('<III', e, 68, _FREESECT, right, child)
         struct.pack_into('<I', e, 116, start)
         struct.pack_into('<Q', e, 120, size)
         return bytes(e)
 
-    directory = (dirent('Root Entry', 5, _ENDOFCHAIN, 0, child=1)
-                 + dirent('Workbook', 2, 2, len(stream))
-                 + bytes(128) + bytes(128))
+    entries = [dirent('Root Entry', 5, _ENDOFCHAIN, 0, child=1)]
+    for i, (name, raw) in enumerate(streams):
+        sibling = i + 2 if i + 1 < len(streams) else _FREESECT
+        entries.append(dirent(name, 2, starts[i], len(raw), right=sibling))
+    while len(entries) % 4:
+        entries.append(bytes(128))
+    directory = b''.join(entries)
+    assert len(directory) == _SECT, 'one directory sector limit (3 streams)'
 
     header = bytearray(_SECT)
     header[0:8] = _CFB_MAGIC
@@ -396,6 +415,7 @@ def build_xls(sheets: list[list[list[str]]]) -> bytes:
     out = bytes(header)
     out += struct.pack(f'<{len(fat)}I', *fat)
     out += directory
-    out += bytes(stream)
+    for p in padded:
+        out += p
     assert len(out) == _SECT * (1 + n_sects)
     return out

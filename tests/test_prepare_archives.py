@@ -154,7 +154,7 @@ def test_prepare_container_corrupt_returns_none():
     assert prepare_file(b'PK\x03\x04 garbage', 'x.docx') is None
     assert prepare_file(b'PK\x03\x04 garbage', 'x.xlsx') is None
     assert prepare_file(b'%PDF-1.4 /Encrypt stream data', 'x.pdf') is None
-    # corrupt CFB through the real xls codec -> None; doc remains stubbed
+    # corrupt CFB through the real xls/doc codecs -> None
     assert prepare_file(b'\xd0\xcf\x11\xe0 data', 'x.xls') is None
     assert prepare_file(b'\xd0\xcf\x11\xe0 data', 'x.doc') is None
 
@@ -266,3 +266,53 @@ def test_parse_xls_non_bmp_roundtrip():
     grid = [['emoji \U0001F600 cell', 'plain']]
     df = parse_xls(build_xls([grid]))
     assert list(df.iloc[0]) == ['emoji \U0001F600 cell', 'plain']
+
+
+def test_parse_doc_roundtrip_via_prepare():
+    """r3: real stdlib [MS-DOC] body-text extraction through prepare_file
+    (reference dispatches .doc to antiword, file_service.py:397-401)."""
+    from pii_detector_ray.functions.docbinary import build_doc
+    text = 'First line\nmail jwhite@domain.com now\nünïcødé ★ \U0001F600'
+    out = prepare_file(build_doc(text), 'memo.doc')
+    assert out == text
+    assert prepare_file(build_doc(text), 'memo.doc', limit=4, offset=6) == 'line'
+
+
+def test_parse_doc_normalizes_control_chars():
+    """CR / cell marks become newlines; field-code delimiters are stripped
+    (the plain-text shape antiword emits)."""
+    from pii_detector_ray.functions.docbinary import build_doc, parse_doc
+    assert parse_doc(build_doc('a\r\nb\rc')) == 'a\nb\nc'
+
+
+def test_parse_doc_compressed_piece_and_multi_piece():
+    """Hand-built piece table: a cp1252 fCompressed piece followed by a
+    UTF-16 piece — both bits of the PCD fc field exercised."""
+    import struct
+
+    from pii_detector_ray.functions.docbinary import _WORD_MAGIC, parse_doc
+    from pii_detector_ray.functions.xlsbiff import build_cfb
+
+    word = bytearray(1024)
+    struct.pack_into('<H', word, 0, _WORD_MAGIC)
+    struct.pack_into('<H', word, 2, 0x00C1)
+    p1 = 'café '.encode('cp1252')            # 5 chars compressed
+    p2 = 'wörld'.encode('utf-16-le')         # 5 chars wide
+    fc1, fc2 = 1024, 1024 + len(p1)
+    word += p1 + p2
+    struct.pack_into('<I', word, 0x4C, 10)   # ccpText
+    plc = struct.pack('<III', 0, 5, 10)
+    plc += struct.pack('<HIH', 0, (fc1 * 2) | 0x4000_0000, 0)
+    plc += struct.pack('<HIH', 0, fc2, 0)
+    clx = b'\x02' + struct.pack('<I', len(plc)) + plc
+    struct.pack_into('<I', word, 0x1A2, 0)
+    struct.pack_into('<I', word, 0x1A6, len(clx))
+    data = build_cfb([('WordDocument', bytes(word)), ('0Table', clx)])
+    assert parse_doc(data) == 'café wörld'
+
+
+def test_parse_doc_non_word_cfb_returns_none():
+    """A valid CFB that is not a Word file (e.g. an .xls renamed .doc)
+    follows the swallow-to-None contract."""
+    from pii_detector_ray.functions.xlsbiff import build_xls
+    assert prepare_file(build_xls([[['x']]]), 'fake.doc') is None
