@@ -27,10 +27,14 @@ from pii_detector_ray.stages.extract import extract_row
 from pii_detector_ray.stages.scrub import detectors_from_config
 from pii_detector_ray.functions.masking import is_phi
 
-# ASCII-pinned like stages/heuristics.py (the RE2 oracles are ASCII-only)
+# Same contract as stages/heuristics.py (kept textually independent so the
+# oracle can catch pattern regressions): ASCII word splitting, Unicode
+# letter class — a word is a maximal ASCII-nonspace run, alpha iff it
+# contains a char in L* ∪ Nl ∪ No (Python's Unicode [^\W\d_]).
 _WORD = re.compile(r'(?a)\S+')
 _NONSPACE = re.compile(r'(?a)\S')
-_ALPHA_WORD = re.compile(r'(?a)(?<!\S)\S*[^\W\d_]\S*')
+_ALPHA_WORD = re.compile(
+    r'(?<![^ \t\n\r\f\v])[^ \t\n\r\f\v]*[^\W\d_][^ \t\n\r\f\v]*')
 _BULLET = re.compile(r'(?m)^[ \t]*[-*•]')
 _ELLIPSIS = re.compile(r'(?m)(\.\.\.|…)[ \t]*$')
 _SYMBOL = re.compile(r'#|…|\.\.\.')

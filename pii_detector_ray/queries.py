@@ -1620,7 +1620,7 @@ _QUALITY_SCORES_SQL = (
     "length(t) - len(regexp_extract_all(t, '\\s')) AS nonspace, "
     "len(regexp_extract_all(t, '#|…|\\.\\.\\.')) AS n_sym, "
     "len(list_filter(regexp_extract_all(t, '\\S+'), "
-    "w -> regexp_matches(w, '[^\\W\\d_]'))) AS n_alpha, "
+    "w -> regexp_matches(w, '[\\pL\\p{Nl}\\p{No}]'))) AS n_alpha, "
     "list_filter(string_split(t, chr(10)), "
     "l -> trim(l, ' ' || chr(9) || chr(13) || chr(12) || chr(11)) != '') AS lines "
     "FROM (SELECT doc_id, coalesce(text,'') AS t FROM documents)), "

@@ -18,12 +18,20 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-# ASCII-pinned (?a) BY CONTRACT: the DuckDB oracles mirror these with RE2,
-# whose \s / \S / \W classes are ASCII-only — Python's Unicode classes would
-# diverge on NBSP tokens or accented-only words (r3 review finding).
+# Word SPLITTING is ASCII-pinned (?a) BY CONTRACT: the DuckDB oracles mirror
+# these with RE2, whose \s / \S classes are ASCII-only — Unicode \S would
+# diverge on NBSP-joined tokens (r3 review finding).  The LETTER class stays
+# Unicode: a Cyrillic/CJK page must not score alpha_word_frac=0 (that would
+# drop every non-Latin document as 'alpha_ratio' before language rules run).
+# Python's Unicode [^\W\d_] is exactly categories L* ∪ Nl ∪ No, which the
+# SQL mirrors as RE2 [\pL\p{Nl}\p{No}] — verified codepoint-identical across
+# the BMP (above it the two engines' Unicode table versions skew on a few
+# plane-1 scripts; see tests/test_textstats.py).
+_ASCII_NONSPACE = r'[^ \t\n\r\f\v]'          # (?a)\S spelled out
 _WORD = r'(?a)\S+'
 _NONSPACE = r'(?a)\S'
-_ALPHA_WORD = r'(?a)(?<!\S)\S*[^\W\d_]\S*'   # a word containing >=1 letter
+_ALPHA_WORD = (rf'(?<!{_ASCII_NONSPACE}){_ASCII_NONSPACE}*'
+               rf'[^\W\d_]{_ASCII_NONSPACE}*')  # word containing >=1 letter
 _BULLET_LINE = r'(?m)^[ \t]*[-*•]'
 _ELLIPSIS_LINE = r'(?m)(\.\.\.|…)[ \t]*$'
 _SYMBOL = r'#|…|\.\.\.'

@@ -167,3 +167,62 @@ def test_token_stats_ascii_pinned_nbsp():
         r"select len(regexp_extract_all('a' || chr(160) || 'b', '\S+'))"
     ).fetchone()
     assert df['n_tokens_ws'].iloc[0] == oracle == 1
+
+
+def test_alpha_word_frac_unicode_letters():
+    """r3 regression: the ASCII (?a) pin must not leak into the LETTER class
+    — a Cyrillic/CJK/Greek page is all alpha words, not alpha_word_frac=0
+    (which dropped every non-Latin doc as 'alpha_ratio')."""
+    from pii_detector_ray.stages.heuristics import heuristics_batch
+    df = heuristics_batch(pd.DataFrame({'extracted_text': [
+        'Дети идут на рынок и погода приятная',
+        '世界 真的 很大',
+        'Το γρήγορο καφέ πόδι',
+        'plain ascii words here',
+        '123 456 ___',                      # digits/underscores: no letters
+    ]}))
+    assert df['alpha_word_frac'].tolist()[:4] == [1.0, 1.0, 1.0, 1.0]
+    assert df['alpha_word_frac'].iloc[4] == 0.0
+
+
+def test_quality_scores_sql_parity_multilingual():
+    """The DuckDB RE2 [\\pL\\p{Nl}\\p{No}] letter class must agree with
+    Python's Unicode [^\\W\\d_] on real multilingual text."""
+    import duckdb
+    from pii_detector_ray.queries import _QUALITY_SCORES_SQL
+    from pii_detector_ray.stages.heuristics import heuristics_batch
+    texts = [
+        'Дети идут на рынок и погода сегодня приятная и тёплая. ' * 4,
+        'The children walk to the market today. ' * 5,
+        '### ## # zz …',
+        '世界 很大 真的 很大 谢谢 你 好 吗 ' * 3,
+        'naïve café résumé ünïcødé ★ mixed ascii',
+        '',
+    ]
+    df = pd.DataFrame({'doc_id': range(len(texts)), 'extracted_text': texts})
+    py = quality_score_batch(heuristics_batch(df.copy()))
+    con = duckdb.connect()
+    con.register('documents', pd.DataFrame(
+        {'doc_id': range(len(texts)), 'text': texts}))
+    sql = con.execute(_QUALITY_SCORES_SQL).df().sort_values('doc_id')
+    assert np.allclose(py['quality_score'].to_numpy(),
+                       sql['quality_score'].to_numpy())
+
+
+def test_alpha_letter_class_python_vs_re2_bmp_sweep():
+    """Codepoint-level contract: Python [^\\W\\d_] == RE2 [\\pL\\p{Nl}\\p{No}]
+    across the BMP (sampled stride + full coverage of L/N boundaries)."""
+    import duckdb
+    import re
+    pat = re.compile(r'[^\W\d_]')
+    cps = [c for c in list(range(0x20, 0x2000))
+           + list(range(0x2000, 0x10000, 7))
+           if not 0xD800 <= c <= 0xDFFF]     # lone surrogates aren't UTF-8
+    chars = [chr(c) for c in cps]
+    con = duckdb.connect()
+    con.register('sweep', pd.DataFrame({'ch': chars}))
+    got = con.execute(
+        "SELECT regexp_matches(ch, '[\\pL\\p{Nl}\\p{No}]') FROM sweep").df()
+    sql_match = got.iloc[:, 0].tolist()
+    py_match = [bool(pat.match(c)) for c in chars]
+    assert sql_match == py_match
