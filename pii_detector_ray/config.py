@@ -30,6 +30,14 @@ class QualityThresholds:
     max_bullet_line_frac: float = 0.9    # Gopher: lines starting with bullets
     max_ellipsis_line_frac: float = 0.3  # Gopher: lines ending with ellipsis
     max_dup_line_frac: float = 0.3       # C4/Gopher: duplicate-line fraction
+    # Gopher n-gram repetition rules (table A1; stages/repetition.py).
+    # None = rule off AND features not computed (they cost a per-doc
+    # np.unique pass); Gopher's published thresholds are .20/.18/.16/.15/.10.
+    max_top_2gram_char_frac: float | None = None
+    max_top_3gram_char_frac: float | None = None
+    max_top_4gram_char_frac: float | None = None
+    max_dup_5gram_char_frac: float | None = None
+    max_dup_10gram_char_frac: float | None = None
     min_alpha_word_frac: float = 0.7     # Gopher: words containing >=1 alpha char
     min_stopword_hits: int = 2           # Gopher: >=2 distinct stopwords (lang-aware)
     max_perplexity: float = 25_000.0     # CCNet-style LM filter on char-trigram ppl

@@ -74,6 +74,40 @@ def oracle_features(text: str) -> dict[str, Any]:
     }
 
 
+def oracle_repetition(text: str) -> dict[str, float]:
+    """Serial Counter-based mirror of ``stages/repetition.py`` (kept
+    implementation-independent of its numpy version): top-n-gram and
+    duplicate-n-gram char fractions over ASCII-split, case-sensitive words,
+    sql-rounded to 4 decimals."""
+    from collections import Counter
+
+    from pii_detector_ray.functions.rounding import sql_round_scalar
+
+    words = _WORD.findall(text)
+    word_chars = sum(len(w) for w in words)
+    out: dict[str, float] = {}
+    for n in (2, 3, 4):
+        val = 0.0
+        if word_chars and len(words) >= n:
+            counts = Counter(tuple(words[i:i + n])
+                             for i in range(len(words) - n + 1))
+            top = max(counts.values())
+            best = max(sum(len(w) for w in g)
+                       for g, c in counts.items() if c == top)
+            val = min(1.0, top * best / word_chars)
+        out[f'top_{n}gram_char_frac'] = sql_round_scalar(val, 4)
+    for n in (5, 10):
+        val = 0.0
+        if word_chars and len(words) >= n:
+            counts = Counter(tuple(words[i:i + n])
+                             for i in range(len(words) - n + 1))
+            total = sum(c * sum(len(w) for w in g)
+                        for g, c in counts.items() if c >= 2)
+            val = min(1.0, total / word_chars)
+        out[f'dup_{n}gram_char_frac'] = sql_round_scalar(val, 4)
+    return out
+
+
 def oracle_stopword_hits(text: str, lang: str) -> int:
     if lang not in STOPWORDS:
         return -1
@@ -97,6 +131,17 @@ def oracle_keepdrop(feat: dict[str, Any], lang_pred: str, lang_conf: float,
         ('bullet_lines', feat['bullet_line_frac'] > thr.max_bullet_line_frac),
         ('ellipsis_lines', feat['ellipsis_line_frac'] > thr.max_ellipsis_line_frac),
         ('dup_lines', feat['dup_line_frac'] > thr.max_dup_line_frac),
+    ]
+    for col, limit in (
+            ('top_2gram_char_frac', thr.max_top_2gram_char_frac),
+            ('top_3gram_char_frac', thr.max_top_3gram_char_frac),
+            ('top_4gram_char_frac', thr.max_top_4gram_char_frac),
+            ('dup_5gram_char_frac', thr.max_dup_5gram_char_frac),
+            ('dup_10gram_char_frac', thr.max_dup_10gram_char_frac)):
+        if limit is not None:
+            checks.append((col.replace('_char_frac', '_chars'),
+                           feat[col] > limit))
+    checks += [
         ('alpha_ratio', feat['alpha_word_frac'] < thr.min_alpha_word_frac),
         ('stopwords', sw_hits >= 0 and sw_hits < thr.min_stopword_hits),
         ('lang_confidence', lang_conf < thr.min_lang_confidence),
@@ -125,6 +170,12 @@ def run_oracle(rows: list[dict[str, Any]], cfg: PipelineConfig) -> list[dict[str
             continue
         text = extract_row(row.get('text'), row.get('html'))
         feat = oracle_features(text)
+        thr = cfg.thresholds
+        if any(limit is not None for limit in (
+                thr.max_top_2gram_char_frac, thr.max_top_3gram_char_frac,
+                thr.max_top_4gram_char_frac, thr.max_dup_5gram_char_frac,
+                thr.max_dup_10gram_char_frac)):
+            feat.update(oracle_repetition(text))
         [lang_pred], conf = langid.predict_batch([text])
         lang_conf = float(conf[0])
         perplexity = float(ppl_model.perplexity_batch([text], [lang_pred])[0])

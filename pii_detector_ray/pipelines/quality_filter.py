@@ -33,6 +33,7 @@ from pii_detector_ray.config import PipelineConfig
 from pii_detector_ray.stages.extract import extract_batch, make_url_filter
 from pii_detector_ray.stages.heuristics import heuristics_batch
 from pii_detector_ray.stages.keepdrop import make_keepdrop_stage
+from pii_detector_ray.stages.repetition import repetition_batch
 from pii_detector_ray.stages.scorers import QualityScorers, scorer_concurrency
 from pii_detector_ray.stages.scrub import make_scrub_stage
 
@@ -147,8 +148,20 @@ def build_pipeline(
     if dedup_urls:
         ds = dedup_exact_by_url(ds)
     keepdrop = make_keepdrop_stage(cfg)
+    thr = cfg.thresholds
+    rep_on = any(limit is not None for limit in (
+        thr.max_top_2gram_char_frac, thr.max_top_3gram_char_frac,
+        thr.max_top_4gram_char_frac, thr.max_dup_5gram_char_frac,
+        thr.max_dup_10gram_char_frac))
+
+    def features_batch(df: pd.DataFrame) -> pd.DataFrame:
+        df = heuristics_batch(df)
+        # Gopher repetition features cost a per-doc np.unique pass; computed
+        # only when a repetition threshold enables their keep/drop rules
+        return repetition_batch(df) if rep_on else df
+
     if cfg.scorer_mode == 'actors':
-        ds = ds.map_batches(heuristics_batch, batch_format='pandas')
+        ds = ds.map_batches(features_batch, batch_format='pandas')
         ds = ds.map_batches(
             QualityScorers,
             batch_format='pandas',
@@ -167,7 +180,7 @@ def build_pipeline(
             # count as a pandas-format stage, but the output schema is
             # stripped of the b'pandas' metadata blob that otherwise makes
             # every mid-chain batch concat log "Failed to hash the schemas"
-            df = keepdrop(score_batch_stateless(heuristics_batch(
+            df = keepdrop(score_batch_stateless(features_batch(
                 t.to_pandas())))
             return pa.Table.from_pandas(df, preserve_index=False) \
                 .replace_schema_metadata(None)

@@ -1355,6 +1355,18 @@ def q_quality_scores(sf_dir: str) -> ray.data.Dataset:
             .select_columns(['doc_id', 'quality_score']))
 
 
+def q_repetition_stats(sf_dir: str) -> ray.data.Dataset:
+    """Gopher repetition features per document (stages/repetition.py)."""
+    from pii_detector_ray.stages.repetition import FEATURE_COLUMNS, repetition_batch
+
+    def rep(df: pd.DataFrame) -> pd.DataFrame:
+        return repetition_batch(df, text_col='text')
+
+    return (read_documents(sf_dir, ['doc_id', 'text'])
+            .map_batches(rep, batch_format='pandas')
+            .select_columns(['doc_id', *FEATURE_COLUMNS]))
+
+
 def q_media_decode(sf_dir: str) -> ray.data.Dataset:
     """Multimodal REAL-decode path: gradient PNGs + sine WAVs built with the
     stdlib codecs, decoded (not faked) by the actor-pool stage into feature
@@ -1601,6 +1613,59 @@ _TOP_ORDER_SQL = (
 )
 
 
+def _repetition_stats_sql() -> str:
+    """DuckDB mirror of ``stages/repetition.py`` (semantics documented
+    there): word n-grams via lead() chains over unnested word lists; gram
+    char length = sum of word lengths (chr(10) joins are key-only — words
+    are \\S+ runs so they can never contain a newline)."""
+    def gram_cte(n: int) -> str:
+        parts = ['word'] + [f'lead(word,{k}) OVER win' for k in range(1, n)]
+        gram = " || chr(10) || ".join(parts)
+        glen = ' + '.join(f'length({p})' for p in parts)
+        return (f"g{n} AS (SELECT doc_id, {gram} AS gram, {glen} AS glen "
+                f"FROM u WINDOW win AS (PARTITION BY doc_id ORDER BY i) "
+                f"QUALIFY lead(word,{n - 1}) OVER win IS NOT NULL)")
+
+    def top_cte(n: int) -> str:
+        return (f"t{n} AS (SELECT doc_id, cnt * glen AS prod FROM ("
+                f"SELECT doc_id, gram, count(*) AS cnt, max(glen) AS glen "
+                f"FROM g{n} GROUP BY doc_id, gram) "
+                f"QUALIFY row_number() OVER (PARTITION BY doc_id "
+                f"ORDER BY cnt DESC, glen DESC) = 1)")
+
+    def dup_cte(n: int) -> str:
+        return (f"d{n} AS (SELECT doc_id, sum(cnt * glen) AS prod FROM ("
+                f"SELECT doc_id, gram, count(*) AS cnt, max(glen) AS glen "
+                f"FROM g{n} GROUP BY doc_id, gram HAVING count(*) >= 2) "
+                f"GROUP BY doc_id)")
+
+    def frac(src: str, col: str) -> str:
+        return (f"CASE WHEN tot.wchars = 0 THEN 0.0 ELSE "
+                f"round(least(coalesce({src}.prod, 0)::DOUBLE / tot.wchars, "
+                f"1.0), 4) END AS {col}")
+
+    ctes = ", ".join(
+        ["w AS (SELECT doc_id, regexp_extract_all(coalesce(text,''), "
+         "'\\S+') AS ws FROM documents)",
+         "tot AS (SELECT doc_id, coalesce(list_sum(list_transform(ws, "
+         "x -> length(x))), 0) AS wchars FROM w)",
+         "u AS (SELECT doc_id, unnest(ws) AS word, "
+         "generate_subscripts(ws, 1) AS i FROM w)"]
+        + [gram_cte(n) for n in (2, 3, 4, 5, 10)]
+        + [top_cte(n) for n in (2, 3, 4)]
+        + [dup_cte(n) for n in (5, 10)])
+    sel = ", ".join([frac(f"t{n}", f"top_{n}gram_char_frac")
+                     for n in (2, 3, 4)]
+                    + [frac(f"d{n}", f"dup_{n}gram_char_frac")
+                       for n in (5, 10)])
+    joins = " ".join(f"LEFT JOIN {s} ON tot.doc_id = {s}.doc_id"
+                     for s in ("t2", "t3", "t4", "d5", "d10"))
+    return (f"WITH {ctes} SELECT tot.doc_id, {sel} FROM tot {joins}")
+
+
+_REPETITION_STATS_SQL = _repetition_stats_sql()
+
+
 _TOKEN_STATS_SQL = (
     "SELECT doc_id, "
     "len(regexp_extract_all(coalesce(text,''), '\\S+'))::BIGINT AS n_tokens_ws, "
@@ -1705,6 +1770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'doc_fingerprints': q_doc_fingerprints,
         'token_stats': q_token_stats,
         'quality_scores': q_quality_scores,
+        'repetition_stats': q_repetition_stats,
         'media_features': q_media_features,
         'media_decode': q_media_decode,
     })
@@ -1767,5 +1833,6 @@ def oracle_sql() -> dict[str, str]:
         'top_order_per_cust': _TOP_ORDER_SQL,
         'token_stats': _TOKEN_STATS_SQL,
         'quality_scores': _QUALITY_SCORES_SQL,
+        'repetition_stats': _REPETITION_STATS_SQL,
     })
     return out

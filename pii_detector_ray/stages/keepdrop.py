@@ -60,6 +60,19 @@ def make_keepdrop_stage(cfg: PipelineConfig):
             ('bullet_lines', (df['bullet_line_frac'] > thr.max_bullet_line_frac).to_numpy()),
             ('ellipsis_lines', (df['ellipsis_line_frac'] > thr.max_ellipsis_line_frac).to_numpy()),
             ('dup_lines', (df['dup_line_frac'] > thr.max_dup_line_frac).to_numpy()),
+        ]
+        # Gopher n-gram repetition rules (opt-in; stages/repetition.py
+        # computes the feature columns only when a threshold is set)
+        for col, limit in (
+                ('top_2gram_char_frac', thr.max_top_2gram_char_frac),
+                ('top_3gram_char_frac', thr.max_top_3gram_char_frac),
+                ('top_4gram_char_frac', thr.max_top_4gram_char_frac),
+                ('dup_5gram_char_frac', thr.max_dup_5gram_char_frac),
+                ('dup_10gram_char_frac', thr.max_dup_10gram_char_frac)):
+            if limit is not None:
+                rules.append((col.replace('_char_frac', '_chars'),
+                              (df[col] > limit).to_numpy()))
+        rules += [
             ('alpha_ratio', (df['alpha_word_frac'] < thr.min_alpha_word_frac).to_numpy()),
             ('stopwords', (sw >= 0) & (sw < thr.min_stopword_hits)),
             ('lang_confidence', (df['lang_conf'] < thr.min_lang_confidence).to_numpy()),

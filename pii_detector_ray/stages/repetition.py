@@ -1,0 +1,100 @@
+"""Gopher-style repetition features: top-n-gram and duplicate-n-gram
+character fractions (Rae et al. 2021, "Scaling Language Models: ... Gopher",
+table A1 — the repetition rules the north-star names alongside doc length and
+symbol ratio; the reference has no equivalent, these are training-pipeline
+additions).
+
+Exact semantics (documented because published reproductions differ in
+details; the DuckDB oracle ``_REPETITION_STATS_SQL`` in ``queries.py``
+mirrors these precisely):
+
+- *words* are maximal ASCII-nonspace runs (same ``(?a)\\S+`` split as
+  ``stages/heuristics.py``), case-sensitive (no lowercasing — Python and
+  DuckDB Unicode-lowercase tables differ on edge codepoints, and Gopher
+  does not specify case folding).
+- *word_chars* = sum of word lengths (whitespace excluded).
+- ``top_{n}gram_char_frac`` (n = 2, 3, 4): occurrences × character length of
+  the most frequent overlapping word n-gram, divided by *word_chars*, capped
+  at 1.0.  Ties on count break by larger char length (any remaining tie has
+  the same value).  Documents with fewer than n words score 0.
+- ``dup_{n}gram_char_frac`` (n = 5, 10): Σ over n-grams occurring ≥ 2 times
+  of occurrences × char length, divided by *word_chars*, capped at 1.0.
+  (A coverage-style variant that marks each character position once would
+  need per-position bookkeeping; this Σ-form is monotone in duplication,
+  cheap, and exactly SQL-expressible.)
+- All five fractions round half-away-from-zero to 4 decimals
+  (``functions/rounding.sql_round_np``) so DuckDB ``round()`` agrees on ties.
+
+Vectorization: per document, words map to int ids (``np.unique``), n-grams
+become rows of a ``sliding_window_view`` over the id sequence, and
+``np.unique(axis=0)`` yields counts; char lengths come from a cumulative sum
+over word lengths.  No Python loops over grams.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from pii_detector_ray.functions.rounding import sql_round_np
+
+_WORD_RE = re.compile(r'(?a)\S+')
+
+TOP_NS = (2, 3, 4)
+DUP_NS = (5, 10)
+
+FEATURE_COLUMNS = tuple(
+    [f'top_{n}gram_char_frac' for n in TOP_NS]
+    + [f'dup_{n}gram_char_frac' for n in DUP_NS])
+
+
+def _doc_repetition(text: str) -> list[float]:
+    words = _WORD_RE.findall(text)
+    m = len(words)
+    out = [0.0] * (len(TOP_NS) + len(DUP_NS))
+    if m == 0:
+        return out
+    lens = np.fromiter((len(w) for w in words), dtype=np.int64, count=m)
+    word_chars = int(lens.sum())
+    if word_chars == 0:
+        return out
+    _, ids = np.unique(np.asarray(words, dtype=object), return_inverse=True)
+    # gram char length via prefix sums: chars(i..i+n) = cum[i+n] - cum[i]
+    cum = np.concatenate(([0], np.cumsum(lens)))
+
+    for slot, (n, dup) in enumerate(
+            [(n, False) for n in TOP_NS] + [(n, True) for n in DUP_NS]):
+        if m < n:
+            continue
+        grams = np.lib.stride_tricks.sliding_window_view(ids, n)
+        glens = cum[n:] - cum[:-n]          # char length of each gram window
+        uniq, inv, counts = np.unique(grams, axis=0, return_inverse=True,
+                                      return_counts=True)
+        # char length per unique gram = glen at its first occurrence
+        first = np.full(len(uniq), -1, dtype=np.int64)
+        # reversed so earlier windows overwrite later ones
+        first[inv[::-1]] = np.arange(len(glens) - 1, -1, -1)
+        ulens = glens[first]
+        if dup:
+            mask = counts >= 2
+            total = int((counts[mask] * ulens[mask]).sum())
+        else:
+            top = int(counts.max())
+            best_len = int(ulens[counts == top].max())   # tie-break: longer
+            total = top * best_len
+        out[slot] = min(1.0, total / word_chars)
+    return out
+
+
+def repetition_batch(df: pd.DataFrame,
+                     text_col: str = 'extracted_text') -> pd.DataFrame:
+    """Adds the five repetition feature columns (see module docstring)."""
+    s = df[text_col].astype('string').fillna('')
+    vals = np.array([_doc_repetition(t) for t in s], dtype=np.float64) \
+        if len(s) else np.empty((0, len(FEATURE_COLUMNS)))
+    for j, col in enumerate(FEATURE_COLUMNS):
+        df[col] = sql_round_np(vals[:, j], 4) if len(s) else \
+            np.empty(0, dtype=np.float64)
+    return df
