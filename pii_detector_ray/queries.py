@@ -1367,6 +1367,21 @@ def q_repetition_stats(sf_dir: str) -> ray.data.Dataset:
             .select_columns(['doc_id', *FEATURE_COLUMNS]))
 
 
+def q_tfidf_top_terms(sf_dir: str) -> ray.data.Dataset:
+    """Top-5 terms per document by (tf DESC, df ASC, term ASC) with the
+    corpus document-frequency attached (stages/tfidf.py)."""
+    from pii_detector_ray.stages.tfidf import tfidf_top_terms
+    return tfidf_top_terms(read_documents(sf_dir, ['doc_id', 'text']), k=5)
+
+
+def q_term_doc_frequencies(sf_dir: str) -> ray.data.Dataset:
+    """Corpus document-frequency table restricted to df >= 10 (the narrow
+    shuffle is the operator; the filter keeps the result driver-sized)."""
+    from pii_detector_ray.stages.tfidf import document_frequencies
+    out = document_frequencies(read_documents(sf_dir, ['doc_id', 'text']))
+    return out.filter(expr='df >= 10')
+
+
 def q_media_decode(sf_dir: str) -> ray.data.Dataset:
     """Multimodal REAL-decode path: gradient PNGs + sine WAVs built with the
     stdlib codecs, decoded (not faked) by the actor-pool stage into feature
@@ -1666,6 +1681,34 @@ def _repetition_stats_sql() -> str:
 _REPETITION_STATS_SQL = _repetition_stats_sql()
 
 
+# Term contract (stages/tfidf.py): ASCII [A-Za-z0-9]+ runs of the original
+# text, lowercased after extraction (ASCII lower() is engine-identical;
+# whole-text Unicode folding is not).  Integer-exact ranking, no float idf.
+_TFIDF_TERMS_CTE = (
+    "terms AS (SELECT doc_id, lower(unnest(regexp_extract_all("
+    "coalesce(text,''), '[A-Za-z0-9]+'))) AS term FROM documents)"
+)
+
+_TFIDF_TOP_TERMS_SQL = (
+    f"WITH {_TFIDF_TERMS_CTE}, "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM terms "
+    "GROUP BY doc_id, term), "
+    "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms "
+    "GROUP BY term), "
+    "ranked AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, "
+    "row_number() OVER (PARTITION BY tf.doc_id "
+    "ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank "
+    "FROM tf JOIN df USING (term)) "
+    "SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= 5"
+)
+
+_TERM_DF_SQL = (
+    f"WITH {_TFIDF_TERMS_CTE} "
+    "SELECT term, count(DISTINCT doc_id) AS df FROM terms "
+    "GROUP BY term HAVING count(DISTINCT doc_id) >= 10"
+)
+
+
 _TOKEN_STATS_SQL = (
     "SELECT doc_id, "
     "len(regexp_extract_all(coalesce(text,''), '\\S+'))::BIGINT AS n_tokens_ws, "
@@ -1771,6 +1814,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'token_stats': q_token_stats,
         'quality_scores': q_quality_scores,
         'repetition_stats': q_repetition_stats,
+        'tfidf_top_terms': q_tfidf_top_terms,
+        'term_doc_frequencies': q_term_doc_frequencies,
         'media_features': q_media_features,
         'media_decode': q_media_decode,
     })
@@ -1834,5 +1879,7 @@ def oracle_sql() -> dict[str, str]:
         'token_stats': _TOKEN_STATS_SQL,
         'quality_scores': _QUALITY_SCORES_SQL,
         'repetition_stats': _REPETITION_STATS_SQL,
+        'tfidf_top_terms': _TFIDF_TOP_TERMS_SQL,
+        'term_doc_frequencies': _TERM_DF_SQL,
     })
     return out

@@ -1,0 +1,68 @@
+"""Distributed TF-IDF top-terms: broadcast vs join paths, SQL parity."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from pii_detector_ray.queries import _TFIDF_TOP_TERMS_SQL
+from pii_detector_ray.stages.tfidf import (
+    doc_terms,
+    document_frequencies,
+    tfidf_top_terms,
+)
+
+TEXTS = [
+    'Apple banana apple CHERRY',
+    'banana?? banana-split x9 x9 x9',
+    'δοκιμή μόνο',                        # non-ASCII: no terms
+    '',
+    None,
+    'apple',
+    'the quick brown fox jumps over the lazy dog the quick fox',
+]
+
+
+def _docs():
+    return ray.data.from_arrow(pa.table({
+        'doc_id': pa.array(range(len(TEXTS)), pa.int64()),
+        'text': pa.array(TEXTS, pa.string())}))
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(['doc_id', 'rank']).reset_index(drop=True)
+
+
+def test_doc_terms_ascii_lowercase():
+    assert doc_terms('Apple x9 δ-mix9z!') == ['apple', 'x9', 'mix9z']
+    assert doc_terms(None) == []
+
+
+def test_document_frequencies_exact():
+    df = document_frequencies(_docs()).to_pandas().set_index('term')['df']
+    assert df['apple'] == 2 and df['banana'] == 2 and df['x9'] == 1
+    assert df['the'] == 1                 # repeated in ONE doc -> df 1
+
+
+def test_broadcast_matches_join_path():
+    a = _sorted(tfidf_top_terms(_docs(), k=3).to_pandas())
+    b = _sorted(tfidf_top_terms(_docs(), k=3,
+                                broadcast_vocab_limit=0).to_pandas())
+    b = b.astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_matches_duckdb_oracle():
+    got = _sorted(tfidf_top_terms(_docs(), k=5).to_pandas())
+    con = duckdb.connect()
+    con.register('documents', pd.DataFrame(
+        {'doc_id': range(len(TEXTS)), 'text': TEXTS}))
+    want = _sorted(con.execute(_TFIDF_TOP_TERMS_SQL).df())
+    got = got.astype(want.dtypes.to_dict())
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_rank_ties_break_by_rarity_then_term():
+    out = _sorted(tfidf_top_terms(_docs(), k=3).to_pandas())
+    d0 = out[out.doc_id == 0]
+    assert d0.term.tolist() == ['apple', 'cherry', 'banana']  # rarest first at tf=1
