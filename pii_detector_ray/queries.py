@@ -508,7 +508,18 @@ def q_event_deltas(sf_dir: str) -> ray.data.Dataset:
     diff over the (ts, event_id)-sorted stream; mega-users route through the
     day-bucketed salted variant (stages/skew.py)."""
     from pii_detector_ray.stages.skew import event_deltas
-    return event_deltas(_events(sf_dir, ['user_id', 'event_id', 'ts']))
+    return event_deltas(_events(sf_dir, ['user_id', 'event_id', 'ts']),
+                        hot_key_threshold=_events_hot_threshold(sf_dir))
+
+
+def _events_hot_threshold(sf_dir: str) -> int | None:
+    """Footer-count guard: when events.parquet holds fewer rows than the
+    mega-key threshold, no user can be hot and the window operators skip
+    the (input-re-executing) hot-key screen."""
+    import os
+
+    from pii_detector_ray.stages.skew import hot_threshold_for
+    return hot_threshold_for(os.path.join(sf_dir, 'events.parquet'))
 
 
 _EVENT_DELTAS_SQL = (
@@ -823,7 +834,9 @@ def _fetch_embedding(sf_dir: str, vec_id: int) -> np.ndarray:
 def q_events_sessions(sf_dir: str) -> ray.data.Dataset:
     """Gap-based session windows per user (stages/sessionize.py)."""
     from pii_detector_ray.stages.sessionize import sessionize
-    return sessionize(_events(sf_dir, ['user_id', 'ts', 'value']), gap_minutes=30)
+    return sessionize(_events(sf_dir, ['user_id', 'ts', 'value']),
+                      gap_minutes=30,
+                      hot_key_threshold=_events_hot_threshold(sf_dir))
 
 
 _EVENTS_SESSIONS_SQL = (
@@ -868,7 +881,8 @@ def q_events_asof(sf_dir: str) -> ray.data.Dataset:
     left = ev.map_batches(proj('click'), batch_format='pyarrow')
     right = ev.map_batches(proj('purchase'), batch_format='pyarrow')
     out = asof_join(left, right, by='user_id', on='ts_us',
-                    right_value_cols=['value'], right_tiebreak=['value'])
+                    right_value_cols=['value'], right_tiebreak=['value'],
+                    hot_key_threshold=_events_hot_threshold(sf_dir))
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

@@ -54,6 +54,41 @@ def check_float_exact(name: str, lo, hi) -> None:
             f'column to string (or decimal) before joining.')
 
 
+def parquet_total_rows(paths: str | list[str]) -> int | None:
+    """Total row count from parquet FOOTERS — zero data scanned.  Lets a
+    caller skip the hot-key screen entirely (``hot_key_threshold=None``)
+    when the whole table holds fewer rows than the threshold: no key can
+    be hot, and the screen — shuffle-free but a full re-execution of the
+    lazy upstream chain — costs a second pass over the input.  Returns
+    None when any path is not a parquet file/dir (caller keeps the guard).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+    total = 0
+    stack = [paths] if isinstance(paths, str) else list(paths)
+    try:
+        while stack:
+            p = stack.pop()
+            if os.path.isdir(p):
+                stack.extend(os.path.join(p, n) for n in os.listdir(p)
+                             if not n.startswith(('.', '_')))
+            else:
+                total += pq.ParquetFile(p).metadata.num_rows
+    except Exception:
+        return None
+    return total
+
+
+def hot_threshold_for(paths: str | list[str],
+                      threshold: int = 1_000_000) -> int | None:
+    """``threshold`` if the table COULD hold a hot key, else None (guard
+    skipped).  Footer-only; safe because per-key counts never exceed total
+    rows."""
+    total = parquet_total_rows(paths)
+    return None if total is not None and total < threshold else threshold
+
+
 def split_hot(datasets: list, key_col: str, threshold: int | None):
     """Shared hot-key routing for the per-key window operators: find keys
     whose row count across ALL ``datasets`` reaches ``threshold`` and split
