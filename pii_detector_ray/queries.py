@@ -1396,6 +1396,29 @@ def q_term_doc_frequencies(sf_dir: str) -> ray.data.Dataset:
     return out.filter(expr='df >= 10')
 
 
+def q_span_dedup(sf_dir: str) -> ray.data.Dataset:
+    """C4 global three-sentence-span dedup (stages/spandedup.py)."""
+    from pii_detector_ray.stages.spandedup import span_dedup
+    return span_dedup(read_documents(sf_dir, ['doc_id', 'text']))
+
+
+def q_ngram_counts(sf_dir: str) -> ray.data.Dataset:
+    """Corpus top-20 word bigrams (stages/tfidf.ngram_counts)."""
+    from pii_detector_ray.stages.tfidf import ngram_counts
+    return ngram_counts(read_documents(sf_dir, ['doc_id', 'text']),
+                        n=2, k=20)
+
+
+def q_c4_filtered_docs(sf_dir: str) -> ray.data.Dataset:
+    """C4 line-level cleaning (stages/c4filter.py): per-doc keep flag,
+    rewritten text, kept-line and sentence counts."""
+    from pii_detector_ray.stages.c4filter import c4_filter_batch
+    return (read_documents(sf_dir, ['doc_id', 'text'])
+            .map_batches(c4_filter_batch, batch_format='pandas')
+            .select_columns(['doc_id', 'kept', 'filtered_text',
+                             'n_lines_kept', 'n_sentences']))
+
+
 def q_media_decode(sf_dir: str) -> ray.data.Dataset:
     """Multimodal REAL-decode path: gradient PNGs + sine WAVs built with the
     stdlib codecs, decoded (not faked) by the actor-pool stage into feature
@@ -1703,6 +1726,74 @@ _TFIDF_TERMS_CTE = (
     "coalesce(text,''), '[A-Za-z0-9]+'))) AS term FROM documents)"
 )
 
+# C4 three-sentence-span global dedup (stages/spandedup.py documents the
+# exact contract).  The oracle groups by the span TEXT; the Ray path groups
+# by sha256(span) — equal absent a sha256 collision.
+_SPAN_DEDUP_SQL = (
+    "WITH s AS (SELECT doc_id, coalesce(text,'') AS text, "
+    "regexp_extract_all(coalesce(text,''), '[^.!?]*[.!?]') AS sents "
+    "FROM documents), "
+    "b AS (SELECT doc_id, text, sents, len(sents) // 3 AS n_full, "
+    "coalesce(array_to_string(list_slice(sents, (len(sents)//3)*3 + 1, "
+    "len(sents)), ''), '') || substr(text, "
+    "coalesce(length(array_to_string(sents, '')), 0) + 1) AS rest FROM s), "
+    "g AS (SELECT doc_id, i AS grp_idx, "
+    "array_to_string(list_slice(sents, 3*i + 1, 3*i + 3), '') AS span "
+    "FROM b, unnest(range(n_full)) AS t(i)), "
+    "w AS (SELECT doc_id, grp_idx, span, row_number() OVER "
+    "(PARTITION BY trim(span, ' ' || chr(9) || chr(10) || chr(13) || "
+    "chr(12) || chr(11)) ORDER BY doc_id, grp_idx) AS rn FROM g), "
+    "k AS (SELECT doc_id, "
+    "coalesce(string_agg(span, '' ORDER BY grp_idx) "
+    "FILTER (WHERE rn = 1), '') AS kept, "
+    "count(*) AS n_spans, count(*) FILTER (WHERE rn > 1) AS n_dropped "
+    "FROM w GROUP BY doc_id) "
+    "SELECT b.doc_id, coalesce(k.kept, '') || b.rest AS deduped_text, "
+    "coalesce(k.n_spans, 0)::BIGINT AS n_spans, "
+    "coalesce(k.n_dropped, 0)::BIGINT AS n_spans_dropped "
+    "FROM b LEFT JOIN k USING (doc_id)"
+)
+
+
+# same term contract as _TFIDF_TERMS_CTE, with per-doc positions for the
+# bigram lead(); ties at the LIMIT boundary break by (cnt DESC, gram ASC)
+_NGRAM_COUNTS_SQL = (
+    "WITH terms AS (SELECT doc_id, "
+    "lower(unnest(regexp_extract_all(coalesce(text,''), '[A-Za-z0-9]+'))) "
+    "AS term, generate_subscripts(regexp_extract_all(coalesce(text,''), "
+    "'[A-Za-z0-9]+'), 1) AS i FROM documents), "
+    "g AS (SELECT term || ' ' || lead(term,1) OVER win AS gram FROM terms "
+    "WINDOW win AS (PARTITION BY doc_id ORDER BY i) "
+    "QUALIFY lead(term,1) OVER win IS NOT NULL) "
+    "SELECT gram, count(*) AS cnt FROM g GROUP BY gram "
+    "ORDER BY cnt DESC, gram ASC LIMIT 20"
+)
+
+
+# line kept: terminal punct after ASCII-rstrip + >=3 words + no javascript;
+# doc kept: >=5 sentence marks in filtered text, no lorem ipsum, no '{' in
+# the original (stages/c4filter.py documents the exact contract)
+_C4_FILTER_SQL = (
+    "WITH f AS (SELECT doc_id, text, "
+    "list_filter(string_split(coalesce(text,''), chr(10)), x -> "
+    "regexp_matches(rtrim(x, ' ' || chr(9) || chr(13) || chr(12) || "
+    "chr(11)), '[.!?\"]$') "
+    "AND len(regexp_extract_all(x, '\\S+')) >= 3 "
+    "AND NOT regexp_matches(x, '(?i)javascript')) AS kept_lines "
+    "FROM documents), "
+    "g AS (SELECT doc_id, text, "
+    "coalesce(array_to_string(kept_lines, chr(10)), '') AS filtered_text, "
+    "len(kept_lines)::BIGINT AS n_lines_kept FROM f), "
+    "h AS (SELECT doc_id, text, filtered_text, n_lines_kept, "
+    "len(regexp_extract_all(filtered_text, '[.!?]'))::BIGINT AS n_sentences "
+    "FROM g) "
+    "SELECT doc_id, (n_sentences >= 5 "
+    "AND NOT regexp_matches(filtered_text, '(?i)lorem ipsum') "
+    "AND NOT contains(coalesce(text,''), '{')) AS kept, "
+    "filtered_text, n_lines_kept, n_sentences FROM h"
+)
+
+
 _TFIDF_TOP_TERMS_SQL = (
     f"WITH {_TFIDF_TERMS_CTE}, "
     "tf AS (SELECT doc_id, term, count(*) AS tf FROM terms "
@@ -1830,6 +1921,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'repetition_stats': q_repetition_stats,
         'tfidf_top_terms': q_tfidf_top_terms,
         'term_doc_frequencies': q_term_doc_frequencies,
+        'c4_filtered_docs': q_c4_filtered_docs,
+        'ngram_counts': q_ngram_counts,
+        'span_dedup': q_span_dedup,
         'media_features': q_media_features,
         'media_decode': q_media_decode,
     })
@@ -1895,5 +1989,8 @@ def oracle_sql() -> dict[str, str]:
         'repetition_stats': _REPETITION_STATS_SQL,
         'tfidf_top_terms': _TFIDF_TOP_TERMS_SQL,
         'term_doc_frequencies': _TERM_DF_SQL,
+        'c4_filtered_docs': _C4_FILTER_SQL,
+        'ngram_counts': _NGRAM_COUNTS_SQL,
+        'span_dedup': _SPAN_DEDUP_SQL,
     })
     return out

@@ -1,0 +1,79 @@
+"""C4-style line-level cleaning (Raffel et al. 2020, §2.2 "C4") — the
+line-REWRITE companion to the doc-level Gopher rules in
+``stages/heuristics.py`` / ``stages/repetition.py``.  The north star names
+C4-style heuristics explicitly; the reference repo has no equivalent
+(per-line cleanup happens before PII scanning in a training-data pipeline).
+
+Exact rule set (ASCII-pinned so the DuckDB oracle ``_C4_FILTER_SQL`` in
+``queries.py`` matches byte-for-byte):
+
+line kept iff (C4 paper):
+- it ends in a terminal punctuation mark ``. ! ? "`` after trailing
+  ASCII-whitespace strip (explicit char set ``' \\t\\r\\f\\v'`` — Python's
+  bare ``rstrip()`` strips Unicode whitespace, DuckDB's ``rtrim`` only
+  spaces, so both sides pin the same five chars);
+- it has >= ``min_words_per_line`` (default 3) ASCII-nonspace words;
+- it does not mention javascript (case-insensitive; ASCII ``(?i)`` is
+  engine-identical).
+
+document kept iff:
+- >= ``min_sentences`` (default 5, the paper's value) terminal punctuation
+  marks ``[.!?]`` remain in the filtered text;
+- the filtered text does not contain ``lorem ipsum`` (case-insensitive);
+- the ORIGINAL text contains no ``{`` (the paper's code-page proxy).
+
+Output columns: ``kept`` (doc-level), ``filtered_text`` (kept lines joined
+with ``\\n`` — emitted even for dropped docs so downstream can audit),
+``n_lines_kept``, ``n_sentences``.
+
+The per-doc loop is a compiled-regex pass over each line — line rewriting
+is inherently per-document string work (same shape as the scrub stage);
+the batch is the distribution unit and payloads never leave the task.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+_RSTRIP_CHARS = ' \t\r\f\v'
+_TERMINAL = ('.', '!', '?', '"')
+_WORD = re.compile(r'(?a)\S+')
+_JAVASCRIPT = re.compile(r'(?i)javascript')
+_LOREM = re.compile(r'(?i)lorem ipsum')
+_SENTENCE_MARK = re.compile(r'[.!?]')
+
+
+def c4_filter_doc(text: str | None, *, min_words_per_line: int = 3,
+                  min_sentences: int = 5) -> tuple[bool, str, int, int]:
+    """(kept, filtered_text, n_lines_kept, n_sentences) for one document."""
+    kept_lines = []
+    for line in (text or '').split('\n'):
+        stripped = line.rstrip(_RSTRIP_CHARS)
+        if not stripped.endswith(_TERMINAL):
+            continue
+        if len(_WORD.findall(line)) < min_words_per_line:
+            continue
+        if _JAVASCRIPT.search(line):
+            continue
+        kept_lines.append(line)
+    filtered = '\n'.join(kept_lines)
+    n_sentences = len(_SENTENCE_MARK.findall(filtered))
+    kept = (n_sentences >= min_sentences
+            and not _LOREM.search(filtered)
+            and '{' not in (text or ''))
+    return kept, filtered, len(kept_lines), n_sentences
+
+
+def c4_filter_batch(df: pd.DataFrame, text_col: str = 'text', *,
+                    min_words_per_line: int = 3,
+                    min_sentences: int = 5) -> pd.DataFrame:
+    rows = [c4_filter_doc(t, min_words_per_line=min_words_per_line,
+                          min_sentences=min_sentences)
+            for t in df[text_col]]
+    df['kept'] = pd.array([r[0] for r in rows], dtype='bool')
+    df['filtered_text'] = pd.array([r[1] for r in rows], dtype='string')
+    df['n_lines_kept'] = pd.array([r[2] for r in rows], dtype='int64')
+    df['n_sentences'] = pd.array([r[3] for r in rows], dtype='int64')
+    return df

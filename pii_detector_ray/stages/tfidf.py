@@ -138,6 +138,32 @@ def tfidf_top_terms(docs: ray.data.Dataset, k: int = 5,
     return joined.groupby('doc_id').map_groups(cut, batch_format='pandas')
 
 
+def ngram_counts(docs: ray.data.Dataset, n: int = 2, k: int = 20,
+                 text_col: str = 'text') -> ray.data.Dataset:
+    """Corpus-wide top-k word n-grams by total occurrence count — the C4 /
+    dedup-diagnostic sweep ("what boilerplate dominates this crawl?").
+
+    Terms are the :func:`doc_terms` contract; grams join with one space.
+    Per-batch Counter partials → one narrow (gram, partial) shuffle →
+    ``groupby.sum`` → total-order (count DESC, gram ASC) sort + limit, so
+    ties at the k boundary are deterministic.  Only gram strings and int
+    counts ever cross the wire; documents stay in their read tasks."""
+    def partials(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for text in batch.column(text_col).to_pylist():
+            terms = doc_terms(text)
+            counts.update(' '.join(terms[i:i + n])
+                          for i in range(len(terms) - n + 1))
+        return pa.table({'gram': pa.array(list(counts.keys()), pa.string()),
+                         'partial': pa.array(list(counts.values()),
+                                             pa.int64())})
+
+    from ray.data.aggregate import Sum
+    totals = (docs.map_batches(partials, batch_format='pyarrow')
+              .groupby('gram').aggregate(Sum('partial', alias_name='cnt')))
+    return totals.sort(['cnt', 'gram'], descending=[True, False]).limit(k)
+
+
 def _rows_table(rows: list[dict]) -> pa.Table:
     if not rows:
         return pa.table({'doc_id': pa.array([], pa.int64()),

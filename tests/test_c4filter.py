@@ -1,0 +1,59 @@
+"""C4 line-filter: rule unit checks + DuckDB oracle parity."""
+
+import duckdb
+import pandas as pd
+
+from pii_detector_ray.queries import _C4_FILTER_SQL
+from pii_detector_ray.stages.c4filter import c4_filter_batch, c4_filter_doc
+
+DOCS = [
+    # kept: 5 clean sentences
+    ('Plenty of words in this line.\nAnother fine sentence here!\n'
+     'A third one follows now.\nIs this a question?\nIndeed it is one.'),
+    # line-level drops: no terminal punct / too few words / javascript
+    ('no punctuation on this line\nOk.\nEnable JavaScript to view this.\n'
+     'First real sentence is here.\nSecond real sentence lands here.\n'
+     'Third one arrives now.\nFourth one too.\nFifth closes it out.'),
+    # doc drop: curly brace
+    'function f() { return 1; }\nGood sentence one.\nGood sentence two.',
+    # doc drop: lorem ipsum in a KEPT line
+    ('Lorem ipsum dolor sit amet.\nMore filler text follows here.\n'
+     'Three more words land.\nFour more words arrive.\nFive now done.'),
+    # doc drop: fewer than 5 sentences survive
+    'Only one good sentence.\njunk line\nmore junk',
+    '',
+    None,
+    # trailing whitespace before the terminal mark still counts
+    ('Spaces after the period.   \nTabs after the bang!\t\t\n'
+     'Quote ends the line here."\nFourth sentence appears now.\n'
+     'Fifth sentence closes out.'),
+]
+
+
+def test_line_rules():
+    kept, filtered, n_lines, n_sent = c4_filter_doc(DOCS[1])
+    assert 'no punctuation' not in filtered
+    assert 'JavaScript' not in filtered
+    assert 'Ok.' not in filtered              # 1 word < 3
+    assert n_lines == 5 and n_sent == 5 and kept
+
+
+def test_doc_rules():
+    assert c4_filter_doc(DOCS[0])[0]
+    assert not c4_filter_doc(DOCS[2])[0]      # '{'
+    assert not c4_filter_doc(DOCS[3])[0]      # lorem ipsum
+    assert not c4_filter_doc(DOCS[4])[0]      # < 5 sentences
+    assert c4_filter_doc('')[:2] == (False, '')
+    assert c4_filter_doc(None)[:2] == (False, '')
+    assert c4_filter_doc(DOCS[7])[0]          # rstrip before terminal check
+
+
+def test_matches_duckdb_oracle():
+    df = pd.DataFrame({'doc_id': range(len(DOCS)), 'text': DOCS})
+    py = c4_filter_batch(df.copy())
+    con = duckdb.connect()
+    con.register('documents', df)
+    sql = con.execute(_C4_FILTER_SQL).df() \
+        .sort_values('doc_id').reset_index(drop=True)
+    for col in ('kept', 'filtered_text', 'n_lines_kept', 'n_sentences'):
+        assert py[col].astype(sql[col].dtype).tolist() == sql[col].tolist(), col

@@ -1,0 +1,72 @@
+"""C4 three-sentence-span global dedup: semantics + SQL parity + both
+execution paths."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from pii_detector_ray.queries import _SPAN_DEDUP_SQL
+from pii_detector_ray.stages.spandedup import doc_spans, span_dedup
+
+SPAN = 'First common one. Second common one! Third common one? '
+DOCS = [
+    # doc 0 owns the span (first occurrence)
+    SPAN + 'Unique closer here.',
+    # doc 1 repeats it -> its copy is dropped, remainder kept
+    'Opening unique sentence A. Opening unique B! Opening unique C? '
+    + SPAN + 'tail without terminal',
+    # doc 2: repeats the span TWICE internally -> both copies dropped
+    SPAN + SPAN + 'partial one. leftover',
+    'short doc, no full span',
+    '',
+    None,
+]
+
+
+def _docs():
+    return ray.data.from_arrow(pa.table({
+        'doc_id': pa.array(range(len(DOCS)), pa.int64()),
+        'text': pa.array(DOCS, pa.string())}))
+
+
+def test_doc_spans_split():
+    spans, rest = doc_spans(SPAN + 'Unique closer here.')
+    # the space after the 3rd terminal mark starts the NEXT sentence, so
+    # the span ends exactly at '?' and the remainder begins with ' '
+    assert spans == [SPAN.rstrip()]
+    assert rest == ' Unique closer here.'
+    assert doc_spans('') == ([], '')
+    assert doc_spans(None) == ([], '')
+    # partial group (2 sentences) is remainder, not a span
+    spans, rest = doc_spans('One here. Two here.')
+    assert spans == [] and rest == 'One here. Two here.'
+
+
+def test_first_occurrence_kept_rest_dropped():
+    out = span_dedup(_docs()).to_pandas().set_index('doc_id')
+    assert out.loc[0, 'deduped_text'] == DOCS[0]          # winner untouched
+    assert SPAN not in out.loc[1, 'deduped_text']
+    assert out.loc[1, 'deduped_text'].endswith('tail without terminal')
+    assert out.loc[1, 'n_spans_dropped'] == 1
+    assert out.loc[2, 'n_spans_dropped'] == 2
+    # exact removal: the space that opened the 2nd copy's first sentence
+    # belonged to the following (kept) remainder, so it survives
+    assert out.loc[2, 'deduped_text'] == ' partial one. leftover'
+    assert out.loc[3, 'deduped_text'] == DOCS[3]
+    assert out.loc[4, 'deduped_text'] == ''
+    assert out.loc[5, 'deduped_text'] == ''
+
+
+def test_matches_duckdb_oracle_both_paths():
+    con = duckdb.connect()
+    con.register('documents', pd.DataFrame(
+        {'doc_id': range(len(DOCS)), 'text': DOCS}))
+    want = con.execute(_SPAN_DEDUP_SQL).df() \
+        .sort_values('doc_id').reset_index(drop=True)
+    for limit in (5_000_000, 0):              # broadcast path, join path
+        got = span_dedup(_docs(), broadcast_loser_limit=limit).to_pandas() \
+            .sort_values('doc_id').reset_index(drop=True)
+        for col in ('deduped_text', 'n_spans', 'n_spans_dropped'):
+            assert got[col].astype(want[col].dtype).tolist() == \
+                want[col].tolist(), (limit, col)

@@ -66,3 +66,17 @@ def test_rank_ties_break_by_rarity_then_term():
     out = _sorted(tfidf_top_terms(_docs(), k=3).to_pandas())
     d0 = out[out.doc_id == 0]
     assert d0.term.tolist() == ['apple', 'cherry', 'banana']  # rarest first at tf=1
+
+
+def test_ngram_counts_matches_duckdb():
+    import duckdb
+    from pii_detector_ray.queries import _NGRAM_COUNTS_SQL
+    from pii_detector_ray.stages.tfidf import ngram_counts
+    got = ngram_counts(_docs(), n=2, k=20).to_pandas()
+    con = duckdb.connect()
+    con.register('documents', pd.DataFrame(
+        {'doc_id': range(len(TEXTS)), 'text': TEXTS}))
+    want = con.execute(_NGRAM_COUNTS_SQL).df()
+    assert got['gram'].tolist() == want['gram'].tolist()
+    assert got['cnt'].tolist() == want['cnt'].tolist()
+    assert got['gram'].iloc[0] == 'the quick' or got['cnt'].iloc[0] >= 2
