@@ -1,0 +1,21 @@
+"""RE2-exact whitespace classes for every DuckDB-oracle-mirrored regex.
+
+RE2's ``\\s`` is ``[\\t\\n\\f\\r ]`` — it does NOT include ``\\x0b``
+(vertical tab), whereas Python's ASCII ``(?a)\\s`` DOES.  A document with a
+vertical tab between words therefore word-splits differently under
+``(?a)\\S+`` than under the SQL oracle's ``\\S+`` (r3 review finding).
+Every mirrored site uses these spelled-out classes instead of ``(?a)``:
+
+- ``RE2_SPACE_CHARS`` — the five characters RE2's ``\\s`` matches.
+- ``RE2_WORD`` / ``RE2_NONSPACE`` / ``RE2_SPACE`` — drop-in pattern
+  fragments for ``\\S+`` / ``\\S`` / ``\\s``.
+
+(The QUALITY-score line-blank trim is a different contract: its SQL trims
+``chr(11)`` explicitly, so that site pins ``' \\t\\r\\f\\v'`` — see
+``stages/heuristics._dup_line_frac``.)
+"""
+
+RE2_SPACE_CHARS = ' \t\n\r\f'
+RE2_SPACE = '[' + RE2_SPACE_CHARS + ']'
+RE2_NONSPACE = '[^' + RE2_SPACE_CHARS + ']'
+RE2_WORD = RE2_NONSPACE + '+'

@@ -267,7 +267,11 @@ def parse_xls(data: bytes) -> pd.DataFrame:
                 cur[(rw, col)] = sst[isst]
         elif opcode == _R_LABEL and cur is not None and len(body) >= 9:
             rw, col, _ixfe, cch, grbit = struct.unpack('<HHHHB', body[:9])
-            raw = body[9:9 + cch * (2 if grbit & 1 else 1)]
+            # XLUnicodeRichExtendedString: rich (0x08) inserts cRun (2B) and
+            # ext (0x04) inserts cbExtRst (4B) BEFORE the character data —
+            # skipping them, not reading them as text (r3 review finding)
+            off = 9 + (2 if grbit & 0x08 else 0) + (4 if grbit & 0x04 else 0)
+            raw = body[off:off + cch * (2 if grbit & 1 else 1)]
             cur[(rw, col)] = raw.decode(
                 'utf-16-le' if grbit & 1 else 'latin-1', errors='replace')
     if pending_sst is not None:

@@ -28,13 +28,14 @@ from pii_detector_ray.stages.scrub import detectors_from_config
 from pii_detector_ray.functions.masking import is_phi
 
 # Same contract as stages/heuristics.py (kept textually independent so the
-# oracle can catch pattern regressions): ASCII word splitting, Unicode
-# letter class — a word is a maximal ASCII-nonspace run, alpha iff it
-# contains a char in L* ∪ Nl ∪ No (Python's Unicode [^\W\d_]).
-_WORD = re.compile(r'(?a)\S+')
-_NONSPACE = re.compile(r'(?a)\S')
+# oracle can catch pattern regressions): RE2-exact word splitting — a word
+# is a maximal run of chars outside RE2's \s class [ \t\n\f\r] (note: \x0b
+# is a WORD char there, unlike Python's (?a)\S) — and a Unicode letter
+# class: alpha iff the word contains a char in L* ∪ Nl ∪ No.
+_WORD = re.compile(r'[^ \t\n\r\f]+')
+_NONSPACE = re.compile(r'[^ \t\n\r\f]')
 _ALPHA_WORD = re.compile(
-    r'(?<![^ \t\n\r\f\v])[^ \t\n\r\f\v]*[^\W\d_][^ \t\n\r\f\v]*')
+    r'(?<![^ \t\n\r\f])[^ \t\n\r\f]*[^\W\d_][^ \t\n\r\f]*')
 _BULLET = re.compile(r'(?m)^[ \t]*[-*•]')
 _ELLIPSIS = re.compile(r'(?m)(\.\.\.|…)[ \t]*$')
 _SYMBOL = re.compile(r'#|…|\.\.\.')
@@ -60,7 +61,8 @@ def oracle_features(text: str) -> dict[str, Any]:
     n_words = len(_WORD.findall(text))
     nws = max(n_words, 1)
     lines = text.split('\n')
-    nonempty = [ln for ln in lines if ln.strip()]
+    # blank-line trim set pinned to the SQL oracle's (heuristics.py note)
+    nonempty = [ln for ln in lines if ln.strip(' \t\r\f\v')]
     dup = 0.0 if len(nonempty) < 2 else 1.0 - len(set(nonempty)) / len(nonempty)
     return {
         'n_chars': len(text),

@@ -37,6 +37,10 @@ from pii_detector_ray.detectors import (
 )
 from pii_detector_ray.sources.pqread import read_parquet_clean
 from pii_detector_ray.functions.masking import PHI_PATTERN, mask_data
+from pii_detector_ray.functions.re2compat import (
+    RE2_NONSPACE as _RE2_NONSPACE,
+    RE2_WORD as _RE2_WORD,
+)
 from pii_detector_ray.functions.rounding import (
     sql_round_np,
     sql_round_pa,
@@ -328,7 +332,7 @@ def q_token_counts(sf_dir: str) -> ray.data.Dataset:
     def count(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             'doc_id': df['doc_id'],
-            'n_tokens': df['text'].astype('string').str.count(r'(?a)\S+').astype('int64'),
+            'n_tokens': df['text'].astype('string').str.count(_RE2_WORD).astype('int64'),
         })
 
     return read_documents(sf_dir, ['doc_id', 'text']).map_batches(count, batch_format='pandas')
@@ -1182,8 +1186,8 @@ def q_word_stats(sf_dir: str) -> ray.data.Dataset:
         s = df['text'].astype('string').fillna('')
         return pd.DataFrame({
             'doc_id': df['doc_id'],
-            'n_words': s.str.count(r'(?a)\S+').astype('int64'),
-            'n_nonspace': s.str.count(r'(?a)\S').astype('int64'),
+            'n_words': s.str.count(_RE2_WORD).astype('int64'),
+            'n_nonspace': s.str.count(_RE2_NONSPACE).astype('int64'),
         })
     return read_documents(sf_dir, ['doc_id', 'text']).map_batches(stats, batch_format='pandas')
 

@@ -25,7 +25,7 @@ queries.
 
 from __future__ import annotations
 
-from math import ceil
+from math import ceil, floor
 from typing import Any, Callable
 
 import pyarrow as pa
@@ -43,6 +43,23 @@ DEFAULT_CHUNK_ROWS = 50_000
 # per-process connection cache: one live connection per distinct factory key,
 # reused across every chunk fetch that lands on this worker
 _CONN_CACHE: dict[str, Any] = {}
+
+
+def _factory_key(factory: Callable[[], Any]) -> str:
+    """Default per-process connection-cache key: a digest of the PICKLED
+    factory.  ``__qualname__`` alone collides for two factories built from
+    the same closure with different bound values (e.g. two db paths) — a
+    reused Ray worker would then hand the second scan the FIRST database's
+    cached connection (r3 review finding).  The pickle bytes capture the
+    closure cells, so distinct bindings get distinct keys; computed once on
+    the driver and captured by the fetch closures."""
+    import hashlib
+
+    from ray import cloudpickle
+    try:
+        return hashlib.sha1(cloudpickle.dumps(factory)).hexdigest()
+    except Exception:
+        return f'{getattr(factory, "__qualname__", repr(factory))}-{id(factory)}'
 
 
 def _connect(factory: Callable[[], Any], key: str):
@@ -129,7 +146,7 @@ def read_sql_chunked(factory: Callable[[], Any], table: str, *,
     with ``select_columns`` when not needed.
     """
     total = table_row_count(factory, table)
-    key = cache_key or f'{getattr(factory, "__qualname__", repr(factory))}'
+    key = cache_key or _factory_key(factory)
     n_chunks = max(1, ceil(total / chunk_rows))
     cols = ', '.join(columns) if columns else '*'
     tail = f' ORDER BY {order_by}' if order_by else ''
@@ -180,9 +197,14 @@ def read_sql_ranges(factory: Callable[[], Any], table: str, key: str, *,
             _fetch_arrow(conn, f'SELECT {", ".join(columns) if columns else "*"} '
                                f'FROM {table} WHERE 1=0'))
     k = n_ranges or max(1, ceil(total / rows_per_range))
-    span = (hi - lo + 1) / k
-    edges = [lo + round(i * span) for i in range(k)] + [hi + 1]
-    key2 = cache_key or f'{getattr(factory, "__qualname__", repr(factory))}'
+    # floor() the base edge: int() truncates toward zero, so a negative
+    # fractional MIN (e.g. -2.5 -> -2) would start the first window ABOVE
+    # some rows and silently drop them (r3 review finding)
+    base = floor(lo)
+    top = floor(hi) + 1                      # hi < floor(hi)+1 always
+    span = (top - base) / k
+    edges = [base + round(i * span) for i in range(k)] + [top]
+    key2 = cache_key or _factory_key(factory)
     cols = ', '.join(columns) if columns else '*'
     specs = [{'lo': int(a), 'hi': int(b)}
              for a, b in zip(edges, edges[1:]) if a < b]

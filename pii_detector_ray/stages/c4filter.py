@@ -39,7 +39,9 @@ import pandas as pd
 
 _RSTRIP_CHARS = ' \t\r\f\v'
 _TERMINAL = ('.', '!', '?', '"')
-_WORD = re.compile(r'(?a)\S+')
+from pii_detector_ray.functions.re2compat import RE2_WORD
+
+_WORD = re.compile(RE2_WORD)
 _JAVASCRIPT = re.compile(r'(?i)javascript')
 _LOREM = re.compile(r'(?i)lorem ipsum')
 _SENTENCE_MARK = re.compile(r'[.!?]')

@@ -18,20 +18,26 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-# Word SPLITTING is ASCII-pinned (?a) BY CONTRACT: the DuckDB oracles mirror
-# these with RE2, whose \s / \S classes are ASCII-only — Unicode \S would
-# diverge on NBSP-joined tokens (r3 review finding).  The LETTER class stays
-# Unicode: a Cyrillic/CJK page must not score alpha_word_frac=0 (that would
-# drop every non-Latin document as 'alpha_ratio' before language rules run).
-# Python's Unicode [^\W\d_] is exactly categories L* ∪ Nl ∪ No, which the
-# SQL mirrors as RE2 [\pL\p{Nl}\p{No}] — verified codepoint-identical across
-# the BMP (above it the two engines' Unicode table versions skew on a few
-# plane-1 scripts; see tests/test_textstats.py).
-_ASCII_NONSPACE = r'[^ \t\n\r\f\v]'          # (?a)\S spelled out
-_WORD = r'(?a)\S+'
-_NONSPACE = r'(?a)\S'
-_ALPHA_WORD = (rf'(?<!{_ASCII_NONSPACE}){_ASCII_NONSPACE}*'
-               rf'[^\W\d_]{_ASCII_NONSPACE}*')  # word containing >=1 letter
+# Word SPLITTING is pinned to RE2's exact \s class BY CONTRACT (the DuckDB
+# oracles mirror these with RE2; see functions/re2compat.py — Python's
+# (?a)\s additionally matches \x0b, Unicode \S diverges on NBSP tokens).
+# The LETTER class stays Unicode: a Cyrillic/CJK page must not score
+# alpha_word_frac=0 (that would drop every non-Latin document as
+# 'alpha_ratio' before language rules run).  Python's Unicode [^\W\d_] is
+# exactly categories L* ∪ Nl ∪ No, which the SQL mirrors as RE2
+# [\pL\p{Nl}\p{No}] — verified codepoint-identical across the BMP (above it
+# the two engines' Unicode table versions skew on a few plane-1 scripts;
+# see tests/test_textstats_multimodal.py).
+from pii_detector_ray.functions.re2compat import (
+    RE2_NONSPACE,
+    RE2_SPACE,
+    RE2_WORD,
+)
+
+_WORD = RE2_WORD
+_NONSPACE = RE2_NONSPACE
+_ALPHA_WORD = (rf'(?<!{RE2_NONSPACE}){RE2_NONSPACE}*'
+               rf'[^\W\d_]{RE2_NONSPACE}*')  # word containing >=1 letter
 _BULLET_LINE = r'(?m)^[ \t]*[-*•]'
 _ELLIPSIS_LINE = r'(?m)(\.\.\.|…)[ \t]*$'
 _SYMBOL = r'#|…|\.\.\.'
@@ -47,7 +53,7 @@ def heuristics_batch(df: pd.DataFrame) -> pd.DataFrame:
     n_words_safe = np.maximum(n_words, 1)
     # \S-char count == len - \s-char count (every char is one or the other);
     # counting the (much rarer) whitespace matches is ~5x cheaper
-    nonspace = n_chars - s.str.count(r'(?a)\s').to_numpy(dtype=np.int64)
+    nonspace = n_chars - s.str.count(RE2_SPACE).to_numpy(dtype=np.int64)
 
     # no defensive copy: stages only append new columns to the batch
     df['n_chars'] = n_chars
@@ -63,8 +69,14 @@ def heuristics_batch(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+# blank = only these chars; pinned to _QUALITY_SCORES_SQL's explicit trim
+# set (space, \t, \r, \f, \v — \n can't occur inside a line).  Python's
+# bare strip() would also strip NBSP etc. and diverge (r3 review finding).
+_LINE_BLANK_CHARS = ' \t\r\f\v'
+
+
 def _dup_line_frac(text: str) -> float:
-    lines = [ln for ln in text.split('\n') if ln.strip()]
+    lines = [ln for ln in text.split('\n') if ln.strip(_LINE_BLANK_CHARS)]
     if len(lines) < 2:
         return 0.0
     return 1.0 - len(set(lines)) / len(lines)

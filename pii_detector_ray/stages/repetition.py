@@ -40,7 +40,9 @@ import pandas as pd
 
 from pii_detector_ray.functions.rounding import sql_round_np
 
-_WORD_RE = re.compile(r'(?a)\S+')
+from pii_detector_ray.functions.re2compat import RE2_WORD
+
+_WORD_RE = re.compile(RE2_WORD)
 
 TOP_NS = (2, 3, 4)
 DUP_NS = (5, 10)

@@ -20,7 +20,13 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-_BPE_PIECE = re.compile(r"[A-Za-zÀ-ÿ]+|[0-9]+|[^\sA-Za-zÀ-ÿ0-9]")
+from pii_detector_ray.functions.re2compat import RE2_SPACE_CHARS, RE2_WORD
+
+# whitespace class spelled out as RE2's \s (functions/re2compat.py): the
+# _TOKEN_STATS_SQL oracle runs this same alternation under RE2, where \s
+# excludes \x0b and Python's Unicode \s would also swallow NBSP
+_BPE_PIECE = re.compile(
+    "[A-Za-zÀ-ÿ]+|[0-9]+|[^" + RE2_SPACE_CHARS + "A-Za-zÀ-ÿ0-9]")
 
 
 def bpe_ish_token_count(text: str, max_piece_chars: int = 6) -> int:
@@ -35,8 +41,8 @@ def bpe_ish_token_count(text: str, max_piece_chars: int = 6) -> int:
 
 def token_stats_batch(df: pd.DataFrame, text_col: str = 'text') -> pd.DataFrame:
     s = df[text_col].astype('string').fillna('')
-    # (?a): the DuckDB oracle's RE2 \S is ASCII-only; pin Python to match
-    df['n_tokens_ws'] = s.str.count(r'(?a)\S+').astype('int64')
+    # RE2-exact \S+ (re2compat.py): (?a)\S would also treat \x0b as space
+    df['n_tokens_ws'] = s.str.count(RE2_WORD).astype('int64')
     df['n_tokens_bpe'] = np.fromiter((bpe_ish_token_count(t) for t in s),
                                      dtype=np.int64, count=len(s))
     return df

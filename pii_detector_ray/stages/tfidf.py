@@ -92,7 +92,10 @@ def tfidf_top_terms(docs: ray.data.Dataset, k: int = 5,
                     num_partitions: int | None = None) -> ray.data.Dataset:
     """Top-k terms per document by (tf DESC, df ASC, term ASC); columns
     (doc_id, term, tf, df, rank).  Docs with no ASCII terms emit no rows."""
-    df_table = document_frequencies(docs, text_col)
+    # materialize: (term, df) rows only, bounded by vocab — without it the
+    # size-guard count() would run the full doc scan + shuffle and the
+    # take_all()/join below would re-run it (r3 review finding)
+    df_table = document_frequencies(docs, text_col).materialize()
     vocab_size = df_table.count()
 
     if vocab_size <= broadcast_vocab_limit:

@@ -226,3 +226,46 @@ def test_alpha_letter_class_python_vs_re2_bmp_sweep():
     sql_match = got.iloc[:, 0].tolist()
     py_match = [bool(pat.match(c)) for c in chars]
     assert sql_match == py_match
+
+
+def test_vertical_tab_and_nbsp_parity_with_re2():
+    """r3 review: RE2's \\s is [\\t\\n\\f\\r ] — NO \\x0b — and NBSP is a
+    word char in both engines.  Word counts, BPE pieces, quality scores and
+    repetition features must agree with DuckDB on both characters."""
+    import duckdb
+    from pii_detector_ray.queries import (
+        _QUALITY_SCORES_SQL,
+        _REPETITION_STATS_SQL,
+        _TOKEN_STATS_SQL,
+    )
+    from pii_detector_ray.stages.heuristics import heuristics_batch
+    from pii_detector_ray.stages.repetition import FEATURE_COLUMNS, repetition_batch
+    texts = [
+        'a\x0bb c',                       # \x0b: ONE word 'a\x0bb' under RE2
+        'x\xa0y z w',                     # NBSP binds into one word
+        'dup line\n\xa0\ndup line\nother line here',   # NBSP-only line
+        'v\x0bv v\x0bv v\x0bv plain',     # \x0b inside repeated words
+        'normal words repeated normal words repeated. ok.',
+    ]
+    df = pd.DataFrame({'doc_id': range(len(texts)), 'text': texts})
+    con = duckdb.connect()
+    con.register('documents', df)
+
+    py_tok = pd.DataFrame({'doc_id': df.doc_id, 'text': texts})
+    from pii_detector_ray.stages.textstats import token_stats_batch
+    py_tok = token_stats_batch(py_tok)
+    sql_tok = con.execute(_TOKEN_STATS_SQL).df().sort_values('doc_id')
+    assert py_tok['n_tokens_ws'].tolist() == sql_tok['n_tokens_ws'].tolist()
+    assert py_tok['n_tokens_bpe'].tolist() == sql_tok['n_tokens_bpe'].tolist()
+
+    feats = pd.DataFrame({'doc_id': df.doc_id, 'extracted_text': texts})
+    py_q = quality_score_batch(heuristics_batch(feats))
+    sql_q = con.execute(_QUALITY_SCORES_SQL).df().sort_values('doc_id')
+    assert np.allclose(py_q['quality_score'].to_numpy(),
+                       sql_q['quality_score'].to_numpy())
+
+    py_rep = repetition_batch(pd.DataFrame(
+        {'doc_id': df.doc_id, 'text': texts}), text_col='text')
+    sql_rep = con.execute(_REPETITION_STATS_SQL).df().sort_values('doc_id')
+    for c in FEATURE_COLUMNS:
+        assert np.allclose(py_rep[c].to_numpy(), sql_rep[c].to_numpy()), c
