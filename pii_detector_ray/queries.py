@@ -1400,6 +1400,13 @@ def q_term_doc_frequencies(sf_dir: str) -> ray.data.Dataset:
     return out.filter(expr='df >= 10')
 
 
+def q_embedding_pca(sf_dir: str) -> ray.data.Dataset:
+    """Distributed PCA projection of the embeddings table onto its top-8
+    principal components (stages/pca.py; rows-only — no SQL eigensolver)."""
+    from pii_detector_ray.stages.pca import pca_project
+    return pca_project(_embeddings(sf_dir, ['vec_id', 'embedding']), k=8)
+
+
 def q_span_dedup(sf_dir: str) -> ray.data.Dataset:
     """C4 global three-sentence-span dedup (stages/spandedup.py)."""
     from pii_detector_ray.stages.spandedup import span_dedup
@@ -1928,6 +1935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'c4_filtered_docs': q_c4_filtered_docs,
         'ngram_counts': q_ngram_counts,
         'span_dedup': q_span_dedup,
+        'embedding_pca': q_embedding_pca,
         'media_features': q_media_features,
         'media_decode': q_media_decode,
     })

@@ -1,0 +1,59 @@
+"""Distributed PCA: streamed sufficient statistics vs single-process numpy."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from pii_detector_ray.stages.pca import fit_pca, pca_project
+
+
+def _vectors(n=300, d=16, seed=7):
+    rng = np.random.default_rng(seed)
+    # anisotropic cloud: two dominant directions
+    base = rng.normal(size=(d, d))
+    scale = np.array([10.0, 5.0] + [0.5] * (d - 2))
+    x = rng.normal(size=(n, d)) * scale @ base.astype(np.float64).T * 0.1 \
+        + rng.normal(size=d)
+    return x.astype(np.float32)
+
+
+def _ds(x):
+    return ray.data.from_arrow(pa.table({
+        'vec_id': pa.array(range(len(x)), pa.int64()),
+        'embedding': pa.array([row.tolist() for row in x],
+                              pa.list_(pa.float32()))}))
+
+
+def test_fit_matches_numpy_reference():
+    x = _vectors()
+    mean, comps = fit_pca(_ds(x), k=4)
+    xf = x.astype(np.float64)
+    assert np.allclose(mean, xf.mean(axis=0), atol=1e-9)
+    cov = np.cov(xf, rowvar=False)
+    vals, vecs = np.linalg.eigh(cov)
+    ref = vecs[:, ::-1][:, :4].T
+    for row in ref:
+        j = int(np.argmax(np.abs(row)))
+        if row[j] < 0:
+            row *= -1
+    assert np.allclose(comps, ref, atol=1e-8)
+
+
+def test_projection_shape_and_variance_order():
+    x = _vectors()
+    out = pca_project(_ds(x), k=3).to_pandas().sort_values('vec_id')
+    proj = np.stack(out['proj'].to_numpy())
+    assert proj.shape == (len(x), 3)
+    variances = proj.var(axis=0)
+    assert variances[0] >= variances[1] >= variances[2]
+    # centered projection: near-zero means
+    assert np.abs(proj.mean(axis=0)).max() < 1e-2
+
+
+def test_batching_invariance():
+    """Partials summed across many small batches equal one big batch."""
+    x = _vectors(n=257)
+    m1, c1 = fit_pca(_ds(x), k=2)
+    m2, c2 = fit_pca(_ds(x).repartition(13), k=2)
+    assert np.allclose(m1, m2, atol=1e-10)
+    assert np.allclose(c1, c2, atol=1e-8)
