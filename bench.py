@@ -75,7 +75,7 @@ def run_bench() -> dict:
         for name in ['pii_email_counts', 'dedup_exact', 'events_user_stats',
                      'events_hourly', 'similarity_topk', 'token_counts',
                      'scrub_documents', 'events_asof', 'pricing_summary',
-                     'pii_person_counts']:
+                     'pii_person_counts', 'span_dedup', 'tfidf_top_terms']:
             fn = q.queries()[name]
             t0 = time.monotonic()
             res = fn(SF_DIR)

@@ -108,3 +108,71 @@ def test_custom_patterns_fuzz_no_cross_document_leak(texts):
         for sp in spans:
             assert sp.end <= len(t)
             assert '\x00' not in sp.value or '\x00' in t
+
+
+# --- r3 text-operator parity fuzz: Python stage == DuckDB oracle ----------
+
+# BMP text without surrogates or NUL (duckdb strings are NUL-free utf-8);
+# weighted toward whitespace/punct structure so spans/lines/words exercise
+structured = st.text(
+    alphabet=st.sampled_from(list(' \t\v\f\r\n.!?"{}abcDEé9_') + ['\xa0']),
+    max_size=120,
+)
+
+
+def _parity_frame(texts):
+    import pandas as pd
+    return pd.DataFrame({'doc_id': range(len(texts)), 'text': list(texts)})
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(structured, min_size=1, max_size=6))
+def test_fuzz_c4_filter_matches_sql(texts):
+    import duckdb
+    from pii_detector_ray.queries import _C4_FILTER_SQL
+    from pii_detector_ray.stages.c4filter import c4_filter_batch
+    df = _parity_frame(texts)
+    py = c4_filter_batch(df.copy())
+    con = duckdb.connect()
+    con.register('documents', df)
+    sql = con.execute(_C4_FILTER_SQL).df() \
+        .sort_values('doc_id').reset_index(drop=True)
+    assert py['kept'].tolist() == sql['kept'].tolist()
+    assert py['filtered_text'].tolist() == sql['filtered_text'].tolist()
+    assert py['n_sentences'].tolist() == sql['n_sentences'].tolist()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(structured, min_size=1, max_size=6))
+def test_fuzz_repetition_matches_sql(texts):
+    import duckdb
+    import numpy as np
+    from pii_detector_ray.queries import _REPETITION_STATS_SQL
+    from pii_detector_ray.stages.repetition import FEATURE_COLUMNS, repetition_batch
+    df = _parity_frame(texts)
+    py = repetition_batch(df.copy(), text_col='text')
+    con = duckdb.connect()
+    con.register('documents', df)
+    sql = con.execute(_REPETITION_STATS_SQL).df() \
+        .sort_values('doc_id').reset_index(drop=True)
+    for c in FEATURE_COLUMNS:
+        assert np.allclose(py[c].to_numpy(), sql[c].to_numpy()), c
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(structured, min_size=1, max_size=6))
+def test_fuzz_quality_scores_match_sql(texts):
+    import duckdb
+    import numpy as np
+    from pii_detector_ray.queries import _QUALITY_SCORES_SQL
+    from pii_detector_ray.stages.heuristics import heuristics_batch
+    from pii_detector_ray.stages.textstats import quality_score_batch
+    import pandas as pd
+    py = quality_score_batch(heuristics_batch(pd.DataFrame(
+        {'doc_id': range(len(texts)), 'extracted_text': list(texts)})))
+    con = duckdb.connect()
+    con.register('documents', _parity_frame(texts))
+    sql = con.execute(_QUALITY_SCORES_SQL).df() \
+        .sort_values('doc_id').reset_index(drop=True)
+    assert np.allclose(py['quality_score'].to_numpy(),
+                       sql['quality_score'].to_numpy())
