@@ -72,6 +72,10 @@ class PipelineConfig:
     url_include_regex: str | None = None     # filename include classifier (F3)
     url_exclude_regex: str | None = None     # filename exclude classifier (F3)
     url_include_set: list[str] | None = None  # classification include-set (F4)
+    # normalize urls (case/port/fragment/param-order) before the url-keyed
+    # dedup so spelling variants of one page collapse (stages/urlnorm.py);
+    # off by default to preserve the reference's raw-url key contract
+    canonicalize_urls: bool = False
     max_doc_bytes: int | None = 16_000_000   # F8 row-size guard on the html payload
 
     thresholds: QualityThresholds = field(default_factory=QualityThresholds)

@@ -142,6 +142,17 @@ def build_pipeline(
     consumes via write_parquet / iter_batches / aggregate)."""
     cfg = cfg or PipelineConfig()
     ds = ds.map_batches(make_url_filter(cfg), batch_format='pyarrow')
+    if cfg.canonicalize_urls:
+        # after the filters (F1-F4 are contracts on the RAW url), before
+        # extract/dedup so the dedup key is the canonical spelling
+        from pii_detector_ray.stages.urlnorm import canonicalize_url_array
+
+        def canon_inplace(batch: pa.Table) -> pa.Table:
+            idx = batch.schema.get_field_index('url')
+            return batch.set_column(
+                idx, 'url', canonicalize_url_array(batch.column('url')))
+
+        ds = ds.map_batches(canon_inplace, batch_format='pyarrow')
     ds = ds.map_batches(extract_batch, batch_format='pyarrow')
     cols = [c for c in ['url', 'warc_ts', 'lang', 'extracted_text'] ]
     ds = ds.select_columns(cols)

@@ -399,6 +399,66 @@ _URL_FILTER_SQL = (
 )
 
 
+def q_url_canonical(sf_dir: str) -> ray.data.Dataset:
+    """URL canonicalization → canonical-url dedup (normalize-before-dedup for
+    the flagship's url-keyed F stage).  Urls are derived deterministically
+    with every mess the canonicalizer handles (mixed-case scheme/host,
+    explicit :443, unsorted query params, fragments); the groupby then
+    shuffles only the narrow (canonical_url, doc_id) pair — same 100 TB
+    shape as dedup_exact."""
+    from pii_detector_ray.stages.urlnorm import canonicalize_batch
+
+    def mk_urls(batch: pa.Table) -> pa.Table:
+        ids = batch.column('doc_id').to_pylist()
+        srcs = batch.column('source').to_pylist()
+        urls = [('HTTPS' if i % 2 == 0 else 'https') + '://' + s + '.Example.COM'
+                + (':443' if i % 5 == 0 else '') + f'/doc/{i % 50}'
+                + f'?b={i % 7}&a={i % 3}' + ('#sec' if i % 4 == 0 else '')
+                for s, i in zip(srcs, ids)]
+        return pa.table({'doc_id': batch.column('doc_id'),
+                         'url': pa.array(urls, pa.string())})
+
+    return (read_documents(sf_dir, ['doc_id', 'source'])
+            .map_batches(mk_urls, batch_format='pyarrow')
+            .map_batches(canonicalize_batch, batch_format='pyarrow')
+            .select_columns(['doc_id', 'canonical_url'])
+            .groupby('canonical_url')
+            .aggregate(Min('doc_id', alias_name='doc_id'),
+                       Count(alias_name='n_dups')))
+
+
+# The oracle mirrors the canonicalization RULES generically (regex split,
+# conditional port strip, list_sort of query params), not the closed-form
+# canonical string of this derivation — so it actually checks the operator.
+_URL_CANONICAL_SQL = (
+    "WITH urls AS (SELECT doc_id, "
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' || "
+    "source || '.Example.COM' || "
+    "(CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) || "
+    "'/doc/' || (doc_id % 50) || '?b=' || (doc_id % 7) || '&a=' || (doc_id % 3) || "
+    "(CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END) AS url FROM documents), "
+    "nofrag AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u0 FROM urls), "
+    "parts AS (SELECT doc_id, "
+    "lower(regexp_extract(u0, '^([A-Za-z][A-Za-z0-9+.\\-]*)://([^/?#]*)([^#]*)$', 1)) AS scheme, "
+    "lower(regexp_extract(u0, '^([A-Za-z][A-Za-z0-9+.\\-]*)://([^/?#]*)([^#]*)$', 2)) AS auth, "
+    "regexp_extract(u0, '^([A-Za-z][A-Za-z0-9+.\\-]*)://([^/?#]*)([^#]*)$', 3) AS rest "
+    "FROM nofrag), "
+    "noport AS (SELECT doc_id, scheme, rest, "
+    "CASE WHEN scheme = 'https' AND auth LIKE '%:443' THEN regexp_replace(auth, ':443$', '') "
+    "WHEN scheme = 'http' AND auth LIKE '%:80' THEN regexp_replace(auth, ':80$', '') "
+    "ELSE auth END AS auth FROM parts), "
+    "canon AS (SELECT doc_id, scheme || '://' || auth || "
+    "CASE WHEN strpos(rest, '?') > 0 THEN "
+    "CASE WHEN regexp_extract(rest, '^[^?]*\\?(.*)$', 1) = '' "
+    "THEN regexp_extract(rest, '^([^?]*)', 1) "
+    "ELSE regexp_extract(rest, '^([^?]*)', 1) || '?' || "
+    "array_to_string(list_sort(string_split(regexp_extract(rest, '^[^?]*\\?(.*)$', 1), '&')), '&') END "
+    "ELSE rest END AS canonical_url FROM noport) "
+    "SELECT canonical_url, min(doc_id) AS doc_id, count(*) AS n_dups "
+    "FROM canon GROUP BY canonical_url"
+)
+
+
 # ---------------------------------------------------------------------------
 # Events: windowed aggregate (streaming-shaped extension; the reference has
 # no aggregates at all, SURVEY.md §2.9/2.10)
@@ -1882,6 +1942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'dedup_exact': q_dedup_exact,
         'phi_flag': q_phi_flag,
         'url_filter': q_url_filter,
+        'url_canonical': q_url_canonical,
         'events_hourly': q_events_hourly,
         'events_user_stats': q_events_user_stats,
         'events_sessions': q_events_sessions,
@@ -1961,6 +2022,7 @@ def oracle_sql() -> dict[str, str]:
         'phi_flag': (f"SELECT count(*) AS n_phi FROM documents "
                      f"WHERE regexp_matches(text, '(?i){_sql_quote(PHI_PATTERN)}')"),
         'url_filter': _URL_FILTER_SQL,
+        'url_canonical': _URL_CANONICAL_SQL,
         'events_hourly': _EVENTS_HOURLY_SQL,
         'events_user_stats': _EVENTS_USER_SQL,
         'events_sessions': _EVENTS_SESSIONS_SQL,

@@ -1,0 +1,75 @@
+"""URL canonicalization — the normalize-before-dedup step of a web pipeline.
+
+Crawl frontiers see the same page under many spellings: mixed-case scheme or
+host, an explicit default port, a fragment, query parameters in a different
+order.  Canonicalizing before the url-keyed dedup (the flagship's F-stage
+groups by url: ``pipelines/quality_filter.py``) collapses those spellings so
+one fetch survives per logical page.
+
+Rules (each mirrored exactly by the DuckDB oracle in ``queries.py``):
+
+1. strip the fragment (``#`` and everything after);
+2. lowercase the scheme and the authority (host[:port] — urls with userinfo
+   are out of scope and pass through rule 2 unchanged in case only);
+3. drop an explicit default port (``:80`` for http, ``:443`` for https);
+4. sort ``&``-separated query parameters bytewise (full ``k=v`` strings —
+   a stable/unstable sort distinction cannot matter because equal elements
+   are interchangeable), dropping a bare trailing ``?``.
+
+Non-URL strings (no ``scheme://``) pass through unchanged.
+
+Scale shape: rules 1–3 are vectorized Arrow kernels over the column; rule 4
+is the only per-row step (split/sort/join over the query string) and runs
+inside ``map_batches`` on the worker, never on the driver.  The canonical
+column is O(url) bytes, so the downstream dedup shuffles the same narrow
+key it always did.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# scheme "://" authority (ends at /, ? or #) remainder
+# (named groups: pyarrow extract_regex requires them)
+_SPLIT_RE = (r'^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://'
+             r'(?P<auth>[^/?#]*)(?P<rest>[^#]*)$')
+
+_DEFAULT_PORTS = {'http': ':80', 'https': ':443'}
+
+
+def canonicalize_url_array(urls: pa.Array) -> pa.Array:
+    """Canonicalize a string array of urls per the module rules."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    # Rule 1: fragment strip (vectorized). '.' does not match \n, matching
+    # the oracle's regexp_replace(url, '#.*$', '') semantics; urls with
+    # embedded newlines are not urls.
+    u0 = pc.replace_substring_regex(urls, pattern='#.*$', replacement='')
+    parts = pc.extract_regex(u0, _SPLIT_RE)
+    # extract_regex yields null for non-matching rows (no scheme) -> passthrough
+    scheme = pc.utf8_lower(pc.struct_field(parts, 'scheme'))
+    auth = pc.utf8_lower(pc.struct_field(parts, 'auth'))
+    rest = pc.struct_field(parts, 'rest')
+
+    out = []
+    for s, a, r, u in zip(scheme.to_pylist(), auth.to_pylist(),
+                          rest.to_pylist(), u0.to_pylist()):
+        if s is None:
+            out.append(u)
+            continue
+        default = _DEFAULT_PORTS.get(s)
+        if default is not None and a.endswith(default):
+            a = a[: -len(default)]
+        q = r.find('?')
+        if q >= 0:
+            path, query = r[:q], r[q + 1:]
+            r = path + '?' + '&'.join(sorted(query.split('&'))) if query else path
+        out.append(f'{s}://{a}{r}')
+    return pa.array(out, pa.string())
+
+
+def canonicalize_batch(batch: pa.Table, col: str = 'url',
+                       out_col: str = 'canonical_url') -> pa.Table:
+    """map_batches fn: append the canonical form of ``col`` as ``out_col``."""
+    return batch.append_column(out_col, canonicalize_url_array(batch.column(col)))

@@ -1,0 +1,81 @@
+"""URL canonicalization (stages/urlnorm.py): rule-by-rule edge cases plus
+flagship integration (canonical key collapses spelling variants in the
+url dedup)."""
+
+import pyarrow as pa
+import pytest
+
+from pii_detector_ray.stages.urlnorm import (
+    canonicalize_batch,
+    canonicalize_url_array,
+)
+
+
+def canon(u: str) -> str:
+    return canonicalize_url_array(pa.array([u], pa.string()))[0].as_py()
+
+
+@pytest.mark.parametrize('raw,expected', [
+    # case + default port + param sort + fragment, all at once
+    ('HTTPS://Src1.Example.COM:443/doc/5?b=2&a=1#sec',
+     'https://src1.example.com/doc/5?a=1&b=2'),
+    ('http://Host.com:80/x', 'http://host.com/x'),
+    # non-default port survives
+    ('http://host.com:8080/x?z=1&y=2&y=1', 'http://host.com:8080/x?y=1&y=2&z=1'),
+    # :443 is only default for https
+    ('http://host.com:443/x', 'http://host.com:443/x'),
+    # unknown scheme: case-folded, port kept
+    ('ftp://Host.COM:21/file', 'ftp://host.com:21/file'),
+    # bare trailing '?' dropped
+    ('https://h/?', 'https://h/'),
+    # fragment stripped before the query is parsed
+    ('https://h/p?a=1#frag?b=2', 'https://h/p?a=1'),
+    ('https://h#frag', 'https://h'),
+    # path/query case is preserved (only scheme+authority fold)
+    ('https://H/Path?Q=V', 'https://h/Path?Q=V'),
+    # duplicate keys: full k=v strings sort bytewise
+    ('https://h/p?a=2&a=10&a=1', 'https://h/p?a=1&a=10&a=2'),
+    # non-url passthrough (fragment rule still applies to the raw string)
+    ('not a url', 'not a url'),
+    ('', ''),
+])
+def test_canonicalize_rules(raw, expected):
+    assert canon(raw) == expected
+
+
+def test_canonicalize_batch_appends_column():
+    t = pa.table({'url': ['HTTP://A.B:80/x?b=1&a=2', None],
+                  'k': [1, 2]})
+    out = canonicalize_batch(t)
+    assert out.column_names == ['url', 'k', 'canonical_url']
+    vals = out.column('canonical_url').to_pylist()
+    assert vals[0] == 'http://a.b/x?a=2&b=1'
+    assert vals[1] is None
+
+
+def test_flagship_canonical_dedup_collapses_variants(ray_session):
+    """Three spellings of one page -> one survivor when canonicalize_urls
+    is on; three survivors when off."""
+    import ray
+
+    from pii_detector_ray.config import PipelineConfig
+    from pii_detector_ray.pipelines.quality_filter import build_pipeline
+
+    text = 'A perfectly ordinary paragraph of english text for the filter. ' * 8
+    rows = [{'url': u, 'warc_ts': ts, 'html': b'', 'text': text, 'lang': 'en'}
+            for ts, u in [
+                (3, 'https://site.example.com/p?a=1&b=2'),
+                (1, 'HTTPS://Site.Example.COM:443/p?b=2&a=1'),
+                (2, 'https://site.example.com/p?a=1&b=2#top'),
+            ]]
+    ds = ray.data.from_items(rows)
+
+    cfg_on = PipelineConfig(canonicalize_urls=True)
+    out_on = build_pipeline(ds, cfg_on, dedup_urls=True).to_pandas()
+    assert len(out_on) == 1
+    # earliest warc_ts wins, key is the canonical spelling
+    assert out_on['url'].iloc[0] == 'https://site.example.com/p?a=1&b=2'
+
+    out_off = build_pipeline(ray.data.from_items(rows), PipelineConfig(),
+                             dedup_urls=True).to_pandas()
+    assert len(out_off) == 3
