@@ -1224,6 +1224,31 @@ _SOURCE_ANTI_JOIN_SQL = (
 )
 
 
+def q_anti_join_bloom(sf_dir: str) -> ray.data.Dataset:
+    """Bloom-prefiltered EXACT anti-join (stages/bloomjoin.py): the 100 TB
+    shape of the F5 already-scanned filter when the scanned-key side is too
+    big for a closure broadcast.  The broadcast is an m/8-byte bitmap; the
+    verification shuffle carries only bloom-positive rows.  Scanned set
+    here = every doc_id divisible by 3, derived as a Dataset (not a
+    closure set) so the whole build→broadcast→verify path runs."""
+    from pii_detector_ray.stages.bloomjoin import bloom_anti_join
+
+    def only_scanned(batch: pa.Table) -> pa.Table:
+        ids = batch.column('doc_id').to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 3 == 0))
+
+    big = read_documents(sf_dir, ['doc_id', 'source'])
+    keys = (read_documents(sf_dir, ['doc_id'])
+            .map_batches(only_scanned, batch_format='pyarrow'))
+    return bloom_anti_join(big, keys, on='doc_id', m_bits=1 << 16)
+
+
+_ANTI_JOIN_BLOOM_SQL = (
+    "SELECT d.doc_id, d.source FROM documents d "
+    "WHERE d.doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)"
+)
+
+
 def q_top_sources(sf_dir: str) -> pd.DataFrame:
     """Top-5 sources by total chars (sort + limit operators; deterministic
     tiebreak on source name)."""
@@ -1965,6 +1990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'host_quota': q_host_quota,
         'top_sources': q_top_sources,
         'source_anti_join': q_source_anti_join,
+        'anti_join_bloom': q_anti_join_bloom,
         'sample_documents': q_sample_documents,
         'scan_table_columns': q_scan_table_columns,
         'db_column_scan': q_db_column_scan,
@@ -2045,6 +2071,7 @@ def oracle_sql() -> dict[str, str]:
         'host_quota': _HOST_QUOTA_SQL,
         'top_sources': _TOP_SOURCES_SQL,
         'source_anti_join': _SOURCE_ANTI_JOIN_SQL,
+        'anti_join_bloom': _ANTI_JOIN_BLOOM_SQL,
         'sample_documents': _SAMPLE_SQL,
         'scan_table_columns': _SCAN_COLUMNS_SQL.replace(
             '{expr}', SQL_AUG_EXPR).replace(

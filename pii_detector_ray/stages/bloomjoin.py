@@ -1,0 +1,155 @@
+"""Bloom-filter anti/semi-join — the 100 TB shape for "drop already-scanned
+keys" (reference F5 resume semantics, ``base_scan_service.py:379,442-447``).
+
+The exact broadcast anti-join (``queries.q_source_anti_join``) carries the
+full key set in the task closure — right when the set is tiny.  When the
+scanned-key side is millions of urls, broadcasting the raw keys reships
+hundreds of MB to every task.  The bloom path keeps the broadcast at
+``m_bits/8`` bytes (12 MB for 10M keys at 10 bits/key) and stays EXACT:
+
+1. build: one partial bloom bitmap per input *block* of the key dataset
+   (``np.bitwise_or.at`` over vectorized double-hash indices), OR-merged on
+   the driver — driver traffic is block-count-, never row-count-,
+   proportional (same sufficient-statistics shape as ``stages/pca.py``);
+2. prefilter: ``ray.put`` the merged bitmap once; every task tests its rows
+   vectorized.  Bloom-NEGATIVE rows are definitely absent → kept (for an
+   anti-join) with no further work.  That is the common case: the filter
+   touches every row but only false-positive-rate of the non-members go on;
+3. verify: only bloom-POSITIVE rows (true members + ~fp_rate of the rest)
+   enter the exact hash-partitioned semi-join against the key dataset, so
+   the one shuffle carries a small fraction of the big side — and the final
+   result is exactly the anti-join, independent of the false-positive rate.
+
+Hashing: a splitmix64-style avalanche over the key bytes' FNV-1a fold, all
+vectorized uint64 numpy (wrapping arithmetic); k indices via double hashing
+``h1 + i*h2 (mod m)``.  Deterministic across processes — no PYTHONHASHSEED
+dependence.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _splitmix(h: np.ndarray, salt: int) -> np.ndarray:
+    h = (h + np.uint64(salt)).astype(np.uint64)
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h
+
+
+def _key_hash64(keys: pa.Array) -> np.ndarray:
+    """Vectorized uint64 hash of a string or integer key column."""
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    if pa.types.is_integer(keys.type):
+        base = keys.to_numpy(zero_copy_only=False).astype(np.uint64)
+    else:
+        # FNV-1a over utf8 bytes, vectorized per position over the padded
+        # byte matrix (max key length × n): fine for url/host-length keys
+        s = pc.cast(keys, pa.string())
+        np_s = s.to_numpy(zero_copy_only=False)
+        bytes_list = [x.encode('utf-8') if x is not None else b'' for x in np_s]
+        maxlen = max((len(b) for b in bytes_list), default=1) or 1
+        mat = np.zeros((len(bytes_list), maxlen), dtype=np.uint8)
+        lens = np.array([len(b) for b in bytes_list], dtype=np.int64)
+        for i, b in enumerate(bytes_list):
+            mat[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+        base = np.full(len(bytes_list), _FNV_OFFSET, dtype=np.uint64)
+        for j in range(maxlen):
+            active = lens > j
+            base[active] = (base[active] ^ mat[active, j].astype(np.uint64)) * _FNV_PRIME
+    return _splitmix(base, 0x9E3779B97F4A7C15)
+
+
+def _bloom_positions(h64: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing."""
+    h1 = _splitmix(h64, 0xD6E8FEB86659FD93)
+    h2 = _splitmix(h64, 0xA5A5A5A5A5A5A5A5) | np.uint64(1)   # odd → full cycle
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits))
+
+
+def build_bloom(keys_ds: ray.data.Dataset, key_col: str,
+                m_bits: int = 1 << 20, k: int = 4) -> np.ndarray:
+    """OR-merged bloom bitmap (uint8 array of m_bits/8 bytes) of a key
+    dataset.  One bitmap row per block reaches the driver."""
+    assert m_bits % 8 == 0
+
+    def block_bloom(batch: pa.Table) -> pa.Table:
+        pos = _bloom_positions(_key_hash64(batch.column(key_col)), m_bits, k)
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        flat = pos.reshape(-1)
+        np.bitwise_or.at(bits, (flat >> np.uint64(3)).astype(np.int64),
+                         (np.uint8(1) << (flat & np.uint64(7)).astype(np.uint8)))
+        return pa.table({'bloom': pa.array([bits.tobytes()], pa.binary())})
+
+    merged = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in keys_ds.select_columns([key_col]) \
+                      .map_batches(block_bloom, batch_format='pyarrow') \
+                      .iter_rows():
+        merged |= np.frombuffer(row['bloom'], dtype=np.uint8)
+    return merged
+
+
+def bloom_contains(bits: np.ndarray, keys: pa.Array, k: int) -> np.ndarray:
+    """Vectorized membership test (boolean array; True = POSSIBLY present)."""
+    m_bits = len(bits) * 8
+    pos = _bloom_positions(_key_hash64(keys), m_bits, k)
+    byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+    bit = (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+    return ((byte & bit) != 0).all(axis=1)
+
+
+def bloom_anti_join(big: ray.data.Dataset, keys_ds: ray.data.Dataset,
+                    on: str, *, m_bits: int = 1 << 20, k: int = 4,
+                    num_partitions: int | None = None) -> ray.data.Dataset:
+    """EXACT ``big ANTI JOIN keys_ds ON big[on] = keys_ds[on]`` with a bloom
+    prefilter so the verification shuffle carries only bloom-positive rows.
+
+    Returns ``big``'s schema unchanged.  ``keys_ds`` must have unique keys
+    (dedup first if not — only membership matters)."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks, join_partitions
+
+    bits_ref = ray.put(build_bloom(keys_ds, on, m_bits=m_bits, k=k))
+
+    def split(flag: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            mask = bloom_contains(ray.get(bits_ref), batch.column(on), k)
+            return batch.filter(pa.array(mask if flag else ~mask))
+        return f
+
+    negatives = big.map_batches(split(False), batch_format='pyarrow')
+    candidates = big.map_batches(split(True), batch_format='pyarrow')
+
+    # exact verification of the candidates: LEFT join on the key against the
+    # (narrow, marker-tagged) key set, keep unmatched = true non-members
+    marker = keys_ds.select_columns([on]).map_batches(
+        lambda b: b.append_column('_in_set', pa.array([True] * len(b))),
+        batch_format='pyarrow')
+    candidates = drop_empty_blocks(candidates)
+    marker = drop_empty_blocks(marker)
+    if candidates.count() == 0:
+        return negatives
+    nparts = num_partitions or join_partitions()
+    joined = candidates.join(marker, join_type='left_outer',
+                             num_partitions=nparts, on=(on,))
+    cols = [f.name for f in (big.schema().base_schema)]
+
+    def keep_unmatched(batch: pa.Table) -> pa.Table:
+        out = batch.filter(pc.is_null(batch.column('_in_set')))
+        return out.select(cols)
+
+    survivors = joined.map_batches(keep_unmatched, batch_format='pyarrow')
+    return negatives.union(drop_empty_blocks(survivors))
