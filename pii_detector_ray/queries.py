@@ -594,6 +594,38 @@ _EVENT_DELTAS_SQL = (
 )
 
 
+def q_user_cumulative(sf_dir: str) -> ray.data.Dataset:
+    """Running-total window (sum OVER ROWS UNBOUNDED PRECEDING): per event,
+    the user's cumulative spend so far in (ts, event_id) order.  Value is
+    converted to integer cents (DuckDB half-away rounding,
+    functions/rounding.py) so the distributed re-association is exact;
+    mega-users route through the day-bucketed salted variant
+    (stages/skew.py, VERDICT r2 #4 pattern)."""
+    from pii_detector_ray.stages.skew import cumulative_sum
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = batch.column('value').to_numpy(zero_copy_only=False)
+        cents = sql_round_np(v * 100.0, 0).astype(np.int64)
+        return pa.table({'user_id': batch.column('user_id'),
+                         'event_id': batch.column('event_id'),
+                         'ts': batch.column('ts'),
+                         'cents': pa.array(cents, pa.int64())})
+
+    ds = _events(sf_dir, ['user_id', 'event_id', 'ts', 'value']) \
+        .map_batches(to_cents, batch_format='pyarrow')
+    return cumulative_sum(ds, val_col='cents',
+                          hot_key_threshold=_events_hot_threshold(sf_dir))
+
+
+_USER_CUMULATIVE_SQL = (
+    'SELECT event_id, sum(cents) OVER '
+    '(PARTITION BY user_id ORDER BY epoch_us(ts), event_id '
+    'ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cents FROM '
+    '(SELECT user_id, event_id, ts, round(value * 100)::BIGINT AS cents '
+    'FROM events)'
+)
+
+
 def q_price_quantiles(sf_dir: str) -> pd.DataFrame:
     """EXACT continuous quantiles of o_totalprice via distributed
     histogram-refinement order statistics (stages/sketches.py — no global
@@ -1983,6 +2015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'source_lang_rollup': q_source_lang_rollup,
         'events_pivot': q_events_pivot,
         'event_deltas': q_event_deltas,
+        'user_cumulative': q_user_cumulative,
         'price_quantiles': q_price_quantiles,
         'similarity_topk': q_similarity_topk,
         'word_stats': q_word_stats,
@@ -2064,6 +2097,7 @@ def oracle_sql() -> dict[str, str]:
         'source_lang_rollup': _ROLLUP_SQL,
         'events_pivot': _EVENTS_PIVOT_SQL,
         'event_deltas': _EVENT_DELTAS_SQL,
+        'user_cumulative': _USER_CUMULATIVE_SQL,
         'price_quantiles': _PRICE_QUANTILES_SQL,
         'similarity_topk': _SIMILARITY_SQL,
         'word_stats': _WORD_STATS_SQL,

@@ -450,3 +450,112 @@ def asof_join_salted(left: ray.data.Dataset, right: ray.data.Dataset, *,
 
     return tagged_l.union(tagged_r, carries) \
         .groupby([by, '_bucket']).map_groups(merge, batch_format='pandas')
+
+
+# ---------------------------------------------------------------------------
+# Running-total window (sum ... OVER (PARTITION BY key ORDER BY ts, id
+# ROWS UNBOUNDED PRECEDING)) with the same mega-key salting as event_deltas.
+# Integer value column so distributed re-association is exact (callers
+# convert currency to cents with functions/rounding before this stage).
+# ---------------------------------------------------------------------------
+
+def cumulative_sum(ds: ray.data.Dataset, *, val_col: str,
+                   hot_key_threshold: int | None = 1_000_000,
+                   bucket_us: int = DEFAULT_BUCKET_US) -> ray.data.Dataset:
+    """Per event, the running total of ``val_col`` (int64) over the user's
+    events up to and including it in (ts, event_id) order.  Input columns:
+    user_id, event_id, ts, ``val_col``.  Output: event_id, cum_<val_col>.
+
+    Plain path: one per-user ``map_groups`` (sort + cumsum).  Mega-keys
+    route through :func:`cumulative_sum_salted`: per-(user, day-bucket)
+    local cumsums, a BOUNDED per-user pass over one summary row per bucket
+    to compute exclusive bucket offsets, and a co-partitioned join adding
+    the offset back — no task ever holds more than one bucket of one user.
+    """
+    out_col = f'cum_{val_col}'
+    hot_parts, (ds,) = split_hot([ds], 'user_id', hot_key_threshold)
+    salted = None
+    if hot_parts is not None:
+        salted = cumulative_sum_salted(hot_parts[0], val_col=val_col,
+                                       bucket_us=bucket_us)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({'user_id': t.column('user_id'),
+                         'event_id': t.column('event_id'),
+                         '_ts': pc.cast(t.column('ts'), pa.int64()),
+                         val_col: pc.cast(t.column(val_col), pa.int64())})
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['_ts', 'event_id'], kind='mergesort')
+        return pd.DataFrame({
+            'event_id': g['event_id'].astype('int64'),
+            out_col: g[val_col].to_numpy(np.int64).cumsum()})
+
+    plain = (ds.map_batches(prep, batch_format='pyarrow')
+             .groupby('user_id').map_groups(cum, batch_format='pandas'))
+    return plain.union(salted) if salted is not None else plain
+
+
+def cumulative_sum_salted(ds: ray.data.Dataset, *, val_col: str,
+                          bucket_us: int = DEFAULT_BUCKET_US
+                          ) -> ray.data.Dataset:
+    """Exact running totals with bounded per-task memory (see
+    :func:`cumulative_sum`)."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks, join_partitions
+    out_col = f'cum_{val_col}'
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column('ts'), pa.int64())
+        return pa.table({'user_id': t.column('user_id'),
+                         'event_id': t.column('event_id'), '_ts': ts,
+                         val_col: pc.cast(t.column(val_col), pa.int64()),
+                         '_bucket': pc.divide(ts, bucket_us)})
+
+    # each group emits its local cumsum rows (_tag=0) plus ONE summary row
+    # (_tag=1, _local = bucket total) — the event_deltas tagged-row shape,
+    # so no second shuffle of output-sized rows is needed to get totals
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['_ts', 'event_id'], kind='mergesort')
+        v = g[val_col].to_numpy(np.int64).cumsum()
+        out = pd.DataFrame({
+            'user_id': g['user_id'].astype('int64'),
+            '_bucket': g['_bucket'].astype('int64'),
+            'event_id': g['event_id'].astype('int64'),
+            '_local': v, '_tag': np.int64(0)})
+        summ = pd.DataFrame({'user_id': [int(g['user_id'].iloc[0])],
+                             '_bucket': [int(g['_bucket'].iloc[0])],
+                             'event_id': [np.int64(-1)],
+                             '_local': [v[-1]], '_tag': [np.int64(1)]})
+        return pd.concat([out, summ], ignore_index=True)
+
+    local = ds.map_batches(prep, batch_format='pyarrow') \
+        .groupby(['user_id', '_bucket']) \
+        .map_groups(per_bucket, batch_format='pandas')
+
+    def offsets(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values('_bucket', kind='mergesort')
+        tot = g['_local'].to_numpy(np.int64)
+        off = np.concatenate(([np.int64(0)], tot.cumsum()[:-1]))
+        return pd.DataFrame({'user_id': g['user_id'].astype('int64'),
+                             '_bucket': g['_bucket'].astype('int64'),
+                             '_off': off})
+
+    # summaries are one narrow row per (user, bucket) — bounded per task
+    offs = local.filter(expr='_tag == 1') \
+        .select_columns(['user_id', '_bucket', '_local']) \
+        .groupby('user_id').map_groups(offsets, batch_format='pandas')
+
+    nparts = join_partitions()
+    joined = drop_empty_blocks(
+        local.filter(expr='_tag == 0')
+             .select_columns(['user_id', '_bucket', 'event_id', '_local'])
+    ).join(
+        drop_empty_blocks(offs), join_type='inner',
+        num_partitions=nparts, on=('user_id', '_bucket'))
+
+    def add_off(t: pa.Table) -> pa.Table:
+        return pa.table({
+            'event_id': t.column('event_id'),
+            out_col: pc.add(t.column('_local'), t.column('_off'))})
+
+    return joined.map_batches(add_off, batch_format='pyarrow')

@@ -217,3 +217,36 @@ def test_quota_per_key_hot_key_two_phase(ray_session):
             .groupby('k', sort=True).head(7)
             .sort_values(['k', 'ord']).reset_index(drop=True))
     assert got.equals(want)
+
+
+def _with_cents(ds):
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = t.column('value').to_numpy(zero_copy_only=False)
+        return pa.table({'user_id': t.column('user_id'),
+                         'event_id': t.column('event_id'),
+                         'ts': t.column('ts'),
+                         'cents': pa.array((v * 100).round().astype('int64'))})
+    return ds.map_batches(to_cents, batch_format='pyarrow')
+
+
+def test_cumulative_sum_salted_equals_plain():
+    ds = _with_cents(_events_ds(mega_user=99, mega_n=2500))
+    plain = skew.cumulative_sum(ds, val_col='cents',
+                                hot_key_threshold=None).to_pandas()
+    routed = skew.cumulative_sum(ds, val_col='cents',
+                                 hot_key_threshold=800).to_pandas()
+    salted_only = skew.cumulative_sum_salted(ds, val_col='cents').to_pandas()
+    key = ['event_id']
+    assert _sorted(plain, key).equals(_sorted(routed, key))
+    assert _sorted(plain, key).equals(_sorted(salted_only, key))
+
+
+def test_cumulative_sum_serial_reference():
+    ds = _with_cents(_events_ds(n_users=4, seed=11))
+    got = _sorted(skew.cumulative_sum(ds, val_col='cents',
+                                      hot_key_threshold=None).to_pandas(),
+                  ['event_id'])
+    df = ds.to_pandas().sort_values(['user_id', 'ts', 'event_id'])
+    df['cum_cents'] = df.groupby('user_id')['cents'].cumsum()
+    exp = _sorted(df[['event_id', 'cum_cents']], ['event_id'])
+    assert got.equals(exp.reset_index(drop=True))
