@@ -767,6 +767,42 @@ _USER_MEDIAN_SQL = (
 )
 
 
+def q_host_p95(sf_dir: str) -> ray.data.Dataset:
+    """Per-group EXACT 95th percentile (quantile_disc semantics) of doc
+    length — the scale path the median docstring defers to: per-batch
+    (source, n_chars) value-counts, so the shuffle carries one int row per
+    distinct (group, value) per batch instead of raw rows; the per-group
+    pick then walks cumulative counts for the ceil(0.95·n)-th smallest
+    (integer rational arithmetic — no float index off-by-one)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({'source': batch.column('source'),
+                      'n_chars': batch.column('n_chars')})
+        agg = t.group_by(['source', 'n_chars']).aggregate([([], 'count_all')])
+        return agg.rename_columns(['source', 'n_chars', '_n'])
+
+    counts = (read_documents(sf_dir, ['source', 'n_chars'])
+              .map_batches(partial, batch_format='pyarrow')
+              .groupby(['source', 'n_chars'])
+              .aggregate(Sum('_n', alias_name='_n')))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values('n_chars', kind='mergesort')
+        n = int(g['_n'].sum())
+        k = -((-n * 19) // 20)            # ceil(0.95 n), exactly
+        cum = g['_n'].cumsum()
+        v = int(g.loc[cum >= k, 'n_chars'].iloc[0])
+        return pd.DataFrame({'source': [g['source'].iloc[0]],
+                             'p95_chars': [np.int64(v)]})
+
+    return counts.groupby('source').map_groups(pick, batch_format='pandas')
+
+
+_HOST_P95_SQL = (
+    'SELECT source, quantile_disc(n_chars, 0.95)::BIGINT AS p95_chars '
+    'FROM documents GROUP BY source'
+)
+
+
 def q_distinct_users(sf_dir: str) -> ray.data.Dataset:
     """Exact distinct-count per event_type, two-phase: per-batch dedupe of
     (event_type, user_id) pairs first, then a groupby over the already-
@@ -2010,6 +2046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'nation_revenue': q_nation_revenue,
         'stratified_sample': q_stratified_sample,
         'user_value_median': q_user_value_median,
+        'host_p95': q_host_p95,
         'distinct_users': q_distinct_users,
         'frequent_users': q_frequent_users,
         'source_lang_rollup': q_source_lang_rollup,
@@ -2092,6 +2129,7 @@ def oracle_sql() -> dict[str, str]:
         'nation_revenue': _NATION_REVENUE_SQL,
         'stratified_sample': _STRATIFIED_SQL,
         'user_value_median': _USER_MEDIAN_SQL,
+        'host_p95': _HOST_P95_SQL,
         'distinct_users': _DISTINCT_USERS_SQL,
         'frequent_users': _FREQUENT_USERS_SQL,
         'source_lang_rollup': _ROLLUP_SQL,
