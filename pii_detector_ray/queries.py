@@ -803,6 +803,18 @@ _HOST_P95_SQL = (
 )
 
 
+def q_approx_distinct_hll(sf_dir: str) -> ray.data.Dataset:
+    """HyperLogLog per-type distinct users — the bounded-state scale path
+    beside the exact q_distinct_users: one 2^12-byte register row per
+    (type, batch) crosses the shuffle regardless of cardinality; the
+    deterministic hash makes the estimate parallelism-invariant (same
+    answer at 8 and 32 CPUs).  Rows-only driver check (approximate by
+    design; tolerance vs exact asserted in tests/test_hll.py)."""
+    from pii_detector_ray.stages.sketches import hll_distinct_by
+    return hll_distinct_by(_events(sf_dir, ['event_type', 'user_id']),
+                           'event_type', 'user_id', p=12)
+
+
 def q_distinct_users(sf_dir: str) -> ray.data.Dataset:
     """Exact distinct-count per event_type, two-phase: per-batch dedupe of
     (event_type, user_id) pairs first, then a groupby over the already-
@@ -2083,6 +2095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'similarity_ann_sharded': q_similarity_ann_sharded,
         'similarity_ivf': q_similarity_ivf,
         'similarity_ivf_sharded': q_similarity_ivf_sharded,
+        'approx_distinct_hll': q_approx_distinct_hll,
         'doc_fingerprints': q_doc_fingerprints,
         'token_stats': q_token_stats,
         'quality_scores': q_quality_scores,

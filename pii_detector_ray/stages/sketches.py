@@ -25,6 +25,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import numpy as np
+
 import ray.data
 from ray.data.aggregate import Max, Sum
 
@@ -224,3 +226,102 @@ def heavy_hitters(ds: ray.data.Dataset, col: str, k: int = 10,
     counts = (ds.map_batches(exact, batch_format='pyarrow')
               .groupby(col).aggregate(Sum('_n', alias_name='n')))
     return counts.sort(['n', col], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch — the approximate scale path beside the
+# exact two-phase distinct (queries.q_distinct_users).  At 10^12 rows the
+# exact path's shuffle state is one row per distinct (key, value) per
+# batch; HLL replaces it with a fixed 2^p-byte register array per batch
+# (per group), merged by elementwise max — bounded state at ANY
+# cardinality.  The hash (stages/bloomjoin splitmix64/FNV) is
+# deterministic, so the estimate is batching- and parallelism-INVARIANT:
+# the same input gives the same answer at 8 and 32 CPUs (tested), the
+# sketch only trades accuracy (~1.04/sqrt(2^p), 1.6% at p=12) for state.
+# ---------------------------------------------------------------------------
+
+def _hll_registers(values: pa.Array, p: int) -> np.ndarray:
+    """uint8 register array of size 2^p for one batch of values."""
+    from pii_detector_ray.stages.bloomjoin import _key_hash64
+    h = _key_hash64(values)
+    m = 1 << p
+    idx = (h & np.uint64(m - 1)).astype(np.int64)
+    w = h >> np.uint64(p)
+    # rank = leading-zero count of the (64-p)-bit remainder + 1; w==0 → 64-p+1
+    nbits = 64 - p
+    rank = np.full(len(h), nbits + 1, dtype=np.uint8)
+    nz = w != 0
+    # floor(log2(w)) = frexp exponent - 1, EXACT for w < 2^53 (np.log2
+    # can round up at 2^k - eps boundaries; frexp cannot)
+    top = np.frexp(w[nz].astype(np.float64))[1].astype(np.int64) - 1
+    rank[nz] = (nbits - 1 - top + 1).astype(np.uint8)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)          # linear-counting correction
+    return float(est)
+
+
+def hll_distinct(ds: ray.data.Dataset, col: str, p: int = 12) -> int:
+    """Approximate global distinct count of ``col``.  One 2^p-byte register
+    row per block reaches the driver (block-count-proportional, like
+    stages/pca.py sufficient statistics)."""
+    def block_regs(batch: pa.Table) -> pa.Table:
+        regs = _hll_registers(batch.column(col), p)
+        return pa.table({'regs': pa.array([regs.tobytes()], pa.binary())})
+
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for row in ds.select_columns([col]) \
+                 .map_batches(block_regs, batch_format='pyarrow').iter_rows():
+        np.maximum(merged, np.frombuffer(row['regs'], dtype=np.uint8),
+                   out=merged)
+    return int(round(_hll_estimate(merged)))
+
+
+def hll_distinct_by(ds: ray.data.Dataset, key_col: str, col: str,
+                    p: int = 12) -> ray.data.Dataset:
+    """Approximate distinct count of ``col`` per ``key_col``: per-batch
+    per-group register rows (one 2^p-byte row per group per batch), a
+    groupby max-merge per group, estimate in the group task.  Output:
+    (key_col, approx_distinct)."""
+    def batch_regs(batch: pa.Table) -> pa.Table:
+        keys_out, regs_out = [], []
+        tbl = pa.table({key_col: batch.column(key_col),
+                        col: batch.column(col)})
+        # per-group slices via sort + run-length split (vectorized hash per
+        # group happens inside _hll_registers)
+        tbl = tbl.sort_by(key_col)
+        keys = tbl.column(key_col)
+        np_keys = keys.to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(np.concatenate(
+            ([True], np_keys[1:] != np_keys[:-1], [True])))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            keys_out.append(np_keys[s])
+            regs_out.append(_hll_registers(tbl.column(col).slice(s, e - s),
+                                           p).tobytes())
+        return pa.table({key_col: pa.array(keys_out, keys.type),
+                         '_regs': pa.array(regs_out, pa.binary())})
+
+    def merge_group(g) -> 'pa.Table':
+        import pandas as pd
+        merged = np.zeros(1 << p, dtype=np.uint8)
+        for b in g['_regs']:
+            np.maximum(merged, np.frombuffer(b, dtype=np.uint8), out=merged)
+        return pd.DataFrame({key_col: [g[key_col].iloc[0]],
+                             'approx_distinct': [np.int64(round(_hll_estimate(merged)))]})
+
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    out = (ds.select_columns([key_col, col])
+           .map_batches(batch_regs, batch_format='pyarrow')
+           .groupby(key_col).map_groups(merge_group, batch_format='pandas'))
+    # normalize the schema-less empty blocks map_groups can emit (tiny
+    # result: one row per group)
+    return drop_empty_blocks(out)

@@ -1,0 +1,63 @@
+"""HyperLogLog sketch (stages/sketches.py): accuracy vs exact distinct,
+batching/parallelism invariance (deterministic hash + max-merge), and the
+per-group variant."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from pii_detector_ray.stages.sketches import (
+    _hll_estimate,
+    _hll_registers,
+    hll_distinct,
+    hll_distinct_by,
+)
+
+
+@pytest.mark.parametrize('true_n', [100, 1_000, 20_000])
+def test_estimate_within_tolerance(true_n):
+    vals = pa.array([f'user-{i}' for i in range(true_n)])
+    est = _hll_estimate(_hll_registers(vals, 12))
+    # 1.04/sqrt(4096) ~ 1.6% std error; 5 sigma bound
+    assert abs(est - true_n) / true_n < 0.08
+
+
+def test_registers_merge_equals_whole():
+    vals = [f'v{i % 700}' for i in range(3000)]
+    whole = _hll_registers(pa.array(vals), 10)
+    a = _hll_registers(pa.array(vals[:1000]), 10)
+    b = _hll_registers(pa.array(vals[1000:]), 10)
+    assert np.array_equal(np.maximum(a, b), whole)
+
+
+def test_duplicates_do_not_inflate():
+    uniq = pa.array([f'u{i}' for i in range(500)])
+    dup = pa.array([f'u{i % 500}' for i in range(50_000)])
+    assert _hll_estimate(_hll_registers(uniq, 12)) == \
+        _hll_estimate(_hll_registers(dup, 12))
+
+
+def test_hll_distinct_batching_invariant(ray_session):
+    rows = [{'k': int(x)} for x in
+            np.random.default_rng(3).integers(0, 5000, size=20_000)]
+    e1 = hll_distinct(ray.data.from_items(rows).repartition(2), 'k')
+    e2 = hll_distinct(ray.data.from_items(rows).repartition(13), 'k')
+    exact = len({r['k'] for r in rows})
+    assert e1 == e2
+    assert abs(e1 - exact) / exact < 0.08
+
+
+def test_hll_distinct_by_matches_per_group_exact(ray_session):
+    rng = np.random.default_rng(9)
+    rows = [{'g': f'g{int(x) % 3}', 'v': int(y)}
+            for x, y in zip(rng.integers(0, 3, 9000),
+                            rng.integers(0, 800, 9000))]
+    out = {r['g']: r['approx_distinct']
+           for r in hll_distinct_by(
+               ray.data.from_items(rows).repartition(7), 'g', 'v').take_all()}
+    for g in ('g0', 'g1', 'g2'):
+        exact = len({r['v'] for r in rows if r['g'] == g})
+        assert abs(out[g] - exact) / exact < 0.08
