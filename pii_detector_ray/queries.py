@@ -39,6 +39,7 @@ from pii_detector_ray.sources.pqread import read_parquet_clean
 from pii_detector_ray.functions.masking import PHI_PATTERN, mask_data
 from pii_detector_ray.functions.re2compat import (
     RE2_NONSPACE as _RE2_NONSPACE,
+    RE2_SPACE_CHARS as _RE2_SPACE_CHARS,
     RE2_WORD as _RE2_WORD,
 )
 from pii_detector_ray.functions.rounding import (
@@ -813,6 +814,71 @@ def q_approx_distinct_hll(sf_dir: str) -> ray.data.Dataset:
     from pii_detector_ray.stages.sketches import hll_distinct_by
     return hll_distinct_by(_events(sf_dir, ['event_type', 'user_id']),
                            'event_type', 'user_id', p=12)
+
+
+def q_normalize_text(sf_dir: str) -> ray.data.Dataset:
+    """Unicode text normalization (the canonical pre-tokenization cleanup of
+    a training-data pipeline): NFC composition + RE2-space run collapse +
+    edge trim, per document.  Pure per-row string work inside map_batches
+    (unicodedata has no vectorized form); at 100 TB this is the same
+    embarrassingly-parallel shape as the scrub stage.  Oracle mirrors each
+    step (nfc_normalize / regexp_replace 'g' / trim)."""
+    import unicodedata
+    ws = re.compile('[' + _RE2_SPACE_CHARS + ']+')
+
+    def norm(batch: pa.Table) -> pa.Table:
+        out = [ws.sub(' ', unicodedata.normalize('NFC', t or '')).strip(' ')
+               for t in batch.column('text').to_pylist()]
+        return pa.table({'doc_id': batch.column('doc_id'),
+                         'norm_text': pa.array(out, pa.string())})
+
+    return read_documents(sf_dir, ['doc_id', 'text']) \
+        .map_batches(norm, batch_format='pyarrow')
+
+
+_NORMALIZE_TEXT_SQL = (
+    "SELECT doc_id, trim(regexp_replace(nfc_normalize(text), "
+    "'[ \\t\\n\\r\\f]+', ' ', 'g'), ' ') AS norm_text FROM documents"
+)
+
+
+def q_customer_order_counts(sf_dir: str) -> ray.data.Dataset:
+    """LEFT OUTER join breadth (§2.8): order count per customer INCLUDING
+    zero-order customers.  Scale shape: orders pre-aggregate to one narrow
+    (custkey, n) row per key per batch before the shuffle, then customers
+    left-join the small counts table and nulls become 0 — raw orders never
+    cross the join."""
+    import os
+
+    from pii_detector_ray.stages.dedup import drop_empty_blocks, join_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = pa.table({'c_custkey': batch.column('o_custkey')}) \
+            .group_by('c_custkey').aggregate([([], 'count_all')])
+        return agg.rename_columns(['c_custkey', '_n'])
+
+    counts = (read_parquet_clean(os.path.join(sf_dir, 'orders.parquet'),
+                                 columns=['o_custkey'])
+              .map_batches(partial, batch_format='pyarrow')
+              .groupby('c_custkey').aggregate(Sum('_n', alias_name='_n')))
+    cust = read_parquet_clean(os.path.join(sf_dir, 'customer.parquet'),
+                              columns=['c_custkey'])
+    joined = cust.join(drop_empty_blocks(counts), join_type='left_outer',
+                       num_partitions=join_partitions(), on=('c_custkey',))
+
+    def fill(batch: pa.Table) -> pa.Table:
+        n = pc.coalesce(batch.column('_n'), pa.scalar(0, pa.int64()))
+        return pa.table({'c_custkey': batch.column('c_custkey'),
+                         'n_orders': pc.cast(n, pa.int64())})
+
+    return joined.map_batches(fill, batch_format='pyarrow')
+
+
+_CUSTOMER_ORDER_COUNTS_SQL = (
+    'SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS n_orders '
+    'FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey '
+    'GROUP BY c.c_custkey'
+)
 
 
 def q_distinct_users(sf_dir: str) -> ray.data.Dataset:
@@ -2059,6 +2125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'stratified_sample': q_stratified_sample,
         'user_value_median': q_user_value_median,
         'host_p95': q_host_p95,
+        'customer_order_counts': q_customer_order_counts,
+        'normalize_text': q_normalize_text,
         'distinct_users': q_distinct_users,
         'frequent_users': q_frequent_users,
         'source_lang_rollup': q_source_lang_rollup,
@@ -2143,6 +2211,8 @@ def oracle_sql() -> dict[str, str]:
         'stratified_sample': _STRATIFIED_SQL,
         'user_value_median': _USER_MEDIAN_SQL,
         'host_p95': _HOST_P95_SQL,
+        'customer_order_counts': _CUSTOMER_ORDER_COUNTS_SQL,
+        'normalize_text': _NORMALIZE_TEXT_SQL,
         'distinct_users': _DISTINCT_USERS_SQL,
         'frequent_users': _FREQUENT_USERS_SQL,
         'source_lang_rollup': _ROLLUP_SQL,
