@@ -816,6 +816,51 @@ def q_approx_distinct_hll(sf_dir: str) -> ray.data.Dataset:
                            'event_type', 'user_id', p=12)
 
 
+def q_value_hour_corr(sf_dir: str) -> pd.DataFrame:
+    """Distributed Pearson correlation per event_type via sufficient
+    statistics: each batch ships ONE (type, n, Σx, Σy, Σxx, Σyy, Σxy) row
+    (the stages/pca.py shape), exact driver-side combine.  x = hour of day
+    (0–23, small magnitude so the naive-sums formula is numerically safe —
+    epoch-scale x would cancel catastrophically), y = value.  round(4) on
+    both sides absorbs summation-order float jitter."""
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column('ts'), pa.int64()).to_numpy()
+        x = ((ts // 3_600_000_000) % 24).astype(np.float64)
+        y = batch.column('value').to_numpy(zero_copy_only=False)
+        t = pa.table({
+            'event_type': batch.column('event_type'),
+            '_n': pa.array(np.ones(len(x)), pa.float64()),
+            '_sx': pa.array(x), '_sy': pa.array(y),
+            '_sxx': pa.array(x * x), '_syy': pa.array(y * y),
+            '_sxy': pa.array(x * y)})
+        return t.group_by('event_type').aggregate(
+            [('_n', 'sum'), ('_sx', 'sum'), ('_sy', 'sum'),
+             ('_sxx', 'sum'), ('_syy', 'sum'), ('_sxy', 'sum')])
+
+    rows = (_events(sf_dir, ['event_type', 'ts', 'value'])
+            .map_batches(partial, batch_format='pyarrow')).take_all()
+    agg: dict[str, np.ndarray] = {}
+    for r in rows:
+        v = np.array([r['_n_sum'], r['_sx_sum'], r['_sy_sum'],
+                      r['_sxx_sum'], r['_syy_sum'], r['_sxy_sum']])
+        agg[r['event_type']] = agg.get(r['event_type'], 0) + v
+    out = []
+    for et in sorted(agg):
+        n, sx, sy, sxx, syy, sxy = agg[et]
+        cov = sxy - sx * sy / n
+        vx, vy = sxx - sx * sx / n, syy - sy * sy / n
+        out.append((et, sql_round_scalar(float(cov / np.sqrt(vx * vy)), 4)))
+    return pd.DataFrame({'event_type': [o[0] for o in out],
+                         'corr_vh': [o[1] for o in out]})
+
+
+_VALUE_HOUR_CORR_SQL = (
+    'SELECT event_type, round(corr(value, '
+    'CAST((epoch_us(ts) // 3600000000) % 24 AS DOUBLE)), 4) AS corr_vh '
+    'FROM events GROUP BY event_type'
+)
+
+
 def q_normalize_text(sf_dir: str) -> ray.data.Dataset:
     """Unicode text normalization (the canonical pre-tokenization cleanup of
     a training-data pipeline): NFC composition + RE2-space run collapse +
@@ -2127,6 +2172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'host_p95': q_host_p95,
         'customer_order_counts': q_customer_order_counts,
         'normalize_text': q_normalize_text,
+        'value_hour_corr': q_value_hour_corr,
         'distinct_users': q_distinct_users,
         'frequent_users': q_frequent_users,
         'source_lang_rollup': q_source_lang_rollup,
@@ -2213,6 +2259,7 @@ def oracle_sql() -> dict[str, str]:
         'host_p95': _HOST_P95_SQL,
         'customer_order_counts': _CUSTOMER_ORDER_COUNTS_SQL,
         'normalize_text': _NORMALIZE_TEXT_SQL,
+        'value_hour_corr': _VALUE_HOUR_CORR_SQL,
         'distinct_users': _DISTINCT_USERS_SQL,
         'frequent_users': _FREQUENT_USERS_SQL,
         'source_lang_rollup': _ROLLUP_SQL,
