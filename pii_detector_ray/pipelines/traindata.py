@@ -1,0 +1,193 @@
+"""Composite LLM training-data-prep pipeline — the "user of the reference
+switches to this repo" showcase: the cleaning operators this engine adds
+beyond the reference, chained as ONE lazy Ray Data flow.
+
+    documents
+      → Unicode NFC + whitespace normalization ┐
+      → C4 line-level filter                   ├ map phase 1 (fused, arrow
+      → heuristics + langid/ppl/tox + keep/drop┘ in/out, 1 pandas roundtrip)
+      → PII scrub (megastring regex)             map phase 2 (survivors only)
+      → exact dedup on scrubbed text             narrow shuffle #1 (16 B keys)
+      → global 3-sentence-span dedup             narrow shuffles (span keys)
+      → token stats on the final text            map phase 3
+
+Row accounting is CLOSED: every input row lands exactly once in either the
+corpus or the drop ledger (labelled by the stage that cut it) — the same
+lineage contract the flagship's partition manifests keep, asserted in
+tests/test_traindata.py.
+
+Scale shape: map phases fuse into single map operators between the narrow
+shuffles; the exact-dedup groupby moves (16 B hash, id) pairs and the
+winner semi-join is marker-based over the same narrow keys, so document
+payloads cross the object store only inside their own map chain.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import unicodedata
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Min
+
+from pii_detector_ray.config import PipelineConfig
+from pii_detector_ray.functions.re2compat import RE2_SPACE_CHARS
+from pii_detector_ray.stages.c4filter import c4_filter_batch
+from pii_detector_ray.stages.dedup import drop_empty_blocks, join_partitions
+from pii_detector_ray.stages.heuristics import heuristics_batch
+from pii_detector_ray.stages.keepdrop import make_keepdrop_stage
+from pii_detector_ray.stages.scorers import score_batch_stateless
+from pii_detector_ray.stages.scrub import make_scrub_stage
+from pii_detector_ray.stages.spandedup import span_dedup
+from pii_detector_ray.stages.textstats import token_stats_batch
+
+_WS_RUN = re.compile('[' + RE2_SPACE_CHARS + ']+')
+
+_LEDGER_COLS = ['drop_stage', 'drop_reason']
+
+
+def build_traindata_pipeline(
+    docs: ray.data.Dataset,
+    cfg: PipelineConfig | None = None,
+    *,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    span_dedup_enabled: bool = True,
+    c4_enabled: bool = True,
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Returns ``(corpus, dropped)``:
+
+    - ``corpus``: (id_col, final_text, n_tokens_ws, n_tokens_bpe,
+      n_spans_dropped) — cleaned, scrubbed, twice-deduped documents;
+    - ``dropped``: (id_col, drop_stage, drop_reason) — one row per input
+      document that did not survive.
+    """
+    cfg = cfg or PipelineConfig()
+    keepdrop = make_keepdrop_stage(cfg)
+    scrub = make_scrub_stage(cfg)
+
+    # --- map phase 1: normalize → c4 → quality, one pandas roundtrip ---
+    def clean_quality(t: pa.Table) -> pa.Table:
+        df = t.select([id_col, text_col]).to_pandas()
+        df[text_col] = [
+            _WS_RUN.sub(' ', unicodedata.normalize('NFC', x or '')).strip(' ')
+            for x in df[text_col].astype('string').fillna('')]
+        if c4_enabled:
+            df = c4_filter_batch(df, text_col=text_col)
+        else:
+            # pre-extracted plain text: the C4 line rules target raw web
+            # pages; pass-through keeps the ledger shape
+            df = df.copy()
+            df['kept'] = True
+            df['filtered_text'] = df[text_col]
+        dead = df.loc[~df['kept'], [id_col]].copy()
+        dead['extracted_text'] = ''
+        dead['drop_stage'] = 'c4_filter'
+        dead['drop_reason'] = 'line_rules'
+        live = pd.DataFrame({
+            id_col: df.loc[df['kept'], id_col].astype('int64'),
+            'extracted_text':
+                df.loc[df['kept'], 'filtered_text'].astype('string'),
+            'lang': ''})
+        if len(live):
+            live = keepdrop(score_batch_stateless(heuristics_batch(live)))
+            live['drop_stage'] = np.where(live['keep'], '', 'quality')
+            live = live[[id_col, 'extracted_text'] + _LEDGER_COLS]
+        else:
+            live = pd.DataFrame({id_col: pd.array([], dtype='int64'),
+                                 'extracted_text': pd.array([], dtype='string'),
+                                 'drop_stage': pd.array([], dtype='string'),
+                                 'drop_reason': pd.array([], dtype='string')})
+        frames = [f for f in (live, dead[live.columns]) if len(f)]
+        out = pd.concat(frames, ignore_index=True) if frames else live
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    staged = docs.map_batches(clean_quality, batch_format='pyarrow')
+    dropped_early = staged.filter(expr="drop_stage != ''") \
+        .select_columns([id_col] + _LEDGER_COLS)
+
+    # --- map phase 2: scrub the survivors only ---
+    live = staged.filter(expr="drop_stage == ''") \
+        .select_columns([id_col, 'extracted_text']) \
+        .map_batches(scrub, batch_format='pyarrow',
+                     batch_size=cfg.scrub_batch_size)
+
+    # --- exact dedup on scrubbed text: min-id winners over 16 B hashes,
+    # marker-based left join decides winner/duplicate per row ---
+    def keyed(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.sha256((t or '').encode()).digest()[:16]
+              for t in batch.column('scrubbed_text').to_pylist()]
+        return pa.table({id_col: batch.column(id_col),
+                         'scrubbed_text': batch.column('scrubbed_text'),
+                         '_h': pa.array(hs, pa.binary())})
+
+    live_keyed = live.map_batches(keyed, batch_format='pyarrow')
+    winners = drop_empty_blocks(
+        live_keyed.select_columns(['_h', id_col])
+        .groupby('_h').aggregate(Min(id_col, alias_name=id_col)))
+    if winners.count() == 0:           # empty input short-circuit
+        empty_corpus = ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            'final_text': pa.array([], pa.string()),
+            'n_tokens_ws': pa.array([], pa.int64()),
+            'n_tokens_bpe': pa.array([], pa.int64()),
+            'n_spans_dropped': pa.array([], pa.int64())}))
+        return empty_corpus, dropped_early
+    winners = winners.map_batches(
+        lambda t: t.append_column('_win', pa.array([True] * len(t))),
+        batch_format='pyarrow')
+    joined = drop_empty_blocks(live_keyed).join(
+        drop_empty_blocks(winners), join_type='left_outer',
+        num_partitions=join_partitions(), on=('_h', id_col))
+
+    kept_rows = joined.map_batches(
+        lambda t: pa.table({
+            id_col: t.filter(pc.is_valid(t.column('_win'))).column(id_col),
+            text_col: t.filter(pc.is_valid(t.column('_win')))
+                       .column('scrubbed_text')}),
+        batch_format='pyarrow')
+    dup_ledger = joined.map_batches(
+        lambda t: pa.table({
+            id_col: t.filter(pc.is_null(t.column('_win'))).column(id_col),
+        }).append_column(
+            'drop_stage', pa.array(
+                ['exact_dedup'] * len(t.filter(pc.is_null(t.column('_win')))),
+                pa.string())
+        ).append_column(
+            'drop_reason', pa.array(
+                ['duplicate_text'] * len(t.filter(pc.is_null(t.column('_win')))),
+                pa.string())),
+        batch_format='pyarrow')
+    dropped = dropped_early.union(drop_empty_blocks(dup_ledger))
+
+    # --- global span dedup, then stats ---
+    if span_dedup_enabled:
+        deduped = span_dedup(kept_rows, id_col=id_col, text_col=text_col)
+        final_col = 'deduped_text'
+    else:
+        deduped = kept_rows
+        final_col = text_col
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        s = token_stats_batch(
+            df.rename(columns={final_col: 'text'})[['text']].copy())
+        out = pd.DataFrame({
+            id_col: df[id_col].astype('int64'),
+            'final_text': df[final_col].astype('string'),
+            'n_tokens_ws': s['n_tokens_ws'].astype('int64'),
+            'n_tokens_bpe': s['n_tokens_bpe'].astype('int64'),
+            'n_spans_dropped':
+                df['n_spans_dropped'].astype('int64')
+                if 'n_spans_dropped' in df.columns
+                else np.zeros(len(df), dtype=np.int64)})
+        return out
+
+    corpus = deduped.map_batches(stats, batch_format='pandas')
+    return corpus, dropped

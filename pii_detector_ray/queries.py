@@ -1791,6 +1791,23 @@ def q_pages_pipeline(sf_dir: str) -> ray.data.Dataset:
     return out.select_columns(['url', 'keep', 'drop_reason', 'lang_pred', 'n_pii'])
 
 
+def q_traindata_pipeline(sf_dir: str) -> ray.data.Dataset:
+    """Composite training-data-prep pipeline (pipelines/traindata.py):
+    normalize → C4 filter → quality keep/drop → scrub → exact dedup →
+    global span dedup → token stats, one lazy flow with a closed drop
+    ledger.  Rows-only driver check (the composite's stages are each
+    SQL-checked individually via their own queries)."""
+    from pii_detector_ray.pipelines.traindata import build_traindata_pipeline
+    corpus, _dropped = build_traindata_pipeline(
+        read_documents(sf_dir, ['doc_id', 'text']),
+        # the driver documents are pre-extracted plain text (no sentence
+        # punctuation), so the raw-web C4 line rules are off here; they are
+        # exercised by c4_filtered_docs and tests/test_traindata.py
+        c4_enabled=False)
+    return corpus.select_columns(
+        ['doc_id', 'n_tokens_ws', 'n_tokens_bpe', 'n_spans_dropped'])
+
+
 def q_daily_active_users(sf_dir: str) -> ray.data.Dataset:
     """Per-day distinct-user count (group-wise COUNT DISTINCT): per-batch
     (day, user) dedup → global dedup groupby → per-batch partial counts →
@@ -2200,6 +2217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'scrub_documents': q_scrub_documents,
         'langid_documents': q_langid_documents,
         'pages_pipeline': q_pages_pipeline,
+        'traindata_pipeline': q_traindata_pipeline,
         'minhash_dedup': q_minhash_dedup,
         'simhash_dedup': q_simhash_dedup,
         'ngram_jaccard_dedup': q_ngram_jaccard_dedup,

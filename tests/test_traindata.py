@@ -1,0 +1,78 @@
+"""Composite training-data pipeline (pipelines/traindata.py): closed row
+accounting, batching invariance, stage attribution, and the span-dedup
+toggle."""
+
+import pandas as pd
+import pytest
+
+import ray
+import ray.data
+
+from pii_detector_ray.pipelines.traindata import build_traindata_pipeline
+
+GOOD = ('This is a perfectly reasonable english sentence about engineering. '
+        'It continues with several more words to pass the line rules. '
+        'Documentation needs clear prose and enough sentences to count. '
+        'Here is a fourth sentence for the minimum. '
+        'And a fifth sentence that ends properly.')
+
+
+def _fixture_rows(n=40):
+    rows = []
+    for i in range(n):
+        if i % 10 == 7:
+            rows.append({'doc_id': i, 'text': '{ javascript required }'})
+        elif i % 10 in (8, 9):
+            rows.append({'doc_id': i, 'text': GOOD})   # exact duplicates
+        else:
+            rows.append({'doc_id': i,
+                         'text': GOOD + f' Unique tail number {i} here.'})
+    return rows
+
+
+def _run(rows, parts, **kw):
+    ds = ray.data.from_items(rows).repartition(parts)
+    corpus, dropped = build_traindata_pipeline(ds, **kw)
+    return corpus.to_pandas(), dropped.to_pandas()
+
+
+def test_accounting_closed_and_stages(ray_session):
+    rows = _fixture_rows()
+    c, d = _run(rows, 3)
+    assert len(c) + len(d) == len(rows)
+    by_stage = d.groupby('drop_stage').size().to_dict()
+    assert by_stage['c4_filter'] == 4           # the javascript docs
+    assert by_stage['exact_dedup'] == 7         # 8 identical GOODs, 1 wins
+    # the surviving duplicate is the min doc_id of the identical set
+    ids = set(c['doc_id'])
+    assert 8 in ids and not ({9, 18, 19} & ids)
+    # span dedup stripped the shared 3-sentence prefix from later docs
+    assert (c['n_spans_dropped'] > 0).any()
+
+
+def test_batching_invariant(ray_session):
+    rows = _fixture_rows(30)
+    c1, d1 = _run(rows, 1)
+    c2, d2 = _run(rows, 7)
+    key = ['doc_id']
+    pd.testing.assert_frame_equal(
+        c1.sort_values(key).reset_index(drop=True),
+        c2.sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        d1.sort_values(key).reset_index(drop=True),
+        d2.sort_values(key).reset_index(drop=True))
+
+
+def test_span_dedup_toggle(ray_session):
+    rows = _fixture_rows(20)
+    c_off, _ = _run(rows, 2, span_dedup_enabled=False)
+    assert (c_off['n_spans_dropped'] == 0).all()
+    # without span dedup the shared prefix stays in every doc
+    assert c_off['final_text'].str.startswith(GOOD[:40]).all()
+
+
+def test_empty_input_short_circuit(ray_session):
+    ds = ray.data.from_items([{'doc_id': 1, 'text': 'x'}]) \
+        .filter(lambda r: False)
+    corpus, dropped = build_traindata_pipeline(ds)
+    assert corpus.count() == 0 and dropped.count() == 0
