@@ -1,0 +1,210 @@
+"""Stdlib GIF codec (decode GIF87a/89a first frame; encoder for fixtures).
+
+Third REAL media codec beside the PNG and WAV ones in
+``stages/multimodal.py`` — no PIL/imageio in this container, so the LZW
+bitstream, palette and interlace handling are implemented here directly
+from the GIF89a specification (public: https://www.w3.org/Graphics/GIF/).
+
+Decoder scope: first image frame; global or local color table; interlaced
+or sequential row order; GCE transparency index is IGNORED (features don't
+need alpha).  Animated GIFs decode to their first frame.  Python-loop LZW
+— media batches are small by design (see multimodal.py scale notes).
+
+Encoder scope (test fixtures): single frame, global palette, no
+interlace.  Emits a CLEAR code whenever the decoder's table would force a
+code-width grow past the initial width — spec-valid LZW that never needs
+dictionary lookups, the classic "uncompressed GIF" technique.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_GIF_SIGS = (b'GIF87a', b'GIF89a')
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+def _color_table(data: bytes, off: int, n: int) -> tuple[np.ndarray, int]:
+    tbl = np.frombuffer(data[off:off + 3 * n], dtype=np.uint8) \
+        .reshape(n, 3).copy()
+    return tbl, off + 3 * n
+
+
+def _skip_subblocks(data: bytes, off: int) -> int:
+    while True:
+        size = data[off]
+        off += 1
+        if size == 0:
+            return off
+        off += size
+
+
+def _read_subblocks(data: bytes, off: int) -> tuple[bytes, int]:
+    parts = []
+    while True:
+        size = data[off]
+        off += 1
+        if size == 0:
+            return b''.join(parts), off
+        parts.append(data[off:off + size])
+        off += size
+
+
+def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> np.ndarray:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    # bit reader: GIF packs codes LSB-first
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8),
+                         bitorder='little')
+    pos = 0
+    width = min_code_size + 1
+    # table: list of byte sequences; rebuilt on CLEAR
+    base = [bytes([i]) for i in range(clear)] + [b'', b'']
+    table = list(base)
+    out = bytearray()
+    prev: bytes | None = None
+    total_bits = len(bits)
+    while pos + width <= total_bits and len(out) < n_pixels:
+        code = int(np.dot(bits[pos:pos + width],
+                          1 << np.arange(width, dtype=np.int64)))
+        pos += width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):          # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f'corrupt GIF LZW stream: code {code} '
+                             f'beyond table size {len(table)}')
+        out += entry
+        prev = entry
+        # table grew: widen the code when the NEXT code could reference it
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    arr = np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
+    if arr.size < n_pixels:
+        arr = np.concatenate([arr, np.zeros(n_pixels - arr.size, np.uint8)])
+    return arr
+
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """First frame of a GIF as an (h, w, 3) uint8 RGB array."""
+    if data[:6] not in _GIF_SIGS:
+        raise ValueError('not a GIF: bad signature')
+    sw, sh, flags, _bg, _aspect = struct.unpack('<HHBBB', data[6:13])
+    off = 13
+    gct = None
+    if flags & 0x80:
+        gct, off = _color_table(data, off, 2 << (flags & 0x07))
+    while off < len(data):
+        block = data[off]
+        off += 1
+        if block == 0x21:                 # extension: label + subblocks
+            off = _skip_subblocks(data, off + 1)
+        elif block == 0x2C:               # image descriptor
+            x, y, w, h, iflags = struct.unpack('<HHHHB', data[off:off + 9])
+            off += 9
+            table = gct
+            if iflags & 0x80:
+                table, off = _color_table(data, off, 2 << (iflags & 0x07))
+            if table is None:
+                raise ValueError('GIF image has no color table')
+            min_code_size = data[off]
+            off += 1
+            lzw, off = _read_subblocks(data, off)
+            idx = _lzw_decode(min_code_size, lzw, w * h).reshape(h, w)
+            if iflags & 0x40:             # interlaced: stream rows are in
+                # pass order; source row i belongs at display row order[i]
+                order = np.array([r for start, step in _INTERLACE_PASSES
+                                  for r in range(start, h, step)])
+                out = np.empty_like(idx)
+                out[order] = idx
+                idx = out
+            return table[idx]
+        elif block == 0x3B:               # trailer
+            break
+        else:
+            raise ValueError(f'unknown GIF block 0x{block:02x}')
+    raise ValueError('GIF contains no image data')
+
+
+# ---------------------------------------------------------------------------
+# encode (fixtures)
+# ---------------------------------------------------------------------------
+
+def _pack_codes(codes: list[int], width: int) -> bytes:
+    """LSB-first bit packing at a FIXED code width (the encoder below keeps
+    the width constant by clearing before any table growth would widen)."""
+    bits = np.zeros(len(codes) * width, dtype=np.uint8)
+    for i, c in enumerate(codes):
+        for b in range(width):
+            bits[i * width + b] = (c >> b) & 1
+    return np.packbits(bits, bitorder='little').tobytes()
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray, *,
+               interlace: bool = False) -> bytes:
+    """Single-frame GIF89a from an (h, w) palette-index array and an
+    (n, 3) uint8 palette (n a power of two, 2..256)."""
+    h, w = indices.shape
+    n = len(palette)
+    assert n & (n - 1) == 0 and 2 <= n <= 256
+    ct_bits = max(1, int(n - 1).bit_length())
+    min_code_size = max(2, ct_bits)
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+
+    rows = indices
+    if interlace:
+        order = [r for start, step in _INTERLACE_PASSES
+                 for r in range(start, h, step)]
+        rows = indices[np.array(order)]
+    flat = rows.reshape(-1).astype(np.int64)
+
+    # the decoder's table grows by one entry per code after the first; emit
+    # CLEAR whenever the next growth would hit 2^width (so width is fixed)
+    codes = [clear]
+    room = (1 << width) - (eoi + 1) - 1   # growths until width would bump
+    since_clear = 0
+    for px in flat:
+        if since_clear >= room:
+            codes.append(clear)
+            since_clear = 0
+        codes.append(int(px))
+        since_clear += 1
+    codes.append(eoi)
+    payload = _pack_codes(codes, width)
+
+    out = bytearray()
+    out += b'GIF89a'
+    out += struct.pack('<HHBBB', w, h, 0x80 | (ct_bits - 1), 0, 0)
+    pal = np.zeros((n, 3), dtype=np.uint8)
+    pal[:len(palette)] = palette
+    out += pal.tobytes()
+    out += b'\x2C' + struct.pack('<HHHHB', 0, 0, w, h,
+                                 0x40 if interlace else 0)
+    out += bytes([min_code_size])
+    for i in range(0, len(payload), 255):
+        chunk = payload[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b'\x00\x3B'
+    return bytes(out)

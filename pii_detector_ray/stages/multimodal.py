@@ -8,6 +8,8 @@ Codec status in this container (no PIL/ffmpeg/torchaudio):
 - **PNG** — REAL, stdlib: chunk parse + zlib IDAT inflate + scanline
   unfilter (filter types 0–4), 8-bit gray/RGB/RGBA non-interlaced
   (:func:`decode_png`; encoder for fixtures :func:`encode_png`).
+- **GIF** — REAL, stdlib: LZW bitstream + palette + interlace
+  (``functions/gifcodec.py``), first frame.
 - **WAV** — REAL, stdlib: ``wave`` module, 16-bit PCM (:func:`decode_wav`).
 - everything else (JPEG, video, ...) — stubbed: the Ray-side plumbing is
   real, the codec call raises ``NotImplementedError`` unless the
@@ -209,6 +211,10 @@ class MediaDecodeStage:
             if media_type == 'image/png':
                 img = decode_png(payload).astype(np.float64).mean(axis=2)
                 return mean_pool(img, 4, 4).reshape(-1) / 255.0
+            if media_type == 'image/gif':
+                from pii_detector_ray.functions.gifcodec import decode_gif
+                img = decode_gif(payload).astype(np.float64).mean(axis=2)
+                return mean_pool(img, 4, 4).reshape(-1) / 255.0
             if media_type == 'audio/wav':
                 samples, _ = decode_wav(payload)
                 mono = samples.astype(np.float64).mean(axis=1)
@@ -216,8 +222,8 @@ class MediaDecodeStage:
                 return np.array([np.sqrt(np.mean(s * s)) if s.size else 0.0
                                  for s in segs]) / 32768.0
             raise NotImplementedError(
-                f'no codec available for {media_type}; only stdlib PNG/WAV '
-                f'decode is wired in this container')
+                f'no codec available for {media_type}; only stdlib '
+                f'PNG/GIF/WAV decode is wired in this container')
         arr = np.frombuffer(payload, dtype=np.uint8)
         hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype(np.float64)
         return hist / hist.sum()
@@ -292,12 +298,21 @@ class ResizeStage:
 
 def synth_real_media_table(n: int, seed: int = 17) -> pa.Table:
     """Fixture table whose payloads are REAL decodable media: deterministic
-    gradient PNGs (even ids) and sine-burst WAVs (odd ids)."""
+    gradient PNGs (ids % 4 == 0), paletted GIFs (ids % 4 == 2, every other
+    one interlaced) and sine-burst WAVs (odd ids)."""
+    from pii_detector_ray.functions.gifcodec import encode_gif
     rng = np.random.default_rng(seed)
     ids, types, payloads, widths, heights, durs = [], [], [], [], [], []
     for i in range(n):
         ids.append(i)
-        if i % 2 == 0:
+        if i % 4 == 2:
+            w, h = 8 + int(rng.integers(0, 12)), 8 + int(rng.integers(0, 12))
+            idx = rng.integers(0, 16, size=(h, w)).astype(np.uint8)
+            pal = rng.integers(0, 256, size=(16, 3)).astype(np.uint8)
+            payloads.append(encode_gif(idx, pal, interlace=bool(i % 8 == 2)))
+            types.append('image/gif')
+            widths.append(w); heights.append(h); durs.append(None)
+        elif i % 2 == 0:
             w, h = 16 + int(rng.integers(0, 16)), 16 + int(rng.integers(0, 16))
             yy, xx = np.mgrid[0:h, 0:w]
             img = np.stack([(xx * (i + 1)) % 256, (yy * 3) % 256,
