@@ -768,6 +768,24 @@ _USER_MEDIAN_SQL = (
 )
 
 
+def q_distinct_source_lang(sf_dir: str) -> ray.data.Dataset:
+    """DISTINCT set-op (§2.9): unique (source, lang) combinations, two-phase
+    — per-batch Arrow group_by dedup first so the shuffle carries at most
+    one row per combination per batch, never raw rows."""
+    def dd(batch: pa.Table) -> pa.Table:
+        return pa.table({'source': batch.column('source'),
+                         'lang': batch.column('lang')}) \
+            .group_by(['source', 'lang']).aggregate([])
+
+    return (read_documents(sf_dir, ['source', 'lang'])
+            .map_batches(dd, batch_format='pyarrow')
+            .groupby(['source', 'lang']).map_groups(
+                lambda g: g.head(1), batch_format='pandas'))
+
+
+_DISTINCT_SOURCE_LANG_SQL = 'SELECT DISTINCT source, lang FROM documents'
+
+
 def q_host_p95(sf_dir: str) -> ray.data.Dataset:
     """Per-group EXACT 95th percentile (quantile_disc semantics) of doc
     length — the scale path the median docstring defers to: per-batch
@@ -2187,6 +2205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'stratified_sample': q_stratified_sample,
         'user_value_median': q_user_value_median,
         'host_p95': q_host_p95,
+        'distinct_source_lang': q_distinct_source_lang,
         'customer_order_counts': q_customer_order_counts,
         'normalize_text': q_normalize_text,
         'value_hour_corr': q_value_hour_corr,
@@ -2275,6 +2294,7 @@ def oracle_sql() -> dict[str, str]:
         'stratified_sample': _STRATIFIED_SQL,
         'user_value_median': _USER_MEDIAN_SQL,
         'host_p95': _HOST_P95_SQL,
+        'distinct_source_lang': _DISTINCT_SOURCE_LANG_SQL,
         'customer_order_counts': _CUSTOMER_ORDER_COUNTS_SQL,
         'normalize_text': _NORMALIZE_TEXT_SQL,
         'value_hour_corr': _VALUE_HOUR_CORR_SQL,
