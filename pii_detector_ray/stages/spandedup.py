@@ -108,7 +108,12 @@ def span_dedup(docs: ray.data.Dataset, *, id_col: str = 'doc_id',
                ) -> ray.data.Dataset:
     """(doc_id, deduped_text, n_spans, n_spans_dropped) per document."""
     spans = docs.map_batches(
-        lambda t: _span_rows(t, id_col, text_col), batch_format='pyarrow')
+        lambda t: _span_rows(t, id_col, text_col), batch_format='pyarrow') \
+        .materialize()
+    # ^ materialized: the span table is NARROW (32 B hash + 8 B packed per
+    # span ≈ 3% of corpus bytes, object store spills past memory) and is
+    # consumed twice (stats groupby + the loser join); lazy it would
+    # re-execute the sha256+sentence-split pass over every document.
     stats = spans.groupby('h').aggregate(
         Min('packed', alias_name='winner'),
         Count(alias_name='n'))
