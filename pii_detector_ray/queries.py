@@ -618,6 +618,35 @@ def q_user_cumulative(sf_dir: str) -> ray.data.Dataset:
                           hot_key_threshold=_events_hot_threshold(sf_dir))
 
 
+def q_user_rolling3(sf_dir: str) -> ray.data.Dataset:
+    """Rolling 3-event window sum per user (ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW) — integer cents for distributed exactness, mega-users via
+    the bounded tail-carry salted variant (stages/skew.rolling_sum)."""
+    from pii_detector_ray.stages.skew import rolling_sum
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = batch.column('value').to_numpy(zero_copy_only=False)
+        cents = sql_round_np(v * 100.0, 0).astype(np.int64)
+        return pa.table({'user_id': batch.column('user_id'),
+                         'event_id': batch.column('event_id'),
+                         'ts': batch.column('ts'),
+                         'cents': pa.array(cents, pa.int64())})
+
+    ds = _events(sf_dir, ['user_id', 'event_id', 'ts', 'value']) \
+        .map_batches(to_cents, batch_format='pyarrow')
+    return rolling_sum(ds, val_col='cents', window=3,
+                       hot_key_threshold=_events_hot_threshold(sf_dir))
+
+
+_USER_ROLLING3_SQL = (
+    'SELECT event_id, sum(cents) OVER '
+    '(PARTITION BY user_id ORDER BY epoch_us(ts), event_id '
+    'ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT AS win_cents FROM '
+    '(SELECT user_id, event_id, ts, round(value * 100)::BIGINT AS cents '
+    'FROM events)'
+)
+
+
 _USER_CUMULATIVE_SQL = (
     'SELECT event_id, sum(cents) OVER '
     '(PARTITION BY user_id ORDER BY epoch_us(ts), event_id '
@@ -784,6 +813,35 @@ def q_distinct_source_lang(sf_dir: str) -> ray.data.Dataset:
 
 
 _DISTINCT_SOURCE_LANG_SQL = 'SELECT DISTINCT source, lang FROM documents'
+
+
+def q_source_lang_list(sf_dir: str) -> ray.data.Dataset:
+    """string_agg / collect-list aggregate: per source, the sorted distinct
+    languages joined with commas.  Two-phase: per-batch (source, lang)
+    dedup → global pair dedup → per-source ordered join (group count =
+    source count, each group bounded by the language alphabet)."""
+    def dd(batch: pa.Table) -> pa.Table:
+        return pa.table({'source': batch.column('source'),
+                         'lang': batch.column('lang')}) \
+            .group_by(['source', 'lang']).aggregate([])
+
+    pairs = (read_documents(sf_dir, ['source', 'lang'])
+             .map_batches(dd, batch_format='pyarrow')
+             .groupby(['source', 'lang']).map_groups(
+                 lambda g: g.head(1), batch_format='pandas'))
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            'source': [g['source'].iloc[0]],
+            'langs': [','.join(sorted(g['lang'].tolist()))]})
+
+    return pairs.groupby('source').map_groups(agg, batch_format='pandas')
+
+
+_SOURCE_LANG_LIST_SQL = (
+    'SELECT source, string_agg(lang, \',\' ORDER BY lang) AS langs '
+    'FROM (SELECT DISTINCT source, lang FROM documents) GROUP BY source'
+)
 
 
 def q_host_p95(sf_dir: str) -> ray.data.Dataset:
@@ -2206,6 +2264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'user_value_median': q_user_value_median,
         'host_p95': q_host_p95,
         'distinct_source_lang': q_distinct_source_lang,
+        'source_lang_list': q_source_lang_list,
         'customer_order_counts': q_customer_order_counts,
         'normalize_text': q_normalize_text,
         'value_hour_corr': q_value_hour_corr,
@@ -2215,6 +2274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'events_pivot': q_events_pivot,
         'event_deltas': q_event_deltas,
         'user_cumulative': q_user_cumulative,
+        'user_rolling3': q_user_rolling3,
         'price_quantiles': q_price_quantiles,
         'similarity_topk': q_similarity_topk,
         'word_stats': q_word_stats,
@@ -2295,6 +2355,7 @@ def oracle_sql() -> dict[str, str]:
         'user_value_median': _USER_MEDIAN_SQL,
         'host_p95': _HOST_P95_SQL,
         'distinct_source_lang': _DISTINCT_SOURCE_LANG_SQL,
+        'source_lang_list': _SOURCE_LANG_LIST_SQL,
         'customer_order_counts': _CUSTOMER_ORDER_COUNTS_SQL,
         'normalize_text': _NORMALIZE_TEXT_SQL,
         'value_hour_corr': _VALUE_HOUR_CORR_SQL,
@@ -2304,6 +2365,7 @@ def oracle_sql() -> dict[str, str]:
         'events_pivot': _EVENTS_PIVOT_SQL,
         'event_deltas': _EVENT_DELTAS_SQL,
         'user_cumulative': _USER_CUMULATIVE_SQL,
+        'user_rolling3': _USER_ROLLING3_SQL,
         'price_quantiles': _PRICE_QUANTILES_SQL,
         'similarity_topk': _SIMILARITY_SQL,
         'word_stats': _WORD_STATS_SQL,

@@ -559,3 +559,121 @@ def cumulative_sum_salted(ds: ray.data.Dataset, *, val_col: str,
             out_col: pc.add(t.column('_local'), t.column('_off'))})
 
     return joined.map_batches(add_off, batch_format='pyarrow')
+
+
+# ---------------------------------------------------------------------------
+# Rolling-window sum (sum ... OVER (PARTITION BY key ORDER BY ts, id ROWS
+# BETWEEN W-1 PRECEDING AND CURRENT ROW)).  Salted path: a bucket's rows
+# beyond index W-2 are final locally; only the first W-1 rows per bucket
+# are "pending" and meet the previous buckets' ≤W-1 tail rows in a BOUNDED
+# per-user pass (≤ 2(W-1) summary rows per bucket, never raw streams).
+# ---------------------------------------------------------------------------
+
+def rolling_sum(ds: ray.data.Dataset, *, val_col: str, window: int = 3,
+                hot_key_threshold: int | None = 1_000_000,
+                bucket_us: int = DEFAULT_BUCKET_US) -> ray.data.Dataset:
+    """Per event, the sum of ``val_col`` (int64) over the user's last
+    ``window`` events (including this one) in (ts, event_id) order.  Input
+    columns: user_id, event_id, ts, ``val_col``.  Output: event_id,
+    win_<val_col>."""
+    out_col = f'win_{val_col}'
+    hot_parts, (ds,) = split_hot([ds], 'user_id', hot_key_threshold)
+    salted = None
+    if hot_parts is not None:
+        salted = rolling_sum_salted(hot_parts[0], val_col=val_col,
+                                    window=window, bucket_us=bucket_us)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({'user_id': t.column('user_id'),
+                         'event_id': t.column('event_id'),
+                         '_ts': pc.cast(t.column('ts'), pa.int64()),
+                         val_col: pc.cast(t.column(val_col), pa.int64())})
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['_ts', 'event_id'], kind='mergesort')
+        v = g[val_col].to_numpy(np.int64)
+        c = np.concatenate(([np.int64(0)], v.cumsum()))
+        w = c[1:] - c[np.maximum(np.arange(len(v)) + 1 - window, 0)]
+        return pd.DataFrame({'event_id': g['event_id'].astype('int64'),
+                             out_col: w})
+
+    plain = (ds.map_batches(prep, batch_format='pyarrow')
+             .groupby('user_id').map_groups(roll, batch_format='pandas'))
+    return plain.union(salted) if salted is not None else plain
+
+
+def rolling_sum_salted(ds: ray.data.Dataset, *, val_col: str,
+                       window: int = 3,
+                       bucket_us: int = DEFAULT_BUCKET_US) -> ray.data.Dataset:
+    """Exact rolling sums with bounded per-task memory (see
+    :func:`rolling_sum`).  Tags: _tag 0 = final row (win complete in its
+    bucket), 1 = pending row (needs prior-bucket tail), 2 = tail row."""
+    out_col = f'win_{val_col}'
+    carry = window - 1
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column('ts'), pa.int64())
+        return pa.table({'user_id': t.column('user_id'),
+                         'event_id': t.column('event_id'), '_ts': ts,
+                         val_col: pc.cast(t.column(val_col), pa.int64()),
+                         '_bucket': pc.divide(ts, bucket_us)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['_ts', 'event_id'], kind='mergesort')
+        v = g[val_col].to_numpy(np.int64)
+        n = len(v)
+        c = np.concatenate(([np.int64(0)], v.cumsum()))
+        w = c[1:] - c[np.maximum(np.arange(n) + 1 - window, 0)]
+        eid = g['event_id'].to_numpy(np.int64)
+        ts = g['_ts'].to_numpy(np.int64)
+        uid = np.int64(g['user_id'].iloc[0])
+        bkt = np.int64(g['_bucket'].iloc[0])
+        n_pend = min(carry, n)
+        frames = [pd.DataFrame({          # final rows (index >= carry)
+            'user_id': uid, '_bucket': bkt, '_ts': ts[n_pend:],
+            'event_id': eid[n_pend:], val_col: v[n_pend:],
+            out_col: w[n_pend:], '_k': np.int64(-1), '_tag': np.int64(0)})]
+        # pending: win so far covers only the in-bucket prefix (rows 0.._k)
+        frames.append(pd.DataFrame({
+            'user_id': uid, '_bucket': bkt, '_ts': ts[:n_pend],
+            'event_id': eid[:n_pend], val_col: v[:n_pend],
+            out_col: w[:n_pend], '_k': np.arange(n_pend, dtype=np.int64),
+            '_tag': np.int64(1)}))
+        n_tail = min(carry, n)
+        frames.append(pd.DataFrame({      # tails (last rows, for carry)
+            'user_id': uid, '_bucket': bkt, '_ts': ts[n - n_tail:],
+            'event_id': eid[n - n_tail:], val_col: v[n - n_tail:],
+            out_col: np.int64(0), '_k': np.int64(-1), '_tag': np.int64(2)}))
+        return pd.concat([f for f in frames if len(f)], ignore_index=True)
+
+    local = ds.map_batches(prep, batch_format='pyarrow') \
+        .groupby(['user_id', '_bucket']) \
+        .map_groups(per_bucket, batch_format='pandas')
+
+    final = local.filter(expr='_tag == 0') \
+        .select_columns(['event_id', out_col])
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['_bucket', '_ts', 'event_id'], kind='mergesort')
+        tails = g[g['_tag'] == 2]
+        pend = g[g['_tag'] == 1]
+        t_bkt = tails['_bucket'].to_numpy(np.int64)
+        t_val = tails[val_col].to_numpy(np.int64)
+        out_ids, out_win = [], []
+        for _, row in pend.iterrows():
+            # pending index _k has in-bucket win = sum of rows 0.._k; the
+            # remaining (window-1-_k) terms are the last that many rows
+            # before this bucket — exactly the tail concatenation's suffix
+            # (any prior row missing from a tail is followed by >= window-1
+            # rows in its own bucket, so it cannot be in the suffix)
+            need = window - 1 - int(row['_k'])
+            prior = t_val[t_bkt < row['_bucket']][-need:] if need > 0 \
+                else np.empty(0, np.int64)
+            out_ids.append(int(row['event_id']))
+            out_win.append(int(row[out_col]) + int(prior.sum()))
+        return pd.DataFrame({'event_id': np.array(out_ids, np.int64),
+                             out_col: np.array(out_win, np.int64)})
+
+    resolved = local.filter(expr='_tag != 0') \
+        .groupby('user_id').map_groups(resolve, batch_format='pandas')
+    return final.union(resolved)

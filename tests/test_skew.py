@@ -250,3 +250,47 @@ def test_cumulative_sum_serial_reference():
     df['cum_cents'] = df.groupby('user_id')['cents'].cumsum()
     exp = _sorted(df[['event_id', 'cum_cents']], ['event_id'])
     assert got.equals(exp.reset_index(drop=True))
+
+
+def test_rolling_sum_salted_equals_plain():
+    ds = _with_cents(_events_ds(mega_user=99, mega_n=2500))
+    plain = skew.rolling_sum(ds, val_col='cents', window=3,
+                             hot_key_threshold=None).to_pandas()
+    routed = skew.rolling_sum(ds, val_col='cents', window=3,
+                              hot_key_threshold=800).to_pandas()
+    salted_only = skew.rolling_sum_salted(ds, val_col='cents',
+                                          window=3).to_pandas()
+    key = ['event_id']
+    assert _sorted(plain, key).equals(_sorted(routed, key))
+    assert _sorted(plain, key).equals(_sorted(salted_only, key))
+
+
+def test_rolling_sum_serial_reference():
+    ds = _with_cents(_events_ds(n_users=4, seed=13))
+    for w in (1, 2, 3, 5):
+        got = _sorted(skew.rolling_sum(ds, val_col='cents', window=w,
+                                       hot_key_threshold=None).to_pandas(),
+                      ['event_id'])
+        df = ds.to_pandas().sort_values(['user_id', 'ts', 'event_id'])
+        df['win_cents'] = (df.groupby('user_id')['cents']
+                           .rolling(w, min_periods=1).sum()
+                           .reset_index(level=0, drop=True).astype('int64'))
+        exp = _sorted(df[['event_id', 'win_cents']], ['event_id'])
+        assert got.equals(exp.reset_index(drop=True)), f'window={w}'
+
+
+def test_rolling_sum_salted_sparse_buckets():
+    """One event per day-bucket: the tail suffix must recurse past the
+    immediately preceding bucket to assemble window-1 prior rows."""
+    users = [1] * 6
+    ts = [i * DAY_US + 5 for i in range(6)]     # 6 buckets, 1 event each
+    cents = [10, 20, 30, 40, 50, 60]
+    ds = ray.data.from_arrow(pa.table({
+        'user_id': pa.array(users, pa.int64()),
+        'event_id': pa.array(range(6), pa.int64()),
+        'ts': pa.array(np.array(ts, 'int64'), pa.timestamp('us')),
+        'cents': pa.array(cents, pa.int64())})).repartition(3)
+    got = _sorted(skew.rolling_sum_salted(ds, val_col='cents',
+                                          window=3).to_pandas(),
+                  ['event_id'])
+    assert got['win_cents'].tolist() == [10, 30, 60, 90, 120, 150]
