@@ -79,6 +79,28 @@ def cmd_rescan(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_traindata(args: argparse.Namespace) -> int:
+    _ray_init(args.num_cpus)
+    from pii_detector_ray.pipelines.traindata import build_traindata_pipeline
+    from pii_detector_ray.sources.pqread import read_parquet_clean
+    files = sorted(glob.glob(os.path.join(args.input, '*.parquet'))) \
+        or sorted(glob.glob(os.path.join(args.input, '**', '*.parquet'),
+                            recursive=True)) or [args.input]
+    cfg = _load_cfg(args)
+    corpus, dropped = build_traindata_pipeline(
+        read_parquet_clean(files, columns=[args.id_col, args.text_col]),
+        cfg, id_col=args.id_col, text_col=args.text_col,
+        span_dedup_enabled=not args.no_span_dedup,
+        c4_enabled=not args.no_c4)
+    corpus.write_parquet(os.path.join(args.output, 'corpus'))
+    dropped.write_parquet(os.path.join(args.output, 'dropped'))
+    import ray.data as rd
+    n_kept = rd.read_parquet(os.path.join(args.output, 'corpus')).count()
+    n_drop = rd.read_parquet(os.path.join(args.output, 'dropped')).count()
+    print(json.dumps({'kept': n_kept, 'dropped': n_drop}))
+    return 0
+
+
 def cmd_synth(args: argparse.Namespace) -> int:
     from pii_detector_ray.sources.pages import SIZES, generate_pages
     out = generate_pages(args.out or f'/tmp/pii_ray_corpus/{args.size}',
@@ -108,6 +130,22 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument('--num-cpus', type=int, default=None)
     s.add_argument('--config')
     s.set_defaults(fn=cmd_rescan)
+
+    t = sub.add_parser(
+        'traindata',
+        help='composite training-data prep: normalize + C4 + quality + '
+             'scrub + exact dedup + span dedup + token stats')
+    t.add_argument('--input', required=True,
+                   help='parquet file/dir with (id, text) columns')
+    t.add_argument('--output', required=True,
+                   help='writes <output>/corpus and <output>/dropped')
+    t.add_argument('--id-col', default='doc_id')
+    t.add_argument('--text-col', default='text')
+    t.add_argument('--no-span-dedup', action='store_true')
+    t.add_argument('--no-c4', action='store_true')
+    t.add_argument('--num-cpus', type=int, default=None)
+    t.add_argument('--config')
+    t.set_defaults(fn=cmd_traindata)
 
     g = sub.add_parser('synth', help='generate a synthetic pages corpus')
     g.add_argument('--size', choices=['smoke', 'correctness', 'bench'],

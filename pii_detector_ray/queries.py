@@ -779,6 +779,38 @@ _STRATIFIED_SQL = (
 )
 
 
+def q_orders_pushdown_count(sf_dir: str) -> ray.data.Dataset:
+    """Predicate pushdown at the READ (§2.1 prune-at-the-read): the price
+    filter rides into the pyarrow fragment scanner (``arrow_parquet_args
+    {'filter': ...}``) so row groups whose min/max excludes the range never
+    leave storage; only two columns are materialized.  Per-priority counts
+    over the survivors."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, 'orders.parquet'),
+        columns=['o_orderpriority', 'o_totalprice'],
+        # read_parquet's **arrow_parquet_args forwards this to the pyarrow
+        # fragment scanner: row-group stats pruning + scan-time filtering
+        filter=pads.field('o_totalprice') > 400_000.0)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = pa.table({'o_orderpriority': batch.column('o_orderpriority')}) \
+            .group_by('o_orderpriority').aggregate([([], 'count_all')])
+        return agg.rename_columns(['o_orderpriority', '_n'])
+
+    return (ds.map_batches(partial, batch_format='pyarrow')
+            .groupby('o_orderpriority').aggregate(Sum('_n', alias_name='n_orders')))
+
+
+_ORDERS_PUSHDOWN_SQL = (
+    'SELECT o_orderpriority, count(*) AS n_orders FROM orders '
+    'WHERE o_totalprice > 400000.0 GROUP BY o_orderpriority'
+)
+
+
 def q_user_value_median(sf_dir: str) -> ray.data.Dataset:
     """Exact per-user median of event values via per-group compute (the
     group count is the user count — small; at 10^12 events per user a
@@ -2258,6 +2290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'events_asof': q_events_asof,
         'events_sliding': q_events_sliding,
         'orders_price_bands': q_orders_price_bands,
+        'orders_pushdown_count': q_orders_pushdown_count,
         'pricing_summary': q_pricing_summary,
         'nation_revenue': q_nation_revenue,
         'stratified_sample': q_stratified_sample,
@@ -2349,6 +2382,7 @@ def oracle_sql() -> dict[str, str]:
         'events_asof': _EVENTS_ASOF_SQL,
         'events_sliding': _EVENTS_SLIDING_SQL,
         'orders_price_bands': _ORDERS_BANDS_SQL,
+        'orders_pushdown_count': _ORDERS_PUSHDOWN_SQL,
         'pricing_summary': _PRICING_SUMMARY_SQL,
         'nation_revenue': _NATION_REVENUE_SQL,
         'stratified_sample': _STRATIFIED_SQL,
