@@ -779,6 +779,46 @@ _STRATIFIED_SQL = (
 )
 
 
+def q_events_segment_join(sf_dir: str) -> ray.data.Dataset:
+    """Skew-aware inner join (stages/joins.skew_join): events join a
+    derived user→segment dimension with a hot-key threshold LOW enough
+    that most users route through the hot path (broadcast map-side merge)
+    — the driver gate thereby exercises screen + split + broadcast + union
+    + the cold co-partitioned join, then aggregates per segment."""
+    from pii_detector_ray.stages.joins import skew_join
+
+    def mk_dim(batch: pa.Table) -> pa.Table:
+        agg = pa.table({'user_id': batch.column('user_id')}) \
+            .group_by('user_id').aggregate([])
+        uid = agg.column('user_id').to_numpy(zero_copy_only=False)
+        return pa.table({
+            'user_id': agg.column('user_id'),
+            'segment': pa.array([f'seg{u % 5}' for u in uid], pa.string())})
+
+    dim = (_events(sf_dir, ['user_id'])
+           .map_batches(mk_dim, batch_format='pyarrow')
+           .groupby('user_id').map_groups(lambda g: g.head(1),
+                                          batch_format='pandas'))
+    joined = skew_join(_events(sf_dir, ['event_id', 'user_id']), dim,
+                       on='user_id', hot_key_threshold=50)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = pa.table({'segment': batch.column('segment')}) \
+            .group_by('segment').aggregate([([], 'count_all')])
+        return agg.rename_columns(['segment', '_n'])
+
+    return (joined.map_batches(partial, batch_format='pyarrow')
+            .groupby('segment').aggregate(Sum('_n', alias_name='n_events')))
+
+
+_EVENTS_SEGMENT_JOIN_SQL = (
+    "WITH dim AS (SELECT DISTINCT user_id, 'seg' || (user_id % 5) AS segment "
+    'FROM events) '
+    'SELECT d.segment, count(*) AS n_events FROM events e '
+    'JOIN dim d ON e.user_id = d.user_id GROUP BY d.segment'
+)
+
+
 def q_orders_pushdown_count(sf_dir: str) -> ray.data.Dataset:
     """Predicate pushdown at the READ (§2.1 prune-at-the-read): the price
     filter rides into the pyarrow fragment scanner (``arrow_parquet_args
@@ -2291,6 +2331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'events_sliding': q_events_sliding,
         'orders_price_bands': q_orders_price_bands,
         'orders_pushdown_count': q_orders_pushdown_count,
+        'events_segment_join': q_events_segment_join,
         'pricing_summary': q_pricing_summary,
         'nation_revenue': q_nation_revenue,
         'stratified_sample': q_stratified_sample,
@@ -2383,6 +2424,7 @@ def oracle_sql() -> dict[str, str]:
         'events_sliding': _EVENTS_SLIDING_SQL,
         'orders_price_bands': _ORDERS_BANDS_SQL,
         'orders_pushdown_count': _ORDERS_PUSHDOWN_SQL,
+        'events_segment_join': _EVENTS_SEGMENT_JOIN_SQL,
         'pricing_summary': _PRICING_SUMMARY_SQL,
         'nation_revenue': _NATION_REVENUE_SQL,
         'stratified_sample': _STRATIFIED_SQL,

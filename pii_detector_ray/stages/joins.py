@@ -267,3 +267,102 @@ def sliding_window_agg(ds: ray.data.Dataset, *, key_col: str, ts_col: str,
         })
 
     return out.map_batches(fin, batch_format='pyarrow')
+
+
+def skew_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
+              on: str, hot_key_threshold: int | None = 1_000_000,
+              broadcast_limit: int = 2_000_000,
+              num_partitions: int | None = None) -> ray.data.Dataset:
+    """INNER hash join with hot-key mitigation.
+
+    A plain co-partitioned ``Dataset.join`` sends every row of a key to ONE
+    aggregator — a key holding 10% of a 10^12-row table is one actor's
+    memory.  This operator:
+
+    1. finds left-side hot keys with the narrow two-phase screen
+       (``skew.hot_keys``; zero extra shuffle when no key is hot);
+    2. cold keys take the regular co-partitioned join;
+    3. hot keys bypass the shuffle: when the matching RIGHT rows fit
+       ``broadcast_limit`` they ship once via ``ray.put`` and each left
+       batch merges map-side; otherwise the textbook salt-replicate join
+       runs — left hot rows get a per-row salt 0..R-1, right hot rows are
+       replicated R times, and the join key becomes (key, salt), spreading
+       the hot key over R aggregators.  Both paths are EXACT for inner
+       joins (asserted against the plain join in tests/test_joins.py).
+
+    Column contract: same as ``Dataset.join`` (shared non-key column names
+    need suffixes; keep the sides disjoint).
+    """
+    from pii_detector_ray.stages.dedup import drop_empty_blocks, join_partitions
+    from pii_detector_ray.stages.skew import hot_keys, split_by_keys
+
+    nparts = num_partitions or join_partitions()
+    hot = hot_keys(left, on, hot_key_threshold) \
+        if hot_key_threshold is not None else set()
+    if not hot:
+        l, r = drop_empty_blocks(left), drop_empty_blocks(right)
+        if l.count() == 0 or r.count() == 0:
+            return _empty_inner(l, r, on)
+        return l.join(r, join_type='inner', num_partitions=nparts, on=(on,))
+
+    left_hot, left_cold = split_by_keys(left, on, hot)
+    right_hot, right_cold = split_by_keys(right, on, hot)
+
+    cold = skew_join(left_cold, right_cold, on=on, hot_key_threshold=None,
+                     num_partitions=nparts)
+
+    rh = drop_empty_blocks(right_hot)
+    n_rh = rh.count()
+    if n_rh == 0:
+        return cold                      # inner join: hot keys match nothing
+    if n_rh <= broadcast_limit:
+        rh_ref = ray.put(rh.to_pandas())
+
+        def map_side(batch: pa.Table) -> pa.Table:
+            ldf = batch.to_pandas()
+            out = ldf.merge(ray.get(rh_ref), how='inner', on=on)
+            return pa.Table.from_pandas(out, preserve_index=False) \
+                .replace_schema_metadata(None)
+
+        hot_joined = drop_empty_blocks(
+            left_hot.map_batches(map_side, batch_format='pyarrow'))
+    else:
+        R = nparts
+
+        def salt_left(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            return batch.append_column(
+                '_salt', pa.array(np.arange(n, dtype=np.int64) % R))
+
+        def replicate_right(batch: pa.Table) -> pa.Table:
+            reps = [batch.append_column(
+                '_salt', pa.array(np.full(len(batch), s, dtype=np.int64)))
+                for s in range(R)]
+            return pa.concat_tables(reps)
+
+        hot_joined = drop_empty_blocks(
+            left_hot.map_batches(salt_left, batch_format='pyarrow')).join(
+            drop_empty_blocks(
+                right_hot.map_batches(replicate_right,
+                                      batch_format='pyarrow')),
+            join_type='inner', num_partitions=nparts, on=(on, '_salt')) \
+            .drop_columns(['_salt'])
+        hot_joined = drop_empty_blocks(hot_joined)
+    return cold.union(hot_joined)
+
+
+def _empty_inner(l: ray.data.Dataset, r: ray.data.Dataset,
+                 on: str) -> ray.data.Dataset:
+    """Typed empty result of an inner join of ``l`` and ``r`` (either side
+    empty): combined schema, zero rows — skips the all-empty-side shuffle
+    that trips Ray 2.49."""
+    fields = []
+    seen = set()
+    for sch in (l.schema(), r.schema()):
+        base = sch.base_schema
+        for f in base:
+            if f.name not in seen:
+                seen.add(f.name)
+                fields.append(f)
+    return ray.data.from_arrow(pa.table(
+        {f.name: pa.array([], f.type) for f in fields}))

@@ -107,3 +107,64 @@ def test_sliding_window_negative_ts_matches_duckdb_floor():
         f"GROUP BY 1").df()
     assert set(got['window_start']) == set(exp['window_start'])
     assert -1000 in set(got['window_start'])       # floor(-950/100)*100
+
+
+def test_skew_join_all_paths_equal_plain(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pii_detector_ray.stages.joins import skew_join
+
+    rng = np.random.default_rng(21)
+    # key 7 is hot: 60% of the left side
+    keys = np.where(rng.random(2000) < 0.6, 7,
+                    rng.integers(0, 40, 2000)).astype(np.int64)
+    left = rd.from_arrow(pa.table({
+        'k': pa.array(keys), 'lv': pa.array(np.arange(2000))})).repartition(5)
+    right = rd.from_arrow(pa.table({
+        'k': pa.array(np.arange(40, dtype=np.int64)),
+        'rv': pa.array(np.arange(40) * 10)})).repartition(3)
+
+    def norm(ds):
+        df = ds.to_pandas()
+        return df.sort_values(['k', 'lv']).reset_index(drop=True)[
+            ['k', 'lv', 'rv']]
+
+    plain = norm(skew_join(left, right, on='k', hot_key_threshold=None))
+    broadcast = norm(skew_join(left, right, on='k', hot_key_threshold=500))
+    salted = norm(skew_join(left, right, on='k', hot_key_threshold=500,
+                            broadcast_limit=0))
+    assert plain.equals(broadcast)
+    assert plain.equals(salted)
+    assert len(plain) == 2000            # right keys cover every left key
+
+
+def test_skew_join_hot_key_missing_on_right(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pii_detector_ray.stages.joins import skew_join
+
+    left = rd.from_arrow(pa.table({
+        'k': pa.array([1] * 900 + [2, 3], pa.int64()),
+        'lv': pa.array(range(902))}))
+    right = rd.from_arrow(pa.table({
+        'k': pa.array([2, 3], pa.int64()), 'rv': pa.array([20, 30])}))
+    out = skew_join(left, right, on='k', hot_key_threshold=100).to_pandas()
+    assert sorted(out['k'].tolist()) == [2, 3]
+
+
+def test_skew_join_empty_sides(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pii_detector_ray.stages.joins import skew_join
+
+    left = rd.from_arrow(pa.table({'k': pa.array([], pa.int64()),
+                                   'lv': pa.array([], pa.int64())}))
+    right = rd.from_arrow(pa.table({'k': pa.array([1], pa.int64()),
+                                    'rv': pa.array([10], pa.int64())}))
+    out = skew_join(left, right, on='k', hot_key_threshold=None)
+    assert out.count() == 0
