@@ -779,6 +779,53 @@ _STRATIFIED_SQL = (
 )
 
 
+def q_label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Grouped VECTOR aggregate: per-label centroid of the embedding
+    column.  Each batch ships one (label, Σvec, n) partial — d+1 floats per
+    label per batch, never the vectors (the stages/pca.py sufficient-
+    statistics shape); exact driver combine, round(4) absorbs summation-
+    order float jitter vs the oracle's unnest+avg."""
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch.column('label').to_numpy(zero_copy_only=False)
+        emb = np.stack(batch.column('embedding').to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        out_l, out_s, out_n = [], [], []
+        for lab in np.unique(labels):
+            m = labels == lab
+            out_l.append(int(lab))
+            out_s.append(emb[m].sum(axis=0).tolist())
+            out_n.append(int(m.sum()))
+        return pa.table({'label': pa.array(out_l, pa.int32()),
+                         '_s': pa.array(out_s, pa.list_(pa.float64())),
+                         '_n': pa.array(out_n, pa.int64())})
+
+    rows = _embeddings(sf_dir, ['label', 'embedding']) \
+        .map_batches(partial, batch_format='pyarrow').take_all()
+    acc: dict[int, tuple[np.ndarray, int]] = {}
+    for r in rows:
+        s, n = acc.get(r['label'], (0.0, 0))
+        acc[r['label']] = (s + np.asarray(r['_s']), n + r['_n'])
+    out_lab, out_i, out_c = [], [], []
+    for lab in sorted(acc):
+        s, n = acc[lab]
+        mean = s / n
+        for i, c in enumerate(mean, start=1):
+            out_lab.append(lab)
+            out_i.append(i)
+            out_c.append(sql_round_scalar(float(c), 4))
+    return pd.DataFrame({'label': pd.array(out_lab, dtype='int32'),
+                         'i': pd.array(out_i, dtype='int64'),
+                         'c': out_c})
+
+
+_LABEL_CENTROIDS_SQL = (
+    'SELECT label, i, round(avg(x), 4) AS c FROM ('
+    'SELECT label, unnest(embedding) AS x, '
+    'generate_subscripts(embedding, 1) AS i FROM embeddings) '
+    'GROUP BY label, i'
+)
+
+
 def q_events_segment_join(sf_dir: str) -> ray.data.Dataset:
     """Skew-aware inner join (stages/joins.skew_join): events join a
     derived user→segment dimension with a hot-key threshold LOW enough
@@ -2332,6 +2379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'orders_price_bands': q_orders_price_bands,
         'orders_pushdown_count': q_orders_pushdown_count,
         'events_segment_join': q_events_segment_join,
+        'label_centroids': q_label_centroids,
         'pricing_summary': q_pricing_summary,
         'nation_revenue': q_nation_revenue,
         'stratified_sample': q_stratified_sample,
@@ -2425,6 +2473,7 @@ def oracle_sql() -> dict[str, str]:
         'orders_price_bands': _ORDERS_BANDS_SQL,
         'orders_pushdown_count': _ORDERS_PUSHDOWN_SQL,
         'events_segment_join': _EVENTS_SEGMENT_JOIN_SQL,
+        'label_centroids': _LABEL_CENTROIDS_SQL,
         'pricing_summary': _PRICING_SUMMARY_SQL,
         'nation_revenue': _NATION_REVENUE_SQL,
         'stratified_sample': _STRATIFIED_SQL,
