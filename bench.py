@@ -75,7 +75,10 @@ def run_bench() -> dict:
         for name in ['pii_email_counts', 'dedup_exact', 'events_user_stats',
                      'events_hourly', 'similarity_topk', 'token_counts',
                      'scrub_documents', 'events_asof', 'pricing_summary',
-                     'pii_person_counts', 'span_dedup', 'tfidf_top_terms']:
+                     'pii_person_counts', 'span_dedup', 'tfidf_top_terms',
+                     'url_canonical', 'anti_join_bloom', 'user_cumulative',
+                     'user_rolling3', 'host_p95', 'events_segment_join',
+                     'approx_distinct_hll']:
             fn = q.queries()[name]
             t0 = time.monotonic()
             res = fn(SF_DIR)

@@ -842,12 +842,18 @@ def q_events_segment_join(sf_dir: str) -> ray.data.Dataset:
             'user_id': agg.column('user_id'),
             'segment': pa.array([f'seg{u % 5}' for u in uid], pa.string())})
 
+    # dedup via aggregate, NOT map_groups: thousands of singleton groups
+    # pay ~5-10 ms of per-group Python each (measured, see memory notes);
+    # Min over the (functionally-dependent) segment is one narrow shuffle
+    # both sides are NARROW and consumed twice by the hot/cold split
+    # (plus the hot-key screen on the left) — materialize so the splits
+    # filter object-store blocks instead of re-running read+shuffle chains
     dim = (_events(sf_dir, ['user_id'])
            .map_batches(mk_dim, batch_format='pyarrow')
-           .groupby('user_id').map_groups(lambda g: g.head(1),
-                                          batch_format='pandas'))
-    joined = skew_join(_events(sf_dir, ['event_id', 'user_id']), dim,
-                       on='user_id', hot_key_threshold=50)
+           .groupby('user_id')
+           .aggregate(Min('segment', alias_name='segment'))).materialize()
+    left = _events(sf_dir, ['event_id', 'user_id']).materialize()
+    joined = skew_join(left, dim, on='user_id', hot_key_threshold=50)
 
     def partial(batch: pa.Table) -> pa.Table:
         agg = pa.table({'segment': batch.column('segment')}) \
@@ -1626,7 +1632,12 @@ def q_anti_join_bloom(sf_dir: str) -> ray.data.Dataset:
     big = read_documents(sf_dir, ['doc_id', 'source'])
     keys = (read_documents(sf_dir, ['doc_id'])
             .map_batches(only_scanned, batch_format='pyarrow'))
-    return bloom_anti_join(big, keys, on='doc_id', m_bits=1 << 16)
+    # exact_broadcast_limit=0 pins the BLOOM+verify-join path (the one this
+    # query exists to gate); production callers keep the default guard,
+    # which broadcasts the exact key set while it fits.  num_partitions is
+    # small because the verify join sees only bloom-positive rows.
+    return bloom_anti_join(big, keys, on='doc_id', m_bits=1 << 16,
+                           exact_broadcast_limit=0, num_partitions=4)
 
 
 _ANTI_JOIN_BLOOM_SQL = (

@@ -114,13 +114,34 @@ def bloom_contains(bits: np.ndarray, keys: pa.Array, k: int) -> np.ndarray:
 
 def bloom_anti_join(big: ray.data.Dataset, keys_ds: ray.data.Dataset,
                     on: str, *, m_bits: int = 1 << 20, k: int = 4,
-                    num_partitions: int | None = None) -> ray.data.Dataset:
+                    num_partitions: int | None = None,
+                    exact_broadcast_limit: int = 2_000_000
+                    ) -> ray.data.Dataset:
     """EXACT ``big ANTI JOIN keys_ds ON big[on] = keys_ds[on]`` with a bloom
     prefilter so the verification shuffle carries only bloom-positive rows.
+
+    Key-count size guard: while building the bloom, the per-block partials
+    also count keys; at or under ``exact_broadcast_limit`` the exact key
+    set itself is broadcast and candidates verify map-side — no shuffle at
+    all (a 2M-key set is ~100 MB, shipped once per node).  Above the limit
+    the exact verification runs as the narrow left-outer join.
 
     Returns ``big``'s schema unchanged.  ``keys_ds`` must have unique keys
     (dedup first if not — only membership matters)."""
     from pii_detector_ray.stages.dedup import drop_empty_blocks, join_partitions
+
+    n_keys = keys_ds.count()
+    if n_keys <= exact_broadcast_limit:
+        key_ref = ray.put(frozenset(
+            r[on] for r in keys_ds.select_columns([on]).iter_rows()))
+
+        def anti(batch: pa.Table) -> pa.Table:
+            ks = ray.get(key_ref)
+            mask = pa.array([v not in ks
+                             for v in batch.column(on).to_pylist()])
+            return batch.filter(mask)
+
+        return big.map_batches(anti, batch_format='pyarrow')
 
     bits_ref = ray.put(build_bloom(keys_ds, on, m_bits=m_bits, k=k))
 

@@ -48,7 +48,8 @@ def test_bloom_anti_join_exact(ray_session, m_bits):
     key_list = [int(x) for x in rng.integers(0, 500, size=120)]
     big = ray.data.from_items(rows)
     keys = ray.data.from_items([{'k': k} for k in sorted(set(key_list))])
-    out = bloom_anti_join(big, keys, on='k', m_bits=m_bits, k=4)
+    out = bloom_anti_join(big, keys, on='k', m_bits=m_bits, k=4,
+                          exact_broadcast_limit=0)
     got = sorted((r['k'], r['v']) for r in out.take_all())
     assert got == _exact_anti(rows, set(key_list))
 
@@ -58,7 +59,8 @@ def test_bloom_anti_join_string_keys(ray_session):
     key_list = [f'url{i}' for i in range(0, 50, 2)]
     big = ray.data.from_items(rows)
     keys = ray.data.from_items([{'k': k} for k in key_list])
-    out = bloom_anti_join(big, keys, on='k', m_bits=256, k=3)
+    out = bloom_anti_join(big, keys, on='k', m_bits=256, k=3,
+                          exact_broadcast_limit=0)
     got = sorted((r['k'], r['v']) for r in out.take_all())
     assert got == _exact_anti(rows, set(key_list))
 
@@ -77,3 +79,16 @@ def test_bloom_anti_join_all_dropped(ray_session):
     keys = ray.data.from_items([{'k': i} for i in range(20)])
     out = bloom_anti_join(big, keys, on='k', m_bits=256, k=3)
     assert out.count() == 0
+
+
+def test_broadcast_guard_path_equals_join_path(ray_session):
+    rows = [{'k': i % 60, 'v': i} for i in range(300)]
+    key_list = list(range(0, 60, 4))
+    big = ray.data.from_items(rows)
+    keys = ray.data.from_items([{'k': k} for k in key_list])
+    via_guard = bloom_anti_join(big, keys, on='k', m_bits=256, k=3)
+    via_join = bloom_anti_join(big, keys, on='k', m_bits=256, k=3,
+                               exact_broadcast_limit=0)
+    a = sorted((r['k'], r['v']) for r in via_guard.take_all())
+    b = sorted((r['k'], r['v']) for r in via_join.take_all())
+    assert a == b == _exact_anti(rows, set(key_list))
