@@ -92,6 +92,11 @@ def cmd_traindata(args: argparse.Namespace) -> int:
         cfg, id_col=args.id_col, text_col=args.text_col,
         span_dedup_enabled=not args.no_span_dedup,
         c4_enabled=not args.no_c4)
+    # write_parquet APPENDS into an existing directory (Ray 2.49): truncate
+    # so a re-run replaces rather than duplicates the previous output
+    import shutil
+    for sub in ('corpus', 'dropped'):
+        shutil.rmtree(os.path.join(args.output, sub), ignore_errors=True)
     corpus.write_parquet(os.path.join(args.output, 'corpus'))
     dropped.write_parquet(os.path.join(args.output, 'dropped'))
     import ray.data as rd

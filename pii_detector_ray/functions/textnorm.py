@@ -1,0 +1,16 @@
+"""Shared Unicode text normalization: NFC composition + RE2-space run
+collapse + edge trim.  One implementation for q_normalize_text and the
+traindata pipeline so the oracle-mirrored rule set cannot diverge."""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+from pii_detector_ray.functions.re2compat import RE2_SPACE_CHARS
+
+_WS_RUN = re.compile('[' + RE2_SPACE_CHARS + ']+')
+
+
+def normalize_ws_nfc(text: str | None) -> str:
+    return _WS_RUN.sub(' ', unicodedata.normalize('NFC', text or '')).strip(' ')

@@ -25,8 +25,6 @@ payloads cross the object store only inside their own map chain.
 from __future__ import annotations
 
 import hashlib
-import re
-import unicodedata
 
 import numpy as np
 import pandas as pd
@@ -37,7 +35,7 @@ import ray.data
 from ray.data.aggregate import Min
 
 from pii_detector_ray.config import PipelineConfig
-from pii_detector_ray.functions.re2compat import RE2_SPACE_CHARS
+from pii_detector_ray.functions.textnorm import normalize_ws_nfc
 from pii_detector_ray.stages.c4filter import c4_filter_batch
 from pii_detector_ray.stages.dedup import drop_empty_blocks, join_partitions
 from pii_detector_ray.stages.heuristics import heuristics_batch
@@ -46,8 +44,6 @@ from pii_detector_ray.stages.scorers import score_batch_stateless
 from pii_detector_ray.stages.scrub import make_scrub_stage
 from pii_detector_ray.stages.spandedup import span_dedup
 from pii_detector_ray.stages.textstats import token_stats_batch
-
-_WS_RUN = re.compile('[' + RE2_SPACE_CHARS + ']+')
 
 _LEDGER_COLS = ['drop_stage', 'drop_reason']
 
@@ -75,9 +71,8 @@ def build_traindata_pipeline(
     # --- map phase 1: normalize → c4 → quality, one pandas roundtrip ---
     def clean_quality(t: pa.Table) -> pa.Table:
         df = t.select([id_col, text_col]).to_pandas()
-        df[text_col] = [
-            _WS_RUN.sub(' ', unicodedata.normalize('NFC', x or '')).strip(' ')
-            for x in df[text_col].astype('string').fillna('')]
+        df[text_col] = [normalize_ws_nfc(x)
+                        for x in df[text_col].astype('string').fillna('')]
         if c4_enabled:
             df = c4_filter_batch(df, text_col=text_col)
         else:
@@ -109,7 +104,13 @@ def build_traindata_pipeline(
         return pa.Table.from_pandas(out, preserve_index=False) \
             .replace_schema_metadata(None)
 
-    staged = docs.map_batches(clean_quality, batch_format='pyarrow')
+    # materialize ONCE: staged is consumed three times (drop ledger, the
+    # winners groupby, the winner join).  Lazy, the normalize→C4→quality
+    # chain — the pipeline's dominant compute — would re-execute each time;
+    # this is the expensive-upstream case where the barrier wins (the url
+    # dedup kept payloads lazy because ITS upstream was a cheap re-read).
+    staged = docs.map_batches(clean_quality,
+                              batch_format='pyarrow').materialize()
     dropped_early = staged.filter(expr="drop_stage != ''") \
         .select_columns([id_col] + _LEDGER_COLS)
 
@@ -128,7 +129,9 @@ def build_traindata_pipeline(
                          'scrubbed_text': batch.column('scrubbed_text'),
                          '_h': pa.array(hs, pa.binary())})
 
-    live_keyed = live.map_batches(keyed, batch_format='pyarrow')
+    # same reasoning: the scrub+sha chain feeds both the winners groupby
+    # and the winner join — one execution, spillable blocks
+    live_keyed = live.map_batches(keyed, batch_format='pyarrow').materialize()
     winners = drop_empty_blocks(
         live_keyed.select_columns(['_h', id_col])
         .groupby('_h').aggregate(Min(id_col, alias_name=id_col)))

@@ -595,6 +595,21 @@ _EVENT_DELTAS_SQL = (
 )
 
 
+def _events_cents(sf_dir: str) -> ray.data.Dataset:
+    """Shared events→integer-cents projection for the window operators
+    (DuckDB half-away rounding so both oracles share one contract)."""
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = batch.column('value').to_numpy(zero_copy_only=False)
+        cents = sql_round_np(v * 100.0, 0).astype(np.int64)
+        return pa.table({'user_id': batch.column('user_id'),
+                         'event_id': batch.column('event_id'),
+                         'ts': batch.column('ts'),
+                         'cents': pa.array(cents, pa.int64())})
+
+    return _events(sf_dir, ['user_id', 'event_id', 'ts', 'value']) \
+        .map_batches(to_cents, batch_format='pyarrow')
+
+
 def q_user_cumulative(sf_dir: str) -> ray.data.Dataset:
     """Running-total window (sum OVER ROWS UNBOUNDED PRECEDING): per event,
     the user's cumulative spend so far in (ts, event_id) order.  Value is
@@ -603,18 +618,7 @@ def q_user_cumulative(sf_dir: str) -> ray.data.Dataset:
     mega-users route through the day-bucketed salted variant
     (stages/skew.py, VERDICT r2 #4 pattern)."""
     from pii_detector_ray.stages.skew import cumulative_sum
-
-    def to_cents(batch: pa.Table) -> pa.Table:
-        v = batch.column('value').to_numpy(zero_copy_only=False)
-        cents = sql_round_np(v * 100.0, 0).astype(np.int64)
-        return pa.table({'user_id': batch.column('user_id'),
-                         'event_id': batch.column('event_id'),
-                         'ts': batch.column('ts'),
-                         'cents': pa.array(cents, pa.int64())})
-
-    ds = _events(sf_dir, ['user_id', 'event_id', 'ts', 'value']) \
-        .map_batches(to_cents, batch_format='pyarrow')
-    return cumulative_sum(ds, val_col='cents',
+    return cumulative_sum(_events_cents(sf_dir), val_col='cents',
                           hot_key_threshold=_events_hot_threshold(sf_dir))
 
 
@@ -623,18 +627,7 @@ def q_user_rolling3(sf_dir: str) -> ray.data.Dataset:
     CURRENT ROW) — integer cents for distributed exactness, mega-users via
     the bounded tail-carry salted variant (stages/skew.rolling_sum)."""
     from pii_detector_ray.stages.skew import rolling_sum
-
-    def to_cents(batch: pa.Table) -> pa.Table:
-        v = batch.column('value').to_numpy(zero_copy_only=False)
-        cents = sql_round_np(v * 100.0, 0).astype(np.int64)
-        return pa.table({'user_id': batch.column('user_id'),
-                         'event_id': batch.column('event_id'),
-                         'ts': batch.column('ts'),
-                         'cents': pa.array(cents, pa.int64())})
-
-    ds = _events(sf_dir, ['user_id', 'event_id', 'ts', 'value']) \
-        .map_batches(to_cents, batch_format='pyarrow')
-    return rolling_sum(ds, val_col='cents', window=3,
+    return rolling_sum(_events_cents(sf_dir), val_col='cents', window=3,
                        hot_key_threshold=_events_hot_threshold(sf_dir))
 
 
@@ -922,10 +915,9 @@ _USER_MEDIAN_SQL = (
 )
 
 
-def q_distinct_source_lang(sf_dir: str) -> ray.data.Dataset:
-    """DISTINCT set-op (§2.9): unique (source, lang) combinations, two-phase
-    — per-batch Arrow group_by dedup first so the shuffle carries at most
-    one row per combination per batch, never raw rows."""
+def _distinct_source_lang_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Two-phase distinct (source, lang) pairs: per-batch Arrow group_by
+    dedup, then a one-row-per-combination global dedup."""
     def dd(batch: pa.Table) -> pa.Table:
         return pa.table({'source': batch.column('source'),
                          'lang': batch.column('lang')}) \
@@ -937,6 +929,13 @@ def q_distinct_source_lang(sf_dir: str) -> ray.data.Dataset:
                 lambda g: g.head(1), batch_format='pandas'))
 
 
+def q_distinct_source_lang(sf_dir: str) -> ray.data.Dataset:
+    """DISTINCT set-op (§2.9): unique (source, lang) combinations, two-phase
+    — per-batch Arrow group_by dedup first so the shuffle carries at most
+    one row per combination per batch, never raw rows."""
+    return _distinct_source_lang_pairs(sf_dir)
+
+
 _DISTINCT_SOURCE_LANG_SQL = 'SELECT DISTINCT source, lang FROM documents'
 
 
@@ -945,15 +944,7 @@ def q_source_lang_list(sf_dir: str) -> ray.data.Dataset:
     languages joined with commas.  Two-phase: per-batch (source, lang)
     dedup → global pair dedup → per-source ordered join (group count =
     source count, each group bounded by the language alphabet)."""
-    def dd(batch: pa.Table) -> pa.Table:
-        return pa.table({'source': batch.column('source'),
-                         'lang': batch.column('lang')}) \
-            .group_by(['source', 'lang']).aggregate([])
-
-    pairs = (read_documents(sf_dir, ['source', 'lang'])
-             .map_batches(dd, batch_format='pyarrow')
-             .groupby(['source', 'lang']).map_groups(
-                 lambda g: g.head(1), batch_format='pandas'))
+    pairs = _distinct_source_lang_pairs(sf_dir)
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -1069,12 +1060,10 @@ def q_normalize_text(sf_dir: str) -> ray.data.Dataset:
     (unicodedata has no vectorized form); at 100 TB this is the same
     embarrassingly-parallel shape as the scrub stage.  Oracle mirrors each
     step (nfc_normalize / regexp_replace 'g' / trim)."""
-    import unicodedata
-    ws = re.compile('[' + _RE2_SPACE_CHARS + ']+')
+    from pii_detector_ray.functions.textnorm import normalize_ws_nfc
 
     def norm(batch: pa.Table) -> pa.Table:
-        out = [ws.sub(' ', unicodedata.normalize('NFC', t or '')).strip(' ')
-               for t in batch.column('text').to_pylist()]
+        out = [normalize_ws_nfc(t) for t in batch.column('text').to_pylist()]
         return pa.table({'doc_id': batch.column('doc_id'),
                          'norm_text': pa.array(out, pa.string())})
 

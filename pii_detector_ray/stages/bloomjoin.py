@@ -56,20 +56,17 @@ def _key_hash64(keys: pa.Array) -> np.ndarray:
     if pa.types.is_integer(keys.type):
         base = keys.to_numpy(zero_copy_only=False).astype(np.uint64)
     else:
-        # FNV-1a over utf8 bytes, vectorized per position over the padded
-        # byte matrix (max key length × n): fine for url/host-length keys
+        # blake2b-8 per row: O(sum of key lengths) C-speed hashing — a
+        # per-position padded-matrix approach would cost n×max(len) and
+        # one pathological mega-key would blow up the whole batch
+        import hashlib
         s = pc.cast(keys, pa.string())
         np_s = s.to_numpy(zero_copy_only=False)
-        bytes_list = [x.encode('utf-8') if x is not None else b'' for x in np_s]
-        maxlen = max((len(b) for b in bytes_list), default=1) or 1
-        mat = np.zeros((len(bytes_list), maxlen), dtype=np.uint8)
-        lens = np.array([len(b) for b in bytes_list], dtype=np.int64)
-        for i, b in enumerate(bytes_list):
-            mat[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
-        base = np.full(len(bytes_list), _FNV_OFFSET, dtype=np.uint64)
-        for j in range(maxlen):
-            active = lens > j
-            base[active] = (base[active] ^ mat[active, j].astype(np.uint64)) * _FNV_PRIME
+        base = np.empty(len(np_s), dtype=np.uint64)
+        for i, x in enumerate(np_s):
+            d = hashlib.blake2b(x.encode('utf-8') if x is not None else b'',
+                                digest_size=8).digest()
+            base[i] = int.from_bytes(d, 'little')
     return _splitmix(base, 0x9E3779B97F4A7C15)
 
 
@@ -130,10 +127,13 @@ def bloom_anti_join(big: ray.data.Dataset, keys_ds: ray.data.Dataset,
     (dedup first if not — only membership matters)."""
     from pii_detector_ray.stages.dedup import drop_empty_blocks, join_partitions
 
-    n_keys = keys_ds.count()
+    # one execution of the key side: the narrow projection is reused by the
+    # count, the bloom build, and the marker table (previously 3 passes)
+    keys_narrow = keys_ds.select_columns([on]).materialize()
+    n_keys = keys_narrow.count()
     if n_keys <= exact_broadcast_limit:
         key_ref = ray.put(frozenset(
-            r[on] for r in keys_ds.select_columns([on]).iter_rows()))
+            r[on] for r in keys_narrow.iter_rows()))
 
         def anti(batch: pa.Table) -> pa.Table:
             ks = ray.get(key_ref)
@@ -143,7 +143,7 @@ def bloom_anti_join(big: ray.data.Dataset, keys_ds: ray.data.Dataset,
 
         return big.map_batches(anti, batch_format='pyarrow')
 
-    bits_ref = ray.put(build_bloom(keys_ds, on, m_bits=m_bits, k=k))
+    bits_ref = ray.put(build_bloom(keys_narrow, on, m_bits=m_bits, k=k))
 
     def split(flag: bool):
         def f(batch: pa.Table) -> pa.Table:
@@ -156,7 +156,7 @@ def bloom_anti_join(big: ray.data.Dataset, keys_ds: ray.data.Dataset,
 
     # exact verification of the candidates: LEFT join on the key against the
     # (narrow, marker-tagged) key set, keep unmatched = true non-members
-    marker = keys_ds.select_columns([on]).map_batches(
+    marker = keys_narrow.map_batches(
         lambda b: b.append_column('_in_set', pa.array([True] * len(b))),
         batch_format='pyarrow')
     candidates = drop_empty_blocks(candidates)

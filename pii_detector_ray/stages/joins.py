@@ -300,10 +300,16 @@ def skew_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     hot = hot_keys(left, on, hot_key_threshold) \
         if hot_key_threshold is not None else set()
     if not hot:
-        l, r = drop_empty_blocks(left), drop_empty_blocks(right)
-        if l.count() == 0 or r.count() == 0:
-            return _empty_inner(l, r, on)
-        return l.join(r, join_type='inner', num_partitions=nparts, on=(on,))
+        # all-empty-side guard WITHOUT drop_empty_blocks: that helper
+        # materializes, which is wrong for full payload sides at scale.
+        # limit(1).count() streams at most one block per side.  Partial
+        # schema-less empties are an aggregate/filter(expr=) artifact — the
+        # caller normalizes aggregate-derived inputs (see quality_filter),
+        # map/read-derived sides keep their schema on empty blocks.
+        if left.limit(1).count() == 0 or right.limit(1).count() == 0:
+            return _empty_inner(left, right, on)
+        return left.join(right, join_type='inner', num_partitions=nparts,
+                         on=(on,))
 
     left_hot, left_cold = split_by_keys(left, on, hot)
     right_hot, right_cold = split_by_keys(right, on, hot)
@@ -311,12 +317,13 @@ def skew_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     cold = skew_join(left_cold, right_cold, on=on, hot_key_threshold=None,
                      num_partitions=nparts)
 
-    rh = drop_empty_blocks(right_hot)
-    n_rh = rh.count()
+    # bounded count decides the hot-side strategy without materializing
+    # right_hot (limit() early-stops the stream at broadcast_limit + 1)
+    n_rh = right_hot.limit(broadcast_limit + 1).count()
     if n_rh == 0:
         return cold                      # inner join: hot keys match nothing
     if n_rh <= broadcast_limit:
-        rh_ref = ray.put(rh.to_pandas())
+        rh_ref = ray.put(right_hot.to_pandas())
 
         def map_side(batch: pa.Table) -> pa.Table:
             ldf = batch.to_pandas()
@@ -324,8 +331,7 @@ def skew_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
             return pa.Table.from_pandas(out, preserve_index=False) \
                 .replace_schema_metadata(None)
 
-        hot_joined = drop_empty_blocks(
-            left_hot.map_batches(map_side, batch_format='pyarrow'))
+        hot_joined = left_hot.map_batches(map_side, batch_format='pyarrow')
     else:
         R = nparts
 
@@ -340,14 +346,13 @@ def skew_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                 for s in range(R)]
             return pa.concat_tables(reps)
 
-        hot_joined = drop_empty_blocks(
-            left_hot.map_batches(salt_left, batch_format='pyarrow')).join(
-            drop_empty_blocks(
-                right_hot.map_batches(replicate_right,
-                                      batch_format='pyarrow')),
+        # map_batches-derived blocks keep their schema even at 0 rows, so
+        # no drop_empty_blocks (it would materialize the salted payload)
+        hot_joined = left_hot.map_batches(salt_left,
+                                          batch_format='pyarrow').join(
+            right_hot.map_batches(replicate_right, batch_format='pyarrow'),
             join_type='inner', num_partitions=nparts, on=(on, '_salt')) \
             .drop_columns(['_salt'])
-        hot_joined = drop_empty_blocks(hot_joined)
     return cold.union(hot_joined)
 
 

@@ -251,9 +251,14 @@ def _hll_registers(values: pa.Array, p: int) -> np.ndarray:
     nbits = 64 - p
     rank = np.full(len(h), nbits + 1, dtype=np.uint8)
     nz = w != 0
-    # floor(log2(w)) = frexp exponent - 1, EXACT for w < 2^53 (np.log2
-    # can round up at 2^k - eps boundaries; frexp cannot)
-    top = np.frexp(w[nz].astype(np.float64))[1].astype(np.int64) - 1
+    # floor(log2(w)) via frexp exponent - 1 — exact for w < 2^53; for
+    # p <= 10 the remainder exceeds 53 bits and float64 conversion can
+    # round UP across a 2^k boundary, so correct the off-by-one wherever
+    # 2^top > w (the only direction the rounding can err)
+    wz = w[nz]
+    top = np.frexp(wz.astype(np.float64))[1].astype(np.int64) - 1
+    over = (np.uint64(1) << top.astype(np.uint64)) > wz
+    top[over] -= 1
     rank[nz] = (nbits - 1 - top + 1).astype(np.uint8)
     regs = np.zeros(m, dtype=np.uint8)
     np.maximum.at(regs, idx, rank)

@@ -42,3 +42,84 @@ def test_real_decode_includes_gif(ray_session):
     # gif features are real pixel means, not byte histograms: nonzero spread
     gif_rows = out[out['media_type'] == 'image/gif']
     assert len(gif_rows) == 6
+
+
+def _lzw_compress_gif(indices, min_code_size):
+    """Spec-faithful compressing GIF LZW encoder (test-side only): variable
+    code width, dictionary growth, width bumps at next_code == 2^width,
+    deferred clear at 4096 — drives the decoder branches the repo's
+    fixed-width fixture encoder never reaches."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out_bits = []
+
+    def emit(code, width):
+        for b in range(width):
+            out_bits.append((code >> b) & 1)
+
+    width = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, width)
+    w = b''
+    for px in bytes(indices):
+        c = bytes([px])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w], width)
+        if next_code < 4096:
+            table[w + c] = next_code
+            next_code += 1
+            # the DECODER adds no entry for the first code after clear, so
+            # its table lags next_code by one: bump one entry later
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    import numpy as np
+    return np.packbits(np.array(out_bits, dtype=np.uint8),
+                       bitorder='little').tobytes()
+
+
+def test_gif_decoder_against_real_compressing_lzw():
+    """Round-trip through a REAL compressing LZW stream: exercises table
+    lookups, KwKwK, code-width growth across several widths, and (at 256
+    colors with long repetition) the table-full plateau."""
+    import struct
+
+    import numpy as np
+
+    from pii_detector_ray.functions.gifcodec import decode_gif
+
+    rng = np.random.default_rng(11)
+    cases = [
+        # repetitive rows → KwKwK + fast dictionary growth
+        (32, 64, 4, np.tile(np.arange(4, dtype=np.uint8), (32, 16))),
+        # random noise at 16 colors → growth through widths 5..9
+        (40, 50, 16, rng.integers(0, 16, (40, 50)).astype(np.uint8)),
+        # 256 colors, heavy repetition → width 9..12 and 4096-entry plateau
+        (64, 96, 256, np.repeat(
+            rng.integers(0, 256, (64, 12)).astype(np.uint8), 8, axis=1)),
+    ]
+    for h, wd, nc, idx in cases:
+        pal = rng.integers(0, 256, (nc, 3)).astype(np.uint8)
+        ct_bits = max(1, int(nc - 1).bit_length())
+        mcs = max(2, ct_bits)
+        payload = _lzw_compress_gif(idx.reshape(-1), mcs)
+        gif = bytearray()
+        gif += b'GIF89a'
+        gif += struct.pack('<HHBBB', wd, h, 0x80 | (ct_bits - 1), 0, 0)
+        p = np.zeros((1 << ct_bits, 3), np.uint8)
+        p[:nc] = pal
+        gif += p.tobytes()
+        gif += b'\x2C' + struct.pack('<HHHHB', 0, 0, wd, h, 0)
+        gif += bytes([mcs])
+        for i in range(0, len(payload), 255):
+            chunk = payload[i:i + 255]
+            gif += bytes([len(chunk)]) + chunk
+        gif += b'\x00\x3B'
+        img = decode_gif(bytes(gif))
+        assert np.array_equal(img, pal[idx]), (h, wd, nc)
