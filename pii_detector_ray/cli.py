@@ -74,6 +74,10 @@ def cmd_rescan(args: argparse.Namespace) -> int:
     from pii_detector_ray.pipelines.rescan import rescan_output
     cfg = _load_cfg(args)
     ds = rescan_output(args.prior, cfg)
+    # write_parquet APPENDS into an existing dir (Ray 2.49) — truncate so
+    # a re-run replaces rather than duplicates
+    import shutil
+    shutil.rmtree(args.out, ignore_errors=True)
     ds.write_parquet(args.out)
     print(json.dumps({'rescanned_rows_with_findings': ds.count()}))
     return 0

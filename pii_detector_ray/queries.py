@@ -39,7 +39,6 @@ from pii_detector_ray.sources.pqread import read_parquet_clean
 from pii_detector_ray.functions.masking import PHI_PATTERN, mask_data
 from pii_detector_ray.functions.re2compat import (
     RE2_NONSPACE as _RE2_NONSPACE,
-    RE2_SPACE_CHARS as _RE2_SPACE_CHARS,
     RE2_WORD as _RE2_WORD,
 )
 from pii_detector_ray.functions.rounding import (

@@ -20,10 +20,11 @@ hundreds of MB to every task.  The bloom path keeps the broadcast at
    the one shuffle carries a small fraction of the big side — and the final
    result is exactly the anti-join, independent of the false-positive rate.
 
-Hashing: a splitmix64-style avalanche over the key bytes' FNV-1a fold, all
-vectorized uint64 numpy (wrapping arithmetic); k indices via double hashing
-``h1 + i*h2 (mod m)``.  Deterministic across processes — no PYTHONHASHSEED
-dependence.
+Hashing: integer keys take a vectorized splitmix64 avalanche; string keys
+take per-row blake2b-8 (O(sum of key lengths) C-speed — a padded byte
+matrix would cost n x max(len) and one mega-key would blow up the batch);
+k bit indices via double hashing ``h1 + i*h2 (mod m)``.  Deterministic
+across processes — no PYTHONHASHSEED dependence.
 """
 
 from __future__ import annotations
@@ -34,10 +35,6 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-
-_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
-_FNV_PRIME = np.uint64(0x100000001B3)
-
 
 def _splitmix(h: np.ndarray, salt: int) -> np.ndarray:
     h = (h + np.uint64(salt)).astype(np.uint64)

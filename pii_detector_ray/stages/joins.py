@@ -300,16 +300,20 @@ def skew_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     hot = hot_keys(left, on, hot_key_threshold) \
         if hot_key_threshold is not None else set()
     if not hot:
-        # all-empty-side guard WITHOUT drop_empty_blocks: that helper
-        # materializes, which is wrong for full payload sides at scale.
-        # limit(1).count() streams at most one block per side.  Partial
-        # schema-less empties are an aggregate/filter(expr=) artifact — the
-        # caller normalizes aggregate-derived inputs (see quality_filter),
-        # map/read-derived sides keep their schema on empty blocks.
-        if left.limit(1).count() == 0 or right.limit(1).count() == 0:
-            return _empty_inner(left, right, on)
-        return left.join(right, join_type='inner', num_partitions=nparts,
-                         on=(on,))
+        # Every join input is normalized with drop_empty_blocks: a 0-row
+        # output batch is stored as a schema-LESS block (the map fn is
+        # skipped on empty inputs and Ray drops the schema on empty
+        # outputs), and when the hash shuffle broadcasts such a block for
+        # schema the aggregator dies with ArrowInvalid — reproduced,
+        # order-dependent.  The materialization this costs is NOT extra
+        # asymptotic work here: Dataset.join already materializes both
+        # sides inside its aggregators (measured, ray-249 notes), so the
+        # pre-join barrier only moves where the blocks sit.
+        l, r = drop_empty_blocks(left), drop_empty_blocks(right)
+        if l.count() == 0 or r.count() == 0:
+            return _empty_inner(l, r, on)
+        return l.join(r, join_type='inner', num_partitions=nparts,
+                      on=(on,))
 
     left_hot, left_cold = split_by_keys(left, on, hot)
     right_hot, right_cold = split_by_keys(right, on, hot)
@@ -331,7 +335,8 @@ def skew_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
             return pa.Table.from_pandas(out, preserve_index=False) \
                 .replace_schema_metadata(None)
 
-        hot_joined = left_hot.map_batches(map_side, batch_format='pyarrow')
+        hot_joined = drop_empty_blocks(
+            left_hot.map_batches(map_side, batch_format='pyarrow'))
     else:
         R = nparts
 
@@ -346,13 +351,17 @@ def skew_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                 for s in range(R)]
             return pa.concat_tables(reps)
 
-        # map_batches-derived blocks keep their schema even at 0 rows, so
-        # no drop_empty_blocks (it would materialize the salted payload)
-        hot_joined = left_hot.map_batches(salt_left,
-                                          batch_format='pyarrow').join(
-            right_hot.map_batches(replicate_right, batch_format='pyarrow'),
+        # join inputs normalized (see the no-hot branch comment: 0-row
+        # batches become schema-less blocks and poison the hash shuffle;
+        # the join materializes in its aggregators anyway)
+        hot_joined = drop_empty_blocks(
+            left_hot.map_batches(salt_left, batch_format='pyarrow')).join(
+            drop_empty_blocks(
+                right_hot.map_batches(replicate_right,
+                                      batch_format='pyarrow')),
             join_type='inner', num_partitions=nparts, on=(on, '_salt')) \
             .drop_columns(['_salt'])
+        hot_joined = drop_empty_blocks(hot_joined)
     return cold.union(hot_joined)
 
 

@@ -168,3 +168,30 @@ def test_skew_join_empty_sides(ray_session):
                                     'rv': pa.array([10], pa.int64())}))
     out = skew_join(left, right, on='k', hot_key_threshold=None)
     assert out.count() == 0
+
+
+def test_skew_join_hot_rows_only_in_late_partitions(ray_session):
+    """Regression (r3 review, reproduced): hot-key rows confined to the
+    LAST partitions leave many 0-row blocks in the hot split; those become
+    schema-less and poisoned the (key, salt) hash shuffle until every join
+    input was normalized with drop_empty_blocks."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pii_detector_ray.stages.joins import skew_join
+
+    # cold keys first, hot key 7 only at the tail; string payload column
+    ks = np.concatenate([np.arange(1, 5).repeat(40),
+                         np.full(400, 7)]).astype(np.int64)
+    left = rd.from_arrow(pa.table({
+        'k': pa.array(ks), 'lv': pa.array(np.arange(len(ks)))})) \
+        .repartition(16)
+    right = rd.from_arrow(pa.table({
+        'k': pa.array(np.arange(0, 10, dtype=np.int64)),
+        'name': pa.array([f'n{i}' for i in range(10)])})).repartition(4)
+    for trial in range(3):    # the failure was block-arrival-order flaky
+        out = skew_join(left, right, on='k', hot_key_threshold=100,
+                        broadcast_limit=0).to_pandas()
+        assert len(out) == len(ks)
+        assert (out.loc[out['k'] == 7, 'name'] == 'n7').all()
