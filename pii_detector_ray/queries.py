@@ -864,6 +864,29 @@ _EVENTS_SEGMENT_JOIN_SQL = (
 )
 
 
+def q_orders_ranked(sf_dir: str) -> pd.DataFrame:
+    """Global sort + rank window: top-100 orders by price with their dense
+    global rank.  ``ds.sort`` is Ray's range-partitioned distributed sort;
+    ``limit`` stops the stream after the first blocks, and the rank is
+    assigned on the (100-row) result — deterministic via the order-key
+    tiebreak."""
+    import os
+
+    top = (read_parquet_clean(os.path.join(sf_dir, 'orders.parquet'),
+                              columns=['o_orderkey', 'o_totalprice'])
+           .sort(['o_totalprice', 'o_orderkey'], descending=[True, False])
+           .limit(100)).to_pandas()
+    top['rank'] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top
+
+
+_ORDERS_RANKED_SQL = (
+    'SELECT o_orderkey, o_totalprice, row_number() OVER '
+    '(ORDER BY o_totalprice DESC, o_orderkey) AS rank '
+    'FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100'
+)
+
+
 def q_orders_pushdown_count(sf_dir: str) -> ray.data.Dataset:
     """Predicate pushdown at the READ (§2.1 prune-at-the-read): the price
     filter rides into the pyarrow fragment scanner (``arrow_parquet_args
@@ -2377,6 +2400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'events_sliding': q_events_sliding,
         'orders_price_bands': q_orders_price_bands,
         'orders_pushdown_count': q_orders_pushdown_count,
+        'orders_ranked': q_orders_ranked,
         'events_segment_join': q_events_segment_join,
         'label_centroids': q_label_centroids,
         'pricing_summary': q_pricing_summary,
@@ -2471,6 +2495,7 @@ def oracle_sql() -> dict[str, str]:
         'events_sliding': _EVENTS_SLIDING_SQL,
         'orders_price_bands': _ORDERS_BANDS_SQL,
         'orders_pushdown_count': _ORDERS_PUSHDOWN_SQL,
+        'orders_ranked': _ORDERS_RANKED_SQL,
         'events_segment_join': _EVENTS_SEGMENT_JOIN_SQL,
         'label_centroids': _LABEL_CENTROIDS_SQL,
         'pricing_summary': _PRICING_SUMMARY_SQL,
