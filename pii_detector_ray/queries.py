@@ -2008,6 +2008,44 @@ def q_pages_pipeline(sf_dir: str) -> ray.data.Dataset:
     return out.select_columns(['url', 'keep', 'drop_reason', 'lang_pred', 'n_pii'])
 
 
+def q_decontamination(sf_dir: str) -> ray.data.Dataset:
+    """Benchmark decontamination (stages/decontam.py): count word-3-gram
+    overlaps between every corpus document and a derived benchmark set
+    (doc_id % 97 == 0).  The benchmark n-gram set broadcasts once; the
+    corpus streams through one shuffle-free map_batches."""
+    from pii_detector_ray.stages.decontam import (
+        build_benchmark_ngrams,
+        contamination_counts,
+    )
+
+    def is_bench(flag: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column('doc_id').to_numpy(zero_copy_only=False)
+            mask = (ids % 97 == 0) if flag else (ids % 97 != 0)
+            return batch.filter(pa.array(mask))
+        return f
+
+    docs = read_documents(sf_dir, ['doc_id', 'text'])
+    bench = docs.map_batches(is_bench(True), batch_format='pyarrow')
+    corpus = docs.map_batches(is_bench(False), batch_format='pyarrow')
+    grams = build_benchmark_ngrams(bench, n=3)
+    return contamination_counts(corpus, grams, n=3)
+
+
+_DECONTAMINATION_SQL = (
+    "WITH w AS (SELECT doc_id, "
+    "regexp_extract_all(text, '[^ \\t\\n\\r\\f]+') AS ws FROM documents), "
+    'idx AS (SELECT doc_id, ws, '
+    'unnest(generate_series(1, len(ws) - 2)) AS i FROM w), '
+    "grams AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g "
+    'FROM idx), '
+    'bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0) '
+    'SELECT g2.doc_id, count(DISTINCT g2.g) AS n_contaminated '
+    'FROM grams g2 JOIN bench b ON g2.g = b.g '
+    'WHERE g2.doc_id % 97 <> 0 GROUP BY g2.doc_id'
+)
+
+
 def q_traindata_pipeline(sf_dir: str) -> ray.data.Dataset:
     """Composite training-data-prep pipeline (pipelines/traindata.py):
     normalize → C4 filter → quality keep/drop → scrub → exact dedup →
@@ -2403,6 +2441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'orders_ranked': q_orders_ranked,
         'events_segment_join': q_events_segment_join,
         'label_centroids': q_label_centroids,
+        'decontamination': q_decontamination,
         'pricing_summary': q_pricing_summary,
         'nation_revenue': q_nation_revenue,
         'stratified_sample': q_stratified_sample,
@@ -2498,6 +2537,7 @@ def oracle_sql() -> dict[str, str]:
         'orders_ranked': _ORDERS_RANKED_SQL,
         'events_segment_join': _EVENTS_SEGMENT_JOIN_SQL,
         'label_centroids': _LABEL_CENTROIDS_SQL,
+        'decontamination': _DECONTAMINATION_SQL,
         'pricing_summary': _PRICING_SUMMARY_SQL,
         'nation_revenue': _NATION_REVENUE_SQL,
         'stratified_sample': _STRATIFIED_SQL,

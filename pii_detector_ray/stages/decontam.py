@@ -1,0 +1,71 @@
+"""Benchmark decontamination — flag training documents that share word
+n-grams with an evaluation/benchmark set (the C4/GPT-3 decontamination
+step: a doc leaking eval n-grams inflates benchmark scores).
+
+Shape: the benchmark side is SMALL by definition (eval suites are
+thousands of documents, not billions) — its n-gram set broadcasts once via
+``ray.put``; the corpus side streams through one ``map_batches`` counting
+per-doc overlaps with set lookups.  No shuffle at all.
+
+Word splitting uses the RE2-exact ``\\S+`` (functions/re2compat.py) so the
+DuckDB oracle in ``queries.py`` tokenizes identically.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from pii_detector_ray.functions.re2compat import RE2_WORD
+
+_WORD_RE = re.compile(RE2_WORD)
+
+
+def doc_ngrams(text: str | None, n: int) -> list[str]:
+    words = _WORD_RE.findall(text or '')
+    return [' '.join(words[i:i + n]) for i in range(len(words) - n + 1)]
+
+
+def build_benchmark_ngrams(bench: ray.data.Dataset, *, text_col: str = 'text',
+                           n: int = 3) -> frozenset:
+    """n-gram set of the (small) benchmark dataset — one set per block
+    reaches the driver, unioned there."""
+    def block_set(batch: pa.Table) -> pa.Table:
+        grams = set()
+        for t in batch.column(text_col).to_pylist():
+            grams.update(doc_ngrams(t, n))
+        return pa.table({'g': pa.array(sorted(grams), pa.string())})
+
+    out: set = set()
+    for row in bench.select_columns([text_col]) \
+                    .map_batches(block_set, batch_format='pyarrow').iter_rows():
+        out.add(row['g'])
+    return frozenset(out)
+
+
+def contamination_counts(corpus: ray.data.Dataset, bench_grams: frozenset,
+                         *, id_col: str = 'doc_id', text_col: str = 'text',
+                         n: int = 3) -> ray.data.Dataset:
+    """(id_col, n_contaminated) for every corpus doc with >= 1 overlapping
+    n-gram (distinct grams counted once, mirroring the oracle's DISTINCT)."""
+    ref = ray.put(bench_grams)
+
+    def count(batch: pa.Table) -> pa.Table:
+        grams = ray.get(ref)
+        ids, ns = [], []
+        for doc_id, t in zip(batch.column(id_col).to_pylist(),
+                             batch.column(text_col).to_pylist()):
+            k = sum(1 for g in set(doc_ngrams(t, n)) if g in grams)
+            if k:
+                ids.append(doc_id)
+                ns.append(k)
+        return pa.table({id_col: pa.array(ids, batch.schema.field(id_col).type),
+                         'n_contaminated': pa.array(ns, pa.int64())})
+
+    return corpus.select_columns([id_col, text_col]) \
+        .map_batches(count, batch_format='pyarrow')
