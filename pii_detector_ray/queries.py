@@ -2008,6 +2008,38 @@ def q_pages_pipeline(sf_dir: str) -> ray.data.Dataset:
     return out.select_columns(['url', 'keep', 'drop_reason', 'lang_pred', 'n_pii'])
 
 
+def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    """Incremental cross-run dedup via the shared MUTABLE index
+    (state/dedupindex.py — the raw-actor slot of the build contract): the
+    corpus arrives as two sequential ingests filtered through ONE sharded
+    first-seen index; the surviving total equals COUNT(DISTINCT text)
+    regardless of arrival order."""
+    from pii_detector_ray.state.dedupindex import DedupIndex
+
+    def half(flag: int):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column('doc_id').to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % 2 == flag))
+        return f
+
+    docs = read_documents(sf_dir, ['doc_id', 'text'])
+    idx = DedupIndex(num_shards=4)
+    try:
+        n = 0
+        for flag in (0, 1):            # each ingest fully consumed before
+            n += idx.filter_new(        # the next arrives (cross-run shape)
+                docs.map_batches(half(flag), batch_format='pyarrow'),
+                'text').count()
+    finally:
+        idx.shutdown()
+    return pd.DataFrame({'n_unique': [np.int64(n)]})
+
+
+_INCREMENTAL_DEDUP_SQL = (
+    'SELECT count(DISTINCT text)::BIGINT AS n_unique FROM documents'
+)
+
+
 def q_decontamination(sf_dir: str) -> ray.data.Dataset:
     """Benchmark decontamination (stages/decontam.py): count word-3-gram
     overlaps between every corpus document and a derived benchmark set
@@ -2442,6 +2474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'events_segment_join': q_events_segment_join,
         'label_centroids': q_label_centroids,
         'decontamination': q_decontamination,
+        'incremental_dedup': q_incremental_dedup,
         'pricing_summary': q_pricing_summary,
         'nation_revenue': q_nation_revenue,
         'stratified_sample': q_stratified_sample,
@@ -2538,6 +2571,7 @@ def oracle_sql() -> dict[str, str]:
         'events_segment_join': _EVENTS_SEGMENT_JOIN_SQL,
         'label_centroids': _LABEL_CENTROIDS_SQL,
         'decontamination': _DECONTAMINATION_SQL,
+        'incremental_dedup': _INCREMENTAL_DEDUP_SQL,
         'pricing_summary': _PRICING_SUMMARY_SQL,
         'nation_revenue': _NATION_REVENUE_SQL,
         'stratified_sample': _STRATIFIED_SQL,

@@ -1,0 +1,124 @@
+"""Shared mutable dedup index — the one operator family where raw Ray
+actors are justified over the Dataset API (build contract: "drop to raw
+Ray tasks/actors only where the Dataset API genuinely can't express the
+semantics (e.g. a shared mutable index)").
+
+Batch dedup (``queries.q_dedup_exact``) needs the whole corpus in one
+lazy plan.  INCREMENTAL ingestion can't have that: shards arrive across
+separate pipeline RUNS, and each new shard must be filtered against
+everything already accepted without re-reading the accepted corpus.  That
+is mutable cross-run state — a hash-sharded actor pool holds it:
+
+- ``DedupShard`` (actor): one set of seen keys; ``check_and_add(keys)``
+  returns the first-seen mask and mutates the set atomically per call.
+- ``DedupIndex``: K shards; batches route each key by the same
+  deterministic splitmix hash as stages/bloomjoin.py, so a key always
+  lands on the same shard regardless of which run or worker sends it.
+  ``filter_new(ds, key_col)`` streams a Dataset through the index and
+  keeps only first-seen rows; ``snapshot()/restore()`` give the
+  checkpoint hook (persist alongside the run manifests).
+
+Scale notes: state is sharded (K actors × their key sets), traffic per
+batch is one ray.get per touched shard carrying only uint64 key hashes.
+Which duplicate of a key survives depends on arrival order — exactly the
+incremental-ingest contract (the already-accepted copy wins); the
+DISTINCT COUNT is order-invariant and is what the SQL oracle checks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from pii_detector_ray.stages.bloomjoin import _key_hash64
+
+
+@ray.remote
+class DedupShard:
+    def __init__(self) -> None:
+        self._seen: set = set()
+
+    def check_and_add(self, hashes: list) -> list:
+        out = []
+        seen = self._seen
+        for h in hashes:
+            if h in seen:
+                out.append(False)
+            else:
+                seen.add(h)
+                out.append(True)
+        return out
+
+    def size(self) -> int:
+        return len(self._seen)
+
+    def snapshot(self) -> bytes:
+        return np.fromiter(self._seen, dtype=np.uint64,
+                           count=len(self._seen)).tobytes()
+
+    def restore(self, blob: bytes) -> None:
+        self._seen = set(np.frombuffer(blob, dtype=np.uint64).tolist())
+
+
+class DedupIndex:
+    """K-sharded mutable first-seen index (see module docstring)."""
+
+    def __init__(self, num_shards: int = 8) -> None:
+        self.num_shards = num_shards
+        self.shards = [DedupShard.remote() for _ in range(num_shards)]
+
+    def _route(self, keys: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+        h = _key_hash64(keys)
+        return h, (h % np.uint64(self.num_shards)).astype(np.int64)
+
+    def first_seen_mask(self, keys: pa.Array) -> np.ndarray:
+        """Boolean mask: True where the key was never seen before (this
+        call marks them seen).  Duplicates WITHIN the batch keep only
+        their first occurrence."""
+        h, shard_of = self._route(keys)
+        mask = np.zeros(len(h), dtype=bool)
+        futures, idxs = [], []
+        for s in range(self.num_shards):
+            idx = np.flatnonzero(shard_of == s)
+            if idx.size == 0:
+                continue
+            futures.append(
+                self.shards[s].check_and_add.remote(h[idx].tolist()))
+            idxs.append(idx)
+        for idx, res in zip(idxs, ray.get(futures)):
+            mask[idx] = res
+        return mask
+
+    def filter_new(self, ds: ray.data.Dataset, key_col: str
+                   ) -> ray.data.Dataset:
+        """Stream ``ds`` through the index, keeping only rows whose key is
+        globally first-seen (across every prior filter_new call on this
+        index).  NOTE: routes through the driver-held actor handles, so
+        the map runs with concurrency from the streaming executor while
+        each shard serializes its own updates."""
+        index = self
+
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pa.array(index.first_seen_mask(batch.column(key_col))))
+
+        return ds.map_batches(f, batch_format='pyarrow')
+
+    def total_unique(self) -> int:
+        return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def snapshot(self) -> list[bytes]:
+        return ray.get([s.snapshot.remote() for s in self.shards])
+
+    def restore(self, blobs: list[bytes]) -> None:
+        assert len(blobs) == self.num_shards
+        ray.get([s.restore.remote(b)
+                 for s, b in zip(self.shards, blobs)])
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []

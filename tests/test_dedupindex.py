@@ -1,0 +1,68 @@
+"""Shared mutable dedup index (state/dedupindex.py): first-seen semantics
+across sequential ingests, in-batch duplicate handling, deterministic
+shard routing, snapshot/restore checkpointing."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from pii_detector_ray.state.dedupindex import DedupIndex
+
+
+def _mk(texts):
+    return ray.data.from_arrow(pa.table({
+        'doc_id': pa.array(range(len(texts)), pa.int64()),
+        'text': pa.array(texts, pa.string())})).repartition(3)
+
+
+def test_first_seen_across_sequential_ingests(ray_session):
+    idx = DedupIndex(num_shards=3)
+    try:
+        a = idx.filter_new(_mk(['x', 'y', 'x', 'z']), 'text')
+        assert sorted(r['text'] for r in a.take_all()) == ['x', 'y', 'z']
+        # second ingest: only the genuinely new key survives
+        b = idx.filter_new(_mk(['y', 'w', 'z']), 'text')
+        assert [r['text'] for r in b.take_all()] == ['w']
+        assert idx.total_unique() == 4
+    finally:
+        idx.shutdown()
+
+
+def test_within_batch_duplicates_keep_first(ray_session):
+    idx = DedupIndex(num_shards=2)
+    try:
+        mask = idx.first_seen_mask(pa.array(['a', 'a', 'b', 'a']))
+        assert mask.tolist() == [True, False, True, False]
+    finally:
+        idx.shutdown()
+
+
+def test_snapshot_restore_roundtrip(ray_session):
+    idx = DedupIndex(num_shards=2)
+    try:
+        idx.first_seen_mask(pa.array(['p', 'q', 'r']))
+        blobs = idx.snapshot()
+    finally:
+        idx.shutdown()
+    idx2 = DedupIndex(num_shards=2)
+    try:
+        idx2.restore(blobs)
+        mask = idx2.first_seen_mask(pa.array(['q', 'NEW', 'r']))
+        assert mask.tolist() == [False, True, False]
+        assert idx2.total_unique() == 4
+    finally:
+        idx2.shutdown()
+
+
+def test_matches_batch_distinct_count(ray_session):
+    rng = np.random.default_rng(5)
+    texts = [f'doc-{int(x)}' for x in rng.integers(0, 300, 1000)]
+    idx = DedupIndex(num_shards=4)
+    try:
+        out = idx.filter_new(_mk(texts), 'text')
+        assert out.count() == len(set(texts))
+        assert idx.total_unique() == len(set(texts))
+    finally:
+        idx.shutdown()
