@@ -2008,6 +2008,78 @@ def q_pages_pipeline(sf_dir: str) -> ray.data.Dataset:
     return out.select_columns(['url', 'keep', 'drop_reason', 'lang_pred', 'n_pii'])
 
 
+def q_multi_format_union(sf_dir: str) -> ray.data.Dataset:
+    """Multi-format ingest union (§2.1 breadth in the gate): the corpus is
+    split three ways, round-tripped through CSV and JSONL files via the
+    ingest adapters (sources/ingest.py), re-unioned with the parquet
+    remainder, and aggregated per format — counts and char totals must
+    survive both serializations exactly."""
+    import csv
+    import hashlib as _hl
+    import json
+    import os
+
+    from pii_detector_ray.sources.ingest import read_pages_csv, read_pages_json
+
+    src = os.path.join(sf_dir, 'documents.parquet')
+    st = os.stat(src)
+    tag = _hl.md5(f'{src}:{st.st_mtime_ns}:{st.st_size}:v1'.encode()) \
+        .hexdigest()[:10]
+    csv_path = f'/tmp/pii_ray_mfu_{tag}.csv'
+    jsonl_path = f'/tmp/pii_ray_mfu_{tag}.jsonl'
+    if not (os.path.exists(csv_path) and os.path.exists(jsonl_path)):
+        import pyarrow.parquet as pq
+        t = pq.read_table(src, columns=['doc_id', 'text'])
+        ids = t.column('doc_id').to_pylist()
+        texts = t.column('text').to_pylist()
+        tmpc, tmpj = f'{csv_path}.{os.getpid()}', f'{jsonl_path}.{os.getpid()}'
+        with open(tmpc, 'w', newline='') as f:
+            w = csv.writer(f, quoting=csv.QUOTE_ALL)
+            w.writerow(['doc_id', 'text'])
+            for i, x in zip(ids, texts):
+                if i % 3 == 1:
+                    w.writerow([i, x or ''])
+        with open(tmpj, 'w') as f:
+            for i, x in zip(ids, texts):
+                if i % 3 == 2:
+                    f.write(json.dumps({'doc_id': i, 'text': x or ''}) + '\n')
+        os.replace(tmpc, csv_path)
+        os.replace(tmpj, jsonl_path)
+
+    def keep_pq(batch: pa.Table) -> pa.Table:
+        ids = batch.column('doc_id').to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 3 == 0))
+
+    def partial(fmt: str):
+        def f(batch: pa.Table) -> pa.Table:
+            chars = sum(len(t or '') for t in batch.column('text').to_pylist())
+            return pa.table({'fmt': pa.array([fmt], pa.string()),
+                             '_n': pa.array([len(batch)], pa.int64()),
+                             '_c': pa.array([chars], pa.int64())})
+        return f
+
+    parts = [
+        read_documents(sf_dir, ['doc_id', 'text'])
+        .map_batches(keep_pq, batch_format='pyarrow')
+        .map_batches(partial('parquet'), batch_format='pyarrow'),
+        read_pages_csv(csv_path).map_batches(partial('csv'),
+                                             batch_format='pyarrow'),
+        read_pages_json(jsonl_path).map_batches(partial('jsonl'),
+                                                batch_format='pyarrow'),
+    ]
+    return parts[0].union(*parts[1:]).groupby('fmt').aggregate(
+        Sum('_n', alias_name='n_docs'), Sum('_c', alias_name='total_chars'))
+
+
+_MULTI_FORMAT_SQL = (
+    "SELECT CASE doc_id % 3 WHEN 0 THEN 'parquet' WHEN 1 THEN 'csv' "
+    "ELSE 'jsonl' END AS fmt, count(*) AS n_docs, "
+    'sum(length(text))::BIGINT AS total_chars FROM documents '
+    'GROUP BY CASE doc_id % 3 WHEN 0 THEN \'parquet\' WHEN 1 THEN \'csv\' '
+    "ELSE 'jsonl' END"
+)
+
+
 def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
     """Incremental cross-run dedup via the shared MUTABLE index
     (state/dedupindex.py — the raw-actor slot of the build contract): the
@@ -2475,6 +2547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'label_centroids': q_label_centroids,
         'decontamination': q_decontamination,
         'incremental_dedup': q_incremental_dedup,
+        'multi_format_union': q_multi_format_union,
         'pricing_summary': q_pricing_summary,
         'nation_revenue': q_nation_revenue,
         'stratified_sample': q_stratified_sample,
@@ -2572,6 +2645,7 @@ def oracle_sql() -> dict[str, str]:
         'label_centroids': _LABEL_CENTROIDS_SQL,
         'decontamination': _DECONTAMINATION_SQL,
         'incremental_dedup': _INCREMENTAL_DEDUP_SQL,
+        'multi_format_union': _MULTI_FORMAT_SQL,
         'pricing_summary': _PRICING_SUMMARY_SQL,
         'nation_revenue': _NATION_REVENUE_SQL,
         'stratified_sample': _STRATIFIED_SQL,
