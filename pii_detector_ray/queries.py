@@ -2033,13 +2033,13 @@ def q_multi_format_union(sf_dir: str) -> ray.data.Dataset:
         ids = t.column('doc_id').to_pylist()
         texts = t.column('text').to_pylist()
         tmpc, tmpj = f'{csv_path}.{os.getpid()}', f'{jsonl_path}.{os.getpid()}'
-        with open(tmpc, 'w', newline='') as f:
+        with open(tmpc, 'w', newline='', encoding='utf-8') as f:
             w = csv.writer(f, quoting=csv.QUOTE_ALL)
             w.writerow(['doc_id', 'text'])
             for i, x in zip(ids, texts):
                 if i % 3 == 1:
                     w.writerow([i, x or ''])
-        with open(tmpj, 'w') as f:
+        with open(tmpj, 'w', encoding='utf-8') as f:
             for i, x in zip(ids, texts):
                 if i % 3 == 2:
                     f.write(json.dumps({'doc_id': i, 'text': x or ''}) + '\n')

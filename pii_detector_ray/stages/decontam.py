@@ -25,6 +25,9 @@ from pii_detector_ray.functions.re2compat import RE2_WORD
 
 _WORD_RE = re.compile(RE2_WORD)
 
+# per-worker-process broadcast cache (see contamination_counts)
+_GRAM_CACHE: dict = {}
+
 
 def doc_ngrams(text: str | None, n: int) -> list[str]:
     words = _WORD_RE.findall(text or '')
@@ -39,12 +42,13 @@ def build_benchmark_ngrams(bench: ray.data.Dataset, *, text_col: str = 'text',
         grams = set()
         for t in batch.column(text_col).to_pylist():
             grams.update(doc_ngrams(t, n))
-        return pa.table({'g': pa.array(sorted(grams), pa.string())})
+        return pa.table({'g': pa.array(list(grams), pa.string())})
 
     out: set = set()
-    for row in bench.select_columns([text_col]) \
-                    .map_batches(block_set, batch_format='pyarrow').iter_rows():
-        out.add(row['g'])
+    for b in bench.select_columns([text_col]) \
+                  .map_batches(block_set, batch_format='pyarrow') \
+                  .iter_batches(batch_size=None, batch_format='pyarrow'):
+        out.update(b.column('g').to_pylist())
     return frozenset(out)
 
 
@@ -56,7 +60,13 @@ def contamination_counts(corpus: ray.data.Dataset, bench_grams: frozenset,
     ref = ray.put(bench_grams)
 
     def count(batch: pa.Table) -> pa.Table:
-        grams = ray.get(ref)
+        # per-process cache: ray.get of a frozenset is a full unpickle
+        # (not zero-copy like numpy) — pay it once per worker, not per batch
+        grams = _GRAM_CACHE.get(ref)
+        if grams is None:
+            grams = ray.get(ref)
+            _GRAM_CACHE.clear()
+            _GRAM_CACHE[ref] = grams
         ids, ns = [], []
         for doc_id, t in zip(batch.column(id_col).to_pylist(),
                              batch.column(text_col).to_pylist()):

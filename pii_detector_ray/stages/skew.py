@@ -3,7 +3,8 @@
 ``sessionize`` / ``asof_join`` / ``event_deltas`` / ``cumulative_sum`` /
 ``rolling_sum`` co-partition by a key and process each key in ONE
 ``map_groups`` task — fine for per-user event streams, fatal for a
-mega-key (one user holding 10^8 events is one task's memory).  This module supplies the standard mitigation (VERDICT r2 #4),
+mega-key (one user holding 10^8 events is one task's memory).  This
+module supplies the standard mitigation (VERDICT r2 #4),
 the same time-bucket-salt + boundary-carry pattern as ``stages/hostagg.py``:
 
 1. :func:`hot_keys` — a NARROW two-phase count (per-batch ``group_by``

@@ -9,23 +9,38 @@ separate pipeline RUNS, and each new shard must be filtered against
 everything already accepted without re-reading the accepted corpus.  That
 is mutable cross-run state — a hash-sharded actor pool holds it:
 
-- ``DedupShard`` (actor): one set of seen keys; ``check_and_add(keys)``
+- ``DedupShard`` (actor): one set of seen keys; ``check_and_add``
   returns the first-seen mask and mutates the set atomically per call.
-- ``DedupIndex``: K shards; batches route each key by the same
-  deterministic splitmix hash as stages/bloomjoin.py, so a key always
-  lands on the same shard regardless of which run or worker sends it.
+- ``DedupIndex``: K shards; batches route each key by a deterministic
+  blake2b-128 hash, so a key always lands on the same shard regardless
+  of which run or worker sends it.
   ``filter_new(ds, key_col)`` streams a Dataset through the index and
   keeps only first-seen rows; ``snapshot()/restore()`` give the
   checkpoint hook (persist alongside the run manifests).
 
 Scale notes: state is sharded (K actors × their key sets), traffic per
-batch is one ray.get per touched shard carrying only uint64 key hashes.
-Which duplicate of a key survives depends on arrival order — exactly the
-incremental-ingest contract (the already-accepted copy wins); the
-DISTINCT COUNT is order-invariant and is what the SQL oracle checks.
+batch is one ray.get per touched shard carrying only 128-bit key hashes
+(blake2b-16: pairwise collision ~2^-128 — meaningful even at 10^12 keys,
+where 64 bits would already birthday-collide; None keys hash under a
+distinct personalization so NULL != '').  Which duplicate of a key
+survives depends on arrival order — exactly the incremental-ingest
+contract (the already-accepted copy wins); the DISTINCT COUNT is
+order-invariant and is what the SQL oracle checks.
+
+Retry idempotency: Ray re-executes lost map tasks (lineage), and a naive
+mutate-on-call index would mark a retried batch's keys "already seen" and
+silently drop its unique rows.  ``check_and_add`` therefore takes a
+per-call token derived from the TASK identity + batch ordinal — stable
+across retries of the same task (same task id, same blocks, same batch
+order) but distinct for different logical calls even when their content
+is identical (re-ingesting the same file twice MUST drop it the second
+time, so the token cannot come from the keys) — and each shard memoizes
+its reply per token, so a re-executed task receives byte-identical masks.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -33,15 +48,35 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from pii_detector_ray.stages.bloomjoin import _key_hash64
+
+def _key_hash128(keys: pa.Array) -> list[int]:
+    """128-bit per-key hashes; None hashes under a distinct blake2b
+    personalization so a NULL key can never collide with any string."""
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    out = []
+    for x in keys.to_pylist():
+        if x is None:
+            d = hashlib.blake2b(b'', digest_size=16, person=b'null').digest()
+        else:
+            b = x.encode('utf-8') if isinstance(x, str) \
+                else int(x).to_bytes(8, 'little', signed=True)
+            d = hashlib.blake2b(b, digest_size=16).digest()
+        out.append(int.from_bytes(d, 'little'))
+    return out
 
 
 @ray.remote
 class DedupShard:
     def __init__(self) -> None:
         self._seen: set = set()
+        self._replies: dict = {}     # token -> memoized mask (retry safety)
 
-    def check_and_add(self, hashes: list) -> list:
+    def check_and_add(self, token: bytes | None, hashes: list) -> list:
+        if token is not None:
+            prior = self._replies.get(token)
+            if prior is not None:
+                return prior
         out = []
         seen = self._seen
         for h in hashes:
@@ -50,17 +85,24 @@ class DedupShard:
             else:
                 seen.add(h)
                 out.append(True)
+        if token is not None:
+            self._replies[token] = out
         return out
 
     def size(self) -> int:
         return len(self._seen)
 
     def snapshot(self) -> bytes:
-        return np.fromiter(self._seen, dtype=np.uint64,
-                           count=len(self._seen)).tobytes()
+        return b''.join(h.to_bytes(16, 'little') for h in self._seen)
 
     def restore(self, blob: bytes) -> None:
-        self._seen = set(np.frombuffer(blob, dtype=np.uint64).tolist())
+        self._seen = {int.from_bytes(blob[i:i + 16], 'little')
+                      for i in range(0, len(blob), 16)}
+        self._replies = {}
+
+
+# per-worker-process batch ordinals, keyed by task id (see filter_new)
+_TASK_BATCH_SEQ: dict = {}
 
 
 class DedupIndex:
@@ -70,23 +112,26 @@ class DedupIndex:
         self.num_shards = num_shards
         self.shards = [DedupShard.remote() for _ in range(num_shards)]
 
-    def _route(self, keys: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-        h = _key_hash64(keys)
-        return h, (h % np.uint64(self.num_shards)).astype(np.int64)
-
-    def first_seen_mask(self, keys: pa.Array) -> np.ndarray:
+    def first_seen_mask(self, keys: pa.Array,
+                        token: bytes | None = None) -> np.ndarray:
         """Boolean mask: True where the key was never seen before (this
         call marks them seen).  Duplicates WITHIN the batch keep only
-        their first occurrence."""
-        h, shard_of = self._route(keys)
+        their first occurrence.  ``token``: retry-idempotency key (see
+        module docstring) — None skips memoization (caller owns retries);
+        ``filter_new`` passes a task-identity token automatically."""
+        h = _key_hash128(keys)
+        shard_of = np.array([x % self.num_shards for x in h], dtype=np.int64)
         mask = np.zeros(len(h), dtype=bool)
         futures, idxs = [], []
         for s in range(self.num_shards):
             idx = np.flatnonzero(shard_of == s)
             if idx.size == 0:
                 continue
-            futures.append(
-                self.shards[s].check_and_add.remote(h[idx].tolist()))
+            sub = [h[i] for i in idx]
+            stok = None if token is None else hashlib.blake2b(
+                token, digest_size=16, person=b'shard' +
+                s.to_bytes(4, 'little')).digest()
+            futures.append(self.shards[s].check_and_add.remote(stok, sub))
             idxs.append(idx)
         for idx, res in zip(idxs, ray.get(futures)):
             mask[idx] = res
@@ -102,8 +147,19 @@ class DedupIndex:
         index = self
 
         def f(batch: pa.Table) -> pa.Table:
-            return batch.filter(
-                pa.array(index.first_seen_mask(batch.column(key_col))))
+            # task-identity token: same task id + batch ordinal on a retry
+            # (a re-executed task walks the same blocks in the same order),
+            # distinct for different logical calls with identical content
+            try:
+                tid = ray.get_runtime_context().get_task_id() or 'driver'
+            except Exception:
+                tid = 'driver'
+            seq = _TASK_BATCH_SEQ.get(tid, 0)
+            _TASK_BATCH_SEQ[tid] = seq + 1
+            token = hashlib.blake2b(f'{tid}:{seq}'.encode(),
+                                    digest_size=16).digest()
+            return batch.filter(pa.array(
+                index.first_seen_mask(batch.column(key_col), token=token)))
 
         return ds.map_batches(f, batch_format='pyarrow')
 

@@ -66,3 +66,42 @@ def test_matches_batch_distinct_count(ray_session):
         assert idx.total_unique() == len(set(texts))
     finally:
         idx.shutdown()
+
+
+def test_retry_token_memoizes_but_content_does_not(ray_session):
+    idx = DedupIndex(num_shards=2)
+    try:
+        keys = pa.array(['k1', 'k2', 'k3'])
+        tok = b'task-7:batch-0-token'
+        first = idx.first_seen_mask(keys, token=tok)
+        assert first.tolist() == [True, True, True]
+        # retry of the SAME task+batch: identical memoized reply, no loss
+        replay = idx.first_seen_mask(keys, token=tok)
+        assert replay.tolist() == [True, True, True]
+        assert idx.total_unique() == 3
+        # a DIFFERENT logical call with identical content must dedup fully
+        other = idx.first_seen_mask(keys, token=b'task-9:batch-0-token')
+        assert other.tolist() == [False, False, False]
+    finally:
+        idx.shutdown()
+
+
+def test_null_key_distinct_from_empty_string(ray_session):
+    idx = DedupIndex(num_shards=2)
+    try:
+        mask = idx.first_seen_mask(pa.array(['', None, '', None]))
+        assert mask.tolist() == [True, True, False, False]
+        assert idx.total_unique() == 2
+    finally:
+        idx.shutdown()
+
+
+def test_reingesting_same_file_drops_everything(ray_session):
+    idx = DedupIndex(num_shards=2)
+    try:
+        a = idx.filter_new(_mk(['m', 'n', 'o']), 'text')
+        assert a.count() == 3
+        again = idx.filter_new(_mk(['m', 'n', 'o']), 'text')
+        assert again.count() == 0
+    finally:
+        idx.shutdown()
