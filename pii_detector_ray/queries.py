@@ -2091,7 +2091,11 @@ def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
     def half(flag: int):
         def f(batch: pa.Table) -> pa.Table:
             ids = batch.column('doc_id').to_numpy(zero_copy_only=False)
-            return batch.filter(pa.array(ids % 2 == flag))
+            # COUNT(DISTINCT text) ignores NULLs — mirror that here (the
+            # index itself would keep a first NULL as its own key)
+            mask = pa.array(ids % 2 == flag)
+            out = batch.filter(mask)
+            return out.filter(pc.is_valid(out.column('text')))
         return f
 
     docs = read_documents(sf_dir, ['doc_id', 'text'])
