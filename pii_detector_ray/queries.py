@@ -982,6 +982,51 @@ _SOURCE_LANG_LIST_SQL = (
 )
 
 
+def q_top_tokens_per_source(sf_dir: str) -> ray.data.Dataset:
+    """Per-GROUP top-k (grouped heavy hitters): the 3 most frequent word
+    tokens per source, exact two-phase — per-batch (source, token) counts
+    so the shuffle carries narrow partials, then a per-source top-3 with
+    (count desc, token asc) tiebreak inside the group task."""
+    tok = re.compile(_RE2_WORD)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        srcs, toks = [], []
+        for s, t in zip(batch.column('source').to_pylist(),
+                        batch.column('text').to_pylist()):
+            for w in tok.findall(t or ''):
+                srcs.append(s)
+                toks.append(w)
+        t2 = pa.table({'source': pa.array(srcs, pa.string()),
+                       'token': pa.array(toks, pa.string())})
+        agg = t2.group_by(['source', 'token']).aggregate([([], 'count_all')])
+        return agg.rename_columns(['source', 'token', '_n'])
+
+    counts = (read_documents(sf_dir, ['source', 'text'])
+              .map_batches(partial, batch_format='pyarrow')
+              .groupby(['source', 'token'])
+              .aggregate(Sum('_n', alias_name='n')))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['n', 'token'], ascending=[False, True],
+                          kind='mergesort').head(3)
+        g = g.reset_index(drop=True)
+        g['rank'] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[['source', 'token', 'n', 'rank']]
+
+    return counts.groupby('source').map_groups(topk, batch_format='pandas')
+
+
+_TOP_TOKENS_SQL = (
+    'WITH toks AS (SELECT source, unnest(regexp_extract_all(text, '
+    "'[^ \\t\\n\\r\\f]+')) AS token FROM documents), "
+    'counts AS (SELECT source, token, count(*) AS n FROM toks '
+    'GROUP BY source, token), '
+    'ranked AS (SELECT source, token, n, row_number() OVER '
+    '(PARTITION BY source ORDER BY n DESC, token) AS rank FROM counts) '
+    'SELECT source, token, n, rank FROM ranked WHERE rank <= 3'
+)
+
+
 def q_host_p95(sf_dir: str) -> ray.data.Dataset:
     """Per-group EXACT 95th percentile (quantile_disc semantics) of doc
     length — the scale path the median docstring defers to: per-batch
@@ -1279,6 +1324,81 @@ _NATION_REVENUE_SQL = (
     "count(*) AS n_orders FROM orders o "
     "JOIN customer c ON o.o_custkey = c.c_custkey "
     "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"
+)
+
+
+def q_shipping_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shape (3-way join + filtered aggregate + top-k): revenue of
+    undelivered BUILDING-segment orders.  Plan: the segment's custkeys
+    broadcast as a set (small side #1), orders filter by date + segment
+    semi-join map-side and broadcast the surviving (orderkey, orderdate)
+    map (small after filters), lineitem — the big table — streams ONE pass
+    of narrow (orderkey, revenue-partial) rows into the final groupby.
+    No all-to-all shuffle ever carries a wide row."""
+    import os
+    cutoff = np.datetime64('1998-06-15T00:00:00')
+    cust = read_parquet_clean(os.path.join(sf_dir, 'customer.parquet'),
+                              columns=['c_custkey', 'c_mktsegment']).to_pandas()
+    seg_keys = ray.put(frozenset(
+        cust.loc[cust['c_mktsegment'] == 'BUILDING', 'c_custkey'].tolist()))
+
+    orders = read_parquet_clean(os.path.join(sf_dir, 'orders.parquet'),
+                                columns=['o_orderkey', 'o_custkey',
+                                         'o_orderdate'])
+
+    def order_side(t: pa.Table) -> pa.Table:
+        keys = ray.get(seg_keys)
+        custs = t.column('o_custkey').to_numpy(zero_copy_only=False)
+        dates = t.column('o_orderdate').to_numpy(zero_copy_only=False)
+        mask = pa.array([d < cutoff and int(k) in keys
+                         for k, d in zip(custs, dates)])
+        return pa.table({'o_orderkey': t.column('o_orderkey'),
+                         'o_orderdate': t.column('o_orderdate')}).filter(mask)
+
+    omap = {r['o_orderkey']: r['o_orderdate']
+            for b in orders.map_batches(order_side, batch_format='pyarrow')
+            .iter_batches(batch_size=None, batch_format='pyarrow')
+            for r in b.to_pylist()}
+    omap_ref = ray.put(omap)
+
+    line = read_parquet_clean(os.path.join(sf_dir, 'lineitem.parquet'),
+                              columns=['l_orderkey', 'l_extendedprice',
+                                       'l_discount', 'l_shipdate'])
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        om = ray.get(omap_ref)
+        ok = t.column('l_orderkey').to_numpy(zero_copy_only=False)
+        ship = t.column('l_shipdate').to_numpy(zero_copy_only=False)
+        price = t.column('l_extendedprice').to_numpy(zero_copy_only=False)
+        disc = t.column('l_discount').to_numpy(zero_copy_only=False)
+        keep = np.array([int(k) in om for k in ok]) & (ship > cutoff)
+        tbl = pa.table({'l_orderkey': pa.array(ok[keep], pa.int64()),
+                        '_rev': pa.array((price * (1.0 - disc))[keep])})
+        agg = tbl.group_by('l_orderkey').aggregate([('_rev', 'sum')])
+        return agg.rename_columns(['l_orderkey', '_rev'])
+
+    agg = (line.map_batches(rev_partial, batch_format='pyarrow')
+           .groupby('l_orderkey').aggregate(Sum('_rev', alias_name='_rev')))
+    df = agg.to_pandas()          # one row per qualifying order — small
+    df['revenue'] = [sql_round_scalar(float(x), 2) for x in df['_rev']]
+    df['o_orderdate'] = pd.to_datetime(
+        [omap[int(k)] for k in df['l_orderkey']])
+    df = df.sort_values(['revenue', 'l_orderkey'],
+                        ascending=[False, True], kind='mergesort').head(10)
+    return df[['l_orderkey', 'revenue', 'o_orderdate']].reset_index(drop=True)
+
+
+_SHIPPING_PRIORITY_SQL = (
+    "SELECT l.l_orderkey, "
+    'round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue, '
+    'o.o_orderdate FROM customer c '
+    'JOIN orders o ON c.c_custkey = o.o_custkey '
+    'JOIN lineitem l ON l.l_orderkey = o.o_orderkey '
+    "WHERE c.c_mktsegment = 'BUILDING' "
+    "AND o.o_orderdate < TIMESTAMP '1998-06-15' "
+    "AND l.l_shipdate > TIMESTAMP '1998-06-15' "
+    'GROUP BY l.l_orderkey, o.o_orderdate '
+    'ORDER BY revenue DESC, l.l_orderkey LIMIT 10'
 )
 
 
@@ -2554,9 +2674,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'multi_format_union': q_multi_format_union,
         'pricing_summary': q_pricing_summary,
         'nation_revenue': q_nation_revenue,
+        'shipping_priority': q_shipping_priority,
         'stratified_sample': q_stratified_sample,
         'user_value_median': q_user_value_median,
         'host_p95': q_host_p95,
+        'top_tokens_per_source': q_top_tokens_per_source,
         'distinct_source_lang': q_distinct_source_lang,
         'source_lang_list': q_source_lang_list,
         'customer_order_counts': q_customer_order_counts,
@@ -2652,9 +2774,11 @@ def oracle_sql() -> dict[str, str]:
         'multi_format_union': _MULTI_FORMAT_SQL,
         'pricing_summary': _PRICING_SUMMARY_SQL,
         'nation_revenue': _NATION_REVENUE_SQL,
+        'shipping_priority': _SHIPPING_PRIORITY_SQL,
         'stratified_sample': _STRATIFIED_SQL,
         'user_value_median': _USER_MEDIAN_SQL,
         'host_p95': _HOST_P95_SQL,
+        'top_tokens_per_source': _TOP_TOKENS_SQL,
         'distinct_source_lang': _DISTINCT_SOURCE_LANG_SQL,
         'source_lang_list': _SOURCE_LANG_LIST_SQL,
         'customer_order_counts': _CUSTOMER_ORDER_COUNTS_SQL,
