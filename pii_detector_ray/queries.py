@@ -1327,14 +1327,20 @@ _NATION_REVENUE_SQL = (
 )
 
 
-def q_shipping_priority(sf_dir: str) -> pd.DataFrame:
+def q_shipping_priority(sf_dir: str,
+                        broadcast_order_limit: int = 2_000_000
+                        ) -> pd.DataFrame:
     """TPC-H Q3 shape (3-way join + filtered aggregate + top-k): revenue of
     undelivered BUILDING-segment orders.  Plan: the segment's custkeys
-    broadcast as a set (small side #1), orders filter by date + segment
-    semi-join map-side and broadcast the surviving (orderkey, orderdate)
-    map (small after filters), lineitem — the big table — streams ONE pass
-    of narrow (orderkey, revenue-partial) rows into the final groupby.
-    No all-to-all shuffle ever carries a wide row."""
+    broadcast as a set (small side #1); orders filter by date + segment
+    semi-join map-side.  The surviving (orderkey, orderdate) side is
+    input-PROPORTIONAL (a constant fraction of orders), so it is
+    SIZE-GUARDED: under ``broadcast_order_limit`` it broadcasts as a map
+    and lineitem streams one narrow revenue-partial pass; above it, the
+    qualifying orders stay a Dataset and meet the pre-aggregated lineitem
+    partials in a co-partitioned join on the narrow orderkey (both paths
+    proven equal in tests/test_queries_misc.py).  No all-to-all shuffle
+    ever carries a wide row either way."""
     import os
     cutoff = np.datetime64('1998-06-15T00:00:00')
     cust = read_parquet_clean(os.path.join(sf_dir, 'customer.parquet'),
@@ -1355,34 +1361,67 @@ def q_shipping_priority(sf_dir: str) -> pd.DataFrame:
         return pa.table({'o_orderkey': t.column('o_orderkey'),
                          'o_orderdate': t.column('o_orderdate')}).filter(mask)
 
-    omap = {r['o_orderkey']: r['o_orderdate']
-            for b in orders.map_batches(order_side, batch_format='pyarrow')
-            .iter_batches(batch_size=None, batch_format='pyarrow')
-            for r in b.to_pylist()}
-    omap_ref = ray.put(omap)
-
+    qual = orders.map_batches(order_side, batch_format='pyarrow') \
+        .materialize()            # narrow (orderkey, orderdate), reused 2x
     line = read_parquet_clean(os.path.join(sf_dir, 'lineitem.parquet'),
                               columns=['l_orderkey', 'l_extendedprice',
                                        'l_discount', 'l_shipdate'])
 
-    def rev_partial(t: pa.Table) -> pa.Table:
-        om = ray.get(omap_ref)
-        ok = t.column('l_orderkey').to_numpy(zero_copy_only=False)
-        ship = t.column('l_shipdate').to_numpy(zero_copy_only=False)
-        price = t.column('l_extendedprice').to_numpy(zero_copy_only=False)
-        disc = t.column('l_discount').to_numpy(zero_copy_only=False)
-        keep = np.array([int(k) in om for k in ok]) & (ship > cutoff)
-        tbl = pa.table({'l_orderkey': pa.array(ok[keep], pa.int64()),
-                        '_rev': pa.array((price * (1.0 - disc))[keep])})
-        agg = tbl.group_by('l_orderkey').aggregate([('_rev', 'sum')])
-        return agg.rename_columns(['l_orderkey', '_rev'])
+    def rev_partial(keyset_ref):
+        def f(t: pa.Table) -> pa.Table:
+            ok = t.column('l_orderkey').to_numpy(zero_copy_only=False)
+            ship = t.column('l_shipdate').to_numpy(zero_copy_only=False)
+            price = t.column('l_extendedprice').to_numpy(zero_copy_only=False)
+            disc = t.column('l_discount').to_numpy(zero_copy_only=False)
+            keep = ship > cutoff
+            if keyset_ref is not None:
+                om = ray.get(keyset_ref)
+                keep &= np.array([int(k) in om for k in ok])
+            tbl = pa.table({'l_orderkey': pa.array(ok[keep], pa.int64()),
+                            '_rev': pa.array((price * (1.0 - disc))[keep])})
+            agg = tbl.group_by('l_orderkey').aggregate([('_rev', 'sum')])
+            return agg.rename_columns(['l_orderkey', '_rev'])
+        return f
 
-    agg = (line.map_batches(rev_partial, batch_format='pyarrow')
-           .groupby('l_orderkey').aggregate(Sum('_rev', alias_name='_rev')))
-    df = agg.to_pandas()          # one row per qualifying order — small
+    if qual.count() <= broadcast_order_limit:
+        omap = {r['o_orderkey']: r['o_orderdate']
+                for b in qual.iter_batches(batch_size=None,
+                                           batch_format='pyarrow')
+                for r in b.to_pylist()}
+        agg = (line.map_batches(rev_partial(ray.put(omap)),
+                                batch_format='pyarrow')
+               .groupby('l_orderkey').aggregate(Sum('_rev', alias_name='_rev')))
+        df = agg.to_pandas()      # one row per qualifying order
+        df['o_orderdate'] = pd.to_datetime(
+            [omap[int(k)] for k in df['l_orderkey']]).astype('datetime64[ns]')
+    else:
+        from pii_detector_ray.stages.dedup import drop_empty_blocks, \
+            join_partitions
+        partials = (line.map_batches(rev_partial(None),
+                                     batch_format='pyarrow')
+                    .groupby('l_orderkey')
+                    .aggregate(Sum('_rev', alias_name='_rev')))
+        qual_k = qual.map_batches(
+            lambda t: t.rename_columns(['l_orderkey', 'o_orderdate']),
+            batch_format='pyarrow')
+        joined = drop_empty_blocks(partials).join(
+            drop_empty_blocks(qual_k), join_type='inner',
+            num_partitions=join_partitions(), on=('l_orderkey',))
+
+        def round_rev(t: pa.Table) -> pa.Table:
+            return t.append_column('revenue',
+                                   sql_round_pa(t.column('_rev'), 2))
+
+        # distributed top-10: sort on the ROUNDED revenue (the SQL order
+        # key) + orderkey tiebreak, limit before anything reaches pandas
+        df = (joined.map_batches(round_rev, batch_format='pyarrow')
+              .sort(['revenue', 'l_orderkey'], descending=[True, False])
+              .limit(10)).to_pandas()
+        df['o_orderdate'] = pd.to_datetime(df['o_orderdate']) \
+            .astype('datetime64[ns]')
+        return df[['l_orderkey', 'revenue',
+                   'o_orderdate']].reset_index(drop=True)
     df['revenue'] = [sql_round_scalar(float(x), 2) for x in df['_rev']]
-    df['o_orderdate'] = pd.to_datetime(
-        [omap[int(k)] for k in df['l_orderkey']])
     df = df.sort_values(['revenue', 'l_orderkey'],
                         ascending=[False, True], kind='mergesort').head(10)
     return df[['l_orderkey', 'revenue', 'o_orderdate']].reset_index(drop=True)

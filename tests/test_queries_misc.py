@@ -1,0 +1,13 @@
+"""Guarded-path equivalence checks for queries with size-dependent plans."""
+
+import pandas as pd
+
+from pii_detector_ray.queries import q_shipping_priority
+
+SF = '/root/testdata/sf0.001'
+
+
+def test_shipping_priority_paths_equal(ray_session):
+    broadcast = q_shipping_priority(SF)
+    joined = q_shipping_priority(SF, broadcast_order_limit=0)
+    pd.testing.assert_frame_equal(broadcast, joined)
