@@ -493,6 +493,79 @@ _EVENTS_HOURLY_SQL = (
 )
 
 
+def q_events_resampled(sf_dir: str) -> ray.data.Dataset:
+    """Time-series resample + gap fill: per (hour, event_type) counts on
+    the FULL hour grid between the corpus min and max hour, missing cells
+    zero-filled.  Grid = ``ray.data.range`` over the hour span crossed
+    with the broadcast (tiny) type list; counts arrive as narrow two-phase
+    partials; a co-partitioned left join + coalesce fills the gaps."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks, join_partitions
+
+    HOUR = 3_600_000_000
+
+    def mm(batch: pa.Table) -> pa.Table:
+        h = pc.cast(batch.column('ts'), pa.int64()).to_numpy() // HOUR
+        return pa.table({'lo': pa.array([int(h.min())], pa.int64()),
+                         'hi': pa.array([int(h.max())], pa.int64())})
+
+    parts = _events(sf_dir, ['ts']).map_batches(
+        mm, batch_format='pyarrow').take_all()
+    lo = min(p['lo'] for p in parts)
+    hi = max(p['hi'] for p in parts)
+    types = sorted({r['event_type'] for r in _events(sf_dir, ['event_type'])
+                   .groupby('event_type').count().take_all()})
+    types_ref = ray.put(types)
+
+    def to_grid(batch: pa.Table) -> pa.Table:
+        ts_list = ray.get(types_ref)
+        ids = batch.column('id').to_numpy(zero_copy_only=False)
+        hours = np.repeat(ids + lo, len(ts_list))
+        ets = np.tile(np.array(ts_list, dtype=object), len(ids))
+        return pa.table({'hour': pa.array(hours, pa.int64()),
+                         'event_type': pa.array(list(ets), pa.string())})
+
+    grid = ray.data.range(hi - lo + 1).map_batches(
+        to_grid, batch_format='pyarrow')
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = pc.cast(batch.column('ts'), pa.int64()).to_numpy() // HOUR
+        t = pa.table({'hour': pa.array(h, pa.int64()),
+                      'event_type': batch.column('event_type')})
+        agg = t.group_by(['hour', 'event_type']).aggregate([([], 'count_all')])
+        return agg.rename_columns(['hour', 'event_type', '_n'])
+
+    counts = (_events(sf_dir, ['ts', 'event_type'])
+              .map_batches(partial, batch_format='pyarrow')
+              .groupby(['hour', 'event_type'])
+              .aggregate(Sum('_n', alias_name='_n')))
+
+    joined = drop_empty_blocks(grid).join(
+        drop_empty_blocks(counts), join_type='left_outer',
+        num_partitions=join_partitions(), on=('hour', 'event_type'))
+
+    def fill(batch: pa.Table) -> pa.Table:
+        n = pc.coalesce(batch.column('_n'), pa.scalar(0, pa.int64()))
+        return pa.table({'hour': batch.column('hour'),
+                         'event_type': batch.column('event_type'),
+                         'n': pc.cast(n, pa.int64())})
+
+    return joined.map_batches(fill, batch_format='pyarrow')
+
+
+_EVENTS_RESAMPLED_SQL = (
+    'WITH b AS (SELECT min(epoch_us(ts) // 3600000000) AS lo, '
+    'max(epoch_us(ts) // 3600000000) AS hi FROM events), '
+    'hours AS (SELECT unnest(generate_series(lo, hi)) AS hour FROM b), '
+    'types AS (SELECT DISTINCT event_type FROM events), '
+    'grid AS (SELECT h.hour, t.event_type FROM hours h CROSS JOIN types t), '
+    'counts AS (SELECT epoch_us(ts) // 3600000000 AS hour, event_type, '
+    'count(*) AS n FROM events GROUP BY 1, 2) '
+    'SELECT g.hour, g.event_type, coalesce(c.n, 0)::BIGINT AS n '
+    'FROM grid g LEFT JOIN counts c '
+    'ON g.hour = c.hour AND g.event_type = c.event_type'
+)
+
+
 def q_events_user_stats(sf_dir: str) -> ray.data.Dataset:
     """Per-user rollup with pre-aggregation: partial (count,sum,min,max) per
     batch inside map_batches, then the groupby shuffles ONE ROW per
@@ -2699,6 +2772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'url_filter': q_url_filter,
         'url_canonical': q_url_canonical,
         'events_hourly': q_events_hourly,
+        'events_resampled': q_events_resampled,
         'events_user_stats': q_events_user_stats,
         'events_sessions': q_events_sessions,
         'events_asof': q_events_asof,
@@ -2799,6 +2873,7 @@ def oracle_sql() -> dict[str, str]:
         'url_filter': _URL_FILTER_SQL,
         'url_canonical': _URL_CANONICAL_SQL,
         'events_hourly': _EVENTS_HOURLY_SQL,
+        'events_resampled': _EVENTS_RESAMPLED_SQL,
         'events_user_stats': _EVENTS_USER_SQL,
         'events_sessions': _EVENTS_SESSIONS_SQL,
         'events_asof': _EVENTS_ASOF_SQL,
