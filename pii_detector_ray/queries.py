@@ -1148,6 +1148,89 @@ def q_approx_distinct_hll(sf_dir: str) -> ray.data.Dataset:
                            'event_type', 'user_id', p=12)
 
 
+def q_type_cooccurrence(sf_dir: str) -> ray.data.Dataset:
+    """Self-join co-occurrence (market-basket shape): for each unordered
+    pair of event types, how many users used both.  Per-batch (user, type)
+    dedup → global pair dedup → per-user pair explosion (bounded by the
+    type-alphabet squared, never by the user's event count) → narrow
+    (a, b, partial) counts → final small groupby.  The quadratic self-join
+    the SQL oracle writes never materializes."""
+    def dd(batch: pa.Table) -> pa.Table:
+        return pa.table({'user_id': batch.column('user_id'),
+                         'event_type': batch.column('event_type')}) \
+            .group_by(['user_id', 'event_type']).aggregate([])
+
+    ut = (_events(sf_dir, ['user_id', 'event_type'])
+          .map_batches(dd, batch_format='pyarrow')
+          .groupby(['user_id', 'event_type'])
+          .map_groups(lambda g: g.head(1), batch_format='pandas'))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ts = sorted(g['event_type'].tolist())
+        a, b = [], []
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                a.append(ts[i])
+                b.append(ts[j])
+        return pd.DataFrame({'type_a': a, 'type_b': b})
+
+    pair_rows = ut.groupby('user_id').map_groups(pairs, batch_format='pandas')
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = pa.table({'type_a': batch.column('type_a'),
+                        'type_b': batch.column('type_b')}) \
+            .group_by(['type_a', 'type_b']).aggregate([([], 'count_all')])
+        return agg.rename_columns(['type_a', 'type_b', '_n'])
+
+    return (pair_rows.map_batches(partial, batch_format='pyarrow')
+            .groupby(['type_a', 'type_b'])
+            .aggregate(Sum('_n', alias_name='n_users')))
+
+
+_TYPE_COOCCURRENCE_SQL = (
+    'WITH ut AS (SELECT DISTINCT user_id, event_type FROM events) '
+    'SELECT a.event_type AS type_a, b.event_type AS type_b, '
+    'count(*) AS n_users FROM ut a '
+    'JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type '
+    'GROUP BY a.event_type, b.event_type'
+)
+
+
+def q_value_stddev(sf_dir: str) -> pd.DataFrame:
+    """Per-type sample stddev via (n, Σx, Σxx) sufficient statistics — one
+    narrow row per (type, batch); exact driver combine; round(4) absorbs
+    float summation-order jitter vs DuckDB stddev_samp."""
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            'event_type': batch.column('event_type'),
+            '_n': pa.array(np.ones(len(batch)), pa.float64()),
+            '_sx': batch.column('value'),
+            '_sxx': pa.array(
+                batch.column('value').to_numpy(zero_copy_only=False) ** 2)})
+        return t.group_by('event_type').aggregate(
+            [('_n', 'sum'), ('_sx', 'sum'), ('_sxx', 'sum')])
+
+    rows = (_events(sf_dir, ['event_type', 'value'])
+            .map_batches(partial, batch_format='pyarrow')).take_all()
+    acc: dict[str, np.ndarray] = {}
+    for r in rows:
+        v = np.array([r['_n_sum'], r['_sx_sum'], r['_sxx_sum']])
+        acc[r['event_type']] = acc.get(r['event_type'], 0) + v
+    out_t, out_s = [], []
+    for et in sorted(acc):
+        n, sx, sxx = acc[et]
+        var = (sxx - sx * sx / n) / (n - 1)
+        out_t.append(et)
+        out_s.append(sql_round_scalar(float(np.sqrt(max(var, 0.0))), 4))
+    return pd.DataFrame({'event_type': out_t, 'sd_value': out_s})
+
+
+_VALUE_STDDEV_SQL = (
+    'SELECT event_type, round(stddev_samp(value), 4) AS sd_value '
+    'FROM events GROUP BY event_type'
+)
+
+
 def q_value_hour_corr(sf_dir: str) -> pd.DataFrame:
     """Distributed Pearson correlation per event_type via sufficient
     statistics: each batch ships ONE (type, n, Σx, Σy, Σxx, Σyy, Σxy) row
@@ -2797,6 +2880,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'customer_order_counts': q_customer_order_counts,
         'normalize_text': q_normalize_text,
         'value_hour_corr': q_value_hour_corr,
+        'value_stddev': q_value_stddev,
+        'type_cooccurrence': q_type_cooccurrence,
         'distinct_users': q_distinct_users,
         'frequent_users': q_frequent_users,
         'source_lang_rollup': q_source_lang_rollup,
@@ -2898,6 +2983,8 @@ def oracle_sql() -> dict[str, str]:
         'customer_order_counts': _CUSTOMER_ORDER_COUNTS_SQL,
         'normalize_text': _NORMALIZE_TEXT_SQL,
         'value_hour_corr': _VALUE_HOUR_CORR_SQL,
+        'value_stddev': _VALUE_STDDEV_SQL,
+        'type_cooccurrence': _TYPE_COOCCURRENCE_SQL,
         'distinct_users': _DISTINCT_USERS_SQL,
         'frequent_users': _FREQUENT_USERS_SQL,
         'source_lang_rollup': _ROLLUP_SQL,
