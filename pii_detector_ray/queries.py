@@ -2834,6 +2834,191 @@ _QUALITY_SCORES_SQL = (
 
 
 # ---------------------------------------------------------------------------
+# Product-analytics operators over the event stream: sequential funnel,
+# set-difference audience, cohort retention.  All shuffles carry narrow
+# (user_id, int64) rows; the funnel's "first B after first A" recurrence is
+# solved by ITERATIVE conditional aggregation (filter → co-partitioned join
+# with the previous stage's per-user threshold → two-phase min) instead of
+# per-user state, so no task ever holds one user's full event list.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STAGES = ('view', 'click', 'purchase')
+
+
+def q_funnel_stages(sf_dir: str) -> pd.DataFrame:
+    """3-stage conversion funnel: users whose first 'view' precedes a
+    'click' that precedes a 'purchase' (strict ts order, SQL-mirrored).
+
+    Stage k's per-user threshold t_k = min event ts of stage-k's type
+    STRICTLY AFTER t_{k-1}.  Stage 1 is a plain two-phase min; each later
+    stage filters the event stream to one type (narrow (user_id, ts)
+    projection), joins the previous stage's (user_id, t_prev) table
+    co-partitioned on user_id, drops rows at-or-before the threshold and
+    re-aggregates.  No per-user event list is ever co-located, so a
+    mega-user costs nothing beyond its share of the narrow join."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks, join_partitions
+
+    ev = _events(sf_dir, ['user_id', 'event_type', 'ts'])
+
+    def typed(etype: str):
+        def f(t: pa.Table) -> pa.Table:
+            sel = t.filter(pc.equal(t.column('event_type'), etype))
+            return pa.table({'user_id': sel.column('user_id'),
+                             '_ts': pc.cast(sel.column('ts'), pa.int64())})
+        return f
+
+    def premin(t: pa.Table) -> pa.Table:
+        return t.group_by('user_id').aggregate([('_ts', 'min')]) \
+            .rename_columns(['user_id', '_ts'])
+
+    stages = []
+    stage = drop_empty_blocks(
+        ev.map_batches(typed(_FUNNEL_STAGES[0]), batch_format='pyarrow')
+          .map_batches(premin, batch_format='pyarrow')
+          .groupby('user_id').aggregate(Min('_ts', alias_name='_prev')))
+    stages.append(stage)
+    for etype in _FUNNEL_STAGES[1:]:
+        cand = drop_empty_blocks(
+            ev.map_batches(typed(etype), batch_format='pyarrow'))
+        if cand.count() == 0 or stage.count() == 0:
+            stage = cand.limit(0)
+            stages.append(stage)
+            continue
+        joined = cand.join(stage, join_type='inner',
+                           num_partitions=join_partitions(), on=('user_id',))
+
+        def later(t: pa.Table) -> pa.Table:
+            sel = t.filter(pc.greater(t.column('_ts'), t.column('_prev')))
+            return pa.table({'user_id': sel.column('user_id'),
+                             '_ts': sel.column('_ts')}) \
+                .group_by('user_id').aggregate([('_ts', 'min')]) \
+                .rename_columns(['user_id', '_ts'])
+
+        stage = drop_empty_blocks(
+            joined.map_batches(later, batch_format='pyarrow')
+                  .groupby('user_id').aggregate(Min('_ts', alias_name='_prev')))
+        stages.append(stage)
+    n = [s.count() for s in stages]
+    return pd.DataFrame({'n_viewed': pd.array([n[0]], dtype='int64'),
+                         'n_clicked': pd.array([n[1]], dtype='int64'),
+                         'n_purchased': pd.array([n[2]], dtype='int64')})
+
+
+_FUNNEL_SQL = (
+    "WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events "
+    "WHERE event_type = 'view' GROUP BY user_id), "
+    "s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e "
+    "JOIN s1 ON e.user_id = s1.user_id AND epoch_us(e.ts) > s1.t "
+    "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+    "s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e "
+    "JOIN s2 ON e.user_id = s2.user_id AND epoch_us(e.ts) > s2.t "
+    "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+    "SELECT (SELECT count(*) FROM s1)::BIGINT AS n_viewed, "
+    "(SELECT count(*) FROM s2)::BIGINT AS n_clicked, "
+    "(SELECT count(*) FROM s3)::BIGINT AS n_purchased"
+)
+
+
+def q_click_days_no_purchase(sf_dir: str) -> ray.data.Dataset:
+    """Set difference (SQL EXCEPT) as two-phase flag aggregation: per batch,
+    one (user_id, day, has_click, has_purchase) row per active user-day via
+    Arrow group_by max; one narrow global groupby Max; keep
+    clicked-but-never-purchased days.  The shuffle carries 2 flag bytes per
+    (user, day, batch) — never a row per event — and neither distinct set
+    is ever collected or broadcast (contrast: a literal EXCEPT would
+    shuffle both full distinct sets)."""
+    def flags(t: pa.Table) -> pa.Table:
+        et = t.column('event_type')
+        day = pc.divide(pc.cast(t.column('ts'), pa.int64()), 86_400_000_000)
+        tbl = pa.table({
+            'user_id': t.column('user_id'),
+            'day': day,
+            '_c': pc.cast(pc.equal(et, 'click'), pa.int8()),
+            '_p': pc.cast(pc.equal(et, 'purchase'), pa.int8())})
+        return tbl.group_by(['user_id', 'day']) \
+            .aggregate([('_c', 'max'), ('_p', 'max')]) \
+            .rename_columns(['user_id', 'day', '_c', '_p'])
+
+    agg = (_events(sf_dir, ['user_id', 'event_type', 'ts'])
+           .map_batches(flags, batch_format='pyarrow')
+           .groupby(['user_id', 'day'])
+           .aggregate(Max('_c', alias_name='_c'), Max('_p', alias_name='_p')))
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t.column('_c'), 1), pc.equal(t.column('_p'), 0))
+        return t.filter(m).select(['user_id', 'day'])
+
+    return agg.map_batches(keep, batch_format='pyarrow')
+
+
+_CLICK_NO_PURCHASE_SQL = (
+    'SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day '
+    "FROM events WHERE event_type = 'click' "
+    'EXCEPT SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 '
+    "FROM events WHERE event_type = 'purchase'"
+)
+
+
+def q_cohort_retention(sf_dir: str) -> ray.data.Dataset:
+    """Cohort retention triangle: users grouped by first-active epoch-week,
+    distinct active users per (cohort_week, week_offset).  Plan: distinct
+    (user, week) pairs via per-batch Arrow dedup + one narrow groupby
+    (materialized once, consumed twice); per-user cohort via a second
+    two-phase min over those pairs; a co-partitioned narrow join stamps the
+    cohort onto each pair; final two-phase count.  Every shuffle row is two
+    int64s — the event payload never moves."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks, join_partitions
+
+    week_us = 604_800_000_000
+
+    def uw(t: pa.Table) -> pa.Table:
+        week = pc.divide(pc.cast(t.column('ts'), pa.int64()), week_us)
+        return pa.table({'user_id': t.column('user_id'), 'week': week}) \
+            .group_by(['user_id', 'week']).aggregate([])
+
+    pairs = drop_empty_blocks(
+        _events(sf_dir, ['user_id', 'ts'])
+        .map_batches(uw, batch_format='pyarrow')
+        .groupby(['user_id', 'week']).aggregate(Count(alias_name='_c'))
+        .select_columns(['user_id', 'week']))
+
+    def premin(t: pa.Table) -> pa.Table:
+        return t.group_by('user_id').aggregate([('week', 'min')]) \
+            .rename_columns(['user_id', '_w'])
+
+    cohort = drop_empty_blocks(
+        pairs.map_batches(premin, batch_format='pyarrow')
+             .groupby('user_id').aggregate(Min('_w', alias_name='cohort_week')))
+    joined = pairs.join(cohort, join_type='inner',
+                        num_partitions=join_partitions(), on=('user_id',))
+
+    def off(t: pa.Table) -> pa.Table:
+        tbl = pa.table({
+            'cohort_week': t.column('cohort_week'),
+            'week_offset': pc.subtract(t.column('week'),
+                                       t.column('cohort_week'))})
+        agg = tbl.group_by(['cohort_week', 'week_offset']).aggregate(
+            [([], 'count_all')])
+        return pa.table({'cohort_week': agg.column('cohort_week'),
+                         'week_offset': agg.column('week_offset'),
+                         '_n': pc.cast(agg.column('count_all'), pa.int64())})
+
+    return (joined.map_batches(off, batch_format='pyarrow')
+            .groupby(['cohort_week', 'week_offset'])
+            .aggregate(Sum('_n', alias_name='n_users')))
+
+
+_COHORT_RETENTION_SQL = (
+    'WITH uw AS (SELECT DISTINCT user_id, '
+    'epoch_us(ts) // 604800000000 AS week FROM events), '
+    'c AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id) '
+    'SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset, '
+    'count(*)::BIGINT AS n_users '
+    'FROM uw JOIN c ON uw.user_id = c.user_id GROUP BY 1, 2'
+)
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2857,6 +3042,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'events_hourly': q_events_hourly,
         'events_resampled': q_events_resampled,
         'events_user_stats': q_events_user_stats,
+        'funnel_stages': q_funnel_stages,
+        'click_days_no_purchase': q_click_days_no_purchase,
+        'cohort_retention': q_cohort_retention,
         'events_sessions': q_events_sessions,
         'events_asof': q_events_asof,
         'events_sliding': q_events_sliding,
@@ -2960,6 +3148,9 @@ def oracle_sql() -> dict[str, str]:
         'events_hourly': _EVENTS_HOURLY_SQL,
         'events_resampled': _EVENTS_RESAMPLED_SQL,
         'events_user_stats': _EVENTS_USER_SQL,
+        'funnel_stages': _FUNNEL_SQL,
+        'click_days_no_purchase': _CLICK_NO_PURCHASE_SQL,
+        'cohort_retention': _COHORT_RETENTION_SQL,
         'events_sessions': _EVENTS_SESSIONS_SQL,
         'events_asof': _EVENTS_ASOF_SQL,
         'events_sliding': _EVENTS_SLIDING_SQL,
