@@ -3008,6 +3008,28 @@ def q_cohort_retention(sf_dir: str) -> ray.data.Dataset:
             .aggregate(Sum('_n', alias_name='n_users')))
 
 
+def q_token_edit_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Levenshtein near-dup pairs over the distinct first-token vocabulary
+    (stages/editdist.py): quadratic work confined to the vocab, byte-level
+    DP bit-exact with DuckDB's levenshtein(), char-length blocking with
+    neighbor replication."""
+    from pii_detector_ray.stages.editdist import token_edit_pairs
+    return token_edit_pairs(read_documents(sf_dir, ['text']))
+
+
+_TOKEN_EDIT_PAIRS_SQL = (
+    "WITH toks AS (SELECT substr(regexp_extract(text, '[^ \\t\\n\\r\\f]+'), "
+    '1, 16) AS tok, count(*)::BIGINT AS n FROM documents '
+    'WHERE text IS NOT NULL GROUP BY 1), '
+    "t2 AS (SELECT tok, n FROM toks WHERE tok IS NOT NULL AND tok <> '') "
+    'SELECT a.tok AS tok_a, b.tok AS tok_b, a.n AS n_a, b.n AS n_b, '
+    'levenshtein(a.tok, b.tok)::BIGINT AS dist '
+    'FROM t2 a JOIN t2 b ON a.tok < b.tok '
+    'AND abs(length(a.tok) - length(b.tok)) <= 2 '
+    'AND levenshtein(a.tok, b.tok) <= 2'
+)
+
+
 _COHORT_RETENTION_SQL = (
     'WITH uw AS (SELECT DISTINCT user_id, '
     'epoch_us(ts) // 604800000000 AS week FROM events), '
@@ -3045,6 +3067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'funnel_stages': q_funnel_stages,
         'click_days_no_purchase': q_click_days_no_purchase,
         'cohort_retention': q_cohort_retention,
+        'token_edit_pairs': q_token_edit_pairs,
         'events_sessions': q_events_sessions,
         'events_asof': q_events_asof,
         'events_sliding': q_events_sliding,
@@ -3151,6 +3174,7 @@ def oracle_sql() -> dict[str, str]:
         'funnel_stages': _FUNNEL_SQL,
         'click_days_no_purchase': _CLICK_NO_PURCHASE_SQL,
         'cohort_retention': _COHORT_RETENTION_SQL,
+        'token_edit_pairs': _TOKEN_EDIT_PAIRS_SQL,
         'events_sessions': _EVENTS_SESSIONS_SQL,
         'events_asof': _EVENTS_ASOF_SQL,
         'events_sliding': _EVENTS_SLIDING_SQL,

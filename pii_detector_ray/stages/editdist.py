@@ -1,0 +1,140 @@
+"""Edit-distance (Levenshtein) near-duplicate pairs over a token vocabulary.
+
+String-similarity dedup breadth beyond the hash families (MinHash / SimHash
+/ n-gram Jaccard in ``stages/dedup.py``): find all pairs of DISTINCT tokens
+within Levenshtein distance ``max_dist`` — the classic typo / variant-spelling
+collapse step of a training-data pipeline.
+
+Distance contract (oracle parity): UTF-8 **byte-level** Levenshtein —
+DuckDB's ``levenshtein()`` measures bytes, not codepoints (probed:
+``levenshtein('abc','абц') = 6``), so the DP here runs over ``encode()``d
+byte strings and is bit-exact with the SQL oracle.  Tie/ordering contract:
+``tok_a < tok_b`` in Python codepoint order == UTF-8 byte order == DuckDB's
+binary varchar collation.
+
+Scale plan: the quadratic work runs over the DISTINCT vocabulary, never the
+corpus — per-batch Arrow group_by partials + one narrow ``groupby(tok).sum``
+build (token, n) rows (vocabulary-bounded: dictionary words + typo tail, not
+row-proportional).  Pairing is blocked by CHARACTER length with neighbor
+replication: ``levenshtein(a,b) >= |len(a)-len(b)|`` in any unit, and the
+mirrored SQL predicate also filters ``abs(length) <= max_dist`` explicitly,
+so replicating each token to blocks ``[L, L+max_dist]`` and emitting a pair
+only in block ``max(len_a, len_b)`` is lossless and duplicate-free.  Each
+length block holds a vocabulary-bounded slice, so one ``map_groups`` task
+per block bounds both memory and the O(|block|²) candidate scan; the banded
+DP early-exits rows whose minimum already exceeds ``max_dist``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Sum
+
+_TOKEN_PATTERN = r'(?P<t>[^ \t\n\r\f]+)'   # RE2-compat \S (see re2compat.py)
+
+
+def levenshtein_bytes(a: bytes, b: bytes, cap: int) -> int:
+    """Two-row DP over bytes with an early exit once every cell of the
+    current row exceeds ``cap`` (returns cap+1: caller only thresholds)."""
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    if len(a) > len(b):
+        a, b = b, a
+    prev = np.arange(len(a) + 1, dtype=np.int64)
+    bb = np.frombuffer(b, dtype=np.uint8)
+    aa = np.frombuffer(a, dtype=np.uint8)
+    for i, ch in enumerate(bb, start=1):
+        cur = np.empty(len(a) + 1, dtype=np.int64)
+        cur[0] = i
+        sub = prev[:-1] + (aa != ch)
+        # vectorized deletion+substitution lower bound, then one serial
+        # pass for the insertion recurrence (data dependency)
+        np.minimum(prev[1:] + 1, sub, out=cur[1:])
+        for j in range(1, len(a) + 1):
+            if cur[j - 1] + 1 < cur[j]:
+                cur[j] = cur[j - 1] + 1
+        if cur.min() > cap:
+            return cap + 1
+        prev = cur
+    return int(prev[-1])
+
+
+def first_token_batch(t: pa.Table, text_col: str = 'text',
+                      max_chars: int = 16) -> pa.Table:
+    """(token, 1) partial rows: first \\S+ run of each text, truncated to
+    ``max_chars`` CHARACTERS (DuckDB ``substr(…,1,16)`` mirror), nulls and
+    empties dropped, pre-counted inside the batch."""
+    ex = pc.extract_regex(t.column(text_col), _TOKEN_PATTERN)
+    tok = pc.utf8_slice_codeunits(pc.struct_field(ex, 't'), 0, max_chars)
+    tbl = pa.table({'tok': tok})
+    tbl = tbl.filter(pc.and_(tok.is_valid(), pc.not_equal(tok, '')))
+    agg = tbl.group_by('tok').aggregate([([], 'count_all')])
+    return pa.table({'tok': agg.column('tok'),
+                     '_n': pc.cast(agg.column('count_all'), pa.int64())})
+
+
+def token_edit_pairs(docs: ray.data.Dataset, *, max_dist: int = 2,
+                     max_chars: int = 16) -> ray.data.Dataset:
+    """All distinct-token pairs with byte-Levenshtein ≤ ``max_dist``.
+
+    Returns (tok_a, tok_b, n_a, n_b, dist) with tok_a < tok_b.
+    """
+    vocab = (docs.map_batches(
+                 lambda t: first_token_batch(t, max_chars=max_chars),
+                 batch_format='pyarrow')
+             .groupby('tok').aggregate(Sum('_n', alias_name='n')))
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = t.column('tok').to_pylist()
+        ns = t.column('n').to_pylist()
+        out_b, out_t, out_n = [], [], []
+        for tok, n in zip(toks, ns):
+            L = len(tok)
+            for b in range(L, L + max_dist + 1):
+                out_b.append(b)
+                out_t.append(tok)
+                out_n.append(n)
+        return pa.table({'block': pa.array(out_b, pa.int64()),
+                         'tok': pa.array(out_t, pa.string()),
+                         'n': pa.array(out_n, pa.int64())})
+
+    _schema = pa.schema([('tok_a', pa.string()), ('tok_b', pa.string()),
+                         ('n_a', pa.int64()), ('n_b', pa.int64()),
+                         ('dist', pa.int64())])
+
+    def pairs_in_block(g: pd.DataFrame) -> pa.Table:
+        block = int(g['block'].iloc[0])
+        toks = g['tok'].tolist()
+        ns = g['n'].tolist()
+        enc = [s.encode('utf-8') for s in toks]
+        rows_a, rows_b, rows_na, rows_nb, rows_d = [], [], [], [], []
+        for i in range(len(toks)):
+            for j in range(i + 1, len(toks)):
+                a, b = i, j
+                if toks[a] > toks[b]:
+                    a, b = b, a
+                la, lb = len(toks[a]), len(toks[b])
+                if max(la, lb) != block or abs(la - lb) > max_dist:
+                    continue
+                d = levenshtein_bytes(enc[a], enc[b], max_dist)
+                if d <= max_dist:
+                    rows_a.append(toks[a]); rows_b.append(toks[b])
+                    rows_na.append(ns[a]); rows_nb.append(ns[b])
+                    rows_d.append(d)
+        return pa.table({'tok_a': pa.array(rows_a, pa.string()),
+                         'tok_b': pa.array(rows_b, pa.string()),
+                         'n_a': pa.array(rows_na, pa.int64()),
+                         'n_b': pa.array(rows_nb, pa.int64()),
+                         'dist': pa.array(rows_d, pa.int64())})
+
+    blocked = vocab.map_batches(explode, batch_format='pyarrow')
+    out = blocked.groupby('block').map_groups(pairs_in_block)
+    # schema anchor: one empty, correctly-typed block union'd in so an
+    # all-empty result still carries the output schema
+    anchor = ray.data.from_arrow(_schema.empty_table())
+    return out.union(anchor)

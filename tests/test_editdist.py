@@ -1,0 +1,65 @@
+"""stages/editdist.py: byte-DP parity with DuckDB levenshtein, blocking
+losslessness vs brute force, and the empty-result schema anchor."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from pii_detector_ray.stages.editdist import levenshtein_bytes, token_edit_pairs
+
+
+def test_dp_matches_duckdb_on_random_strings():
+    import random
+    rng = random.Random(7)
+    alpha = 'abcдё≠'
+    con = duckdb.connect()
+    for _ in range(200):
+        a = ''.join(rng.choice(alpha) for _ in range(rng.randrange(0, 8)))
+        b = ''.join(rng.choice(alpha) for _ in range(rng.randrange(0, 8)))
+        exp = con.execute('SELECT levenshtein(?, ?)', [a, b]).fetchone()[0]
+        cap = 25        # above any possible distance here → exact value
+        assert levenshtein_bytes(a.encode(), b.encode(), cap) == exp, (a, b)
+
+
+def test_dp_cap_early_exit():
+    assert levenshtein_bytes(b'aaaaaaaa', b'bbbbbbbb', 2) == 3   # cap+1
+    assert levenshtein_bytes(b'abcdef', b'abcxef', 2) == 1
+
+
+def test_pairs_match_bruteforce(ray_session):
+    texts = ['scan x', 'scam x', 'span x', 'merge y', 'merg y', 'mergee y',
+             'кот z', 'кит z', 'київ z', None, '', '   ', 'scan again']
+    docs = ray.data.from_arrow(pa.table({'text': pa.array(texts, pa.string())}))
+    got = token_edit_pairs(docs).to_pandas() \
+        .sort_values(['tok_a', 'tok_b']).reset_index(drop=True)
+
+    toks = {}
+    for t in texts:
+        tok = (t or '').split()[0] if t and (t or '').split() else ''
+        if tok:
+            toks[tok[:16]] = toks.get(tok[:16], 0) + 1
+    items = sorted(toks)
+    exp = []
+    for i in range(len(items)):
+        for j in range(i + 1, len(items)):
+            a, b = items[i], items[j]
+            if abs(len(a) - len(b)) > 2:
+                continue
+            d = levenshtein_bytes(a.encode(), b.encode(), 2)
+            if d <= 2:
+                exp.append((a, b, toks[a], toks[b], d))
+    exp_df = pd.DataFrame(exp, columns=['tok_a', 'tok_b', 'n_a', 'n_b', 'dist']) \
+        .sort_values(['tok_a', 'tok_b']).reset_index(drop=True)
+    assert len(got) == len(exp_df)
+    for c in exp_df.columns:
+        assert got[c].astype(str).tolist() == exp_df[c].astype(str).tolist(), c
+
+
+def test_empty_corpus_keeps_schema(ray_session):
+    docs = ray.data.from_arrow(pa.table({'text': pa.array([], pa.string())}))
+    out = token_edit_pairs(docs)
+    assert out.count() == 0
+    assert set(out.schema().names) == {'tok_a', 'tok_b', 'n_a', 'n_b', 'dist'}
