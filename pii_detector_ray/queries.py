@@ -3030,6 +3030,43 @@ _TOKEN_EDIT_PAIRS_SQL = (
 )
 
 
+_BM25_TERMS = ('data', 'vector', 'scan')
+
+
+def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    """Okapi BM25 top-10 for a fixed query (stages/bm25.py): two-pass —
+    per-batch (n, Σdl, df) stats partials, then broadcast-stats scoring with
+    per-batch partial top-k; round(4) half-away + (bm25 DESC, doc_id) ties
+    mirror the SQL exactly."""
+    from pii_detector_ray.stages.bm25 import bm25_topk
+    return bm25_topk(read_documents(sf_dir, ['doc_id', 'text']),
+                     list(_BM25_TERMS))
+
+
+def _bm25_sql() -> str:
+    tfs = ', '.join(
+        f"len(list_filter(ts, x -> x = '{q}')) AS tf{i}"
+        for i, q in enumerate(_BM25_TERMS))
+    dfs = ', '.join(
+        f'count(CASE WHEN tf{i} > 0 THEN 1 END)::DOUBLE AS df{i}'
+        for i in range(len(_BM25_TERMS)))
+    cases = ' + '.join(
+        f'(CASE WHEN tf{i} > 0 THEN ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5)) '
+        f'* (tf{i} * (1.2 + 1.0) / (tf{i} + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) '
+        f'ELSE 0.0 END)'
+        for i in range(len(_BM25_TERMS)))
+    return (
+        "WITH t AS (SELECT doc_id, list_transform("
+        "regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x)) AS ts "
+        'FROM documents WHERE text IS NOT NULL), '
+        f's AS (SELECT doc_id, len(ts) AS dl, {tfs} FROM t), '
+        'g AS (SELECT count(*)::DOUBLE AS n, '
+        f'sum(dl)::DOUBLE / count(*) AS avgdl, {dfs} FROM s) '
+        f'SELECT doc_id, round({cases}, 4) AS bm25 '
+        'FROM s, g ORDER BY bm25 DESC, doc_id LIMIT 10'
+    )
+
+
 _COHORT_RETENTION_SQL = (
     'WITH uw AS (SELECT DISTINCT user_id, '
     'epoch_us(ts) // 604800000000 AS week FROM events), '
@@ -3068,6 +3105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'click_days_no_purchase': q_click_days_no_purchase,
         'cohort_retention': q_cohort_retention,
         'token_edit_pairs': q_token_edit_pairs,
+        'bm25_topk': q_bm25_topk,
         'events_sessions': q_events_sessions,
         'events_asof': q_events_asof,
         'events_sliding': q_events_sliding,
@@ -3175,6 +3213,7 @@ def oracle_sql() -> dict[str, str]:
         'click_days_no_purchase': _CLICK_NO_PURCHASE_SQL,
         'cohort_retention': _COHORT_RETENTION_SQL,
         'token_edit_pairs': _TOKEN_EDIT_PAIRS_SQL,
+        'bm25_topk': _bm25_sql(),
         'events_sessions': _EVENTS_SESSIONS_SQL,
         'events_asof': _EVENTS_ASOF_SQL,
         'events_sliding': _EVENTS_SLIDING_SQL,

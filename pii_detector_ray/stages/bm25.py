@@ -1,0 +1,114 @@
+"""Distributed BM25 scoring: rank documents against a fixed query-term set.
+
+Text-search breadth beyond TF-IDF top-terms (stages/tfidf.py): the classic
+Okapi BM25 ranking function, the standard relevance baseline a training-data
+pipeline uses to mine topic-focused subsets from a web corpus.
+
+Term contract shared with stages/tfidf.py (``[A-Za-z0-9]+`` runs of the
+original text, ASCII-lowercased after extraction) so both operators mirror
+the same DuckDB tokenization.
+
+Two-pass plan — inherent to BM25, whose idf and length normalization need
+corpus-global statistics before any document can be scored:
+
+1. **Stats pass**: one narrow partial row PER BATCH — (n_docs, Σdl, df per
+   query term).  Traffic is O(batches × |query|), never row-proportional.
+2. **Score pass**: the (tiny) global stats broadcast via closure; each batch
+   scores its documents locally and emits only its per-batch top-k partial
+   (k rows per block reach the driver, the similarity_topk pattern).
+
+Determinism / oracle parity: scores are rounded half-away-from-zero to 4
+decimals (functions/rounding.py, the value_hour_corr precedent for float
+reductions) and ranked ``(bm25 DESC, doc_id ASC)``; the SQL oracle mirrors
+the formula with identical literal structure and association order.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from pii_detector_ray.functions.rounding import sql_round_np
+from pii_detector_ray.stages.tfidf import doc_terms
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_topk(docs: ray.data.Dataset, query_terms: list[str], *,
+              k: int = 10, text_col: str = 'text',
+              id_col: str = 'doc_id') -> pd.DataFrame:
+    """Top-``k`` (doc_id, bm25) rows for ``query_terms``, exact corpus-wide.
+
+    ``docs`` must carry (id_col, text_col); null-text rows are excluded
+    (SQL ``WHERE text IS NOT NULL`` mirror).
+    """
+    terms = list(query_terms)
+
+    def stats(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        n = 0
+        sum_dl = 0
+        df = np.zeros(len(terms), dtype=np.int64)
+        for txt in texts:
+            if txt is None:
+                continue
+            n += 1
+            toks = doc_terms(txt)
+            sum_dl += len(toks)
+            c = Counter(toks)
+            for i, q in enumerate(terms):
+                if c.get(q, 0) > 0:
+                    df[i] += 1
+        cols = {'_n': pa.array([n], pa.int64()),
+                '_dl': pa.array([sum_dl], pa.int64())}
+        for i, q in enumerate(terms):
+            cols[f'_df{i}'] = pa.array([int(df[i])], pa.int64())
+        return pa.table(cols)
+
+    parts = docs.map_batches(stats, batch_format='pyarrow').take_all()
+    n_docs = sum(p['_n'] for p in parts)
+    sum_dl = sum(p['_dl'] for p in parts)
+    dfs = [sum(p[f'_df{i}'] for p in parts) for i in range(len(terms))]
+    if n_docs == 0:
+        return pd.DataFrame({id_col: pd.array([], dtype='int64'),
+                             'bm25': pd.array([], dtype='float64')})
+    avgdl = sum_dl / n_docs
+    idf = [float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))) for d in dfs]
+
+    def score(t: pa.Table) -> pa.Table:
+        ids, scores = [], []
+        for did, txt in zip(t.column(id_col).to_pylist(),
+                            t.column(text_col).to_pylist()):
+            if txt is None:
+                continue
+            toks = doc_terms(txt)
+            dl = len(toks)
+            c = Counter(toks)
+            s = 0.0
+            for i, q in enumerate(terms):
+                tf = c.get(q, 0)
+                if tf:
+                    s += idf[i] * (tf * (K1 + 1.0)
+                                   / (tf + K1 * (1.0 - B + B * dl / avgdl)))
+            ids.append(did)
+            scores.append(s)
+        if not ids:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             'bm25': pa.array([], pa.float64())})
+        sc = sql_round_np(np.asarray(scores, dtype=np.float64), 4)
+        order = np.lexsort((np.asarray(ids, dtype=np.int64), -sc))[:k]
+        return pa.table({id_col: pa.array(np.asarray(ids, np.int64)[order]),
+                         'bm25': pa.array(sc[order])})
+
+    partials = docs.map_batches(score, batch_format='pyarrow').take_all()
+    df = pd.DataFrame(partials) if partials else \
+        pd.DataFrame({id_col: [], 'bm25': []})
+    df = df.sort_values(['bm25', id_col], ascending=[False, True],
+                        kind='mergesort').head(k).reset_index(drop=True)
+    return df.astype({id_col: 'int64', 'bm25': 'float64'})

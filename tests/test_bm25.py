@@ -1,0 +1,50 @@
+"""stages/bm25.py: reference-formula parity on a hand corpus + edge cases."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from pii_detector_ray.stages.bm25 import B, K1, bm25_topk
+from pii_detector_ray.stages.tfidf import doc_terms
+
+
+def _reference(texts, terms, k):
+    docs = [(i, doc_terms(t)) for i, t in enumerate(texts) if t is not None]
+    n = len(docs)
+    avgdl = sum(len(ts) for _, ts in docs) / n
+    out = []
+    for did, ts in docs:
+        s = 0.0
+        for q in terms:
+            tf = ts.count(q)
+            df = sum(1 for _, other in docs if q in other)
+            if tf:
+                s += math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * (
+                    tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * len(ts) / avgdl)))
+        out.append((did, round(s, 4)))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return out[:k]
+
+
+def test_matches_reference_small(ray_session):
+    texts = ['data data vector pipeline', 'scan the data lake', 'nothing here',
+             None, 'vector vector vector', 'data', '', 'scan scan']
+    ds = ray.data.from_arrow(pa.table({
+        'doc_id': pa.array(range(len(texts)), pa.int64()),
+        'text': pa.array(texts, pa.string())}))
+    got = bm25_topk(ds, ['data', 'vector', 'scan'], k=5)
+    exp = _reference(texts, ['data', 'vector', 'scan'], 5)
+    assert list(zip(got['doc_id'], got['bm25'])) == [
+        (d, np.float64(s)) for d, s in exp]
+
+
+def test_empty_and_all_null(ray_session):
+    ds = ray.data.from_arrow(pa.table({
+        'doc_id': pa.array([1, 2], pa.int64()),
+        'text': pa.array([None, None], pa.string())}))
+    got = bm25_topk(ds, ['data'])
+    assert len(got) == 0
+    assert list(got.columns) == ['doc_id', 'bm25']
