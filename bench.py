@@ -78,7 +78,8 @@ def run_bench() -> dict:
                      'pii_person_counts', 'span_dedup', 'tfidf_top_terms',
                      'url_canonical', 'anti_join_bloom', 'user_cumulative',
                      'user_rolling3', 'host_p95', 'events_segment_join',
-                     'approx_distinct_hll']:
+                     'approx_distinct_hll', 'bm25_topk', 'token_edit_pairs',
+                     'funnel_stages', 'cohort_retention']:
             fn = q.queries()[name]
             t0 = time.monotonic()
             res = fn(SF_DIR)

@@ -1920,6 +1920,32 @@ def q_sample_documents(sf_dir: str) -> ray.data.Dataset:
 _SAMPLE_SQL = 'SELECT doc_id FROM documents WHERE (doc_id * 2654435761) % 100 < 10'
 
 
+def q_weighted_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic WEIGHTED Bernoulli sampling (importance sampling for
+    training-mix construction): doc kept with probability ∝ its length
+    weight, decided by pure integer hash math — ``(doc_id * Knuth) mod 10000
+    < min(n_chars, 10000)`` — so the SQL oracle is an exact mirror with zero
+    float risk and any shard can re-derive its own sample (resumable,
+    shuffle-free, one narrow map).  Fixed-k variants (A-ES exponential
+    jumps) trade that integer exactness for float pow; documented
+    alternative."""
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column('doc_id').to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch.column('n_chars').to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (ids * 2654435761) % 10000 < np.minimum(w, 10000)
+        return pa.table({'doc_id': pa.array(ids[keep], pa.int64()),
+                         'n_chars': pa.array(w[keep], pa.int64())})
+
+    return read_documents(sf_dir, ['doc_id', 'n_chars']).map_batches(
+        sample, batch_format='pyarrow')
+
+
+_WEIGHTED_SAMPLE_SQL = (
+    'SELECT doc_id, n_chars FROM documents '
+    'WHERE (doc_id * 2654435761) % 10000 < least(n_chars, 10000)'
+)
+
+
 def q_source_anti_join(sf_dir: str) -> ray.data.Dataset:
     """Broadcast anti-join (§2.8: the reference's set semi/anti-joins against
     its catalog, base_scan_service.py:379,442-447): drop docs whose source is
@@ -2845,17 +2871,22 @@ _QUALITY_SCORES_SQL = (
 _FUNNEL_STAGES = ('view', 'click', 'purchase')
 
 
-def q_funnel_stages(sf_dir: str) -> pd.DataFrame:
+def q_funnel_stages(sf_dir: str,
+                    broadcast_user_limit: int = 2_000_000) -> pd.DataFrame:
     """3-stage conversion funnel: users whose first 'view' precedes a
     'click' that precedes a 'purchase' (strict ts order, SQL-mirrored).
 
     Stage k's per-user threshold t_k = min event ts of stage-k's type
     STRICTLY AFTER t_{k-1}.  Stage 1 is a plain two-phase min; each later
     stage filters the event stream to one type (narrow (user_id, ts)
-    projection), joins the previous stage's (user_id, t_prev) table
-    co-partitioned on user_id, drops rows at-or-before the threshold and
-    re-aggregates.  No per-user event list is ever co-located, so a
-    mega-user costs nothing beyond its share of the narrow join."""
+    projection), applies the previous stage's per-user threshold, drops
+    rows at-or-before it and re-aggregates.  The threshold table is
+    SIZE-GUARDED (the shipping_priority pattern): under
+    ``broadcast_user_limit`` survivors it broadcasts once via ``ray.put``
+    and the stage is one shuffle-free map; above it, it stays a Dataset
+    and meets the typed events in a co-partitioned narrow join (both paths
+    proven frame-equal in tests).  No per-user event list is ever
+    co-located, so a mega-user costs nothing beyond its rows."""
     from pii_detector_ray.stages.dedup import drop_empty_blocks, join_partitions
 
     ev = _events(sf_dir, ['user_id', 'event_type', 'ts'])
@@ -2878,25 +2909,45 @@ def q_funnel_stages(sf_dir: str) -> pd.DataFrame:
           .groupby('user_id').aggregate(Min('_ts', alias_name='_prev')))
     stages.append(stage)
     for etype in _FUNNEL_STAGES[1:]:
-        cand = drop_empty_blocks(
-            ev.map_batches(typed(etype), batch_format='pyarrow'))
-        if cand.count() == 0 or stage.count() == 0:
-            stage = cand.limit(0)
+        n_prev = stage.count()
+        cand = ev.map_batches(typed(etype), batch_format='pyarrow')
+        if n_prev == 0:
+            stage = drop_empty_blocks(cand).limit(0)
             stages.append(stage)
             continue
-        joined = cand.join(stage, join_type='inner',
-                           num_partitions=join_partitions(), on=('user_id',))
+        if n_prev <= broadcast_user_limit:
+            tmap = {r['user_id']: r['_prev']
+                    for b in stage.iter_batches(batch_size=None,
+                                                batch_format='pyarrow')
+                    for r in b.to_pylist()}
+            tref = ray.put(tmap)
 
-        def later(t: pa.Table) -> pa.Table:
-            sel = t.filter(pc.greater(t.column('_ts'), t.column('_prev')))
-            return pa.table({'user_id': sel.column('user_id'),
-                             '_ts': sel.column('_ts')}) \
-                .group_by('user_id').aggregate([('_ts', 'min')]) \
-                .rename_columns(['user_id', '_ts'])
+            def later_bc(t: pa.Table) -> pa.Table:
+                m = ray.get(tref)
+                users = t.column('user_id').to_numpy(zero_copy_only=False)
+                ts = t.column('_ts').to_numpy(zero_copy_only=False)
+                thr = np.fromiter((m.get(int(u), np.iinfo(np.int64).max)
+                                   for u in users),
+                                  dtype=np.int64, count=len(users))
+                keep = ts > thr
+                return premin(pa.table({
+                    'user_id': pa.array(users[keep], pa.int64()),
+                    '_ts': pa.array(ts[keep], pa.int64())}))
 
+            filtered = cand.map_batches(later_bc, batch_format='pyarrow')
+        else:
+            joined = drop_empty_blocks(cand).join(
+                stage, join_type='inner',
+                num_partitions=join_partitions(), on=('user_id',))
+
+            def later_join(t: pa.Table) -> pa.Table:
+                sel = t.filter(pc.greater(t.column('_ts'), t.column('_prev')))
+                return premin(pa.table({'user_id': sel.column('user_id'),
+                                        '_ts': sel.column('_ts')}))
+
+            filtered = joined.map_batches(later_join, batch_format='pyarrow')
         stage = drop_empty_blocks(
-            joined.map_batches(later, batch_format='pyarrow')
-                  .groupby('user_id').aggregate(Min('_ts', alias_name='_prev')))
+            filtered.groupby('user_id').aggregate(Min('_ts', alias_name='_prev')))
         stages.append(stage)
     n = [s.count() for s in stages]
     return pd.DataFrame({'n_viewed': pd.array([n[0]], dtype='int64'),
@@ -2959,14 +3010,18 @@ _CLICK_NO_PURCHASE_SQL = (
 )
 
 
-def q_cohort_retention(sf_dir: str) -> ray.data.Dataset:
+def q_cohort_retention(sf_dir: str,
+                       broadcast_user_limit: int = 2_000_000
+                       ) -> ray.data.Dataset:
     """Cohort retention triangle: users grouped by first-active epoch-week,
     distinct active users per (cohort_week, week_offset).  Plan: distinct
     (user, week) pairs via per-batch Arrow dedup + one narrow groupby
     (materialized once, consumed twice); per-user cohort via a second
-    two-phase min over those pairs; a co-partitioned narrow join stamps the
-    cohort onto each pair; final two-phase count.  Every shuffle row is two
-    int64s — the event payload never moves."""
+    two-phase min over those pairs; the cohort table stamps each pair —
+    broadcast once under ``broadcast_user_limit`` users (shuffle-free map),
+    co-partitioned narrow join above it (both paths frame-equal in tests);
+    final two-phase count.  Every shuffle row is two int64s — the event
+    payload never moves."""
     from pii_detector_ray.stages.dedup import drop_empty_blocks, join_partitions
 
     week_us = 604_800_000_000
@@ -2989,8 +3044,6 @@ def q_cohort_retention(sf_dir: str) -> ray.data.Dataset:
     cohort = drop_empty_blocks(
         pairs.map_batches(premin, batch_format='pyarrow')
              .groupby('user_id').aggregate(Min('_w', alias_name='cohort_week')))
-    joined = pairs.join(cohort, join_type='inner',
-                        num_partitions=join_partitions(), on=('user_id',))
 
     def off(t: pa.Table) -> pa.Table:
         tbl = pa.table({
@@ -3003,8 +3056,28 @@ def q_cohort_retention(sf_dir: str) -> ray.data.Dataset:
                          'week_offset': agg.column('week_offset'),
                          '_n': pc.cast(agg.column('count_all'), pa.int64())})
 
-    return (joined.map_batches(off, batch_format='pyarrow')
-            .groupby(['cohort_week', 'week_offset'])
+    if cohort.count() <= broadcast_user_limit:
+        cmap = {r['user_id']: r['cohort_week']
+                for b in cohort.iter_batches(batch_size=None,
+                                             batch_format='pyarrow')
+                for r in b.to_pylist()}
+        cref = ray.put(cmap)
+
+        def stamp(t: pa.Table) -> pa.Table:
+            m = ray.get(cref)
+            users = t.column('user_id').to_numpy(zero_copy_only=False)
+            cw = np.fromiter((m[int(u)] for u in users),
+                             dtype=np.int64, count=len(users))
+            return off(pa.table({'week': t.column('week'),
+                                 'cohort_week': pa.array(cw, pa.int64())}))
+
+        stamped = pairs.map_batches(stamp, batch_format='pyarrow')
+    else:
+        joined = pairs.join(cohort, join_type='inner',
+                            num_partitions=join_partitions(), on=('user_id',))
+        stamped = joined.map_batches(off, batch_format='pyarrow')
+
+    return (stamped.groupby(['cohort_week', 'week_offset'])
             .aggregate(Sum('_n', alias_name='n_users')))
 
 
@@ -3147,6 +3220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'source_anti_join': q_source_anti_join,
         'anti_join_bloom': q_anti_join_bloom,
         'sample_documents': q_sample_documents,
+        'weighted_sample': q_weighted_sample,
         'scan_table_columns': q_scan_table_columns,
         'db_column_scan': q_db_column_scan,
         'embedding_dup_pairs': q_embedding_dup_pairs,
@@ -3255,6 +3329,7 @@ def oracle_sql() -> dict[str, str]:
         'source_anti_join': _SOURCE_ANTI_JOIN_SQL,
         'anti_join_bloom': _ANTI_JOIN_BLOOM_SQL,
         'sample_documents': _SAMPLE_SQL,
+        'weighted_sample': _WEIGHTED_SAMPLE_SQL,
         'scan_table_columns': _SCAN_COLUMNS_SQL.replace(
             '{expr}', SQL_AUG_EXPR).replace(
             '{p}', _sql_quote(EXTENSION_PATTERNS['PHONE'])),

@@ -1,0 +1,34 @@
+"""Funnel / cohort-retention size-guard: the broadcast fast path and the
+co-partitioned join path must be frame-equal (the shipping_priority
+both-paths contract)."""
+
+import pandas as pd
+
+from pii_detector_ray.queries import q_cohort_retention, q_funnel_stages
+
+SF = '/root/testdata/sf0.001'
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].astype('int64')
+    return df.sort_values(list(df.columns), kind='mergesort').reset_index(drop=True)
+
+
+def test_funnel_join_path_equals_broadcast(ray_session):
+    bc = _norm(q_funnel_stages(SF))
+    jn = _norm(q_funnel_stages(SF, broadcast_user_limit=0))
+    assert bc.equals(jn)
+    assert int(bc['n_viewed'][0]) >= int(bc['n_clicked'][0]) >= \
+        int(bc['n_purchased'][0])
+
+
+def test_cohort_join_path_equals_broadcast(ray_session):
+    bc = _norm(q_cohort_retention(SF).to_pandas())
+    jn = _norm(q_cohort_retention(SF, broadcast_user_limit=0).to_pandas())
+    assert bc.equals(jn)
+    # offset 0 row exists for every cohort (a user is active in their own
+    # first week by construction)
+    zero = bc[bc['week_offset'] == 0]
+    assert set(zero['cohort_week']) == set(bc['cohort_week'])
