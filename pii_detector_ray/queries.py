@@ -3103,6 +3103,36 @@ _TOKEN_EDIT_PAIRS_SQL = (
 )
 
 
+def q_pagerank(sf_dir: str) -> ray.data.Dataset:
+    """3-iteration PageRank over the doubled bipartite (user, event_type)
+    incidence graph (stages/pagerank.py): narrow two-phase edge/degree
+    builds, size-guarded broadcast-vs-join rank propagation, round(8)
+    float contract with the unrolled-CTE oracle."""
+    from pii_detector_ray.stages.pagerank import bipartite_edges, pagerank
+    return pagerank(bipartite_edges(_events(sf_dir,
+                                            ['user_id', 'event_type'])))
+
+
+def _pagerank_sql(iterations: int = 3) -> str:
+    body = (
+        "WITH e0 AS (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS ua, "
+        "'t' || event_type AS tb FROM events), "
+        'e AS (SELECT ua AS src, tb AS dst FROM e0 '
+        'UNION ALL SELECT tb, ua FROM e0), '
+        'deg AS (SELECT src AS node, count(*)::DOUBLE AS d FROM e '
+        'GROUP BY src), '
+        'nn AS (SELECT count(*)::DOUBLE AS n FROM deg), '
+        'r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM deg)')
+    for k in range(1, iterations + 1):
+        body += (
+            f', r{k} AS (SELECT e.dst AS node, '
+            '(1.0 - 0.85) / (SELECT n FROM nn) + '
+            f'0.85 * sum(r{k-1}.r / deg.d) AS r '
+            f'FROM e JOIN r{k-1} ON e.src = r{k-1}.node '
+            'JOIN deg ON e.src = deg.node GROUP BY e.dst)')
+    return body + f' SELECT node, round(r, 8) AS pr FROM r{iterations}'
+
+
 _BM25_TERMS = ('data', 'vector', 'scan')
 
 
@@ -3179,6 +3209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'cohort_retention': q_cohort_retention,
         'token_edit_pairs': q_token_edit_pairs,
         'bm25_topk': q_bm25_topk,
+        'pagerank': q_pagerank,
         'events_sessions': q_events_sessions,
         'events_asof': q_events_asof,
         'events_sliding': q_events_sliding,
@@ -3288,6 +3319,7 @@ def oracle_sql() -> dict[str, str]:
         'cohort_retention': _COHORT_RETENTION_SQL,
         'token_edit_pairs': _TOKEN_EDIT_PAIRS_SQL,
         'bm25_topk': _bm25_sql(),
+        'pagerank': _pagerank_sql(),
         'events_sessions': _EVENTS_SESSIONS_SQL,
         'events_asof': _EVENTS_ASOF_SQL,
         'events_sliding': _EVENTS_SLIDING_SQL,

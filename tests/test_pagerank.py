@@ -1,0 +1,63 @@
+"""stages/pagerank.py: numpy power-iteration reference, mass conservation,
+and the broadcast/join path contract (driver-table equality is covered by
+test_queries_vs_duckdb.py::pagerank)."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from pii_detector_ray.stages.pagerank import bipartite_edges, pagerank
+
+
+def _numpy_pr(edges, iterations=3, d=0.85):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for a, _ in edges:
+        deg[idx[a]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        nxt = np.full(n, (1.0 - d) / n)
+        for a, b in edges:
+            nxt[idx[b]] += d * r[idx[a]] / deg[idx[a]]
+        r = nxt
+    return {nodes[i]: round(r[i], 8) for i in range(n)}
+
+
+def _edges_ds(edges):
+    return ray.data.from_arrow(pa.table({
+        'src': pa.array([a for a, _ in edges], pa.string()),
+        'dst': pa.array([b for _, b in edges], pa.string())}))
+
+
+EDGES = [('a', 'b'), ('b', 'a'), ('b', 'c'), ('c', 'b'),
+         ('c', 'a'), ('a', 'c'), ('d', 'a'), ('a', 'd')]
+
+
+def test_matches_numpy_reference(ray_session):
+    got = {r['node']: r['pr'] for r in pagerank(_edges_ds(EDGES)).take_all()}
+    exp = _numpy_pr(EDGES)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-9, k
+
+
+def test_mass_conserved_and_paths_equal(ray_session):
+    bc = sorted(pagerank(_edges_ds(EDGES)).take_all(),
+                key=lambda r: r['node'])
+    jn = sorted(pagerank(_edges_ds(EDGES), broadcast_node_limit=0).take_all(),
+                key=lambda r: r['node'])
+    assert [(r['node'], r['pr']) for r in bc] == \
+        [(r['node'], r['pr']) for r in jn]
+    # every node has out-edges here, so rank mass is conserved
+    assert abs(sum(r['pr'] for r in bc) - 1.0) < 1e-6
+
+
+def test_bipartite_edges_doubles_and_dedups(ray_session):
+    ev = ray.data.from_arrow(pa.table({
+        'user_id': pa.array([1, 1, 2], pa.int64()),
+        'event_type': pa.array(['x', 'x', 'y'], pa.string())}))
+    rows = sorted((r['src'], r['dst']) for r in bipartite_edges(ev).take_all())
+    assert rows == [('tx', 'u1'), ('ty', 'u2'), ('u1', 'tx'), ('u2', 'ty')]
