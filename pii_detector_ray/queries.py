@@ -1783,8 +1783,10 @@ def q_similarity_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pd.Dat
 
 
 _SIMILARITY_SQL = (
-    "SELECT vec_id, round(list_cosine_similarity(embedding, "
-    "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS sim "
+    # ::DOUBLE[] pins the float64 overload (see _KNN_GRAPH_SQL note) so the
+    # oracle matches the numpy float64 pipeline at round(4) boundaries
+    "SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], "
+    "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS sim "
     "FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10"
 )
 
@@ -2041,10 +2043,13 @@ def q_embedding_dup_pairs(sf_dir: str) -> ray.data.Dataset:
 
 
 _EMBEDDING_DUP_SQL = (
+    # ::DOUBLE[] pins the float64 overload (see _KNN_GRAPH_SQL note)
     "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
-    "round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim "
+    "round(list_cosine_similarity(a.embedding::DOUBLE[], "
+    "b.embedding::DOUBLE[]), 4) AS sim "
     "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-    "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
+    "WHERE list_cosine_similarity(a.embedding::DOUBLE[], "
+    "b.embedding::DOUBLE[]) >= 0.45"
 )
 
 
@@ -3133,6 +3138,128 @@ def _pagerank_sql(iterations: int = 3) -> str:
     return body + f' SELECT node, round(r, 8) AS pr FROM r{iterations}'
 
 
+def q_knn_graph(sf_dir: str) -> pd.DataFrame:
+    """Sampled exact k-NN graph over the embedding column
+    (stages/similarity.knn_graph): broadcast query matrix, per-batch matmul
+    partial top-k, k rows per query per block to the driver; full graphs go
+    through the LSH-bucketed paths."""
+    from pii_detector_ray.stages.similarity import knn_graph
+    return knn_graph(_embeddings(sf_dir, ['vec_id', 'embedding']))
+
+
+_KNN_GRAPH_SQL = (
+    'WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings '
+    'WHERE vec_id % 10 = 0), '
+    # ::DOUBLE[] forces DuckDB's float64 overload — the FLOAT-list one
+    # accumulates in float32 and flips round(4) at ~1e-5 boundaries
+    # (probed: 0.34785005f32 vs 0.34784997f64 for one sf0.001 pair)
+    's AS (SELECT q.q_id, e.vec_id AS neighbor_id, '
+    'round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) '
+    'AS sim FROM q JOIN embeddings e ON e.vec_id <> q.q_id), '
+    'r AS (SELECT *, row_number() OVER (PARTITION BY q_id '
+    'ORDER BY sim DESC, neighbor_id) AS rank FROM s) '
+    'SELECT q_id, neighbor_id, sim, rank FROM r WHERE rank <= 3'
+)
+
+
+def q_value_outliers(sf_dir: str) -> ray.data.Dataset:
+    """Global z-score outlier flags per event type: pass 1 ships one
+    (type, n, Σx, Σxx) sufficient-statistics row per batch (the
+    value_stddev shape); the tiny per-type stats broadcast in the task
+    closure and pass 2 flags |z| > 2.5 shuffle-free.  Naive-sums variance
+    is mirrored STRUCTURALLY in the oracle (no stddev_samp — DuckDB's
+    Welford path would diverge in the last ulp) and z rounds to 4."""
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column('value').to_numpy(zero_copy_only=False)
+        t = pa.table({
+            'event_type': batch.column('event_type'),
+            '_n': pa.array(np.ones(len(batch)), pa.float64()),
+            '_sx': batch.column('value'),
+            '_sxx': pa.array(v * v)})
+        return t.group_by('event_type').aggregate(
+            [('_n', 'sum'), ('_sx', 'sum'), ('_sxx', 'sum')])
+
+    ev = _events(sf_dir, ['event_id', 'event_type', 'value'])
+    rows = ev.map_batches(partial, batch_format='pyarrow').take_all()
+    acc: dict[str, np.ndarray] = {}
+    for r in rows:
+        v = np.array([r['_n_sum'], r['_sx_sum'], r['_sxx_sum']])
+        acc[r['event_type']] = acc.get(r['event_type'], 0) + v
+    stats = {}
+    for et, (n, sx, sxx) in acc.items():
+        mean = sx / n
+        sd = float(np.sqrt((sxx - sx * sx / n) / (n - 1.0)))
+        stats[et] = (mean, sd)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        means = np.array([stats[e][0] for e in
+                          batch.column('event_type').to_pylist()])
+        sds = np.array([stats[e][1] for e in
+                        batch.column('event_type').to_pylist()])
+        v = batch.column('value').to_numpy(zero_copy_only=False)
+        z = (v - means) / sds
+        keep = np.abs(z) > 2.5
+        return pa.table({
+            'event_id': pa.array(
+                batch.column('event_id').to_numpy(zero_copy_only=False)[keep],
+                pa.int64()),
+            'z': pa.array(sql_round_np(z[keep], 4))})
+
+    return ev.map_batches(flag, batch_format='pyarrow')
+
+
+_VALUE_OUTLIERS_SQL = (
+    'WITH s AS (SELECT event_type, count(*)::DOUBLE AS n, '
+    'sum(value) AS sx, sum(value * value) AS sxx FROM events '
+    'GROUP BY event_type), '
+    'g AS (SELECT event_type, sx / n AS mean, '
+    'sqrt((sxx - sx * sx / n) / (n - 1.0)) AS sd FROM s) '
+    'SELECT e.event_id, round((e.value - g.mean) / g.sd, 4) AS z '
+    'FROM events e JOIN g ON e.event_type = g.event_type '
+    'WHERE abs((e.value - g.mean) / g.sd) > 2.5'
+)
+
+
+def q_price_quartile_counts(sf_dir: str) -> pd.DataFrame:
+    """Equal-frequency binning: order counts per global price quartile.
+    Cut points come from the exact distributed quantile operator
+    (stages/sketches.distributed_quantile, proven == quantile_cont), then
+    one narrow pass of per-batch bucket partials — integer-exact once the
+    cuts agree."""
+    import os
+
+    from pii_detector_ray.stages.sketches import distributed_quantile
+    ds = read_parquet_clean(os.path.join(sf_dir, 'orders.parquet'),
+                            columns=['o_totalprice'])
+    cuts = distributed_quantile(ds, 'o_totalprice', [0.25, 0.5, 0.75])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        v = batch.column('o_totalprice').to_numpy(zero_copy_only=False)
+        # side='right': bucket = #cuts <= v, matching the SQL CASE chain
+        # exactly when a value equals a cut point
+        b = np.searchsorted(np.asarray(cuts), v, side='right')
+        counts = np.bincount(b, minlength=4)
+        return pa.table({'quartile': pa.array(np.arange(4), pa.int64()),
+                         '_n': pa.array(counts, pa.int64())})
+
+    parts = ds.map_batches(bucket, batch_format='pyarrow').take_all()
+    total = np.zeros(4, dtype=np.int64)
+    for p in parts:
+        total[p['quartile']] += p['_n']
+    return pd.DataFrame({'quartile': pd.array(range(4), dtype='int64'),
+                         'n_orders': pd.array(total, dtype='int64')})
+
+
+_PRICE_QUARTILE_SQL = (
+    'WITH c AS (SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS qs '
+    'FROM orders) '
+    'SELECT (CASE WHEN o_totalprice < qs[1] THEN 0 '
+    'WHEN o_totalprice < qs[2] THEN 1 '
+    'WHEN o_totalprice < qs[3] THEN 2 ELSE 3 END)::BIGINT AS quartile, '
+    'count(*)::BIGINT AS n_orders FROM orders, c GROUP BY 1'
+)
+
+
 _BM25_TERMS = ('data', 'vector', 'scan')
 
 
@@ -3210,6 +3337,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'token_edit_pairs': q_token_edit_pairs,
         'bm25_topk': q_bm25_topk,
         'pagerank': q_pagerank,
+        'knn_graph': q_knn_graph,
+        'value_outliers': q_value_outliers,
+        'price_quartile_counts': q_price_quartile_counts,
         'events_sessions': q_events_sessions,
         'events_asof': q_events_asof,
         'events_sliding': q_events_sliding,
@@ -3320,6 +3450,9 @@ def oracle_sql() -> dict[str, str]:
         'token_edit_pairs': _TOKEN_EDIT_PAIRS_SQL,
         'bm25_topk': _bm25_sql(),
         'pagerank': _pagerank_sql(),
+        'knn_graph': _KNN_GRAPH_SQL,
+        'value_outliers': _VALUE_OUTLIERS_SQL,
+        'price_quartile_counts': _PRICE_QUARTILE_SQL,
         'events_sessions': _EVENTS_SESSIONS_SQL,
         'events_asof': _EVENTS_ASOF_SQL,
         'events_sliding': _EVENTS_SLIDING_SQL,

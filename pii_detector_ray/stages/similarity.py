@@ -336,3 +336,72 @@ def brute_force_topk(ds: ray.data.Dataset, query: np.ndarray, k: int = 10,
                               kind='mergesort').head(k).reset_index(drop=True)
     parts['sim'] = sql_round_np(parts['sim'].to_numpy(), 4)
     return parts
+
+
+def knn_graph(ds: ray.data.Dataset, *, k: int = 3, sample_mod: int = 10,
+              id_col: str = 'vec_id', vec_col: str = 'embedding',
+              max_query_rows: int = 100_000) -> "pd.DataFrame":
+    """Sampled k-NN graph: exact cosine top-``k`` neighbors for every vector
+    with ``id % sample_mod == 0`` — the all-pairs primitive behind
+    embedding-based near-dup clustering, sampled so the query side stays a
+    broadcastable matrix (guarded by ``max_query_rows``; a FULL graph at
+    web scale goes through the bucketed paths in ShardedLshIndex /
+    embedding_dup_lsh instead — documented scale knob, not a silent cap).
+
+    One shuffle-free pass: the query matrix is ``ray.put`` once; each batch
+    computes an (m × batch) sim block, rounds to the SQL contract (4
+    half-away, the q_similarity_topk precedent), takes per-query partial
+    top-k, and ships k rows per query per block to a tiny driver merge.
+    Self-pairs are excluded like the SQL ``e.vec_id <> q.q_id``."""
+    import pandas as pd
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        keep = (ids % sample_mod) == 0
+        return pa.table({id_col: pa.array(ids[keep], pa.int64()),
+                         vec_col: t.column(vec_col).filter(pa.array(keep))})
+
+    qrows = ds.map_batches(pick, batch_format='pyarrow').take_all()
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f'{len(qrows)} sampled queries exceed max_query_rows='
+            f'{max_query_rows}; raise sample_mod or use the LSH-bucketed '
+            'near-dup path for full graphs')
+    if not qrows:
+        return pd.DataFrame({'q_id': pd.array([], dtype='int64'),
+                             'neighbor_id': pd.array([], dtype='int64'),
+                             'sim': pd.array([], dtype='float64'),
+                             'rank': pd.array([], dtype='int64')})
+    q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qmat = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qmat = qmat / np.where(qnorm == 0, 1.0, qnorm)[:, None]
+    qref = ray.put((q_ids, qmat))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        qi, qm = ray.get(qref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        sims = (mat @ qm.T) / np.where(norms == 0, 1.0, norms)[:, None]
+        sims = sql_round_np(sims, 4)          # (batch, m)
+        out_q, out_n, out_s = [], [], []
+        for j in range(len(qi)):
+            col = sims[:, j]
+            mask = ids != qi[j]
+            cand_ids, cand = ids[mask], col[mask]
+            order = np.lexsort((cand_ids, -cand))[:k]
+            out_q.extend([qi[j]] * len(order))
+            out_n.extend(cand_ids[order].tolist())
+            out_s.extend(cand[order].tolist())
+        return pa.table({'q_id': pa.array(out_q, pa.int64()),
+                         'neighbor_id': pa.array(out_n, pa.int64()),
+                         'sim': pa.array(out_s, pa.float64())})
+
+    parts = ds.map_batches(topk, batch_format='pyarrow').to_pandas()
+    parts = parts.sort_values(['q_id', 'sim', 'neighbor_id'],
+                              ascending=[True, False, True], kind='mergesort')
+    parts['rank'] = parts.groupby('q_id').cumcount() + 1
+    out = parts[parts['rank'] <= k].reset_index(drop=True)
+    return out.astype({'q_id': 'int64', 'neighbor_id': 'int64',
+                       'sim': 'float64', 'rank': 'int64'})
