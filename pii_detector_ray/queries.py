@@ -1276,6 +1276,188 @@ _VALUE_HOUR_CORR_SQL = (
 )
 
 
+def q_hour_value_regression(sf_dir: str) -> pd.DataFrame:
+    """Per-type simple OLS (y = value on x = hour-of-day): closed-form
+    slope/intercept from the same one-row-per-(type, batch) sufficient
+    statistics as value_hour_corr — slope = (n·Σxy − Σx·Σy)/(n·Σxx − Σx²),
+    intercept = (Σy − slope·Σx)/n — mirrored literally in the oracle
+    (DuckDB's regr_slope/regr_intercept use a different accumulation, so
+    the oracle recomputes from sums; round(6) absorbs order jitter)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column('ts'), pa.int64()).to_numpy()
+        x = ((ts // 3_600_000_000) % 24).astype(np.float64)
+        y = batch.column('value').to_numpy(zero_copy_only=False)
+        t = pa.table({
+            'event_type': batch.column('event_type'),
+            '_n': pa.array(np.ones(len(x)), pa.float64()),
+            '_sx': pa.array(x), '_sy': pa.array(y),
+            '_sxx': pa.array(x * x), '_sxy': pa.array(x * y)})
+        return t.group_by('event_type').aggregate(
+            [('_n', 'sum'), ('_sx', 'sum'), ('_sy', 'sum'),
+             ('_sxx', 'sum'), ('_sxy', 'sum')])
+
+    rows = (_events(sf_dir, ['event_type', 'ts', 'value'])
+            .map_batches(partial, batch_format='pyarrow')).take_all()
+    acc: dict[str, np.ndarray] = {}
+    for r in rows:
+        v = np.array([r['_n_sum'], r['_sx_sum'], r['_sy_sum'],
+                      r['_sxx_sum'], r['_sxy_sum']])
+        acc[r['event_type']] = acc.get(r['event_type'], 0) + v
+    types, slopes, inters = [], [], []
+    for et in sorted(acc):
+        n, sx, sy, sxx, sxy = acc[et]
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        inter = (sy - slope * sx) / n
+        types.append(et)
+        slopes.append(sql_round_scalar(float(slope), 6))
+        inters.append(sql_round_scalar(float(inter), 6))
+    return pd.DataFrame({'event_type': types, 'slope': slopes,
+                         'intercept': inters})
+
+
+_HOUR_VALUE_REG_SQL = (
+    'WITH s AS (SELECT event_type, count(*)::DOUBLE AS n, '
+    'sum(CAST((epoch_us(ts) // 3600000000) % 24 AS DOUBLE)) AS sx, '
+    'sum(value) AS sy, '
+    'sum(CAST((epoch_us(ts) // 3600000000) % 24 AS DOUBLE) * '
+    'CAST((epoch_us(ts) // 3600000000) % 24 AS DOUBLE)) AS sxx, '
+    'sum(CAST((epoch_us(ts) // 3600000000) % 24 AS DOUBLE) * value) AS sxy '
+    'FROM events GROUP BY event_type) '
+    'SELECT event_type, '
+    'round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope, '
+    'round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) '
+    'AS intercept FROM s'
+)
+
+
+def q_user_value_ntile(sf_dir: str) -> ray.data.Dataset:
+    """NTILE(4) window per user over (value, event_id): per-user map_groups
+    assigning the SQL tile sizes (first n%4 tiles get ⌈n/4⌉) over the
+    sorted stream.  Same per-key co-location contract as events_asof — a
+    mega-user lands in one task (documented; tile boundaries are global
+    per key, so the bounded-carry salting of skew.py does not apply)."""
+    def tiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['value', 'event_id'], kind='mergesort')
+        n = len(g)
+        base, rem = divmod(n, 4)
+        sizes = [base + 1] * rem + [base] * (4 - rem)
+        tile = np.repeat(np.arange(1, 5, dtype=np.int64), sizes)
+        return pd.DataFrame({'event_id': g['event_id'].to_numpy(),
+                             'tile': tile[:n]})
+
+    return (_events(sf_dir, ['user_id', 'event_id', 'value'])
+            .groupby('user_id').map_groups(tiles))
+
+
+_USER_NTILE_SQL = (
+    'SELECT event_id, ntile(4) OVER (PARTITION BY user_id '
+    'ORDER BY value, event_id) AS tile FROM events'
+)
+
+
+_PMI_MIN_COUNT = 5
+
+
+def q_bigram_pmi(sf_dir: str, broadcast_vocab_limit: int = 1_000_000
+                 ) -> pd.DataFrame:
+    """Bigram PMI collocations (the classic phrase-mining signal): top-20
+    consecutive term pairs by pointwise mutual information,
+    ln((c_xy/N_bi) / ((c_x/N_uni)·(c_y/N_uni))), c_xy ≥ 5.
+
+    Plan: one narrow two-phase count per granularity (bigram, unigram) —
+    shuffle rows are (term-pair, int) / (term, int), vocabulary-bounded;
+    the unigram map broadcasts under ``broadcast_vocab_limit`` (the tfidf
+    guard; above it the final scoring would join on w1/w2 instead —
+    guarded, not silent).  Totals N_bi/N_uni are computed BEFORE the
+    min-count filter, as the formula requires."""
+    from pii_detector_ray.stages.tfidf import doc_terms
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for txt in t.column('text').to_pylist():
+            toks = doc_terms(txt)
+            c.update(zip(toks, toks[1:]))
+        return pa.table({
+            'w1': pa.array([k[0] for k in c], pa.string()),
+            'w2': pa.array([k[1] for k in c], pa.string()),
+            '_n': pa.array(list(c.values()), pa.int64())})
+
+    def unigram_partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for txt in t.column('text').to_pylist():
+            c.update(doc_terms(txt))
+        return pa.table({'w': pa.array(list(c), pa.string()),
+                         '_n': pa.array(list(c.values()), pa.int64())})
+
+    docs = read_documents(sf_dir, ['text'])
+    bi = (docs.map_batches(bigram_partial, batch_format='pyarrow')
+          .groupby(['w1', 'w2']).aggregate(Sum('_n', alias_name='c_xy')))
+    uni = (docs.map_batches(unigram_partial, batch_format='pyarrow')
+           .groupby('w').aggregate(Sum('_n', alias_name='c')))
+
+    uni_rows = uni.take_all()
+    if len(uni_rows) > broadcast_vocab_limit:
+        raise ValueError('vocabulary exceeds broadcast_vocab_limit; '
+                         'switch the PMI scoring to the join path')
+    cmap = {r['w']: r['c'] for r in uni_rows}
+    nu = float(sum(cmap.values()))
+
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    bi = drop_empty_blocks(bi)          # consumed twice: total + scoring
+    nb = float(sum(r['c_xy'] for r in bi.map_batches(
+        lambda t: pa.table({'c_xy': pa.array(
+            [pc.sum(t.column('c_xy')).as_py() or 0], pa.int64())}),
+        batch_format='pyarrow').take_all()))
+    cref = ray.put(cmap)
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column('c_xy'), _PMI_MIN_COUNT))
+        if len(t) == 0:
+            return pa.table({'w1': pa.array([], pa.string()),
+                             'w2': pa.array([], pa.string()),
+                             'c_xy': pa.array([], pa.int64()),
+                             'pmi': pa.array([], pa.float64())})
+        m = ray.get(cref)
+        w1 = t.column('w1').to_pylist()
+        w2 = t.column('w2').to_pylist()
+        cxy = t.column('c_xy').to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = np.array([m[w] for w in w1], dtype=np.float64)
+        c2 = np.array([m[w] for w in w2], dtype=np.float64)
+        pmi = np.log((cxy / nb) / ((c1 / nu) * (c2 / nu)))
+        return pa.table({'w1': t.column('w1'), 'w2': t.column('w2'),
+                         'c_xy': t.column('c_xy'),
+                         'pmi': pa.array(sql_round_np(pmi, 4))})
+
+    scored = bi.map_batches(score, batch_format='pyarrow').to_pandas()
+    scored = scored.sort_values(['pmi', 'w1', 'w2'],
+                                ascending=[False, True, True],
+                                kind='mergesort').head(20).reset_index(drop=True)
+    return scored.astype({'w1': 'string', 'w2': 'string',
+                          'c_xy': 'int64', 'pmi': 'float64'})
+
+
+_BIGRAM_PMI_SQL = (
+    "WITH d AS (SELECT list_transform(regexp_extract_all("
+    "coalesce(text,''), '[A-Za-z0-9]+'), x -> lower(x)) AS ts "
+    'FROM documents), '
+    'bi AS (SELECT w1, w2 FROM (SELECT unnest(ts) AS w1, '
+    'unnest(ts[2:]) AS w2 FROM d) WHERE w2 IS NOT NULL), '
+    'uni AS (SELECT unnest(ts) AS w FROM d), '
+    f'bc AS (SELECT w1, w2, count(*)::BIGINT AS c_xy FROM bi '
+    f'GROUP BY 1, 2 HAVING count(*) >= {_PMI_MIN_COUNT}), '
+    'uc AS (SELECT w, count(*)::DOUBLE AS c FROM uni GROUP BY 1), '
+    'tot AS (SELECT (SELECT count(*) FROM bi)::DOUBLE AS nb, '
+    '(SELECT count(*) FROM uni)::DOUBLE AS nu) '
+    'SELECT bc.w1, bc.w2, bc.c_xy, '
+    'round(ln((bc.c_xy / tot.nb) / ((u1.c / tot.nu) * (u2.c / tot.nu))), 4) '
+    'AS pmi FROM bc JOIN uc u1 ON bc.w1 = u1.w '
+    'JOIN uc u2 ON bc.w2 = u2.w, tot '
+    'ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT 20'
+)
+
+
 def q_normalize_text(sf_dir: str) -> ray.data.Dataset:
     """Unicode text normalization (the canonical pre-tokenization cleanup of
     a training-data pipeline): NFC composition + RE2-space run collapse +
@@ -3363,6 +3545,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'customer_order_counts': q_customer_order_counts,
         'normalize_text': q_normalize_text,
         'value_hour_corr': q_value_hour_corr,
+        'hour_value_regression': q_hour_value_regression,
+        'user_value_ntile': q_user_value_ntile,
+        'bigram_pmi': q_bigram_pmi,
         'value_stddev': q_value_stddev,
         'type_cooccurrence': q_type_cooccurrence,
         'distinct_users': q_distinct_users,
@@ -3476,6 +3661,9 @@ def oracle_sql() -> dict[str, str]:
         'customer_order_counts': _CUSTOMER_ORDER_COUNTS_SQL,
         'normalize_text': _NORMALIZE_TEXT_SQL,
         'value_hour_corr': _VALUE_HOUR_CORR_SQL,
+        'hour_value_regression': _HOUR_VALUE_REG_SQL,
+        'user_value_ntile': _USER_NTILE_SQL,
+        'bigram_pmi': _BIGRAM_PMI_SQL,
         'value_stddev': _VALUE_STDDEV_SQL,
         'type_cooccurrence': _TYPE_COOCCURRENCE_SQL,
         'distinct_users': _DISTINCT_USERS_SQL,
