@@ -3099,7 +3099,9 @@ def q_funnel_stages(sf_dir: str,
         n_prev = stage.count()
         cand = ev.map_batches(typed(etype), batch_format='pyarrow')
         if n_prev == 0:
-            stage = drop_empty_blocks(cand).limit(0)
+            stage = ray.data.from_arrow(pa.schema(
+                [('user_id', pa.int64()),
+                 ('_prev', pa.int64())]).empty_table())
             stages.append(stage)
             continue
         if n_prev <= broadcast_user_limit:
@@ -3123,6 +3125,11 @@ def q_funnel_stages(sf_dir: str,
 
             filtered = cand.map_batches(later_bc, batch_format='pyarrow')
         else:
+            # drop_empty_blocks on a JOIN input is the skew_join precedent:
+            # schema-less empty blocks poison the hash shuffle, and the join
+            # materializes both sides in its aggregators anyway, so the
+            # barrier adds no asymptotic cost; cand is the narrow 16 B/row
+            # (user_id, ts) projection, never the event payload
             joined = drop_empty_blocks(cand).join(
                 stage, join_type='inner',
                 num_partitions=join_partitions(), on=('user_id',))
@@ -3428,8 +3435,11 @@ def q_price_quartile_counts(sf_dir: str) -> pd.DataFrame:
     total = np.zeros(4, dtype=np.int64)
     for p in parts:
         total[p['quartile']] += p['_n']
-    return pd.DataFrame({'quartile': pd.array(range(4), dtype='int64'),
-                         'n_orders': pd.array(total, dtype='int64')})
+    # mirror the oracle's GROUP BY: a quartile emptied by a degenerate
+    # (duplicate-heavy) distribution produces no row, not a zero row
+    nz = total > 0
+    return pd.DataFrame({'quartile': pd.array(np.arange(4)[nz], dtype='int64'),
+                         'n_orders': pd.array(total[nz], dtype='int64')})
 
 
 _PRICE_QUARTILE_SQL = (

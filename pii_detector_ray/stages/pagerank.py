@@ -28,7 +28,6 @@ only +,*,/), summation-order jitter absorbed by round(8) on both sides.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -70,9 +69,16 @@ def bipartite_edges(events: ray.data.Dataset) -> ray.data.Dataset:
 
 def pagerank(edges: ray.data.Dataset, *, iterations: int = 3,
              damping: float = DAMPING,
-             broadcast_node_limit: int = BROADCAST_NODE_LIMIT
-             ) -> ray.data.Dataset:
+             broadcast_node_limit: int = BROADCAST_NODE_LIMIT,
+             validate: bool = True) -> ray.data.Dataset:
     """K-iteration PageRank over a (src, dst) edge Dataset.
+
+    CONTRACT: every node must appear as a source (no dangling nodes) —
+    guaranteed by doubled/undirected edge lists like ``bipartite_edges``.
+    ``validate=True`` (default) checks it with one extra narrow
+    distinct-count pass and raises instead of crashing mid-iteration or
+    silently dropping dst-only nodes.  Sources with no in-edges are fine:
+    they settle at the (1-d)/N floor.
 
     Returns (node, pr) with pr rounded half-away to 8 decimals.
     """
@@ -93,6 +99,19 @@ def pagerank(edges: ray.data.Dataset, *, iterations: int = 3,
     if n_nodes == 0:
         return ray.data.from_arrow(pa.schema(
             [('node', pa.string()), ('pr', pa.float64())]).empty_table())
+    if validate:
+        def all_nodes(t: pa.Table) -> pa.Table:
+            return pa.table({'node': pa.concat_arrays(
+                [t.column('src').combine_chunks(),
+                 t.column('dst').combine_chunks()])}) \
+                .group_by('node').aggregate([])
+
+        n_all = (edges.map_batches(all_nodes, batch_format='pyarrow')
+                 .groupby('node').aggregate(Count(alias_name='_c')).count())
+        if n_all != n_nodes:
+            raise ValueError(
+                f'pagerank: {n_all - n_nodes} node(s) appear only as dst '
+                '(dangling); double the edges (undirected) or drop them')
     base = (1.0 - damping) / n_nodes
 
     if n_nodes <= broadcast_node_limit:
@@ -116,10 +135,12 @@ def pagerank(edges: ray.data.Dataset, *, iterations: int = 3,
 
             sums = (edges.map_batches(contrib, batch_format='pyarrow')
                     .groupby('node').aggregate(Sum('_s', alias_name='s')))
-            rank = {r['node']: base + damping * r['s']
-                    for b in sums.iter_batches(batch_size=None,
-                                               batch_format='pyarrow')
-                    for r in b.to_pylist()}
+            # sources with no in-edges receive no row → (1-d)/N floor
+            rank = {node: base for node in dmap}
+            rank.update({r['node']: base + damping * r['s']
+                         for b in sums.iter_batches(batch_size=None,
+                                                    batch_format='pyarrow')
+                         for r in b.to_pylist()})
         out = pa.table({
             'node': pa.array(sorted(rank), pa.string()),
             'pr': pa.array(sql_round_np(
@@ -151,13 +172,16 @@ def pagerank(edges: ray.data.Dataset, *, iterations: int = 3,
         sums = drop_empty_blocks(
             joined.map_batches(partial, batch_format='pyarrow')
             .groupby('node').aggregate(Sum('_s', alias_name='s')))
-        merged = sums.join(deg, join_type='inner',
-                           num_partitions=join_partitions(), on=('node',))
+        # deg LEFT join sums: a source with no in-edges keeps its row and
+        # settles at the (1-d)/N floor instead of silently vanishing
+        merged = deg.join(sums, join_type='left_outer',
+                          num_partitions=join_partitions(), on=('node',))
         rank_ds = drop_empty_blocks(merged.map_batches(
             lambda t: pa.table({
                 'node': t.column('node'),
                 '_r': pc.add(pa.scalar(base), pc.multiply(
-                    pa.scalar(damping), t.column('s'))),
+                    pa.scalar(damping),
+                    pc.coalesce(t.column('s'), pa.scalar(0.0)))),
                 '_deg': t.column('deg')}),
             batch_format='pyarrow'))
 

@@ -373,18 +373,16 @@ def knn_graph(ds: ray.data.Dataset, *, k: int = 3, sample_mod: int = 10,
                              'sim': pd.array([], dtype='float64'),
                              'rank': pd.array([], dtype='int64')})
     q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
-    qmat = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
-    qnorm = np.linalg.norm(qmat, axis=1)
-    qmat = qmat / np.where(qnorm == 0, 1.0, qnorm)[:, None]
+    qmat = _normalize(np.array([np.asarray(r[vec_col], dtype=np.float64)
+                                for r in qrows]))
     qref = ray.put((q_ids, qmat))
 
     def topk(batch: pa.Table) -> pa.Table:
         qi, qm = ray.get(qref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        mat = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1)
-        sims = (mat @ qm.T) / np.where(norms == 0, 1.0, norms)[:, None]
-        sims = sql_round_np(sims, 4)          # (batch, m)
+        mat = _normalize(np.asarray(batch.column(vec_col).to_pylist(),
+                                    dtype=np.float64))
+        sims = sql_round_np(mat @ qm.T, 4)    # (batch, m)
         out_q, out_n, out_s = [], [], []
         for j in range(len(qi)):
             col = sims[:, j]
@@ -398,10 +396,27 @@ def knn_graph(ds: ray.data.Dataset, *, k: int = 3, sample_mod: int = 10,
                          'neighbor_id': pa.array(out_n, pa.int64()),
                          'sim': pa.array(out_s, pa.float64())})
 
-    parts = ds.map_batches(topk, batch_format='pyarrow').to_pandas()
-    parts = parts.sort_values(['q_id', 'sim', 'neighbor_id'],
-                              ascending=[True, False, True], kind='mergesort')
-    parts['rank'] = parts.groupby('q_id').cumcount() + 1
-    out = parts[parts['rank'] <= k].reset_index(drop=True)
+    partials = ds.map_batches(topk, batch_format='pyarrow')
+    if len(q_ids) > 1000:
+        # many queries: the k·m·blocks partial rows would swamp a driver
+        # merge — re-key by q_id so each query's partials merge in its own
+        # task and only k rows per query reach the driver
+        def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(['sim', 'neighbor_id'],
+                              ascending=[False, True],
+                              kind='mergesort').head(k)
+            g = g.reset_index(drop=True)
+            g['rank'] = np.arange(1, len(g) + 1, dtype=np.int64)
+            return g
+        parts = partials.groupby('q_id').map_groups(merge_group).to_pandas()
+        out = parts.sort_values(['q_id', 'rank'],
+                                kind='mergesort').reset_index(drop=True)
+    else:
+        parts = partials.to_pandas()
+        parts = parts.sort_values(['q_id', 'sim', 'neighbor_id'],
+                                  ascending=[True, False, True],
+                                  kind='mergesort')
+        parts['rank'] = parts.groupby('q_id').cumcount() + 1
+        out = parts[parts['rank'] <= k].reset_index(drop=True)
     return out.astype({'q_id': 'int64', 'neighbor_id': 'int64',
                        'sim': 'float64', 'rank': 'int64'})
