@@ -3058,6 +3058,72 @@ _QUALITY_SCORES_SQL = (
 _FUNNEL_STAGES = ('view', 'click', 'purchase')
 
 
+def _typed_ts(etype: str):
+    """Narrow (user_id, ts-as-int64) projection of one event type."""
+    def f(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.equal(t.column('event_type'), etype))
+        return pa.table({'user_id': sel.column('user_id'),
+                         '_ts': pc.cast(sel.column('ts'), pa.int64())})
+    return f
+
+
+def _premin_user(t: pa.Table) -> pa.Table:
+    return t.group_by('user_id').aggregate([('_ts', 'min')]) \
+        .rename_columns(['user_id', '_ts'])
+
+
+def _min_after(ev: ray.data.Dataset, etype: str, stage: ray.data.Dataset,
+               broadcast_user_limit: int) -> ray.data.Dataset:
+    """Per-user min ts of ``etype`` STRICTLY AFTER the per-user threshold in
+    ``stage`` (user_id, _prev).  Threshold table size-guarded: broadcast
+    under the limit (one shuffle-free map), co-partitioned narrow join
+    above it — both paths frame-equal (tests/test_analytics_paths.py)."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks, join_partitions
+
+    n_prev = stage.count()
+    cand = ev.map_batches(_typed_ts(etype), batch_format='pyarrow')
+    if n_prev == 0:
+        return ray.data.from_arrow(pa.schema(
+            [('user_id', pa.int64()), ('_prev', pa.int64())]).empty_table())
+    if n_prev <= broadcast_user_limit:
+        tmap = {r['user_id']: r['_prev']
+                for b in stage.iter_batches(batch_size=None,
+                                            batch_format='pyarrow')
+                for r in b.to_pylist()}
+        tref = ray.put(tmap)
+
+        def later_bc(t: pa.Table) -> pa.Table:
+            m = ray.get(tref)
+            users = t.column('user_id').to_numpy(zero_copy_only=False)
+            ts = t.column('_ts').to_numpy(zero_copy_only=False)
+            thr = np.fromiter((m.get(int(u), np.iinfo(np.int64).max)
+                               for u in users),
+                              dtype=np.int64, count=len(users))
+            keep = ts > thr
+            return _premin_user(pa.table({
+                'user_id': pa.array(users[keep], pa.int64()),
+                '_ts': pa.array(ts[keep], pa.int64())}))
+
+        filtered = cand.map_batches(later_bc, batch_format='pyarrow')
+    else:
+        # drop_empty_blocks on a JOIN input is the skew_join precedent:
+        # schema-less empty blocks poison the hash shuffle, and the join
+        # materializes both sides in its aggregators anyway; cand is the
+        # narrow 16 B/row (user_id, ts) projection, never the payload
+        joined = drop_empty_blocks(cand).join(
+            stage, join_type='inner',
+            num_partitions=join_partitions(), on=('user_id',))
+
+        def later_join(t: pa.Table) -> pa.Table:
+            sel = t.filter(pc.greater(t.column('_ts'), t.column('_prev')))
+            return _premin_user(pa.table({'user_id': sel.column('user_id'),
+                                          '_ts': sel.column('_ts')}))
+
+        filtered = joined.map_batches(later_join, batch_format='pyarrow')
+    return drop_empty_blocks(filtered.groupby('user_id')
+                             .aggregate(Min('_ts', alias_name='_prev')))
+
+
 def q_funnel_stages(sf_dir: str,
                     broadcast_user_limit: int = 2_000_000) -> pd.DataFrame:
     """3-stage conversion funnel: users whose first 'view' precedes a
@@ -3074,74 +3140,16 @@ def q_funnel_stages(sf_dir: str,
     and meets the typed events in a co-partitioned narrow join (both paths
     proven frame-equal in tests).  No per-user event list is ever
     co-located, so a mega-user costs nothing beyond its rows."""
-    from pii_detector_ray.stages.dedup import drop_empty_blocks, join_partitions
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
 
     ev = _events(sf_dir, ['user_id', 'event_type', 'ts'])
-
-    def typed(etype: str):
-        def f(t: pa.Table) -> pa.Table:
-            sel = t.filter(pc.equal(t.column('event_type'), etype))
-            return pa.table({'user_id': sel.column('user_id'),
-                             '_ts': pc.cast(sel.column('ts'), pa.int64())})
-        return f
-
-    def premin(t: pa.Table) -> pa.Table:
-        return t.group_by('user_id').aggregate([('_ts', 'min')]) \
-            .rename_columns(['user_id', '_ts'])
-
-    stages = []
     stage = drop_empty_blocks(
-        ev.map_batches(typed(_FUNNEL_STAGES[0]), batch_format='pyarrow')
-          .map_batches(premin, batch_format='pyarrow')
+        ev.map_batches(_typed_ts(_FUNNEL_STAGES[0]), batch_format='pyarrow')
+          .map_batches(_premin_user, batch_format='pyarrow')
           .groupby('user_id').aggregate(Min('_ts', alias_name='_prev')))
-    stages.append(stage)
+    stages = [stage]
     for etype in _FUNNEL_STAGES[1:]:
-        n_prev = stage.count()
-        cand = ev.map_batches(typed(etype), batch_format='pyarrow')
-        if n_prev == 0:
-            stage = ray.data.from_arrow(pa.schema(
-                [('user_id', pa.int64()),
-                 ('_prev', pa.int64())]).empty_table())
-            stages.append(stage)
-            continue
-        if n_prev <= broadcast_user_limit:
-            tmap = {r['user_id']: r['_prev']
-                    for b in stage.iter_batches(batch_size=None,
-                                                batch_format='pyarrow')
-                    for r in b.to_pylist()}
-            tref = ray.put(tmap)
-
-            def later_bc(t: pa.Table) -> pa.Table:
-                m = ray.get(tref)
-                users = t.column('user_id').to_numpy(zero_copy_only=False)
-                ts = t.column('_ts').to_numpy(zero_copy_only=False)
-                thr = np.fromiter((m.get(int(u), np.iinfo(np.int64).max)
-                                   for u in users),
-                                  dtype=np.int64, count=len(users))
-                keep = ts > thr
-                return premin(pa.table({
-                    'user_id': pa.array(users[keep], pa.int64()),
-                    '_ts': pa.array(ts[keep], pa.int64())}))
-
-            filtered = cand.map_batches(later_bc, batch_format='pyarrow')
-        else:
-            # drop_empty_blocks on a JOIN input is the skew_join precedent:
-            # schema-less empty blocks poison the hash shuffle, and the join
-            # materializes both sides in its aggregators anyway, so the
-            # barrier adds no asymptotic cost; cand is the narrow 16 B/row
-            # (user_id, ts) projection, never the event payload
-            joined = drop_empty_blocks(cand).join(
-                stage, join_type='inner',
-                num_partitions=join_partitions(), on=('user_id',))
-
-            def later_join(t: pa.Table) -> pa.Table:
-                sel = t.filter(pc.greater(t.column('_ts'), t.column('_prev')))
-                return premin(pa.table({'user_id': sel.column('user_id'),
-                                        '_ts': sel.column('_ts')}))
-
-            filtered = joined.map_batches(later_join, batch_format='pyarrow')
-        stage = drop_empty_blocks(
-            filtered.groupby('user_id').aggregate(Min('_ts', alias_name='_prev')))
+        stage = _min_after(ev, etype, stage, broadcast_user_limit)
         stages.append(stage)
     n = [s.count() for s in stages]
     return pd.DataFrame({'n_viewed': pd.array([n[0]], dtype='int64'),
@@ -3162,6 +3170,112 @@ _FUNNEL_SQL = (
     "(SELECT count(*) FROM s2)::BIGINT AS n_clicked, "
     "(SELECT count(*) FROM s3)::BIGINT AS n_purchased"
 )
+
+
+def q_conversion_latency(sf_dir: str,
+                         broadcast_user_limit: int = 2_000_000
+                         ) -> ray.data.Dataset:
+    """Time-to-convert histogram: hours between a user's FIRST 'view' and
+    their first 'purchase' strictly after it, bucketed per hour — the
+    funnel's _min_after building block composed into a distribution.  Two
+    narrow passes + one two-phase count; nothing event-proportional on the
+    driver beyond the size-guarded threshold map."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
+    ev = _events(sf_dir, ['user_id', 'event_type', 'ts'])
+    first_view = drop_empty_blocks(
+        ev.map_batches(_typed_ts('view'), batch_format='pyarrow')
+          .map_batches(_premin_user, batch_format='pyarrow')
+          .groupby('user_id').aggregate(Min('_ts', alias_name='_prev')))
+    first_purchase = _min_after(ev, 'purchase', first_view,
+                                broadcast_user_limit)
+    # latency needs both mins per user; first_view is the size-guarded
+    # small side again (same limit) — broadcast it into the bucket map
+    vmap = {r['user_id']: r['_prev']
+            for b in first_view.iter_batches(batch_size=None,
+                                             batch_format='pyarrow')
+            for r in b.to_pylist()} \
+        if first_view.count() <= broadcast_user_limit else None
+    if vmap is None:
+        from pii_detector_ray.stages.dedup import join_partitions
+        renamed = first_view.map_batches(
+            lambda t: t.rename_columns(['user_id', '_v']),
+            batch_format='pyarrow')
+        both = first_purchase.join(drop_empty_blocks(renamed),
+                                   join_type='inner',
+                                   num_partitions=join_partitions(),
+                                   on=('user_id',))
+
+        def bucket_join(t: pa.Table) -> pa.Table:
+            lat = pc.subtract(t.column('_prev'), t.column('_v'))
+            hours = pc.divide(lat, 3_600_000_000)
+            agg = pa.table({'latency_hours': hours}) \
+                .group_by('latency_hours').aggregate([([], 'count_all')])
+            return pa.table({'latency_hours': agg.column('latency_hours'),
+                             '_n': pc.cast(agg.column('count_all'), pa.int64())})
+
+        parts = both.map_batches(bucket_join, batch_format='pyarrow')
+    else:
+        vref = ray.put(vmap)
+
+        def bucket_bc(t: pa.Table) -> pa.Table:
+            m = ray.get(vref)
+            users = t.column('user_id').to_numpy(zero_copy_only=False)
+            tp = t.column('_prev').to_numpy(zero_copy_only=False)
+            tv = np.fromiter((m[int(u)] for u in users), dtype=np.int64,
+                             count=len(users))
+            hours = (tp - tv) // 3_600_000_000
+            agg = pa.table({'latency_hours': pa.array(hours, pa.int64())}) \
+                .group_by('latency_hours').aggregate([([], 'count_all')])
+            return pa.table({'latency_hours': agg.column('latency_hours'),
+                             '_n': pc.cast(agg.column('count_all'), pa.int64())})
+
+        parts = first_purchase.map_batches(bucket_bc, batch_format='pyarrow')
+    return (parts.groupby('latency_hours')
+            .aggregate(Sum('_n', alias_name='n_users')))
+
+
+_CONVERSION_LATENCY_SQL = (
+    "WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events "
+    "WHERE event_type = 'view' GROUP BY user_id), "
+    "s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e "
+    "JOIN s1 ON e.user_id = s1.user_id AND epoch_us(e.ts) > s1.t "
+    "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+    'SELECT (s3.t - s1.t) // 3600000000 AS latency_hours, '
+    'count(*)::BIGINT AS n_users FROM s3 '
+    'JOIN s1 ON s3.user_id = s1.user_id GROUP BY 1'
+)
+
+
+def q_email_domain_counts(sf_dir: str) -> ray.data.Dataset:
+    """PII analytics rollup: domain distribution of every EMAIL_ADDRESS
+    match in the augmented corpus (the pii_email_counts injection contract)
+    — per-batch extract + Counter partials, one narrow (domain, n)
+    shuffle.  Full-match semantics via finditer/group(0) == DuckDB
+    regexp_extract_all; domain = lower(text after the first '@')."""
+    rex = compiled(PII_PATTERNS['EMAIL_ADDRESS'])
+
+    def dom(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for t in batch.column('aug_text').to_pylist():
+            for m in rex.finditer(t):
+                c[m.group(0).partition('@')[2].lower()] += 1
+        return pa.table({'domain': pa.array(list(c), pa.string()),
+                         '_n': pa.array(list(c.values()), pa.int64())})
+
+    return (read_documents(sf_dir, ['doc_id', 'text'])
+            .map_batches(augment_batch, batch_format='pyarrow')
+            .map_batches(dom, batch_format='pyarrow')
+            .groupby('domain').aggregate(Sum('_n', alias_name='n_matches')))
+
+
+def _email_domain_sql() -> str:
+    p = _sql_quote(PII_PATTERNS['EMAIL_ADDRESS'])
+    return (f"{SQL_AUG_CTE}, m AS (SELECT unnest(regexp_extract_all(text, "
+            f"'{p}')) AS em FROM aug) "
+            "SELECT lower(split_part(em, '@', 2)) AS domain, "
+            'count(*)::BIGINT AS n_matches FROM m GROUP BY 1')
 
 
 def q_click_days_no_purchase(sf_dir: str) -> ray.data.Dataset:
@@ -3524,6 +3638,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'events_resampled': q_events_resampled,
         'events_user_stats': q_events_user_stats,
         'funnel_stages': q_funnel_stages,
+        'conversion_latency': q_conversion_latency,
+        'email_domain_counts': q_email_domain_counts,
         'click_days_no_purchase': q_click_days_no_purchase,
         'cohort_retention': q_cohort_retention,
         'token_edit_pairs': q_token_edit_pairs,
@@ -3640,6 +3756,8 @@ def oracle_sql() -> dict[str, str]:
         'events_resampled': _EVENTS_RESAMPLED_SQL,
         'events_user_stats': _EVENTS_USER_SQL,
         'funnel_stages': _FUNNEL_SQL,
+        'conversion_latency': _CONVERSION_LATENCY_SQL,
+        'email_domain_counts': _email_domain_sql(),
         'click_days_no_purchase': _CLICK_NO_PURCHASE_SQL,
         'cohort_retention': _COHORT_RETENTION_SQL,
         'token_edit_pairs': _TOKEN_EDIT_PAIRS_SQL,

@@ -4,7 +4,11 @@ both-paths contract)."""
 
 import pandas as pd
 
-from pii_detector_ray.queries import q_cohort_retention, q_funnel_stages
+from pii_detector_ray.queries import (
+    q_cohort_retention,
+    q_conversion_latency,
+    q_funnel_stages,
+)
 
 SF = '/root/testdata/sf0.001'
 
@@ -22,6 +26,13 @@ def test_funnel_join_path_equals_broadcast(ray_session):
     assert bc.equals(jn)
     assert int(bc['n_viewed'][0]) >= int(bc['n_clicked'][0]) >= \
         int(bc['n_purchased'][0])
+
+
+def test_latency_join_path_equals_broadcast(ray_session):
+    bc = _norm(q_conversion_latency(SF).to_pandas())
+    jn = _norm(q_conversion_latency(SF, broadcast_user_limit=0).to_pandas())
+    assert bc.equals(jn)
+    assert (bc['latency_hours'] >= 0).all()
 
 
 def test_cohort_join_path_equals_broadcast(ray_session):
