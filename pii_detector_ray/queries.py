@@ -1803,6 +1803,50 @@ def q_events_sessions(sf_dir: str) -> ray.data.Dataset:
                       hot_key_threshold=_events_hot_threshold(sf_dir))
 
 
+def q_incremental_sessions(sf_dir: str, n_chunks: int = 6) -> pd.DataFrame:
+    """Streaming micro-batch sessionization (stages/microbatch.py): the
+    event table replayed as ``n_chunks`` time-ordered drops through
+    IncrementalSessionizer — per-chunk distributed map_groups, an
+    active-user carry as the cross-chunk state/checkpoint — and the
+    concatenated closed+flushed sessions must equal the batch operator
+    (same SQL oracle as events_sessions)."""
+    from pii_detector_ray.stages.microbatch import IncrementalSessionizer
+
+    t = _events(sf_dir, ['user_id', 'ts', 'value']).map_batches(
+        lambda b: pa.table({'user_id': b.column('user_id'),
+                            'ts': pc.cast(b.column('ts'), pa.int64()),
+                            'value': b.column('value')}),
+        batch_format='pyarrow')
+    # chunk edges from the cheap min/max scan; each chunk is a FILTERED
+    # re-read of the narrow projection (at scale: per-drop parquet paths)
+    stats = t.map_batches(
+        lambda b: pa.table({'lo': pa.array([pc.min(b.column('ts')).as_py()],
+                                           pa.int64()),
+                            'hi': pa.array([pc.max(b.column('ts')).as_py()],
+                                           pa.int64())}),
+        batch_format='pyarrow').take_all()
+    if not stats:
+        return pd.DataFrame({'user_id': [], 'session_start': [],
+                             'n_events': [], 'sum_value': []})
+    lo = min(s['lo'] for s in stats)
+    hi = max(s['hi'] for s in stats) + 1
+    edges = np.linspace(lo, hi, n_chunks + 1).astype(np.int64)
+    store = t.materialize()        # narrow (user, ts, value); one pass
+    inc = IncrementalSessionizer(gap_minutes=30)
+    outs = []
+    for a, b in zip(edges[:-1], edges[1:]):
+        chunk = store.map_batches(
+            lambda tb, a=int(a), b=int(b): tb.filter(
+                pc.and_(pc.greater_equal(tb.column('ts'), a),
+                        pc.less(tb.column('ts'), b))),
+            batch_format='pyarrow')
+        outs.append(inc.process_chunk(chunk))
+    outs.append(inc.flush())
+    out = pd.concat(outs, ignore_index=True)
+    return out.astype({'user_id': 'int64', 'session_start': 'int64',
+                       'n_events': 'int64', 'sum_value': 'float64'})
+
+
 _EVENTS_SESSIONS_SQL = (
     "WITH e AS (SELECT user_id, epoch_us(ts) AS ts, value FROM events), "
     "g AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL "
@@ -3649,6 +3693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'value_outliers': q_value_outliers,
         'price_quartile_counts': q_price_quartile_counts,
         'events_sessions': q_events_sessions,
+        'incremental_sessions': q_incremental_sessions,
         'events_asof': q_events_asof,
         'events_sliding': q_events_sliding,
         'orders_price_bands': q_orders_price_bands,
@@ -3767,6 +3812,7 @@ def oracle_sql() -> dict[str, str]:
         'value_outliers': _VALUE_OUTLIERS_SQL,
         'price_quartile_counts': _PRICE_QUARTILE_SQL,
         'events_sessions': _EVENTS_SESSIONS_SQL,
+        'incremental_sessions': _EVENTS_SESSIONS_SQL,
         'events_asof': _EVENTS_ASOF_SQL,
         'events_sliding': _EVENTS_SLIDING_SQL,
         'orders_price_bands': _ORDERS_BANDS_SQL,

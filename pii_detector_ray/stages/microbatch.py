@@ -1,0 +1,166 @@
+"""Incremental (micro-batch) sessionization: the streaming counterpart of
+``stages/sessionize.py``.
+
+A 100 TB event history doesn't arrive at once — it lands as time-ordered
+chunks (hourly/daily drops).  This operator maintains gap-based sessions
+ACROSS chunks with a small carry state (one open session per active user)
+instead of re-running the batch operator over the whole history each drop:
+per chunk it runs the same per-user vectorized pass as the batch operator,
+emits sessions that provably CLOSED (a later event can never reopen them —
+the next chunk starts after this one ends, so any session whose last event
+is more than ``gap`` before the chunk's end is final), and carries the rest.
+
+Equality contract: ``flush()`` after the last chunk makes the concatenated
+output frame-equal to ``sessionize()`` over the full table
+(tests/test_microbatch.py, including sessions spanning chunk boundaries).
+Raw sums are carried and rounded only at close, matching the batch
+operator's end-of-session rounding.
+
+State/scale: the carry holds ONE row per user with an open session —
+active-user-proportional, orders of magnitude below event volume; it is the
+natural per-partition checkpoint (plain dict → ``snapshot()``/``restore()``,
+the state/dedupindex.py pattern).  Chunks must be non-overlapping and
+time-ordered; ``process_chunk`` asserts monotonicity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+from pii_detector_ray.functions.rounding import sql_round_np
+
+_COLS = ('user_id', 'session_start', 'n_events', 'sum_value')
+
+
+def _empty_out() -> pd.DataFrame:
+    return pd.DataFrame({'user_id': pd.array([], dtype='int64'),
+                         'session_start': pd.array([], dtype='int64'),
+                         'n_events': pd.array([], dtype='int64'),
+                         'sum_value': pd.array([], dtype='float64')})
+
+
+class IncrementalSessionizer:
+    """Gap-based sessions over time-ordered event chunks with carry state.
+
+    carry: {user_id: (session_start, last_ts, n_events, raw_sum)}
+    """
+
+    def __init__(self, *, gap_minutes: int = 30):
+        self.gap_us = gap_minutes * 60_000_000
+        self.carry: dict[int, tuple[int, int, int, float]] = {}
+        self._last_chunk_end: int | None = None
+
+    def snapshot(self) -> dict:
+        return {'gap_us': self.gap_us, 'carry': dict(self.carry),
+                'last_chunk_end': self._last_chunk_end}
+
+    @classmethod
+    def restore(cls, snap: dict) -> 'IncrementalSessionizer':
+        obj = cls(gap_minutes=snap['gap_us'] // 60_000_000)
+        obj.gap_us = snap['gap_us']
+        obj.carry = dict(snap['carry'])
+        obj._last_chunk_end = snap['last_chunk_end']
+        return obj
+
+    def process_chunk(self, chunk: ray.data.Dataset) -> pd.DataFrame:
+        """Consume one (user_id, ts, value) chunk; return the sessions that
+        CLOSED within it.  The per-user heavy lifting runs distributed
+        (groupby.map_groups, the batch operator's shape); only the
+        active-user carry and closed-session rows reach the driver."""
+        gap_us = self.gap_us
+        cref = ray.put(self.carry)
+
+        def per_user(g: pd.DataFrame) -> pd.DataFrame:
+            carry = ray.get(cref)
+            g = g.sort_values('ts', kind='mergesort')
+            uid = int(g['user_id'].iloc[0])
+            ts = g['ts'].astype('int64').to_numpy()
+            val = g['value'].to_numpy()
+            prev = carry.get(uid)
+            if prev is not None:
+                p_start, p_last, p_n, p_sum = prev
+                ts = np.concatenate([[p_last], ts])
+                val = np.concatenate([[0.0], val])
+            new_session = np.ones(len(ts), dtype=bool)
+            new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
+            sid = np.cumsum(new_session) - 1
+            starts, ns, sums, lasts = [], [], [], []
+            for s in range(sid[-1] + 1):
+                m = sid == s
+                t_s = ts[m]
+                starts.append(int(t_s[0]))
+                ns.append(int(m.sum()))
+                sums.append(float(val[m].sum()))
+                lasts.append(int(t_s[-1]))
+            if prev is not None:
+                # session 0 contains the carry sentinel (0-valued phantom
+                # event at p_last): drop the phantom, then either the carried
+                # session closed untouched (no chunk event within gap) or it
+                # absorbs session 0's events
+                ns[0] -= 1
+                if ns[0] == 0:
+                    starts[0], ns[0], sums[0], lasts[0] = \
+                        p_start, p_n, p_sum, p_last
+                else:
+                    starts[0] = p_start
+                    ns[0] += p_n
+                    sums[0] += p_sum
+            rows = {'user_id': np.full(len(starts), uid, dtype=np.int64),
+                    'session_start': np.array(starts, dtype=np.int64),
+                    'n_events': np.array(ns, dtype=np.int64),
+                    'sum_value': np.array(sums, dtype=np.float64),
+                    '_last': np.array(lasts, dtype=np.int64)}
+            return pd.DataFrame(rows)
+
+        out = chunk.groupby('user_id').map_groups(
+            per_user, batch_format='pandas').to_pandas()
+        if len(out) == 0:
+            return _empty_out()
+        chunk_end = int(out['_last'].max())
+        if self._last_chunk_end is not None:
+            assert chunk_end >= self._last_chunk_end, \
+                'chunks must be time-ordered'
+        # a session is OPEN iff it is its user's last in this chunk and its
+        # last event is within gap of the chunk end boundary (a later chunk
+        # could extend it); everything else is final.  >= because the gap
+        # rule is strict (> gap starts a new session): a next-chunk event at
+        # exactly chunk_end with _last == chunk_end - gap still merges
+        out = out.sort_values(['user_id', 'session_start'],
+                              kind='mergesort').reset_index(drop=True)
+        is_last = out['user_id'] != out['user_id'].shift(-1)
+        open_mask = is_last & (out['_last'] >= chunk_end - self.gap_us)
+        seen_users = set(out['user_id'].tolist())
+        new_carry = {}
+        for uid, (p_start, p_last, p_n, p_sum) in self.carry.items():
+            if uid not in seen_users:
+                new_carry[uid] = (p_start, p_last, p_n, p_sum)   # untouched
+        opened = out[open_mask]
+        for uid, st, last, n, s in zip(opened['user_id'],
+                                       opened['session_start'],
+                                       opened['_last'], opened['n_events'],
+                                       opened['sum_value']):
+            new_carry[int(uid)] = (int(st), int(last), int(n), float(s))
+        self.carry = new_carry
+        self._last_chunk_end = chunk_end
+        closed = out[~open_mask].drop(columns=['_last']).reset_index(drop=True)
+        closed['sum_value'] = sql_round_np(closed['sum_value'].to_numpy(), 2)
+        return closed[list(_COLS)]
+
+    def flush(self) -> pd.DataFrame:
+        """Close every remaining open session (end of stream)."""
+        if not self.carry:
+            return _empty_out()
+        rows = sorted(self.carry.items())
+        df = pd.DataFrame({
+            'user_id': pd.array([u for u, _ in rows], dtype='int64'),
+            'session_start': pd.array([c[0] for _, c in rows], dtype='int64'),
+            'n_events': pd.array([c[2] for _, c in rows], dtype='int64'),
+            'sum_value': pd.array(
+                sql_round_np(np.array([c[3] for _, c in rows]), 2),
+                dtype='float64')})
+        self.carry = {}
+        return df

@@ -1,0 +1,101 @@
+"""Incremental micro-batch sessionization == batch sessionize, including
+sessions spanning chunk boundaries, users skipping chunks, and
+snapshot/restore mid-stream."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from pii_detector_ray.stages.microbatch import IncrementalSessionizer
+from pii_detector_ray.stages.sessionize import sessionize
+
+GAP_MIN = 30
+US = 60_000_000   # one minute
+
+
+def _ds(rows):
+    return ray.data.from_arrow(pa.table({
+        'user_id': pa.array([r[0] for r in rows], pa.int64()),
+        'ts': pa.array([r[1] for r in rows], pa.int64()),
+        'value': pa.array([float(r[2]) for r in rows], pa.float64())}))
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns), kind='mergesort') \
+        .reset_index(drop=True).astype({'user_id': 'int64',
+                                        'session_start': 'int64',
+                                        'n_events': 'int64',
+                                        'sum_value': 'float64'})
+
+
+def _run_incremental(chunks, snapshot_after=None):
+    inc = IncrementalSessionizer(gap_minutes=GAP_MIN)
+    outs = []
+    for i, c in enumerate(chunks):
+        outs.append(inc.process_chunk(c))
+        if snapshot_after is not None and i == snapshot_after:
+            inc = IncrementalSessionizer.restore(inc.snapshot())
+    outs.append(inc.flush())
+    return _norm(pd.concat(outs, ignore_index=True))
+
+
+def _batch(rows):
+    return _norm(sessionize(_ds(rows), gap_minutes=GAP_MIN,
+                            hot_key_threshold=None).to_pandas())
+
+
+def test_handcrafted_boundaries(ray_session):
+    rows = [
+        # user 1: session spans chunks (last event chunk1 within gap of
+        # first event chunk2)
+        (1, 0 * US, 1.0), (1, 10 * US, 2.0),        # chunk 1
+        (1, 35 * US, 3.0),                          # chunk 2 (gap 25 <= 30)
+        # user 2: closes inside chunk 1 (chunk 2 event is > gap away)
+        (2, 0 * US, 1.5), (2, 200 * US, 2.5),       # 200min gap → 2 sessions
+        # user 3: appears only in chunk 1, must flush at end
+        (3, 5 * US, 9.0),
+        # user 4: skips chunk 2 entirely, reappears in chunk 3 > gap later
+        (4, 20 * US, 1.0), (4, 500 * US, 1.0),
+    ]
+    rows.sort(key=lambda r: r[1])
+    c1 = [r for r in rows if r[1] < 30 * US]
+    c2 = [r for r in rows if 30 * US <= r[1] < 300 * US]
+    c3 = [r for r in rows if r[1] >= 300 * US]
+    got = _run_incremental([_ds(c) for c in (c1, c2, c3)])
+    exp = _batch(rows)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_matches_batch_on_sf0001(ray_session):
+    import pyarrow.parquet as pq
+    t = pq.read_table('/root/testdata/sf0.001/events.parquet',
+                      columns=['user_id', 'ts', 'value'])
+    ts = t.column('ts').cast(pa.int64())
+    t = pa.table({'user_id': t.column('user_id'), 'ts': ts,
+                  'value': t.column('value')})
+    lo, hi = pa.compute.min_max(ts).values()
+    edges = np.linspace(lo.as_py(), hi.as_py() + 1, 7).astype('int64')
+    chunks = []
+    for a, b in zip(edges[:-1], edges[1:]):
+        m = pa.compute.and_(pa.compute.greater_equal(ts, a),
+                            pa.compute.less(ts, b))
+        chunks.append(ray.data.from_arrow(t.filter(m)))
+    got = _run_incremental(chunks, snapshot_after=2)
+    exp = _norm(sessionize(
+        ray.data.from_arrow(t), gap_minutes=GAP_MIN,
+        hot_key_threshold=None).to_pandas())
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_empty_chunk_is_noop(ray_session):
+    inc = IncrementalSessionizer(gap_minutes=GAP_MIN)
+    out1 = inc.process_chunk(_ds([(1, 0, 1.0)]))
+    out_empty = inc.process_chunk(_ds([]))
+    assert len(out_empty) == 0
+    out_flush = inc.flush()
+    total = pd.concat([out1, out_empty, out_flush], ignore_index=True)
+    assert len(total) == 1 and int(total['n_events'][0]) == 1
