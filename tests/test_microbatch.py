@@ -91,6 +91,31 @@ def test_matches_batch_on_sf0001(ray_session):
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_random_chunking_property(ray_session):
+    """Any chunking of any event stream gives the batch result — random
+    events (gap-straddling deltas likely) under random chunk edges."""
+    rng = np.random.default_rng(23)
+    for trial in range(4):
+        n = 120
+        users = rng.integers(1, 6, n)
+        # deltas cluster around the 30-min gap so boundaries get exercised
+        ts = np.sort(rng.integers(0, 40, n).cumsum() * US
+                     + rng.integers(0, US, n))
+        rows = [(int(u), int(t), float(v)) for u, t, v in
+                zip(users, ts, rng.normal(size=n))]
+        n_edges = int(rng.integers(2, 6))
+        edges = np.sort(rng.choice(ts, size=n_edges, replace=False))
+        bounds = [-1, *edges.tolist(), ts.max() + 1]
+        chunks = []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            part = [r for r in rows if a < r[1] <= b]
+            if part:
+                chunks.append(_ds(part))
+        got = _run_incremental(chunks)
+        exp = _batch(rows)
+        pd.testing.assert_frame_equal(got, exp), trial
+
+
 def test_empty_chunk_is_noop(ray_session):
     inc = IncrementalSessionizer(gap_minutes=GAP_MIN)
     out1 = inc.process_chunk(_ds([(1, 0, 1.0)]))
