@@ -1458,6 +1458,90 @@ _BIGRAM_PMI_SQL = (
 )
 
 
+def q_source_lang_kl(sf_dir: str) -> pd.DataFrame:
+    """Distribution-drift metric: per-source KL divergence between the
+    source's language distribution and the corpus-wide one — the standard
+    check that a shard's mix hasn't drifted from the corpus.  One narrow
+    (source, lang, n) two-phase count; the per-source and global
+    distributions are alphabet-bounded driver work.  Σ p·ln(p/q) runs over
+    langs in ASCENDING lang order on both sides (ORDER BY inside the
+    oracle's list aggregation) so even the float sum order matches."""
+    def partial(t: pa.Table) -> pa.Table:
+        agg = pa.table({'source': t.column('source'),
+                        'lang': t.column('lang')}) \
+            .group_by(['source', 'lang']).aggregate([([], 'count_all')])
+        return pa.table({'source': agg.column('source'),
+                         'lang': agg.column('lang'),
+                         '_n': pc.cast(agg.column('count_all'), pa.int64())})
+
+    rows = (read_documents(sf_dir, ['source', 'lang'])
+            .map_batches(partial, batch_format='pyarrow')
+            .groupby(['source', 'lang'])
+            .aggregate(Sum('_n', alias_name='n'))).take_all()
+    by_src: dict[str, dict[str, int]] = {}
+    lang_tot: dict[str, int] = {}
+    for r in rows:
+        by_src.setdefault(r['source'], {})[r['lang']] = r['n']
+        lang_tot[r['lang']] = lang_tot.get(r['lang'], 0) + r['n']
+    total = sum(lang_tot.values())
+    srcs, kls = [], []
+    for src in sorted(by_src):
+        counts = by_src[src]
+        n_src = sum(counts.values())
+        kl = 0.0
+        for lang in sorted(counts):
+            p = counts[lang] / n_src
+            q = lang_tot[lang] / total
+            kl += p * float(np.log(p / q))
+        srcs.append(src)
+        kls.append(sql_round_scalar(kl, 6))
+    return pd.DataFrame({'source': srcs, 'kl': kls})
+
+
+_SOURCE_LANG_KL_SQL = (
+    'WITH c AS (SELECT source, lang, count(*)::DOUBLE AS n FROM documents '
+    'GROUP BY source, lang), '
+    's AS (SELECT source, sum(n) AS n_src FROM c GROUP BY source), '
+    'l AS (SELECT lang, sum(n) AS n_lang FROM c GROUP BY lang), '
+    't AS (SELECT sum(n) AS total FROM c), '
+    'terms AS (SELECT c.source, c.lang, '
+    '(c.n / s.n_src) * ln((c.n / s.n_src) / (l.n_lang / t.total)) AS term '
+    'FROM c JOIN s ON c.source = s.source JOIN l ON c.lang = l.lang, t) '
+    'SELECT source, round(list_sum(list(term ORDER BY lang)), 6) AS kl '
+    'FROM terms GROUP BY source'
+)
+
+
+def q_split_assignment(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic train/val/test split (the canonical ML dataset cut):
+    split = integer hash of doc_id mod 100 → train <80, val <90, test —
+    reproducible on any shard with no coordination; output is per-(split,
+    lang) counts so stratification is auditable.  One shuffle-free map +
+    narrow two-phase count."""
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column('doc_id').to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * 2654435761) % 100
+        split = np.where(h < 80, 'train', np.where(h < 90, 'val', 'test'))
+        agg = pa.table({'split': pa.array(split, pa.string()),
+                        'lang': t.column('lang')}) \
+            .group_by(['split', 'lang']).aggregate([([], 'count_all')])
+        return pa.table({'split': agg.column('split'),
+                         'lang': agg.column('lang'),
+                         '_n': pc.cast(agg.column('count_all'), pa.int64())})
+
+    return (read_documents(sf_dir, ['doc_id', 'lang'])
+            .map_batches(assign, batch_format='pyarrow')
+            .groupby(['split', 'lang']).aggregate(Sum('_n', alias_name='n_docs')))
+
+
+_SPLIT_ASSIGNMENT_SQL = (
+    "SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train' "
+    "WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val' ELSE 'test' END "
+    'AS split, lang, count(*)::BIGINT AS n_docs '
+    'FROM documents GROUP BY 1, 2'
+)
+
+
 def q_normalize_text(sf_dir: str) -> ray.data.Dataset:
     """Unicode text normalization (the canonical pre-tokenization cleanup of
     a training-data pipeline): NFC composition + RE2-space run collapse +
@@ -3715,6 +3799,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'source_lang_list': q_source_lang_list,
         'customer_order_counts': q_customer_order_counts,
         'normalize_text': q_normalize_text,
+        'source_lang_kl': q_source_lang_kl,
+        'split_assignment': q_split_assignment,
         'value_hour_corr': q_value_hour_corr,
         'hour_value_regression': q_hour_value_regression,
         'user_value_ntile': q_user_value_ntile,
@@ -3834,6 +3920,8 @@ def oracle_sql() -> dict[str, str]:
         'source_lang_list': _SOURCE_LANG_LIST_SQL,
         'customer_order_counts': _CUSTOMER_ORDER_COUNTS_SQL,
         'normalize_text': _NORMALIZE_TEXT_SQL,
+        'source_lang_kl': _SOURCE_LANG_KL_SQL,
+        'split_assignment': _SPLIT_ASSIGNMENT_SQL,
         'value_hour_corr': _VALUE_HOUR_CORR_SQL,
         'hour_value_regression': _HOUR_VALUE_REG_SQL,
         'user_value_ntile': _USER_NTILE_SQL,
