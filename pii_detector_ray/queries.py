@@ -1458,14 +1458,19 @@ _BIGRAM_PMI_SQL = (
 )
 
 
-def q_source_lang_kl(sf_dir: str) -> pd.DataFrame:
+def q_source_lang_kl(sf_dir: str) -> ray.data.Dataset:
     """Distribution-drift metric: per-source KL divergence between the
     source's language distribution and the corpus-wide one — the standard
     check that a shard's mix hasn't drifted from the corpus.  One narrow
-    (source, lang, n) two-phase count; the per-source and global
-    distributions are alphabet-bounded driver work.  Σ p·ln(p/q) runs over
-    langs in ASCENDING lang order on both sides (ORDER BY inside the
-    oracle's list aggregation) so even the float sum order matches."""
+    (source, lang, n) two-phase count (materialized once, consumed twice);
+    the GLOBAL lang distribution is language-alphabet-bounded and
+    broadcasts, while the source-proportional per-source KL runs in a
+    second narrow groupby — nothing source-proportional touches the
+    driver.  Σ p·ln(p/q) runs over langs in ASCENDING lang order on both
+    sides (ORDER BY inside the oracle's list aggregation) so even the
+    float sum order matches."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
     def partial(t: pa.Table) -> pa.Table:
         agg = pa.table({'source': t.column('source'),
                         'lang': t.column('lang')}) \
@@ -1474,28 +1479,32 @@ def q_source_lang_kl(sf_dir: str) -> pd.DataFrame:
                          'lang': agg.column('lang'),
                          '_n': pc.cast(agg.column('count_all'), pa.int64())})
 
-    rows = (read_documents(sf_dir, ['source', 'lang'])
-            .map_batches(partial, batch_format='pyarrow')
-            .groupby(['source', 'lang'])
-            .aggregate(Sum('_n', alias_name='n'))).take_all()
-    by_src: dict[str, dict[str, int]] = {}
-    lang_tot: dict[str, int] = {}
-    for r in rows:
-        by_src.setdefault(r['source'], {})[r['lang']] = r['n']
-        lang_tot[r['lang']] = lang_tot.get(r['lang'], 0) + r['n']
+    counts = drop_empty_blocks(
+        read_documents(sf_dir, ['source', 'lang'])
+        .map_batches(partial, batch_format='pyarrow')
+        .groupby(['source', 'lang']).aggregate(Sum('_n', alias_name='n')))
+
+    lang_rows = (counts.map_batches(
+        lambda t: pa.table({'lang': t.column('lang'), '_n': t.column('n')}),
+        batch_format='pyarrow')
+        .groupby('lang').aggregate(Sum('_n', alias_name='n'))).take_all()
+    lang_tot = {r['lang']: r['n'] for r in lang_rows}    # alphabet-bounded
     total = sum(lang_tot.values())
-    srcs, kls = [], []
-    for src in sorted(by_src):
-        counts = by_src[src]
-        n_src = sum(counts.values())
+    qref = ray.put((lang_tot, total))
+
+    def kl_group(g: pd.DataFrame) -> pd.DataFrame:
+        lt, tot = ray.get(qref)
+        g = g.sort_values('lang', kind='mergesort')
+        n_src = int(g['n'].sum())
         kl = 0.0
-        for lang in sorted(counts):
-            p = counts[lang] / n_src
-            q = lang_tot[lang] / total
+        for lang, n in zip(g['lang'], g['n']):
+            p = int(n) / n_src
+            q = lt[lang] / tot
             kl += p * float(np.log(p / q))
-        srcs.append(src)
-        kls.append(sql_round_scalar(kl, 6))
-    return pd.DataFrame({'source': srcs, 'kl': kls})
+        return pd.DataFrame({'source': [g['source'].iloc[0]],
+                             'kl': [sql_round_scalar(kl, 6)]})
+
+    return counts.groupby('source').map_groups(kl_group)
 
 
 _SOURCE_LANG_KL_SQL = (
