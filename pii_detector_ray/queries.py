@@ -1430,7 +1430,16 @@ def q_bigram_pmi(sf_dir: str, broadcast_vocab_limit: int = 1_000_000
                          'c_xy': t.column('c_xy'),
                          'pmi': pa.array(sql_round_np(pmi, 4))})
 
-    scored = bi.map_batches(score, batch_format='pyarrow').to_pandas()
+    def partial_top(t: pa.Table) -> pa.Table:
+        # per-block partial top-20 — only 20 rows per block reach the
+        # driver merge, not the whole filtered bigram table
+        df = t.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(['pmi', 'w1', 'w2'], ascending=[False, True, True],
+                           kind='mergesort').head(20), preserve_index=False)
+
+    scored = (bi.map_batches(score, batch_format='pyarrow')
+              .map_batches(partial_top, batch_format='pyarrow').to_pandas())
     scored = scored.sort_values(['pmi', 'w1', 'w2'],
                                 ascending=[False, True, True],
                                 kind='mergesort').head(20).reset_index(drop=True)
@@ -1910,8 +1919,7 @@ def q_incremental_sessions(sf_dir: str, n_chunks: int = 6) -> pd.DataFrame:
                             'ts': pc.cast(b.column('ts'), pa.int64()),
                             'value': b.column('value')}),
         batch_format='pyarrow')
-    # chunk edges from the cheap min/max scan; each chunk is a FILTERED
-    # re-read of the narrow projection (at scale: per-drop parquet paths)
+    # chunk edges from the cheap min/max scan
     stats = t.map_batches(
         lambda b: pa.table({'lo': pa.array([pc.min(b.column('ts')).as_py()],
                                            pa.int64()),
@@ -1924,14 +1932,27 @@ def q_incremental_sessions(sf_dir: str, n_chunks: int = 6) -> pd.DataFrame:
     lo = min(s['lo'] for s in stats)
     hi = max(s['hi'] for s in stats) + 1
     edges = np.linspace(lo, hi, n_chunks + 1).astype(np.int64)
-    store = t.materialize()        # narrow (user, ts, value); one pass
+    # each chunk is a PUSHED-DOWN re-read of the narrow projection (the
+    # orders_pushdown_count pattern; in production each drop is its own
+    # parquet path) — the full history is never resident at once, which is
+    # the point of the incremental operator
+    import os
+
+    import pyarrow.dataset as pads
     inc = IncrementalSessionizer(gap_minutes=30)
     outs = []
+    events_path = os.path.join(sf_dir, 'events.parquet')
     for a, b in zip(edges[:-1], edges[1:]):
-        chunk = store.map_batches(
-            lambda tb, a=int(a), b=int(b): tb.filter(
-                pc.and_(pc.greater_equal(tb.column('ts'), a),
-                        pc.less(tb.column('ts'), b))),
+        raw = read_parquet_clean(
+            events_path, columns=['user_id', 'ts', 'value'],
+            filter=(pads.field('ts') >=
+                    pa.scalar(int(a), pa.timestamp('us'))) &
+                   (pads.field('ts') <
+                    pa.scalar(int(b), pa.timestamp('us'))))
+        chunk = raw.map_batches(
+            lambda tb: pa.table({'user_id': tb.column('user_id'),
+                                 'ts': pc.cast(tb.column('ts'), pa.int64()),
+                                 'value': tb.column('value')}),
             batch_format='pyarrow')
         outs.append(inc.process_chunk(chunk))
     outs.append(inc.flush())
