@@ -3230,6 +3230,15 @@ def _premin_user(t: pa.Table) -> pa.Table:
         .rename_columns(['user_id', '_ts'])
 
 
+def _first_min(ev: ray.data.Dataset, etype: str) -> ray.data.Dataset:
+    """Per-user min ts of ``etype`` as (user_id, _prev) — funnel stage 0."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    return drop_empty_blocks(
+        ev.map_batches(_typed_ts(etype), batch_format='pyarrow')
+          .map_batches(_premin_user, batch_format='pyarrow')
+          .groupby('user_id').aggregate(Min('_ts', alias_name='_prev')))
+
+
 def _min_after(ev: ray.data.Dataset, etype: str, stage: ray.data.Dataset,
                broadcast_user_limit: int) -> ray.data.Dataset:
     """Per-user min ts of ``etype`` STRICTLY AFTER the per-user threshold in
@@ -3298,13 +3307,8 @@ def q_funnel_stages(sf_dir: str,
     and meets the typed events in a co-partitioned narrow join (both paths
     proven frame-equal in tests).  No per-user event list is ever
     co-located, so a mega-user costs nothing beyond its rows."""
-    from pii_detector_ray.stages.dedup import drop_empty_blocks
-
     ev = _events(sf_dir, ['user_id', 'event_type', 'ts'])
-    stage = drop_empty_blocks(
-        ev.map_batches(_typed_ts(_FUNNEL_STAGES[0]), batch_format='pyarrow')
-          .map_batches(_premin_user, batch_format='pyarrow')
-          .groupby('user_id').aggregate(Min('_ts', alias_name='_prev')))
+    stage = _first_min(ev, _FUNNEL_STAGES[0])
     stages = [stage]
     for etype in _FUNNEL_STAGES[1:]:
         stage = _min_after(ev, etype, stage, broadcast_user_limit)
@@ -3340,21 +3344,46 @@ def q_conversion_latency(sf_dir: str,
     driver beyond the size-guarded threshold map."""
     from pii_detector_ray.stages.dedup import drop_empty_blocks
 
+    def _empty() -> ray.data.Dataset:
+        return ray.data.from_arrow(pa.schema(
+            [('latency_hours', pa.int64()),
+             ('n_users', pa.int64())]).empty_table())
+
+    def bucket_partial(hours: np.ndarray) -> pa.Table:
+        agg = pa.table({'latency_hours': pa.array(hours, pa.int64())}) \
+            .group_by('latency_hours').aggregate([([], 'count_all')])
+        return pa.table({'latency_hours': agg.column('latency_hours'),
+                         '_n': pc.cast(agg.column('count_all'), pa.int64())})
+
     ev = _events(sf_dir, ['user_id', 'event_type', 'ts'])
-    first_view = drop_empty_blocks(
-        ev.map_batches(_typed_ts('view'), batch_format='pyarrow')
-          .map_batches(_premin_user, batch_format='pyarrow')
-          .groupby('user_id').aggregate(Min('_ts', alias_name='_prev')))
+    first_view = _first_min(ev, 'view')
+    n_view = first_view.count()
     first_purchase = _min_after(ev, 'purchase', first_view,
-                                broadcast_user_limit)
+                                broadcast_user_limit) \
+        if n_view else None
+    # empty funnels (no views, or no purchase after a view) return an
+    # empty histogram like the oracle, not a schema error from Ray's
+    # fn-skipping empty blocks
+    if first_purchase is None or first_purchase.count() == 0:
+        return _empty()
     # latency needs both mins per user; first_view is the size-guarded
     # small side again (same limit) — broadcast it into the bucket map
-    vmap = {r['user_id']: r['_prev']
-            for b in first_view.iter_batches(batch_size=None,
-                                             batch_format='pyarrow')
-            for r in b.to_pylist()} \
-        if first_view.count() <= broadcast_user_limit else None
-    if vmap is None:
+    if n_view <= broadcast_user_limit:
+        vref = ray.put({r['user_id']: r['_prev']
+                        for b in first_view.iter_batches(
+                            batch_size=None, batch_format='pyarrow')
+                        for r in b.to_pylist()})
+
+        def bucket_bc(t: pa.Table) -> pa.Table:
+            m = ray.get(vref)
+            users = t.column('user_id').to_numpy(zero_copy_only=False)
+            tp = t.column('_prev').to_numpy(zero_copy_only=False)
+            tv = np.fromiter((m[int(u)] for u in users), dtype=np.int64,
+                             count=len(users))
+            return bucket_partial((tp - tv) // 3_600_000_000)
+
+        parts = first_purchase.map_batches(bucket_bc, batch_format='pyarrow')
+    else:
         from pii_detector_ray.stages.dedup import join_partitions
         renamed = first_view.map_batches(
             lambda t: t.rename_columns(['user_id', '_v']),
@@ -3365,30 +3394,11 @@ def q_conversion_latency(sf_dir: str,
                                    on=('user_id',))
 
         def bucket_join(t: pa.Table) -> pa.Table:
-            lat = pc.subtract(t.column('_prev'), t.column('_v'))
-            hours = pc.divide(lat, 3_600_000_000)
-            agg = pa.table({'latency_hours': hours}) \
-                .group_by('latency_hours').aggregate([([], 'count_all')])
-            return pa.table({'latency_hours': agg.column('latency_hours'),
-                             '_n': pc.cast(agg.column('count_all'), pa.int64())})
+            tp = t.column('_prev').to_numpy(zero_copy_only=False)
+            tv = t.column('_v').to_numpy(zero_copy_only=False)
+            return bucket_partial((tp - tv) // 3_600_000_000)
 
         parts = both.map_batches(bucket_join, batch_format='pyarrow')
-    else:
-        vref = ray.put(vmap)
-
-        def bucket_bc(t: pa.Table) -> pa.Table:
-            m = ray.get(vref)
-            users = t.column('user_id').to_numpy(zero_copy_only=False)
-            tp = t.column('_prev').to_numpy(zero_copy_only=False)
-            tv = np.fromiter((m[int(u)] for u in users), dtype=np.int64,
-                             count=len(users))
-            hours = (tp - tv) // 3_600_000_000
-            agg = pa.table({'latency_hours': pa.array(hours, pa.int64())}) \
-                .group_by('latency_hours').aggregate([([], 'count_all')])
-            return pa.table({'latency_hours': agg.column('latency_hours'),
-                             '_n': pc.cast(agg.column('count_all'), pa.int64())})
-
-        parts = first_purchase.map_batches(bucket_bc, batch_format='pyarrow')
     return (parts.groupby('latency_hours')
             .aggregate(Sum('_n', alias_name='n_users')))
 

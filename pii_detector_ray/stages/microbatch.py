@@ -14,7 +14,11 @@ Equality contract: ``flush()`` after the last chunk makes the concatenated
 output frame-equal to ``sessionize()`` over the full table
 (tests/test_microbatch.py, including sessions spanning chunk boundaries).
 Raw sums are carried and rounded only at close, matching the batch
-operator's end-of-session rounding.
+operator's end-of-session rounding.  (Residual risk, shared with every
+rounded float reduction in this repo: a cross-chunk session sums its parts
+in a different IEEE order than the batch one-pass sum, so a session landing
+within an ulp of a .005 boundary could round differently — the same class
+of boundary the hash-green events_sessions oracle already tolerates.)
 
 State/scale: the carry holds ONE row per user with an open session —
 active-user-proportional, orders of magnitude below event volume; it is the
@@ -87,15 +91,15 @@ class IncrementalSessionizer:
                 val = np.concatenate([[0.0], val])
             new_session = np.ones(len(ts), dtype=bool)
             new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
-            sid = np.cumsum(new_session) - 1
-            starts, ns, sums, lasts = [], [], [], []
-            for s in range(sid[-1] + 1):
-                m = sid == s
-                t_s = ts[m]
-                starts.append(int(t_s[0]))
-                ns.append(int(m.sum()))
-                sums.append(float(val[m].sum()))
-                lasts.append(int(t_s[-1]))
+            # O(n) session extraction via boundary reduceat (a mega-user's
+            # sparse-activity chunk would make a per-session mask scan
+            # O(sessions × events))
+            bounds = np.flatnonzero(new_session)
+            ends = np.append(bounds[1:], len(ts))
+            starts = ts[bounds].tolist()
+            ns = (ends - bounds).tolist()
+            sums = np.add.reduceat(val, bounds).tolist()
+            lasts = ts[ends - 1].tolist()
             if prev is not None:
                 # session 0 contains the carry sentinel (0-valued phantom
                 # event at p_last): drop the phantom, then either the carried
@@ -116,14 +120,25 @@ class IncrementalSessionizer:
                     '_last': np.array(lasts, dtype=np.int64)}
             return pd.DataFrame(rows)
 
+        # enforce the non-overlap contract on the chunk's MIN event ts (the
+        # aggregate max alone would let an overlapping chunk through, whose
+        # out-of-order events would silently merge into carried sessions)
+        span = chunk.map_batches(
+            lambda t: pd.DataFrame(
+                {'lo': [int(t['ts'].min())], 'hi': [int(t['ts'].max())]})
+            if len(t) else pd.DataFrame({'lo': [], 'hi': []}),
+            batch_format='pandas').to_pandas()
+        if len(span) == 0:
+            return _empty_out()
+        chunk_start, chunk_end = int(span['lo'].min()), int(span['hi'].max())
+        if self._last_chunk_end is not None:
+            assert chunk_start >= self._last_chunk_end, \
+                'chunks must be non-overlapping and time-ordered'
+
         out = chunk.groupby('user_id').map_groups(
             per_user, batch_format='pandas').to_pandas()
         if len(out) == 0:
             return _empty_out()
-        chunk_end = int(out['_last'].max())
-        if self._last_chunk_end is not None:
-            assert chunk_end >= self._last_chunk_end, \
-                'chunks must be time-ordered'
         # a session is OPEN iff it is its user's last in this chunk and its
         # last event is within gap of the chunk end boundary (a later chunk
         # could extend it); everything else is final.  >= because the gap

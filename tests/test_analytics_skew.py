@@ -57,6 +57,23 @@ def test_funnel_on_mega_user(ray_session, skewed_dir):
     assert int(got['n_purchased'][0]) > 0
 
 
+def test_latency_empty_funnel_returns_empty(ray_session, tmp_path):
+    """No 'view' events at all → empty histogram with the right schema,
+    not a schema error from Ray's fn-skipping empty blocks."""
+    n = 10
+    pq.write_table(pa.table({
+        'event_id': pa.array(np.arange(n), pa.int64()),
+        'user_id': pa.array(np.ones(n), pa.int64()),
+        'ts': pa.array(np.full(n, np.datetime64('2024-01-01', 'us'))),
+        'event_type': pa.array(['error'] * n, pa.string()),
+        'value': pa.array(np.zeros(n)),
+        'props': pa.array([''] * n, pa.string())}),
+        os.path.join(tmp_path, 'events.parquet'))
+    out = q_conversion_latency(str(tmp_path))
+    assert out.count() == 0
+    assert set(out.schema().names) == {'latency_hours', 'n_users'}
+
+
 def test_latency_on_mega_user_both_paths(ray_session, skewed_dir):
     exp = _con(skewed_dir).execute(
         oracle_sql()['conversion_latency']).fetchdf() \
