@@ -3691,6 +3691,69 @@ _VALUE_OUTLIERS_SQL = (
 )
 
 
+def q_customer_ltv_deciles(sf_dir: str) -> pd.DataFrame:
+    """Two-level composition — aggregate → quantile → bucket: per-customer
+    lifetime spend deciles.  Spend is summed in INTEGER CENTS (the
+    _events_cents contract) so the per-customer totals are bit-identical
+    on both sides and a customer sitting exactly on an interpolated cut
+    buckets identically; cuts come from the exact distributed quantile
+    operator over the (small, customer-proportional) aggregate, bucketing
+    is one narrow pass of partial counts."""
+    import os
+
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    from pii_detector_ray.stages.sketches import distributed_quantile
+
+    orders = read_parquet_clean(os.path.join(sf_dir, 'orders.parquet'),
+                                columns=['o_custkey', 'o_totalprice'])
+
+    def cents_partial(t: pa.Table) -> pa.Table:
+        cents = sql_round_np(
+            t.column('o_totalprice').to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        return pa.table({'o_custkey': t.column('o_custkey'),
+                         '_c': pa.array(cents, pa.int64())}) \
+            .group_by('o_custkey').aggregate([('_c', 'sum')]) \
+            .rename_columns(['o_custkey', '_c'])
+
+    spend = drop_empty_blocks(
+        orders.map_batches(cents_partial, batch_format='pyarrow')
+        .groupby('o_custkey').aggregate(Sum('_c', alias_name='cents')))
+    qs = [i / 10.0 for i in range(1, 10)]
+    cuts = np.asarray(distributed_quantile(spend, 'cents', qs))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        v = t.column('cents').to_numpy(zero_copy_only=False).astype(np.float64)
+        # side='right': decile = #cuts <= v, matching the SQL CASE < chain
+        b = np.searchsorted(cuts, v, side='right')
+        counts = np.bincount(b, minlength=10)
+        return pa.table({'decile': pa.array(np.arange(10), pa.int64()),
+                         '_n': pa.array(counts, pa.int64())})
+
+    parts = spend.map_batches(bucket, batch_format='pyarrow').take_all()
+    total = np.zeros(10, dtype=np.int64)
+    for p in parts:
+        total[p['decile']] += p['_n']
+    nz = total > 0
+    return pd.DataFrame({'decile': pd.array(np.arange(10)[nz], dtype='int64'),
+                         'n_customers': pd.array(total[nz], dtype='int64')})
+
+
+_LTV_DECILES_SQL = (
+    'WITH c AS (SELECT o_custkey, '
+    'sum(round(o_totalprice * 100.0, 0))::BIGINT AS cents '
+    'FROM orders GROUP BY o_custkey), '
+    'q AS (SELECT quantile_cont(cents, '
+    '[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs FROM c) '
+    'SELECT (CASE WHEN cents < qs[1] THEN 0 WHEN cents < qs[2] THEN 1 '
+    'WHEN cents < qs[3] THEN 2 WHEN cents < qs[4] THEN 3 '
+    'WHEN cents < qs[5] THEN 4 WHEN cents < qs[6] THEN 5 '
+    'WHEN cents < qs[7] THEN 6 WHEN cents < qs[8] THEN 7 '
+    'WHEN cents < qs[9] THEN 8 ELSE 9 END)::BIGINT AS decile, '
+    'count(*)::BIGINT AS n_customers FROM c, q GROUP BY 1'
+)
+
+
 def q_price_quartile_counts(sf_dir: str) -> pd.DataFrame:
     """Equal-frequency binning: order counts per global price quartile.
     Cut points come from the exact distributed quantile operator
@@ -3816,6 +3879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'knn_graph': q_knn_graph,
         'value_outliers': q_value_outliers,
         'price_quartile_counts': q_price_quartile_counts,
+        'customer_ltv_deciles': q_customer_ltv_deciles,
         'events_sessions': q_events_sessions,
         'incremental_sessions': q_incremental_sessions,
         'events_asof': q_events_asof,
@@ -3937,6 +4001,7 @@ def oracle_sql() -> dict[str, str]:
         'knn_graph': _KNN_GRAPH_SQL,
         'value_outliers': _VALUE_OUTLIERS_SQL,
         'price_quartile_counts': _PRICE_QUARTILE_SQL,
+        'customer_ltv_deciles': _LTV_DECILES_SQL,
         'events_sessions': _EVENTS_SESSIONS_SQL,
         'incremental_sessions': _EVENTS_SESSIONS_SQL,
         'events_asof': _EVENTS_ASOF_SQL,
