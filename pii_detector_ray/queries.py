@@ -3415,6 +3415,50 @@ _CONVERSION_LATENCY_SQL = (
 )
 
 
+_REGION_TYPES = ('EMAIL_ADDRESS', 'US_SSN', 'CREDIT_CARD', 'IN_AADHAR',
+                 'US_BANK_NUMBER')
+
+
+def q_pii_region_counts(sf_dir: str) -> ray.data.Dataset:
+    """Region rollup of PII matches (T4 region map as an aggregate): raw
+    per-type regex counts folded through functions/masking.get_region —
+    the reference's compliance-dashboard cut.  One vectorized count pass
+    over the augmented corpus, a constant type→region fold inside the
+    batch, one tiny (region, n) shuffle; the oracle mirrors the fold as a
+    sum of per-type regexp counts under the same CASE prefix map."""
+    from pii_detector_ray.functions.masking import get_region
+    rexes = {t: compiled(PII_PATTERNS[t]) for t in _REGION_TYPES}
+
+    def count(batch: pa.Table) -> pa.Table:
+        texts = batch.column('aug_text').to_pylist()
+        agg: dict[str, int] = {}
+        for t, rex in rexes.items():
+            region = get_region(t)
+            n = sum(len(rex.findall(x)) for x in texts)
+            agg[region] = agg.get(region, 0) + n
+        return pa.table({'region': pa.array(list(agg), pa.string()),
+                         '_n': pa.array(list(agg.values()), pa.int64())})
+
+    return (read_documents(sf_dir, ['doc_id', 'text'])
+            .map_batches(augment_batch, batch_format='pyarrow')
+            .map_batches(count, batch_format='pyarrow')
+            .groupby('region').aggregate(Sum('_n', alias_name='n_matches')))
+
+
+def _pii_region_sql() -> str:
+    from pii_detector_ray.functions.masking import get_region
+    per_region: dict[str, list[str]] = {}
+    for t in _REGION_TYPES:
+        per_region.setdefault(get_region(t), []).append(
+            f"len(regexp_extract_all(text, '{_sql_quote(PII_PATTERNS[t])}'))")
+    selects = ' UNION ALL '.join(
+        f"SELECT '{region}' AS region, ({' + '.join(exprs)})::BIGINT "
+        'AS n FROM aug'
+        for region, exprs in sorted(per_region.items()))
+    return (f'{SQL_AUG_CTE}, r AS ({selects}) '
+            'SELECT region, sum(n)::BIGINT AS n_matches FROM r GROUP BY region')
+
+
 def q_email_domain_counts(sf_dir: str) -> ray.data.Dataset:
     """PII analytics rollup: domain distribution of every EMAIL_ADDRESS
     match in the augmented corpus (the pii_email_counts injection contract)
@@ -3871,6 +3915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'funnel_stages': q_funnel_stages,
         'conversion_latency': q_conversion_latency,
         'email_domain_counts': q_email_domain_counts,
+        'pii_region_counts': q_pii_region_counts,
         'click_days_no_purchase': q_click_days_no_purchase,
         'cohort_retention': q_cohort_retention,
         'token_edit_pairs': q_token_edit_pairs,
@@ -3993,6 +4038,7 @@ def oracle_sql() -> dict[str, str]:
         'funnel_stages': _FUNNEL_SQL,
         'conversion_latency': _CONVERSION_LATENCY_SQL,
         'email_domain_counts': _email_domain_sql(),
+        'pii_region_counts': _pii_region_sql(),
         'click_days_no_purchase': _CLICK_NO_PURCHASE_SQL,
         'cohort_retention': _COHORT_RETENTION_SQL,
         'token_edit_pairs': _TOKEN_EDIT_PAIRS_SQL,
