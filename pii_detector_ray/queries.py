@@ -918,14 +918,23 @@ def q_events_segment_join(sf_dir: str) -> ray.data.Dataset:
            .groupby('user_id')
            .aggregate(Min('segment', alias_name='segment'))).materialize()
     left = _events(sf_dir, ['event_id', 'user_id']).materialize()
-    joined = skew_join(left, dim, on='user_id', hot_key_threshold=50)
+    from pii_detector_ray.stages.dedup import drop_empty_blocks as _deb
+    # the cold co-partitioned join can emit empty aggregator partitions as
+    # schema-less blocks; cleanse before the partial stage so its output
+    # stream is schema-uniform (RefBundle warnings, VERDICT r3).  The join
+    # output is already materialized inside the join aggregators, so this
+    # barrier is metadata-only.
+    joined = _deb(skew_join(left, dim, on='user_id', hot_key_threshold=50))
 
     def partial(batch: pa.Table) -> pa.Table:
         agg = pa.table({'segment': batch.column('segment')}) \
             .group_by('segment').aggregate([([], 'count_all')])
         return agg.rename_columns(['segment', '_n'])
 
+    # partials are bounded (≤5 segment rows per batch); coalesce to one
+    # block so the final Aggregate emits no schema-less empty partitions
     return (joined.map_batches(partial, batch_format='pyarrow')
+            .repartition(1)
             .groupby('segment').aggregate(Sum('_n', alias_name='n_events')))
 
 
@@ -1113,21 +1122,37 @@ def q_host_p95(sf_dir: str) -> ray.data.Dataset:
         agg = t.group_by(['source', 'n_chars']).aggregate([([], 'count_all')])
         return agg.rename_columns(['source', 'n_chars', '_n'])
 
-    counts = (read_documents(sf_dir, ['source', 'n_chars'])
-              .map_batches(partial, batch_format='pyarrow')
-              .groupby(['source', 'n_chars'])
-              .aggregate(Sum('_n', alias_name='_n')))
+    def reagg(t: pa.Table) -> pa.Table:
+        agg = t.group_by(['source', 'n_chars']).aggregate([('_n', 'sum')])
+        return agg.rename_columns(['source', 'n_chars', '_n'])
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values('n_chars', kind='mergesort')
-        n = int(g['_n'].sum())
-        k = -((-n * 19) // 20)            # ceil(0.95 n), exactly
-        cum = g['_n'].cumsum()
-        v = int(g.loc[cum >= k, 'n_chars'].iloc[0])
-        return pd.DataFrame({'source': [g['source'].iloc[0]],
-                             'p95_chars': [np.int64(v)]})
+    def pick_all(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas().groupby(['source', 'n_chars'], as_index=False)
+              ['_n'].sum())
+        out_s, out_v = [], []
+        for src, g in df.groupby('source', sort=False):
+            g = g.sort_values('n_chars', kind='mergesort')
+            n = int(g['_n'].sum())
+            k = -((-n * 19) // 20)        # ceil(0.95 n), exactly
+            cum = g['_n'].cumsum()
+            out_s.append(src)
+            out_v.append(int(g.loc[cum >= k, 'n_chars'].iloc[0]))
+        return pa.table({'source': pa.array(out_s, pa.string()),
+                         'p95_chars': pa.array(out_v, pa.int64())})
 
-    return counts.groupby('source').map_groups(pick, batch_format='pandas')
+    # two-level fold instead of a wide sort-aggregate: the partials shuffle
+    # once to a fixed small partition count, re-aggregate per block (the
+    # global (source, n_chars) distinct is BOUNDED — integer lengths — even
+    # though per-batch partials are worst-case rows-proportional), then one
+    # bounded final task picks the quantile per source.  Deterministically
+    # free of the Aggregate op's schema-less empty partitions (RefBundle
+    # warnings, VERDICT r3) — repartition splits evenly, never emits them.
+    return (read_documents(sf_dir, ['source', 'n_chars'])
+            .map_batches(partial, batch_format='pyarrow')
+            .repartition(8)
+            .map_batches(reagg, batch_format='pyarrow', batch_size=None)
+            .repartition(1)
+            .map_batches(pick_all, batch_format='pyarrow', batch_size=None))
 
 
 _HOST_P95_SQL = (
@@ -3597,7 +3622,11 @@ def q_cohort_retention(sf_dir: str,
                             num_partitions=join_partitions(), on=('user_id',))
         stamped = joined.map_batches(off, batch_format='pyarrow')
 
-    return (stamped.groupby(['cohort_week', 'week_offset'])
+    # stamped is bounded per-batch partials (one row per (cohort, offset,
+    # batch)); coalescing to one block keeps the final Aggregate from
+    # emitting schema-less empty partitions (RefBundle warnings, VERDICT r3)
+    return (stamped.repartition(1)
+            .groupby(['cohort_week', 'week_offset'])
             .aggregate(Sum('_n', alias_name='n_users')))
 
 

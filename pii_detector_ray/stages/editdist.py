@@ -79,10 +79,21 @@ def first_token_batch(t: pa.Table, text_col: str = 'text',
 
 
 def token_edit_pairs(docs: ray.data.Dataset, *, max_dist: int = 2,
-                     max_chars: int = 16) -> ray.data.Dataset:
+                     max_chars: int = 16,
+                     vocab_broadcast_limit: int = 2_000_000
+                     ) -> ray.data.Dataset:
     """All distinct-token pairs with byte-Levenshtein ≤ ``max_dist``.
 
     Returns (tok_a, tok_b, n_a, n_b, dist) with tok_a < tok_b.
+
+    Execution: under ``vocab_broadcast_limit`` distinct tokens the vocabulary
+    (already reduced and vocabulary-bounded) is broadcast ONCE via
+    ``ray.put`` and the ≤ ``max_chars + max_dist`` length blocks fan out as
+    one task per block id over a tiny id Dataset — no sort/groupby AllToAll,
+    so no schema-less empty partitions (RefBundle warnings, VERDICT r3) and
+    the per-block O(|block|²) DP keeps its full parallelism.  Above the
+    guard, the original sort-grouped path runs (a vocabulary that big no
+    longer broadcasts; the DP itself is the bottleneck there, not the sort).
     """
     vocab = (docs.map_batches(
                  lambda t: first_token_batch(t, max_chars=max_chars),
@@ -132,9 +143,42 @@ def token_edit_pairs(docs: ray.data.Dataset, *, max_dist: int = 2,
                          'n_b': pa.array(rows_nb, pa.int64()),
                          'dist': pa.array(rows_d, pa.int64())})
 
-    blocked = vocab.map_batches(explode, batch_format='pyarrow')
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
+    anchor = ray.data.from_arrow(_schema.empty_table())
+    vm = drop_empty_blocks(vocab).materialize()
+    if vm.count() == 0:
+        return anchor
+    if vm.count() <= vocab_broadcast_limit:
+        vdf = vm.to_pandas()
+        by_block: dict[int, list[tuple[str, int]]] = {}
+        for tok, n in zip(vdf['tok'].tolist(), vdf['n'].tolist()):
+            for b in range(len(tok), len(tok) + max_dist + 1):
+                by_block.setdefault(b, []).append((tok, int(n)))
+        if not by_block:
+            return anchor
+        vref = ray.put(by_block)
+        ids = sorted(by_block)
+
+        def compute(t: pa.Table) -> pa.Table:
+            bb = ray.get(vref)
+            parts = []
+            for bid in t.column('block').to_pylist():
+                toks_b = bb[bid]
+                parts.append(pairs_in_block(pd.DataFrame({
+                    'block': [bid] * len(toks_b),
+                    'tok': [x[0] for x in toks_b],
+                    'n': [x[1] for x in toks_b]})))
+            return pa.concat_tables(parts) if parts else _schema.empty_table()
+
+        id_ds = ray.data.from_arrow(
+            pa.table({'block': pa.array(ids, pa.int64())})) \
+            .repartition(len(ids))
+        return id_ds.map_batches(compute, batch_format='pyarrow',
+                                 batch_size=1).union(anchor)
+
+    blocked = vm.map_batches(explode, batch_format='pyarrow')
     out = blocked.groupby('block').map_groups(pairs_in_block)
     # schema anchor: one empty, correctly-typed block union'd in so an
     # all-empty result still carries the output schema
-    anchor = ray.data.from_arrow(_schema.empty_table())
     return out.union(anchor)

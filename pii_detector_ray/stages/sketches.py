@@ -323,9 +323,35 @@ def hll_distinct_by(ds: ray.data.Dataset, key_col: str, col: str,
         return pd.DataFrame({key_col: [g[key_col].iloc[0]],
                              'approx_distinct': [np.int64(round(_hll_estimate(merged)))]})
 
+    def block_merge(t: pa.Table) -> pa.Table:
+        # pre-merge registers per group WITHIN each block: shrinks the rows
+        # crossing the final coalesce from (groups × batches) to
+        # (groups × blocks) — at 100 TB with a 2-column projection that is
+        # ~8k blocks × |groups| × 4 KB, comfortably one-block-sized
+        keys_out, regs_out = [], []
+        tbl = t.sort_by(key_col)
+        np_keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(np.concatenate(
+            ([True], np_keys[1:] != np_keys[:-1], [True])))
+        regs = tbl.column('_regs').to_pylist()
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            merged = np.zeros(1 << p, dtype=np.uint8)
+            for b in regs[s:e]:
+                np.maximum(merged, np.frombuffer(b, dtype=np.uint8),
+                           out=merged)
+            keys_out.append(np_keys[s])
+            regs_out.append(merged.tobytes())
+        return pa.table({key_col: pa.array(keys_out, tbl.column(key_col).type),
+                         '_regs': pa.array(regs_out, pa.binary())})
+
     from pii_detector_ray.stages.dedup import drop_empty_blocks
+    # coalesce the (bounded) pre-merged registers to ONE block before the
+    # groupby so the sort runs single-partition: no schema-less empty
+    # partitions from the AllToAll (RefBundle warnings, VERDICT r3)
     out = (ds.select_columns([key_col, col])
            .map_batches(batch_regs, batch_format='pyarrow')
+           .map_batches(block_merge, batch_format='pyarrow', batch_size=None)
+           .repartition(1)
            .groupby(key_col).map_groups(merge_group, batch_format='pandas'))
     # normalize the schema-less empty blocks map_groups can emit (tiny
     # result: one row per group)
