@@ -919,12 +919,16 @@ def q_events_segment_join(sf_dir: str) -> ray.data.Dataset:
            .aggregate(Min('segment', alias_name='segment'))).materialize()
     left = _events(sf_dir, ['event_id', 'user_id']).materialize()
     from pii_detector_ray.stages.dedup import drop_empty_blocks as _deb
+    from pii_detector_ray.stages.dedup import join_partitions as _jp
     # the cold co-partitioned join can emit empty aggregator partitions as
     # schema-less blocks; cleanse before the partial stage so its output
     # stream is schema-uniform (RefBundle warnings, VERDICT r3).  The join
     # output is already materialized inside the join aggregators, so this
-    # barrier is metadata-only.
-    joined = _deb(skew_join(left, dim, on='user_id', hot_key_threshold=50))
+    # barrier is metadata-only.  num_partitions is sized from the (known,
+    # materialized) left row count so the pinned skew paths still run but a
+    # 60k-row gate input doesn't spawn a 16-actor aggregator fleet.
+    joined = _deb(skew_join(left, dim, on='user_id', hot_key_threshold=50,
+                            num_partitions=_jp(rows=left.count())))
 
     def partial(batch: pa.Table) -> pa.Table:
         agg = pa.table({'segment': batch.column('segment')}) \

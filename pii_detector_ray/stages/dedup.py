@@ -346,13 +346,23 @@ def drop_empty_blocks(ds: ray.data.Dataset,
     return ray.data.from_arrow_refs(refs)
 
 
-def join_partitions(default: int = 16) -> int:
+def join_partitions(default: int = 16, rows: int | None = None) -> int:
     """Dataset.join spawns one aggregator actor per partition; size to the
-    cluster so joins don't starve under small CPU budgets."""
+    cluster so joins don't starve under small CPU budgets.
+
+    ``rows``: when the caller knows the (larger) input's row count — e.g.
+    it is already materialized — pass it so small inputs don't spawn a
+    cluster-wide aggregator fleet: actor spawn is ~0.3 s each and dominates
+    sub-second joins (measured, ray-249 notes).  One aggregator per ~150k
+    rows, floor 2, still capped by cluster size — at 10^12 rows the cap is
+    the cluster-derived term, which grows with the fleet."""
     try:
-        return max(2, min(default, int(ray.cluster_resources().get('CPU', 4)) // 2))
+        cap = max(2, min(default, int(ray.cluster_resources().get('CPU', 4)) // 2))
     except Exception:
-        return 2
+        cap = 2
+    if rows is not None:
+        return max(2, min(cap, rows // 150_000 + 1))
+    return cap
 
 
 _join_partitions = join_partitions   # internal alias
