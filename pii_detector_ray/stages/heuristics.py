@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 # Word SPLITTING is pinned to RE2's exact \s class BY CONTRACT (the DuckDB
 # oracles mirror these with RE2; see functions/re2compat.py — Python's
@@ -36,34 +38,91 @@ from pii_detector_ray.functions.re2compat import (
 
 _WORD = RE2_WORD
 _NONSPACE = RE2_NONSPACE
+# word containing >=1 letter, in two equivalent spellings: the Python-re
+# lookbehind form (kept as documentation of the semantics) and the RE2 form
+# actually executed by the pyarrow kernel — each \S+ run is entered once via
+# its leading separator (or ^) and consumed whole by the trailing \S*, so
+# non-overlapping scan counts exactly the letter-containing words.  The
+# letter class is RE2's [\pL\p{Nl}\p{No}], the SAME class the DuckDB oracle
+# uses (_QUALITY_SCORES_SQL) — codepoint-identical with Python's [^\W\d_]
+# across the BMP (see tests/test_textstats_multimodal.py).
 _ALPHA_WORD = (rf'(?<!{RE2_NONSPACE}){RE2_NONSPACE}*'
-               rf'[^\W\d_]{RE2_NONSPACE}*')  # word containing >=1 letter
-_BULLET_LINE = r'(?m)^[ \t]*[-*•]'
-_ELLIPSIS_LINE = r'(?m)(\.\.\.|…)[ \t]*$'
+               rf'[^\W\d_]{RE2_NONSPACE}*')  # Python-re spelling (docs only)
+_ALPHA_WORD_RE2 = (rf'(?:^|{RE2_SPACE}){RE2_NONSPACE}*'
+                   rf'[\pL\p{{Nl}}\p{{No}}]{RE2_NONSPACE}*')
+_BULLET_LINE = r'(?m)^[ \t]*[-*•]'       # Python-re spelling (docs only)
+# pyarrow's iterated count re-anchors ^ at every scan-resume position
+# (probed: count('(?m)^[-*•]') on '--' returns 2), so the executed form
+# counts \n-prefixed bullet lines (the \n is consumed per match, no anchor)
+# and adds the first line via a single anchored match_substring_regex
+_BULLET_NL_RE2 = r'\n[ \t]*[-*•]'
+_BULLET_FIRST_RE2 = r'^[ \t]*[-*•]'
+_ELLIPSIS_LINE = r'(?m)(?:\.\.\.|…)[ \t]*$'
 _SYMBOL = r'#|…|\.\.\.'
+
+
+def _space_word_counts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc (space-char count, \\S+-run count) computed with numpy over
+    the raw UTF-8 buffer — RE2's space class is pure ASCII, so space bytes
+    == space codepoints and a \\S+ run boundary is a byte property; ~10x
+    faster than the RE2 scans it replaces (measured).  ``arr`` must be a
+    null-free StringArray (upstream fillna)."""
+    n = len(arr)
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset:arr.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[:off[-1]]
+    if len(data) == 0:
+        return np.zeros(n, np.int64), np.zeros(n, np.int64)
+    is_space = ((data == 32) | (data == 9) | (data == 10)
+                | (data == 13) | (data == 12))
+    # cumsum-diff instead of add.reduceat: reduceat mishandles empty docs
+    cs = np.concatenate(([0], np.cumsum(is_space, dtype=np.int64)))
+    n_spaces = cs[off[1:]] - cs[off[:-1]]
+    nonspace = ~is_space
+    starts = nonspace & np.concatenate(([True], is_space[:-1]))
+    # doc boundaries: the first byte of each doc starts a run iff nonspace,
+    # independent of the previous doc's trailing byte
+    heads = off[:-1][off[:-1] < len(data)]
+    starts[heads] = nonspace[heads]
+    cs2 = np.concatenate(([0], np.cumsum(starts, dtype=np.int64)))
+    return n_spaces, cs2[off[1:]] - cs2[off[:-1]]
 
 
 def heuristics_batch(df: pd.DataFrame) -> pd.DataFrame:
     """Adds feature columns: n_chars, n_words, mean_word_len,
     symbol_word_ratio, bullet_line_frac, ellipsis_line_frac, dup_line_frac,
-    alpha_word_frac."""
+    alpha_word_frac.
+
+    All counting features run as pyarrow RE2 kernels (vectorized C++, no
+    per-row Python) — measured 5x faster than the pandas ``.str.count``
+    object-array fallback on the bench corpus; the RE2 class semantics are
+    exactly what the DuckDB oracles mirror (re2compat.py)."""
     s = df['extracted_text'].astype('string').fillna('')
-    n_chars = s.str.len().to_numpy(dtype=np.int64)
-    n_words = s.str.count(_WORD).to_numpy(dtype=np.int64)
+    arr = pa.Array.from_pandas(s, type=pa.string())
+
+    def rcount(pattern: str) -> np.ndarray:
+        return pc.count_substring_regex(arr, pattern) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+
+    n_chars = pc.utf8_length(arr).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    n_spaces, n_words = _space_word_counts(arr)
     n_words_safe = np.maximum(n_words, 1)
-    # \S-char count == len - \s-char count (every char is one or the other);
-    # counting the (much rarer) whitespace matches is ~5x cheaper
-    nonspace = n_chars - s.str.count(RE2_SPACE).to_numpy(dtype=np.int64)
+    # \S-char count == len - \s-char count (every char is one or the other)
+    nonspace = n_chars - n_spaces
 
     # no defensive copy: stages only append new columns to the batch
     df['n_chars'] = n_chars
     df['n_words'] = n_words
     df['mean_word_len'] = nonspace / n_words_safe
-    df['symbol_word_ratio'] = s.str.count(_SYMBOL).to_numpy(dtype=np.float64) / n_words_safe
-    n_lines = s.str.count('\n').to_numpy(dtype=np.int64) + 1
-    df['bullet_line_frac'] = s.str.count(_BULLET_LINE).to_numpy(dtype=np.float64) / n_lines
-    df['ellipsis_line_frac'] = s.str.count(_ELLIPSIS_LINE).to_numpy(dtype=np.float64) / n_lines
-    df['alpha_word_frac'] = s.str.count(_ALPHA_WORD).to_numpy(dtype=np.float64) / n_words_safe
+    df['symbol_word_ratio'] = rcount(_SYMBOL).astype(np.float64) / n_words_safe
+    n_lines = pc.count_substring(arr, '\n') \
+        .to_numpy(zero_copy_only=False).astype(np.int64) + 1
+    bullet = rcount(_BULLET_NL_RE2) + pc.match_substring_regex(
+        arr, _BULLET_FIRST_RE2).to_numpy(zero_copy_only=False).astype(np.int64)
+    df['bullet_line_frac'] = bullet.astype(np.float64) / n_lines
+    df['ellipsis_line_frac'] = rcount(_ELLIPSIS_LINE).astype(np.float64) / n_lines
+    df['alpha_word_frac'] = rcount(_ALPHA_WORD_RE2).astype(np.float64) / n_words_safe
     df['dup_line_frac'] = np.fromiter(
         (_dup_line_frac(t) for t in s), dtype=np.float64, count=len(s))
     return df
