@@ -1969,22 +1969,30 @@ def q_incremental_sessions(sf_dir: str, n_chunks: int = 6) -> pd.DataFrame:
 
     import pyarrow.dataset as pads
     inc = IncrementalSessionizer(gap_minutes=30)
-    outs = []
-    events_path = os.path.join(sf_dir, 'events.parquet')
-    for a, b in zip(edges[:-1], edges[1:]):
-        raw = read_parquet_clean(
-            events_path, columns=['user_id', 'ts', 'value'],
-            filter=(pads.field('ts') >=
-                    pa.scalar(int(a), pa.timestamp('us'))) &
-                   (pads.field('ts') <
-                    pa.scalar(int(b), pa.timestamp('us'))))
-        chunk = raw.map_batches(
-            lambda tb: pa.table({'user_id': tb.column('user_id'),
-                                 'ts': pc.cast(tb.column('ts'), pa.int64()),
-                                 'value': tb.column('value')}),
-            batch_format='pyarrow')
-        outs.append(inc.process_chunk(chunk))
-    outs.append(inc.flush())
+    try:
+        outs = []
+        events_path = os.path.join(sf_dir, 'events.parquet')
+        for a, b in zip(edges[:-1], edges[1:]):
+            raw = read_parquet_clean(
+                events_path, columns=['user_id', 'ts', 'value'],
+                filter=(pads.field('ts') >=
+                        pa.scalar(int(a), pa.timestamp('us'))) &
+                       (pads.field('ts') <
+                        pa.scalar(int(b), pa.timestamp('us'))))
+            chunk = raw.map_batches(
+                lambda tb: pa.table({'user_id': tb.column('user_id'),
+                                     'ts': pc.cast(tb.column('ts'),
+                                                   pa.int64()),
+                                     'value': tb.column('value')}),
+                batch_format='pyarrow')
+            # per-chunk closed sessions stay a Dataset (object-store blocks;
+            # production writes each to its drop's parquet partition) — only
+            # this QUERY's final result collects, because returning a
+            # DataFrame is the query contract
+            outs.append(inc.process_chunk(chunk).to_pandas())
+        outs.append(inc.flush().to_pandas())
+    finally:
+        inc.shutdown()
     out = pd.concat(outs, ignore_index=True)
     return out.astype({'user_id': 'int64', 'session_start': 'int64',
                        'n_events': 'int64', 'sum_value': 'float64'})
