@@ -2284,6 +2284,95 @@ _DB_COLUMN_SCAN_SQL = (
 )
 
 
+def q_nosql_column_scan(sf_dir: str) -> ray.data.Dataset:
+    """S6/S7 NoSQL document-store ingestion (``sources/nosql.py``; reference
+    dynamodb.py:145-152 / documentdb.py:240-253): a JSONL document store —
+    built once per corpus as a FIXTURE with deliberately ragged key sets
+    (``source`` only on even doc_ids, ``note`` only on multiples of 3) — is
+    scanned over the windowed key-union path, then per UNIONED column:
+    document presence count + EMAIL findings.  The distributed part is the
+    adapter + scan; the fixture build is driver-side test scaffolding,
+    cached by source mtime/size (the db_column_scan precedent)."""
+    import hashlib
+    import os
+    src = os.path.join(sf_dir, 'documents.parquet')
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f'{src}:{st.st_mtime_ns}:{st.st_size}:{SQL_AUG_EXPR}:v1'.encode()
+    ).hexdigest()[:10]
+    store_dir = f'/tmp/pii_ray_nosql_{tag}'
+    if not os.path.isdir(store_dir):
+        import json as _json
+
+        import duckdb
+        tmp = f'{store_dir}.build-{os.getpid()}'
+        os.makedirs(tmp, exist_ok=True)
+        con = duckdb.connect()
+        rows = con.execute(
+            f'SELECT doc_id, {SQL_AUG_EXPR} AS text, source '
+            f"FROM read_parquet('{src}') ORDER BY doc_id").fetchall()
+        con.close()
+        files = [open(os.path.join(tmp, f'shard{i}.jsonl'), 'w',
+                      encoding='utf-8') for i in range(8)]
+        try:
+            for doc_id, text, source in rows:
+                d: dict = {'doc_id': int(doc_id), 'text': text}
+                if doc_id % 2 == 0:
+                    d['source'] = source
+                if doc_id % 3 == 0:
+                    d['note'] = f'n{doc_id}'
+                files[doc_id % 8].write(
+                    _json.dumps(d, ensure_ascii=False) + '\n')
+        finally:
+            for f in files:
+                f.close()
+        try:
+            os.rename(tmp, store_dir)    # atomic: concurrent builders race
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    from pii_detector_ray.sources.nosql import read_json_documents
+    ds = read_json_documents(store_dir)
+    pat = PII_PATTERNS['EMAIL_ADDRESS']
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, n_docs, n_matches = [], [], []
+        for c in t.column_names:
+            col = t.column(c)
+            names.append(c)
+            n_docs.append(len(col) - col.null_count)
+            s = pc.sum(pc.count_substring_regex(col, pat))
+            n_matches.append(int(s.as_py() or 0))
+        return pa.table({'column_name': pa.array(names, pa.string()),
+                         'n_docs': pa.array(n_docs, pa.int64()),
+                         'n_matches': pa.array(n_matches, pa.int64())})
+
+    # bounded partials (4 rows per shard) -> single-block final aggregate
+    return (ds.map_batches(partial, batch_format='pyarrow')
+            .repartition(1)
+            .groupby('column_name')
+            .aggregate(Sum('n_docs', alias_name='n_docs'),
+                       Sum('n_matches', alias_name='n_matches')))
+
+
+_NOSQL_COLUMN_SCAN_SQL = (
+    'WITH augn AS (SELECT doc_id, {expr} AS text, source FROM documents) '
+    "SELECT 'doc_id' AS column_name, count(*)::BIGINT AS n_docs, "
+    '0::BIGINT AS n_matches FROM augn '
+    "UNION ALL SELECT 'note', coalesce(sum(CASE WHEN doc_id % 3 = 0 "
+    'THEN 1 ELSE 0 END), 0)::BIGINT, 0::BIGINT FROM augn '
+    "UNION ALL SELECT 'source', coalesce(sum(CASE WHEN doc_id % 2 = 0 "
+    'THEN 1 ELSE 0 END), 0)::BIGINT, '
+    'coalesce(sum(CASE WHEN doc_id % 2 = 0 THEN '
+    "len(regexp_extract_all(source, '{p}')) ELSE 0 END), 0)::BIGINT "
+    'FROM augn '
+    "UNION ALL SELECT 'text', count(*)::BIGINT, "
+    "coalesce(sum(len(regexp_extract_all(text, '{p}'))), 0)::BIGINT "
+    'FROM augn'
+)
+
+
 def q_sample_documents(sf_dir: str) -> ray.data.Dataset:
     """F9 deterministic sampling (the reference's random-sampling path,
     base_scan_service.py:193-231, made reproducible): keep ~10% of docs by a
@@ -4016,6 +4105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'weighted_sample': q_weighted_sample,
         'scan_table_columns': q_scan_table_columns,
         'db_column_scan': q_db_column_scan,
+        'nosql_column_scan': q_nosql_column_scan,
         'embedding_dup_pairs': q_embedding_dup_pairs,
         'components_exact': q_components_exact,
         'daily_active_users': q_daily_active_users,
@@ -4141,6 +4231,9 @@ def oracle_sql() -> dict[str, str]:
             '{expr}', SQL_AUG_EXPR).replace(
             '{p}', _sql_quote(EXTENSION_PATTERNS['PHONE'])),
         'db_column_scan': _DB_COLUMN_SCAN_SQL.replace(
+            '{expr}', SQL_AUG_EXPR).replace(
+            '{p}', _sql_quote(PII_PATTERNS['EMAIL_ADDRESS'])),
+        'nosql_column_scan': _NOSQL_COLUMN_SCAN_SQL.replace(
             '{expr}', SQL_AUG_EXPR).replace(
             '{p}', _sql_quote(PII_PATTERNS['EMAIL_ADDRESS'])),
         'embedding_dup_pairs': _EMBEDDING_DUP_SQL,

@@ -1,0 +1,137 @@
+"""S6/S7: NoSQL document-store ingestion (DynamoDB / DocumentDB semantics),
+re-expressed Ray-Data-first over JSONL document shards.
+
+The reference scans document stores by fetching windows of
+``CHUNK_JSON_CAPACITY = 1000`` documents (``app/core/config.py:131``) and,
+per window, UNIONING the key sets across documents into the frame's column
+set, filling absent keys with ``None``:
+
+- DynamoDB: ``columns = set(sum([list(item.keys()) for item in
+  scanned_items], []))`` then per-item fill (``dynamodb.py:145-152``);
+- DocumentDB: ``cursor.find().skip(offset).limit(limit)`` then the same
+  key union into a DataFrame (``documentdb.py:240-253``).
+
+Ray-native translation (mirrors ``sources/sqldb.py``): the DRIVER touches
+only metadata — the shard file list and each shard's tiny KEY SET from a
+distributed discovery pass — while document parsing runs INSIDE
+``map_batches`` tasks: each task walks its shard in 1000-document windows,
+performs the reference's per-window key union + None fill, then projects
+onto the GLOBAL key union so every block carries one uniform Arrow schema
+(the per-window frames of the reference, concatenated over a full scan,
+are exactly this table).  Values are stringified (JSON scalars via
+``json.dumps``, strings verbatim) — the downstream column-tagged PII scan
+is a string scan, like the reference's DataFrame path.
+
+Scale notes: one task per shard file, windows streamed inside the task
+(bounded memory per window); the discovery pass ships only per-shard key
+SETS to the driver (schema-, never row-, proportional).  A store too big
+to list as files should land as partitioned JSONL/Parquet exports — the
+same contract as the SQL reader's bulk-export note.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+
+import ray.data
+
+# reference settings.CHUNK_JSON_CAPACITY analog — documents per union window
+DEFAULT_CHUNK_DOCS = 1_000
+
+
+def _stringify(v) -> str | None:
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return v
+    return json.dumps(v, sort_keys=True, ensure_ascii=False)
+
+
+def _window_union_fill(docs: list[dict]) -> list[dict]:
+    """The reference's per-window key union + None fill
+    (dynamodb.py:145-152): every document gets every key seen in the
+    window, absent ones as None."""
+    columns = set()
+    for d in docs:
+        columns.update(d.keys())
+    return [{c: d.get(c) for c in columns} for d in docs]
+
+
+def list_shards(path_dir: str) -> list[str]:
+    return sorted(
+        os.path.join(path_dir, f) for f in os.listdir(path_dir)
+        if f.endswith('.jsonl'))
+
+
+def discover_columns(paths: list[str]) -> list[str]:
+    """Global key union, discovered distributed: one task per shard emits
+    its key SET (tiny); the driver unions the sets.  Mirrors the
+    information_schema discovery step of the SQL reader."""
+    def keys_of(batch: pa.Table) -> pa.Table:
+        out = set()
+        for p in batch.column('path').to_pylist():
+            with open(p, 'r', encoding='utf-8') as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        out.update(json.loads(line).keys())
+        return pa.table({'key': pa.array(sorted(out), pa.string())})
+
+    items = ray.data.from_arrow(
+        pa.table({'path': pa.array(paths, pa.string())}))
+    cols = set()
+    for b in items.map_batches(keys_of, batch_format='pyarrow',
+                               batch_size=1).iter_batches(
+            batch_format='pyarrow'):
+        cols.update(b.column('key').to_pylist())
+    return sorted(cols)
+
+
+def read_json_documents(path_dir: str, *,
+                        chunk_docs: int = DEFAULT_CHUNK_DOCS,
+                        columns: list[str] | None = None
+                        ) -> ray.data.Dataset:
+    """Scan a directory of JSONL document shards with the reference's
+    window/key-union semantics; returns a Dataset whose schema is the
+    global key union (all-string columns, absent keys null)."""
+    paths = list_shards(path_dir)
+    if columns is None:
+        columns = discover_columns(paths)
+    cols = list(columns)
+    if not paths or not cols:
+        return ray.data.from_arrow(pa.table(
+            {c: pa.array([], pa.string()) for c in cols}))
+
+    def parse_shard(batch: pa.Table) -> pa.Table:
+        tables = []
+        for p in batch.column('path').to_pylist():
+            window: list[dict] = []
+            out_cols: dict[str, list] = {c: [] for c in cols}
+
+            def flush_window() -> None:
+                for d in _window_union_fill(window):
+                    for c in cols:
+                        out_cols[c].append(_stringify(d.get(c)))
+                window.clear()
+
+            with open(p, 'r', encoding='utf-8') as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    window.append(json.loads(line))
+                    if len(window) >= chunk_docs:
+                        flush_window()
+            flush_window()
+            tables.append(pa.table(
+                {c: pa.array(out_cols[c], pa.string()) for c in cols}))
+        return pa.concat_tables(tables) if tables else pa.table(
+            {c: pa.array([], pa.string()) for c in cols})
+
+    items = ray.data.from_arrow(
+        pa.table({'path': pa.array(paths, pa.string())}))
+    return items.map_batches(parse_shard, batch_format='pyarrow',
+                             batch_size=1)

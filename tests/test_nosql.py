@@ -1,0 +1,55 @@
+"""S6/S7 NoSQL document adapter: per-window key union + None fill
+(reference dynamodb.py:145-152 / documentdb.py:240-253 semantics), global
+schema union across ragged shards, value stringification."""
+
+import json
+import os
+
+import pyarrow as pa
+
+from pii_detector_ray.sources.nosql import (
+    discover_columns,
+    list_shards,
+    read_json_documents,
+)
+
+
+def _write(dirpath, name, docs):
+    with open(os.path.join(dirpath, name), 'w', encoding='utf-8') as f:
+        for d in docs:
+            f.write(json.dumps(d) + '\n')
+        f.write('\n')          # blank lines are skipped
+
+
+def test_key_union_and_stringify(ray_session, tmp_path):
+    d = str(tmp_path)
+    _write(d, 'a.jsonl', [{'id': 1, 'name': 'x'},
+                          {'id': 2, 'email': 'a@b.co', 'n': 7}])
+    _write(d, 'b.jsonl', [{'id': 3, 'tags': ['t1', 't2']}])
+    assert discover_columns(list_shards(d)) == ['email', 'id', 'n', 'name',
+                                                'tags']
+    out = read_json_documents(d).to_pandas().sort_values('id') \
+        .reset_index(drop=True)
+    # every doc carries the UNION of keys; absent -> null; scalars stringified
+    assert list(out.columns) == ['email', 'id', 'n', 'name', 'tags']
+    assert out['id'].tolist() == ['1', '2', '3']
+    assert out['email'].tolist() == [None, 'a@b.co', None]
+    assert out['n'].tolist() == [None, '7', None]
+    assert out['tags'].tolist() == [None, None, '["t1", "t2"]']
+
+
+def test_window_chunking_matches_whole_file(ray_session, tmp_path):
+    d = str(tmp_path)
+    docs = [{'id': i, **({'opt': i} if i % 3 == 0 else {})}
+            for i in range(10)]
+    _write(d, 'a.jsonl', docs)
+    big = read_json_documents(d, chunk_docs=1000).to_pandas()
+    small = read_json_documents(d, chunk_docs=2).to_pandas()
+    assert big.equals(small)
+    assert len(big) == 10
+
+
+def test_empty_store(ray_session, tmp_path):
+    d = str(tmp_path)
+    ds = read_json_documents(d)
+    assert ds.count() == 0
