@@ -2861,8 +2861,9 @@ _MEDIA_FEATURE_STATS_SQL = (
 _MEDIA_DECODE_STATS_SQL = (
     'SELECT * FROM (VALUES '
     "('audio/wav', 60::BIGINT, 12.9776, 207.1271), "
-    "('image/gif', 30::BIGINT, 14.8377, 245.4915), "
-    "('image/png', 30::BIGINT, 5.6098, 136.5647)) "
+    "('image/gif', 30::BIGINT, 15.3304, 240.5738), "
+    "('image/jpeg', 15::BIGINT, 1.6026, 51.2011), "
+    "('image/png', 15::BIGINT, 2.8902, 67.3935)) "
     'AS t(media_type, n_items, sum_feat0, sum_all)'
 )
 

@@ -11,9 +11,11 @@ Codec status in this container (no PIL/ffmpeg/torchaudio):
 - **GIF** — REAL, stdlib: LZW bitstream + palette + interlace
   (``functions/gifcodec.py``), first frame.
 - **WAV** — REAL, stdlib: ``wave`` module, 16-bit PCM (:func:`decode_wav`).
-- everything else (JPEG, video, ...) — stubbed: the Ray-side plumbing is
-  real, the codec call raises ``NotImplementedError`` unless the
-  deterministic fake byte-histogram decoder is enabled.
+- **JPEG** — REAL, stdlib: baseline SOF0 Huffman decode, 4:4:4 and 4:2:0,
+  restart markers (``functions/jpegcodec.py``; encoder for fixtures).
+- everything else (video, progressive JPEG, ...) — stubbed: the Ray-side
+  plumbing is real, the codec call raises ``NotImplementedError`` unless
+  the deterministic fake byte-histogram decoder is enabled.
 
 Scale notes: large binary payloads need SMALL ``batch_size`` (a batch ×
 concurrency must fit worker heap) and benefit from a larger
@@ -215,6 +217,10 @@ class MediaDecodeStage:
                 from pii_detector_ray.functions.gifcodec import decode_gif
                 img = decode_gif(payload).astype(np.float64).mean(axis=2)
                 return mean_pool(img, 4, 4).reshape(-1) / 255.0
+            if media_type == 'image/jpeg':
+                from pii_detector_ray.functions.jpegcodec import decode_jpeg
+                img = decode_jpeg(payload).astype(np.float64).mean(axis=2)
+                return mean_pool(img, 4, 4).reshape(-1) / 255.0
             if media_type == 'audio/wav':
                 samples, _ = decode_wav(payload)
                 mono = samples.astype(np.float64).mean(axis=1)
@@ -223,7 +229,7 @@ class MediaDecodeStage:
                                  for s in segs]) / 32768.0
             raise NotImplementedError(
                 f'no codec available for {media_type}; only stdlib '
-                f'PNG/GIF/WAV decode is wired in this container')
+                f'PNG/GIF/JPEG/WAV decode is wired in this container')
         arr = np.frombuffer(payload, dtype=np.uint8)
         hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype(np.float64)
         return hist / hist.sum()
@@ -298,14 +304,27 @@ class ResizeStage:
 
 def synth_real_media_table(n: int, seed: int = 17) -> pa.Table:
     """Fixture table whose payloads are REAL decodable media: deterministic
-    gradient PNGs (ids % 4 == 0), paletted GIFs (ids % 4 == 2, every other
-    one interlaced) and sine-burst WAVs (odd ids)."""
+    gradient PNGs (ids % 8 == 0), baseline JPEGs (ids % 8 == 4 — 4:4:4 and
+    4:2:0 variants, some with restart markers), paletted GIFs
+    (ids % 4 == 2, every other one interlaced) and sine-burst WAVs
+    (odd ids)."""
     from pii_detector_ray.functions.gifcodec import encode_gif
+    from pii_detector_ray.functions.jpegcodec import encode_jpeg
     rng = np.random.default_rng(seed)
     ids, types, payloads, widths, heights, durs = [], [], [], [], [], []
     for i in range(n):
         ids.append(i)
-        if i % 4 == 2:
+        if i % 8 == 4:
+            w, h = 16 + int(rng.integers(0, 16)), 16 + int(rng.integers(0, 16))
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack([(xx * (2 + i % 3)) % 256, (yy * 5) % 256,
+                            ((xx + yy + i) % 256)], axis=2).astype(np.uint8)
+            payloads.append(encode_jpeg(
+                img, quality=85, subsample_420=bool(i % 16 == 4),
+                restart_interval=2 if i % 24 == 4 else 0))
+            types.append('image/jpeg')
+            widths.append(w); heights.append(h); durs.append(None)
+        elif i % 4 == 2:
             w, h = 8 + int(rng.integers(0, 12)), 8 + int(rng.integers(0, 12))
             idx = rng.integers(0, 16, size=(h, w)).astype(np.uint8)
             pal = rng.integers(0, 256, size=(16, 3)).astype(np.uint8)

@@ -1,0 +1,76 @@
+"""Stdlib baseline-JPEG codec: round-trip within quantization error over
+gray/4:4:4/4:2:0/restart variants, marker structure, and error paths."""
+
+import numpy as np
+import pytest
+
+from pii_detector_ray.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+
+def _grad(h, w, color=True):
+    yy, xx = np.mgrid[0:h, 0:w]
+    if color:
+        return np.stack([(xx * 3) % 256, (yy * 5) % 256,
+                         ((xx + yy) * 2) % 256], axis=2).astype(np.uint8)
+    return ((xx * 2 + yy * 3) % 256).astype(np.uint8)
+
+
+@pytest.mark.parametrize('shape', [(8, 8), (17, 13), (40, 56), (64, 48)])
+@pytest.mark.parametrize('kw', [{}, {'subsample_420': True},
+                                {'restart_interval': 2},
+                                {'subsample_420': True,
+                                 'restart_interval': 3}])
+def test_roundtrip_color(ray_session, shape, kw):
+    img = _grad(*shape)
+    dec = decode_jpeg(encode_jpeg(img, quality=90, **kw))
+    assert dec.shape == (*shape, 3)
+    err = np.abs(dec.astype(int) - img.astype(int))
+    # smooth gradient at q90: tight quantization bound; 4:2:0 smears chroma
+    assert err.mean() < (3.0 if kw.get('subsample_420') else 1.5)
+    assert err.max() < (30 if kw.get('subsample_420') else 12)
+
+
+def test_roundtrip_gray(ray_session):
+    img = _grad(24, 40, color=False)
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    assert dec.shape == (24, 40, 3)
+    assert np.abs(dec[..., 0].astype(int) - img.astype(int)).max() <= 4
+    # grayscale replicates across channels
+    assert (dec[..., 0] == dec[..., 1]).all()
+
+
+def test_flat_image_exact(ray_session):
+    img = np.full((16, 16, 3), 77, np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    assert np.abs(dec.astype(int) - 77).max() <= 1
+
+
+def test_markers_and_stuffing(ray_session):
+    p = encode_jpeg(_grad(16, 16), quality=50)
+    assert p[:2] == b'\xff\xd8' and p[-2:] == b'\xff\xd9'
+    assert b'JFIF' in p[:32]
+    # every 0xFF inside entropy data is stuffed or a marker: decoding twice
+    # is deterministic
+    assert (decode_jpeg(p) == decode_jpeg(p)).all()
+
+
+def test_rejects_non_jpeg_and_progressive(ray_session):
+    with pytest.raises(ValueError):
+        decode_jpeg(b'\x89PNG\r\n\x1a\nnot a jpeg')
+    p = bytearray(encode_jpeg(_grad(8, 8), quality=75))
+    i = p.find(b'\xff\xc0')
+    p[i + 1] = 0xC2            # pretend progressive SOF2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(p))
+
+
+def test_media_decode_stage_jpeg_row(ray_session):
+    from pii_detector_ray.stages.multimodal import MediaDecodeStage
+    import pyarrow as pa
+    img = _grad(16, 16)
+    t = pa.table({'media_id': pa.array([1], pa.int64()),
+                  'media_type': pa.array(['image/jpeg'], pa.string()),
+                  'payload': pa.array([encode_jpeg(img)], pa.binary())})
+    out = MediaDecodeStage(use_fake_decoder=False)(t)
+    feats = np.asarray(out.column('features').to_pylist()[0])
+    assert feats.shape == (16,) and 0.0 < feats.mean() < 1.0
