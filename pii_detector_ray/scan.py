@@ -167,27 +167,56 @@ def scan_texts(texts: list[str], detectors: list[Detector], *, ner: bool = False
     if n == 0:
         return per_row
 
-    lowered: list[str] | None = None
+    lowered_arr = None        # pa.array of t.lower(), built once on demand
+    raw_arr = None            # pa.array of the raw texts
     digit_rows: list[int] | None = None
     corpora: dict[object, _SubCorpus] = {}
 
+    def _raw() -> 'pa.Array':
+        nonlocal raw_arr
+        if raw_arr is None:
+            import pyarrow as pa
+            raw_arr = pa.array(texts, pa.string())
+        return raw_arr
+
     def eligible(det: Detector) -> tuple[object, list[int] | None]:
-        nonlocal lowered, digit_rows
+        """Gate evaluation is vectorized (pyarrow kernels) with semantics
+        identical to the per-row Python tests they replace: the digit /
+        quick-regex gates run RE2 on the raw text (pure ASCII classes),
+        and literal keys run a plain BYTE substring search over the
+        Python-``lower()``ed strings — byte-identical to ``k in
+        t.lower()`` (arrow's own utf8_lower is NOT used: its case mapping
+        can diverge from Python's on exotic codepoints)."""
+        nonlocal lowered_arr, digit_rows
+        import pyarrow.compute as pc
         g = det.gate
         if g is None:
             return ('all',), None
         if g == 'digit':
             if digit_rows is None:
-                digit_rows = [i for i, t in enumerate(texts) if _DIGIT_RE.search(t)]
+                digit_rows = np.flatnonzero(
+                    pc.match_substring_regex(_raw(), '[0-9]')
+                    .to_numpy(zero_copy_only=False)).tolist()
             return ('digit',), digit_rows
         if g[0] == 're':     # quick-regex gate (e.g. [0-9:] for IP)
-            quick = compiled(g[1])  # type: ignore[index]
-            rows = [i for i, t in enumerate(texts) if quick.search(t)]
+            try:
+                mask = pc.match_substring_regex(_raw(), g[1]) \
+                    .to_numpy(zero_copy_only=False)
+                rows = np.flatnonzero(mask).tolist()
+            except Exception:   # non-RE2 custom gate: per-row fallback
+                quick = compiled(g[1])  # type: ignore[index]
+                rows = [i for i, t in enumerate(texts) if quick.search(t)]
             return ('re', g[1]), rows
         keys = tuple(g[1:])  # type: ignore[index]
-        if lowered is None:
-            lowered = [t.lower() for t in texts]
-        rows = [i for i, t in enumerate(lowered) if any(k in t for k in keys)]
+        if lowered_arr is None:
+            import pyarrow as pa
+            lowered_arr = pa.array([t.lower() for t in texts], pa.string())
+        mask = None
+        for k in keys:
+            m = pc.match_substring(lowered_arr, k) \
+                .to_numpy(zero_copy_only=False)
+            mask = m if mask is None else (mask | m)
+        rows = np.flatnonzero(mask).tolist()
         return ('lit', keys), rows
 
     def scan_sub(det: Detector, pattern: str, key: object, rows: list[int] | None) -> None:
@@ -204,7 +233,10 @@ def scan_texts(texts: list[str], detectors: list[Detector], *, ner: bool = False
         if isinstance(g, tuple) and g and g[0] == 'split':
             # digit rows: full pattern; digit-less rows: reduced equivalent
             if digit_rows is None:
-                digit_rows = [i for i, t in enumerate(texts) if _DIGIT_RE.search(t)]
+                import pyarrow.compute as pc
+                digit_rows = np.flatnonzero(
+                    pc.match_substring_regex(_raw(), '[0-9]')
+                    .to_numpy(zero_copy_only=False)).tolist()
             digit_set = set(digit_rows)
             nondigit = [i for i in range(n) if i not in digit_set] \
                 if digit_rows else list(range(n))
