@@ -75,13 +75,16 @@ def test_media_decode_stage_plumbing():
 
 
 def test_media_decode_codecless_types_raise():
-    # PNG/WAV are now REAL stdlib codecs (r2); formats without a codec in
-    # this container keep the NotImplementedError stub contract
+    # PNG/WAV (r2), GIF (r3) and baseline JPEG (r4) are REAL stdlib codecs;
+    # formats without a codec keep the NotImplementedError stub contract,
+    # and a real codec rejects malformed payloads with a ValueError-family
+    # error, not the stub error
     stage = MediaDecodeStage(use_fake_decoder=False)
     with pytest.raises(NotImplementedError):
         stage.decode(b'\x00\x00\x01\xba mpeg', 'video/mp4')
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(Exception) as ei:
         stage.decode(b'\xff\xd8\xff jpeg', 'image/jpeg')
+    assert not isinstance(ei.value, NotImplementedError)
 
 
 def test_frame_sample_stage():
