@@ -25,7 +25,11 @@ import time
 
 SF_DIR = os.environ.get('GRAFT_SF_DIR', '/root/testdata/sf0.1')
 NUM_CPUS = int(os.environ.get('RAY_GRAFT_CPUS', '32'))
-BENCH_ROWS = 600_000
+# headline corpus: 600k pages.  GRAFT_BENCH_CORPUS=bench2x (1.2M pages)
+# is used by the scaling levels so per-session fixed costs weigh half as
+# much — closer to the 10^12-document regime the criterion models.
+BENCH_CORPUS = os.environ.get('GRAFT_BENCH_CORPUS', 'bench')
+BENCH_ROWS = {'bench': 600_000, 'bench2x': 1_200_000}[BENCH_CORPUS]
 
 
 def run_bench() -> dict:
@@ -34,7 +38,7 @@ def run_bench() -> dict:
     from pii_detector_ray.sources.pages import ensure_corpus
 
     # corpus generation + page-cache warm-up happen before ray/time start
-    pages_dir = ensure_corpus('bench')
+    pages_dir = ensure_corpus(BENCH_CORPUS)
     for name in sorted(os.listdir(pages_dir)):
         with open(os.path.join(pages_dir, name), 'rb') as f:
             while f.read(1 << 24):
@@ -117,6 +121,7 @@ def run_bench() -> dict:
         'queries': timings,
         'sf': SF_DIR.rstrip('/').rsplit('sf', 1)[-1],
         'num_cpus': NUM_CPUS,
+        'rows': BENCH_ROWS,
         'docs_per_sec': round(BENCH_ROWS / headline, 1),
     }
 
@@ -129,7 +134,9 @@ def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         subprocess.run(['sync'], check=False)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_HEADLINE_ONLY='1', GRAFT_BENCH_REPEATS='1')
+                   GRAFT_BENCH_HEADLINE_ONLY='1', GRAFT_BENCH_REPEATS='1',
+                   GRAFT_BENCH_CORPUS=os.environ.get(
+                       'GRAFT_BENCH_CORPUS', 'bench2x'))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout
@@ -142,8 +149,9 @@ def run_scaling() -> dict:
     # noise-robust estimator here.
     levels = [4, 8, 16, 32]
     repeats = 3
-    run(levels[-1])   # discarded warm-up: first run is always cold (imports,
-    runs = {n: [] for n in levels}             # page cache, pyc, ray plasma)
+    first = run(levels[-1])   # discarded warm-up: first run is always cold
+    rows = first.get('rows', BENCH_ROWS)       # (imports, page cache, plasma)
+    runs = {n: [] for n in levels}
     for _ in range(repeats):
         for ncpu in levels:
             runs[ncpu].append(run(ncpu)['value'])
@@ -153,8 +161,8 @@ def run_scaling() -> dict:
         pairs.append({
             'cpus_lo': lo, 'cpus_hi': hi,
             'sec_lo': sec[lo], 'sec_hi': sec[hi],
-            'docs_per_sec_lo': round(BENCH_ROWS / sec[lo], 1),
-            'docs_per_sec_hi': round(BENCH_ROWS / sec[hi], 1),
+            'docs_per_sec_lo': round(rows / sec[lo], 1),
+            'docs_per_sec_hi': round(rows / sec[hi], 1),
             'scaling_efficiency': round((sec[lo] / sec[hi]) / (hi / lo), 3),
         })
     primary = pairs[0]

@@ -255,6 +255,10 @@ SIZES = {
     'smoke': PagesSpec(n_rows=500, n_shards=1),
     'correctness': PagesSpec(n_rows=5_000, n_shards=4),
     'bench': PagesSpec(n_rows=600_000, n_shards=128),
+    # scaling-measurement corpus: 2x the bench job so per-session fixed
+    # costs (pool spawn, read/write setup) weigh half as much — closer to
+    # the 10^12-document regime the efficiency criterion models
+    'bench2x': PagesSpec(n_rows=1_200_000, n_shards=256),
 }
 
 
