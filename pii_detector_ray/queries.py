@@ -2373,6 +2373,34 @@ _NOSQL_COLUMN_SCAN_SQL = (
 )
 
 
+def q_exact_substr_spans(sf_dir: str) -> ray.data.Dataset:
+    """ExactSubstr-style duplicated spans (stages/exactsubstr.py; Lee et
+    al. 2022): maximal character spans covered by a 24-char substring that
+    occurs >= 2 times anywhere in the corpus — three streaming passes
+    (hash census -> exact substring verify -> island merge), documents
+    never shuffle.  The oracle replays the definition literally with a
+    per-position unnest + self-duplication HAVING + window island merge."""
+    from pii_detector_ray.stages.exactsubstr import duplicated_spans
+    return duplicated_spans(read_documents(sf_dir, ['doc_id', 'text']),
+                            L=24)
+
+
+_EXACT_SUBSTR_SQL = (
+    'WITH g AS (SELECT doc_id, i AS p, substr(text, i, 24) AS s '
+    'FROM documents, LATERAL unnest(range(1, length(text)-24+2)) u(i) '
+    'WHERE text IS NOT NULL), '
+    'dup AS (SELECT s FROM g GROUP BY s HAVING count(*) >= 2), '
+    'hits AS (SELECT doc_id, p FROM g WHERE s IN (SELECT s FROM dup)), '
+    'lagged AS (SELECT doc_id, p, lag(p) OVER '
+    '(PARTITION BY doc_id ORDER BY p) AS prev FROM hits), '
+    'isl AS (SELECT doc_id, p, sum(CASE WHEN prev IS NULL OR p - prev > 24 '
+    'THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY p '
+    'ROWS UNBOUNDED PRECEDING) AS grp FROM lagged) '
+    'SELECT doc_id, (min(p) - 1)::BIGINT AS span_start, '
+    '(max(p) + 23)::BIGINT AS span_end FROM isl GROUP BY doc_id, grp'
+)
+
+
 def q_sample_documents(sf_dir: str) -> ray.data.Dataset:
     """F9 deterministic sampling (the reference's random-sampling path,
     base_scan_service.py:193-231, made reproducible): keep ~10% of docs by a
@@ -4211,6 +4239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'scan_table_columns': q_scan_table_columns,
         'db_column_scan': q_db_column_scan,
         'nosql_column_scan': q_nosql_column_scan,
+        'exact_substr_spans': q_exact_substr_spans,
         'embedding_dup_pairs': q_embedding_dup_pairs,
         'components_exact': q_components_exact,
         'daily_active_users': q_daily_active_users,
@@ -4307,6 +4336,7 @@ def oracle_sql() -> dict[str, str]:
         'doc_fingerprints': _DOC_FINGERPRINTS_SQL,
         'media_feature_stats': _MEDIA_FEATURE_STATS_SQL,
         'media_decode_stats': _MEDIA_DECODE_STATS_SQL,
+        'exact_substr_spans': _EXACT_SUBSTR_SQL,
         'top_tokens_per_source': _TOP_TOKENS_SQL,
         'distinct_source_lang': _DISTINCT_SOURCE_LANG_SQL,
         'source_lang_list': _SOURCE_LANG_LIST_SQL,
