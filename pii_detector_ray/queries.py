@@ -3277,6 +3277,642 @@ _TOP_ORDER_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Deep multi-table join shapes (TPC-H Q5 / Q12 / Q14 / Q17 / Q18 analogues)
+# ---------------------------------------------------------------------------
+
+# Exact revenue arithmetic: prices and discounts are 2-decimal (verified in
+# TESTDATA.md domains), so revenue is computed in integer 1e-4 currency
+# units — ``round(price*100) * (100 - round(disc*100))`` — and summed in
+# int64.  Partial-sum ORDER can then never flip a downstream rounding
+# boundary (the float-assoc risk the LTV-decile query documents).  The
+# oracle mirrors the same integers.
+_REV_E4_SQL = ('CAST(round(l_extendedprice * 100) AS BIGINT) * '
+               '(100 - CAST(round(l_discount * 100) AS BIGINT))')
+
+
+def _rev_e4(price: np.ndarray, disc: np.ndarray) -> np.ndarray:
+    cents = np.rint(price * 100.0).astype(np.int64)
+    dpct = 100 - np.rint(disc * 100.0).astype(np.int64)
+    return cents * dpct
+
+
+def q_local_supplier_volume(sf_dir: str,
+                            broadcast_order_limit: int = 2_000_000
+                            ) -> ray.data.Dataset:
+    """TPC-H Q5 shape: 6-table join (customer x orders x lineitem x supplier
+    x nation x region) with the co-nation condition
+    ``c_nationkey = s_nationkey`` — revenue earned from LOCAL suppliers per
+    nation of one region, one order-year.
+
+    Plan (100 TB shape): nation x region resolve driver-side (both tiny);
+    the region's supplier->nationkey map broadcasts once via ``ray.put``
+    (suppliers are ~1e-4 of lineitem rows; a deployment past the broadcast
+    budget shards it like stages/similarity.py's sharded broadcast).  The
+    customer->nationkey lookup and the qualifying-order side are both
+    input-PROPORTIONAL, so they are size-guarded: under
+    ``broadcast_order_limit`` the (orderkey -> cust-nation) map broadcasts
+    and lineitem streams ONE pass of integer-cents partials; above it
+    nothing customer- or order-proportional ever reaches the driver —
+    customer joins orders co-partitioned on custkey, lineitem pre-aggregates
+    per (orderkey, supp-nation) and meets the order side in a second narrow
+    co-partitioned join.  Both paths are frame-equal
+    (tests/test_analytics_paths.py)."""
+    import os
+    d0 = np.datetime64('1996-01-01')
+    d1 = np.datetime64('1997-01-01')
+    nation = read_parquet_clean(os.path.join(sf_dir, 'nation.parquet'),
+                                columns=['n_nationkey', 'n_name',
+                                         'n_regionkey']).to_pandas()
+    regionkey = read_parquet_clean(
+        os.path.join(sf_dir, 'region.parquet'),
+        columns=['r_regionkey', 'r_name']).to_pandas()
+    rk = int(regionkey.loc[regionkey['r_name'] == 'ASIA',
+                           'r_regionkey'].iloc[0])
+    nat = nation[nation['n_regionkey'] == rk]
+    nat_name = dict(zip(nat['n_nationkey'].astype(int),
+                        nat['n_name']))          # ~5 entries
+
+    supp = read_parquet_clean(os.path.join(sf_dir, 'supplier.parquet'),
+                              columns=['s_suppkey', 's_nationkey'])
+
+    def supp_side(t: pa.Table) -> pa.Table:
+        nk = t.column('s_nationkey').to_numpy(zero_copy_only=False)
+        mask = pa.array(np.isin(nk, np.fromiter(nat_name, np.int64)))
+        return t.filter(mask)
+
+    sd = supp.map_batches(supp_side, batch_format='pyarrow').to_pandas()
+    skeys = np.asarray(sd['s_suppkey'], np.int64)
+    order_s = np.argsort(skeys, kind='stable')
+    skeys = skeys[order_s]
+    snat = np.asarray(sd['s_nationkey'], np.int64)[order_s]
+    supp_ref = ray.put((skeys, snat))
+
+    orders = read_parquet_clean(os.path.join(sf_dir, 'orders.parquet'),
+                                columns=['o_orderkey', 'o_custkey',
+                                         'o_orderdate'])
+
+    def order_side(t: pa.Table) -> pa.Table:
+        dt = t.column('o_orderdate').to_numpy(zero_copy_only=False)
+        mask = pa.array((dt >= d0) & (dt < d1))
+        return pa.table({'o_orderkey': t.column('o_orderkey'),
+                         'o_custkey': t.column('o_custkey')}).filter(mask)
+
+    qual = orders.map_batches(order_side, batch_format='pyarrow') \
+        .materialize()            # narrow (orderkey, custkey), reused
+
+    cust = read_parquet_clean(os.path.join(sf_dir, 'customer.parquet'),
+                              columns=['c_custkey', 'c_nationkey'])
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        nk = t.column('c_nationkey').to_numpy(zero_copy_only=False)
+        mask = pa.array(np.isin(nk, np.fromiter(nat_name, np.int64)))
+        return t.filter(mask)
+
+    cust_nat = cust.map_batches(cust_side, batch_format='pyarrow')
+
+    def li_partial(onat_ref):
+        """onat_ref None -> emit (l_orderkey, s_nat) partials for the join
+        path; else a broadcast (okey->c_nat) lookup closes the query in one
+        pass."""
+        def f(t: pa.Table) -> pa.Table:
+            sk, sn = ray.get(supp_ref)
+            lk = t.column('l_suppkey').to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(sk, lk)
+            ok = t.column('l_orderkey').to_numpy(zero_copy_only=False)
+            rev = _rev_e4(
+                t.column('l_extendedprice').to_numpy(zero_copy_only=False),
+                t.column('l_discount').to_numpy(zero_copy_only=False))
+            if len(sk) == 0:
+                keep = np.zeros(len(lk), bool)
+                s_nat = np.zeros(len(lk), np.int64)
+            else:
+                keep = sk[np.minimum(idx, len(sk) - 1)] == lk
+                s_nat = sn[np.minimum(idx, len(sk) - 1)]
+            if onat_ref is not None:
+                okeys, onat = ray.get(onat_ref)
+                oidx = np.searchsorted(okeys, ok)
+                if len(okeys):
+                    oidx2 = np.minimum(oidx, len(okeys) - 1)
+                    keep &= (okeys[oidx2] == ok) & (onat[oidx2] == s_nat)
+                else:
+                    keep &= False
+                tbl = pa.table({'_nat': pa.array(s_nat[keep], pa.int64()),
+                                '_rev': pa.array(rev[keep], pa.int64())})
+                agg = tbl.group_by('_nat').aggregate([('_rev', 'sum')])
+                return agg.rename_columns(['_nat', '_rev'])
+            tbl = pa.table({'o_orderkey': pa.array(ok[keep], pa.int64()),
+                            '_nat': pa.array(s_nat[keep], pa.int64()),
+                            '_rev': pa.array(rev[keep], pa.int64())})
+            agg = tbl.group_by(['o_orderkey', '_nat']) \
+                .aggregate([('_rev', 'sum')])
+            return agg.rename_columns(['o_orderkey', '_nat', '_rev'])
+        return f
+
+    line = read_parquet_clean(
+        os.path.join(sf_dir, 'lineitem.parquet'),
+        columns=['l_orderkey', 'l_suppkey', 'l_extendedprice', 'l_discount'])
+
+    from pii_detector_ray.stages.dedup import drop_empty_blocks, \
+        join_partitions
+    n_qual = qual.count()
+    if n_qual <= broadcast_order_limit:
+        cmap = {int(r['c_custkey']): int(r['c_nationkey'])
+                for b in cust_nat.iter_batches(batch_size=None,
+                                               batch_format='pyarrow')
+                for r in b.to_pylist()}
+        oks, onats = [], []
+        for b in qual.iter_batches(batch_size=None, batch_format='pyarrow'):
+            for r in b.to_pylist():
+                nk = cmap.get(int(r['o_custkey']))
+                if nk is not None:
+                    oks.append(int(r['o_orderkey']))
+                    onats.append(nk)
+        okeys = np.asarray(oks, np.int64)
+        o_ord = np.argsort(okeys, kind='stable')
+        onat_ref = ray.put((okeys[o_ord],
+                            np.asarray(onats, np.int64)[o_ord]))
+        agg = (line.map_batches(li_partial(onat_ref), batch_format='pyarrow')
+               .groupby('_nat').aggregate(Sum('_rev', alias_name='_rev')))
+    else:
+        onat = drop_empty_blocks(qual).join(
+            drop_empty_blocks(cust_nat.map_batches(
+                lambda t: t.rename_columns(['o_custkey', '_cnat']),
+                batch_format='pyarrow')),
+            join_type='inner', num_partitions=join_partitions(),
+            on=('o_custkey',)).select_columns(['o_orderkey', '_cnat'])
+        partials = (line.map_batches(li_partial(None), batch_format='pyarrow')
+                    .groupby(['o_orderkey', '_nat'])
+                    .aggregate(Sum('_rev', alias_name='_rev')))
+        joined = drop_empty_blocks(partials).join(
+            drop_empty_blocks(onat), join_type='inner',
+            num_partitions=join_partitions(), on=('o_orderkey',))
+
+        def local_only(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column('_nat'), t.column('_cnat')))
+
+        agg = (joined.map_batches(local_only, batch_format='pyarrow')
+               .groupby('_nat').aggregate(Sum('_rev', alias_name='_rev')))
+
+    def fin(t: pa.Table) -> pa.Table:
+        nats = t.column('_nat').to_numpy(zero_copy_only=False)
+        rev = t.column('_rev').to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            'n_name': pa.array([nat_name[int(n)] for n in nats], pa.string()),
+            'revenue': sql_round_pa(pa.array(rev / 10000.0), 2)})
+    return drop_empty_blocks(agg).map_batches(fin, batch_format='pyarrow')
+
+
+_LOCAL_SUPPLIER_VOLUME_SQL = (
+    'SELECT n.n_name, '
+    f'round(sum({_REV_E4_SQL}) / 10000.0, 2) AS revenue '
+    'FROM customer c '
+    'JOIN orders o ON c.c_custkey = o.o_custkey '
+    'JOIN lineitem l ON l.l_orderkey = o.o_orderkey '
+    'JOIN supplier s ON l.l_suppkey = s.s_suppkey '
+    'AND c.c_nationkey = s.s_nationkey '
+    'JOIN nation n ON s.s_nationkey = n.n_nationkey '
+    'JOIN region r ON n.n_regionkey = r.r_regionkey '
+    "WHERE r.r_name = 'ASIA' "
+    "AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o.o_orderdate < TIMESTAMP '1997-01-01' "
+    'GROUP BY n.n_name'
+)
+
+
+def q_late_shipment_counts(sf_dir: str,
+                           broadcast_order_limit: int = 2_000_000
+                           ) -> ray.data.Dataset:
+    """TPC-H Q12 shape: per-order-priority counts of lineitems shipped more
+    than 60 days after the order date.  The comparison needs each line's
+    OWN order date, so there is no pre-aggregation that avoids pairing them.
+
+    Plan: under ``broadcast_order_limit`` the (orderkey -> date, priority)
+    arrays broadcast once (sorted int64 keys + ns timestamps + a 5-entry
+    priority dictionary) and lineitem streams one pass emitting <=5 partial
+    rows per batch via ``np.bincount``; above it the two NARROW sides (2 and
+    3 columns) meet in a co-partitioned hash join and the same conditional
+    partial runs post-join.  Both paths frame-equal
+    (tests/test_analytics_paths.py)."""
+    import os
+    lag_ns = np.int64(60) * 86_400_000_000_000
+    orders = read_parquet_clean(os.path.join(sf_dir, 'orders.parquet'),
+                                columns=['o_orderkey', 'o_orderdate',
+                                         'o_orderpriority'])
+    line = read_parquet_clean(os.path.join(sf_dir, 'lineitem.parquet'),
+                              columns=['l_orderkey', 'l_shipdate'])
+
+    def cond_partial(keys_ref):
+        def f(t: pa.Table) -> pa.Table:
+            ok = t.column('l_orderkey').to_numpy(zero_copy_only=False)
+            ship = t.column('l_shipdate').to_numpy(zero_copy_only=False) \
+                .astype('datetime64[ns]').astype(np.int64)
+            keys, dates, pcode, prios = ray.get(keys_ref)
+            if len(keys) == 0:
+                return pa.table({'o_orderpriority': pa.array([], pa.string()),
+                                 '_late': pa.array([], pa.int64()),
+                                 '_n': pa.array([], pa.int64())})
+            idx = np.minimum(np.searchsorted(keys, ok), len(keys) - 1)
+            hit = keys[idx] == ok
+            late = hit & (ship > dates[idx] + lag_ns)
+            codes = pcode[idx]
+            n_all = np.bincount(codes[hit], minlength=len(prios))
+            n_late = np.bincount(codes[late], minlength=len(prios))
+            nz = n_all > 0
+            return pa.table({
+                'o_orderpriority': pa.array(
+                    [prios[i] for i in np.flatnonzero(nz)], pa.string()),
+                '_late': pa.array(n_late[nz], pa.int64()),
+                '_n': pa.array(n_all[nz], pa.int64())})
+        return f
+
+    from pii_detector_ray.stages.dedup import drop_empty_blocks, \
+        join_partitions
+    n_orders = orders.count()
+    if n_orders <= broadcast_order_limit:
+        ot = pa.concat_tables(
+            orders.iter_batches(batch_size=None, batch_format='pyarrow'))
+        keys = ot.column('o_orderkey').to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(keys, kind='stable')
+        keys = keys[order]
+        dates = ot.column('o_orderdate').to_numpy(zero_copy_only=False) \
+            .astype('datetime64[ns]').astype(np.int64)[order]
+        pr = np.asarray(ot.column('o_orderpriority').to_pylist())[order]
+        prios = sorted(set(pr.tolist()))
+        pmap = {p: i for i, p in enumerate(prios)}
+        pcode = np.asarray([pmap[p] for p in pr], np.int64)
+        keys_ref = ray.put((keys, dates, pcode, prios))
+        agg = (line.map_batches(cond_partial(keys_ref),
+                                batch_format='pyarrow')
+               .groupby('o_orderpriority')
+               .aggregate(Sum('_late', alias_name='n_late'),
+                          Sum('_n', alias_name='n_lines')))
+    else:
+        o_narrow = orders.map_batches(
+            lambda t: t.rename_columns(['l_orderkey', '_odate', '_oprio']),
+            batch_format='pyarrow')
+        joined = drop_empty_blocks(line).join(
+            drop_empty_blocks(o_narrow), join_type='inner',
+            num_partitions=join_partitions(rows=n_orders),
+            on=('l_orderkey',))
+
+        def post(t: pa.Table) -> pa.Table:
+            ship = t.column('l_shipdate').to_numpy(zero_copy_only=False) \
+                .astype('datetime64[ns]').astype(np.int64)
+            od = t.column('_odate').to_numpy(zero_copy_only=False) \
+                .astype('datetime64[ns]').astype(np.int64)
+            late = (ship > od + lag_ns).astype(np.int64)
+            tbl = pa.table({'o_orderpriority': t.column('_oprio'),
+                            '_late': pa.array(late, pa.int64())})
+            agg_t = tbl.group_by('o_orderpriority').aggregate(
+                [('_late', 'sum'), ([], 'count_all')])
+            return pa.table({
+                'o_orderpriority': agg_t.column('o_orderpriority'),
+                '_late': pc.cast(agg_t.column('_late_sum'), pa.int64()),
+                '_n': pc.cast(agg_t.column('count_all'), pa.int64())})
+
+        agg = (joined.map_batches(post, batch_format='pyarrow')
+               .groupby('o_orderpriority')
+               .aggregate(Sum('_late', alias_name='n_late'),
+                          Sum('_n', alias_name='n_lines')))
+    return agg
+
+
+_LATE_SHIPMENT_SQL = (
+    'SELECT o.o_orderpriority, '
+    'count(*) FILTER (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) '
+    'AS n_late, count(*) AS n_lines '
+    'FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey '
+    'GROUP BY o.o_orderpriority'
+)
+
+
+def q_promo_revenue(sf_dir: str,
+                    broadcast_part_limit: int = 5_000_000) -> pd.DataFrame:
+    """TPC-H Q14 shape: promotional revenue share for one ship-month.
+
+    Plan: the PROMO partkey set broadcasts once under
+    ``broadcast_part_limit`` and lineitem streams a single pass emitting TWO
+    int64 scalars per batch; above the guard lineitem pre-aggregates
+    revenue per partkey inside the month (narrow, part-bounded) and meets
+    the (p_partkey, is_promo) table in a co-partitioned join.  Revenue uses
+    integer 1e-4 units throughout; the final ratio divides the exact
+    integers the same way the oracle does."""
+    import os
+    d0 = np.datetime64('1997-09-01')
+    d1 = np.datetime64('1997-10-01')
+    part = read_parquet_clean(os.path.join(sf_dir, 'part.parquet'),
+                              columns=['p_partkey', 'p_type'])
+    line = read_parquet_clean(
+        os.path.join(sf_dir, 'lineitem.parquet'),
+        columns=['l_partkey', 'l_extendedprice', 'l_discount', 'l_shipdate'])
+    from pii_detector_ray.stages.dedup import drop_empty_blocks, \
+        join_partitions
+    n_part = part.count()
+    if n_part <= broadcast_part_limit:
+        promo = part.filter(expr="p_type == 'PROMO'") \
+            .select_columns(['p_partkey']).to_pandas()
+        promo_ref = ray.put(np.sort(
+            np.asarray(promo['p_partkey'], np.int64)))
+
+        def partial(t: pa.Table) -> pa.Table:
+            sd = t.column('l_shipdate').to_numpy(zero_copy_only=False)
+            m = (sd >= d0) & (sd < d1)
+            pk = t.column('l_partkey').to_numpy(zero_copy_only=False)[m]
+            rev = _rev_e4(
+                t.column('l_extendedprice').to_numpy(zero_copy_only=False)[m],
+                t.column('l_discount').to_numpy(zero_copy_only=False)[m])
+            pset = ray.get(promo_ref)
+            if len(pset):
+                idx = np.minimum(np.searchsorted(pset, pk), len(pset) - 1)
+                is_promo = pset[idx] == pk
+            else:
+                is_promo = np.zeros(len(pk), bool)
+            return pa.table({'_promo': pa.array([int(rev[is_promo].sum())],
+                                                pa.int64()),
+                             '_total': pa.array([int(rev.sum())], pa.int64())})
+
+        tot = (line.map_batches(partial, batch_format='pyarrow')
+               .groupby(None).aggregate(Sum('_promo', alias_name='_promo'),
+                                        Sum('_total', alias_name='_total'))
+               .to_pandas())
+        promo_e4 = int(tot['_promo'].iloc[0]) if len(tot) else 0
+        total_e4 = int(tot['_total'].iloc[0]) if len(tot) else 0
+    else:
+        def pk_partial(t: pa.Table) -> pa.Table:
+            sd = t.column('l_shipdate').to_numpy(zero_copy_only=False)
+            m = (sd >= d0) & (sd < d1)
+            pk = t.column('l_partkey').to_numpy(zero_copy_only=False)[m]
+            rev = _rev_e4(
+                t.column('l_extendedprice').to_numpy(zero_copy_only=False)[m],
+                t.column('l_discount').to_numpy(zero_copy_only=False)[m])
+            tbl = pa.table({'p_partkey': pa.array(pk, pa.int64()),
+                            '_rev': pa.array(rev, pa.int64())})
+            agg_t = tbl.group_by('p_partkey').aggregate([('_rev', 'sum')])
+            return agg_t.rename_columns(['p_partkey', '_rev'])
+
+        partials = (line.map_batches(pk_partial, batch_format='pyarrow')
+                    .groupby('p_partkey').aggregate(
+                        Sum('_rev', alias_name='_rev')))
+        joined = drop_empty_blocks(partials).join(
+            drop_empty_blocks(part), join_type='inner',
+            num_partitions=join_partitions(), on=('p_partkey',))
+
+        def fold(t: pa.Table) -> pa.Table:
+            rev = t.column('_rev').to_numpy(zero_copy_only=False)
+            promo_m = pc.equal(t.column('p_type'), 'PROMO') \
+                .to_numpy(zero_copy_only=False)
+            return pa.table({'_promo': pa.array([int(rev[promo_m].sum())],
+                                                pa.int64()),
+                             '_total': pa.array([int(rev.sum())], pa.int64())})
+
+        tot = (joined.map_batches(fold, batch_format='pyarrow')
+               .groupby(None).aggregate(Sum('_promo', alias_name='_promo'),
+                                        Sum('_total', alias_name='_total'))
+               .to_pandas())
+        promo_e4 = int(tot['_promo'].iloc[0]) if len(tot) else 0
+        total_e4 = int(tot['_total'].iloc[0]) if len(tot) else 0
+    if total_e4 == 0:
+        return pd.DataFrame({'promo_revenue': [np.nan],
+                             'total_revenue': [np.nan],
+                             'promo_pct': [np.nan]})
+    return pd.DataFrame({
+        'promo_revenue': [sql_round_scalar(promo_e4 / 10000.0, 2)],
+        'total_revenue': [sql_round_scalar(total_e4 / 10000.0, 2)],
+        'promo_pct': [sql_round_scalar((100.0 * float(promo_e4))
+                                       / float(total_e4), 4)]})
+
+
+_PROMO_REVENUE_SQL = (
+    f'WITH l AS (SELECT l_partkey, {_REV_E4_SQL} AS e4 FROM lineitem '
+    "WHERE l_shipdate >= TIMESTAMP '1997-09-01' "
+    "AND l_shipdate < TIMESTAMP '1997-10-01') "
+    'SELECT '
+    "round(sum(CASE WHEN p.p_type = 'PROMO' THEN l.e4 ELSE 0 END) "
+    '/ 10000.0, 2) AS promo_revenue, '
+    'round(sum(l.e4) / 10000.0, 2) AS total_revenue, '
+    "round((100.0 * sum(CASE WHEN p.p_type = 'PROMO' THEN l.e4 ELSE 0 END)) "
+    '/ sum(l.e4), 4) AS promo_pct '
+    'FROM l JOIN part p ON l.l_partkey = p.p_partkey'
+)
+
+
+def q_small_quantity_revenue(sf_dir: str,
+                             broadcast_part_limit: int = 5_000_000
+                             ) -> pd.DataFrame:
+    """TPC-H Q17 shape (correlated average subquery): yearly revenue lost if
+    one brand's small orders — quantity below 20% of that part's average —
+    were dropped.
+
+    Plan: pass 1 computes each brand-part's (sum_qty, n) sufficient
+    statistics via a two-phase narrow aggregate; the comparison
+    ``qty < 0.2 * avg`` rewrites to the EXACT integer predicate
+    ``5 * qty * n < sum_qty`` (quantities are integral — TESTDATA domains),
+    so no float average is ever materialized.  Pass 2 streams lineitem once
+    more with the stats broadcast (brand-part-proportional, size-guarded;
+    above the guard the narrow sides meet in a co-partitioned join).  Both
+    paths frame-equal (tests/test_analytics_paths.py)."""
+    import os
+    brand = 'Brand#23'
+    part = read_parquet_clean(os.path.join(sf_dir, 'part.parquet'),
+                              columns=['p_partkey', 'p_brand'])
+    bkeys = np.sort(np.asarray(
+        part.filter(expr=f"p_brand == '{brand}'")
+        .select_columns(['p_partkey']).to_pandas()['p_partkey'], np.int64))
+    bkeys_ref = ray.put(bkeys)
+    line = read_parquet_clean(
+        os.path.join(sf_dir, 'lineitem.parquet'),
+        columns=['l_partkey', 'l_quantity', 'l_extendedprice'])
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        pk = t.column('l_partkey').to_numpy(zero_copy_only=False)
+        bk = ray.get(bkeys_ref)
+        if len(bk) == 0:
+            keep = np.zeros(len(pk), bool)
+        else:
+            idx = np.minimum(np.searchsorted(bk, pk), len(bk) - 1)
+            keep = bk[idx] == pk
+        q = np.rint(t.column('l_quantity').to_numpy(zero_copy_only=False)
+                    [keep]).astype(np.int64)
+        tbl = pa.table({'p_partkey': pa.array(pk[keep], pa.int64()),
+                        '_q': pa.array(q, pa.int64()),
+                        '_one': pa.array(np.ones(len(q), np.int64))})
+        agg_t = tbl.group_by('p_partkey').aggregate(
+            [('_q', 'sum'), ('_one', 'sum')])
+        return agg_t.rename_columns(['p_partkey', '_q', '_n'])
+
+    stats = (line.map_batches(stat_partial, batch_format='pyarrow')
+             .groupby('p_partkey').aggregate(Sum('_q', alias_name='_sumq'),
+                                             Sum('_n', alias_name='_cnt')))
+
+    from pii_detector_ray.stages.dedup import drop_empty_blocks, \
+        join_partitions
+    if len(bkeys) <= broadcast_part_limit:
+        st = stats.to_pandas()
+        sk = np.asarray(st['p_partkey'], np.int64)
+        order = np.argsort(sk, kind='stable')
+        sk = sk[order]
+        sumq = np.asarray(st['_sumq'], np.int64)[order]
+        cnt = np.asarray(st['_cnt'], np.int64)[order]
+        stats_ref = ray.put((sk, sumq, cnt))
+
+        def rev_partial(t: pa.Table) -> pa.Table:
+            pk = t.column('l_partkey').to_numpy(zero_copy_only=False)
+            skk, sq, cn = ray.get(stats_ref)
+            if len(skk) == 0:
+                return pa.table({'_cents': pa.array([0], pa.int64())})
+            idx = np.minimum(np.searchsorted(skk, pk), len(skk) - 1)
+            hit = skk[idx] == pk
+            q = np.rint(t.column('l_quantity')
+                        .to_numpy(zero_copy_only=False)).astype(np.int64)
+            keep = hit & (5 * q * cn[idx] < sq[idx])
+            cents = np.rint(t.column('l_extendedprice')
+                            .to_numpy(zero_copy_only=False)[keep]
+                            * 100.0).astype(np.int64)
+            return pa.table({'_cents': pa.array([int(cents.sum())],
+                                                pa.int64())})
+
+        tot = (line.map_batches(rev_partial, batch_format='pyarrow')
+               .groupby(None).aggregate(Sum('_cents', alias_name='_cents'))
+               .to_pandas())
+    else:
+        narrow = line.map_batches(
+            lambda t: pa.table({
+                'p_partkey': pc.cast(t.column('l_partkey'), pa.int64()),
+                '_q': pa.array(np.rint(
+                    t.column('l_quantity').to_numpy(zero_copy_only=False))
+                    .astype(np.int64)),
+                '_cents': pa.array(np.rint(
+                    t.column('l_extendedprice')
+                    .to_numpy(zero_copy_only=False) * 100.0)
+                    .astype(np.int64))}),
+            batch_format='pyarrow')
+        joined = drop_empty_blocks(narrow).join(
+            drop_empty_blocks(stats), join_type='inner',
+            num_partitions=join_partitions(rows=len(bkeys) * 40),
+            on=('p_partkey',))
+
+        def fold(t: pa.Table) -> pa.Table:
+            keep = (5 * t.column('_q').to_numpy(zero_copy_only=False)
+                    * t.column('_cnt').to_numpy(zero_copy_only=False)
+                    < t.column('_sumq').to_numpy(zero_copy_only=False))
+            cents = t.column('_cents').to_numpy(zero_copy_only=False)[keep]
+            return pa.table({'_cents': pa.array([int(cents.sum())],
+                                                pa.int64())})
+
+        tot = (joined.map_batches(fold, batch_format='pyarrow')
+               .groupby(None).aggregate(Sum('_cents', alias_name='_cents'))
+               .to_pandas())
+    cents = int(tot['_cents'].iloc[0]) if len(tot) else 0
+    return pd.DataFrame({'avg_yearly': [sql_round_scalar(
+        (float(cents) / 100.0) / 7.0, 2)]})
+
+
+_SMALL_QUANTITY_SQL = (
+    'WITH s AS (SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS sumq, '
+    'count(*) AS n FROM lineitem JOIN part ON p_partkey = l_partkey '
+    "WHERE p_brand = 'Brand#23' GROUP BY l_partkey) "
+    'SELECT round((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) '
+    '/ 100.0) / 7.0, 2) AS avg_yearly '
+    'FROM lineitem l JOIN s ON l.l_partkey = s.l_partkey '
+    'WHERE 5 * CAST(l.l_quantity AS BIGINT) * s.n < s.sumq'
+)
+
+
+def q_big_order_customers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18 shape (HAVING-filtered aggregate joined back to dims): the
+    top-20 largest orders by total quantity > 300 with their customers.
+
+    Plan: lineitem pre-aggregates quantity per orderkey inside each batch,
+    one narrow two-phase groupby closes the sums, and the HAVING filter
+    leaves a set that is small BY SELECTIVITY (<2% of orders; the guard is
+    the filter itself — a deployment lowering the threshold to something
+    unselective would co-partition the join instead).  The qualifying keys
+    broadcast; orders and customer stream one vectorized ``is_in`` filter
+    each, and only then does anything reach the driver."""
+    import os
+    threshold = 300
+    line = read_parquet_clean(os.path.join(sf_dir, 'lineitem.parquet'),
+                              columns=['l_orderkey', 'l_quantity'])
+
+    def q_partial(t: pa.Table) -> pa.Table:
+        q = np.rint(t.column('l_quantity').to_numpy(zero_copy_only=False)) \
+            .astype(np.int64)
+        tbl = pa.table({'l_orderkey': t.column('l_orderkey'),
+                        '_q': pa.array(q, pa.int64())})
+        agg_t = tbl.group_by('l_orderkey').aggregate([('_q', 'sum')])
+        return agg_t.rename_columns(['l_orderkey', '_q'])
+
+    # order-proportional narrow partials: under the fold limit one coalesced
+    # numpy fold beats Ray's sort-aggregate (the stages/exactsubstr.py
+    # measurement: 28 s for a 1.4M-row groupby at 8 CPUs); above it the
+    # distributed groupby path runs
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    partials = drop_empty_blocks(
+        line.map_batches(q_partial, batch_format='pyarrow'))
+    if partials.count() <= 50_000_000:
+        def fold_big(t: pa.Table) -> pa.Table:
+            ok = t.column('l_orderkey').to_numpy(zero_copy_only=False)
+            q = t.column('_q').to_numpy(zero_copy_only=False)
+            uo, inv = np.unique(ok, return_inverse=True)
+            sums = np.bincount(inv, weights=q.astype(np.float64)) \
+                .astype(np.int64)
+            keep = sums > threshold
+            return pa.table({
+                'l_orderkey': pa.array(uo[keep].astype(np.int64)),
+                'sum_qty': pa.array(sums[keep], pa.int64())})
+
+        big = (partials.repartition(1)
+               .map_batches(fold_big, batch_format='pyarrow',
+                            batch_size=None).to_pandas())
+    else:
+        big = (partials.groupby('l_orderkey')
+               .aggregate(Sum('_q', alias_name='sum_qty'))
+               .filter(expr=f'sum_qty > {threshold}')
+               .to_pandas())
+    qty_map = dict(zip(big['l_orderkey'].astype(int),
+                       big['sum_qty'].astype(int)))
+    okeys_ref = ray.put(pa.array(sorted(qty_map), pa.int64()))
+
+    orders = read_parquet_clean(os.path.join(sf_dir, 'orders.parquet'),
+                                columns=['o_orderkey', 'o_custkey',
+                                         'o_totalprice', 'o_orderdate'])
+    od = orders.map_batches(
+        lambda t: t.filter(pc.is_in(t.column('o_orderkey'),
+                                    value_set=ray.get(okeys_ref))),
+        batch_format='pyarrow').to_pandas()
+    ckeys_ref = ray.put(pa.array(sorted(set(od['o_custkey'].astype(int))),
+                                 pa.int64()))
+    cust = read_parquet_clean(os.path.join(sf_dir, 'customer.parquet'),
+                              columns=['c_custkey', 'c_name'])
+    cd = cust.map_batches(
+        lambda t: t.filter(pc.is_in(t.column('c_custkey'),
+                                    value_set=ray.get(ckeys_ref))),
+        batch_format='pyarrow').to_pandas()
+
+    df = od.merge(cd, left_on='o_custkey', right_on='c_custkey')
+    df['sum_qty'] = df['o_orderkey'].map(qty_map).astype(np.int64)
+    df = df.sort_values(['o_totalprice', 'o_orderkey'],
+                        ascending=[False, True], kind='mergesort').head(20)
+    df['o_orderdate'] = pd.to_datetime(df['o_orderdate']) \
+        .astype('datetime64[ns]')
+    return df[['c_name', 'c_custkey', 'o_orderkey', 'o_orderdate',
+               'o_totalprice', 'sum_qty']].reset_index(drop=True)
+
+
+_BIG_ORDER_SQL = (
+    'WITH big AS (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) '
+    'AS sum_qty FROM lineitem GROUP BY l_orderkey '
+    'HAVING sum(l_quantity) > 300) '
+    'SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, '
+    'o.o_totalprice, b.sum_qty '
+    'FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey '
+    'JOIN customer c ON c.c_custkey = o.o_custkey '
+    'ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20'
+)
+
+
 def _repetition_stats_sql() -> str:
     """DuckDB mirror of ``stages/repetition.py`` (semantics documented
     there): word n-grams via lead() chains over unnested word lists; gram
@@ -4246,6 +4882,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'discount_revenue': q_discount_revenue,
         'big_spender_segments': q_big_spender_segments,
         'top_order_per_cust': q_top_order_per_cust,
+        'local_supplier_volume': q_local_supplier_volume,
+        'late_shipment_counts': q_late_shipment_counts,
+        'promo_revenue': q_promo_revenue,
+        'small_quantity_revenue': q_small_quantity_revenue,
+        'big_order_customers': q_big_order_customers,
         # rows-only
         'scrub_documents': q_scrub_documents,
         'langid_documents': q_langid_documents,
@@ -4380,6 +5021,11 @@ def oracle_sql() -> dict[str, str]:
         'components_exact': _COMPONENTS_EXACT_SQL,
         'daily_active_users': _DAILY_ACTIVE_SQL,
         'discount_revenue': _DISCOUNT_REVENUE_SQL,
+        'local_supplier_volume': _LOCAL_SUPPLIER_VOLUME_SQL,
+        'late_shipment_counts': _LATE_SHIPMENT_SQL,
+        'promo_revenue': _PROMO_REVENUE_SQL,
+        'small_quantity_revenue': _SMALL_QUANTITY_SQL,
+        'big_order_customers': _BIG_ORDER_SQL,
         'big_spender_segments': _BIG_SPENDER_SQL,
         'top_order_per_cust': _TOP_ORDER_SQL,
         'token_stats': _TOKEN_STATS_SQL,

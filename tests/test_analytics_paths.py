@@ -43,3 +43,51 @@ def test_cohort_join_path_equals_broadcast(ray_session):
     # first week by construction)
     zero = bc[bc['week_offset'] == 0]
     assert set(zero['cohort_week']) == set(bc['cohort_week'])
+
+
+# --- TPC-H Q5/Q12/Q14/Q17 analogues: broadcast vs co-partitioned join ---
+
+def _normf(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype('float64').round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype('int64')
+        else:
+            df[c] = df[c].astype('string')
+    return df.sort_values(list(df.columns),
+                          kind='mergesort').reset_index(drop=True)
+
+
+def test_local_supplier_volume_paths_equal(ray_session):
+    from pii_detector_ray.queries import q_local_supplier_volume
+    bc = _normf(q_local_supplier_volume(SF).to_pandas())
+    jn = _normf(q_local_supplier_volume(
+        SF, broadcast_order_limit=0).to_pandas())
+    assert bc.equals(jn)
+    assert (bc['revenue'] > 0).all()
+
+
+def test_late_shipment_paths_equal(ray_session):
+    from pii_detector_ray.queries import q_late_shipment_counts
+    bc = _normf(q_late_shipment_counts(SF).to_pandas())
+    jn = _normf(q_late_shipment_counts(
+        SF, broadcast_order_limit=0).to_pandas())
+    assert bc.equals(jn)
+    assert (bc['n_late'] <= bc['n_lines']).all()
+
+
+def test_promo_revenue_paths_equal(ray_session):
+    from pii_detector_ray.queries import q_promo_revenue
+    bc = _normf(q_promo_revenue(SF))
+    jn = _normf(q_promo_revenue(SF, broadcast_part_limit=0))
+    assert bc.equals(jn)
+    assert 0.0 <= float(bc['promo_pct'][0]) <= 100.0
+
+
+def test_small_quantity_paths_equal(ray_session):
+    from pii_detector_ray.queries import q_small_quantity_revenue
+    bc = _normf(q_small_quantity_revenue(SF))
+    jn = _normf(q_small_quantity_revenue(SF, broadcast_part_limit=0))
+    assert bc.equals(jn)
