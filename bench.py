@@ -101,7 +101,8 @@ def run_bench() -> dict:
                      'url_canonical', 'anti_join_bloom', 'user_cumulative',
                      'user_rolling3', 'host_p95', 'events_segment_join',
                      'approx_distinct_hll', 'bm25_topk', 'token_edit_pairs',
-                     'funnel_stages', 'cohort_retention']:
+                     'funnel_stages', 'cohort_retention',
+                     'local_supplier_volume']:
             fn = q.queries()[name]
             t0 = time.monotonic()
             res = fn(SF_DIR)

@@ -3432,7 +3432,11 @@ def q_local_supplier_volume(sf_dir: str,
         o_ord = np.argsort(okeys, kind='stable')
         onat_ref = ray.put((okeys[o_ord],
                             np.asarray(onats, np.int64)[o_ord]))
+        # partials are bounded (<=1 row per region nation per batch);
+        # coalesce to one block so the final Aggregate emits no schema-less
+        # empty partitions (the events_segment_join pattern)
         agg = (line.map_batches(li_partial(onat_ref), batch_format='pyarrow')
+               .repartition(1)
                .groupby('_nat').aggregate(Sum('_rev', alias_name='_rev')))
     else:
         onat = drop_empty_blocks(qual).join(
