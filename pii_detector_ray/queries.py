@@ -3917,6 +3917,62 @@ _BIG_ORDER_SQL = (
 )
 
 
+def q_order_ship_daily(sf_dir: str) -> ray.data.Dataset:
+    """FULL OUTER join coverage: orders placed per day vs lineitems shipped
+    per day — two aggregates from DIFFERENT tables whose key ranges
+    genuinely mismatch both ways (ship dates run months past the last order
+    date, early days may ship nothing).
+
+    Scale shape: each side reduces to day granularity first (two-phase
+    narrow partials — the day cardinality is bounded by the calendar, a few
+    thousand rows at ANY corpus size), so the full-outer hash join only
+    ever moves calendar-bounded rows; nothing row-proportional shuffles."""
+    import os
+
+    def day_counts(path: str, col: str, out: str) -> ray.data.Dataset:
+        ds = read_parquet_clean(os.path.join(sf_dir, path), columns=[col])
+
+        def partial(t: pa.Table) -> pa.Table:
+            d = t.column(col).to_numpy(zero_copy_only=False) \
+                .astype('datetime64[D]')
+            ud, cnt = np.unique(d, return_counts=True)
+            return pa.table({'day': pa.array(np.datetime_as_string(ud)),
+                             '_n': pa.array(cnt.astype(np.int64))})
+
+        # calendar-bounded partials: coalesce to one block (the bounded-
+        # partial pattern) so the final Aggregate stays warning-free
+        return (ds.map_batches(partial, batch_format='pyarrow')
+                .repartition(1)
+                .groupby('day').aggregate(Sum('_n', alias_name=out)))
+
+    orders = day_counts('orders.parquet', 'o_orderdate', 'n_orders')
+    ships = day_counts('lineitem.parquet', 'l_shipdate', 'n_ships')
+    from pii_detector_ray.stages.dedup import drop_empty_blocks, \
+        join_partitions
+    joined = drop_empty_blocks(orders).join(
+        drop_empty_blocks(ships), join_type='full_outer',
+        num_partitions=join_partitions(rows=4000), on=('day',))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            'day': t.column('day'),
+            'n_orders': pc.fill_null(t.column('n_orders'), 0),
+            'n_ships': pc.fill_null(t.column('n_ships'), 0)})
+    return drop_empty_blocks(joined).map_batches(fin, batch_format='pyarrow')
+
+
+_ORDER_SHIP_DAILY_SQL = (
+    'WITH o AS (SELECT strftime(o_orderdate, \'%Y-%m-%d\') AS day, '
+    'count(*) AS n_orders FROM orders GROUP BY 1), '
+    's AS (SELECT strftime(l_shipdate, \'%Y-%m-%d\') AS day, '
+    'count(*) AS n_ships FROM lineitem GROUP BY 1) '
+    'SELECT coalesce(o.day, s.day) AS day, '
+    'coalesce(o.n_orders, 0) AS n_orders, '
+    'coalesce(s.n_ships, 0) AS n_ships '
+    'FROM o FULL OUTER JOIN s ON o.day = s.day'
+)
+
+
 def _repetition_stats_sql() -> str:
     """DuckDB mirror of ``stages/repetition.py`` (semantics documented
     there): word n-grams via lead() chains over unnested word lists; gram
@@ -4891,6 +4947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'promo_revenue': q_promo_revenue,
         'small_quantity_revenue': q_small_quantity_revenue,
         'big_order_customers': q_big_order_customers,
+        'order_ship_daily': q_order_ship_daily,
         # rows-only
         'scrub_documents': q_scrub_documents,
         'langid_documents': q_langid_documents,
@@ -5030,6 +5087,7 @@ def oracle_sql() -> dict[str, str]:
         'promo_revenue': _PROMO_REVENUE_SQL,
         'small_quantity_revenue': _SMALL_QUANTITY_SQL,
         'big_order_customers': _BIG_ORDER_SQL,
+        'order_ship_daily': _ORDER_SHIP_DAILY_SQL,
         'big_spender_segments': _BIG_SPENDER_SQL,
         'top_order_per_cust': _TOP_ORDER_SQL,
         'token_stats': _TOKEN_STATS_SQL,
