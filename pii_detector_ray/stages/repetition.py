@@ -90,12 +90,105 @@ def _doc_repetition(text: str) -> list[float]:
     return out
 
 
+def _batch_repetition(texts: list[str]) -> np.ndarray:
+    """Batch-vectorized equivalent of ``_doc_repetition`` over all docs at
+    once (identical outputs; property-tested against the per-doc path).
+
+    One flat word array carries every document; words become DOC-SCOPED int
+    ids via one hash-based ``pd.factorize`` (no per-doc sorts), and n-gram
+    identity for n = 2..10 grows INCREMENTALLY — each step packs the
+    previous gram id with the next word id into one int64 and re-factorizes,
+    so no 2-D ``np.unique(axis=0)`` (the prior per-doc hot spot: ~0.9 ms per
+    doc, 63% of the flagship UDF) ever runs.  Gram windows that straddle a
+    document boundary keep well-defined (never-colliding) keys but are
+    masked out of every count.  Per-doc reductions are bincount / lexsort
+    passes over the unique-gram table."""
+    ndocs = len(texts)
+    out = np.zeros((ndocs, len(TOP_NS) + len(DUP_NS)), dtype=np.float64)
+    if ndocs == 0:
+        return out
+    word_lists = [_WORD_RE.findall(t) for t in texts]
+    m_per_doc = np.fromiter((len(w) for w in word_lists), np.int64,
+                            count=ndocs)
+    total = int(m_per_doc.sum())
+    if total == 0:
+        return out
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for wl in word_lists:
+        flat[pos:pos + len(wl)] = wl
+        pos += len(wl)
+    doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), m_per_doc)
+    lens = np.fromiter(map(len, flat), np.int64, count=total)
+    word_chars = np.bincount(doc_idx, weights=lens,
+                             minlength=ndocs).astype(np.int64)
+    cum = np.concatenate(([0], np.cumsum(lens)))
+
+    wid, _ = pd.factorize(flat)
+    wid = wid.astype(np.int64)
+    # doc-scoped base gram: (doc, word) pairs -> small dense ids
+    g, _ = pd.factorize(doc_idx * (int(wid.max()) + 1) + wid)
+    g = g.astype(np.int64)
+    want = {n: slot for slot, n in enumerate(list(TOP_NS) + list(DUP_NS))}
+    max_n = max(want)
+
+    slot_of_dup = {n: True for n in DUP_NS}
+    for n in range(2, max_n + 1):
+        if total < n:
+            break
+        # gram id at start i for length n = (gram id for n-1 at i, word id
+        # at i+n-1); packing stays exact (both factors are dense ids < 2^32)
+        raw = g[:total - n + 1] * (int(wid.max()) + 1) + wid[n - 1:]
+        g, _ = pd.factorize(raw)
+        g = g.astype(np.int64)
+        if n not in want:
+            continue
+        slot = want[n]
+        valid = doc_idx[:total - n + 1] == doc_idx[n - 1:]
+        vpos = np.flatnonzero(valid)
+        if len(vpos) == 0:
+            continue
+        codes = g[vpos]
+        nuniq = int(codes.max()) + 1
+        cnt = np.bincount(codes, minlength=nuniq)
+        # first VALID occurrence of each gram (same-id grams share word
+        # lengths, so any occurrence works; first matches the per-doc path)
+        first = np.full(nuniq, -1, dtype=np.int64)
+        first[codes[::-1]] = np.arange(len(codes) - 1, -1, -1)
+        present = cnt > 0
+        fpos = vpos[first[present]]
+        ucnt = cnt[present]
+        ulen = cum[fpos + n] - cum[fpos]
+        gdoc = doc_idx[fpos]
+        if slot_of_dup.get(n, False):
+            dmask = ucnt >= 2
+            if dmask.any():
+                sums = np.bincount(gdoc[dmask],
+                                   weights=(ucnt[dmask] * ulen[dmask])
+                                   .astype(np.float64), minlength=ndocs)
+                nz = word_chars > 0
+                out[nz, slot] = np.minimum(1.0, sums[nz] / word_chars[nz])
+        else:
+            # per-doc argmax by (count, then char length) — lexsort and take
+            # the last row per doc (exactly the per-doc tie rule)
+            order = np.lexsort((ulen, ucnt, gdoc))
+            ds = gdoc[order]
+            last = np.flatnonzero(
+                np.concatenate((ds[1:] != ds[:-1], [True])))
+            bi = order[last]
+            vals = (ucnt[bi] * ulen[bi]).astype(np.float64)
+            docs_hit = gdoc[bi]
+            out[docs_hit, slot] = np.minimum(
+                1.0, vals / word_chars[docs_hit])
+    return out
+
+
 def repetition_batch(df: pd.DataFrame,
                      text_col: str = 'extracted_text') -> pd.DataFrame:
     """Adds the five repetition feature columns (see module docstring)."""
     s = df[text_col].astype('string').fillna('')
-    vals = np.array([_doc_repetition(t) for t in s], dtype=np.float64) \
-        if len(s) else np.empty((0, len(FEATURE_COLUMNS)))
+    vals = _batch_repetition(list(s)) if len(s) else \
+        np.empty((0, len(FEATURE_COLUMNS)))
     for j, col in enumerate(FEATURE_COLUMNS):
         df[col] = sql_round_np(vals[:, j], 4) if len(s) else \
             np.empty(0, dtype=np.float64)

@@ -98,3 +98,27 @@ def test_keepdrop_rule_and_flagship_conformance():
     for url in out.index:
         assert bool(out.loc[url, 'keep']) == bool(by_url[url]['keep'])
         assert (out.loc[url, 'drop_reason'] or None) == by_url[url]['drop_reason']
+
+
+def test_batch_path_equals_per_doc_path():
+    """The vectorized batch path must reproduce the per-doc reference
+    implementation bit-for-bit on randomized docs (boundary grams, ties,
+    empty docs, sub-n docs)."""
+    import random
+
+    from pii_detector_ray.stages.repetition import (
+        _batch_repetition,
+        _doc_repetition,
+    )
+    rng = random.Random(1234)
+    vocab = ['a', 'bb', 'ccc', 'dddd', 'word', 'x1', 'yy2', 'zzz3']
+    docs = ['', '   ', 'solo', 'left right ' * 6]
+    for _ in range(300):
+        m = rng.choice([0, 1, 2, 3, 4, 5, 9, 10, 11, 30, 120])
+        words = [rng.choice(vocab) for _ in range(m)]
+        if rng.random() < 0.3 and m >= 10:
+            words = words[:5] * (m // 5)
+        docs.append(' '.join(words))
+    old = np.array([_doc_repetition(t) for t in docs])
+    new = _batch_repetition(docs)
+    assert np.array_equal(old, new)
