@@ -2442,6 +2442,54 @@ _WEIGHTED_SAMPLE_SQL = (
 )
 
 
+def q_lang_mix_sample(sf_dir: str) -> ray.data.Dataset:
+    """Temperature-based corpus rebalancing (the mC4 / ROOTS training-mix
+    shape, alpha = 0.5): downsample over-represented languages so accepted
+    counts track sqrt of the original counts.  Per-language acceptance
+    threshold ``floor(10000 * sqrt(c_min / c_lang))`` is computed from one
+    tiny two-phase count, broadcast in the task closure, and applied with
+    the same integer Knuth-hash acceptance test as ``weighted_sample`` —
+    shuffle-free, shard-resumable, any worker re-derives its own decisions.
+    sqrt and float division are IEEE-754 correctly rounded, so numpy and
+    DuckDB agree at the floor() boundary (unlike exp/log — the pagerank
+    libm-contract note)."""
+    counts = (read_documents(sf_dir, ['lang'])
+              .groupby('lang').aggregate(Count(alias_name='n'))
+              .to_pandas())
+    if len(counts) == 0:
+        return ray.data.from_arrow(pa.table({
+            'doc_id': pa.array([], pa.int64()),
+            'lang': pa.array([], pa.string())}))
+    c_min = int(counts['n'].min())
+    thr = {l: int(np.floor(10000.0 * np.sqrt(np.float64(c_min)
+                                             / np.float64(n))))
+           for l, n in zip(counts['lang'], counts['n'])}
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column('doc_id').to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        langs = batch.column('lang').to_pylist()
+        t = np.fromiter((thr.get(l, 0) for l in langs), np.int64,
+                        count=len(langs))
+        keep = (ids * 2654435761) % 10000 < t
+        return pa.table({'doc_id': pa.array(ids[keep], pa.int64()),
+                         'lang': pa.array(
+                             [l for l, k in zip(langs, keep) if k],
+                             pa.string())})
+
+    return read_documents(sf_dir, ['doc_id', 'lang']).map_batches(
+        sample, batch_format='pyarrow')
+
+
+_LANG_MIX_SAMPLE_SQL = (
+    'WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang), '
+    't AS (SELECT lang, CAST(floor(10000 * sqrt('
+    '(SELECT min(n) FROM c)::DOUBLE / n)) AS BIGINT) AS thr FROM c) '
+    'SELECT d.doc_id, d.lang FROM documents d JOIN t ON d.lang = t.lang '
+    'WHERE (d.doc_id * 2654435761) % 10000 < t.thr'
+)
+
+
 def q_source_anti_join(sf_dir: str) -> ray.data.Dataset:
     """Broadcast anti-join (§2.8: the reference's set semi/anti-joins against
     its catalog, base_scan_service.py:379,442-447): drop docs whose source is
@@ -4948,6 +4996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'small_quantity_revenue': q_small_quantity_revenue,
         'big_order_customers': q_big_order_customers,
         'order_ship_daily': q_order_ship_daily,
+        'lang_mix_sample': q_lang_mix_sample,
         # rows-only
         'scrub_documents': q_scrub_documents,
         'langid_documents': q_langid_documents,
@@ -5088,6 +5137,7 @@ def oracle_sql() -> dict[str, str]:
         'small_quantity_revenue': _SMALL_QUANTITY_SQL,
         'big_order_customers': _BIG_ORDER_SQL,
         'order_ship_daily': _ORDER_SHIP_DAILY_SQL,
+        'lang_mix_sample': _LANG_MIX_SAMPLE_SQL,
         'big_spender_segments': _BIG_SPENDER_SQL,
         'top_order_per_cust': _TOP_ORDER_SQL,
         'token_stats': _TOKEN_STATS_SQL,
