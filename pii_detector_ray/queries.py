@@ -2490,6 +2490,135 @@ _LANG_MIX_SAMPLE_SQL = (
 )
 
 
+def q_sequence_packing(sf_dir: str, bin_tokens: int = 2048
+                       ) -> ray.data.Dataset:
+    """Training-sequence packing census: stream documents in doc_id order
+    into fixed ``bin_tokens`` windows and report per-bin document/token
+    counts (a doc belongs to the bin its FIRST token lands in — the
+    greedy-concatenation contract, mirrored exactly by the oracle's window
+    cumsum).
+
+    Scale shape — a DISTRIBUTED PREFIX SUM: the narrow (doc_id, tok) table
+    materializes once (16 B/row; blocks are doc_id-contiguous ranges off
+    the ordered read and pinned by the materialize); pass 1 reduces each
+    block to one (min, max, sum) summary row, the driver prefix-sums the
+    BLOCK-COUNT-sized summary list into per-block token offsets (asserting
+    the ranges are disjoint), and pass 2 re-maps the same blocks adding
+    offset + within-block cumsum — nothing row-proportional ever reaches
+    the driver, and the result is partitioning-invariant because each
+    doc's global cumulative count is exact regardless of where block
+    boundaries fall."""
+    tok_re = _RE2_WORD
+
+    def toks(t: pa.Table) -> pa.Table:
+        n = pc.fill_null(pc.cast(pc.count_substring_regex(
+            t.column('text'), tok_re), pa.int64()), 0)
+        return pa.table({'doc_id': t.column('doc_id'), '_tok': n})
+
+    mat = (read_documents(sf_dir, ['doc_id', 'text'])
+           .map_batches(toks, batch_format='pyarrow')).materialize()
+
+    def summary(t: pa.Table) -> pa.Table:
+        ids = t.column('doc_id').to_numpy(zero_copy_only=False)
+        tk = t.column('_tok').to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({'_min': pa.array([], pa.int64()),
+                             '_max': pa.array([], pa.int64()),
+                             '_sum': pa.array([], pa.int64())})
+        return pa.table({'_min': pa.array([int(ids.min())], pa.int64()),
+                         '_max': pa.array([int(ids.max())], pa.int64()),
+                         '_sum': pa.array([int(tk.sum())], pa.int64())})
+
+    summ = sorted(
+        mat.map_batches(summary, batch_format='pyarrow',
+                        batch_size=None).take_all(),
+        key=lambda r: r['_min'])
+    offsets: dict[int, int] = {}
+    run = 0
+    prev_max = None
+    for s in summ:
+        if prev_max is not None and s['_min'] <= prev_max:
+            raise AssertionError('blocks are not doc_id-range-disjoint')
+        prev_max = s['_max']
+        offsets[s['_min']] = run
+        run += s['_sum']
+    off_ref = ray.put(offsets)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column('doc_id').to_numpy(zero_copy_only=False)
+        tk = t.column('_tok').to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({'bin_id': pa.array([], pa.int64()),
+                             '_docs': pa.array([], pa.int64()),
+                             '_toks': pa.array([], pa.int64())})
+        order = np.argsort(ids, kind='stable')
+        tk = tk[order]
+        base = ray.get(off_ref)[int(ids.min())]
+        cumb = base + np.concatenate(([0], np.cumsum(tk)))[:-1]
+        bins = cumb // bin_tokens
+        ub, inv = np.unique(bins, return_inverse=True)
+        return pa.table({
+            'bin_id': pa.array(ub, pa.int64()),
+            '_docs': pa.array(np.bincount(inv), pa.int64()),
+            '_toks': pa.array(np.bincount(inv, weights=tk.astype(np.float64))
+                              .astype(np.int64), pa.int64())})
+
+    return (mat.map_batches(assign, batch_format='pyarrow', batch_size=None)
+            .groupby('bin_id')
+            .aggregate(Sum('_docs', alias_name='n_docs'),
+                       Sum('_toks', alias_name='n_tokens')))
+
+
+_SEQUENCE_PACKING_SQL = (
+    "WITH t AS (SELECT doc_id, "
+    "COALESCE(len(regexp_extract_all(text, '\\S+')), 0)::BIGINT AS tok "
+    'FROM documents), '
+    'c AS (SELECT doc_id, tok, COALESCE(sum(tok) OVER (ORDER BY doc_id '
+    'ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb FROM t) '
+    'SELECT (cumb // 2048)::BIGINT AS bin_id, count(*) AS n_docs, '
+    'sum(tok)::BIGINT AS n_tokens FROM c GROUP BY bin_id'
+)
+
+
+def q_props_value_deciles(sf_dir: str) -> ray.data.Dataset:
+    """Semi-structured JSON column flatten (the S6/S7 key-extraction
+    semantics applied to an IN-TABLE payload column): pull the integer
+    ``k`` out of the ``props`` JSON string and histogram it per event type.
+
+    Extraction is one vectorized RE2 ``extract_regex`` per batch (named
+    group), not a per-row ``json.loads`` loop — exact for this corpus's
+    machine-generated single-key integer objects (asserted: a null match
+    raises rather than silently dropping a row).  Partials are bounded
+    (types × 10 buckets), so they coalesce to one block before the final
+    aggregate."""
+    ds = _events(sf_dir, ['event_type', 'props'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t.column('props'), r'"k"\s*:\s*(?P<k>-?\d+)')
+        if ex.null_count:
+            raise ValueError('props row without an integer "k" key')
+        k = pc.cast(pc.struct_field(ex, 'k'), pa.int64())
+        tbl = pa.table({'event_type': t.column('event_type'),
+                        'bucket': pc.divide(k, 10)})
+        agg = tbl.group_by(['event_type', 'bucket']).aggregate(
+            [([], 'count_all')])
+        return pa.table({'event_type': agg.column('event_type'),
+                         'bucket': agg.column('bucket'),
+                         '_n': pc.cast(agg.column('count_all'), pa.int64())})
+
+    return (ds.map_batches(partial, batch_format='pyarrow')
+            .repartition(1)
+            .groupby(['event_type', 'bucket'])
+            .aggregate(Sum('_n', alias_name='n')))
+
+
+_PROPS_DECILES_SQL = (
+    "SELECT event_type, "
+    "CAST(json_extract(props::JSON, '$.k') AS BIGINT) // 10 AS bucket, "
+    'count(*) AS n FROM events GROUP BY event_type, bucket'
+)
+
+
 def q_source_anti_join(sf_dir: str) -> ray.data.Dataset:
     """Broadcast anti-join (§2.8: the reference's set semi/anti-joins against
     its catalog, base_scan_service.py:379,442-447): drop docs whose source is
@@ -4997,6 +5126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'big_order_customers': q_big_order_customers,
         'order_ship_daily': q_order_ship_daily,
         'lang_mix_sample': q_lang_mix_sample,
+        'props_value_deciles': q_props_value_deciles,
+        'sequence_packing': q_sequence_packing,
         # rows-only
         'scrub_documents': q_scrub_documents,
         'langid_documents': q_langid_documents,
@@ -5138,6 +5269,8 @@ def oracle_sql() -> dict[str, str]:
         'big_order_customers': _BIG_ORDER_SQL,
         'order_ship_daily': _ORDER_SHIP_DAILY_SQL,
         'lang_mix_sample': _LANG_MIX_SAMPLE_SQL,
+        'props_value_deciles': _PROPS_DECILES_SQL,
+        'sequence_packing': _SEQUENCE_PACKING_SQL,
         'big_spender_segments': _BIG_SPENDER_SQL,
         'top_order_per_cust': _TOP_ORDER_SQL,
         'token_stats': _TOKEN_STATS_SQL,
