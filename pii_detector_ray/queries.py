@@ -3130,6 +3130,69 @@ def q_pages_pipeline(sf_dir: str) -> ray.data.Dataset:
     return out.select_columns(['url', 'keep', 'drop_reason', 'lang_pred', 'n_pii'])
 
 
+def q_avro_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """Avro object-container ingest (sources/avro.py — pure-stdlib codec
+    from the public spec): the corpus round-trips through TWO avro files,
+    one per codec (``deflate`` raw-DEFLATE blocks and uncompressed
+    ``null``), decodes inside Ray tasks (file-granular parallelism, the
+    WARC/ORC adapter shape) and aggregates per lang — counts and char
+    totals must survive the binary round-trip exactly."""
+    import hashlib as _hl
+    import os
+
+    from pii_detector_ray.sources.avro import encode_avro, read_avro
+
+    src = os.path.join(sf_dir, 'documents.parquet')
+    st = os.stat(src)
+    tag = _hl.md5(f'{src}:{st.st_mtime_ns}:{st.st_size}:avro1'.encode()) \
+        .hexdigest()[:10]
+    paths = [f'/tmp/pii_ray_avro_{tag}_deflate.avro',
+             f'/tmp/pii_ray_avro_{tag}_null.avro']
+    if not all(os.path.exists(p) for p in paths):
+        import pyarrow.parquet as pq
+        t = pq.read_table(src, columns=['doc_id', 'lang', 'text'])
+        schema = {'type': 'record', 'name': 'doc', 'fields': [
+            {'name': 'doc_id', 'type': 'long'},
+            {'name': 'lang', 'type': ['null', 'string']},
+            {'name': 'text', 'type': 'string'}]}
+        recs = [{'doc_id': i, 'lang': l, 'text': x or ''}
+                for i, l, x in zip(t.column('doc_id').to_pylist(),
+                                   t.column('lang').to_pylist(),
+                                   t.column('text').to_pylist())]
+        for path, codec, keep in [(paths[0], 'deflate', 0),
+                                  (paths[1], 'null', 1)]:
+            tmp = f'{path}.{os.getpid()}'
+            with open(tmp, 'wb') as f:
+                f.write(encode_avro(
+                    [r for r in recs if r['doc_id'] % 2 == keep],
+                    schema, codec=codec))
+            os.replace(tmp, path)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or 'lang' not in batch.column_names:
+            return pa.table({'lang': pa.array([], pa.string()),
+                             '_n': pa.array([], pa.int64()),
+                             '_c': pa.array([], pa.int64())})
+        chars = pc.fill_null(pc.utf8_length(batch.column('text')), 0)
+        tbl = pa.table({'lang': batch.column('lang'), '_c': chars})
+        agg = tbl.group_by('lang').aggregate([([], 'count_all'),
+                                              ('_c', 'sum')])
+        return pa.table({'lang': agg.column('lang'),
+                         '_n': pc.cast(agg.column('count_all'), pa.int64()),
+                         '_c': pc.cast(agg.column('_c_sum'), pa.int64())})
+
+    return (read_avro(paths).map_batches(partial, batch_format='pyarrow')
+            .repartition(1)
+            .groupby('lang').aggregate(Sum('_n', alias_name='n_docs'),
+                                       Sum('_c', alias_name='total_chars')))
+
+
+_AVRO_ROUNDTRIP_SQL = (
+    'SELECT lang, count(*) AS n_docs, '
+    'sum(length(text))::BIGINT AS total_chars FROM documents GROUP BY lang'
+)
+
+
 def q_multi_format_union(sf_dir: str) -> ray.data.Dataset:
     """Multi-format ingest union (§2.1 breadth in the gate): the corpus is
     split three ways, round-tripped through CSV and JSONL files via the
@@ -5128,6 +5191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'lang_mix_sample': q_lang_mix_sample,
         'props_value_deciles': q_props_value_deciles,
         'sequence_packing': q_sequence_packing,
+        'avro_roundtrip': q_avro_roundtrip,
         # rows-only
         'scrub_documents': q_scrub_documents,
         'langid_documents': q_langid_documents,
@@ -5271,6 +5335,7 @@ def oracle_sql() -> dict[str, str]:
         'lang_mix_sample': _LANG_MIX_SAMPLE_SQL,
         'props_value_deciles': _PROPS_DECILES_SQL,
         'sequence_packing': _SEQUENCE_PACKING_SQL,
+        'avro_roundtrip': _AVRO_ROUNDTRIP_SQL,
         'big_spender_segments': _BIG_SPENDER_SQL,
         'top_order_per_cust': _TOP_ORDER_SQL,
         'token_stats': _TOKEN_STATS_SQL,

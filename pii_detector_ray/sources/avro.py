@@ -1,0 +1,253 @@
+"""Pure-stdlib Avro Object Container File codec (reader + fixture encoder).
+
+Closes the last common big-data interchange format in the ingest family
+(CSV / JSONL / raw text / WARC / ORC / parquet / XLS(X) / DOC(X) / PDF —
+``sources/ingest.py``, ``functions/prepare.py``): Avro files decode inside
+Ray tasks over ``read_binary_files``, file-granular parallelism like the
+WARC/ORC adapters.  No third-party Avro library exists in this container,
+so the binary format is implemented from the public specification
+(https://avro.apache.org/docs/current/specification/): zigzag-varint longs,
+length-prefixed strings/bytes, little-endian IEEE float/double, records as
+field concatenation, unions as a varint branch index, object container
+framing ``Obj\\x01`` + metadata map + 16-byte sync marker between blocks,
+``null`` and ``deflate`` (raw DEFLATE, wbits=-15) codecs.
+
+Scope: record schemas of primitives and ``["null", primitive]`` unions —
+the shapes a tabular corpus round-trips through.  Anything else raises
+(explicit, not silently wrong).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+
+import pyarrow as pa
+
+MAGIC = b'Obj\x01'
+
+_PRIMS = {'null', 'boolean', 'int', 'long', 'float', 'double',
+          'bytes', 'string'}
+
+
+# ---------------------------------------------------------------------------
+# primitive encode/decode
+# ---------------------------------------------------------------------------
+
+def _zigzag_encode(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+class _Reader:
+    __slots__ = ('buf', 'pos')
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def long(self) -> int:
+        u = shift = 0
+        while True:
+            b = self.buf[self.pos]
+            self.pos += 1
+            u |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return (u >> 1) ^ -(u & 1)
+
+    def raw(self, n: int) -> bytes:
+        out = self.buf[self.pos:self.pos + n]
+        if len(out) != n:
+            raise ValueError('truncated avro data')
+        self.pos += n
+        return out
+
+    def read_value(self, schema):
+        if isinstance(schema, list):          # union: branch index + value
+            return self.read_value(schema[self.long()])
+        if isinstance(schema, dict):
+            t = schema['type']
+            if t == 'record':
+                return {f['name']: self.read_value(f['type'])
+                        for f in schema['fields']}
+            schema = t
+        if schema == 'null':
+            return None
+        if schema == 'boolean':
+            return self.raw(1) != b'\x00'
+        if schema in ('int', 'long'):
+            return self.long()
+        if schema == 'float':
+            return struct.unpack('<f', self.raw(4))[0]
+        if schema == 'double':
+            return struct.unpack('<d', self.raw(8))[0]
+        if schema == 'bytes':
+            return self.raw(self.long())
+        if schema == 'string':
+            return self.raw(self.long()).decode('utf-8')
+        raise ValueError(f'unsupported avro type: {schema!r}')
+
+
+def _write_value(out: bytearray, schema, v) -> None:
+    if isinstance(schema, list):
+        for i, branch in enumerate(schema):
+            bt = branch if isinstance(branch, str) else branch.get('type')
+            if (v is None) == (bt == 'null'):
+                out += _zigzag_encode(i)
+                _write_value(out, branch, v)
+                return
+        raise ValueError('no matching union branch')
+    if isinstance(schema, dict):
+        t = schema['type']
+        if t == 'record':
+            for f in schema['fields']:
+                _write_value(out, f['type'], v[f['name']])
+            return
+        schema = t
+    if schema == 'null':
+        return
+    if schema == 'boolean':
+        out += b'\x01' if v else b'\x00'
+    elif schema in ('int', 'long'):
+        out += _zigzag_encode(int(v))
+    elif schema == 'float':
+        out += struct.pack('<f', float(v))
+    elif schema == 'double':
+        out += struct.pack('<d', float(v))
+    elif schema == 'bytes':
+        out += _zigzag_encode(len(v)) + bytes(v)
+    elif schema == 'string':
+        b = str(v).encode('utf-8')
+        out += _zigzag_encode(len(b)) + b
+    else:
+        raise ValueError(f'unsupported avro type: {schema!r}')
+
+
+# ---------------------------------------------------------------------------
+# container file
+# ---------------------------------------------------------------------------
+
+def encode_avro(records: list[dict], schema: dict, *,
+                codec: str = 'deflate', block_records: int = 1000) -> bytes:
+    """Fixture encoder: records → Avro object container bytes."""
+    if codec not in ('null', 'deflate'):
+        raise ValueError(f'unsupported codec {codec!r}')
+    sync = bytes((i * 37 + 11) & 0xFF for i in range(16))  # deterministic
+    out = bytearray(MAGIC)
+    meta = {'avro.schema': json.dumps(schema).encode(),
+            'avro.codec': codec.encode()}
+    out += _zigzag_encode(len(meta))
+    for k, v in sorted(meta.items()):
+        kb = k.encode()
+        out += _zigzag_encode(len(kb)) + kb
+        out += _zigzag_encode(len(v)) + v
+    out += _zigzag_encode(0)
+    out += sync
+    for i in range(0, len(records), block_records):
+        chunk = records[i:i + block_records]
+        body = bytearray()
+        for rec in chunk:
+            _write_value(body, schema, rec)
+        payload = bytes(body)
+        if codec == 'deflate':
+            co = zlib.compressobj(9, zlib.DEFLATED, -15)
+            payload = co.compress(bytes(body)) + co.flush()
+        out += _zigzag_encode(len(chunk))
+        out += _zigzag_encode(len(payload))
+        out += payload
+        out += sync
+    return bytes(out)
+
+
+def parse_avro(data: bytes) -> tuple[dict, list[dict]]:
+    """Avro object container bytes → (schema, records)."""
+    if data[:4] != MAGIC:
+        raise ValueError('not an avro object container file')
+    r = _Reader(data, 4)
+    meta: dict[str, bytes] = {}
+    while True:
+        n = r.long()
+        if n == 0:
+            break
+        if n < 0:                     # block with byte-size prefix
+            n = -n
+            r.long()
+        for _ in range(n):
+            k = r.raw(r.long()).decode()
+            meta[k] = r.raw(r.long())
+    schema = json.loads(meta['avro.schema'])
+    codec = meta.get('avro.codec', b'null').decode()
+    if codec not in ('null', 'deflate'):
+        raise ValueError(f'unsupported codec {codec!r}')
+    sync = r.raw(16)
+    records: list[dict] = []
+    while r.pos < len(data):
+        count = r.long()
+        size = r.long()
+        payload = r.raw(size)
+        if codec == 'deflate':
+            payload = zlib.decompress(payload, -15)
+        br = _Reader(payload)
+        for _ in range(count):
+            records.append(br.read_value(schema))
+        if r.raw(16) != sync:
+            raise ValueError('sync marker mismatch')
+    return schema, records
+
+
+_ARROW_TYPES = {'boolean': pa.bool_(), 'int': pa.int64(),
+                'long': pa.int64(), 'float': pa.float32(),
+                'double': pa.float64(), 'bytes': pa.binary(),
+                'string': pa.string()}
+
+
+def _arrow_type(field_schema):
+    if isinstance(field_schema, list):
+        branches = [b for b in field_schema if b != 'null']
+        if len(branches) != 1:
+            raise ValueError('only ["null", T] unions supported')
+        return _arrow_type(branches[0])
+    if isinstance(field_schema, dict):
+        return _arrow_type(field_schema['type'])
+    return _ARROW_TYPES[field_schema]
+
+
+def records_to_table(schema: dict, records: list[dict]) -> pa.Table:
+    cols = {f['name']: pa.array([rec.get(f['name']) for rec in records],
+                                _arrow_type(f['type']))
+            for f in schema['fields']}
+    return pa.table(cols)
+
+
+def read_avro(paths: str | list[str]):
+    """Avro files → Dataset: one decode task per file (the WARC/ORC
+    file-granular parallelism — Avro shards are block-compressed units,
+    so files are the natural partition)."""
+    import ray.data
+
+    ds = ray.data.read_binary_files(paths)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        parts = []
+        for blob in batch.column('bytes').to_pylist():
+            try:
+                schema, recs = parse_avro(blob or b'')
+                parts.append(records_to_table(schema, recs))
+            except Exception:
+                continue              # malformed file: skip, don't kill job
+        if not parts:
+            return pa.table({})
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(decode, batch_format='pyarrow')

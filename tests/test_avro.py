@@ -1,0 +1,75 @@
+"""Pure-stdlib Avro object-container codec: round-trips, zigzag edges,
+codec coverage, malformed-input behavior, and the Ray ingest adapter."""
+
+import pyarrow as pa
+import pytest
+
+from pii_detector_ray.sources.avro import (
+    encode_avro,
+    parse_avro,
+    read_avro,
+    records_to_table,
+)
+
+SCHEMA = {'type': 'record', 'name': 'doc', 'fields': [
+    {'name': 'doc_id', 'type': 'long'},
+    {'name': 'lang', 'type': ['null', 'string']},
+    {'name': 'score', 'type': 'double'},
+    {'name': 'ok', 'type': 'boolean'},
+    {'name': 'text', 'type': 'string'},
+]}
+
+
+def _recs(n=257):
+    return [{'doc_id': i, 'lang': None if i % 5 == 0 else f'l{i % 3}',
+             'score': i * 0.5, 'ok': i % 2 == 0, 'text': 'héllo ' * (i % 9)}
+            for i in range(n)]
+
+
+@pytest.mark.parametrize('codec', ['null', 'deflate'])
+def test_roundtrip(codec):
+    recs = _recs()
+    blob = encode_avro(recs, SCHEMA, codec=codec, block_records=100)
+    schema, out = parse_avro(blob)
+    assert schema == SCHEMA and out == recs
+    t = records_to_table(schema, out)
+    assert t.num_rows == len(recs)
+    assert t.column('lang').null_count == len([r for r in recs
+                                               if r['lang'] is None])
+    assert t.schema.field('doc_id').type == pa.int64()
+    assert t.schema.field('score').type == pa.float64()
+
+
+def test_zigzag_edges():
+    schema = {'type': 'record', 'name': 'n',
+              'fields': [{'name': 'v', 'type': 'long'}]}
+    vals = [{'v': v} for v in
+            [0, -1, 1, -2, 2, 63, -64, 64, 2**40, -2**40, 2**62, -2**62]]
+    assert parse_avro(encode_avro(vals, schema, codec='null'))[1] == vals
+
+
+def test_malformed_inputs():
+    with pytest.raises(ValueError):
+        parse_avro(b'NOPE' + b'\x00' * 40)
+    blob = encode_avro(_recs(10), SCHEMA)
+    with pytest.raises(Exception):
+        parse_avro(blob[:-8])        # truncated final sync
+    # corrupt a sync marker byte
+    bad = bytearray(blob)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError):
+        parse_avro(bytes(bad))
+
+
+def test_read_avro_dataset(ray_session, tmp_path):
+    recs = _recs(64)
+    half = len(recs) // 2
+    p1 = tmp_path / 'a.avro'
+    p2 = tmp_path / 'b.avro'
+    p1.write_bytes(encode_avro(recs[:half], SCHEMA, codec='deflate'))
+    p2.write_bytes(encode_avro(recs[half:], SCHEMA, codec='null'))
+    ds = read_avro([str(p1), str(p2)])
+    out = ds.to_pandas().sort_values('doc_id').reset_index(drop=True)
+    assert len(out) == len(recs)
+    assert list(out['doc_id']) == [r['doc_id'] for r in recs]
+    assert out['text'][8] == recs[8]['text']
