@@ -3056,10 +3056,39 @@ def q_media_decode_stats(sf_dir: str) -> ray.data.Dataset:
     return _media_stats(q_media_decode(sf_dir))
 
 
+def q_video_frame_stats(sf_dir: str) -> ray.data.Dataset:
+    """Value-pinned oracle for the REAL stdlib video path: AVI/RIFF demux
+    (functions/avicodec.py) → evenly-spaced frame sampling → baseline-JPEG
+    decode per frame → per-frame mean luma, digested per media_type with
+    the q_media_decode_stats construction.  The fixture corpus is
+    deterministic, so the digest pins to constants."""
+    from pii_detector_ray.stages.multimodal import (
+        FrameSampleStage,
+        synth_video_table,
+    )
+    ds = ray.data.from_arrow(synth_video_table(24))
+    sampled = ds.map_batches(FrameSampleStage(n_frames=4,
+                                              use_fake_decoder=False),
+                             batch_format='pyarrow', batch_size=8)
+
+    def as_features(t: pa.Table) -> pa.Table:
+        return pa.table({'media_type': t.column('media_type'),
+                         'features': t.column('frame_means')})
+
+    return _media_stats(sampled.map_batches(as_features,
+                                            batch_format='pyarrow'))
+
+
 _MEDIA_FEATURE_STATS_SQL = (
     'SELECT * FROM (VALUES '
     "('audio/wav', 100::BIGINT, 6.0598, 100.0), "
     "('image/png', 100::BIGINT, 6.2066, 100.0)) "
+    'AS t(media_type, n_items, sum_feat0, sum_all)'
+)
+
+_VIDEO_FRAME_STATS_SQL = (
+    'SELECT * FROM (VALUES '
+    "('video/avi', 24::BIGINT, 1093.2144, 8035.6945)) "
     'AS t(media_type, n_items, sum_feat0, sum_all)'
 )
 
@@ -5192,6 +5221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'props_value_deciles': q_props_value_deciles,
         'sequence_packing': q_sequence_packing,
         'avro_roundtrip': q_avro_roundtrip,
+        'video_frame_stats': q_video_frame_stats,
         # rows-only
         'scrub_documents': q_scrub_documents,
         'langid_documents': q_langid_documents,
@@ -5336,6 +5366,7 @@ def oracle_sql() -> dict[str, str]:
         'props_value_deciles': _PROPS_DECILES_SQL,
         'sequence_packing': _SEQUENCE_PACKING_SQL,
         'avro_roundtrip': _AVRO_ROUNDTRIP_SQL,
+        'video_frame_stats': _VIDEO_FRAME_STATS_SQL,
         'big_spender_segments': _BIG_SPENDER_SQL,
         'top_order_per_cust': _TOP_ORDER_SQL,
         'token_stats': _TOKEN_STATS_SQL,

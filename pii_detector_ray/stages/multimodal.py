@@ -245,9 +245,12 @@ class MediaDecodeStage:
 
 
 class FrameSampleStage:
-    """Video frame-sampling stage signature (stubbed): emits ``n_frames``
-    offsets per row deterministically; the actual frame extraction raises
-    unless the fake path is on."""
+    """Video frame-sampling stage: emits ``n_frames`` evenly-spaced frame
+    offsets per row; with ``use_fake_decoder=False`` the payload REALLY
+    demuxes (stdlib AVI/RIFF — ``functions/avicodec.py``) and each sampled
+    frame decodes through the stdlib baseline-JPEG decoder, emitting the
+    per-frame mean luma alongside the offsets.  The fake path keeps the
+    original metadata-only plumbing for payloads with no stdlib codec."""
 
     def __init__(self, n_frames: int = 4, use_fake_decoder: bool = True) -> None:
         self.n_frames = n_frames
@@ -255,7 +258,32 @@ class FrameSampleStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.use_fake_decoder:
-            raise NotImplementedError('video decode unavailable in this container')
+            from pii_detector_ray.functions.avicodec import parse_avi_mjpeg
+            from pii_detector_ray.functions.jpegcodec import decode_jpeg
+            offs, means = [], []
+            for payload, mtype in zip(batch.column('payload').to_pylist(),
+                                      batch.column('media_type').to_pylist()):
+                if mtype != 'video/avi':
+                    raise NotImplementedError(
+                        f'no stdlib video codec for {mtype!r}; only '
+                        f'video/avi (MJPEG) decodes in this container')
+                info = parse_avi_mjpeg(payload)
+                nf = len(info['frames'])
+                # evenly spaced sample: frame floor((j+0.5)*nf/k)
+                idx = [min(nf - 1, (2 * j + 1) * nf // (2 * self.n_frames))
+                       for j in range(self.n_frames)]
+                offs.append([int(i * info['us_per_frame'] // 1000)
+                             for i in idx])
+                means.append([
+                    float(decode_jpeg(info['frames'][i])
+                          .astype(np.float64).mean()) for i in idx])
+            out = batch.drop_columns(['payload'])
+            out = out.append_column(
+                'frame_offsets_ms',
+                pa.array(offs, pa.list_(pa.int32(), self.n_frames)))
+            return out.append_column(
+                'frame_means',
+                pa.array(means, pa.list_(pa.float32(), self.n_frames)))
         durs = batch.column('duration_ms').to_pylist()
         offs = [[int(d * (i + 0.5) / self.n_frames) if d else 0
                  for i in range(self.n_frames)] for d in durs]
@@ -346,6 +374,38 @@ def synth_real_media_table(n: int, seed: int = 17) -> pa.Table:
             payloads.append(encode_wav(samples))
             types.append('audio/wav')
             widths.append(None); heights.append(None); durs.append(100)
+    return pa.Table.from_arrays([
+        pa.array(ids, pa.int64()), pa.array(types, pa.string()),
+        pa.array(payloads, pa.binary()), pa.array(widths, pa.int32()),
+        pa.array(heights, pa.int32()), pa.array(durs, pa.int32()),
+    ], schema=MEDIA_SCHEMA)
+
+
+def synth_video_table(n: int, seed: int = 23) -> pa.Table:
+    """Fixture table of REAL decodable AVI/MJPEG videos: 5-9 gradient
+    frames per row, 25 fps, every frame a baseline JPEG."""
+    from pii_detector_ray.functions.avicodec import encode_avi_mjpeg
+    from pii_detector_ray.functions.jpegcodec import encode_jpeg
+    rng = np.random.default_rng(seed)
+    ids, types, payloads, widths, heights, durs = [], [], [], [], [], []
+    for i in range(n):
+        w, h = 16 + int(rng.integers(0, 8)), 16 + int(rng.integers(0, 8))
+        nf = 5 + int(rng.integers(0, 5))
+        frames = []
+        for k in range(nf):
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack([(xx * (2 + i % 3) + 17 * k) % 256,
+                            (yy * 5 + i) % 256,
+                            ((xx + yy) * 2 + k * 31) % 256],
+                           axis=2).astype(np.uint8)
+            frames.append(encode_jpeg(img, quality=85,
+                                      subsample_420=bool(i % 4 == 1)))
+        ids.append(i)
+        types.append('video/avi')
+        payloads.append(encode_avi_mjpeg(frames, w, h, us_per_frame=40_000))
+        widths.append(w)
+        heights.append(h)
+        durs.append(nf * 40)
     return pa.Table.from_arrays([
         pa.array(ids, pa.int64()), pa.array(types, pa.string()),
         pa.array(payloads, pa.binary()), pa.array(widths, pa.int32()),

@@ -123,3 +123,36 @@ def test_gif_decoder_against_real_compressing_lzw():
         gif += b'\x00\x3B'
         img = decode_gif(bytes(gif))
         assert np.array_equal(img, pal[idx]), (h, wd, nc)
+
+
+def test_frame_sample_real_avi(ray_session):
+    """Real video path: AVI/MJPEG demux + baseline-JPEG per-frame decode."""
+    import numpy as np
+    import ray as _ray
+
+    from pii_detector_ray.functions.avicodec import (
+        encode_avi_mjpeg,
+        parse_avi_mjpeg,
+    )
+    from pii_detector_ray.functions.jpegcodec import decode_jpeg
+    from pii_detector_ray.stages.multimodal import (
+        FrameSampleStage,
+        synth_video_table,
+    )
+    tbl = synth_video_table(6)
+    out = (_ray.data.from_arrow(tbl)
+           .map_batches(FrameSampleStage(n_frames=4, use_fake_decoder=False),
+                        batch_format='pyarrow', batch_size=4)).to_pandas()
+    assert len(out) == 6
+    assert all(len(o) == 4 for o in out['frame_offsets_ms'])
+    # cross-check row 0 against a direct demux+decode
+    info = parse_avi_mjpeg(tbl.column('payload')[0].as_py())
+    nf = len(info['frames'])
+    idx0 = min(nf - 1, nf // 8)
+    expect = float(decode_jpeg(info['frames'][idx0])
+                   .astype(np.float64).mean())
+    got = float(out['frame_means'][0][0])
+    assert abs(got - expect) < 1e-4
+    # offsets are multiples of the frame period and non-decreasing
+    offs = list(out['frame_offsets_ms'][0])
+    assert offs == sorted(offs) and all(o % 40 == 0 for o in offs)
