@@ -13,9 +13,12 @@ Codec status in this container (no PIL/ffmpeg/torchaudio):
 - **WAV** — REAL, stdlib: ``wave`` module, 16-bit PCM (:func:`decode_wav`).
 - **JPEG** — REAL, stdlib: baseline SOF0 Huffman decode, 4:4:4 and 4:2:0,
   restart markers (``functions/jpegcodec.py``; encoder for fixtures).
-- everything else (video, progressive JPEG, ...) — stubbed: the Ray-side
-  plumbing is real, the codec call raises ``NotImplementedError`` unless
-  the deterministic fake byte-histogram decoder is enabled.
+- **Video** — REAL, stdlib: AVI/RIFF MJPEG demux (``functions/avicodec.py``)
+  + per-frame baseline-JPEG decode in :class:`FrameSampleStage`.
+- everything else (progressive JPEG, non-MJPEG video codecs, ...) —
+  stubbed: the Ray-side plumbing is real, the codec call raises
+  ``NotImplementedError`` unless the deterministic fake byte-histogram
+  decoder is enabled.
 
 Scale notes: large binary payloads need SMALL ``batch_size`` (a batch ×
 concurrency must fit worker heap) and benefit from a larger
