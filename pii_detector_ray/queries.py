@@ -2533,14 +2533,14 @@ def q_sequence_packing(sf_dir: str, bin_tokens: int = 2048
         mat.map_batches(summary, batch_format='pyarrow',
                         batch_size=None).take_all(),
         key=lambda r: r['_min'])
-    offsets: dict[int, int] = {}
+    offsets: dict[int, tuple[int, int, int]] = {}
     run = 0
     prev_max = None
     for s in summ:
         if prev_max is not None and s['_min'] <= prev_max:
             raise AssertionError('blocks are not doc_id-range-disjoint')
         prev_max = s['_max']
-        offsets[s['_min']] = run
+        offsets[s['_min']] = (run, s['_max'], s['_sum'])
         run += s['_sum']
     off_ref = ray.put(offsets)
 
@@ -2553,7 +2553,12 @@ def q_sequence_packing(sf_dir: str, bin_tokens: int = 2048
                              '_toks': pa.array([], pa.int64())})
         order = np.argsort(ids, kind='stable')
         tk = tk[order]
-        base = ray.get(off_ref)[int(ids.min())]
+        base, exp_max, exp_sum = ray.get(off_ref)[int(ids.min())]
+        # a pass-2 batch must be exactly one pass-1 block — a merged or
+        # re-split batch would silently corrupt the prefix sum
+        if int(ids.max()) != exp_max or int(tk.sum()) != exp_sum:
+            raise AssertionError('pass-2 batch does not match its '
+                                 'pass-1 block summary')
         cumb = base + np.concatenate(([0], np.cumsum(tk)))[:-1]
         bins = cumb // bin_tokens
         ub, inv = np.unique(bins, return_inverse=True)
