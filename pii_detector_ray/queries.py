@@ -4247,6 +4247,593 @@ _ORDER_SHIP_DAILY_SQL = (
 )
 
 
+def q_returned_item_customers(sf_dir: str,
+                              broadcast_order_limit: int = 2_000_000
+                              ) -> pd.DataFrame:
+    """TPC-H Q10 shape: revenue lost to RETURNED items per customer in one
+    quarter, top-20 customers by that revenue.
+
+    Plan: the quarter's orders reduce to a NARROW (orderkey, custkey) side;
+    lineitem filters ``l_returnflag = 'R'`` and pre-aggregates integer-1e-4
+    revenue per orderkey inside each batch.  Under ``broadcast_order_limit``
+    the order side broadcasts as sorted int64 arrays and lineitem closes the
+    custkey attribution in ONE pass; above it the two narrow sides meet in a
+    co-partitioned hash join.  The per-customer aggregate is
+    input-proportional, so the top-20 head folds under the 50M-row guard and
+    otherwise runs a distributed sort+limit; only then do the <=20 custkeys
+    broadcast to fetch names."""
+    import os
+    d0 = np.datetime64('1996-07-01')
+    d1 = np.datetime64('1996-10-01')
+    from pii_detector_ray.stages.dedup import drop_empty_blocks, \
+        join_partitions
+
+    orders = read_parquet_clean(os.path.join(sf_dir, 'orders.parquet'),
+                                columns=['o_orderkey', 'o_custkey',
+                                         'o_orderdate'])
+
+    def order_side(t: pa.Table) -> pa.Table:
+        dt = t.column('o_orderdate').to_numpy(zero_copy_only=False)
+        mask = pa.array((dt >= d0) & (dt < d1))
+        return pa.table({'o_orderkey': t.column('o_orderkey'),
+                         '_cust': t.column('o_custkey')}).filter(mask)
+
+    qual = orders.map_batches(order_side, batch_format='pyarrow') \
+        .materialize()
+
+    def li_partial(ocust_ref):
+        """ocust_ref None -> (l_orderkey, _rev) partials for the join path;
+        else the broadcast (okey -> custkey) lookup closes attribution."""
+        def f(t: pa.Table) -> pa.Table:
+            flag = t.column('l_returnflag')
+            t = t.filter(pc.equal(flag, 'R'))
+            ok = t.column('l_orderkey').to_numpy(zero_copy_only=False)
+            rev = _rev_e4(
+                t.column('l_extendedprice').to_numpy(zero_copy_only=False),
+                t.column('l_discount').to_numpy(zero_copy_only=False))
+            if ocust_ref is not None:
+                okeys, ocust = ray.get(ocust_ref)
+                if len(okeys):
+                    idx = np.minimum(np.searchsorted(okeys, ok),
+                                     len(okeys) - 1)
+                    keep = okeys[idx] == ok
+                    cust, rev = ocust[idx][keep], rev[keep]
+                else:
+                    cust, rev = np.zeros(0, np.int64), rev[:0]
+                tbl = pa.table({'_cust': pa.array(cust, pa.int64()),
+                                '_rev': pa.array(rev, pa.int64())})
+                return tbl.group_by('_cust').aggregate([('_rev', 'sum')]) \
+                    .rename_columns(['_cust', '_rev'])
+            tbl = pa.table({'o_orderkey': pa.array(ok, pa.int64()),
+                            '_rev': pa.array(rev, pa.int64())})
+            return tbl.group_by('o_orderkey').aggregate([('_rev', 'sum')]) \
+                .rename_columns(['o_orderkey', '_rev'])
+        return f
+
+    line = read_parquet_clean(
+        os.path.join(sf_dir, 'lineitem.parquet'),
+        columns=['l_orderkey', 'l_returnflag', 'l_extendedprice',
+                 'l_discount'])
+
+    if qual.count() <= broadcast_order_limit:
+        oks, ocs = [], []
+        for b in qual.iter_batches(batch_size=None, batch_format='pyarrow'):
+            oks.append(b.column('o_orderkey').to_numpy(zero_copy_only=False))
+            ocs.append(b.column('_cust').to_numpy(zero_copy_only=False))
+        okeys = np.concatenate(oks) if oks else np.zeros(0, np.int64)
+        ocust = np.concatenate(ocs) if ocs else np.zeros(0, np.int64)
+        order_o = np.argsort(okeys, kind='stable')
+        ocust_ref = ray.put((okeys[order_o].astype(np.int64),
+                             ocust[order_o].astype(np.int64)))
+        per_cust = drop_empty_blocks(
+            line.map_batches(li_partial(ocust_ref),
+                             batch_format='pyarrow'))
+    else:
+        partials = (line.map_batches(li_partial(None),
+                                     batch_format='pyarrow')
+                    .groupby('o_orderkey')
+                    .aggregate(Sum('_rev', alias_name='_rev')))
+        joined = drop_empty_blocks(partials).join(
+            drop_empty_blocks(qual), join_type='inner',
+            num_partitions=join_partitions(), on=('o_orderkey',))
+        per_cust = drop_empty_blocks(joined.select_columns(
+            ['_cust', '_rev']))
+
+    # per_cust is an UNGROUPED partial stream — the per-customer close and
+    # the top-20 head share one bounded fold (the big_order pattern); above
+    # the fold limit a distributed groupby + sort/limit runs instead
+    if per_cust.count() <= 50_000_000:
+        def fold_top(t: pa.Table) -> pa.Table:
+            cu = t.column('_cust').to_numpy(zero_copy_only=False)
+            rv = t.column('_rev').to_numpy(zero_copy_only=False)
+            uc, inv = np.unique(cu, return_inverse=True)
+            sums = np.bincount(inv, weights=rv.astype(np.float64)) \
+                .astype(np.int64)
+            order_t = np.lexsort((uc, -sums))[:20]
+            return pa.table({'_cust': pa.array(uc[order_t], pa.int64()),
+                             '_rev': pa.array(sums[order_t], pa.int64())})
+        top = (per_cust.repartition(1)
+               .map_batches(fold_top, batch_format='pyarrow',
+                            batch_size=None).to_pandas())
+    else:
+        top = (per_cust.groupby('_cust')
+               .aggregate(Sum('_rev', alias_name='_rev'))
+               .sort(['_rev', '_cust'], descending=[True, False])
+               .limit(20).to_pandas())
+
+    ckeys_ref = ray.put(pa.array(sorted(top['_cust'].astype(int)),
+                                 pa.int64()))
+    cust = read_parquet_clean(os.path.join(sf_dir, 'customer.parquet'),
+                              columns=['c_custkey', 'c_name'])
+    cd = cust.map_batches(
+        lambda t: t.filter(pc.is_in(t.column('c_custkey'),
+                                    value_set=ray.get(ckeys_ref))),
+        batch_format='pyarrow').to_pandas()
+    df = top.merge(cd, left_on='_cust', right_on='c_custkey')
+    df['revenue'] = sql_round_np(df['_rev'].to_numpy(np.int64) / 10000.0, 2)
+    df['c_custkey'] = df['c_custkey'].astype(np.int64)
+    return df[['c_custkey', 'c_name', 'revenue']].reset_index(drop=True)
+
+
+_RETURNED_ITEM_SQL = (
+    'SELECT c.c_custkey, c.c_name, '
+    f'round(sum({_REV_E4_SQL}) / 10000.0, 2) AS revenue '
+    'FROM customer c '
+    'JOIN orders o ON c.c_custkey = o.o_custkey '
+    'JOIN lineitem l ON l.l_orderkey = o.o_orderkey '
+    "WHERE l.l_returnflag = 'R' "
+    "AND o.o_orderdate >= TIMESTAMP '1996-07-01' "
+    "AND o.o_orderdate < TIMESTAMP '1996-10-01' "
+    'GROUP BY c.c_custkey, c.c_name '
+    f'ORDER BY sum({_REV_E4_SQL}) DESC, c.c_custkey LIMIT 20'
+)
+
+
+def q_priority_return_orders(sf_dir: str,
+                             fold_limit: int = 50_000_000
+                             ) -> ray.data.Dataset:
+    """TPC-H Q4 shape (EXISTS semi-join): per-order-priority counts of one
+    quarter's orders that have at least one RETURNED lineitem.  The
+    semi-join must deduplicate — an order with three returned lines counts
+    once.
+
+    Plan: lineitem reduces to per-batch-distinct qualifying orderkeys (a
+    one-column int64 stream, already mostly deduplicated); under
+    ``fold_limit`` those fold to one global sorted key array that broadcasts
+    into a single vectorized orders pass; above it the distinct closes in a
+    narrow groupby and meets the (orderkey, priority) side in a
+    co-partitioned hash join.  Either way the final aggregate is 5 rows."""
+    import os
+    d0 = np.datetime64('1996-01-01')
+    d1 = np.datetime64('1996-04-01')
+    from pii_detector_ray.stages.dedup import drop_empty_blocks, \
+        join_partitions
+
+    line = read_parquet_clean(os.path.join(sf_dir, 'lineitem.parquet'),
+                              columns=['l_orderkey', 'l_returnflag'])
+
+    def key_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column('l_returnflag'), 'R'))
+        ok = np.unique(t.column('l_orderkey').to_numpy(zero_copy_only=False))
+        return pa.table({'l_orderkey': pa.array(ok, pa.int64())})
+
+    keys = drop_empty_blocks(
+        line.map_batches(key_partial, batch_format='pyarrow'))
+
+    orders = read_parquet_clean(os.path.join(sf_dir, 'orders.parquet'),
+                                columns=['o_orderkey', 'o_orderdate',
+                                         'o_orderpriority'])
+
+    if keys.count() <= fold_limit:
+        parts = [b.column('l_orderkey').to_numpy(zero_copy_only=False)
+                 for b in keys.iter_batches(batch_size=None,
+                                            batch_format='pyarrow')]
+        kset = np.unique(np.concatenate(parts)) if parts \
+            else np.zeros(0, np.int64)
+        kref = ray.put(kset)
+
+        def count_partial(t: pa.Table) -> pa.Table:
+            ks = ray.get(kref)
+            dt = t.column('o_orderdate').to_numpy(zero_copy_only=False)
+            mask = (dt >= d0) & (dt < d1)
+            ok = t.column('o_orderkey').to_numpy(zero_copy_only=False)
+            if len(ks):
+                idx = np.minimum(np.searchsorted(ks, ok), len(ks) - 1)
+                mask &= ks[idx] == ok
+            else:
+                mask &= False
+            pri = t.column('o_orderpriority').to_numpy(zero_copy_only=False)
+            up, cnt = np.unique(pri[mask], return_counts=True)
+            return pa.table({'o_orderpriority': pa.array(up, pa.string()),
+                             '_n': pa.array(cnt.astype(np.int64))})
+
+        agg = (orders.map_batches(count_partial, batch_format='pyarrow')
+               .repartition(1)
+               .groupby('o_orderpriority')
+               .aggregate(Sum('_n', alias_name='order_count')))
+        return drop_empty_blocks(agg)
+
+    distinct = keys.groupby('l_orderkey').aggregate(
+        Sum('l_orderkey', alias_name='_x')).select_columns(['l_orderkey'])
+
+    def order_side(t: pa.Table) -> pa.Table:
+        dt = t.column('o_orderdate').to_numpy(zero_copy_only=False)
+        mask = pa.array((dt >= d0) & (dt < d1))
+        return pa.table({'l_orderkey': t.column('o_orderkey'),
+                         'o_orderpriority': t.column('o_orderpriority')}) \
+            .filter(mask)
+
+    osd = orders.map_batches(order_side, batch_format='pyarrow')
+    joined = drop_empty_blocks(distinct).join(
+        drop_empty_blocks(osd), join_type='inner',
+        num_partitions=join_partitions(), on=('l_orderkey',))
+
+    def pri_partial(t: pa.Table) -> pa.Table:
+        pri = t.column('o_orderpriority').to_numpy(zero_copy_only=False)
+        up, cnt = np.unique(pri, return_counts=True)
+        return pa.table({'o_orderpriority': pa.array(up, pa.string()),
+                         '_n': pa.array(cnt.astype(np.int64))})
+
+    agg = (joined.map_batches(pri_partial, batch_format='pyarrow')
+           .repartition(1)
+           .groupby('o_orderpriority')
+           .aggregate(Sum('_n', alias_name='order_count')))
+    return drop_empty_blocks(agg)
+
+
+_PRIORITY_RETURN_SQL = (
+    'SELECT o_orderpriority, count(*) AS order_count FROM orders o '
+    "WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o.o_orderdate < TIMESTAMP '1996-04-01' "
+    'AND EXISTS (SELECT 1 FROM lineitem l '
+    "WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R') "
+    'GROUP BY o_orderpriority'
+)
+
+
+_Q16_SIZES = (1, 4, 9, 14, 19, 23, 36, 45)
+
+
+def q_brand_supplier_counts(sf_dir: str,
+                            fold_limit: int = 50_000_000
+                            ) -> ray.data.Dataset:
+    """TPC-H Q16 shape (anti-join + per-group COUNT DISTINCT): suppliers
+    able to supply selected part brands/sizes, excluding flagged suppliers
+    (``s_acctbal < 0`` stands in for the comment scan — the testdata has no
+    comment column), with part-supplier pairs taken from lineitem (no
+    partsupp table in the testdata).
+
+    Plan: the flagged-supplier set and the filtered partkey -> (brand, size)
+    map broadcast once (suppliers and parts are orders of magnitude smaller
+    than lineitem; past the broadcast budget the part map shards like
+    stages/similarity.py).  Lineitem streams ONE pass emitting
+    per-batch-distinct (group, suppkey) int64 pairs — the NOT IN is a
+    vectorized sorted-array anti-lookup, never a shuffle.  The global
+    COUNT DISTINCT folds under ``fold_limit`` and otherwise closes in two
+    narrow groupbys (distinct pairs, then counts)."""
+    import os
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
+    supp = read_parquet_clean(os.path.join(sf_dir, 'supplier.parquet'),
+                              columns=['s_suppkey', 's_acctbal']).to_pandas()
+    bad = np.sort(np.asarray(
+        supp.loc[supp['s_acctbal'] < 0, 's_suppkey'], np.int64))
+
+    part = read_parquet_clean(os.path.join(sf_dir, 'part.parquet'),
+                              columns=['p_partkey', 'p_brand',
+                                       'p_size']).to_pandas()
+    part = part[(part['p_brand'] != 'Brand#4')
+                & part['p_size'].isin(_Q16_SIZES)]
+    brands = sorted(part['p_brand'].unique())
+    b_idx = {b: i for i, b in enumerate(brands)}
+    # group id = brand index * 64 + size (size <= 50 in the domain)
+    pkeys = np.asarray(part['p_partkey'], np.int64)
+    order_p = np.argsort(pkeys, kind='stable')
+    pkeys = pkeys[order_p]
+    pgrp = (np.asarray([b_idx[b] for b in part['p_brand']], np.int64) * 64
+            + np.asarray(part['p_size'], np.int64))[order_p]
+    side_ref = ray.put((bad, pkeys, pgrp))
+
+    line = read_parquet_clean(os.path.join(sf_dir, 'lineitem.parquet'),
+                              columns=['l_partkey', 'l_suppkey'])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        bad_k, pk, pg = ray.get(side_ref)
+        lp = t.column('l_partkey').to_numpy(zero_copy_only=False)
+        ls = t.column('l_suppkey').to_numpy(zero_copy_only=False)
+        if len(pk):
+            idx = np.minimum(np.searchsorted(pk, lp), len(pk) - 1)
+            keep = pk[idx] == lp
+        else:
+            idx = np.zeros(len(lp), np.int64)
+            keep = np.zeros(len(lp), bool)
+        if len(bad_k):
+            bi = np.minimum(np.searchsorted(bad_k, ls), len(bad_k) - 1)
+            keep &= bad_k[bi] != ls
+        g, s = pg[idx][keep], ls[keep]
+        comb = np.unique((g << 40) | s)     # suppkeys < 2^40 in the domain
+        return pa.table({'_g': pa.array(comb >> 40, pa.int64()),
+                         '_s': pa.array(comb & ((1 << 40) - 1), pa.int64())})
+
+    pairs = drop_empty_blocks(
+        line.map_batches(pair_partial, batch_format='pyarrow'))
+
+    def fin_table(grp: np.ndarray, cnt: np.ndarray) -> pa.Table:
+        return pa.table({
+            'p_brand': pa.array([brands[g >> 6] for g in grp], pa.string()),
+            'p_size': pa.array(grp & 63, pa.int64()),
+            'supplier_cnt': pa.array(cnt, pa.int64())})
+
+    if pairs.count() <= fold_limit:
+        def fold(t: pa.Table) -> pa.Table:
+            g = t.column('_g').to_numpy(zero_copy_only=False)
+            s = t.column('_s').to_numpy(zero_copy_only=False)
+            comb = np.unique((g << 40) | s)
+            grp, cnt = np.unique(comb >> 40, return_counts=True)
+            return fin_table(grp, cnt.astype(np.int64))
+        return (pairs.repartition(1)
+                .map_batches(fold, batch_format='pyarrow', batch_size=None))
+
+    distinct = pairs.groupby(['_g', '_s']).aggregate(
+        Sum('_g', alias_name='_x')).select_columns(['_g', '_s'])
+
+    def grp_partial(t: pa.Table) -> pa.Table:
+        g = t.column('_g').to_numpy(zero_copy_only=False)
+        ug, cnt = np.unique(g, return_counts=True)
+        return pa.table({'_g': pa.array(ug, pa.int64()),
+                         '_n': pa.array(cnt.astype(np.int64))})
+
+    agg = (distinct.map_batches(grp_partial, batch_format='pyarrow')
+           .repartition(1)
+           .groupby('_g').aggregate(Sum('_n', alias_name='_n')))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return fin_table(t.column('_g').to_numpy(zero_copy_only=False),
+                         t.column('_n').to_numpy(zero_copy_only=False))
+    return drop_empty_blocks(agg).map_batches(fin, batch_format='pyarrow')
+
+
+_BRAND_SUPPLIER_SQL = (
+    'SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size, '
+    'count(DISTINCT l.l_suppkey) AS supplier_cnt '
+    'FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey '
+    "WHERE p.p_brand <> 'Brand#4' "
+    f"AND p.p_size IN {_Q16_SIZES!r} "
+    'AND l.l_suppkey NOT IN '
+    '(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) '
+    'GROUP BY p.p_brand, p.p_size'
+)
+
+
+def q_readability(sf_dir: str) -> ray.data.Dataset:
+    """Flesch reading-ease per document — a webtext quality-scoring staple.
+
+    Deterministic spec (mirrored exactly in the oracle): words are
+    ``[A-Za-z]+`` runs, sentences are ``[.!?]+`` runs clamped to >= 1,
+    syllables are ``[aeiouyAEIOUY]+`` vowel groups (each lies inside exactly
+    one word, so the whole-text count equals the per-word sum; the
+    classical per-word >=1 clamp is intentionally dropped to keep the spec
+    regex-local).  score = 206.835 - 1.015 w/s - 84.6 sy/w.
+
+    Scale shape: three RE2 count kernels + float arithmetic per batch —
+    one embarrassingly parallel pass, no shuffle, columns pruned at the
+    read."""
+    import os
+    docs = read_parquet_clean(os.path.join(sf_dir, 'documents.parquet'),
+                              columns=['doc_id', 'text'])
+
+    def score(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t.column('text'), '')
+        w = pc.count_substring_regex(txt, '[A-Za-z]+') \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pc.count_substring_regex(txt, '[.!?]+') \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sy = pc.count_substring_regex(txt, '[aeiouyAEIOUY]+') \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        s = np.maximum(s, 1)
+        keep = w > 0
+        wf = w[keep].astype(np.float64)
+        flesch = (206.835 - 1.015 * wf / s[keep] - 84.6 * sy[keep] / wf)
+        return pa.table({
+            'doc_id': t.column('doc_id').filter(pa.array(keep)),
+            'n_words': pa.array(w[keep], pa.int64()),
+            'n_sentences': pa.array(s[keep], pa.int64()),
+            'n_syllables': pa.array(sy[keep], pa.int64()),
+            'flesch': sql_round_pa(pa.array(flesch), 4)})
+
+    return docs.map_batches(score, batch_format='pyarrow')
+
+
+_READABILITY_SQL = (
+    'WITH t AS (SELECT doc_id, '
+    "len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+')) AS n_words, "
+    "greatest(len(regexp_extract_all(coalesce(text, ''), '[.!?]+')), 1) "
+    'AS n_sentences, '
+    "len(regexp_extract_all(coalesce(text, ''), '[aeiouyAEIOUY]+')) "
+    'AS n_syllables '
+    'FROM documents) '
+    'SELECT doc_id, n_words, n_sentences, n_syllables, '
+    # DOUBLE casts: DuckDB parses bare 1.015 as DECIMAL and computes part
+    # of the chain exactly, flipping round() boundaries vs float64
+    'round(206.835::DOUBLE - 1.015::DOUBLE * n_words / n_sentences '
+    '- 84.6::DOUBLE * n_syllables / n_words, 4) AS flesch '
+    'FROM t WHERE n_words > 0'
+)
+
+
+def q_weekly_active_users(sf_dir: str,
+                          fold_limit: int = 50_000_000
+                          ) -> ray.data.Dataset:
+    """Rolling 7-day DISTINCT users per observed day — the windowed
+    count-distinct operator (exact, not sketched; the HLL variant is
+    ``approx_distinct_hll``).
+
+    Plan: events reduce to per-batch-distinct (day, user) int64 pairs (one
+    narrow stream, already mostly deduplicated — a user's events cluster in
+    time).  The observed-day calendar is calendar-BOUNDED, so it folds to a
+    broadcast set.  Each distinct pair then fans out to the <= 7 observed
+    window-days it serves, and the window-level COUNT DISTINCT closes — by
+    one numpy fold under ``fold_limit``, else by two narrow groupbys
+    (distinct (window, user), then counts).  Nothing event-proportional
+    ever reaches the driver; the fan-out is x7 on an already-deduplicated
+    narrow stream."""
+    import os
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
+    ev = read_parquet_clean(os.path.join(sf_dir, 'events.parquet'),
+                            columns=['ts', 'user_id'])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        day = t.column('ts').to_numpy(zero_copy_only=False) \
+            .astype('datetime64[D]').astype(np.int64)
+        usr = t.column('user_id').to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        arr = np.empty(len(day), dtype=[('d', np.int64), ('u', np.int64)])
+        arr['d'], arr['u'] = day, usr
+        uq = np.unique(arr)
+        return pa.table({'_d': pa.array(uq['d'], pa.int64()),
+                         '_u': pa.array(uq['u'], pa.int64())})
+
+    pairs = drop_empty_blocks(
+        ev.map_batches(pair_partial, batch_format='pyarrow')).materialize()
+
+    # observed-day set: calendar-bounded (per-block distinct, then tiny)
+    dparts = pairs.map_batches(
+        lambda t: pa.table({'_d': pa.array(np.unique(
+            t.column('_d').to_numpy(zero_copy_only=False)), pa.int64())}),
+        batch_format='pyarrow').to_pandas()
+    days = np.unique(np.asarray(dparts['_d'], np.int64))
+    days_ref = ray.put(days)
+
+    def day_str(d: np.ndarray) -> pa.Array:
+        return pa.array(np.datetime_as_string(d.astype('datetime64[D]')),
+                        pa.string())
+
+    if pairs.count() <= fold_limit:
+        def fold(t: pa.Table) -> pa.Table:
+            obs = ray.get(days_ref)
+            d = t.column('_d').to_numpy(zero_copy_only=False)
+            u = t.column('_u').to_numpy(zero_copy_only=False)
+            arr = np.empty(len(d), dtype=[('d', np.int64),
+                                          ('u', np.int64)])
+            arr['d'], arr['u'] = d, u
+            uq = np.unique(arr)
+            wd = (uq['d'][:, None] + np.arange(7)[None, :]).ravel()
+            wu = np.repeat(uq['u'], 7)
+            keep = np.isin(wd, obs)
+            arr2 = np.empty(keep.sum(), dtype=[('d', np.int64),
+                                               ('u', np.int64)])
+            arr2['d'], arr2['u'] = wd[keep], wu[keep]
+            uq2 = np.unique(arr2)
+            ud, cnt = np.unique(uq2['d'], return_counts=True)
+            return pa.table({'day': day_str(ud),
+                             'users': pa.array(cnt.astype(np.int64))})
+        return (pairs.repartition(1)
+                .map_batches(fold, batch_format='pyarrow', batch_size=None))
+
+    def expand(t: pa.Table) -> pa.Table:
+        obs = ray.get(days_ref)
+        d = t.column('_d').to_numpy(zero_copy_only=False)
+        u = t.column('_u').to_numpy(zero_copy_only=False)
+        wd = (d[:, None] + np.arange(7)[None, :]).ravel()
+        wu = np.repeat(u, 7)
+        keep = np.isin(wd, obs)
+        return pa.table({'_w': pa.array(wd[keep], pa.int64()),
+                         '_u': pa.array(wu[keep], pa.int64())})
+
+    distinct = (pairs.map_batches(expand, batch_format='pyarrow')
+                .groupby(['_w', '_u'])
+                .aggregate(Sum('_w', alias_name='_x'))
+                .select_columns(['_w', '_u']))
+
+    def w_partial(t: pa.Table) -> pa.Table:
+        w = t.column('_w').to_numpy(zero_copy_only=False)
+        uw, cnt = np.unique(w, return_counts=True)
+        return pa.table({'_w': pa.array(uw, pa.int64()),
+                         '_n': pa.array(cnt.astype(np.int64))})
+
+    agg = (distinct.map_batches(w_partial, batch_format='pyarrow')
+           .repartition(1)
+           .groupby('_w').aggregate(Sum('_n', alias_name='users')))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            'day': day_str(t.column('_w').to_numpy(zero_copy_only=False)),
+            'users': pc.cast(t.column('users'), pa.int64())})
+    return drop_empty_blocks(agg).map_batches(fin, batch_format='pyarrow')
+
+
+_WEEKLY_ACTIVE_SQL = (
+    'WITH days AS (SELECT DISTINCT CAST(date_trunc(\'day\', ts) AS DATE) '
+    'AS d FROM events), '
+    'ev AS (SELECT DISTINCT CAST(date_trunc(\'day\', ts) AS DATE) AS d, '
+    'user_id FROM events) '
+    "SELECT strftime(days.d, '%Y-%m-%d') AS day, "
+    'count(DISTINCT ev.user_id) AS users '
+    'FROM days JOIN ev '
+    'ON ev.d BETWEEN days.d - INTERVAL 6 DAY AND days.d '
+    'GROUP BY days.d'
+)
+
+
+def q_quantity_percentiles_cont(sf_dir: str) -> pd.DataFrame:
+    """Interpolated (``quantile_cont``) per-group percentiles — the
+    continuous counterpart to the engine's exact discrete quantiles
+    (``price_quantiles`` / ``user_value_median`` use the ceil(n*q)-th-order
+    statistic; this one linearly interpolates at rank (n-1)*q).
+
+    Plan: exact interpolation needs global rank positions, so the engine
+    reduces lineitem to per-batch (flag, quantity) VALUE COUNTS — the
+    quantity domain is bounded (50 integral values here; a continuous
+    domain would bound it by pre-rounding or switch to a t-digest sketch) —
+    then one bounded fold computes weighted interpolated quantiles from
+    cumulative counts.  Event-proportional data never moves: only the
+    value-count table does."""
+    import os
+    line = read_parquet_clean(os.path.join(sf_dir, 'lineitem.parquet'),
+                              columns=['l_returnflag', 'l_quantity'])
+
+    def vc_partial(t: pa.Table) -> pa.Table:
+        tbl = pa.table({'_f': t.column('l_returnflag'),
+                        '_q': t.column('l_quantity'),
+                        '_n': pa.array(np.ones(len(t), np.int64))})
+        agg_t = tbl.group_by(['_f', '_q']).aggregate([('_n', 'sum')])
+        return agg_t.rename_columns(['_f', '_q', '_n'])
+
+    vc = (line.map_batches(vc_partial, batch_format='pyarrow')
+          .repartition(1)
+          .groupby(['_f', '_q']).aggregate(Sum('_n', alias_name='_n'))
+          .to_pandas())
+
+    def interp(v: np.ndarray, c: np.ndarray, q: float) -> float:
+        cum = np.cumsum(c)
+        h = (cum[-1] - 1) * q
+        lo, hi = int(np.floor(h)), int(np.ceil(h))
+        x0 = v[np.searchsorted(cum, lo, side='right')]
+        x1 = v[np.searchsorted(cum, hi, side='right')]
+        return float(x0 + (h - lo) * (x1 - x0))
+
+    rows = []
+    for f, grp in vc.groupby('_f', sort=True):
+        g = grp.sort_values('_q')
+        v = g['_q'].to_numpy(np.float64)
+        c = g['_n'].to_numpy(np.int64)
+        rows.append({'l_returnflag': f,
+                     'q25': sql_round_scalar(interp(v, c, 0.25), 4),
+                     'q50': sql_round_scalar(interp(v, c, 0.50), 4),
+                     'q75': sql_round_scalar(interp(v, c, 0.75), 4)})
+    return pd.DataFrame(rows)
+
+
+_QUANTITY_PCTL_SQL = (
+    'SELECT l_returnflag, '
+    'round(quantile_cont(l_quantity, 0.25), 4) AS q25, '
+    'round(quantile_cont(l_quantity, 0.50), 4) AS q50, '
+    'round(quantile_cont(l_quantity, 0.75), 4) AS q75 '
+    'FROM lineitem GROUP BY l_returnflag'
+)
+
+
 def _repetition_stats_sql() -> str:
     """DuckDB mirror of ``stages/repetition.py`` (semantics documented
     there): word n-grams via lead() chains over unnested word lists; gram
@@ -5222,6 +5809,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'small_quantity_revenue': q_small_quantity_revenue,
         'big_order_customers': q_big_order_customers,
         'order_ship_daily': q_order_ship_daily,
+        'returned_item_customers': q_returned_item_customers,
+        'priority_return_orders': q_priority_return_orders,
+        'brand_supplier_counts': q_brand_supplier_counts,
+        'readability': q_readability,
+        'weekly_active_users': q_weekly_active_users,
+        'quantity_percentiles_cont': q_quantity_percentiles_cont,
         'lang_mix_sample': q_lang_mix_sample,
         'props_value_deciles': q_props_value_deciles,
         'sequence_packing': q_sequence_packing,
@@ -5367,6 +5960,12 @@ def oracle_sql() -> dict[str, str]:
         'small_quantity_revenue': _SMALL_QUANTITY_SQL,
         'big_order_customers': _BIG_ORDER_SQL,
         'order_ship_daily': _ORDER_SHIP_DAILY_SQL,
+        'returned_item_customers': _RETURNED_ITEM_SQL,
+        'priority_return_orders': _PRIORITY_RETURN_SQL,
+        'brand_supplier_counts': _BRAND_SUPPLIER_SQL,
+        'readability': _READABILITY_SQL,
+        'weekly_active_users': _WEEKLY_ACTIVE_SQL,
+        'quantity_percentiles_cont': _QUANTITY_PCTL_SQL,
         'lang_mix_sample': _LANG_MIX_SAMPLE_SQL,
         'props_value_deciles': _PROPS_DECILES_SQL,
         'sequence_packing': _SEQUENCE_PACKING_SQL,

@@ -91,3 +91,46 @@ def test_small_quantity_paths_equal(ray_session):
     bc = _normf(q_small_quantity_revenue(SF))
     jn = _normf(q_small_quantity_revenue(SF, broadcast_part_limit=0))
     assert bc.equals(jn)
+
+
+# --- round-4 wave 2: Q10/Q4/Q16 analogues + windowed count-distinct ---
+
+def test_returned_item_customers_paths_equal(ray_session):
+    from pii_detector_ray.queries import q_returned_item_customers
+    bc = _normf(q_returned_item_customers(SF))
+    jn = _normf(q_returned_item_customers(SF, broadcast_order_limit=0))
+    assert bc.equals(jn)
+    assert len(bc) <= 20 and (bc['revenue'] > 0).all()
+
+
+def test_priority_return_orders_paths_equal(ray_session):
+    from pii_detector_ray.queries import q_priority_return_orders
+    bc = _normf(q_priority_return_orders(SF).to_pandas())
+    jn = _normf(q_priority_return_orders(SF, fold_limit=0).to_pandas())
+    assert bc.equals(jn)
+    assert (bc['order_count'] > 0).all() and len(bc) <= 5
+
+
+def test_brand_supplier_counts_paths_equal(ray_session):
+    from pii_detector_ray.queries import q_brand_supplier_counts
+    bc = _normf(q_brand_supplier_counts(SF).to_pandas())
+    jn = _normf(q_brand_supplier_counts(SF, fold_limit=0).to_pandas())
+    assert bc.equals(jn)
+    assert (bc['supplier_cnt'] > 0).all()
+
+
+def test_weekly_active_users_paths_equal(ray_session):
+    from pii_detector_ray.queries import q_weekly_active_users
+    bc = _normf(q_weekly_active_users(SF).to_pandas())
+    jn = _normf(q_weekly_active_users(SF, fold_limit=0).to_pandas())
+    assert bc.equals(jn)
+    # a 7-day window can never see fewer users than its own day
+    from pii_detector_ray.queries import q_daily_active_users
+    import numpy as np
+    daily = q_daily_active_users(SF).to_pandas()
+    daily['day'] = np.asarray(daily['day'], 'int64').astype(
+        'datetime64[D]').astype(str)
+    merged = bc.merge(daily, on='day')
+    assert len(merged) == len(bc)
+    assert (merged['users'].astype(int) >=
+            merged['n_users'].astype(int)).all()
