@@ -4834,6 +4834,115 @@ _QUANTITY_PCTL_SQL = (
 )
 
 
+def q_dsir_sample(sf_dir: str) -> pd.DataFrame:
+    """DSIR-style data selection (Xie et al. 2023 importance-resampling
+    shape): top-100 documents whose unigrams are most over-represented
+    under the TARGET source's distribution relative to the raw corpus.
+    The target is the lexicographically-first source (deterministic,
+    data-derived).  Per-term log ratios are quantized to integer
+    micro-nats so per-doc scores are order-invariant integer sums — see
+    stages/dsir.py for the full scale shape."""
+    from pii_detector_ray.stages.dsir import dsir_scores
+    docs = read_documents(sf_dir, ['doc_id', 'text', 'source'])
+    srcs = (read_documents(sf_dir, ['source'])
+            .groupby('source').aggregate(Count(alias_name='_c'))
+            .to_pandas())
+    target = min(srcs['source'])
+    return dsir_scores(docs, target_source=target, k=100)
+
+
+_DSIR_SAMPLE_SQL = (
+    'WITH terms AS (SELECT doc_id, lower(unnest(regexp_extract_all('
+    "coalesce(text, ''), '[A-Za-z0-9]+'))) AS term FROM documents), "
+    'tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2), '
+    'raw AS (SELECT term, count(*) AS cr FROM terms GROUP BY 1), '
+    'tgt AS (SELECT t.term, count(*) AS ct FROM terms t '
+    'JOIN documents d USING (doc_id) '
+    'WHERE d.source = (SELECT min(source) FROM documents) GROUP BY 1), '
+    'tot AS (SELECT (SELECT coalesce(sum(ct), 0) FROM tgt) AS tt, '
+    '(SELECT sum(cr) FROM raw) AS tr, (SELECT count(*) FROM raw) AS v), '
+    'lw AS (SELECT raw.term, '
+    'CAST(round(1e6 * ln(coalesce(tgt.ct, 0) + 1)) AS BIGINT) '
+    '- CAST(round(1e6 * ln(tot.tt + tot.v)) AS BIGINT) '
+    '- CAST(round(1e6 * ln(raw.cr + 1)) AS BIGINT) '
+    '+ CAST(round(1e6 * ln(tot.tr + tot.v)) AS BIGINT) AS lw '
+    'FROM raw LEFT JOIN tgt USING (term), tot) '
+    'SELECT tf.doc_id, CAST(sum(tf.tf * lw.lw) AS BIGINT) AS dsir_score '
+    'FROM tf JOIN lw USING (term) GROUP BY tf.doc_id '
+    'ORDER BY dsir_score DESC, tf.doc_id LIMIT 100'
+)
+
+
+def q_reservoir_sample(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Fixed-size WEIGHTED sampling without replacement — the
+    Efraimidis-Spirakis A-Res reservoir, deterministic: each doc draws
+    u in (0, 1] from the same integer Knuth hash ``weighted_sample`` uses
+    and gets priority -ln(u) / n_chars; the k SMALLEST priorities win
+    (equivalent to the classical max-u^(1/w) keys).
+
+    Scale shape: shuffle-free — one vectorized pass emits per-BLOCK
+    top-k partials (argpartition, k rows/block), the driver folds
+    blocks x k rows.  The complement of ``weighted_sample``'s Bernoulli
+    sampler: fixed output size, no replacement, same determinism."""
+    def topk(t: pa.Table) -> pa.Table:
+        ids = t.column('doc_id').to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        w = np.maximum(t.column('n_chars').to_numpy(zero_copy_only=False)
+                       .astype(np.int64), 1)
+        u = (((ids * 2654435761) % 4294967296).astype(np.float64) + 1.0) \
+            / 4294967297.0
+        pri = -np.log(u) / w
+        order = np.lexsort((ids, pri))[:k]
+        return pa.table({
+            'doc_id': pa.array(ids[order], pa.int64()),
+            '_pri': pa.array(pri[order], pa.float64())})
+
+    parts = read_documents(sf_dir, ['doc_id', 'n_chars']) \
+        .map_batches(topk, batch_format='pyarrow').to_pandas()
+    order = np.lexsort((parts['doc_id'].to_numpy(np.int64),
+                        parts['_pri'].to_numpy(np.float64)))[:k]
+    out = parts.iloc[order].reset_index(drop=True)
+    return pd.DataFrame({
+        'doc_id': out['doc_id'].astype('int64'),
+        'priority': sql_round_np(out['_pri'].to_numpy(np.float64), 6)})
+
+
+_RESERVOIR_SAMPLE_SQL = (
+    'SELECT doc_id, round(-ln((CAST((doc_id * 2654435761) % 4294967296 '
+    'AS DOUBLE) + 1) / 4294967297.0) / greatest(n_chars, 1), 6) '
+    'AS priority FROM documents '
+    'ORDER BY -ln((CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) + 1) '
+    '/ 4294967297.0) / greatest(n_chars, 1), doc_id LIMIT 100'
+)
+
+
+def q_event_transitions(sf_dir: str) -> ray.data.Dataset:
+    """First-order Markov transition counts over the event stream: how
+    often each event_type follows each other type within a user's
+    (ts, event_id)-ordered history.  Mega-users route through the
+    day-bucketed salted variant (stages/skew.event_transitions_salted);
+    the final aggregate is (type x type)-bounded, so partials coalesce to
+    one block first (the bounded-partials pattern)."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    from pii_detector_ray.stages.skew import event_transitions
+    partials = event_transitions(
+        _events(sf_dir, ['user_id', 'event_id', 'ts', 'event_type']),
+        hot_key_threshold=_events_hot_threshold(sf_dir))
+    agg = (partials.repartition(1)
+           .groupby(['prev_type', 'next_type'])
+           .aggregate(Sum('_n', alias_name='n_transitions')))
+    return drop_empty_blocks(agg)
+
+
+_EVENT_TRANSITIONS_SQL = (
+    'SELECT prev_type, next_type, count(*) AS n_transitions FROM ('
+    'SELECT lag(event_type) OVER (PARTITION BY user_id '
+    'ORDER BY epoch_us(ts), event_id) AS prev_type, '
+    'event_type AS next_type FROM events) '
+    'WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type'
+)
+
+
 def _repetition_stats_sql() -> str:
     """DuckDB mirror of ``stages/repetition.py`` (semantics documented
     there): word n-grams via lead() chains over unnested word lists; gram
@@ -5815,6 +5924,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'readability': q_readability,
         'weekly_active_users': q_weekly_active_users,
         'quantity_percentiles_cont': q_quantity_percentiles_cont,
+        'dsir_sample': q_dsir_sample,
+        'reservoir_sample': q_reservoir_sample,
+        'event_transitions': q_event_transitions,
         'lang_mix_sample': q_lang_mix_sample,
         'props_value_deciles': q_props_value_deciles,
         'sequence_packing': q_sequence_packing,
@@ -5966,6 +6078,9 @@ def oracle_sql() -> dict[str, str]:
         'readability': _READABILITY_SQL,
         'weekly_active_users': _WEEKLY_ACTIVE_SQL,
         'quantity_percentiles_cont': _QUANTITY_PCTL_SQL,
+        'dsir_sample': _DSIR_SAMPLE_SQL,
+        'reservoir_sample': _RESERVOIR_SAMPLE_SQL,
+        'event_transitions': _EVENT_TRANSITIONS_SQL,
         'lang_mix_sample': _LANG_MIX_SAMPLE_SQL,
         'props_value_deciles': _PROPS_DECILES_SQL,
         'sequence_packing': _SEQUENCE_PACKING_SQL,

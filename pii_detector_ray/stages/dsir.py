@@ -1,0 +1,117 @@
+"""DSIR-style data selection: hashed/bag-of-words importance weights.
+
+Implements the importance-resampling selection shape of Xie et al. 2023
+("Data Selection for Language Models via Importance Resampling"): score
+every raw document by how much more likely its unigrams are under a
+TARGET distribution than under the RAW corpus distribution, then keep the
+top-k.  Deterministic variant — the log-ratio per term is quantized to
+integer micro-nats so per-document scores are INTEGER sums (associativity-
+free: any partial-sum order, any partitioning, any SQL engine agrees
+exactly; the float-sum-order hazard the source_lang_kl oracle documents).
+
+Term contract: the tfidf one — ASCII ``[A-Za-z0-9]+`` runs, lowercased
+after extraction (stages/tfidf.py).
+
+Scale shape (100 TB): ONE pass builds raw+target term counts as narrow
+(term, n, n_target) partials (vocabulary-proportional shuffle, never
+document-proportional); the quantized log-ratio table broadcasts once via
+``ray.put`` (vocabulary past the broadcast budget would shard it like
+stages/similarity.py's sharded broadcast, or take stages/tfidf.py's join
+path); the scoring pass is shuffle-free with per-block top-k partials, so
+only blocks x k rows reach the final fold.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from pii_detector_ray.functions.rounding import sql_round_np
+from pii_detector_ray.stages.tfidf import doc_terms
+
+
+def _qln(x: np.ndarray) -> np.ndarray:
+    """round(1e6 * ln(x)) as int64 — DuckDB ``CAST(round(1e6*ln(x)) AS
+    BIGINT)`` mirror (half-away round; ln inputs are exact integers on
+    both sides so the floats match bit-for-bit)."""
+    return sql_round_np(1e6 * np.log(np.asarray(x, np.float64)), 0) \
+        .astype(np.int64)
+
+
+def term_count_partials(docs: ray.data.Dataset, *, target_source: str,
+                        text_col: str = 'text',
+                        source_col: str = 'source') -> ray.data.Dataset:
+    """(term, _n raw count, _nt target count) — one pass, both tallies."""
+    def partial(t: pa.Table) -> pa.Table:
+        raw: Counter = Counter()
+        tgt: Counter = Counter()
+        srcs = t.column(source_col).to_pylist()
+        for text, src in zip(t.column(text_col).to_pylist(), srcs):
+            terms = doc_terms(text)
+            raw.update(terms)
+            if src == target_source:
+                tgt.update(terms)
+        keys = list(raw.keys())
+        return pa.table({
+            'term': pa.array(keys, pa.string()),
+            '_n': pa.array([raw[k] for k in keys], pa.int64()),
+            '_nt': pa.array([tgt.get(k, 0) for k in keys], pa.int64())})
+
+    return (docs.map_batches(partial, batch_format='pyarrow')
+            .groupby('term')
+            .aggregate(Sum('_n', alias_name='_n'),
+                       Sum('_nt', alias_name='_nt')))
+
+
+def log_ratio_table(counts: pd.DataFrame) -> dict[str, int]:
+    """term -> integer micro-nat log ratio, Laplace-smoothed over the raw
+    vocabulary: lw = q(ln(ct+1)) - q(ln(Tt+V)) - q(ln(cr+1)) + q(ln(Tr+V))
+    with q = round-to-int(1e6 * ln)."""
+    cr = counts['_n'].to_numpy(np.int64)
+    ct = counts['_nt'].to_numpy(np.int64)
+    v = len(counts)
+    tt, tr = int(ct.sum()), int(cr.sum())
+    lw = (_qln(ct + 1) - int(_qln(np.array([tt + v]))[0])
+          - _qln(cr + 1) + int(_qln(np.array([tr + v]))[0]))
+    return dict(zip(counts['term'], lw.tolist()))
+
+
+def dsir_scores(docs: ray.data.Dataset, *, target_source: str, k: int = 100,
+                text_col: str = 'text', id_col: str = 'doc_id',
+                source_col: str = 'source') -> pd.DataFrame:
+    """Top-``k`` documents by integer DSIR score (ties by ``id_col``)."""
+    counts = term_count_partials(docs, target_source=target_source,
+                                 text_col=text_col,
+                                 source_col=source_col).to_pandas()
+    if len(counts) == 0:
+        return pd.DataFrame({'doc_id': pd.Series([], dtype='int64'),
+                             'dsir_score': pd.Series([], dtype='int64')})
+    lw_ref = ray.put(log_ratio_table(counts))
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        lw = ray.get(lw_ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        scores = np.empty(len(ids), np.int64)
+        for i, text in enumerate(t.column(text_col).to_pylist()):
+            s = 0
+            for term in doc_terms(text):
+                s += lw[term]       # vocab built from this corpus: total
+            scores[i] = s
+        order = np.lexsort((ids, -scores))[:k]
+        return pa.table({'doc_id': pa.array(ids[order], pa.int64()),
+                         'dsir_score': pa.array(scores[order], pa.int64())})
+
+    parts = docs.map_batches(score_topk, batch_format='pyarrow') \
+        .to_pandas()
+    order = np.lexsort((parts['doc_id'].to_numpy(np.int64),
+                        -parts['dsir_score'].to_numpy(np.int64)))[:k]
+    return parts.iloc[order][['doc_id', 'dsir_score']] \
+        .reset_index(drop=True)

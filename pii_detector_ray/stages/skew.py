@@ -335,6 +335,104 @@ def event_deltas(ds: ray.data.Dataset, *,
     return plain.union(salted) if salted is not None else plain
 
 
+def event_transitions(ds: ray.data.Dataset, *,
+                      hot_key_threshold: int | None = 1_000_000,
+                      bucket_us: int = DEFAULT_BUCKET_US
+                      ) -> ray.data.Dataset:
+    """First-order Markov transition partials: per user, consecutive
+    (prev event_type, next event_type) pairs in (ts, event_id) order,
+    pre-counted per group.  Input columns: user_id, event_id, ts,
+    event_type.  Output: (prev_type, next_type, _n) PARTIALS — the caller
+    closes the (type x type)-bounded aggregate.  Mega-users route through
+    :func:`event_transitions_salted` (the event_deltas hot-key contract)."""
+    hot_parts, (ds,) = split_hot([ds], 'user_id', hot_key_threshold)
+    salted = None
+    if hot_parts is not None:
+        salted = event_transitions_salted(hot_parts[0], bucket_us=bucket_us)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({'user_id': t.column('user_id'),
+                         'event_id': t.column('event_id'),
+                         'event_type': t.column('event_type'),
+                         '_ts': pc.cast(t.column('ts'), pa.int64())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['_ts', 'event_id'], kind='mergesort')
+        tp = g['event_type'].to_numpy()
+        if len(tp) < 2:
+            return pd.DataFrame({'prev_type': [], 'next_type': [],
+                                 '_n': []}).astype(
+                {'prev_type': 'object', 'next_type': 'object',
+                 '_n': 'int64'})
+        return pd.DataFrame({'prev_type': tp[:-1], 'next_type': tp[1:]}) \
+            .groupby(['prev_type', 'next_type'], sort=False).size() \
+            .rename('_n').reset_index()
+
+    plain = (ds.map_batches(prep, batch_format='pyarrow')
+             .groupby('user_id').map_groups(pairs, batch_format='pandas'))
+    return plain.union(salted) if salted is not None else plain
+
+
+def event_transitions_salted(ds: ray.data.Dataset, *,
+                             bucket_us: int = DEFAULT_BUCKET_US
+                             ) -> ray.data.Dataset:
+    """Exact per-user transition pairs with bounded per-task memory:
+    per-(user, day-bucket) local pairs, plus one boundary row per bucket
+    carrying the bucket's FIRST and LAST event types (with the first
+    (ts, event_id) for ordering); the per-user pass adds the cross-bucket
+    (last of k, first of k+1) pairs.  Output matches the plain path:
+    (prev_type, next_type, _n) partials."""
+    def prep(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column('ts'), pa.int64())
+        return pa.table({'user_id': t.column('user_id'),
+                         'event_id': t.column('event_id'),
+                         'event_type': t.column('event_type'), '_ts': ts,
+                         '_bucket': pc.divide(ts, bucket_us)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['_ts', 'event_id'], kind='mergesort')
+        tp = g['event_type'].to_numpy()
+        out = pd.DataFrame({'prev_type': tp[:-1], 'next_type': tp[1:]}) \
+            .groupby(['prev_type', 'next_type'], sort=False).size() \
+            .rename('_n').reset_index()
+        out['_b'] = np.int64(-1)
+        head = pd.DataFrame({
+            'prev_type': tp[-1:],           # bucket's LAST type
+            'next_type': tp[:1],            # bucket's FIRST type
+            '_n': np.int64(0),
+            '_b': g['_bucket'].iloc[:1].astype('int64')})
+        out = pd.concat([head, out], ignore_index=True)
+        out.insert(0, 'user_id', g['user_id'].iloc[0])
+        return out
+
+    local = ds.map_batches(prep, batch_format='pyarrow') \
+        .groupby(['user_id', '_bucket']) \
+        .map_groups(per_bucket, batch_format='pandas')
+
+    interior = local.filter(expr='_b == -1') \
+        .select_columns(['prev_type', 'next_type', '_n'])
+
+    def merge_user(g: pd.DataFrame) -> pd.DataFrame:
+        # one row per bucket: prev_type = bucket LAST, next_type = FIRST
+        g = g.sort_values('_b', kind='mergesort')
+        last_tp = g['prev_type'].to_numpy()
+        first_tp = g['next_type'].to_numpy()
+        if len(g) < 2:
+            return pd.DataFrame({'prev_type': [], 'next_type': [],
+                                 '_n': []}).astype(
+                {'prev_type': 'object', 'next_type': 'object',
+                 '_n': 'int64'})
+        return pd.DataFrame({'prev_type': last_tp[:-1],
+                             'next_type': first_tp[1:]}) \
+            .groupby(['prev_type', 'next_type'], sort=False).size() \
+            .rename('_n').reset_index()
+
+    border = local.filter(expr='_b >= 0') \
+        .groupby('user_id').map_groups(merge_user, batch_format='pandas') \
+        .select_columns(['prev_type', 'next_type', '_n'])
+    return interior.union(border)
+
+
 # ---------------------------------------------------------------------------
 # Salted backward as-of join: groups become (by, bucket); a left row's match
 # is either an in-bucket right row or the carried latest-right-row from an

@@ -294,3 +294,34 @@ def test_rolling_sum_salted_sparse_buckets():
                                           window=3).to_pandas(),
                   ['event_id'])
     assert got['win_cents'].tolist() == [10, 30, 60, 90, 120, 150]
+
+
+def _with_types(ds):
+    """Attach a deterministic event_type column (event_id mod 4)."""
+    def f(t: pa.Table) -> pa.Table:
+        eid = t.column('event_id').to_numpy(zero_copy_only=False)
+        types = np.array(['view', 'click', 'buy', 'scroll'])[eid % 4]
+        return t.append_column('event_type', pa.array(types, pa.string()))
+    return ds.map_batches(f, batch_format='pyarrow')
+
+
+def _close_transitions(partials) -> pd.DataFrame:
+    df = partials.to_pandas()
+    return df.groupby(['prev_type', 'next_type'])['_n'].sum() \
+        .rename('n').reset_index()
+
+
+def test_event_transitions_salted_equals_plain():
+    ds = _with_types(_events_ds(mega_user=99, mega_n=1200))
+    key = ['prev_type', 'next_type']
+    plain = _close_transitions(
+        skew.event_transitions(ds, hot_key_threshold=None))
+    routed = _close_transitions(
+        skew.event_transitions(ds, hot_key_threshold=800))
+    salted_only = _close_transitions(skew.event_transitions_salted(ds))
+    assert _sorted(plain, key).equals(_sorted(routed, key))
+    assert _sorted(plain, key).equals(_sorted(salted_only, key))
+    # pair totals == events - users (each user contributes n-1 transitions)
+    tot = ds.count()
+    users = ds.groupby('user_id').count().count()
+    assert int(plain['n'].sum()) == tot - users
