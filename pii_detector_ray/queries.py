@@ -4943,6 +4943,152 @@ _EVENT_TRANSITIONS_SQL = (
 )
 
 
+def q_word_entropy(sf_dir: str) -> ray.data.Dataset:
+    """Per-document unigram Shannon entropy — a lexical-diversity quality
+    signal (low entropy = repetitive/template text).  EXACT distributed
+    arithmetic via the stages/dsir.py micro-nat trick: H * n * 1e6 =
+    n * q(ln n) - Σ tf * q(ln tf) with q = round-to-int(1e6 * ln), so the
+    per-doc score is an INTEGER sum (no float-order risk) and the reported
+    nats-per-word double divides two exactly-agreed numbers.
+
+    Scale shape: one shuffle-free embarrassingly parallel pass (term
+    counting is per-doc local — unlike tfidf, no corpus vocabulary is
+    needed)."""
+    from collections import Counter
+    from pii_detector_ray.stages.dsir import _qln
+
+    docs = read_documents(sf_dir, ['doc_id', 'text'])
+
+    def ent(t: pa.Table) -> pa.Table:
+        from pii_detector_ray.stages.tfidf import doc_terms
+        ids = t.column('doc_id').to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n_out, e_out, keep = [], [], []
+        for i, text in enumerate(t.column('text').to_pylist()):
+            tf = Counter(doc_terms(text))
+            if not tf:
+                continue
+            cnt = np.fromiter(tf.values(), np.int64, count=len(tf))
+            n = int(cnt.sum())
+            e6 = n * int(_qln(np.array([n]))[0]) - int((cnt * _qln(cnt)).sum())
+            keep.append(i)
+            n_out.append(n)
+            e_out.append(e6)
+        ids = ids[np.asarray(keep, np.int64)] if keep \
+            else np.zeros(0, np.int64)
+        n_arr = np.asarray(n_out, np.int64)
+        e_arr = np.asarray(e_out, np.int64)
+        ent_nats = sql_round_np(
+            e_arr.astype(np.float64) / n_arr / 1e6, 6) \
+            if len(n_arr) else np.zeros(0, np.float64)
+        return pa.table({'doc_id': pa.array(ids, pa.int64()),
+                         'n_terms': pa.array(n_arr, pa.int64()),
+                         'ent_e6': pa.array(e_arr, pa.int64()),
+                         'entropy': pa.array(ent_nats, pa.float64())})
+
+    return docs.map_batches(ent, batch_format='pyarrow')
+
+
+_WORD_ENTROPY_SQL = (
+    'WITH terms AS (SELECT doc_id, lower(unnest(regexp_extract_all('
+    "coalesce(text, ''), '[A-Za-z0-9]+'))) AS term FROM documents), "
+    'tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2), '
+    's AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_terms, '
+    'CAST(sum(tf * CAST(round(1e6 * ln(tf)) AS BIGINT)) AS BIGINT) '
+    'AS s_tlt FROM tf GROUP BY 1) '
+    'SELECT doc_id, n_terms, '
+    'n_terms * CAST(round(1e6 * ln(n_terms)) AS BIGINT) - s_tlt AS ent_e6, '
+    'round((n_terms * CAST(round(1e6 * ln(n_terms)) AS BIGINT) - s_tlt) '
+    '/ n_terms::DOUBLE / 1e6, 6) AS entropy '
+    'FROM s'
+)
+
+
+def q_zipf_slope(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Zipf-law slope per source: OLS fit of ln(term frequency) against
+    ln(rank) over each source's top-``k`` terms (natural text runs near
+    -1; templated/generated text deviates).  All OLS sufficient statistics
+    are INTEGER sums of micro-nat-quantized logs (the stages/dsir.py
+    trick), accumulated as Python bigints on the tiny folded top-k — the
+    only floats are one final division per source, bit-identical to the
+    oracle's.
+
+    Scale shape: per-batch (source, term) count partials → one
+    vocabulary-proportional narrow groupby → per-BLOCK top-k-per-source
+    partials (aggregated rows are unique per key, so per-block heads are a
+    valid prefilter) → sources x k rows fold on the driver."""
+    from collections import Counter
+    from pii_detector_ray.stages.dsir import _qln
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
+    docs = read_documents(sf_dir, ['text', 'source'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from pii_detector_ray.stages.tfidf import doc_terms
+        counts: Counter = Counter()
+        for text, src in zip(t.column('text').to_pylist(),
+                             t.column('source').to_pylist()):
+            for term in doc_terms(text):
+                counts[(src, term)] += 1
+        keys = list(counts.keys())
+        return pa.table({
+            'source': pa.array([s for s, _ in keys], pa.string()),
+            'term': pa.array([w for _, w in keys], pa.string()),
+            '_f': pa.array([counts[key] for key in keys], pa.int64())})
+
+    freq = (docs.map_batches(partial, batch_format='pyarrow')
+            .groupby(['source', 'term'])
+            .aggregate(Sum('_f', alias_name='_f')))
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(['source', '_f', 'term'],
+                            ascending=[True, False, True], kind='mergesort')
+        return pa.Table.from_pandas(df.groupby('source').head(k),
+                                    preserve_index=False)
+
+    top = drop_empty_blocks(freq) \
+        .map_batches(block_topk, batch_format='pyarrow').to_pandas()
+    top = top.sort_values(['source', '_f', 'term'],
+                          ascending=[True, False, True], kind='mergesort') \
+        .groupby('source').head(k)
+
+    rows = []
+    for src, g in top.groupby('source', sort=True):
+        n = len(g)
+        if n < 2:
+            continue
+        x = _qln(np.arange(1, n + 1))
+        y = _qln(g['_f'].to_numpy(np.int64))
+        n_, sx, sy = int(n), int(x.sum()), int(y.sum())
+        sxy = int((x.astype(object) * y.astype(object)).sum())
+        sxx = int((x.astype(object) * x.astype(object)).sum())
+        num = n_ * sxy - sx * sy
+        den = n_ * sxx - sx * sx
+        rows.append({'source': src,
+                     'zipf_slope': sql_round_scalar(
+                         float(num) / float(den), 6)})
+    return pd.DataFrame(rows)
+
+
+_ZIPF_SLOPE_SQL = (
+    'WITH terms AS (SELECT doc_id, lower(unnest(regexp_extract_all('
+    "coalesce(text, ''), '[A-Za-z0-9]+'))) AS term FROM documents), "
+    'sf AS (SELECT d.source, t.term, count(*) AS f FROM terms t '
+    'JOIN documents d USING (doc_id) GROUP BY 1, 2), '
+    'top AS (SELECT source, term, f, row_number() OVER ('
+    'PARTITION BY source ORDER BY f DESC, term) AS r FROM sf '
+    'QUALIFY r <= 100), '
+    'q AS (SELECT source, CAST(round(1e6 * ln(r)) AS BIGINT) AS x, '
+    'CAST(round(1e6 * ln(f)) AS BIGINT) AS y FROM top), '
+    's AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy, '
+    'sum(x * y) AS sxy, sum(x * x) AS sxx FROM q GROUP BY 1) '
+    'SELECT source, round(CAST(n * sxy - sx * sy AS DOUBLE) '
+    '/ CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope '
+    'FROM s WHERE n >= 2'
+)
+
+
 def _repetition_stats_sql() -> str:
     """DuckDB mirror of ``stages/repetition.py`` (semantics documented
     there): word n-grams via lead() chains over unnested word lists; gram
@@ -5927,6 +6073,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'dsir_sample': q_dsir_sample,
         'reservoir_sample': q_reservoir_sample,
         'event_transitions': q_event_transitions,
+        'word_entropy': q_word_entropy,
+        'zipf_slope': q_zipf_slope,
         'lang_mix_sample': q_lang_mix_sample,
         'props_value_deciles': q_props_value_deciles,
         'sequence_packing': q_sequence_packing,
@@ -6081,6 +6229,8 @@ def oracle_sql() -> dict[str, str]:
         'dsir_sample': _DSIR_SAMPLE_SQL,
         'reservoir_sample': _RESERVOIR_SAMPLE_SQL,
         'event_transitions': _EVENT_TRANSITIONS_SQL,
+        'word_entropy': _WORD_ENTROPY_SQL,
+        'zipf_slope': _ZIPF_SLOPE_SQL,
         'lang_mix_sample': _LANG_MIX_SAMPLE_SQL,
         'props_value_deciles': _PROPS_DECILES_SQL,
         'sequence_packing': _SEQUENCE_PACKING_SQL,
