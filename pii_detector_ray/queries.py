@@ -1005,6 +1005,116 @@ _ORDERS_PUSHDOWN_SQL = (
 )
 
 
+def q_orders_cume_dist(sf_dir: str) -> ray.data.Dataset:
+    """Grouped CUME_DIST window — for every order, the fraction of its
+    priority group with price <= its own — WITHOUT ever co-locating a
+    group: Ray's range-partitioned sort orders (priority, price, key),
+    then the sequence_packing distributed-prefix-sum pattern closes the
+    window: pass 1 folds one summary row per (block, priority) —
+    row count, min/max price, and the tie counts at both edges — the
+    driver derives per-(block, priority) offsets, group totals, and the
+    count of LATER-block rows tied at each block's max price (sortedness
+    means later blocks can only tie the max), and pass 2 finishes each
+    row as offset + within-block searchsorted + boundary ties.  Only
+    (blocks x priorities) summary rows ever reach the driver."""
+    import os
+    mat = (read_parquet_clean(os.path.join(sf_dir, 'orders.parquet'),
+                              columns=['o_orderkey', 'o_orderpriority',
+                                       'o_totalprice'])
+           .sort(['o_orderpriority', 'o_totalprice', 'o_orderkey'])
+           .materialize())
+
+    def summary(t: pa.Table) -> pa.Table:
+        pri = t.column('o_orderpriority').to_numpy(zero_copy_only=False)
+        prc = t.column('o_totalprice').to_numpy(zero_copy_only=False)
+        okey = t.column('o_orderkey').to_numpy(zero_copy_only=False)
+        if len(t) == 0:
+            return pa.table({'_p0': pa.array([], pa.string()),
+                             '_v0': pa.array([], pa.float64()),
+                             '_k0': pa.array([], pa.int64()),
+                             '_prio': pa.array([], pa.string()),
+                             '_n': pa.array([], pa.int64()),
+                             '_vmin': pa.array([], pa.float64()),
+                             '_vmax': pa.array([], pa.float64()),
+                             '_nmin': pa.array([], pa.int64()),
+                             '_nmax': pa.array([], pa.int64())})
+        rows = []
+        for p in np.unique(pri):
+            m = pri == p
+            v = prc[m]
+            rows.append({'_p0': str(pri[0]), '_v0': float(prc[0]),
+                         '_k0': int(okey[0]), '_prio': str(p),
+                         '_n': int(m.sum()),
+                         '_vmin': float(v[0]), '_vmax': float(v[-1]),
+                         '_nmin': int((v == v[0]).sum()),
+                         '_nmax': int((v == v[-1]).sum())})
+        return pa.Table.from_pylist(rows)
+
+    summ = mat.map_batches(summary, batch_format='pyarrow',
+                           batch_size=None).to_pandas()
+    # block order = the block's global first row (sort-key order)
+    summ = summ.sort_values(['_p0', '_v0', '_k0'],
+                            kind='mergesort').reset_index(drop=True)
+    blocks = summ[['_p0', '_v0', '_k0']].drop_duplicates()
+    if sorted(map(tuple, blocks.to_numpy())) != \
+            sorted(set(map(tuple, blocks.to_numpy()))):
+        raise AssertionError('blocks are not sort-key-disjoint')
+    totals: dict[str, int] = {}
+    info: dict[tuple, dict[str, tuple]] = {}
+    per_prio: dict[str, list] = {}
+    for _, r in summ.iterrows():
+        per_prio.setdefault(r['_prio'], []).append(r)
+        totals[r['_prio']] = totals.get(r['_prio'], 0) + int(r['_n'])
+    for p, lst in per_prio.items():
+        run = 0
+        for i, r in enumerate(lst):
+            extra = 0
+            for nxt in lst[i + 1:]:
+                if nxt['_vmin'] == r['_vmax']:
+                    extra += int(nxt['_nmin'])
+                    if nxt['_vmin'] != nxt['_vmax']:
+                        break
+                else:
+                    break
+            bkey = (r['_p0'], r['_v0'], r['_k0'])
+            info.setdefault(bkey, {})[p] = (run, extra, float(r['_vmax']),
+                                            int(r['_n']))
+            run += int(r['_n'])
+    info_ref = ray.put((info, totals))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({'o_orderkey': pa.array([], pa.int64()),
+                             'cd': pa.array([], pa.float64())})
+        inf, tot = ray.get(info_ref)
+        pri = t.column('o_orderpriority').to_numpy(zero_copy_only=False)
+        prc = t.column('o_totalprice').to_numpy(zero_copy_only=False)
+        okey = t.column('o_orderkey').to_numpy(zero_copy_only=False)
+        binfo = inf[(str(pri[0]), float(prc[0]), int(okey[0]))]
+        cd = np.empty(len(t), np.float64)
+        for p in np.unique(pri):
+            m = pri == p
+            v = prc[m]
+            off, extra, vmax, n_blk = binfo[p]
+            if int(m.sum()) != n_blk:
+                raise AssertionError('pass-2 batch does not match its '
+                                     'pass-1 block summary')
+            within = np.searchsorted(v, v, side='right')
+            cnt = off + within + np.where(v == vmax, extra, 0)
+            cd[m] = cnt / tot[p]
+        return pa.table({'o_orderkey': pa.array(okey.astype(np.int64)),
+                         'cd': pa.array(sql_round_np(cd, 6), pa.float64())})
+
+    return mat.map_batches(finish, batch_format='pyarrow', batch_size=None)
+
+
+_ORDERS_CUME_DIST_SQL = (
+    'SELECT o_orderkey, round(cume_dist() OVER ('
+    'PARTITION BY o_orderpriority ORDER BY o_totalprice), 6) AS cd '
+    'FROM orders'
+)
+
+
 def q_user_value_median(sf_dir: str) -> ray.data.Dataset:
     """Exact per-user median of event values via per-group compute (the
     group count is the user count — small; at 10^12 events per user a
@@ -6075,6 +6185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'event_transitions': q_event_transitions,
         'word_entropy': q_word_entropy,
         'zipf_slope': q_zipf_slope,
+        'orders_cume_dist': q_orders_cume_dist,
         'lang_mix_sample': q_lang_mix_sample,
         'props_value_deciles': q_props_value_deciles,
         'sequence_packing': q_sequence_packing,
@@ -6231,6 +6342,7 @@ def oracle_sql() -> dict[str, str]:
         'event_transitions': _EVENT_TRANSITIONS_SQL,
         'word_entropy': _WORD_ENTROPY_SQL,
         'zipf_slope': _ZIPF_SLOPE_SQL,
+        'orders_cume_dist': _ORDERS_CUME_DIST_SQL,
         'lang_mix_sample': _LANG_MIX_SAMPLE_SQL,
         'props_value_deciles': _PROPS_DECILES_SQL,
         'sequence_packing': _SEQUENCE_PACKING_SQL,
