@@ -1055,10 +1055,6 @@ def q_orders_cume_dist(sf_dir: str) -> ray.data.Dataset:
     # block order = the block's global first row (sort-key order)
     summ = summ.sort_values(['_p0', '_v0', '_k0'],
                             kind='mergesort').reset_index(drop=True)
-    blocks = summ[['_p0', '_v0', '_k0']].drop_duplicates()
-    if sorted(map(tuple, blocks.to_numpy())) != \
-            sorted(set(map(tuple, blocks.to_numpy()))):
-        raise AssertionError('blocks are not sort-key-disjoint')
     totals: dict[str, int] = {}
     info: dict[tuple, dict[str, tuple]] = {}
     per_prio: dict[str, list] = {}
@@ -1068,6 +1064,8 @@ def q_orders_cume_dist(sf_dir: str) -> ray.data.Dataset:
     for p, lst in per_prio.items():
         run = 0
         for i, r in enumerate(lst):
+            if i and lst[i - 1]['_vmax'] > r['_vmin']:
+                raise AssertionError('blocks are not sort-key-disjoint')
             extra = 0
             for nxt in lst[i + 1:]:
                 if nxt['_vmin'] == r['_vmax']:
@@ -1080,6 +1078,13 @@ def q_orders_cume_dist(sf_dir: str) -> ray.data.Dataset:
             info.setdefault(bkey, {})[p] = (run, extra, float(r['_vmax']),
                                             int(r['_n']))
             run += int(r['_n'])
+    # a duplicate block key (two blocks sharing a first row — duplicate
+    # input rows) would silently overwrite an info entry; the row-count
+    # reconciliation catches it
+    if sum(n for d in info.values() for (_, _, _, n) in d.values()) != \
+            sum(totals.values()):
+        raise AssertionError('block summary keys collided — input rows '
+                             'are not unique on the sort key')
     info_ref = ray.put((info, totals))
 
     def finish(t: pa.Table) -> pa.Table:
@@ -4451,7 +4456,9 @@ def q_returned_item_customers(sf_dir: str,
 
     # per_cust is an UNGROUPED partial stream — the per-customer close and
     # the top-20 head share one bounded fold (the big_order pattern); above
-    # the fold limit a distributed groupby + sort/limit runs instead
+    # the fold limit a distributed groupby + sort/limit runs instead.
+    # materialize: count() + fold both consume it (expensive upstream)
+    per_cust = per_cust.materialize()
     if per_cust.count() <= 50_000_000:
         def fold_top(t: pa.Table) -> pa.Table:
             cu = t.column('_cust').to_numpy(zero_copy_only=False)
@@ -4527,8 +4534,11 @@ def q_priority_return_orders(sf_dir: str,
         ok = np.unique(t.column('l_orderkey').to_numpy(zero_copy_only=False))
         return pa.table({'l_orderkey': pa.array(ok, pa.int64())})
 
+    # materialize: count() and the fold/groupby below both consume the
+    # partial-dedup stream — without the barrier the lineitem scan would
+    # re-execute (expensive-upstream rule, BASELINE materialize notes)
     keys = drop_empty_blocks(
-        line.map_batches(key_partial, batch_format='pyarrow'))
+        line.map_batches(key_partial, batch_format='pyarrow')).materialize()
 
     orders = read_parquet_clean(os.path.join(sf_dir, 'orders.parquet'),
                                 columns=['o_orderkey', 'o_orderdate',
@@ -4665,8 +4675,10 @@ def q_brand_supplier_counts(sf_dir: str,
         return pa.table({'_g': pa.array(comb >> 40, pa.int64()),
                          '_s': pa.array(comb & ((1 << 40) - 1), pa.int64())})
 
+    # materialize: the count() gate and the fold/groupby both consume this
+    # stream — the barrier avoids a second lineitem scan
     pairs = drop_empty_blocks(
-        line.map_batches(pair_partial, batch_format='pyarrow'))
+        line.map_batches(pair_partial, batch_format='pyarrow')).materialize()
 
     def fin_table(grp: np.ndarray, cnt: np.ndarray) -> pa.Table:
         return pa.table({
@@ -4819,7 +4831,9 @@ def q_weekly_active_users(sf_dir: str,
         return pa.array(np.datetime_as_string(d.astype('datetime64[D]')),
                         pa.string())
 
-    if pairs.count() <= fold_limit:
+    # the fold task materializes the x7 fan-out (wd/wu plus the dedup
+    # copies) in one worker, so the single-task guard is fold_limit / 7
+    if pairs.count() <= fold_limit // 7:
         def fold(t: pa.Table) -> pa.Table:
             obs = ray.get(days_ref)
             d = t.column('_d').to_numpy(zero_copy_only=False)
@@ -4954,10 +4968,12 @@ def q_dsir_sample(sf_dir: str) -> pd.DataFrame:
     stages/dsir.py for the full scale shape."""
     from pii_detector_ray.stages.dsir import dsir_scores
     docs = read_documents(sf_dir, ['doc_id', 'text', 'source'])
-    srcs = (read_documents(sf_dir, ['source'])
-            .groupby('source').aggregate(Count(alias_name='_c'))
-            .to_pandas())
-    target = min(srcs['source'])
+    # shuffle-free target discovery: per-batch min partials, driver min
+    mins = read_documents(sf_dir, ['source']).map_batches(
+        lambda t: pa.table({'source': pa.array(
+            [pc.min(t.column('source')).as_py()], pa.string())}),
+        batch_format='pyarrow').to_pandas()
+    target = min(mins['source'].dropna())
     return dsir_scores(docs, target_source=target, k=100)
 
 
