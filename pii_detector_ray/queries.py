@@ -1120,6 +1120,105 @@ _ORDERS_CUME_DIST_SQL = (
 )
 
 
+def q_session_bounce_rate(sf_dir: str) -> ray.data.Dataset:
+    """Per-day bounce rate: the share of sessions (30-min gap windows,
+    the events_sessions operator) containing exactly ONE event, keyed by
+    the session's start day — a product-analytics composite that stacks a
+    calendar-bounded aggregate on the distributed sessionizer.
+
+    Scale shape: sessionize's mega-user salting is inherited; the
+    day rollup is per-batch partials → one coalesced bounded aggregate
+    (days are calendar-bounded)."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    from pii_detector_ray.stages.sessionize import sessionize
+    sess = sessionize(_events(sf_dir, ['user_id', 'ts', 'value']),
+                      gap_minutes=30,
+                      hot_key_threshold=_events_hot_threshold(sf_dir))
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t.column('session_start').to_numpy(zero_copy_only=False) \
+            // 86_400_000_000
+        ne = t.column('n_events').to_numpy(zero_copy_only=False)
+        ud, inv = np.unique(day, return_inverse=True)
+        n_sess = np.bincount(inv).astype(np.int64)
+        n_bounce = np.bincount(inv, weights=(ne == 1).astype(np.float64)) \
+            .astype(np.int64)
+        return pa.table({'day': pa.array(ud.astype(np.int64)),
+                         '_s': pa.array(n_sess),
+                         '_b': pa.array(n_bounce)})
+
+    agg = (sess.map_batches(partial, batch_format='pyarrow')
+           .repartition(1)
+           .groupby('day').aggregate(Sum('_s', alias_name='n_sessions'),
+                                     Sum('_b', alias_name='n_bounces')))
+
+    def fin(t: pa.Table) -> pa.Table:
+        s = t.column('n_sessions').to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        b = t.column('n_bounces').to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return t.append_column('bounce_rate',
+                               pa.array(sql_round_np(b / s, 6),
+                                        pa.float64()))
+
+    return drop_empty_blocks(agg).map_batches(fin, batch_format='pyarrow')
+
+
+def q_user_top_type(sf_dir: str, fold_limit: int = 50_000_000
+                    ) -> ray.data.Dataset:
+    """Grouped MODE with a deterministic tie-break: each user's most
+    frequent event_type (ties to the lexicographically first type).
+
+    Scale shape: per-batch (user, type) count partials → one narrow
+    groupby closes the counts ((users x types)-proportional, never
+    event-proportional) → the per-user argmax folds under ``fold_limit``
+    and otherwise runs per-user map_groups (bounded groups: <= |types|
+    rows each)."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg_t = pa.table({'user_id': t.column('user_id'),
+                          'event_type': t.column('event_type')}) \
+            .group_by(['user_id', 'event_type']).aggregate([([], 'count_all')])
+        return pa.table({'user_id': agg_t.column('user_id'),
+                         'event_type': agg_t.column('event_type'),
+                         '_n': pc.cast(agg_t.column('count_all'),
+                                       pa.int64())})
+
+    counts = drop_empty_blocks(
+        _events(sf_dir, ['user_id', 'event_type'])
+        .map_batches(partial, batch_format='pyarrow')
+        .groupby(['user_id', 'event_type'])
+        .aggregate(Sum('_n', alias_name='_n')))
+
+    def head_table(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(['user_id', '_n', 'event_type'],
+                            ascending=[True, False, True],
+                            kind='mergesort')
+        out = df.groupby('user_id', sort=False).head(1)
+        return pd.DataFrame({
+            'user_id': out['user_id'].astype('int64'),
+            'top_type': out['event_type'].astype('object'),
+            'n_events': out['_n'].astype('int64')})
+
+    counts = counts.materialize()
+    if counts.count() <= fold_limit:
+        return (counts.repartition(1)
+                .map_batches(head_table, batch_format='pandas',
+                             batch_size=None))
+    return counts.groupby('user_id') \
+        .map_groups(head_table, batch_format='pandas')
+
+
+_USER_TOP_TYPE_SQL = (
+    'WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events '
+    'GROUP BY 1, 2) '
+    'SELECT user_id, event_type AS top_type, n AS n_events FROM c '
+    'QUALIFY row_number() OVER (PARTITION BY user_id '
+    'ORDER BY n DESC, event_type) = 1'
+)
+
+
 def q_user_value_median(sf_dir: str) -> ray.data.Dataset:
     """Exact per-user median of event values via per-group compute (the
     group count is the user count — small; at 10^12 events per user a
@@ -2122,6 +2221,20 @@ _EVENTS_SESSIONS_SQL = (
     "ROWS UNBOUNDED PRECEDING) AS sid FROM g) "
     "SELECT user_id, min(ts) AS session_start, count(*) AS n_events, "
     "round(sum(value), 2) AS sum_value FROM s GROUP BY user_id, sid"
+)
+
+
+# defined here (not next to q_session_bounce_rate) because it composes the
+# sessions oracle above as a CTE
+_SESSION_BOUNCE_SQL = (
+    'WITH sess AS (' + _EVENTS_SESSIONS_SQL + ') '
+    'SELECT session_start // 86400000000 AS day, '
+    'count(*) AS n_sessions, '
+    'CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) '
+    'AS n_bounces, '
+    'round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::DOUBLE '
+    '/ count(*), 6) AS bounce_rate '
+    'FROM sess GROUP BY 1'
 )
 
 
@@ -6202,6 +6315,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'word_entropy': q_word_entropy,
         'zipf_slope': q_zipf_slope,
         'orders_cume_dist': q_orders_cume_dist,
+        'session_bounce_rate': q_session_bounce_rate,
+        'user_top_type': q_user_top_type,
         'lang_mix_sample': q_lang_mix_sample,
         'props_value_deciles': q_props_value_deciles,
         'sequence_packing': q_sequence_packing,
@@ -6359,6 +6474,8 @@ def oracle_sql() -> dict[str, str]:
         'word_entropy': _WORD_ENTROPY_SQL,
         'zipf_slope': _ZIPF_SLOPE_SQL,
         'orders_cume_dist': _ORDERS_CUME_DIST_SQL,
+        'session_bounce_rate': _SESSION_BOUNCE_SQL,
+        'user_top_type': _USER_TOP_TYPE_SQL,
         'lang_mix_sample': _LANG_MIX_SAMPLE_SQL,
         'props_value_deciles': _PROPS_DECILES_SQL,
         'sequence_packing': _SEQUENCE_PACKING_SQL,
