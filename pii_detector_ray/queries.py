@@ -5840,6 +5840,173 @@ _CLICK_NO_PURCHASE_SQL = (
 )
 
 
+def q_click_purchase_days(sf_dir: str) -> ray.data.Dataset:
+    """Set intersection (SQL INTERSECT): user-days with BOTH a click and a
+    purchase — the EXCEPT operator's sibling, same two-phase flag
+    aggregation (2 flag bytes per (user, day, batch) cross the shuffle,
+    no distinct set is ever collected)."""
+    def flags(t: pa.Table) -> pa.Table:
+        et = t.column('event_type')
+        day = pc.divide(pc.cast(t.column('ts'), pa.int64()), 86_400_000_000)
+        tbl = pa.table({
+            'user_id': t.column('user_id'),
+            'day': day,
+            '_c': pc.cast(pc.equal(et, 'click'), pa.int8()),
+            '_p': pc.cast(pc.equal(et, 'purchase'), pa.int8())})
+        return tbl.group_by(['user_id', 'day']) \
+            .aggregate([('_c', 'max'), ('_p', 'max')]) \
+            .rename_columns(['user_id', 'day', '_c', '_p'])
+
+    agg = (_events(sf_dir, ['user_id', 'event_type', 'ts'])
+           .map_batches(flags, batch_format='pyarrow')
+           .groupby(['user_id', 'day'])
+           .aggregate(Max('_c', alias_name='_c'), Max('_p', alias_name='_p')))
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t.column('_c'), 1), pc.equal(t.column('_p'), 1))
+        return t.filter(m).select(['user_id', 'day'])
+
+    return agg.map_batches(keep, batch_format='pyarrow')
+
+
+_CLICK_PURCHASE_SQL = (
+    'SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day '
+    "FROM events WHERE event_type = 'click' "
+    'INTERSECT SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 '
+    "FROM events WHERE event_type = 'purchase'"
+)
+
+
+def q_above_avg_orders(sf_dir: str,
+                       broadcast_cust_limit: int = 2_000_000
+                       ) -> ray.data.Dataset:
+    """Correlated scalar subquery, decorrelated: per market segment, how
+    many orders exceed 1.2x THEIR OWN customer's average order value.
+    The comparison is INTEGER-exact — ``cents * 5 * n > 6 * sum_cents``
+    replaces ``price > 1.2 * avg`` so no float-associativity boundary can
+    flip it (1.2 = 6/5; prices are 2-decimal).
+
+    Plan: per-customer (sum_cents, n) closes in one narrow two-phase
+    groupby; under ``broadcast_cust_limit`` that table plus the
+    customer->segment map broadcast as sorted arrays and orders stream one
+    vectorized filter+count pass; above it the per-order filter runs after
+    a co-partitioned join, pre-aggregates to per-customer counts, and
+    meets customer in a second narrow join.  Both paths frame-equal
+    (tests/test_analytics_paths.py)."""
+    import os
+    from pii_detector_ray.stages.dedup import drop_empty_blocks, \
+        join_partitions
+
+    orders = read_parquet_clean(os.path.join(sf_dir, 'orders.parquet'),
+                                columns=['o_custkey', 'o_totalprice'])
+
+    def cents_partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column('o_totalprice')
+                        .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        tbl = pa.table({'o_custkey': t.column('o_custkey'),
+                        '_s': pa.array(cents),
+                        '_n': pa.array(np.ones(len(t), np.int64))})
+        return tbl.group_by('o_custkey') \
+            .aggregate([('_s', 'sum'), ('_n', 'sum')]) \
+            .rename_columns(['o_custkey', '_s', '_n'])
+
+    per_cust = (orders.map_batches(cents_partial, batch_format='pyarrow')
+                .groupby('o_custkey')
+                .aggregate(Sum('_s', alias_name='_s'),
+                           Sum('_n', alias_name='_n'))).materialize()
+
+    cust = read_parquet_clean(os.path.join(sf_dir, 'customer.parquet'),
+                              columns=['c_custkey', 'c_mktsegment'])
+
+    if per_cust.count() <= broadcast_cust_limit:
+        pc_df = per_cust.to_pandas().sort_values('o_custkey')
+        ck = pc_df['o_custkey'].to_numpy(np.int64)
+        cs = pc_df['_s'].to_numpy(np.int64)
+        cn = pc_df['_n'].to_numpy(np.int64)
+        cu_df = cust.to_pandas().sort_values('c_custkey')
+        segs = sorted(cu_df['c_mktsegment'].unique())
+        seg_idx = {s: i for i, s in enumerate(segs)}
+        sk = cu_df['c_custkey'].to_numpy(np.int64)
+        sv = np.asarray([seg_idx[s] for s in cu_df['c_mktsegment']],
+                        np.int64)
+        side_ref = ray.put((ck, cs, cn, sk, sv, len(segs)))
+
+        def count_partial(t: pa.Table) -> pa.Table:
+            ck_, cs_, cn_, sk_, sv_, nseg = ray.get(side_ref)
+            cust_k = t.column('o_custkey').to_numpy(zero_copy_only=False)
+            cents = np.rint(t.column('o_totalprice')
+                            .to_numpy(zero_copy_only=False) * 100.0) \
+                .astype(np.int64)
+            i1 = np.searchsorted(ck_, cust_k)
+            keep = cents * 5 * cn_[i1] > 6 * cs_[i1]   # every cust present
+            i2 = np.minimum(np.searchsorted(sk_, cust_k[keep]),
+                            max(len(sk_) - 1, 0))
+            ok = sk_[i2] == cust_k[keep] if len(sk_) else \
+                np.zeros(int(keep.sum()), bool)
+            cnt = np.bincount(sv_[i2][ok], minlength=nseg).astype(np.int64)
+            return pa.table({'c_mktsegment': pa.array(segs, pa.string()),
+                             '_n': pa.array(cnt)})
+
+        agg = (orders.map_batches(count_partial, batch_format='pyarrow')
+               .repartition(1)
+               .groupby('c_mktsegment')
+               .aggregate(Sum('_n', alias_name='n_above')))
+        return drop_empty_blocks(agg).filter(expr='n_above > 0')
+
+    joined = drop_empty_blocks(
+        orders.map_batches(
+            lambda t: pa.table({
+                'o_custkey': t.column('o_custkey'),
+                '_cents': pa.array(np.rint(
+                    t.column('o_totalprice').to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64))}),
+            batch_format='pyarrow')).join(
+        drop_empty_blocks(per_cust), join_type='inner',
+        num_partitions=join_partitions(), on=('o_custkey',))
+
+    def above_partial(t: pa.Table) -> pa.Table:
+        cents = t.column('_cents').to_numpy(zero_copy_only=False)
+        s = t.column('_s').to_numpy(zero_copy_only=False)
+        n = t.column('_n').to_numpy(zero_copy_only=False)
+        keep = cents * 5 * n > 6 * s
+        ck_ = t.column('o_custkey').to_numpy(zero_copy_only=False)[keep]
+        uc, cnt = np.unique(ck_, return_counts=True)
+        return pa.table({'c_custkey': pa.array(uc.astype(np.int64)),
+                         '_n': pa.array(cnt.astype(np.int64))})
+
+    counts = (joined.map_batches(above_partial, batch_format='pyarrow')
+              .groupby('c_custkey').aggregate(Sum('_n', alias_name='_n')))
+    seg_join = drop_empty_blocks(counts).join(
+        drop_empty_blocks(cust), join_type='inner',
+        num_partitions=join_partitions(), on=('c_custkey',))
+
+    def seg_partial(t: pa.Table) -> pa.Table:
+        tbl = pa.table({'c_mktsegment': t.column('c_mktsegment'),
+                        '_n': t.column('_n')})
+        return tbl.group_by('c_mktsegment').aggregate([('_n', 'sum')]) \
+            .rename_columns(['c_mktsegment', '_n'])
+
+    agg = (seg_join.map_batches(seg_partial, batch_format='pyarrow')
+           .repartition(1)
+           .groupby('c_mktsegment')
+           .aggregate(Sum('_n', alias_name='n_above')))
+    return drop_empty_blocks(agg).filter(expr='n_above > 0')
+
+
+_ABOVE_AVG_SQL = (
+    'WITH a AS (SELECT o_custkey, '
+    'CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s, '
+    'count(*) AS n FROM orders GROUP BY 1) '
+    'SELECT c.c_mktsegment, count(*) AS n_above '
+    'FROM orders o '
+    'JOIN a ON o.o_custkey = a.o_custkey '
+    'JOIN customer c ON c.c_custkey = o.o_custkey '
+    'WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) * 5 * a.n > 6 * a.s '
+    'GROUP BY c.c_mktsegment'
+)
+
+
 def q_cohort_retention(sf_dir: str,
                        broadcast_user_limit: int = 2_000_000
                        ) -> ray.data.Dataset:
@@ -6317,6 +6484,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'orders_cume_dist': q_orders_cume_dist,
         'session_bounce_rate': q_session_bounce_rate,
         'user_top_type': q_user_top_type,
+        'click_purchase_days': q_click_purchase_days,
+        'above_avg_orders': q_above_avg_orders,
         'lang_mix_sample': q_lang_mix_sample,
         'props_value_deciles': q_props_value_deciles,
         'sequence_packing': q_sequence_packing,
@@ -6476,6 +6645,8 @@ def oracle_sql() -> dict[str, str]:
         'orders_cume_dist': _ORDERS_CUME_DIST_SQL,
         'session_bounce_rate': _SESSION_BOUNCE_SQL,
         'user_top_type': _USER_TOP_TYPE_SQL,
+        'click_purchase_days': _CLICK_PURCHASE_SQL,
+        'above_avg_orders': _ABOVE_AVG_SQL,
         'lang_mix_sample': _LANG_MIX_SAMPLE_SQL,
         'props_value_deciles': _PROPS_DECILES_SQL,
         'sequence_packing': _SEQUENCE_PACKING_SQL,

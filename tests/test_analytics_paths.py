@@ -134,3 +134,11 @@ def test_weekly_active_users_paths_equal(ray_session):
     assert len(merged) == len(bc)
     assert (merged['users'].astype(int) >=
             merged['n_users'].astype(int)).all()
+
+
+def test_above_avg_orders_paths_equal(ray_session):
+    from pii_detector_ray.queries import q_above_avg_orders
+    bc = _normf(q_above_avg_orders(SF).to_pandas())
+    jn = _normf(q_above_avg_orders(SF, broadcast_cust_limit=0).to_pandas())
+    assert bc.equals(jn)
+    assert (bc['n_above'] > 0).all()
