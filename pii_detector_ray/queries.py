@@ -6007,6 +6007,133 @@ _ABOVE_AVG_SQL = (
 )
 
 
+def q_kmeans_embeddings(sf_dir: str, k: int = 4,
+                        iters: int = 3) -> pd.DataFrame:
+    """Distributed k-means (Lloyd's algorithm, fixed ``iters`` rounds,
+    deterministic init = the ``k`` smallest vec_ids' vectors) over the
+    embeddings table — the iterative-ML operator shape: broadcast the
+    (k x d) centroid state, one assignment + partial-sum pass per round,
+    fold the k x d integer partials on the driver.
+
+    Bit-exact vs the unrolled SQL oracle: embeddings quantize to integer
+    micro-units so cluster sums are EXACT int64; distances accumulate
+    dimension-by-dimension (a Python loop over d vectorized columns) so
+    the float64 addition order equals SQL's left-associated ``+`` chain
+    (numpy's pairwise ``.sum()`` would NOT); argmin ties break to the
+    smallest cid on both sides; empty clusters drop out of the state
+    exactly as they drop out of the oracle's GROUP BY.
+
+    Scale shape: the quantized working set materializes ONCE (iterative
+    algorithms cache their working set); each round is one shuffle-free
+    pass emitting <= k rows x d sums per batch."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
+    ds = _embeddings(sf_dir, ['vec_id', 'embedding'])
+
+    def quant(t: pa.Table) -> pa.Table:
+        arr = t.column('embedding').combine_chunks()
+        v = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        x = sql_round_np(v * 1e6, 0).astype(np.int64)
+        dim = len(x) // len(t)
+        return pa.table({
+            'vec_id': t.column('vec_id'),
+            '_q': pa.FixedSizeListArray.from_arrays(pa.array(x), dim)})
+
+    mat = drop_empty_blocks(
+        ds.map_batches(quant, batch_format='pyarrow')).materialize()
+
+    def block_head(t: pa.Table) -> pa.Table:
+        ids = t.column('vec_id').to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind='stable')[:k]
+        return t.take(pa.array(order))
+
+    head = mat.map_batches(block_head, batch_format='pyarrow').to_pandas()
+    head = head.sort_values('vec_id', kind='mergesort').head(k)
+    sums = np.stack([np.asarray(q, np.int64) for q in head['_q']])
+    ns = np.ones(len(head), np.int64)
+    cids = np.arange(len(head), dtype=np.int64)
+    dim = sums.shape[1]
+
+    for _ in range(iters):
+        cent = sums.astype(np.float64) / ns[:, None]
+        ref = ray.put((cent, cids, dim, k))
+
+        def assign(t: pa.Table) -> pa.Table:
+            c, cid_v, d, k_ = ray.get(ref)
+            q = t.column('_q').combine_chunks()
+            x = q.flatten().to_numpy(zero_copy_only=False) \
+                .astype(np.float64).reshape(len(t), d)
+            d2 = np.zeros((len(t), len(c)), np.float64)
+            for i in range(d):
+                diff = x[:, i:i + 1] - c[None, :, i].reshape(1, -1)
+                d2 += diff * diff
+            a = np.argmin(d2, axis=1)
+            rows = []
+            for j in range(len(c)):
+                m = a == j
+                if not m.any():
+                    continue
+                s = x[m].sum(axis=0)   # sums of exact ints, still exact
+                rows.append({'cid': int(cid_v[j]), '_n': int(m.sum()),
+                             **{f's{i}': int(s[i]) for i in range(d)}})
+            return pa.Table.from_pylist(rows)
+
+        parts = mat.map_batches(assign, batch_format='pyarrow').to_pandas()
+        agg = parts.groupby('cid', sort=True).sum()
+        cids = agg.index.to_numpy(np.int64)
+        ns = agg['_n'].to_numpy(np.int64)
+        sums = agg[[f's{i}' for i in range(dim)]].to_numpy(np.int64)
+
+    cent = sums.astype(np.float64) / ns[:, None]
+    out = pd.DataFrame({
+        'cid': np.repeat(cids, dim),
+        'n': np.repeat(ns, dim),
+        'dim': np.tile(np.arange(dim, dtype=np.int64), len(cids)),
+        'centroid': sql_round_np((cent / 1e6).ravel(), 6)})
+    return out
+
+
+def _kmeans_sql(k: int = 4, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd's iterations as chained CTEs (semantics documented
+    on q_kmeans_embeddings; the ``+`` chains are left-associated to match
+    the engine's dimension-loop accumulation)."""
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at every
+    # use site, and the e/a/c chain re-references each other — the inlined
+    # plan grows exponentially in iters and OOMs the allocator
+    xs = ', '.join(f'CAST(round(embedding[{i + 1}]::DOUBLE * 1000000) '
+                   f'AS BIGINT) AS x{i}' for i in range(dim))
+    ctes = [f'e AS MATERIALIZED (SELECT vec_id, {xs} FROM embeddings)',
+            'c0 AS MATERIALIZED (SELECT row_number() OVER '
+            '(ORDER BY vec_id) - 1 AS cid, '
+            + ', '.join(f'x{i} AS s{i}' for i in range(dim))
+            + ', CAST(1 AS BIGINT) AS n FROM '
+            f'(SELECT * FROM e ORDER BY vec_id LIMIT {k}))']
+    for t in range(1, iters + 1):
+        dist = ' + '.join(
+            f'(e.x{i} - c.s{i} / c.n) * (e.x{i} - c.s{i} / c.n)'
+            for i in range(dim))
+        ctes.append(
+            f'a{t} AS MATERIALIZED (SELECT vec_id, cid FROM '
+            f'(SELECT e.vec_id, c.cid, '
+            f'row_number() OVER (PARTITION BY e.vec_id '
+            f'ORDER BY {dist}, c.cid) AS rn '
+            f'FROM e CROSS JOIN c{t - 1} c) WHERE rn = 1)')
+        ctes.append(
+            f'c{t} AS MATERIALIZED (SELECT a{t}.cid, '
+            + ', '.join(f'CAST(sum(e.x{i}) AS BIGINT) AS s{i}'
+                        for i in range(dim))
+            + f', count(*) AS n FROM e JOIN a{t} USING (vec_id) '
+            f'GROUP BY a{t}.cid)')
+    arms = ' UNION ALL '.join(
+        f'SELECT cid, n, {i} AS dim, '
+        f'round(s{i} / n / 1000000.0, 6) AS centroid FROM c{iters}'
+        for i in range(dim))
+    return 'WITH ' + ', '.join(ctes) + ' ' + arms
+
+
+_KMEANS_SQL = _kmeans_sql()
+
+
 def q_cohort_retention(sf_dir: str,
                        broadcast_user_limit: int = 2_000_000
                        ) -> ray.data.Dataset:
@@ -6486,6 +6613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'user_top_type': q_user_top_type,
         'click_purchase_days': q_click_purchase_days,
         'above_avg_orders': q_above_avg_orders,
+        'kmeans_embeddings': q_kmeans_embeddings,
         'lang_mix_sample': q_lang_mix_sample,
         'props_value_deciles': q_props_value_deciles,
         'sequence_packing': q_sequence_packing,
@@ -6647,6 +6775,7 @@ def oracle_sql() -> dict[str, str]:
         'user_top_type': _USER_TOP_TYPE_SQL,
         'click_purchase_days': _CLICK_PURCHASE_SQL,
         'above_avg_orders': _ABOVE_AVG_SQL,
+        'kmeans_embeddings': _KMEANS_SQL,
         'lang_mix_sample': _LANG_MIX_SAMPLE_SQL,
         'props_value_deciles': _PROPS_DECILES_SQL,
         'sequence_packing': _SEQUENCE_PACKING_SQL,
