@@ -1136,8 +1136,10 @@ def q_session_bounce_rate(sf_dir: str) -> ray.data.Dataset:
                       hot_key_threshold=_events_hot_threshold(sf_dir))
 
     def partial(t: pa.Table) -> pa.Table:
-        day = t.column('session_start').to_numpy(zero_copy_only=False) \
-            // 86_400_000_000
+        ss = t.column('session_start').to_numpy(zero_copy_only=False)
+        # truncate-toward-zero like DuckDB's // (numpy // floors; differs
+        # for pre-epoch timestamps)
+        day = np.sign(ss) * (np.abs(ss) // 86_400_000_000)
         ne = t.column('n_events').to_numpy(zero_copy_only=False)
         ud, inv = np.unique(day, return_inverse=True)
         n_sess = np.bincount(inv).astype(np.int64)
@@ -5800,14 +5802,14 @@ def _email_domain_sql() -> str:
             'count(*)::BIGINT AS n_matches FROM m GROUP BY 1')
 
 
-def q_click_days_no_purchase(sf_dir: str) -> ray.data.Dataset:
-    """Set difference (SQL EXCEPT) as two-phase flag aggregation: per batch,
-    one (user_id, day, has_click, has_purchase) row per active user-day via
-    Arrow group_by max; one narrow global groupby Max; keep
-    clicked-but-never-purchased days.  The shuffle carries 2 flag bytes per
-    (user, day, batch) — never a row per event — and neither distinct set
-    is ever collected or broadcast (contrast: a literal EXCEPT would
-    shuffle both full distinct sets)."""
+def _user_day_click_flags(sf_dir: str) -> ray.data.Dataset:
+    """Shared two-phase flag aggregation for the user-day set operators:
+    per batch, one (user_id, day, has_click, has_purchase) row per active
+    user-day via Arrow group_by max; one narrow global groupby Max.  The
+    shuffle carries 2 flag bytes per (user, day, batch) — never a row per
+    event — and neither distinct set is ever collected or broadcast
+    (contrast: a literal EXCEPT/INTERSECT would shuffle both full
+    distinct sets)."""
     def flags(t: pa.Table) -> pa.Table:
         et = t.column('event_type')
         day = pc.divide(pc.cast(t.column('ts'), pa.int64()), 86_400_000_000)
@@ -5820,16 +5822,22 @@ def q_click_days_no_purchase(sf_dir: str) -> ray.data.Dataset:
             .aggregate([('_c', 'max'), ('_p', 'max')]) \
             .rename_columns(['user_id', 'day', '_c', '_p'])
 
-    agg = (_events(sf_dir, ['user_id', 'event_type', 'ts'])
-           .map_batches(flags, batch_format='pyarrow')
-           .groupby(['user_id', 'day'])
-           .aggregate(Max('_c', alias_name='_c'), Max('_p', alias_name='_p')))
+    return (_events(sf_dir, ['user_id', 'event_type', 'ts'])
+            .map_batches(flags, batch_format='pyarrow')
+            .groupby(['user_id', 'day'])
+            .aggregate(Max('_c', alias_name='_c'),
+                       Max('_p', alias_name='_p')))
 
+
+def q_click_days_no_purchase(sf_dir: str) -> ray.data.Dataset:
+    """Set difference (SQL EXCEPT): clicked-but-never-purchased user-days
+    over the shared flag aggregation (_user_day_click_flags)."""
     def keep(t: pa.Table) -> pa.Table:
         m = pc.and_(pc.equal(t.column('_c'), 1), pc.equal(t.column('_p'), 0))
         return t.filter(m).select(['user_id', 'day'])
 
-    return agg.map_batches(keep, batch_format='pyarrow')
+    return _user_day_click_flags(sf_dir).map_batches(
+        keep, batch_format='pyarrow')
 
 
 _CLICK_NO_PURCHASE_SQL = (
@@ -5842,31 +5850,14 @@ _CLICK_NO_PURCHASE_SQL = (
 
 def q_click_purchase_days(sf_dir: str) -> ray.data.Dataset:
     """Set intersection (SQL INTERSECT): user-days with BOTH a click and a
-    purchase — the EXCEPT operator's sibling, same two-phase flag
-    aggregation (2 flag bytes per (user, day, batch) cross the shuffle,
-    no distinct set is ever collected)."""
-    def flags(t: pa.Table) -> pa.Table:
-        et = t.column('event_type')
-        day = pc.divide(pc.cast(t.column('ts'), pa.int64()), 86_400_000_000)
-        tbl = pa.table({
-            'user_id': t.column('user_id'),
-            'day': day,
-            '_c': pc.cast(pc.equal(et, 'click'), pa.int8()),
-            '_p': pc.cast(pc.equal(et, 'purchase'), pa.int8())})
-        return tbl.group_by(['user_id', 'day']) \
-            .aggregate([('_c', 'max'), ('_p', 'max')]) \
-            .rename_columns(['user_id', 'day', '_c', '_p'])
-
-    agg = (_events(sf_dir, ['user_id', 'event_type', 'ts'])
-           .map_batches(flags, batch_format='pyarrow')
-           .groupby(['user_id', 'day'])
-           .aggregate(Max('_c', alias_name='_c'), Max('_p', alias_name='_p')))
-
+    purchase — the EXCEPT operator's sibling over the shared flag
+    aggregation (_user_day_click_flags)."""
     def keep(t: pa.Table) -> pa.Table:
         m = pc.and_(pc.equal(t.column('_c'), 1), pc.equal(t.column('_p'), 1))
         return t.filter(m).select(['user_id', 'day'])
 
-    return agg.map_batches(keep, batch_format='pyarrow')
+    return _user_day_click_flags(sf_dir).map_batches(
+        keep, batch_format='pyarrow')
 
 
 _CLICK_PURCHASE_SQL = (
@@ -5934,6 +5925,9 @@ def q_above_avg_orders(sf_dir: str,
 
         def count_partial(t: pa.Table) -> pa.Table:
             ck_, cs_, cn_, sk_, sv_, nseg = ray.get(side_ref)
+            if len(sk_) == 0 or len(ck_) == 0:
+                return pa.table({'c_mktsegment': pa.array([], pa.string()),
+                                 '_n': pa.array([], pa.int64())})
             cust_k = t.column('o_custkey').to_numpy(zero_copy_only=False)
             cents = np.rint(t.column('o_totalprice')
                             .to_numpy(zero_copy_only=False) * 100.0) \
@@ -5941,9 +5935,8 @@ def q_above_avg_orders(sf_dir: str,
             i1 = np.searchsorted(ck_, cust_k)
             keep = cents * 5 * cn_[i1] > 6 * cs_[i1]   # every cust present
             i2 = np.minimum(np.searchsorted(sk_, cust_k[keep]),
-                            max(len(sk_) - 1, 0))
-            ok = sk_[i2] == cust_k[keep] if len(sk_) else \
-                np.zeros(int(keep.sum()), bool)
+                            len(sk_) - 1)
+            ok = sk_[i2] == cust_k[keep]
             cnt = np.bincount(sv_[i2][ok], minlength=nseg).astype(np.int64)
             return pa.table({'c_mktsegment': pa.array(segs, pa.string()),
                              '_n': pa.array(cnt)})
@@ -6049,17 +6042,28 @@ def q_kmeans_embeddings(sf_dir: str, k: int = 4,
 
     head = mat.map_batches(block_head, batch_format='pyarrow').to_pandas()
     head = head.sort_values('vec_id', kind='mergesort').head(k)
+    if len(head) == 0:
+        return pd.DataFrame({'cid': pd.Series([], dtype='int64'),
+                             'n': pd.Series([], dtype='int64'),
+                             'dim': pd.Series([], dtype='int64'),
+                             'centroid': pd.Series([], dtype='float64')})
     sums = np.stack([np.asarray(q, np.int64) for q in head['_q']])
     ns = np.ones(len(head), np.int64)
     cids = np.arange(len(head), dtype=np.int64)
     dim = sums.shape[1]
+    if (k, iters, dim) != (4, 3, 64):
+        # the registered oracle (_KMEANS_SQL) is unrolled for exactly this
+        # shape; other shapes are fine for direct library use but are not
+        # oracle-checked
+        import warnings
+        warnings.warn('kmeans oracle is pinned to k=4, iters=3, dim=64')
 
     for _ in range(iters):
         cent = sums.astype(np.float64) / ns[:, None]
-        ref = ray.put((cent, cids, dim, k))
+        ref = ray.put((cent, cids, dim))
 
         def assign(t: pa.Table) -> pa.Table:
-            c, cid_v, d, k_ = ray.get(ref)
+            c, cid_v, d = ray.get(ref)
             q = t.column('_q').combine_chunks()
             x = q.flatten().to_numpy(zero_copy_only=False) \
                 .astype(np.float64).reshape(len(t), d)

@@ -142,3 +142,11 @@ def test_above_avg_orders_paths_equal(ray_session):
     jn = _normf(q_above_avg_orders(SF, broadcast_cust_limit=0).to_pandas())
     assert bc.equals(jn)
     assert (bc['n_above'] > 0).all()
+
+
+def test_user_top_type_paths_equal(ray_session):
+    from pii_detector_ray.queries import q_user_top_type
+    fold = _normf(q_user_top_type(SF).to_pandas())
+    grp = _normf(q_user_top_type(SF, fold_limit=0).to_pandas())
+    assert fold.equals(grp)
+    assert fold['user_id'].is_unique and (fold['n_events'] > 0).all()
