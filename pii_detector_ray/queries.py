@@ -6504,6 +6504,735 @@ _COHORT_RETENTION_SQL = (
 # Registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Round-4 wave 7: the remaining TPC-H deep-join analogues expressible on this
+# schema — Q7 (bilateral trade volume), Q8 (market share), Q15 (top revenue
+# supplier), Q19 (disjunctive predicate revenue), Q22 (idle rich customers).
+# All revenue math is exact integer 1e-4 units (_rev_e4); the only float ops
+# are the final divisions, mirrored operation-for-operation in the oracles.
+# ---------------------------------------------------------------------------
+
+_TRADE_NATIONS = ('NATION_7', 'NATION_12')
+
+
+def q_nation_trade_volume(sf_dir: str,
+                          broadcast_order_limit: int = 2_000_000
+                          ) -> ray.data.Dataset:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations per
+    ship-year — lineitem x supplier x orders x customer x nation(2), keeping
+    only line items where the supplier sits in one of the two nations and
+    the ordering customer in the other.
+
+    Plan (100 TB shape): the two nations' supplier->nationkey map broadcasts
+    once via ``ray.put`` (suppliers are ~1e-4 of lineitem rows).  The
+    customer and order sides are input-proportional and size-guarded like
+    Q5: under ``broadcast_order_limit`` the (orderkey -> cust-nation) arrays
+    broadcast and lineitem closes the query in ONE pass emitting <=
+    2 pairs x 2 years bounded partials; above it orders joins customers
+    co-partitioned on custkey and lineitem pre-aggregates per
+    (orderkey, supp-nation, year) before a second narrow co-partitioned
+    join — nothing order-proportional ever reaches the driver."""
+    import os
+    from pii_detector_ray.stages.dedup import drop_empty_blocks, \
+        join_partitions
+    d0 = np.datetime64('1996-01-01')
+    d1 = np.datetime64('1998-01-01')
+    nation = read_parquet_clean(os.path.join(sf_dir, 'nation.parquet'),
+                                columns=['n_nationkey', 'n_name']).to_pandas()
+    name_by_key = dict(zip(nation['n_nationkey'].astype(int),
+                           nation['n_name']))
+    pair_keys = np.fromiter(
+        (k for k, v in name_by_key.items() if v in _TRADE_NATIONS),
+        np.int64)
+
+    supp = read_parquet_clean(os.path.join(sf_dir, 'supplier.parquet'),
+                              columns=['s_suppkey', 's_nationkey'])
+    sd = supp.map_batches(
+        lambda t: t.filter(pa.array(np.isin(
+            t.column('s_nationkey').to_numpy(zero_copy_only=False),
+            pair_keys))),
+        batch_format='pyarrow').to_pandas()
+    skeys = np.asarray(sd['s_suppkey'], np.int64)
+    s_ord = np.argsort(skeys, kind='stable')
+    supp_ref = ray.put((skeys[s_ord],
+                        np.asarray(sd['s_nationkey'], np.int64)[s_ord]))
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, 'customer.parquet'),
+        columns=['c_custkey', 'c_nationkey']).map_batches(
+            lambda t: t.filter(pa.array(np.isin(
+                t.column('c_nationkey').to_numpy(zero_copy_only=False),
+                pair_keys))),
+            batch_format='pyarrow')
+    orders = read_parquet_clean(os.path.join(sf_dir, 'orders.parquet'),
+                                columns=['o_orderkey', 'o_custkey'])
+
+    def li_partial(onat_ref, per_order: bool):
+        def f(t: pa.Table) -> pa.Table:
+            sk, sn = ray.get(supp_ref)
+            dt = t.column('l_shipdate').to_numpy(zero_copy_only=False)
+            keep = (dt >= d0) & (dt < d1)
+            lk = t.column('l_suppkey').to_numpy(zero_copy_only=False)
+            ok = t.column('l_orderkey').to_numpy(zero_copy_only=False)
+            rev = _rev_e4(
+                t.column('l_extendedprice').to_numpy(zero_copy_only=False),
+                t.column('l_discount').to_numpy(zero_copy_only=False))
+            year = dt.astype('datetime64[Y]').astype(np.int64) + 1970
+            if len(sk):
+                idx = np.minimum(np.searchsorted(sk, lk), len(sk) - 1)
+                keep &= sk[idx] == lk
+                s_nat = sn[idx]
+            else:
+                keep &= False
+                s_nat = np.zeros(len(lk), np.int64)
+            if per_order:
+                tbl = pa.table({
+                    'o_orderkey': pa.array(ok[keep], pa.int64()),
+                    'supp_nat': pa.array(s_nat[keep], pa.int64()),
+                    'l_year': pa.array(year[keep], pa.int64()),
+                    '_rev': pa.array(rev[keep], pa.int64())})
+                agg = tbl.group_by(['o_orderkey', 'supp_nat', 'l_year']) \
+                    .aggregate([('_rev', 'sum')])
+                return agg.rename_columns(
+                    ['o_orderkey', 'supp_nat', 'l_year', '_rev'])
+            okeys, onat = ray.get(onat_ref)
+            if len(okeys):
+                oidx = np.minimum(np.searchsorted(okeys, ok), len(okeys) - 1)
+                c_nat = onat[oidx]
+                keep &= (okeys[oidx] == ok) & (c_nat != s_nat)
+            else:
+                keep &= False
+                c_nat = np.zeros(len(ok), np.int64)
+            tbl = pa.table({'supp_nat': pa.array(s_nat[keep], pa.int64()),
+                            'cust_nat': pa.array(c_nat[keep], pa.int64()),
+                            'l_year': pa.array(year[keep], pa.int64()),
+                            '_rev': pa.array(rev[keep], pa.int64())})
+            agg = tbl.group_by(['supp_nat', 'cust_nat', 'l_year']) \
+                .aggregate([('_rev', 'sum')])
+            return agg.rename_columns(
+                ['supp_nat', 'cust_nat', 'l_year', '_rev'])
+        return f
+
+    line = read_parquet_clean(
+        os.path.join(sf_dir, 'lineitem.parquet'),
+        columns=['l_orderkey', 'l_suppkey', 'l_shipdate',
+                 'l_extendedprice', 'l_discount'])
+
+    n_orders = orders.count()
+    if n_orders <= broadcast_order_limit:
+        cmap = {int(r['c_custkey']): int(r['c_nationkey'])
+                for b in cust.iter_batches(batch_size=None,
+                                           batch_format='pyarrow')
+                for r in b.to_pylist()}
+        oks, onats = [], []
+        for b in orders.iter_batches(batch_size=None,
+                                     batch_format='pyarrow'):
+            for r in b.to_pylist():
+                nk = cmap.get(int(r['o_custkey']))
+                if nk is not None:
+                    oks.append(int(r['o_orderkey']))
+                    onats.append(nk)
+        okeys = np.asarray(oks, np.int64)
+        o_ord = np.argsort(okeys, kind='stable')
+        onat_ref = ray.put((okeys[o_ord],
+                            np.asarray(onats, np.int64)[o_ord]))
+        # bounded partials (<= 2 pairs x 2 years per batch): coalesce so the
+        # final Aggregate sees one block and emits no schema-less empties
+        agg = (line.map_batches(li_partial(onat_ref, False),
+                                batch_format='pyarrow')
+               .repartition(1)
+               .groupby(['supp_nat', 'cust_nat', 'l_year'])
+               .aggregate(Sum('_rev', alias_name='_rev')))
+    else:
+        onat = drop_empty_blocks(orders).join(
+            drop_empty_blocks(cust.map_batches(
+                lambda t: t.rename_columns(['o_custkey', 'cust_nat']),
+                batch_format='pyarrow')),
+            join_type='inner',
+            num_partitions=join_partitions(rows=n_orders),
+            on=('o_custkey',)).select_columns(['o_orderkey', 'cust_nat'])
+        partials = (line.map_batches(li_partial(None, True),
+                                     batch_format='pyarrow')
+                    .groupby(['o_orderkey', 'supp_nat', 'l_year'])
+                    .aggregate(Sum('_rev', alias_name='_rev')))
+        joined = drop_empty_blocks(partials).join(
+            drop_empty_blocks(onat), join_type='inner',
+            num_partitions=join_partitions(rows=n_orders),
+            on=('o_orderkey',))
+        agg = (joined.map_batches(
+            lambda t: t.filter(pc.not_equal(t.column('supp_nat'),
+                                            t.column('cust_nat'))),
+            batch_format='pyarrow')
+            .groupby(['supp_nat', 'cust_nat', 'l_year'])
+            .aggregate(Sum('_rev', alias_name='_rev')))
+
+    def fin(t: pa.Table) -> pa.Table:
+        sn = t.column('supp_nat').to_numpy(zero_copy_only=False)
+        cn = t.column('cust_nat').to_numpy(zero_copy_only=False)
+        rev = t.column('_rev').to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            'supp_nation': pa.array([name_by_key[int(k)] for k in sn],
+                                    pa.string()),
+            'cust_nation': pa.array([name_by_key[int(k)] for k in cn],
+                                    pa.string()),
+            'l_year': t.column('l_year'),
+            'revenue': sql_round_pa(pa.array(rev / 10000.0), 2)})
+    return drop_empty_blocks(agg).map_batches(fin, batch_format='pyarrow')
+
+
+_NATION_TRADE_SQL = (
+    'SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, '
+    'year(l.l_shipdate) AS l_year, '
+    f'round(sum({_REV_E4_SQL}) / 10000.0, 2) AS revenue '
+    'FROM lineitem l '
+    'JOIN supplier s ON s.s_suppkey = l.l_suppkey '
+    'JOIN orders o ON o.o_orderkey = l.l_orderkey '
+    'JOIN customer c ON c.c_custkey = o.o_custkey '
+    'JOIN nation n1 ON n1.n_nationkey = s.s_nationkey '
+    'JOIN nation n2 ON n2.n_nationkey = c.c_nationkey '
+    f"WHERE ((n1.n_name = '{_TRADE_NATIONS[0]}' "
+    f"AND n2.n_name = '{_TRADE_NATIONS[1]}') "
+    f"OR (n1.n_name = '{_TRADE_NATIONS[1]}' "
+    f"AND n2.n_name = '{_TRADE_NATIONS[0]}')) "
+    "AND l.l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l.l_shipdate < TIMESTAMP '1998-01-01' "
+    'GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)'
+)
+
+
+def q_region_market_share(sf_dir: str,
+                          broadcast_limit: int = 2_000_000
+                          ) -> ray.data.Dataset:
+    """TPC-H Q8 shape: a nation's market share — the fraction of revenue on
+    'ECONOMY'-type parts sold into the EUROPE customer region that came from
+    NATION_3 suppliers, per order-year.
+
+    Plan: numerator and denominator are both exact int64 1e-4-unit sums
+    carried per year (2 rows of state), divided ONCE at the end — partial
+    order can never flip the rounding.  The full supplier->nationkey map
+    broadcasts (supplier ~1e-4 of lineitem; past the broadcast budget it
+    shards like stages/similarity.py).  The part and order sides are
+    input-proportional: under ``broadcast_limit`` qualifying partkeys and
+    the (orderkey -> year) arrays broadcast and lineitem closes the query
+    in one pass; above it both sides meet lineitem in co-partitioned
+    narrow joins."""
+    import os
+    from pii_detector_ray.stages.dedup import drop_empty_blocks, \
+        join_partitions
+    d0 = np.datetime64('1996-01-01')
+    d1 = np.datetime64('1998-01-01')
+    nation = read_parquet_clean(
+        os.path.join(sf_dir, 'nation.parquet'),
+        columns=['n_nationkey', 'n_name', 'n_regionkey']).to_pandas()
+    region = read_parquet_clean(
+        os.path.join(sf_dir, 'region.parquet'),
+        columns=['r_regionkey', 'r_name']).to_pandas()
+    rk = int(region.loc[region['r_name'] == 'EUROPE',
+                        'r_regionkey'].iloc[0])
+    mkt_nations = np.asarray(
+        nation.loc[nation['n_regionkey'] == rk, 'n_nationkey'], np.int64)
+    target = int(nation.loc[nation['n_name'] == 'NATION_3',
+                            'n_nationkey'].iloc[0])
+
+    sd = read_parquet_clean(os.path.join(sf_dir, 'supplier.parquet'),
+                            columns=['s_suppkey', 's_nationkey']).to_pandas()
+    skeys = np.asarray(sd['s_suppkey'], np.int64)
+    s_ord = np.argsort(skeys, kind='stable')
+    supp_ref = ray.put((skeys[s_ord],
+                        np.asarray(sd['s_nationkey'], np.int64)[s_ord]))
+
+    parts = read_parquet_clean(
+        os.path.join(sf_dir, 'part.parquet'),
+        columns=['p_partkey', 'p_type']).map_batches(
+            lambda t: t.select(['p_partkey']).filter(
+                pc.equal(t.column('p_type'), 'ECONOMY')),
+            batch_format='pyarrow').materialize()
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, 'customer.parquet'),
+        columns=['c_custkey', 'c_nationkey']).map_batches(
+            lambda t: t.select(['c_custkey']).filter(pa.array(np.isin(
+                t.column('c_nationkey').to_numpy(zero_copy_only=False),
+                mkt_nations))),
+            batch_format='pyarrow')
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, 'orders.parquet'),
+        columns=['o_orderkey', 'o_custkey', 'o_orderdate']).map_batches(
+            lambda t: t.select(['o_orderkey', 'o_custkey']).append_column(
+                'o_year', pa.array(
+                    t.column('o_orderdate').to_numpy(zero_copy_only=False)
+                    .astype('datetime64[Y]').astype(np.int64) + 1970,
+                    pa.int64())).filter(pa.array(
+                        (t.column('o_orderdate')
+                         .to_numpy(zero_copy_only=False) >= d0) &
+                        (t.column('o_orderdate')
+                         .to_numpy(zero_copy_only=False) < d1))),
+            batch_format='pyarrow').materialize()
+
+    def li_pass(pk_ref, oy_ref, per_order: bool):
+        def f(t: pa.Table) -> pa.Table:
+            sk, sn = ray.get(supp_ref)
+            pk = ray.get(pk_ref)
+            lp = t.column('l_partkey').to_numpy(zero_copy_only=False)
+            ls = t.column('l_suppkey').to_numpy(zero_copy_only=False)
+            ok = t.column('l_orderkey').to_numpy(zero_copy_only=False)
+            rev = _rev_e4(
+                t.column('l_extendedprice').to_numpy(zero_copy_only=False),
+                t.column('l_discount').to_numpy(zero_copy_only=False))
+            if len(pk):
+                pidx = np.minimum(np.searchsorted(pk, lp), len(pk) - 1)
+                keep = pk[pidx] == lp
+            else:
+                keep = np.zeros(len(lp), bool)
+            if len(sk):
+                sidx = np.minimum(np.searchsorted(sk, ls), len(sk) - 1)
+                keep &= sk[sidx] == ls
+                s_nat = sn[sidx]
+            else:
+                keep &= False
+                s_nat = np.zeros(len(ls), np.int64)
+            if per_order:
+                tbl = pa.table({
+                    'o_orderkey': pa.array(ok[keep], pa.int64()),
+                    '_num': pa.array(
+                        np.where(s_nat[keep] == target, rev[keep], 0),
+                        pa.int64()),
+                    '_den': pa.array(rev[keep], pa.int64())})
+                agg = tbl.group_by('o_orderkey').aggregate(
+                    [('_num', 'sum'), ('_den', 'sum')])
+                return agg.rename_columns(['o_orderkey', '_num', '_den'])
+            oky, oyr = ray.get(oy_ref)
+            if len(oky):
+                oidx = np.minimum(np.searchsorted(oky, ok), len(oky) - 1)
+                keep &= oky[oidx] == ok
+                year = oyr[oidx]
+            else:
+                keep &= False
+                year = np.zeros(len(ok), np.int64)
+            tbl = pa.table({
+                'o_year': pa.array(year[keep], pa.int64()),
+                '_num': pa.array(
+                    np.where(s_nat[keep] == target, rev[keep], 0),
+                    pa.int64()),
+                '_den': pa.array(rev[keep], pa.int64())})
+            agg = tbl.group_by('o_year').aggregate(
+                [('_num', 'sum'), ('_den', 'sum')])
+            return agg.rename_columns(['o_year', '_num', '_den'])
+        return f
+
+    line = read_parquet_clean(
+        os.path.join(sf_dir, 'lineitem.parquet'),
+        columns=['l_orderkey', 'l_partkey', 'l_suppkey',
+                 'l_extendedprice', 'l_discount'])
+
+    n_parts = parts.count()
+    n_orders = orders.count()
+    if n_parts <= broadcast_limit and n_orders <= broadcast_limit:
+        pks = np.sort(np.concatenate(
+            [b.column('p_partkey').to_numpy(zero_copy_only=False)
+             for b in parts.iter_batches(batch_size=None,
+                                         batch_format='pyarrow')] or
+            [np.empty(0, np.int64)]).astype(np.int64))
+        pk_ref = ray.put(pks)
+        cset = {int(r['c_custkey'])
+                for b in cust.iter_batches(batch_size=None,
+                                           batch_format='pyarrow')
+                for r in b.to_pylist()}
+        oks, oys = [], []
+        for b in orders.iter_batches(batch_size=None,
+                                     batch_format='pyarrow'):
+            for r in b.to_pylist():
+                if int(r['o_custkey']) in cset:
+                    oks.append(int(r['o_orderkey']))
+                    oys.append(int(r['o_year']))
+        okeys = np.asarray(oks, np.int64)
+        o_ord = np.argsort(okeys, kind='stable')
+        oy_ref = ray.put((okeys[o_ord], np.asarray(oys, np.int64)[o_ord]))
+        agg = (line.map_batches(li_pass(pk_ref, oy_ref, False),
+                                batch_format='pyarrow')
+               .repartition(1)
+               .groupby('o_year')
+               .aggregate(Sum('_num', alias_name='_num'),
+                          Sum('_den', alias_name='_den')))
+    else:
+        # join path: lineitem pre-aggregates per orderkey against the
+        # broadcast supplier+part maps... part side instead joins when the
+        # qualifying-part set is over budget
+        pk_ref = ray.put(np.empty(0, np.int64))
+        liq = line.map_batches(
+            lambda t: t.select(['l_orderkey', 'l_partkey', 'l_suppkey',
+                                'l_extendedprice', 'l_discount']),
+            batch_format='pyarrow')
+        liq = drop_empty_blocks(liq).join(
+            drop_empty_blocks(parts.map_batches(
+                lambda t: t.rename_columns(['l_partkey']),
+                batch_format='pyarrow')),
+            join_type='inner',
+            num_partitions=join_partitions(rows=n_parts),
+            on=('l_partkey',))
+
+        def li_nat(t: pa.Table) -> pa.Table:
+            sk, sn = ray.get(supp_ref)
+            ls = t.column('l_suppkey').to_numpy(zero_copy_only=False)
+            ok = t.column('l_orderkey').to_numpy(zero_copy_only=False)
+            rev = _rev_e4(
+                t.column('l_extendedprice').to_numpy(zero_copy_only=False),
+                t.column('l_discount').to_numpy(zero_copy_only=False))
+            if len(sk):
+                sidx = np.minimum(np.searchsorted(sk, ls), len(sk) - 1)
+                keep = sk[sidx] == ls
+                s_nat = sn[sidx]
+            else:
+                keep = np.zeros(len(ls), bool)
+                s_nat = np.zeros(len(ls), np.int64)
+            tbl = pa.table({
+                'o_orderkey': pa.array(ok[keep], pa.int64()),
+                '_num': pa.array(
+                    np.where(s_nat[keep] == target, rev[keep], 0),
+                    pa.int64()),
+                '_den': pa.array(rev[keep], pa.int64())})
+            agg = tbl.group_by('o_orderkey').aggregate(
+                [('_num', 'sum'), ('_den', 'sum')])
+            return agg.rename_columns(['o_orderkey', '_num', '_den'])
+
+        partials = (liq.map_batches(li_nat, batch_format='pyarrow')
+                    .groupby('o_orderkey')
+                    .aggregate(Sum('_num', alias_name='_num'),
+                               Sum('_den', alias_name='_den')))
+        qual = drop_empty_blocks(orders).join(
+            drop_empty_blocks(cust.map_batches(
+                lambda t: t.rename_columns(['o_custkey']),
+                batch_format='pyarrow')),
+            join_type='inner',
+            num_partitions=join_partitions(rows=n_orders),
+            on=('o_custkey',)).select_columns(['o_orderkey', 'o_year'])
+        joined = drop_empty_blocks(partials).join(
+            drop_empty_blocks(qual), join_type='inner',
+            num_partitions=join_partitions(rows=n_orders),
+            on=('o_orderkey',))
+        agg = (joined.groupby('o_year')
+               .aggregate(Sum('_num', alias_name='_num'),
+                          Sum('_den', alias_name='_den')))
+
+    def fin(t: pa.Table) -> pa.Table:
+        num = t.column('_num').to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        den = t.column('_den').to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            'o_year': t.column('o_year'),
+            'mkt_share': sql_round_pa(pa.array(num / den), 6)})
+    return drop_empty_blocks(agg).map_batches(fin, batch_format='pyarrow')
+
+
+_MARKET_SHARE_SQL = (
+    'WITH base AS ('
+    'SELECT year(o.o_orderdate) AS o_year, '
+    f'{_REV_E4_SQL} AS e4, s.s_nationkey AS snat '
+    'FROM lineitem l '
+    'JOIN part p ON p.p_partkey = l.l_partkey '
+    'JOIN supplier s ON s.s_suppkey = l.l_suppkey '
+    'JOIN orders o ON o.o_orderkey = l.l_orderkey '
+    'JOIN customer c ON c.c_custkey = o.o_custkey '
+    'JOIN nation n1 ON n1.n_nationkey = c.c_nationkey '
+    'JOIN region r ON r.r_regionkey = n1.n_regionkey '
+    "WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY' "
+    "AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o.o_orderdate < TIMESTAMP '1998-01-01') "
+    'SELECT o_year, round(sum(CASE WHEN snat = '
+    "(SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3') "
+    'THEN e4 ELSE 0 END) / CAST(sum(e4) AS DOUBLE), 6) AS mkt_share '
+    'FROM base GROUP BY o_year'
+)
+
+
+def q_top_revenue_supplier(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q15 shape: the supplier(s) with the maximum revenue over one
+    ship-date quarter (ties all kept, as in the spec's view formulation).
+
+    Plan: lineitem pre-aggregates (l_suppkey, rev_e4) partials inside
+    map_batches, one narrow supplier-cardinality shuffle sums them, the
+    global max is a driver scalar (``Dataset.max``), and only the winner
+    rows (ties: a handful) reach the driver to pick up supplier names via
+    a filtered supplier read — no supplier-proportional materialization."""
+    import os
+    d0 = np.datetime64('1996-01-01')
+    d1 = np.datetime64('1996-04-01')
+
+    def partial(t: pa.Table) -> pa.Table:
+        dt = t.column('l_shipdate').to_numpy(zero_copy_only=False)
+        keep = (dt >= d0) & (dt < d1)
+        rev = _rev_e4(
+            t.column('l_extendedprice').to_numpy(zero_copy_only=False),
+            t.column('l_discount').to_numpy(zero_copy_only=False))
+        tbl = pa.table({
+            's_suppkey': t.column('l_suppkey').filter(pa.array(keep)),
+            '_rev': pa.array(rev[keep], pa.int64())})
+        agg = tbl.group_by('s_suppkey').aggregate([('_rev', 'sum')])
+        return agg.rename_columns(['s_suppkey', '_rev'])
+
+    def reagg(t: pa.Table) -> pa.Table:
+        agg = t.group_by('s_suppkey').aggregate([('_rev', 'sum')])
+        return agg.rename_columns(['s_suppkey', '_rev'])
+
+    def pick(t: pa.Table) -> pa.Table:
+        keys = t.column('s_suppkey').to_numpy(zero_copy_only=False)
+        rev = t.column('_rev').to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            return pa.table({'s_suppkey': pa.array([], pa.int64()),
+                             '_rev': pa.array([], pa.int64())})
+        uk, inv = np.unique(keys, return_inverse=True)
+        tot = np.zeros(len(uk), np.int64)
+        np.add.at(tot, inv, rev)
+        best = tot.max()
+        w = tot == best
+        return pa.table({'s_suppkey': pa.array(uk[w], pa.int64()),
+                         '_rev': pa.array(tot[w], pa.int64())})
+
+    line = read_parquet_clean(
+        os.path.join(sf_dir, 'lineitem.parquet'),
+        columns=['l_suppkey', 'l_shipdate', 'l_extendedprice',
+                 'l_discount'])
+    # two-level fold, not a wide groupby: the distinct key set is supplier-
+    # cardinality (~1e-4 of lineitem), so the final single-block fold holds
+    # ~16 B/supplier — and repartition never emits the Aggregate op's
+    # schema-less empty partitions (host_p95 pattern, VERDICT r3)
+    winners = (line.map_batches(partial, batch_format='pyarrow')
+               .repartition(8)
+               .map_batches(reagg, batch_format='pyarrow', batch_size=None)
+               .repartition(1)
+               .map_batches(pick, batch_format='pyarrow', batch_size=None)
+               ).to_pandas()                     # winners only: ties, tiny
+    if len(winners) == 0:
+        return ray.data.from_arrow(pa.table({
+            's_suppkey': pa.array([], pa.int64()),
+            's_name': pa.array([], pa.string()),
+            'total_revenue': pa.array([], pa.float64())}))
+    wkeys = set(int(k) for k in winners['s_suppkey'])
+    names = read_parquet_clean(
+        os.path.join(sf_dir, 'supplier.parquet'),
+        columns=['s_suppkey', 's_name']).map_batches(
+            lambda t: t.filter(pa.array(np.isin(
+                t.column('s_suppkey').to_numpy(zero_copy_only=False),
+                np.fromiter(wkeys, np.int64)))),
+            batch_format='pyarrow').to_pandas()
+    out = winners.merge(names, on='s_suppkey')
+    out['total_revenue'] = sql_round_np(
+        out.pop('_rev').to_numpy(np.float64) / 10000.0, 2)
+    return ray.data.from_pandas(out[['s_suppkey', 's_name',
+                                     'total_revenue']])
+
+
+_TOP_SUPPLIER_SQL = (
+    f'WITH rev AS (SELECT l_suppkey, sum({_REV_E4_SQL}) AS total_e4 '
+    'FROM lineitem '
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+    'SELECT s.s_suppkey, s.s_name, '
+    'round(total_e4 / 10000.0, 2) AS total_revenue '
+    'FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey '
+    'WHERE total_e4 = (SELECT max(total_e4) FROM rev)'
+)
+
+
+_DISJ_CLAUSES = (
+    # (brand, max_size, qty_lo, qty_hi) — part-side: size in [1, max_size];
+    # line-side: quantity in [qty_lo, qty_hi]   (TPC-H Q19's shape)
+    ('Brand#12', 5, 1.0, 11.0),
+    ('Brand#23', 10, 10.0, 20.0),
+    ('Brand#5', 15, 20.0, 30.0),
+)
+
+
+def q_disjunctive_revenue(sf_dir: str,
+                          broadcast_part_limit: int = 2_000_000
+                          ) -> pd.DataFrame:
+    """TPC-H Q19 shape: revenue from lineitem x part under a DISJUNCTION of
+    three (brand, size-range, quantity-range) clauses.
+
+    Plan: the part side of each clause folds into ONE bitmask per
+    qualifying part (which clauses' brand+size matched), broadcast as
+    sorted arrays under ``broadcast_part_limit`` or met in a co-partitioned
+    narrow join above it; lineitem evaluates the quantity windows against
+    the mask vectorized and emits one int64 partial per batch."""
+    import os
+    from pii_detector_ray.stages.dedup import drop_empty_blocks, \
+        join_partitions
+
+    def part_mask(t: pa.Table) -> pa.Table:
+        brand = t.column('p_brand').to_numpy(zero_copy_only=False)
+        size = t.column('p_size').to_numpy(zero_copy_only=False)
+        mask = np.zeros(len(brand), np.int64)
+        for i, (b, smax, _, _) in enumerate(_DISJ_CLAUSES):
+            mask |= ((brand == b) & (size >= 1) & (size <= smax)) << i
+        keep = mask != 0
+        return pa.table({'p_partkey': t.column('p_partkey')
+                         .filter(pa.array(keep)),
+                         '_mask': pa.array(mask[keep], pa.int64())})
+
+    parts = read_parquet_clean(
+        os.path.join(sf_dir, 'part.parquet'),
+        columns=['p_partkey', 'p_brand', 'p_size']).map_batches(
+            part_mask, batch_format='pyarrow').materialize()
+    line = read_parquet_clean(
+        os.path.join(sf_dir, 'lineitem.parquet'),
+        columns=['l_partkey', 'l_quantity', 'l_extendedprice',
+                 'l_discount'])
+
+    def qty_keep(qty: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        keep = np.zeros(len(qty), bool)
+        for i, (_, _, qlo, qhi) in enumerate(_DISJ_CLAUSES):
+            keep |= ((mask >> i) & 1).astype(bool) \
+                & (qty >= qlo) & (qty <= qhi)
+        return keep
+
+    n_parts = parts.count()
+    if n_parts <= broadcast_part_limit:
+        pd_parts = parts.to_pandas()
+        pks = np.asarray(pd_parts['p_partkey'], np.int64)
+        p_ord = np.argsort(pks, kind='stable')
+        pk_ref = ray.put((pks[p_ord],
+                          np.asarray(pd_parts['_mask'], np.int64)[p_ord]))
+
+        def li(t: pa.Table) -> pa.Table:
+            pk, pm = ray.get(pk_ref)
+            lp = t.column('l_partkey').to_numpy(zero_copy_only=False)
+            qty = t.column('l_quantity').to_numpy(zero_copy_only=False)
+            rev = _rev_e4(
+                t.column('l_extendedprice').to_numpy(zero_copy_only=False),
+                t.column('l_discount').to_numpy(zero_copy_only=False))
+            if len(pk):
+                idx = np.minimum(np.searchsorted(pk, lp), len(pk) - 1)
+                keep = (pk[idx] == lp) & qty_keep(qty, pm[idx])
+            else:
+                keep = np.zeros(len(lp), bool)
+            return pa.table({'_rev': pa.array([int(rev[keep].sum())],
+                                              pa.int64())})
+
+        total = line.map_batches(li, batch_format='pyarrow').sum('_rev')
+    else:
+        joined = drop_empty_blocks(line.map_batches(
+            lambda t: t.rename_columns(
+                ['p_partkey', 'l_quantity', 'l_extendedprice',
+                 'l_discount']),
+            batch_format='pyarrow')).join(
+                drop_empty_blocks(parts), join_type='inner',
+                num_partitions=join_partitions(),
+                on=('p_partkey',))
+
+        def li2(t: pa.Table) -> pa.Table:
+            qty = t.column('l_quantity').to_numpy(zero_copy_only=False)
+            mask = t.column('_mask').to_numpy(zero_copy_only=False)
+            rev = _rev_e4(
+                t.column('l_extendedprice').to_numpy(zero_copy_only=False),
+                t.column('l_discount').to_numpy(zero_copy_only=False))
+            keep = qty_keep(qty, mask)
+            return pa.table({'_rev': pa.array([int(rev[keep].sum())],
+                                              pa.int64())})
+
+        total = joined.map_batches(li2, batch_format='pyarrow').sum('_rev')
+    revenue = (np.nan if total is None
+               else sql_round_scalar(float(total) / 10000.0, 2))
+    return pd.DataFrame({'revenue': [revenue]})
+
+
+def _disj_sql() -> str:
+    ors = ' OR '.join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN 1 AND {smax} "
+        f'AND l.l_quantity BETWEEN {qlo} AND {qhi})'
+        for b, smax, qlo, qhi in _DISJ_CLAUSES)
+    return (f'SELECT round(sum({_REV_E4_SQL}) / 10000.0, 2) AS revenue '
+            'FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey '
+            f'WHERE {ors}')
+
+
+def q_idle_rich_customers(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q22 shape (adapted to this schema — no c_phone, and every
+    synthetic customer has SOME order, so "idle" means no order since
+    2001-01-01): customers whose account balance exceeds the average
+    POSITIVE balance and who placed no recent order, per market segment.
+
+    Plan: the global average is exact — per-block (sum-of-cents, count)
+    int64 partials fold to two driver scalars, and each row compares
+    ``cents * n > total`` in integers so no float boundary exists.  The
+    "never ordered" side is the bloom-prefiltered exact anti-join
+    (stages/bloomjoin.py) against the distinct order custkeys."""
+    import os
+    from pii_detector_ray.stages.bloomjoin import bloom_anti_join
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, 'customer.parquet'),
+        columns=['c_custkey', 'c_mktsegment', 'c_acctbal'])
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column('c_acctbal')
+                        .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        pos = cents[cents > 0]
+        return pa.table({'_s': pa.array([int(pos.sum())], pa.int64()),
+                         '_n': pa.array([len(pos)], pa.int64())})
+
+    stats = cust.map_batches(bal_partial, batch_format='pyarrow') \
+        .materialize()                       # bounded: one row per block
+    s_total = stats.sum('_s') or 0
+    n_pos = stats.sum('_n') or 0
+
+    def rich(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column('c_acctbal')
+                        .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        keep = cents * n_pos > s_total
+        return pa.table({
+            'c_custkey': t.column('c_custkey').filter(pa.array(keep)),
+            'c_mktsegment': t.column('c_mktsegment').filter(pa.array(keep)),
+            '_cents': pa.array(cents[keep], pa.int64())})
+
+    rich_ds = cust.map_batches(rich, batch_format='pyarrow')
+    cut = np.datetime64('2001-01-01')
+    okeys = read_parquet_clean(
+        os.path.join(sf_dir, 'orders.parquet'),
+        columns=['o_custkey', 'o_orderdate']).map_batches(
+            lambda t: pa.table({'c_custkey': t.column('o_custkey').filter(
+                pa.array(t.column('o_orderdate')
+                         .to_numpy(zero_copy_only=False) >= cut)).unique()}),
+            batch_format='pyarrow') \
+        .groupby('c_custkey').aggregate(Count())      # distinct custkeys
+    idle = bloom_anti_join(rich_ds, okeys, on='c_custkey')
+    agg = idle.groupby('c_mktsegment').aggregate(
+        Count(alias_name='n_cust'), Sum('_cents', alias_name='_cents'))
+    agg = agg.materialize()
+    if agg.count() == 0:                 # typed empty, not a schema-less one
+        return ray.data.from_arrow(pa.table({
+            'c_mktsegment': pa.array([], pa.string()),
+            'n_cust': pa.array([], pa.int64()),
+            'total_bal': pa.array([], pa.float64())}))
+
+    def fin(t: pa.Table) -> pa.Table:
+        cents = t.column('_cents').to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            'c_mktsegment': t.column('c_mktsegment'),
+            'n_cust': pc.cast(t.column('n_cust'), pa.int64()),
+            'total_bal': sql_round_pa(pa.array(cents / 100.0), 2)})
+    return drop_empty_blocks(agg).map_batches(fin, batch_format='pyarrow')
+
+
+_IDLE_RICH_SQL = (
+    'WITH avgbal AS (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) '
+    'AS s, count(*) AS n FROM customer WHERE c_acctbal > 0.0) '
+    'SELECT c_mktsegment, count(*) AS n_cust, '
+    'round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0, 2) '
+    'AS total_bal FROM customer '
+    'WHERE CAST(round(c_acctbal * 100) AS BIGINT) * '
+    '(SELECT n FROM avgbal) > (SELECT s FROM avgbal) '
+    'AND c_custkey NOT IN (SELECT o_custkey FROM orders '
+    "WHERE o_orderdate >= TIMESTAMP '2001-01-01') "
+    'GROUP BY c_mktsegment'
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -6596,6 +7325,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'big_spender_segments': q_big_spender_segments,
         'top_order_per_cust': q_top_order_per_cust,
         'local_supplier_volume': q_local_supplier_volume,
+        'nation_trade_volume': q_nation_trade_volume,
+        'region_market_share': q_region_market_share,
+        'top_revenue_supplier': q_top_revenue_supplier,
+        'disjunctive_revenue': q_disjunctive_revenue,
+        'idle_rich_customers': q_idle_rich_customers,
         'late_shipment_counts': q_late_shipment_counts,
         'promo_revenue': q_promo_revenue,
         'small_quantity_revenue': q_small_quantity_revenue,
@@ -6758,6 +7492,11 @@ def oracle_sql() -> dict[str, str]:
         'daily_active_users': _DAILY_ACTIVE_SQL,
         'discount_revenue': _DISCOUNT_REVENUE_SQL,
         'local_supplier_volume': _LOCAL_SUPPLIER_VOLUME_SQL,
+        'nation_trade_volume': _NATION_TRADE_SQL,
+        'region_market_share': _MARKET_SHARE_SQL,
+        'top_revenue_supplier': _TOP_SUPPLIER_SQL,
+        'disjunctive_revenue': _disj_sql(),
+        'idle_rich_customers': _IDLE_RICH_SQL,
         'late_shipment_counts': _LATE_SHIPMENT_SQL,
         'promo_revenue': _PROMO_REVENUE_SQL,
         'small_quantity_revenue': _SMALL_QUANTITY_SQL,

@@ -150,3 +150,32 @@ def test_user_top_type_paths_equal(ray_session):
     grp = _normf(q_user_top_type(SF, fold_limit=0).to_pandas())
     assert fold.equals(grp)
     assert fold['user_id'].is_unique and (fold['n_events'] > 0).all()
+
+
+# --- round-4 wave 7: Q7/Q8/Q19 analogues ---
+
+def test_nation_trade_volume_paths_equal(ray_session):
+    from pii_detector_ray.queries import q_nation_trade_volume
+    bc = _normf(q_nation_trade_volume(SF).to_pandas())
+    jn = _normf(q_nation_trade_volume(
+        SF, broadcast_order_limit=0).to_pandas())
+    assert bc.equals(jn)
+    assert (bc['revenue'] > 0).all()
+    # only cross pairs of the two nations ever appear
+    assert (bc['supp_nation'] != bc['cust_nation']).all()
+
+
+def test_region_market_share_paths_equal(ray_session):
+    from pii_detector_ray.queries import q_region_market_share
+    bc = _normf(q_region_market_share(SF).to_pandas())
+    jn = _normf(q_region_market_share(SF, broadcast_limit=0).to_pandas())
+    assert bc.equals(jn)
+    assert ((bc['mkt_share'] >= 0) & (bc['mkt_share'] <= 1)).all()
+
+
+def test_disjunctive_revenue_paths_equal(ray_session):
+    from pii_detector_ray.queries import q_disjunctive_revenue
+    bc = _normf(q_disjunctive_revenue(SF))
+    jn = _normf(q_disjunctive_revenue(SF, broadcast_part_limit=0))
+    assert bc.equals(jn)
+    assert (bc['revenue'] > 0).all()
