@@ -7233,6 +7233,246 @@ _IDLE_RICH_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Round-4 wave 8: robust/distribution statistics — higher central moments
+# from exact integer sufficient stats, per-group MAD from bounded value
+# counts, and a whole-table column profiler.
+# ---------------------------------------------------------------------------
+
+
+def q_price_moments(sf_dir: str) -> pd.DataFrame:
+    """Per-priority skewness and excess kurtosis of order totals — third
+    and fourth central moments, the classic one-pass "method of moments"
+    distributed aggregate.
+
+    Exactness: per-batch raw power sums S1..S4 accumulate as PYTHON BIGINTS
+    over integer cents (S4 needs ~2^120 — the zipf_slope object-dtype
+    trick), shipped as decimal strings in <=5 bounded partial rows per
+    block and folded exactly on the driver.  Only then does float math
+    happen, in a parenthesis-pinned expression tree the oracle mirrors
+    token-for-token (left-assoc, sqrt not pow), so both sides round the
+    same doubles."""
+    import math
+    import os
+    orders = read_parquet_clean(os.path.join(sf_dir, 'orders.parquet'),
+                                columns=['o_orderpriority', 'o_totalprice'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        prio = t.column('o_orderpriority').to_numpy(zero_copy_only=False)
+        cents = np.rint(t.column('o_totalprice')
+                        .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        out_p, out_n, out_s = [], [], [[], [], [], []]
+        for p in np.unique(prio):
+            c = cents[prio == p].astype(object)
+            out_p.append(str(p))
+            out_n.append(int(len(c)))
+            acc = c
+            for i in range(4):
+                out_s[i].append(str(int(acc.sum())))
+                acc = acc * c
+        return pa.table({
+            '_p': pa.array(out_p, pa.string()),
+            '_n': pa.array(out_n, pa.int64()),
+            '_s1': pa.array(out_s[0], pa.string()),
+            '_s2': pa.array(out_s[1], pa.string()),
+            '_s3': pa.array(out_s[2], pa.string()),
+            '_s4': pa.array(out_s[3], pa.string())})
+
+    parts = orders.map_batches(partial, batch_format='pyarrow').to_pandas()
+    rows = []
+    for p, g in parts.groupby('_p', sort=True):
+        n = int(g['_n'].sum())
+        s1, s2, s3, s4 = (sum(int(v) for v in g[c])
+                          for c in ('_s1', '_s2', '_s3', '_s4'))
+        mean = float(s1) / float(n)
+        q2 = float(s2) / float(n)
+        q3 = float(s3) / float(n)
+        q4 = float(s4) / float(n)
+        m2 = q2 - mean * mean
+        m3 = q3 - 3.0 * mean * q2 + 2.0 * mean * mean * mean
+        m4 = (q4 - 4.0 * mean * q3 + 6.0 * mean * mean * q2
+              - 3.0 * mean * mean * mean * mean)
+        if m2 <= 0.0:
+            skew = kurt = float('nan')
+        else:
+            skew = m3 / (m2 * math.sqrt(m2))
+            kurt = m4 / (m2 * m2) - 3.0
+        rows.append({'o_orderpriority': p, 'n_orders': n,
+                     'skewness': sql_round_scalar(skew, 6),
+                     'kurtosis': sql_round_scalar(kurt, 6)})
+    return pd.DataFrame(rows)
+
+
+_PRICE_MOMENTS_SQL = (
+    'WITH c AS (SELECT o_orderpriority, '
+    'CAST(round(o_totalprice * 100) AS HUGEINT) AS v FROM orders), '
+    's AS (SELECT o_orderpriority, count(*) AS n, sum(v) AS s1, '
+    'sum(v*v) AS s2, sum(v*v*v) AS s3, sum(v*v*v*v) AS s4 '
+    'FROM c GROUP BY 1), '
+    'd AS (SELECT o_orderpriority, n, '
+    'CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE) AS mean, '
+    'CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE) AS q2, '
+    'CAST(s3 AS DOUBLE)/CAST(n AS DOUBLE) AS q3, '
+    'CAST(s4 AS DOUBLE)/CAST(n AS DOUBLE) AS q4 FROM s), '
+    'm AS (SELECT o_orderpriority, n, q2 - mean*mean AS m2, '
+    'q3 - 3.0*mean*q2 + 2.0*mean*mean*mean AS m3, '
+    'q4 - 4.0*mean*q3 + 6.0*mean*mean*q2 '
+    '- 3.0*mean*mean*mean*mean AS m4 FROM d) '
+    'SELECT o_orderpriority, n AS n_orders, '
+    'round(m3 / (m2 * sqrt(m2)), 6) AS skewness, '
+    'round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis FROM m'
+)
+
+
+def q_value_mad(sf_dir: str) -> ray.data.Dataset:
+    """Median absolute deviation of event value per event type — the
+    robust-dispersion counterpart to value_stddev, with quantile_cont
+    interpolation at both levels (DuckDB ``mad()`` semantics).
+
+    Plan: event values are 2-decimal in a bounded range, so per-batch
+    (type, value) VALUE COUNTS bound the shuffled state by the price
+    alphabet (~50k rows/type), not the event count — the
+    quantity_percentiles_cont scale argument.  A two-level fold
+    (repartition->reagg->single block) computes the interpolated median,
+    re-buckets |value - median| (equidistant values merge), and
+    interpolates again; float ops are the same IEEE ops DuckDB applies
+    row-wise, so results are bit-identical before the round(6)."""
+
+    def vc_partial(t: pa.Table) -> pa.Table:
+        tbl = pa.table({'_t': t.column('event_type'),
+                        '_v': t.column('value'),
+                        '_n': pa.array(np.ones(len(t), np.int64))})
+        agg_t = tbl.group_by(['_t', '_v']).aggregate([('_n', 'sum')])
+        return agg_t.rename_columns(['_t', '_v', '_n'])
+
+    def reagg(t: pa.Table) -> pa.Table:
+        agg_t = t.group_by(['_t', '_v']).aggregate([('_n', 'sum')])
+        return agg_t.rename_columns(['_t', '_v', '_n'])
+
+    def interp(v: np.ndarray, c: np.ndarray, q: float) -> float:
+        cum = np.cumsum(c)
+        h = (cum[-1] - 1) * q
+        lo, hi = int(np.floor(h)), int(np.ceil(h))
+        x0 = v[np.searchsorted(cum, lo, side='right')]
+        x1 = v[np.searchsorted(cum, hi, side='right')]
+        return float(x0 + (h - lo) * (x1 - x0))
+
+    def final(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas().groupby(['_t', '_v'], as_index=False)
+              ['_n'].sum())
+        out_t, out_m = [], []
+        for typ, g in df.groupby('_t', sort=True):
+            g = g.sort_values('_v', kind='mergesort')
+            v = g['_v'].to_numpy(np.float64)
+            c = g['_n'].to_numpy(np.int64)
+            med = interp(v, c, 0.5)
+            dev = pd.DataFrame({'d': np.abs(v - med), 'n': c}) \
+                .groupby('d', as_index=False)['n'].sum() \
+                .sort_values('d', kind='mergesort')
+            mad = interp(dev['d'].to_numpy(np.float64),
+                         dev['n'].to_numpy(np.int64), 0.5)
+            out_t.append(typ)
+            out_m.append(sql_round_scalar(mad, 6))
+        return pa.table({'event_type': pa.array(out_t, pa.string()),
+                         'mad_value': pa.array(out_m, pa.float64())})
+
+    return (_events(sf_dir, ['event_type', 'value'])
+            .map_batches(vc_partial, batch_format='pyarrow')
+            .repartition(8)
+            .map_batches(reagg, batch_format='pyarrow', batch_size=None)
+            .repartition(1)
+            .map_batches(final, batch_format='pyarrow', batch_size=None))
+
+
+_VALUE_MAD_SQL = (
+    'SELECT event_type, round(mad(value), 6) AS mad_value '
+    'FROM events GROUP BY event_type'
+)
+
+
+# (name, kind) — kind drives the numeric min/max slot: int64/double native,
+# timestamps as epoch seconds, strings profile NULL (no numeric range)
+_PROFILE_COLS = (
+    ('o_orderkey', 'int'), ('o_custkey', 'int'),
+    ('o_orderstatus', 'str'), ('o_totalprice', 'float'),
+    ('o_orderdate', 'ts'), ('o_orderpriority', 'str'),
+)
+
+
+def q_table_profile(sf_dir: str) -> pd.DataFrame:
+    """Whole-table data-quality profiler over orders: per column the row
+    count, null count, exact distinct count, and numeric min/max (epoch
+    seconds for timestamps, NULL for strings).
+
+    Plan: counts and min/max fold from one streaming pass (6 bounded
+    partial rows per block); each exact distinct is its own narrow
+    single-column groupby — the documented exact path (the HLL sketch in
+    stages/sketches.py is the bounded-state alternative when a profile can
+    tolerate ~0.8% error at 10^12 rows)."""
+    import os
+    cols = [c for c, _ in _PROFILE_COLS]
+    orders = read_parquet_clean(os.path.join(sf_dir, 'orders.parquet'),
+                                columns=cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, ns, nulls, mns, mxs = [], [], [], [], []
+        for name, kind in _PROFILE_COLS:
+            col = t.column(name)
+            names.append(name)
+            ns.append(len(col))
+            nulls.append(col.null_count)
+            if kind == 'str' or len(col) == col.null_count:
+                mns.append(None)
+                mxs.append(None)
+                continue
+            mm = pc.min_max(col)
+            lo, hi = mm['min'], mm['max']
+            if kind == 'ts':
+                mns.append(lo.cast(pa.int64()).as_py() / 1e6)
+                mxs.append(hi.cast(pa.int64()).as_py() / 1e6)
+            else:
+                mns.append(float(lo.as_py()))
+                mxs.append(float(hi.as_py()))
+        return pa.table({'col_name': pa.array(names, pa.string()),
+                         '_n': pa.array(ns, pa.int64()),
+                         '_null': pa.array(nulls, pa.int64()),
+                         '_mn': pa.array(mns, pa.float64()),
+                         '_mx': pa.array(mxs, pa.float64())})
+
+    parts = orders.map_batches(partial, batch_format='pyarrow').to_pandas()
+    folded = parts.groupby('col_name').agg(
+        n_rows=('_n', 'sum'), n_null=('_null', 'sum'),
+        min_num=('_mn', 'min'), max_num=('_mx', 'max')).reset_index()
+
+    n_distinct = {}
+    for name, _ in _PROFILE_COLS:
+        n_distinct[name] = orders.select_columns([name]) \
+            .groupby(name).count().count()
+    folded['n_distinct'] = folded['col_name'].map(n_distinct).astype('int64')
+    return folded[['col_name', 'n_rows', 'n_null', 'n_distinct',
+                   'min_num', 'max_num']]
+
+
+def _table_profile_sql() -> str:
+    parts = []
+    for name, kind in _PROFILE_COLS:
+        if kind == 'str':
+            mn, mx = 'CAST(NULL AS DOUBLE)', 'CAST(NULL AS DOUBLE)'
+        elif kind == 'ts':
+            mn = f'epoch(min({name}))::DOUBLE'
+            mx = f'epoch(max({name}))::DOUBLE'
+        else:
+            mn = f'min({name})::DOUBLE'
+            mx = f'max({name})::DOUBLE'
+        parts.append(
+            f"SELECT '{name}' AS col_name, count(*) AS n_rows, "
+            f'count(*) - count({name}) AS n_null, '
+            f'count(DISTINCT {name}) AS n_distinct, '
+            f'{mn} AS min_num, {mx} AS max_num FROM orders')
+    return ' UNION ALL '.join(parts)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -7330,6 +7570,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'top_revenue_supplier': q_top_revenue_supplier,
         'disjunctive_revenue': q_disjunctive_revenue,
         'idle_rich_customers': q_idle_rich_customers,
+        'price_moments': q_price_moments,
+        'value_mad': q_value_mad,
+        'table_profile': q_table_profile,
         'late_shipment_counts': q_late_shipment_counts,
         'promo_revenue': q_promo_revenue,
         'small_quantity_revenue': q_small_quantity_revenue,
@@ -7497,6 +7740,9 @@ def oracle_sql() -> dict[str, str]:
         'top_revenue_supplier': _TOP_SUPPLIER_SQL,
         'disjunctive_revenue': _disj_sql(),
         'idle_rich_customers': _IDLE_RICH_SQL,
+        'price_moments': _PRICE_MOMENTS_SQL,
+        'value_mad': _VALUE_MAD_SQL,
+        'table_profile': _table_profile_sql(),
         'late_shipment_counts': _LATE_SHIPMENT_SQL,
         'promo_revenue': _PROMO_REVENUE_SQL,
         'small_quantity_revenue': _SMALL_QUANTITY_SQL,
