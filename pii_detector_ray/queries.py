@@ -7473,6 +7473,299 @@ def _table_profile_sql() -> str:
     return ' UNION ALL '.join(parts)
 
 
+# ---------------------------------------------------------------------------
+# Round-4 wave 9: windowed set operations — gaps-and-islands streaks, CUBE
+# grouping, wide->long unpivot, and pairwise vocabulary overlap.
+# ---------------------------------------------------------------------------
+
+
+def q_activity_streaks(sf_dir: str) -> ray.data.Dataset:
+    """Gaps-and-islands: each user's longest streak of CONSECUTIVE active
+    days — the classic sessionization-adjacent window (SQL solves it with
+    ``day - row_number()`` island keys).
+
+    Plan: distinct (user, day) is one narrow int shuffle; a global
+    (user, day) sort then bounds all cross-block state to ONE run per block
+    edge — pass 1 emits per-user within-block max-run candidates as a
+    Dataset (never driver-side), pass 2 folds one summary row per block
+    (head/tail user, day, prefix/suffix run) so the driver can chain runs
+    that span blocks (2 edge users per block, regardless of data size) and
+    emit the merged candidates as a tiny extra table; a final groupby-max
+    picks each user's answer.  Sort-disjointness is asserted like
+    orders_cume_dist."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        u = t.column('user_id').to_numpy(zero_copy_only=False)
+        us = t.column('ts').cast(pa.timestamp('us')).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)    # unit-pinned: ns inputs too
+        day = us // 86_400_000_000             # positive epochs: floor==trunc
+        tbl = pa.table({'user_id': pa.array(u, pa.int64()),
+                        '_day': pa.array(day, pa.int64())})
+        agg = tbl.group_by(['user_id', '_day']).aggregate([([], 'count_all')])
+        return agg.select(['user_id', '_day'])
+
+    days = (_events(sf_dir, ['user_id', 'ts'])
+            .map_batches(day_partial, batch_format='pyarrow')
+            .groupby(['user_id', '_day']).aggregate(Count()))
+    mat = drop_empty_blocks(days).select_columns(['user_id', '_day']) \
+        .sort(['user_id', '_day']).materialize()
+
+    def _runs(u: np.ndarray, d: np.ndarray):
+        brk = np.ones(len(u), bool)
+        brk[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)
+        rid = np.cumsum(brk) - 1
+        lens = np.bincount(rid)
+        starts = np.flatnonzero(brk)
+        return rid, lens, starts
+
+    def candidates(t: pa.Table) -> pa.Table:
+        u = t.column('user_id').to_numpy(zero_copy_only=False)
+        d = t.column('_day').to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return pa.table({'user_id': pa.array([], pa.int64()),
+                             '_len': pa.array([], pa.int64())})
+        _, lens, starts = _runs(u, d)
+        df = pd.DataFrame({'user_id': u[starts], '_len': lens})
+        best = df.groupby('user_id', as_index=False)['_len'].max()
+        return pa.table({'user_id': pa.array(best['user_id'], pa.int64()),
+                         '_len': pa.array(best['_len'], pa.int64())})
+
+    def summary(t: pa.Table) -> pa.Table:
+        u = t.column('user_id').to_numpy(zero_copy_only=False)
+        d = t.column('_day').to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in
+                             ('_hu', '_hd', '_pre', '_tu', '_td', '_suf',
+                              '_n')})
+        _, lens, starts = _runs(u, d)
+        return pa.table({
+            '_hu': pa.array([int(u[0])], pa.int64()),
+            '_hd': pa.array([int(d[0])], pa.int64()),
+            '_pre': pa.array([int(lens[0])], pa.int64()),
+            '_tu': pa.array([int(u[-1])], pa.int64()),
+            '_td': pa.array([int(d[-1])], pa.int64()),
+            '_suf': pa.array([int(lens[-1])], pa.int64()),
+            '_n': pa.array([len(u)], pa.int64())})
+
+    cand = mat.map_batches(candidates, batch_format='pyarrow',
+                           batch_size=None)
+    summ = mat.map_batches(summary, batch_format='pyarrow',
+                           batch_size=None).to_pandas() \
+        .sort_values(['_hu', '_hd'], kind='mergesort').reset_index(drop=True)
+    assert int(summ['_n'].sum()) == mat.count(), 'summary lost a block'
+
+    merged_rows: list[dict] = []
+    carry_u = carry_d = carry_len = None
+    for r in summ.to_dict('records'):
+        hu, hd, pre = int(r['_hu']), int(r['_hd']), int(r['_pre'])
+        tu, td, suf = int(r['_tu']), int(r['_td']), int(r['_suf'])
+        if carry_u == hu and carry_d is not None and hd <= carry_d:
+            raise AssertionError('blocks are not sort-key-disjoint')
+        if carry_u == hu and carry_d is not None and hd == carry_d + 1:
+            mlen = carry_len + pre
+            merged_rows.append({'user_id': hu, '_len': mlen})
+            if hu == tu and pre == int(r['_n']):    # block is one long run
+                carry_d, carry_len = td, mlen
+                continue
+        carry_u, carry_d, carry_len = tu, td, suf
+
+    extra = ray.data.from_arrow(pa.Table.from_pylist(
+        merged_rows, schema=pa.schema([('user_id', pa.int64()),
+                                       ('_len', pa.int64())])))
+    union = cand.union(extra) if merged_rows else cand
+    agg = union.groupby('user_id').aggregate(Max('_len',
+                                                 alias_name='max_streak'))
+    return drop_empty_blocks(agg).map_batches(
+        lambda t: pa.table({'user_id': t.column('user_id'),
+                            'max_streak': pc.cast(t.column('max_streak'),
+                                                  pa.int64())}),
+        batch_format='pyarrow')
+
+
+_ACTIVITY_STREAKS_SQL = (
+    'WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d '
+    'FROM events), '
+    'r AS (SELECT user_id, d, row_number() OVER ('
+    'PARTITION BY user_id ORDER BY d) AS rn FROM days), '
+    'isl AS (SELECT user_id, count(*) AS len FROM r '
+    'GROUP BY user_id, d - CAST(rn AS INTEGER)) '
+    'SELECT user_id, max(len) AS max_streak FROM isl GROUP BY user_id'
+)
+
+
+def q_source_lang_cube(sf_dir: str) -> ray.data.Dataset:
+    """CUBE grouping over (source, lang): cells + BOTH one-dimension
+    subtotals + grand total — the rollup query's sibling; all three upper
+    levels fold from the one materialized cell level, so the base table is
+    scanned once and only narrow group keys ever shuffle."""
+    base = read_documents(sf_dir, ['source', 'lang'])
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        agg = pa.table({'source': t.column('source'),
+                        'lang': t.column('lang')}) \
+            .group_by(['source', 'lang']).aggregate([([], 'count_all')])
+        return pa.table({'source': agg.column('source'),
+                         'lang': agg.column('lang'),
+                         '_n': pc.cast(agg.column('count_all'), pa.int64())})
+
+    cells = (base.map_batches(cell_partial, batch_format='pyarrow')
+             .repartition(1)
+             .groupby(['source', 'lang'])
+             .aggregate(Sum('_n', alias_name='n_docs'))
+             .materialize())
+
+    def pad(keep: str) -> Callable[[pa.Table], pa.Table]:
+        def f(t: pa.Table) -> pa.Table:
+            n = len(t)
+            return pa.table({
+                'source': (t.column('source') if keep == 'source'
+                           else pa.nulls(n, pa.string())),
+                'lang': (t.column('lang') if keep == 'lang'
+                         else pa.nulls(n, pa.string())),
+                'n_docs': pc.cast(t.column('n_docs'), pa.int64())})
+        return f
+
+    by_source = cells.groupby('source') \
+        .aggregate(Sum('n_docs', alias_name='n_docs')) \
+        .map_batches(pad('source'), batch_format='pyarrow')
+    by_lang = cells.groupby('lang') \
+        .aggregate(Sum('n_docs', alias_name='n_docs')) \
+        .map_batches(pad('lang'), batch_format='pyarrow')
+    total = ray.data.from_arrow(pa.table({
+        'source': pa.array([None], pa.string()),
+        'lang': pa.array([None], pa.string()),
+        'n_docs': pa.array([cells.sum('n_docs') or 0], pa.int64())}))
+
+    def order_cols(t: pa.Table) -> pa.Table:
+        return pa.table({'source': t.column('source').cast(pa.string()),
+                         'lang': t.column('lang').cast(pa.string()),
+                         'n_docs': t.column('n_docs').cast(pa.int64())})
+
+    return (cells.map_batches(order_cols, batch_format='pyarrow')
+            .union(by_source, by_lang, total))
+
+
+_SOURCE_LANG_CUBE_SQL = (
+    'SELECT source, lang, count(*) AS n_docs FROM documents '
+    'GROUP BY CUBE (source, lang)'
+)
+
+
+def q_events_unpivot(sf_dir: str) -> ray.data.Dataset:
+    """Wide->long UNPIVOT (melt): the per-user pivot table's count columns
+    fold back into (user_id, event_type, n) rows — a pure per-batch
+    reshape, no extra shuffle beyond the pivot's own; zero cells drop (a
+    long layout doesn't store absences).  Round-trips the pivot operator:
+    melt(pivot(events)) must equal the direct long-form groupby, which is
+    exactly what the oracle computes."""
+    wide = q_events_pivot(sf_dir)
+
+    def melt(t: pa.Table) -> pa.Table:
+        users = t.column('user_id').to_numpy(zero_copy_only=False)
+        us, ts_, ns = [], [], []
+        for et in _EVENT_TYPES:
+            n = t.column(f'n_{et}').to_numpy(zero_copy_only=False)
+            nz = n > 0
+            us.append(users[nz])
+            ts_.extend([et] * int(nz.sum()))
+            ns.append(n[nz])
+        return pa.table({
+            'user_id': pa.array(np.concatenate(us) if us else [],
+                                pa.int64()),
+            'event_type': pa.array(ts_, pa.string()),
+            'n': pa.array(np.concatenate(ns) if ns else [], pa.int64())})
+
+    return wide.map_batches(melt, batch_format='pyarrow')
+
+
+def _events_unpivot_sql() -> str:
+    types = ', '.join(f"'{et}'" for et in _EVENT_TYPES)
+    return ('SELECT user_id, event_type, count(*) AS n FROM events '
+            f'WHERE event_type IN ({types}) GROUP BY user_id, event_type')
+
+
+def q_source_vocab_overlap(sf_dir: str) -> pd.DataFrame:
+    """Pairwise vocabulary Jaccard between sources: |A∩B| / |A∪B| over each
+    source's distinct token set — corpus-mix diagnostics for training-data
+    curation.
+
+    Plan: sources are a bounded alphabet (asserted <=62), so each term's
+    source set packs into ONE int64 bitmask: distinct (term, source) pairs
+    (one vocabulary-proportional shuffle), bit-encode, Sum per term (==
+    bitwise OR, since pairs are distinct), then a per-block mask histogram
+    folds the WHOLE problem to distinct-mask-count rows (bounded by the
+    observed co-occurrence patterns, never the vocabulary) — set sizes,
+    every pairwise intersection, and Jaccard all read off that tiny
+    histogram with exact integer arithmetic."""
+    from pii_detector_ray.stages.tfidf import doc_terms
+    docs = read_documents(sf_dir, ['text', 'source'])
+    srcs = sorted(r['source'] for r in
+                  docs.groupby('source').count().take_all())
+    assert len(srcs) <= 62, 'bitmask packing needs a bounded source alphabet'
+    bit = {s: 1 << i for i, s in enumerate(srcs)}
+    bit_ref = ray.put(bit)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        b = ray.get(bit_ref)
+        seen: set[tuple[str, int]] = set()
+        for text, src in zip(t.column('text').to_pylist(),
+                             t.column('source').to_pylist()):
+            sb = b[src]
+            for term in doc_terms(text):
+                seen.add((term, sb))
+        terms = [k for k, _ in seen]
+        return pa.table({'_t': pa.array(terms, pa.string()),
+                         '_b': pa.array([sb for _, sb in seen], pa.int64())})
+
+    masks = (docs.map_batches(pair_partial, batch_format='pyarrow')
+             .groupby(['_t', '_b']).aggregate(Count())     # distinct pairs
+             .select_columns(['_t', '_b'])
+             .groupby('_t').aggregate(Sum('_b', alias_name='_m')))
+
+    def hist(t: pa.Table) -> pa.Table:
+        m = t.column('_m').to_numpy(zero_copy_only=False)
+        vals, counts = np.unique(m, return_counts=True)
+        return pa.table({'_m': pa.array(vals, pa.int64()),
+                         '_c': pa.array(counts, pa.int64())})
+
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    h = drop_empty_blocks(masks) \
+        .map_batches(hist, batch_format='pyarrow', batch_size=None) \
+        .to_pandas().groupby('_m', as_index=False)['_c'].sum()
+    mvals = h['_m'].to_numpy(np.int64)
+    mcnts = h['_c'].to_numpy(np.int64)
+    size = {s: int(mcnts[(mvals & bit[s]) != 0].sum()) for s in srcs}
+    rows = []
+    for i, a in enumerate(srcs):
+        for b_ in srcs[i + 1:]:
+            inter = int(mcnts[((mvals & bit[a]) != 0)
+                              & ((mvals & bit[b_]) != 0)].sum())
+            if inter == 0:
+                continue
+            union_n = size[a] + size[b_] - inter
+            rows.append({'source_a': a, 'source_b': b_, 'n_common': inter,
+                         'jaccard': sql_round_scalar(
+                             float(inter) / float(union_n), 6)})
+    return pd.DataFrame(rows)
+
+
+_SOURCE_VOCAB_SQL = (
+    'WITH tok AS (SELECT DISTINCT source, term FROM ('
+    "SELECT source, lower(unnest(regexp_extract_all(coalesce(text, ''), "
+    "'[A-Za-z0-9]+'))) AS term FROM documents)), "
+    'sz AS (SELECT source, count(*) AS n FROM tok GROUP BY source), '
+    'pairs AS (SELECT a.source AS source_a, b.source AS source_b, '
+    'count(*) AS n_common FROM tok a JOIN tok b ON a.term = b.term '
+    'AND a.source < b.source GROUP BY 1, 2) '
+    'SELECT source_a, source_b, n_common, '
+    'round(n_common / CAST(na.n + nb.n - n_common AS DOUBLE), 6) AS jaccard '
+    'FROM pairs '
+    'JOIN sz na ON na.source = source_a '
+    'JOIN sz nb ON nb.source = source_b'
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -7573,6 +7866,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'price_moments': q_price_moments,
         'value_mad': q_value_mad,
         'table_profile': q_table_profile,
+        'activity_streaks': q_activity_streaks,
+        'source_lang_cube': q_source_lang_cube,
+        'events_unpivot': q_events_unpivot,
+        'source_vocab_overlap': q_source_vocab_overlap,
         'late_shipment_counts': q_late_shipment_counts,
         'promo_revenue': q_promo_revenue,
         'small_quantity_revenue': q_small_quantity_revenue,
@@ -7743,6 +8040,10 @@ def oracle_sql() -> dict[str, str]:
         'price_moments': _PRICE_MOMENTS_SQL,
         'value_mad': _VALUE_MAD_SQL,
         'table_profile': _table_profile_sql(),
+        'activity_streaks': _ACTIVITY_STREAKS_SQL,
+        'source_lang_cube': _SOURCE_LANG_CUBE_SQL,
+        'events_unpivot': _events_unpivot_sql(),
+        'source_vocab_overlap': _SOURCE_VOCAB_SQL,
         'late_shipment_counts': _LATE_SHIPMENT_SQL,
         'promo_revenue': _PROMO_REVENUE_SQL,
         'small_quantity_revenue': _SMALL_QUANTITY_SQL,

@@ -1,0 +1,71 @@
+"""Gaps-and-islands streaks: brute-force oracle + forced cross-block runs.
+
+The sf0.001 table rarely makes a user's run span a sort block, so this
+builds a multi-file events table whose three long runs MUST span several
+range-partitioned sort blocks, exercising the driver's run-chaining
+(including the block-is-one-long-run carry continuation)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pii_detector_ray.queries import q_activity_streaks
+
+SF = '/root/testdata/sf0.001'
+
+
+def _brute(days_by_user: dict[int, set[int]]) -> dict[int, int]:
+    out = {}
+    for u, ds in days_by_user.items():
+        best = cur = 0
+        prev = None
+        for d in sorted(ds):
+            cur = cur + 1 if prev is not None and d == prev + 1 else 1
+            best = max(best, cur)
+            prev = d
+        out[u] = best
+    return out
+
+
+def test_streaks_match_brute_force_sf(ray_session):
+    got = {int(r['user_id']): int(r['max_streak'])
+           for r in q_activity_streaks(SF).take_all()}
+    ev = pd.read_parquet(os.path.join(SF, 'events.parquet'),
+                         columns=['user_id', 'ts'])
+    day = (ev['ts'].astype('int64') // 86_400_000_000).astype(int)
+    by_user: dict[int, set[int]] = {}
+    for u, d in zip(ev['user_id'].astype(int), day):
+        by_user.setdefault(u, set()).add(int(d))
+    assert got == _brute(by_user)
+
+
+def test_streaks_cross_block_runs(ray_session, tmp_path):
+    # user 1: two islands (100-day, 50-day); user 2: one 300-day run that
+    # will span multiple sort blocks; user 3: every other day (streak 1)
+    rows = []
+    for d in list(range(100)) + list(range(200, 250)):
+        rows.append((1, d))
+    for d in range(300):
+        rows.append((2, d))
+    for d in range(0, 120, 2):
+        rows.append((3, d))
+    rng = np.random.default_rng(7)
+    rng.shuffle(rows)
+    df = pd.DataFrame(rows, columns=['user_id', 'day'])
+    df['ts'] = pd.to_datetime(df.pop('day') * 86_400_000_000 + 12345,
+                              unit='us')
+    df['event_id'] = np.arange(len(df))
+    df['event_type'] = 'click'
+    df['value'] = 1.0
+    df['props'] = '{}'
+    outdir = tmp_path / 'events.parquet'
+    outdir.mkdir()
+    for i, part in enumerate(np.array_split(df, 8)):
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False),
+                       outdir / f'part-{i}.parquet')
+    got = {int(r['user_id']): int(r['max_streak'])
+           for r in q_activity_streaks(str(tmp_path)).take_all()}
+    assert got == {1: 100, 2: 300, 3: 1}
