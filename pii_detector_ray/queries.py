@@ -7766,6 +7766,257 @@ _SOURCE_VOCAB_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Round-4 wave 10: period-over-period growth, intra-document token dedup,
+# and normalization-keyed near-exact dedup.
+# ---------------------------------------------------------------------------
+
+
+def q_monthly_revenue_growth(sf_dir: str) -> pd.DataFrame:
+    """Month-over-month revenue growth — the LAG() percent-change window
+    over a time-bucketed aggregate.
+
+    Plan: revenue folds to exact integer cents per month inside
+    map_batches (months are a BOUNDED alphabet — decades of data is
+    hundreds of rows), one single-block fold sorts the months and takes the
+    vectorized diff; the only float op is the final (delta / prev)
+    division the oracle mirrors.  First month's growth is NULL, as LAG's
+    default frame gives."""
+    import os
+    orders = read_parquet_clean(os.path.join(sf_dir, 'orders.parquet'),
+                                columns=['o_orderdate', 'o_totalprice'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dt = t.column('o_orderdate').to_numpy(zero_copy_only=False)
+        month = dt.astype('datetime64[M]')
+        cents = np.rint(t.column('o_totalprice')
+                        .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        df = pd.DataFrame({'_m': month.astype('datetime64[us]'),
+                           '_c': cents}).groupby('_m', as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = orders.map_batches(partial, batch_format='pyarrow').to_pandas()
+    m = parts.groupby('_m', as_index=False)['_c'].sum() \
+        .sort_values('_m', kind='mergesort').reset_index(drop=True)
+    c = m['_c'].to_numpy(np.int64)
+    growth = np.full(len(c), np.nan)
+    if len(c) > 1:
+        growth[1:] = sql_round_np(
+            (c[1:] - c[:-1]).astype(np.float64) / c[:-1].astype(np.float64),
+            6)
+    return pd.DataFrame({
+        'month': m['_m'],
+        'revenue': sql_round_np(c.astype(np.float64) / 100.0, 2),
+        'growth': growth})
+
+
+_MONTHLY_GROWTH_SQL = (
+    "WITH m AS (SELECT date_trunc('month', o_orderdate) AS month, "
+    'sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c '
+    'FROM orders GROUP BY 1) '
+    'SELECT month, round(c / 100.0, 2) AS revenue, '
+    'round((c - lag(c) OVER (ORDER BY month)) / '
+    'CAST(lag(c) OVER (ORDER BY month) AS DOUBLE), 6) AS growth FROM m'
+)
+
+
+def q_word_dedup_text(sf_dir: str) -> ray.data.Dataset:
+    """Intra-document repetition removal: keep each word's FIRST occurrence
+    per document, preserving order — the within-sequence dedup reshape
+    (templated/boilerplate token squashing) a curriculum pipeline applies
+    before token counting.
+
+    Pure per-row string work in map_batches (same embarrassingly-parallel
+    shape as normalize_text); the split is the literal single-space split
+    the oracle's string_split mirrors, NOT \\s+, so both sides see
+    identical token streams on any whitespace."""
+
+    def dedup(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch.column('text').to_pylist():
+            words = (t or '').split(' ')
+            out.append(' '.join(dict.fromkeys(words)))
+        return pa.table({'doc_id': batch.column('doc_id'),
+                         'dedup_text': pa.array(out, pa.string())})
+
+    return read_documents(sf_dir, ['doc_id', 'text']) \
+        .map_batches(dedup, batch_format='pyarrow')
+
+
+_WORD_DEDUP_SQL = (
+    "WITH w AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), "
+    "' ')) AS word, generate_subscripts(string_split(coalesce(text, ''), "
+    "' '), 1) AS i FROM documents), "
+    'f AS (SELECT doc_id, word, min(i) AS mi FROM w GROUP BY doc_id, word) '
+    "SELECT doc_id, string_agg(word, ' ' ORDER BY mi) AS dedup_text "
+    'FROM f GROUP BY doc_id'
+)
+
+
+def q_dedup_normalized(sf_dir: str) -> ray.data.Dataset:
+    """Near-exact dedup keyed on NORMALIZED text (NFC + whitespace collapse
+    + trim + casefold-to-lower) — catches re-encoded/re-wrapped copies the
+    byte-exact dedup_exact misses.  Same winner-key aggregate shape as
+    dedup_exact: one narrow (16-byte key) shuffle, never text."""
+    from pii_detector_ray.functions.textnorm import normalize_ws_nfc
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        keys = [hashlib.md5(normalize_ws_nfc(t).lower().encode())
+                .hexdigest()
+                for t in batch.column('text').to_pylist()]
+        return pa.table({'_k': pa.array(keys, pa.string()),
+                         'doc_id': batch.column('doc_id')})
+
+    agg = (read_documents(sf_dir, ['doc_id', 'text'])
+           .map_batches(keyed, batch_format='pyarrow')
+           .groupby('_k')
+           .aggregate(Min('doc_id', alias_name='doc_id'),
+                      Count(alias_name='n_dups')))
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    return drop_empty_blocks(agg).map_batches(
+        lambda t: pa.table({'doc_id': pc.cast(t.column('doc_id'),
+                                              pa.int64()),
+                            'n_dups': pc.cast(t.column('n_dups'),
+                                              pa.int64())}),
+        batch_format='pyarrow')
+
+
+_DEDUP_NORMALIZED_SQL = (
+    'SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents '
+    "GROUP BY md5(lower(trim(regexp_replace(nfc_normalize(text), "
+    "'[ \\t\\n\\r\\f]+', ' ', 'g'), ' ')))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave 11: log-domain aggregates and vector-norm statistics.
+# ---------------------------------------------------------------------------
+
+
+def q_value_geomean(sf_dir: str) -> pd.DataFrame:
+    """Geometric mean of event value per type — the multiplicative-average
+    aggregate (a product over 10^12 rows under/overflows immediately, so
+    the only scale-sane form is exp(mean(ln x))).
+
+    Exactness: per-row micro-nat logs quantize to int64 (stages/dsir._qln;
+    ln inputs are bit-identical doubles on both sides), so the distributed
+    sum is ORDER-INVARIANT integer math; one exp per group at the end, in
+    the same operation order as the oracle.  Domain: value > 0 only (the
+    geometric mean is undefined at 0 — DuckDB's ln(0) errors outright),
+    filtered identically on both sides."""
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        from pii_detector_ray.stages.dsir import _qln
+        t = t.filter(pc.greater(t.column('value'), 0.0))
+        typ = t.column('event_type').to_numpy(zero_copy_only=False)
+        q = _qln(t.column('value').to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({'_t': typ, '_s': q})
+        g = df.groupby('_t', as_index=False).agg(_s=('_s', 'sum'),
+                                                 _n=('_s', 'size'))
+        return pa.table({'_t': pa.array(g['_t'], pa.string()),
+                         '_s': pa.array(g['_s'], pa.int64()),
+                         '_n': pa.array(g['_n'], pa.int64())})
+
+    parts = _events(sf_dir, ['event_type', 'value']) \
+        .map_batches(partial, batch_format='pyarrow').to_pandas()
+    fold = parts.groupby('_t', as_index=False)[['_s', '_n']].sum()
+    geo = [sql_round_scalar(
+        math.exp(float(s) / 1000000.0 / float(n)), 6)
+        for s, n in zip(fold['_s'], fold['_n'])]
+    return pd.DataFrame({'event_type': fold['_t'],
+                         'geomean_value': geo})
+
+
+_VALUE_GEOMEAN_SQL = (
+    'WITH q AS (SELECT event_type, '
+    'CAST(round(1000000.0 * ln(value)) AS BIGINT) AS lv '
+    'FROM events WHERE value > 0) '
+    'SELECT event_type, '
+    'round(exp(CAST(sum(lv) AS DOUBLE) / 1000000.0 / '
+    'CAST(count(*) AS DOUBLE)), 6) AS geomean_value '
+    'FROM q GROUP BY event_type'
+)
+
+
+_EMB_DIM = 64
+
+
+def q_embedding_norm_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-label L2-norm range over the embedding column — the vector-space
+    sanity profile (un-normalized rows poison cosine ANN).
+
+    Float contract: the squared-norm accumulates DIMENSION-BY-DIMENSION in
+    float64 (the kmeans_embeddings lesson — numpy's pairwise .sum() over
+    axis 1 associates differently from SQL's left-folded ``+`` chain), so
+    every norm is bit-identical to the oracle's unrolled 64-term sum;
+    min/max are then order-free and one round(6) closes each group."""
+    import os
+    emb = read_parquet_clean(os.path.join(sf_dir, 'embeddings.parquet'),
+                             columns=['label', 'embedding'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({'_l': pa.array([], pa.int32()),
+                             'n_vecs': pa.array([], pa.int64()),
+                             '_mn': pa.array([], pa.float64()),
+                             '_mx': pa.array([], pa.float64())})
+        lab = t.column('label').to_numpy(zero_copy_only=False)
+        v = np.asarray(t.column('embedding').to_pylist(), np.float64)
+        acc = v[:, 0] * v[:, 0]
+        for d in range(1, v.shape[1]):
+            acc = acc + v[:, d] * v[:, d]
+        norm = np.sqrt(acc)
+        df = pd.DataFrame({'_l': lab, '_n': norm})
+        g = df.groupby('_l', as_index=False).agg(
+            n_vecs=('_n', 'size'), _mn=('_n', 'min'), _mx=('_n', 'max'))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = emb.map_batches(partial, batch_format='pyarrow').to_pandas()
+    fold = parts.groupby('_l', as_index=False).agg(
+        n_vecs=('n_vecs', 'sum'), _mn=('_mn', 'min'), _mx=('_mx', 'max'))
+    return pd.DataFrame({
+        'label': fold['_l'].astype('int32'),
+        'n_vecs': fold['n_vecs'].astype('int64'),
+        'min_norm': sql_round_np(fold['_mn'].to_numpy(np.float64), 6),
+        'max_norm': sql_round_np(fold['_mx'].to_numpy(np.float64), 6)})
+
+
+def _embedding_norm_sql() -> str:
+    chain = ' + '.join(
+        f'embedding[{i + 1}]::DOUBLE * embedding[{i + 1}]::DOUBLE'
+        for i in range(_EMB_DIM))
+    return ('WITH n AS (SELECT label, '
+            f'sqrt({chain}) AS norm FROM embeddings) '
+            'SELECT label, count(*) AS n_vecs, '
+            'round(min(norm), 6) AS min_norm, '
+            'round(max(norm), 6) AS max_norm FROM n GROUP BY label')
+
+
+def q_event_type_cms(sf_dir: str) -> pd.DataFrame:
+    """Count-min-sketch frequency estimates for the event-type alphabet —
+    the bounded-state hash sketch beside Misra-Gries and HLL
+    (stages/sketches.py): per-block (4 x 2048) int64 partials merge
+    associatively, so the estimate is parallelism-invariant and the total
+    state is independent of cardinality.  Over a 5-symbol alphabet at
+    width 2048 the no-collision estimate EQUALS the exact count, which is
+    what the SQL oracle pins; the width-2 overcount regime and the
+    invariance are property-tested in tests/test_cms.py."""
+    from pii_detector_ray.stages.sketches import cms_build, cms_estimate
+    sk = cms_build(_events(sf_dir, ['event_type']), 'event_type',
+                   width=2048, depth=4)
+    est = cms_estimate(sk, pa.array(list(_EVENT_TYPES)))
+    return pd.DataFrame({'event_type': list(_EVENT_TYPES),
+                         'n': est.astype('int64')})
+
+
+def _event_type_cms_sql() -> str:
+    types = ', '.join(f"'{et}'" for et in _EVENT_TYPES)
+    return ('SELECT event_type, count(*) AS n FROM events '
+            f'WHERE event_type IN ({types}) GROUP BY event_type')
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -7870,6 +8121,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'source_lang_cube': q_source_lang_cube,
         'events_unpivot': q_events_unpivot,
         'source_vocab_overlap': q_source_vocab_overlap,
+        'monthly_revenue_growth': q_monthly_revenue_growth,
+        'word_dedup_text': q_word_dedup_text,
+        'dedup_normalized': q_dedup_normalized,
+        'value_geomean': q_value_geomean,
+        'embedding_norm_stats': q_embedding_norm_stats,
+        'event_type_cms': q_event_type_cms,
         'late_shipment_counts': q_late_shipment_counts,
         'promo_revenue': q_promo_revenue,
         'small_quantity_revenue': q_small_quantity_revenue,
@@ -8044,6 +8301,12 @@ def oracle_sql() -> dict[str, str]:
         'source_lang_cube': _SOURCE_LANG_CUBE_SQL,
         'events_unpivot': _events_unpivot_sql(),
         'source_vocab_overlap': _SOURCE_VOCAB_SQL,
+        'monthly_revenue_growth': _MONTHLY_GROWTH_SQL,
+        'word_dedup_text': _WORD_DEDUP_SQL,
+        'dedup_normalized': _DEDUP_NORMALIZED_SQL,
+        'value_geomean': _VALUE_GEOMEAN_SQL,
+        'embedding_norm_stats': _embedding_norm_sql(),
+        'event_type_cms': _event_type_cms_sql(),
         'late_shipment_counts': _LATE_SHIPMENT_SQL,
         'promo_revenue': _PROMO_REVENUE_SQL,
         'small_quantity_revenue': _SMALL_QUANTITY_SQL,

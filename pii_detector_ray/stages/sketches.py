@@ -356,3 +356,57 @@ def hll_distinct_by(ds: ray.data.Dataset, key_col: str, col: str,
     # normalize the schema-less empty blocks map_groups can emit (tiny
     # result: one row per group)
     return drop_empty_blocks(out)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: fixed-size frequency summary (Cormode & Muthukrishnan
+# 2005).  The sketch matrix is ASSOCIATIVE under addition, so per-block
+# partials merge in any order — the estimate is parallelism-invariant, and
+# bounded state (depth x width int64) crosses the wire regardless of
+# cardinality.  Estimates only ever OVER-count (min over depth rows bounds
+# the collision inflation by eps*n with width = ceil(e/eps)).
+# ---------------------------------------------------------------------------
+
+
+def _cms_indices(values: pa.Array, depth: int, width: int) -> np.ndarray:
+    """(depth, n) bucket indices: one splitmix re-salt per row of the
+    sketch over the shared 64-bit key hash (stages/bloomjoin.py)."""
+    from pii_detector_ray.stages.bloomjoin import _key_hash64, _splitmix
+    h = _key_hash64(values)
+    idx = np.empty((depth, len(h)), np.int64)
+    for r in range(depth):
+        idx[r] = (_splitmix(h, r + 1) % np.uint64(width)).astype(np.int64)
+    return idx
+
+
+def cms_build(ds: ray.data.Dataset, col: str, *, width: int = 2048,
+              depth: int = 4) -> np.ndarray:
+    """Build a (depth x width) count-min sketch of ``ds[col]`` — one
+    bounded partial row per block (the flattened matrix), summed on the
+    driver; blocks x depth x width int64 is the TOTAL state, independent
+    of the column's cardinality or row count."""
+    def partial(t: pa.Table) -> pa.Table:
+        sk = np.zeros((depth, width), np.int64)
+        if len(t):
+            idx = _cms_indices(t.column(col), depth, width)
+            for r in range(depth):
+                sk[r] = np.bincount(idx[r], minlength=width)
+        return pa.table({'_sk': pa.array([sk.ravel()],
+                                         pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(partial, batch_format='pyarrow').to_pandas()
+    out = np.zeros(depth * width, np.int64)
+    for v in parts['_sk']:
+        out += np.asarray(v, np.int64)
+    return out.reshape(depth, width)
+
+
+def cms_estimate(sketch: np.ndarray, keys: pa.Array) -> np.ndarray:
+    """Point-query the sketch: min over depth rows (classic CM bound:
+    true <= est <= true + eps*N with prob 1 - (1/e)^depth)."""
+    depth, width = sketch.shape
+    idx = _cms_indices(keys, depth, width)
+    est = sketch[0, idx[0]]
+    for r in range(1, depth):
+        est = np.minimum(est, sketch[r, idx[r]])
+    return est

@@ -1,0 +1,48 @@
+"""Count-min sketch: overcount guarantee, no-collision exactness,
+parallelism invariance, and int-key support."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from pii_detector_ray.stages.sketches import cms_build, cms_estimate
+
+
+def _ds(values, col='k', blocks=4):
+    return ray.data.from_pandas(pd.DataFrame({col: values})) \
+        .repartition(blocks)
+
+
+def test_cms_exact_in_no_collision_regime(ray_session):
+    vals = ['a'] * 100 + ['b'] * 37 + ['c'] * 1
+    sk = cms_build(_ds(vals), 'k', width=2048, depth=4)
+    est = cms_estimate(sk, pa.array(['a', 'b', 'c']))
+    assert est.tolist() == [100, 37, 1]
+    # an absent key reads 0 when nothing collides into its buckets
+    assert int(cms_estimate(sk, pa.array(['zzz']))[0]) <= 138
+
+
+def test_cms_only_overcounts(ray_session):
+    rng = np.random.default_rng(3)
+    vals = [f'k{int(i)}' for i in rng.integers(0, 50, size=2000)]
+    true = pd.Series(vals).value_counts()
+    sk = cms_build(_ds(vals), 'k', width=2, depth=3)   # forced collisions
+    est = cms_estimate(sk, pa.array(true.index.tolist()))
+    assert (est >= true.to_numpy()).all()
+    assert (est <= len(vals)).all()
+
+
+def test_cms_parallelism_invariant(ray_session):
+    vals = [f'k{i % 17}' for i in range(999)]
+    sk3 = cms_build(_ds(vals, blocks=3), 'k', width=64, depth=4)
+    sk11 = cms_build(_ds(vals, blocks=11), 'k', width=64, depth=4)
+    assert np.array_equal(sk3, sk11)
+    assert int(sk3[0].sum()) == 999
+
+
+def test_cms_int_keys(ray_session):
+    vals = [7] * 5 + [12] * 9
+    sk = cms_build(_ds(vals), 'k', width=512, depth=4)
+    est = cms_estimate(sk, pa.array([7, 12], pa.int64()))
+    assert est.tolist() == [5, 9]
