@@ -8017,6 +8017,481 @@ def _event_type_cms_sql() -> str:
             f'WHERE event_type IN ({types}) GROUP BY event_type')
 
 
+# ---------------------------------------------------------------------------
+# Round-4 wave 12: the remaining TPC-H deep shapes (Q9 / Q13 / Q21
+# analogues) and window-function breadth (PERCENT_RANK, centered moving
+# average, FIRST_VALUE/LAST_VALUE).
+# ---------------------------------------------------------------------------
+
+
+def q_profit_by_nation_year(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q9 shape (product-line profit by supplier nation x year):
+    lineitem x part (name filter) x supplier x nation, profit =
+    revenue - retail cost, grouped by (nation, ship-year).
+
+    Plan (100 TB shape): nation resolves driver-side (tiny); the
+    supplier->nationkey and matching-part->retail-cents maps broadcast
+    ONCE as sorted int64 arrays (`ray.put`, searchsorted per batch —
+    both are ~1e-4 of lineitem; past the broadcast budget they shard
+    like stages/similarity.py).  Lineitem streams one pass of integer
+    1e-4-unit profit partials pre-aggregated per (nationkey, year) —
+    a bounded alphabet — so the global groupby moves only
+    blocks x nations x years narrow rows.  Exactness: profit_e4 =
+    rev_e4 - retail_cents*qty*100 is pure int64 (the _REV_E4_SQL
+    contract); ONE float division at the end."""
+    import os
+    nation = read_parquet_clean(os.path.join(sf_dir, 'nation.parquet'),
+                                columns=['n_nationkey', 'n_name']).to_pandas()
+    nat_name = dict(zip(nation['n_nationkey'].astype(int), nation['n_name']))
+
+    part = read_parquet_clean(os.path.join(sf_dir, 'part.parquet'),
+                              columns=['p_partkey', 'p_name',
+                                       'p_retailprice'])
+
+    def part_side(t: pa.Table) -> pa.Table:
+        mask = pc.match_substring(t.column('p_name'), 'red')
+        t = t.filter(mask)
+        return pa.table({'p_partkey': t.column('p_partkey'),
+                         '_rc': pa.array(np.rint(
+                             t.column('p_retailprice')
+                             .to_numpy(zero_copy_only=False) * 100.0)
+                             .astype(np.int64))})
+
+    pd_ = part.map_batches(part_side, batch_format='pyarrow').to_pandas()
+    pkeys = np.asarray(pd_['p_partkey'], np.int64)
+    order_p = np.argsort(pkeys, kind='stable')
+    pkeys = pkeys[order_p]
+    pcents = np.asarray(pd_['_rc'], np.int64)[order_p]
+    part_ref = ray.put((pkeys, pcents))
+
+    supp = read_parquet_clean(os.path.join(sf_dir, 'supplier.parquet'),
+                              columns=['s_suppkey', 's_nationkey']).to_pandas()
+    skeys = np.asarray(supp['s_suppkey'], np.int64)
+    order_s = np.argsort(skeys, kind='stable')
+    skeys = skeys[order_s]
+    snat = np.asarray(supp['s_nationkey'], np.int64)[order_s]
+    supp_ref = ray.put((skeys, snat))
+
+    line = read_parquet_clean(
+        os.path.join(sf_dir, 'lineitem.parquet'),
+        columns=['l_partkey', 'l_suppkey', 'l_quantity',
+                 'l_extendedprice', 'l_discount', 'l_shipdate'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk, rc = ray.get(part_ref)
+        sk, sn = ray.get(supp_ref)
+        lpk = t.column('l_partkey').to_numpy(zero_copy_only=False)
+        if len(pk) == 0 or len(t) == 0:
+            return pa.table({'_nat': pa.array([], pa.int64()),
+                             '_yr': pa.array([], pa.int64()),
+                             '_p': pa.array([], pa.int64())})
+        pidx = np.minimum(np.searchsorted(pk, lpk), len(pk) - 1)
+        keep = pk[pidx] == lpk
+        retail = rc[pidx]
+        lsk = t.column('l_suppkey').to_numpy(zero_copy_only=False)
+        sidx = np.minimum(np.searchsorted(sk, lsk), len(sk) - 1)
+        keep &= sk[sidx] == lsk
+        nat = sn[sidx]
+        rev = _rev_e4(
+            t.column('l_extendedprice').to_numpy(zero_copy_only=False),
+            t.column('l_discount').to_numpy(zero_copy_only=False))
+        qty = np.rint(t.column('l_quantity')
+                      .to_numpy(zero_copy_only=False)).astype(np.int64)
+        profit = rev - retail * qty * 100
+        yr = t.column('l_shipdate').to_numpy(zero_copy_only=False) \
+            .astype('datetime64[Y]').astype(np.int64) + 1970
+        tbl = pa.table({'_nat': pa.array(nat[keep], pa.int64()),
+                        '_yr': pa.array(yr[keep], pa.int64()),
+                        '_p': pa.array(profit[keep], pa.int64())})
+        agg = tbl.group_by(['_nat', '_yr']).aggregate([('_p', 'sum')])
+        return agg.rename_columns(['_nat', '_yr', '_p'])
+
+    agg = (line.map_batches(partial, batch_format='pyarrow')
+           .groupby(['_nat', '_yr'])
+           .aggregate(Sum('_p', alias_name='_p')))
+
+    def fin(t: pa.Table) -> pa.Table:
+        nats = t.column('_nat').to_numpy(zero_copy_only=False)
+        p = t.column('_p').to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            'nation': pa.array([nat_name[int(n)] for n in nats],
+                               pa.string()),
+            'o_year': pc.cast(t.column('_yr'), pa.int64()),
+            'profit': pa.array(sql_round_np(p / 10000.0, 2), pa.float64())})
+
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    return drop_empty_blocks(agg).map_batches(fin, batch_format='pyarrow')
+
+
+_PROFIT_NATION_YEAR_SQL = (
+    'WITH pl AS (SELECT l.l_suppkey, year(l.l_shipdate) AS o_year, '
+    f'{_REV_E4_SQL} - CAST(round(pt.p_retailprice * 100) AS BIGINT) * '
+    'CAST(round(l.l_quantity) AS BIGINT) * 100 AS profit_e4 '
+    'FROM lineitem l JOIN part pt ON l.l_partkey = pt.p_partkey '
+    "WHERE pt.p_name LIKE '%red%') "
+    'SELECT n.n_name AS nation, pl.o_year, '
+    'round(CAST(sum(pl.profit_e4) AS DOUBLE) / 10000.0, 2) AS profit '
+    'FROM pl JOIN supplier s ON pl.l_suppkey = s.s_suppkey '
+    'JOIN nation n ON s.s_nationkey = n.n_nationkey '
+    'GROUP BY n.n_name, pl.o_year'
+)
+
+
+def q_order_count_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape: the distribution of orders-per-customer INCLUDING
+    zero-order customers (the LEFT JOIN + count-of-counts double
+    aggregate).
+
+    Plan: orders pre-aggregates (custkey, n) per block, ONE narrow int64
+    groupby sums them; the second aggregate's alphabet (distinct order
+    counts) is tiny, so each block folds a bincount partial and the
+    driver sums.  The zero row needs only two scalars — total customers
+    (pruned count) and customers-with-orders (size of the first
+    aggregate) — never a customer-side join."""
+    import os
+    orders = read_parquet_clean(os.path.join(sf_dir, 'orders.parquet'),
+                                columns=['o_custkey'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by('o_custkey').aggregate([('o_custkey', 'count')])
+        return pa.table({'_ck': agg.column('o_custkey'),
+                         '_n': pc.cast(agg.column('o_custkey_count'),
+                                       pa.int64())})
+
+    per_cust = (orders.map_batches(partial, batch_format='pyarrow')
+                .groupby('_ck').aggregate(Sum('_n', alias_name='_n')))
+
+    def hist(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({'_c': pa.array([], pa.int64()),
+                             '_d': pa.array([], pa.int64())})
+        vc = pd.Series(t.column('_n').to_numpy(zero_copy_only=False)) \
+            .value_counts()
+        return pa.table({'_c': pa.array(vc.index.to_numpy(np.int64)),
+                         '_d': pa.array(vc.to_numpy(np.int64))})
+
+    parts = per_cust.map_batches(hist, batch_format='pyarrow').to_pandas()
+    fold = parts.groupby('_c', as_index=False)['_d'].sum()
+    n_cust = read_parquet_clean(os.path.join(sf_dir, 'customer.parquet'),
+                                columns=['c_custkey']).count()
+    n_zero = n_cust - int(fold['_d'].sum())
+    out = pd.DataFrame({'c_count': fold['_c'].astype('int64'),
+                        'custdist': fold['_d'].astype('int64')})
+    if n_zero > 0:
+        out = pd.concat([out, pd.DataFrame({'c_count': [0],
+                                            'custdist': [n_zero]})],
+                        ignore_index=True)
+    return out
+
+
+_ORDER_COUNT_DIST_SQL = (
+    'WITH cc AS (SELECT c.c_custkey, count(o.o_orderkey) AS c_count '
+    'FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey '
+    'GROUP BY c.c_custkey) '
+    'SELECT c_count, count(*) AS custdist FROM cc GROUP BY c_count'
+)
+
+
+def q_waiting_suppliers(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q21 shape (the double EXISTS / NOT EXISTS): suppliers who were
+    the SOLE problem supplier (a returned line) in a multi-supplier order.
+
+    Plan: the multi-line-per-order EXISTS logic folds to two narrow
+    aggregates — (orderkey, suppkey) -> any-returned (int64 Max), then
+    per orderkey: supplier count, returned-supplier count, and the
+    winner supplier as max(suppkey * has_r) (valid exactly when the
+    returned-supplier count is 1, which the filter pins).  Both shuffles
+    carry 3 int64s; the supplier-name map broadcasts once.  The oracle
+    mirrors the same fold instead of correlated EXISTS — identical
+    semantics, same qualifying set."""
+    import os
+    line = read_parquet_clean(os.path.join(sf_dir, 'lineitem.parquet'),
+                              columns=['l_orderkey', 'l_suppkey',
+                                       'l_returnflag'])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        r = pc.cast(pc.equal(t.column('l_returnflag'), 'R'), pa.int64())
+        tbl = pa.table({'_ok': t.column('l_orderkey'),
+                        '_sk': t.column('l_suppkey'), '_r': r})
+        agg = tbl.group_by(['_ok', '_sk']).aggregate([('_r', 'max')])
+        return agg.rename_columns(['_ok', '_sk', '_r'])
+
+    pairs = (line.map_batches(pair_partial, batch_format='pyarrow')
+             .groupby(['_ok', '_sk'])
+             .aggregate(Max('_r', alias_name='_r')))
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({'_ok': pa.array([], pa.int64()),
+                             '_ns': pa.array([], pa.int64()),
+                             '_nr': pa.array([], pa.int64()),
+                             '_q': pa.array([], pa.int64())})
+        ok = t.column('_ok').to_numpy(zero_copy_only=False)
+        sk = t.column('_sk').to_numpy(zero_copy_only=False)
+        r = t.column('_r').to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({'_ok': ok, '_one': 1, '_r': r, '_qs': sk * r})
+        g = df.groupby('_ok', as_index=False).agg(
+            _ns=('_one', 'sum'), _nr=('_r', 'sum'), _q=('_qs', 'max'))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_order = (pairs.map_batches(order_partial, batch_format='pyarrow')
+                 .groupby('_ok')
+                 .aggregate(Sum('_ns', alias_name='_ns'),
+                            Sum('_nr', alias_name='_nr'),
+                            Max('_q', alias_name='_q')))
+
+    supp = read_parquet_clean(os.path.join(sf_dir, 'supplier.parquet'),
+                              columns=['s_suppkey', 's_name']).to_pandas()
+    name_ref = ray.put(dict(zip(supp['s_suppkey'].astype(int),
+                                supp['s_name'])))
+
+    def qual_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({'s_name': pa.array([], pa.string()),
+                             '_w': pa.array([], pa.int64())})
+        ns = t.column('_ns').to_numpy(zero_copy_only=False)
+        nr = t.column('_nr').to_numpy(zero_copy_only=False)
+        q = t.column('_q').to_numpy(zero_copy_only=False)
+        keep = (ns >= 2) & (nr == 1)
+        names = ray.get(name_ref)
+        vc = pd.Series([names[int(s)] for s in q[keep]]).value_counts()
+        return pa.table({'s_name': pa.array(vc.index.tolist(), pa.string()),
+                         '_w': pa.array(vc.to_numpy(np.int64))})
+
+    agg = (per_order.map_batches(qual_partial, batch_format='pyarrow')
+           .groupby('s_name').aggregate(Sum('_w', alias_name='numwait')))
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    return drop_empty_blocks(agg)
+
+
+_WAITING_SUPPLIERS_SQL = (
+    'WITH ls AS (SELECT l_orderkey, l_suppkey, '
+    "max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r "
+    'FROM lineitem GROUP BY l_orderkey, l_suppkey), '
+    'po AS (SELECT l_orderkey, count(*) AS n_s, sum(has_r) AS n_r, '
+    'max(l_suppkey * has_r) AS qual FROM ls GROUP BY l_orderkey) '
+    'SELECT s.s_name, count(*) AS numwait FROM po '
+    'JOIN supplier s ON po.qual = s.s_suppkey '
+    'WHERE po.n_s >= 2 AND po.n_r = 1 GROUP BY s.s_name'
+)
+
+
+def q_orders_percent_rank(sf_dir: str) -> ray.data.Dataset:
+    """Grouped PERCENT_RANK window — (rank-1)/(n-1) with min-rank tie
+    semantics — via the q_orders_cume_dist two-pass distributed-window
+    pattern: range-partitioned sort, one summary row per
+    (block, priority) to the driver, then offset + within-block
+    searchsorted(side='left') closes each row.  The tie correction is
+    the MIRROR of cume_dist's: sortedness means EARLIER blocks can only
+    tie this block's min, so rows at the block vmin subtract the
+    carried earlier-block tie count (cume_dist added later-block vmax
+    ties).  Single-row groups define percent_rank = 0."""
+    import os
+    mat = (read_parquet_clean(os.path.join(sf_dir, 'orders.parquet'),
+                              columns=['o_orderkey', 'o_orderpriority',
+                                       'o_totalprice'])
+           .sort(['o_orderpriority', 'o_totalprice', 'o_orderkey'])
+           .materialize())
+
+    def summary(t: pa.Table) -> pa.Table:
+        pri = t.column('o_orderpriority').to_numpy(zero_copy_only=False)
+        prc = t.column('o_totalprice').to_numpy(zero_copy_only=False)
+        okey = t.column('o_orderkey').to_numpy(zero_copy_only=False)
+        if len(t) == 0:
+            return pa.table({'_p0': pa.array([], pa.string()),
+                             '_v0': pa.array([], pa.float64()),
+                             '_k0': pa.array([], pa.int64()),
+                             '_prio': pa.array([], pa.string()),
+                             '_n': pa.array([], pa.int64()),
+                             '_vmin': pa.array([], pa.float64()),
+                             '_vmax': pa.array([], pa.float64()),
+                             '_nmin': pa.array([], pa.int64()),
+                             '_nmax': pa.array([], pa.int64())})
+        rows = []
+        for p in np.unique(pri):
+            m = pri == p
+            v = prc[m]
+            rows.append({'_p0': str(pri[0]), '_v0': float(prc[0]),
+                         '_k0': int(okey[0]), '_prio': str(p),
+                         '_n': int(m.sum()),
+                         '_vmin': float(v[0]), '_vmax': float(v[-1]),
+                         '_nmin': int((v == v[0]).sum()),
+                         '_nmax': int((v == v[-1]).sum())})
+        return pa.Table.from_pylist(rows)
+
+    summ = mat.map_batches(summary, batch_format='pyarrow',
+                           batch_size=None).to_pandas()
+    summ = summ.sort_values(['_p0', '_v0', '_k0'],
+                            kind='mergesort').reset_index(drop=True)
+    totals: dict[str, int] = {}
+    info: dict[tuple, dict[str, tuple]] = {}
+    per_prio: dict[str, list] = {}
+    for _, r in summ.iterrows():
+        per_prio.setdefault(r['_prio'], []).append(r)
+        totals[r['_prio']] = totals.get(r['_prio'], 0) + int(r['_n'])
+    for p, lst in per_prio.items():
+        run = 0
+        for i, r in enumerate(lst):
+            if i and lst[i - 1]['_vmax'] > r['_vmin']:
+                raise AssertionError('blocks are not sort-key-disjoint')
+            # earlier-block rows tied at THIS block's min: walk back
+            # through the (possibly constant-valued) run of predecessors
+            tie_prev = 0
+            for j in range(i - 1, -1, -1):
+                if lst[j]['_vmax'] == r['_vmin']:
+                    tie_prev += int(lst[j]['_nmax'])
+                    if lst[j]['_vmin'] != lst[j]['_vmax']:
+                        break
+                else:
+                    break
+            bkey = (r['_p0'], r['_v0'], r['_k0'])
+            info.setdefault(bkey, {})[p] = (run, tie_prev,
+                                            float(r['_vmin']), int(r['_n']))
+            run += int(r['_n'])
+    if sum(n for d in info.values() for (_, _, _, n) in d.values()) != \
+            sum(totals.values()):
+        raise AssertionError('block summary keys collided — input rows '
+                             'are not unique on the sort key')
+    info_ref = ray.put((info, totals))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({'o_orderkey': pa.array([], pa.int64()),
+                             'pr': pa.array([], pa.float64())})
+        inf, tot = ray.get(info_ref)
+        pri = t.column('o_orderpriority').to_numpy(zero_copy_only=False)
+        prc = t.column('o_totalprice').to_numpy(zero_copy_only=False)
+        okey = t.column('o_orderkey').to_numpy(zero_copy_only=False)
+        binfo = inf[(str(pri[0]), float(prc[0]), int(okey[0]))]
+        pr = np.empty(len(t), np.float64)
+        for p in np.unique(pri):
+            m = pri == p
+            v = prc[m]
+            off, tie_prev, vmin, n_blk = binfo[p]
+            if int(m.sum()) != n_blk:
+                raise AssertionError('pass-2 batch does not match its '
+                                     'pass-1 block summary')
+            within = np.searchsorted(v, v, side='left')
+            smaller = off + within - np.where(v == vmin, tie_prev, 0)
+            denom = tot[p] - 1
+            pr[m] = smaller / denom if denom > 0 else 0.0
+        return pa.table({'o_orderkey': pa.array(okey.astype(np.int64)),
+                         'pr': pa.array(sql_round_np(pr, 6), pa.float64())})
+
+    return mat.map_batches(finish, batch_format='pyarrow', batch_size=None)
+
+
+_ORDERS_PERCENT_RANK_SQL = (
+    'SELECT o_orderkey, round(percent_rank() OVER ('
+    'PARTITION BY o_orderpriority ORDER BY o_totalprice), 6) AS pr '
+    'FROM orders'
+)
+
+
+def q_daily_revenue_ma7(sf_dir: str) -> pd.DataFrame:
+    """Centered 7-row moving average over daily revenue (ROWS BETWEEN 3
+    PRECEDING AND 3 FOLLOWING) — the smoothing window every ops dashboard
+    draws.
+
+    Plan: days are a BOUNDED alphabet, so revenue folds to exact integer
+    cents per day inside map_batches and the window runs on the tiny
+    driver-side day table via one vectorized cumulative sum.  Exactness:
+    cents stay int64 through the window sums; the float ops are the
+    final (sum / n) / 100 chain in the oracle's exact order."""
+    import os
+    orders = read_parquet_clean(os.path.join(sf_dir, 'orders.parquet'),
+                                columns=['o_orderdate', 'o_totalprice'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dt = t.column('o_orderdate').to_numpy(zero_copy_only=False)
+        day = dt.astype('datetime64[D]')
+        cents = np.rint(t.column('o_totalprice')
+                        .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        df = pd.DataFrame({'_d': day.astype('datetime64[us]'),
+                           '_c': cents}).groupby('_d', as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = orders.map_batches(partial, batch_format='pyarrow').to_pandas()
+    d = parts.groupby('_d', as_index=False)['_c'].sum() \
+        .sort_values('_d', kind='mergesort').reset_index(drop=True)
+    c = d['_c'].to_numpy(np.int64)
+    n = len(c)
+    cum = np.concatenate([[0], np.cumsum(c)])
+    lo = np.maximum(np.arange(n) - 3, 0)
+    hi = np.minimum(np.arange(n) + 3, n - 1)
+    wsum = cum[hi + 1] - cum[lo]
+    wn = (hi - lo + 1).astype(np.float64)
+    ma = sql_round_np((wsum.astype(np.float64) / wn) / 100.0, 6)
+    return pd.DataFrame({
+        'day': d['_d'],
+        'revenue': sql_round_np(c.astype(np.float64) / 100.0, 2),
+        'ma7': ma})
+
+
+_DAILY_MA7_SQL = (
+    "WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, "
+    'sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c '
+    'FROM orders GROUP BY 1) '
+    'SELECT day, round(c / 100.0, 2) AS revenue, '
+    'round((CAST(sum(c) OVER w AS DOUBLE) / count(*) OVER w) / 100.0, 6) '
+    'AS ma7 FROM d '
+    'WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)'
+)
+
+
+def q_user_first_last_event(sf_dir: str) -> ray.data.Dataset:
+    """FIRST_VALUE / LAST_VALUE per user — each user's first and last
+    event type by timestamp, ties broken by type — WITHOUT any per-user
+    sort or co-location: (ts, type) packs into ONE lexicographically
+    ordered string (zero-padded 20-digit epoch-micros + '|' + type), so
+    first/last reduce to Min/Max — associative, parallelism-invariant,
+    pre-folded per block and closed by one narrow groupby."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({'user_id': pa.array([], pa.int64()),
+                             '_mn': pa.array([], pa.string()),
+                             '_mx': pa.array([], pa.string())})
+        us = t.column('ts').to_numpy(zero_copy_only=False) \
+            .astype('datetime64[us]').astype(np.int64)
+        typ = t.column('event_type').to_pylist()
+        pk = [f'{u:020d}|{ty}' for u, ty in zip(us, typ)]
+        df = pd.DataFrame({'user_id': t.column('user_id')
+                           .to_numpy(zero_copy_only=False), '_pk': pk})
+        g = df.groupby('user_id', as_index=False).agg(
+            _mn=('_pk', 'min'), _mx=('_pk', 'max'))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # Min/Max over the packed partials fold associatively; one narrow
+    # groupby closes first AND last together
+    parts = _events(sf_dir, ['user_id', 'ts', 'event_type']) \
+        .map_batches(partial, batch_format='pyarrow')
+    agg = parts.groupby('user_id').aggregate(
+        Min('_mn', alias_name='_mn'), Max('_mx', alias_name='_mx'))
+
+    def fin(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({'user_id': pa.array([], pa.int64()),
+                             'first_type': pa.array([], pa.string()),
+                             'last_type': pa.array([], pa.string())})
+        return pa.table({
+            'user_id': pc.cast(t.column('user_id'), pa.int64()),
+            'first_type': pc.utf8_slice_codeunits(t.column('_mn'), 21),
+            'last_type': pc.utf8_slice_codeunits(t.column('_mx'), 21)})
+
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    return drop_empty_blocks(agg).map_batches(fin, batch_format='pyarrow')
+
+
+_USER_FIRST_LAST_SQL = (
+    "WITH p AS (SELECT user_id, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, "
+    "'0') || '|' || event_type AS pk FROM events) "
+    'SELECT user_id, substr(min(pk), 22) AS first_type, '
+    'substr(max(pk), 22) AS last_type FROM p GROUP BY user_id'
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -8127,6 +8602,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'value_geomean': q_value_geomean,
         'embedding_norm_stats': q_embedding_norm_stats,
         'event_type_cms': q_event_type_cms,
+        'profit_by_nation_year': q_profit_by_nation_year,
+        'order_count_distribution': q_order_count_distribution,
+        'waiting_suppliers': q_waiting_suppliers,
+        'orders_percent_rank': q_orders_percent_rank,
+        'daily_revenue_ma7': q_daily_revenue_ma7,
+        'user_first_last_event': q_user_first_last_event,
         'late_shipment_counts': q_late_shipment_counts,
         'promo_revenue': q_promo_revenue,
         'small_quantity_revenue': q_small_quantity_revenue,
@@ -8307,6 +8788,12 @@ def oracle_sql() -> dict[str, str]:
         'value_geomean': _VALUE_GEOMEAN_SQL,
         'embedding_norm_stats': _embedding_norm_sql(),
         'event_type_cms': _event_type_cms_sql(),
+        'profit_by_nation_year': _PROFIT_NATION_YEAR_SQL,
+        'order_count_distribution': _ORDER_COUNT_DIST_SQL,
+        'waiting_suppliers': _WAITING_SUPPLIERS_SQL,
+        'orders_percent_rank': _ORDERS_PERCENT_RANK_SQL,
+        'daily_revenue_ma7': _DAILY_MA7_SQL,
+        'user_first_last_event': _USER_FIRST_LAST_SQL,
         'late_shipment_counts': _LATE_SHIPMENT_SQL,
         'promo_revenue': _PROMO_REVENUE_SQL,
         'small_quantity_revenue': _SMALL_QUANTITY_SQL,

@@ -1,0 +1,65 @@
+"""orders_percent_rank stress: heavy ties spanning many sort blocks must
+match DuckDB's percent_rank exactly (the EARLIER-block tie-at-min
+correction — the mirror of cume_dist's later-block logic), plus the
+single-row-group zero edge."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pii_detector_ray.queries import q_orders_percent_rank
+
+
+def _expected(d):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{d}/orders.parquet')")
+    return con.execute(
+        'SELECT o_orderkey, round(percent_rank() OVER ('
+        'PARTITION BY o_orderpriority ORDER BY o_totalprice), 6) AS pr '
+        'FROM orders ORDER BY o_orderkey').fetchdf()
+
+
+def test_percent_rank_cross_block_ties(ray_session, tmp_path):
+    rng = np.random.default_rng(11)
+    n = 60_000
+    # only 4 distinct prices x 3 priorities -> every value straddles blocks
+    df = pd.DataFrame({
+        'o_orderkey': np.arange(n, dtype=np.int64),
+        'o_orderpriority': np.array(['1-URGENT', '2-HIGH', '5-LOW'])[
+            rng.integers(0, 3, n)],
+        'o_totalprice': np.array([10.0, 10.0, 42.5, 99.99])[
+            rng.integers(0, 4, n)],
+    })
+    d = tmp_path / 'sf'
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / 'orders.parquet'), row_group_size=2048)
+    got = q_orders_percent_rank(str(d)).to_pandas() \
+        .sort_values('o_orderkey').reset_index(drop=True)
+    exp = _expected(d)
+    assert len(got) == n
+    assert np.array_equal(got['o_orderkey'].to_numpy(),
+                          exp['o_orderkey'].to_numpy())
+    assert np.allclose(got['pr'].to_numpy(), exp['pr'].to_numpy(),
+                       rtol=0, atol=0)
+
+
+def test_percent_rank_singleton_group_is_zero(ray_session, tmp_path):
+    df = pd.DataFrame({
+        'o_orderkey': np.array([1, 2, 3], np.int64),
+        'o_orderpriority': ['1-URGENT', '2-HIGH', '2-HIGH'],
+        'o_totalprice': [5.0, 7.0, 9.0],
+    })
+    d = tmp_path / 'sf'
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / 'orders.parquet'))
+    got = q_orders_percent_rank(str(d)).to_pandas() \
+        .sort_values('o_orderkey').reset_index(drop=True)
+    exp = _expected(d)
+    assert got['pr'].tolist() == exp['pr'].tolist() == [0.0, 0.0, 1.0]
