@@ -8492,6 +8492,264 @@ _USER_FIRST_LAST_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Round-4 wave 13: corpus-novelty and vocabulary-coverage text signals, and
+# the per-part argmin supplier.
+# ---------------------------------------------------------------------------
+
+
+def q_doc_ngram_novelty(sf_dir: str) -> ray.data.Dataset:
+    """Per-document n-gram novelty: the fraction of a doc's distinct word
+    8-grams that appear in NO other document — the corpus-uniqueness
+    quality signal (near-zero novelty flags boilerplate/templated docs a
+    per-doc repetition score can't see).
+
+    Plan: 8-gram sets dedupe IN-ROW (a doc is one row), so the (ngram,
+    doc) pair stream is already distinct; per-doc totals are per-block
+    pair-count partials off that SAME stream (one text scan total).  The
+    corpus side is one groupby over the pairs carrying df-count +
+    min-doc — when df == 1 the min IS the owner — and the owner's unique
+    counts come back as a SECOND narrow groupby.  The join back to
+    totals is a UNION + groupby (both partial columns summed), so no
+    join operator runs at all.  At 100 TB the ngram keys would hash to
+    int64 (the minhash shingle path); here they stay strings so the
+    oracle is an exact mirror with zero collision caveat."""
+    N = 8
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        ng_rows_d: list[int] = []
+        ng_rows_g: list[str] = []
+        for did, t in zip(batch.column('doc_id').to_pylist(),
+                          batch.column('text').to_pylist()):
+            ws = (t or '').split(' ')
+            if len(ws) < N:
+                continue
+            grams = {' '.join(ws[i:i + N]) for i in range(len(ws) - N + 1)}
+            ng_rows_d.extend([did] * len(grams))
+            ng_rows_g.extend(grams)
+        return pa.table({'_ng': pa.array(ng_rows_g, pa.string()),
+                         '_doc': pa.array(ng_rows_d, pa.int64())})
+
+    docs = read_documents(sf_dir, ['doc_id', 'text'])
+    # one text scan, reused 2x; at 100 TB hash grams to int64 BEFORE this
+    # barrier (6x smaller blocks, spill-friendly) or drop it and recompute
+    pairs = docs.map_batches(per_doc, batch_format='pyarrow') \
+        .materialize()
+
+    def tot_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({'doc_id': pa.array([], pa.int64()),
+                             '_nng': pa.array([], pa.int64())})
+        vc = pd.Series(t.column('_doc').to_numpy(zero_copy_only=False)) \
+            .value_counts()
+        return pa.table({'doc_id': pa.array(vc.index.to_numpy(np.int64)),
+                         '_nng': pa.array(vc.to_numpy(np.int64))})
+
+    totals = pairs.map_batches(tot_partial, batch_format='pyarrow')
+
+    df = pairs.groupby('_ng').aggregate(
+        Count(alias_name='_c'), Min('_doc', alias_name='_owner'))
+
+    def uniq_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({'doc_id': pa.array([], pa.int64()),
+                             '_nu': pa.array([], pa.int64())})
+        m = pc.equal(t.column('_c'), 1)
+        owners = t.filter(m).column('_owner').to_numpy(zero_copy_only=False)
+        vc = pd.Series(owners).value_counts()
+        return pa.table({'doc_id': pa.array(vc.index.to_numpy(np.int64)),
+                         '_nu': pa.array(vc.to_numpy(np.int64))})
+
+    uniq = df.map_batches(uniq_partial, batch_format='pyarrow') \
+        .map_batches(lambda t: pa.table({
+            'doc_id': t.column('doc_id'),
+            '_nng': pa.array(np.zeros(len(t), np.int64)),
+            '_nu': t.column('_nu')}), batch_format='pyarrow')
+    tot_side = totals.map_batches(lambda t: pa.table({
+        'doc_id': t.column('doc_id'),
+        '_nng': t.column('_nng'),
+        '_nu': pa.array(np.zeros(len(t), np.int64))}),
+        batch_format='pyarrow')
+
+    agg = tot_side.union(uniq).groupby('doc_id').aggregate(
+        Sum('_nng', alias_name='n_ngrams'), Sum('_nu', alias_name='n_unique'))
+
+    def fin(t: pa.Table) -> pa.Table:
+        nn = t.column('n_ngrams').to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        nu = t.column('n_unique').to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            'doc_id': pc.cast(t.column('doc_id'), pa.int64()),
+            'n_ngrams': pc.cast(t.column('n_ngrams'), pa.int64()),
+            'n_unique': pc.cast(t.column('n_unique'), pa.int64()),
+            'novelty': pa.array(sql_round_np(nu / nn, 6), pa.float64())})
+
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    return drop_empty_blocks(agg).map_batches(fin, batch_format='pyarrow')
+
+
+_DOC_NGRAM_NOVELTY_SQL = (
+    "WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws "
+    'FROM documents), '
+    "g AS (SELECT DISTINCT doc_id, unnest([array_to_string(ws[i:i+7], ' ') "
+    'FOR i IN generate_series(1, len(ws) - 7)]) AS ng FROM w '
+    'WHERE len(ws) >= 8), '
+    'df AS (SELECT ng, count(*) AS c, min(doc_id) AS owner FROM g '
+    'GROUP BY ng), '
+    'tot AS (SELECT doc_id, count(*) AS n_ngrams FROM g GROUP BY doc_id), '
+    'u AS (SELECT owner AS doc_id, count(*) AS n_unique FROM df '
+    'WHERE c = 1 GROUP BY owner) '
+    'SELECT t.doc_id, t.n_ngrams, coalesce(u.n_unique, 0) AS n_unique, '
+    'round(CAST(coalesce(u.n_unique, 0) AS DOUBLE) / t.n_ngrams, 6) '
+    'AS novelty FROM tot t LEFT JOIN u ON t.doc_id = u.doc_id'
+)
+
+
+def q_oov_rate(sf_dir: str, vocab_k: int = 100) -> ray.data.Dataset:
+    """Per-document out-of-vocabulary rate against the corpus's exact
+    top-K token vocabulary — the coverage signal a tokenizer-budget
+    decision reads.
+
+    Plan: pass 1 pre-aggregates token counts per block and closes them
+    with one narrow groupby; the top-K cut is a distributed sort + limit
+    with the DETERMINISTIC tie order (count desc, token asc) the oracle's
+    window mirrors, and only K rows reach the driver.  Pass 2 broadcasts
+    the K-token set once and scores every doc map-side — no second
+    shuffle."""
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        cnt: dict[str, int] = {}
+        for t in batch.column('text').to_pylist():
+            for w in (t or '').split(' '):
+                cnt[w] = cnt.get(w, 0) + 1
+        return pa.table({'_tok': pa.array(list(cnt), pa.string()),
+                         '_c': pa.array(list(cnt.values()), pa.int64())})
+
+    docs = read_documents(sf_dir, ['doc_id', 'text'])
+    counts = docs.map_batches(tok_partial, batch_format='pyarrow') \
+        .groupby('_tok').aggregate(Sum('_c', alias_name='_c'))
+    top = counts.sort(['_c', '_tok'], descending=[True, False]) \
+        .limit(vocab_k).to_pandas()
+    vocab_ref = ray.put(frozenset(top['_tok'].tolist()))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        n_tok = np.empty(len(batch), np.int64)
+        n_oov = np.empty(len(batch), np.int64)
+        for i, t in enumerate(batch.column('text').to_pylist()):
+            ws = (t or '').split(' ')
+            n_tok[i] = len(ws)
+            n_oov[i] = sum(1 for w in ws if w not in vocab)
+        return pa.table({
+            'doc_id': batch.column('doc_id'),
+            'n_tokens': pa.array(n_tok),
+            'n_oov': pa.array(n_oov),
+            'oov_rate': pa.array(sql_round_np(
+                n_oov.astype(np.float64) / n_tok.astype(np.float64), 6))})
+
+    return docs.map_batches(score, batch_format='pyarrow')
+
+
+_OOV_RATE_SQL = (
+    "WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws "
+    'FROM documents), '
+    't AS (SELECT doc_id, unnest(ws) AS tok FROM w), '
+    'c AS (SELECT tok, count(*) AS c FROM t GROUP BY tok), '
+    'v AS (SELECT tok FROM c ORDER BY c DESC, tok ASC LIMIT 100) '
+    'SELECT doc_id, count(*) AS n_tokens, '
+    'CAST(sum(CASE WHEN tok NOT IN (SELECT tok FROM v) THEN 1 ELSE 0 END) '
+    'AS BIGINT) AS n_oov, '
+    'round(CAST(sum(CASE WHEN tok NOT IN (SELECT tok FROM v) THEN 1 '
+    'ELSE 0 END) AS DOUBLE) / count(*), 6) AS oov_rate '
+    'FROM t GROUP BY doc_id'
+)
+
+
+def q_type_token_ratio(sf_dir: str) -> ray.data.Dataset:
+    """Type-token ratio per document (distinct words / words) — the
+    classic lexical-diversity signal.  Embarrassingly parallel per-row
+    string work; the literal single-space split is the shared contract
+    with the oracle's string_split."""
+
+    def ttr(batch: pa.Table) -> pa.Table:
+        n_t = np.empty(len(batch), np.int64)
+        n_d = np.empty(len(batch), np.int64)
+        for i, t in enumerate(batch.column('text').to_pylist()):
+            ws = (t or '').split(' ')
+            n_t[i] = len(ws)
+            n_d[i] = len(set(ws))
+        return pa.table({
+            'doc_id': batch.column('doc_id'),
+            'n_types': pa.array(n_d),
+            'n_tokens': pa.array(n_t),
+            'ttr': pa.array(sql_round_np(
+                n_d.astype(np.float64) / n_t.astype(np.float64), 6))})
+
+    return read_documents(sf_dir, ['doc_id', 'text']) \
+        .map_batches(ttr, batch_format='pyarrow')
+
+
+_TYPE_TOKEN_RATIO_SQL = (
+    "WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws "
+    'FROM documents) '
+    'SELECT doc_id, len(list_distinct(ws)) AS n_types, len(ws) AS n_tokens, '
+    'round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS ttr '
+    'FROM w'
+)
+
+
+def q_cheapest_supplier_per_part(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q2's argmin shape without partsupp: for every part, the
+    supplier of its cheapest lineitem (min extended price; price ties
+    break to the smaller suppkey).  The argmin packs
+    (price-cents << 20 | suppkey) into ONE int64 — price cents < 2^24
+    and suppkey < 2^20 at any plausible scale, asserted per batch — so
+    the whole query is a single associative Min groupby on a narrow
+    key."""
+
+    import os
+    line = read_parquet_clean(os.path.join(sf_dir, 'lineitem.parquet'),
+                              columns=['l_partkey', 'l_suppkey',
+                                       'l_extendedprice'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column('l_extendedprice')
+                        .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        sk = t.column('l_suppkey').to_numpy(zero_copy_only=False)
+        if len(t) and (cents.max() >= (1 << 43) or sk.max() >= (1 << 20)):
+            raise AssertionError('argmin pack domain exceeded')
+        pk = cents * (1 << 20) + sk
+        tbl = pa.table({'_pt': t.column('l_partkey'),
+                        '_pk': pa.array(pk, pa.int64())})
+        agg = tbl.group_by('_pt').aggregate([('_pk', 'min')])
+        return agg.rename_columns(['_pt', '_pk'])
+
+    agg = (line.map_batches(partial, batch_format='pyarrow')
+           .groupby('_pt').aggregate(Min('_pk', alias_name='_pk')))
+
+    def fin(t: pa.Table) -> pa.Table:
+        pk = t.column('_pk').to_numpy(zero_copy_only=False)
+        return pa.table({
+            'l_partkey': pc.cast(t.column('_pt'), pa.int64()),
+            'min_price': pa.array(sql_round_np(
+                (pk >> 20).astype(np.float64) / 100.0, 2)),
+            's_suppkey': pa.array(pk & ((1 << 20) - 1), type=pa.int64())})
+
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    return drop_empty_blocks(agg).map_batches(fin, batch_format='pyarrow')
+
+
+_CHEAPEST_SUPPLIER_SQL = (
+    'WITH m AS (SELECT l_partkey, '
+    'min(CAST(round(l_extendedprice * 100) AS BIGINT) * 1048576 '
+    '+ l_suppkey) AS pk FROM lineitem GROUP BY l_partkey) '
+    'SELECT l_partkey, round((pk // 1048576) / 100.0, 2) AS min_price, '
+    'pk % 1048576 AS s_suppkey FROM m'
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -8608,6 +8866,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'orders_percent_rank': q_orders_percent_rank,
         'daily_revenue_ma7': q_daily_revenue_ma7,
         'user_first_last_event': q_user_first_last_event,
+        'doc_ngram_novelty': q_doc_ngram_novelty,
+        'oov_rate': q_oov_rate,
+        'type_token_ratio': q_type_token_ratio,
+        'cheapest_supplier_per_part': q_cheapest_supplier_per_part,
         'late_shipment_counts': q_late_shipment_counts,
         'promo_revenue': q_promo_revenue,
         'small_quantity_revenue': q_small_quantity_revenue,
@@ -8794,6 +9056,10 @@ def oracle_sql() -> dict[str, str]:
         'orders_percent_rank': _ORDERS_PERCENT_RANK_SQL,
         'daily_revenue_ma7': _DAILY_MA7_SQL,
         'user_first_last_event': _USER_FIRST_LAST_SQL,
+        'doc_ngram_novelty': _DOC_NGRAM_NOVELTY_SQL,
+        'oov_rate': _OOV_RATE_SQL,
+        'type_token_ratio': _TYPE_TOKEN_RATIO_SQL,
+        'cheapest_supplier_per_part': _CHEAPEST_SUPPLIER_SQL,
         'late_shipment_counts': _LATE_SHIPMENT_SQL,
         'promo_revenue': _PROMO_REVENUE_SQL,
         'small_quantity_revenue': _SMALL_QUANTITY_SQL,
