@@ -8750,6 +8750,312 @@ _CHEAPEST_SUPPLIER_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Round-4 wave 14: market-basket co-occurrence, session-count distribution,
+# weighted means, and winsorized statistics.
+# ---------------------------------------------------------------------------
+
+
+def q_part_pairs_count(sf_dir: str) -> ray.data.Dataset:
+    """Market-basket co-occurrence: pairs of parts appearing together in
+    >= 2 orders — the a-priori first step, a SELF-join shape.
+
+    Plan: the self-join never runs as a join — distinct (order, part) is
+    one narrow shuffle; a global sort bounds every order's rows to a
+    contiguous region, so INTERIOR runs emit their pairs in-block and
+    only the <= 2 EDGE runs per block (<= max-basket rows each) travel to
+    the driver for cross-block merging (the activity_streaks chaining
+    pattern).  Each pair packs (pk1 << 32 | pk2) into ONE int64, so the
+    counting groupby moves 8 B/pair.  Row-count reconciliation asserts
+    no run was both emitted and fragmented."""
+    import os
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
+    line = read_parquet_clean(os.path.join(sf_dir, 'lineitem.parquet'),
+                              columns=['l_orderkey', 'l_partkey'])
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by(['l_orderkey', 'l_partkey']) \
+            .aggregate([([], 'count_all')])
+        return agg.select(['l_orderkey', 'l_partkey']) \
+            .rename_columns(['_ok', '_pt'])
+
+    lp = (line.map_batches(distinct_partial, batch_format='pyarrow')
+          .groupby(['_ok', '_pt']).aggregate(Count()))
+    mat = drop_empty_blocks(lp).select_columns(['_ok', '_pt']) \
+        .sort(['_ok', '_pt']).materialize()
+
+    def _pack_runs(ok: np.ndarray, pk: np.ndarray,
+                   starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+        out: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            v = pk[s:e]
+            if len(v) < 2:
+                continue
+            i, j = np.triu_indices(len(v), k=1)
+            out.append(v[i].astype(np.int64) * (1 << 32) + v[j])
+        return (np.concatenate(out) if out
+                else np.empty(0, np.int64))
+
+    def interior(t: pa.Table) -> pa.Table:
+        ok = t.column('_ok').to_numpy(zero_copy_only=False)
+        pk = t.column('_pt').to_numpy(zero_copy_only=False)
+        if len(ok) == 0:
+            return pa.table({'_pair': pa.array([], pa.int64())})
+        if pk.max() >= (1 << 32):
+            raise AssertionError('pair pack domain exceeded')
+        brk = np.ones(len(ok), bool)
+        brk[1:] = ok[1:] != ok[:-1]
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(ok))
+        # first and last runs may straddle blocks -> fragments handle them
+        pairs = _pack_runs(ok, pk, starts[1:-1], ends[1:-1]) \
+            if len(starts) > 2 else np.empty(0, np.int64)
+        return pa.table({'_pair': pa.array(pairs, pa.int64())})
+
+    def fragments(t: pa.Table) -> pa.Table:
+        ok = t.column('_ok').to_numpy(zero_copy_only=False)
+        pk = t.column('_pt').to_numpy(zero_copy_only=False)
+        if len(ok) == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in
+                             ('_b_ok', '_b_pt', '_ok', '_pt', '_n')})
+        brk = np.ones(len(ok), bool)
+        brk[1:] = ok[1:] != ok[:-1]
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(ok))
+        take = [0] if len(starts) == 1 else [0, len(starts) - 1]
+        rows_ok: list[int] = []
+        rows_pk: list[int] = []
+        for r in take:
+            rows_ok.extend(ok[starts[r]:ends[r]].tolist())
+            rows_pk.extend(pk[starts[r]:ends[r]].tolist())
+        n = len(rows_ok)
+        return pa.table({'_b_ok': pa.array([int(ok[0])] * n, pa.int64()),
+                         '_b_pt': pa.array([int(pk[0])] * n, pa.int64()),
+                         '_ok': pa.array(rows_ok, pa.int64()),
+                         '_pt': pa.array(rows_pk, pa.int64()),
+                         '_n': pa.array([len(ok)] * n, pa.int64())})
+
+    inner = mat.map_batches(interior, batch_format='pyarrow',
+                            batch_size=None)
+    frag = mat.map_batches(fragments, batch_format='pyarrow',
+                           batch_size=None).to_pandas() \
+        .sort_values(['_b_ok', '_b_pt', '_ok', '_pt'],
+                     kind='mergesort').reset_index(drop=True)
+    # reconciliation: every row is in exactly one edge-run fragment or an
+    # interior run; fragment _n carries its block's total row count
+    if len(frag):
+        blk_rows = frag.groupby(['_b_ok', '_b_pt'])['_n'].first().sum()
+        if int(blk_rows) != mat.count():
+            raise AssertionError('fragment block keys collided')
+    ok_f = frag['_ok'].to_numpy(np.int64)
+    pk_f = frag['_pt'].to_numpy(np.int64)
+    edge_pairs = np.empty(0, np.int64)
+    if len(ok_f):
+        brk = np.ones(len(ok_f), bool)
+        brk[1:] = ok_f[1:] != ok_f[:-1]
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(ok_f))
+        edge_pairs = _pack_runs(ok_f, pk_f, starts, ends)
+    edge_tbl = pa.table({'_pair': pa.array(edge_pairs, pa.int64())})
+
+    counts = inner.union(ray.data.from_arrow(edge_tbl)) \
+        .groupby('_pair').aggregate(Count(alias_name='n_orders'))
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = t.column('n_orders').to_numpy(zero_copy_only=False)
+        pair = t.column('_pair').to_numpy(zero_copy_only=False)
+        keep = n >= 2
+        return pa.table({
+            'part_a': pa.array(pair[keep] >> 32, type=pa.int64()),
+            'part_b': pa.array(pair[keep] & ((1 << 32) - 1),
+                               type=pa.int64()),
+            'n_orders': pa.array(n[keep].astype(np.int64))})
+
+    return drop_empty_blocks(counts).map_batches(fin,
+                                                 batch_format='pyarrow')
+
+
+_PART_PAIRS_SQL = (
+    'WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) '
+    'SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, '
+    'count(*) AS n_orders FROM lp a JOIN lp b '
+    'ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey '
+    'GROUP BY 1, 2 HAVING count(*) >= 2'
+)
+
+
+def q_sessions_per_user_dist(sf_dir: str) -> pd.DataFrame:
+    """Distribution of session counts per user — the engagement histogram
+    stacked on the distributed sessionizer (count-of-counts, the Q13
+    double-aggregate shape over a derived table)."""
+    from pii_detector_ray.stages.sessionize import sessionize
+    sess = sessionize(_events(sf_dir, ['user_id', 'ts', 'value']),
+                      gap_minutes=30,
+                      hot_key_threshold=_events_hot_threshold(sf_dir))
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({'_u': pa.array([], pa.int64()),
+                             '_n': pa.array([], pa.int64())})
+        agg = t.select(['user_id']).group_by('user_id') \
+            .aggregate([([], 'count_all')])
+        return agg.rename_columns(['_u', '_n'])
+
+    per_user = (sess.map_batches(partial, batch_format='pyarrow')
+                .groupby('_u').aggregate(Sum('_n', alias_name='_n')))
+
+    def hist(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({'_c': pa.array([], pa.int64()),
+                             '_d': pa.array([], pa.int64())})
+        vc = pd.Series(t.column('_n').to_numpy(zero_copy_only=False)) \
+            .value_counts()
+        return pa.table({'_c': pa.array(vc.index.to_numpy(np.int64)),
+                         '_d': pa.array(vc.to_numpy(np.int64))})
+
+    parts = per_user.map_batches(hist, batch_format='pyarrow').to_pandas()
+    fold = parts.groupby('_c', as_index=False)['_d'].sum()
+    return pd.DataFrame({'n_sessions': fold['_c'].astype('int64'),
+                         'n_users': fold['_d'].astype('int64')})
+
+
+_SESSIONS_PER_USER_SQL = (
+    'WITH sess AS (' + _EVENTS_SESSIONS_SQL + '), '
+    'pu AS (SELECT user_id, count(*) AS n_sessions FROM sess '
+    'GROUP BY user_id) '
+    'SELECT n_sessions, count(*) AS n_users FROM pu GROUP BY n_sessions'
+)
+
+
+def q_brand_weighted_avg_price(sf_dir: str) -> pd.DataFrame:
+    """Quantity-weighted mean unit price per brand —
+    sum(extendedprice) / sum(quantity), the weighted-average aggregate
+    where plain AVG over lines is wrong.
+
+    Plan: partkey->brand broadcasts once as sorted arrays (part is
+    ~1e-3 of lineitem; shard past the broadcast budget); lineitem folds
+    integer (cents, quantity) partials per brand — a bounded alphabet —
+    so the driver fold is tiny and the ONLY float op is the final
+    division chain the oracle mirrors."""
+    import os
+    part = read_parquet_clean(os.path.join(sf_dir, 'part.parquet'),
+                              columns=['p_partkey', 'p_brand']).to_pandas()
+    brands = sorted(part['p_brand'].unique().tolist())
+    b_id = {b: i for i, b in enumerate(brands)}
+    pkeys = np.asarray(part['p_partkey'], np.int64)
+    order_p = np.argsort(pkeys, kind='stable')
+    pkeys = pkeys[order_p]
+    pbrand = np.asarray([b_id[b] for b in part['p_brand']],
+                        np.int64)[order_p]
+    part_ref = ray.put((pkeys, pbrand))
+
+    line = read_parquet_clean(os.path.join(sf_dir, 'lineitem.parquet'),
+                              columns=['l_partkey', 'l_quantity',
+                                       'l_extendedprice'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk, bid = ray.get(part_ref)
+        lpk = t.column('l_partkey').to_numpy(zero_copy_only=False)
+        if len(t) == 0 or len(pk) == 0:
+            return pa.table({'_b': pa.array([], pa.int64()),
+                             '_c': pa.array([], pa.int64()),
+                             '_q': pa.array([], pa.int64())})
+        idx = np.minimum(np.searchsorted(pk, lpk), len(pk) - 1)
+        keep = pk[idx] == lpk
+        cents = np.rint(t.column('l_extendedprice')
+                        .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        qty = np.rint(t.column('l_quantity')
+                      .to_numpy(zero_copy_only=False)).astype(np.int64)
+        df = pd.DataFrame({'_b': bid[idx][keep], '_c': cents[keep],
+                           '_q': qty[keep]})
+        g = df.groupby('_b', as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = line.map_batches(partial, batch_format='pyarrow').to_pandas()
+    fold = parts.groupby('_b', as_index=False)[['_c', '_q']].sum()
+    wavg = sql_round_np(
+        (fold['_c'].to_numpy(np.float64) / fold['_q'].to_numpy(np.float64))
+        / 100.0, 6)
+    return pd.DataFrame({
+        'p_brand': [brands[int(b)] for b in fold['_b']],
+        'total_qty': fold['_q'].astype('int64'),
+        'wavg_unit_price': wavg}).sort_values('p_brand') \
+        .reset_index(drop=True)
+
+
+_BRAND_WAVG_SQL = (
+    'SELECT p.p_brand, '
+    'CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) '
+    'AS total_qty, '
+    'round((CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) '
+    'AS DOUBLE) / CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) '
+    'AS DOUBLE)) / 100.0, 6) AS wavg_unit_price '
+    'FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey '
+    'GROUP BY p.p_brand'
+)
+
+
+def q_winsorized_mean(sf_dir: str) -> pd.DataFrame:
+    """Winsorized mean of event value per type — clip at the exact
+    discrete p05/p95 then average, the outlier-robust mean.
+
+    Plan: ONE pass folds (type, cents) value counts per block — the
+    2-decimal value domain is a bounded alphabet — and everything else
+    reads off the tiny count table on the driver: the disc quantile is
+    the ceil(n*q)-th smallest (DuckDB's quantile_disc rule) found by
+    cumsum, and the clipped sum is sum(clip(v)*count) in int64, so no
+    second data pass and no float until the final division chain."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        typ = t.column('event_type').to_numpy(zero_copy_only=False)
+        cents = np.rint(t.column('value')
+                        .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        df = pd.DataFrame({'_t': typ, '_v': cents, '_n': 1})
+        g = df.groupby(['_t', '_v'], as_index=False)['_n'].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = _events(sf_dir, ['event_type', 'value']) \
+        .map_batches(partial, batch_format='pyarrow').to_pandas()
+    fold = parts.groupby(['_t', '_v'], as_index=False)['_n'].sum()
+    rows = []
+    for typ, g in fold.groupby('_t'):
+        g = g.sort_values('_v', kind='mergesort')
+        v = g['_v'].to_numpy(np.int64)
+        n = g['_n'].to_numpy(np.int64)
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+
+        def disc(q: float) -> int:
+            k = int(np.ceil(total * q)) or 1
+            return int(v[np.searchsorted(cum, k)])
+
+        lo, hi = disc(0.05), disc(0.95)
+        clipped = np.clip(v, lo, hi)
+        s = int(np.dot(clipped, n))
+        rows.append({'event_type': typ,
+                     'p05': sql_round_scalar(lo / 100.0, 2),
+                     'p95': sql_round_scalar(hi / 100.0, 2),
+                     'wmean': sql_round_scalar(
+                         (float(s) / float(total)) / 100.0, 6)})
+    return pd.DataFrame(rows)
+
+
+_WINSORIZED_MEAN_SQL = (
+    'WITH c AS (SELECT event_type, '
+    'CAST(round(value * 100) AS BIGINT) AS v FROM events), '
+    'q AS (SELECT event_type, quantile_disc(v, 0.05) AS lo, '
+    'quantile_disc(v, 0.95) AS hi FROM c GROUP BY event_type) '
+    'SELECT c.event_type, round(min(q.lo) / 100.0, 2) AS p05, '
+    'round(min(q.hi) / 100.0, 2) AS p95, '
+    'round((CAST(sum(least(greatest(c.v, q.lo), q.hi)) AS DOUBLE) '
+    '/ CAST(count(*) AS DOUBLE)) / 100.0, 6) AS wmean '
+    'FROM c JOIN q ON c.event_type = q.event_type GROUP BY c.event_type'
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -8870,6 +9176,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'oov_rate': q_oov_rate,
         'type_token_ratio': q_type_token_ratio,
         'cheapest_supplier_per_part': q_cheapest_supplier_per_part,
+        'part_pairs_count': q_part_pairs_count,
+        'sessions_per_user_dist': q_sessions_per_user_dist,
+        'brand_weighted_avg_price': q_brand_weighted_avg_price,
+        'winsorized_mean': q_winsorized_mean,
         'late_shipment_counts': q_late_shipment_counts,
         'promo_revenue': q_promo_revenue,
         'small_quantity_revenue': q_small_quantity_revenue,
@@ -9060,6 +9370,10 @@ def oracle_sql() -> dict[str, str]:
         'oov_rate': _OOV_RATE_SQL,
         'type_token_ratio': _TYPE_TOKEN_RATIO_SQL,
         'cheapest_supplier_per_part': _CHEAPEST_SUPPLIER_SQL,
+        'part_pairs_count': _PART_PAIRS_SQL,
+        'sessions_per_user_dist': _SESSIONS_PER_USER_SQL,
+        'brand_weighted_avg_price': _BRAND_WAVG_SQL,
+        'winsorized_mean': _WINSORIZED_MEAN_SQL,
         'late_shipment_counts': _LATE_SHIPMENT_SQL,
         'promo_revenue': _PROMO_REVENUE_SQL,
         'small_quantity_revenue': _SMALL_QUANTITY_SQL,

@@ -1,0 +1,50 @@
+"""part_pairs_count stress: orders whose (order, part) runs straddle many
+sort blocks must still emit every pair exactly once (the edge-run
+fragment merge), verified against DuckDB's literal self-join."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pii_detector_ray.queries import q_part_pairs_count
+
+
+def test_part_pairs_cross_block(ray_session, tmp_path):
+    rng = np.random.default_rng(5)
+    # few orders x many parts each -> every order straddles 2048-row groups
+    rows = []
+    for ok in range(40):
+        parts = rng.choice(2000, size=rng.integers(50, 400), replace=False)
+        rows.append(pd.DataFrame({'l_orderkey': np.int64(ok),
+                                  'l_partkey': parts.astype(np.int64)}))
+    df = pd.concat(rows, ignore_index=True)
+    # duplicate lineitems for the same (order, part) must not double-count
+    df = pd.concat([df, df.iloc[::7]], ignore_index=True)
+    df = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    d = tmp_path / 'sf'
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / 'lineitem.parquet'), row_group_size=512)
+    got = q_part_pairs_count(str(d)).to_pandas() \
+        .sort_values(['part_a', 'part_b']).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{d}/lineitem.parquet')")
+    exp = con.execute(
+        'WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) '
+        'SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, '
+        'count(*) AS n_orders FROM lp a JOIN lp b '
+        'ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey '
+        'GROUP BY 1, 2 HAVING count(*) >= 2 '
+        'ORDER BY part_a, part_b').fetchdf()
+    assert len(got) == len(exp) and len(exp) > 0
+    assert np.array_equal(got['part_a'].to_numpy(np.int64),
+                          exp['part_a'].to_numpy(np.int64))
+    assert np.array_equal(got['part_b'].to_numpy(np.int64),
+                          exp['part_b'].to_numpy(np.int64))
+    assert np.array_equal(got['n_orders'].to_numpy(np.int64),
+                          exp['n_orders'].to_numpy(np.int64))
