@@ -8751,6 +8751,161 @@ _CHEAPEST_SUPPLIER_SQL = (
 
 
 # ---------------------------------------------------------------------------
+# Round-4 wave 15: custom distributed aggregates (bitwise-OR set fold) and
+# statistical language-model scoring.
+# ---------------------------------------------------------------------------
+
+
+def q_user_type_bitmask(sf_dir: str) -> ray.data.Dataset:
+    """Per-user event-type SET as a bitmask — the custom distributed
+    aggregate Ray lacks built-in: bitwise OR is associative and
+    commutative, so a custom ``AggregateFn`` folds it exactly under any
+    block order/parallelism.  Per-block distinct (user, bit) partials
+    shrink the shuffle first; the mask then also yields the set size via
+    popcount — no list aggregation, 8 B of state per user ever."""
+    tid = {t: i for i, t in enumerate(_EVENT_TYPES)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column('user_id').to_numpy(zero_copy_only=False)
+        bits = np.array([1 << tid[x] for x in
+                         t.column('event_type').to_pylist()], np.int64)
+        df = pd.DataFrame({'user_id': u, '_bit': bits}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _acc(a: int, block: pa.Table) -> int:
+        b = block.column('_bit').to_numpy(zero_copy_only=False)
+        return a | (int(np.bitwise_or.reduce(b)) if len(b) else 0)
+
+    or_fn = AggregateFn(init=lambda k: 0, merge=lambda a, b: a | b,
+                        accumulate_block=_acc, name='type_mask')
+
+    agg = (_events(sf_dir, ['user_id', 'event_type'])
+           .map_batches(partial, batch_format='pyarrow')
+           .groupby('user_id').aggregate(or_fn))
+
+    def fin(t: pa.Table) -> pa.Table:
+        mask = t.column('type_mask').to_numpy(zero_copy_only=False)
+        return pa.table({
+            'user_id': pc.cast(t.column('user_id'), pa.int64()),
+            'type_mask': pa.array(mask.astype(np.int64)),
+            'n_types': pa.array([int(m).bit_count() for m in mask],
+                                pa.int64())})
+
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    return drop_empty_blocks(agg).map_batches(fin, batch_format='pyarrow')
+
+
+def _user_type_bitmask_sql() -> str:
+    case = ' '.join(f"WHEN '{t}' THEN {1 << i}"
+                    for i, t in enumerate(_EVENT_TYPES))
+    return ('WITH b AS (SELECT user_id, '
+            f'CAST(CASE event_type {case} END AS BIGINT) AS bit '
+            'FROM events) '
+            'SELECT user_id, bit_or(bit) AS type_mask, '
+            'CAST(bit_count(bit_or(bit)) AS BIGINT) AS n_types '
+            'FROM b GROUP BY user_id')
+
+
+def q_bigram_lm_ppl(sf_dir: str) -> ray.data.Dataset:
+    """Per-document perplexity under an add-one-smoothed bigram language
+    model trained on the corpus itself — the classic statistical quality
+    filter (CCNet-style: high perplexity == unusual text).
+
+    Plan: pass 1 trains the LM — unigram and bigram counts via two
+    narrow pre-aggregated groupbys — and broadcasts both tables once
+    (vocab-proportional: past the broadcast budget they shard like
+    stages/similarity.py, or the scoring join runs co-partitioned on
+    w1).  Pass 2 scores every doc map-side.  Exactness: each bigram's
+    ln((c2+1)/(c1+V)) quantizes to int64 micro-nats (stages/dsir._qln —
+    ln inputs are bit-identical doubles built from exact ints on both
+    sides), so per-doc sums are order-invariant integer math; ONE
+    exp/division chain per doc mirrors the oracle token-for-token."""
+    docs = read_documents(sf_dir, ['doc_id', 'text'])
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        cnt: dict[str, int] = {}
+        for t in batch.column('text').to_pylist():
+            for w in (t or '').split(' '):
+                cnt[w] = cnt.get(w, 0) + 1
+        return pa.table({'_w': pa.array(list(cnt), pa.string()),
+                         '_c': pa.array(list(cnt.values()), pa.int64())})
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        cnt: dict[str, int] = {}
+        for t in batch.column('text').to_pylist():
+            ws = (t or '').split(' ')
+            for a, b in zip(ws, ws[1:]):
+                k = a + '\x1f' + b
+                cnt[k] = cnt.get(k, 0) + 1
+        return pa.table({'_w': pa.array(list(cnt), pa.string()),
+                         '_c': pa.array(list(cnt.values()), pa.int64())})
+
+    uni = docs.map_batches(uni_partial, batch_format='pyarrow') \
+        .groupby('_w').aggregate(Sum('_c', alias_name='_c')).to_pandas()
+    bi = docs.map_batches(bi_partial, batch_format='pyarrow') \
+        .groupby('_w').aggregate(Sum('_c', alias_name='_c')).to_pandas()
+    V = len(uni)
+    uni_ref = ray.put(dict(zip(uni['_w'], uni['_c'].astype(int))))
+    bi_ref = ray.put(dict(zip(bi['_w'], bi['_c'].astype(int))))
+
+    def score(batch: pa.Table) -> pa.Table:
+        from pii_detector_ray.stages.dsir import _qln
+        c1 = ray.get(uni_ref)
+        c2 = ray.get(bi_ref)
+        out_doc: list[int] = []
+        out_n: list[int] = []
+        out_s: list[int] = []
+        for did, t in zip(batch.column('doc_id').to_pylist(),
+                          batch.column('text').to_pylist()):
+            ws = (t or '').split(' ')
+            if len(ws) < 2:
+                continue
+            p = np.array([(c2[a + '\x1f' + b] + 1.0) / (c1[a] + V)
+                          for a, b in zip(ws, ws[1:])], np.float64)
+            out_doc.append(did)
+            out_n.append(len(p))
+            out_s.append(int(_qln(p).sum()))
+        n = np.array(out_n, np.int64)
+        s = np.array(out_s, np.int64)
+        ppl = sql_round_np(np.exp(-(s.astype(np.float64) / 1e6)
+                                  / n.astype(np.float64)), 6) \
+            if len(n) else np.empty(0, np.float64)
+        return pa.table({'doc_id': pa.array(out_doc, pa.int64()),
+                         'n_bigrams': pa.array(n),
+                         'ppl': pa.array(ppl, pa.float64())})
+
+    return docs.map_batches(score, batch_format='pyarrow')
+
+
+_BIGRAM_LM_PPL_SQL = (
+    "WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws "
+    'FROM documents), '
+    't AS (SELECT unnest(ws) AS tok FROM w), '
+    'uni AS (SELECT tok, count(*)::BIGINT AS c1 FROM t GROUP BY tok), '
+    'vv AS (SELECT count(*)::BIGINT AS v FROM uni), '
+    'bi AS (SELECT doc_id, w1, w2 FROM (SELECT doc_id, unnest(ws) AS w1, '
+    'unnest(ws[2:]) AS w2 FROM w) WHERE w2 IS NOT NULL), '
+    'bc AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bi GROUP BY 1, 2), '
+    'q AS (SELECT bi.doc_id, CAST(round(1000000.0 * '
+    'ln((bc.c2 + 1.0) / (u.c1 + vv.v))) AS BIGINT) AS lq '
+    'FROM bi JOIN bc ON bi.w1 = bc.w1 AND bi.w2 = bc.w2 '
+    'JOIN uni u ON bi.w1 = u.tok, vv) '
+    'SELECT doc_id, count(*) AS n_bigrams, '
+    'round(exp(-(CAST(sum(lq) AS DOUBLE) / 1000000.0) '
+    '/ CAST(count(*) AS DOUBLE)), 6) AS ppl FROM q GROUP BY doc_id'
+)
+
+
+def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
+    """First 12 BPE merges learned from the documents corpus
+    (stages/bpe.py) — iterative, so no SQL oracle; determinism,
+    parallelism-invariance, and serial-reference equivalence are pinned
+    in tests/test_bpe.py."""
+    from pii_detector_ray.stages.bpe import learn_bpe
+    return learn_bpe(read_documents(sf_dir, ['text']), n_merges=12)
+
+
+# ---------------------------------------------------------------------------
 # Round-4 wave 14: market-basket co-occurrence, session-count distribution,
 # weighted means, and winsorized statistics.
 # ---------------------------------------------------------------------------
@@ -9180,6 +9335,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'sessions_per_user_dist': q_sessions_per_user_dist,
         'brand_weighted_avg_price': q_brand_weighted_avg_price,
         'winsorized_mean': q_winsorized_mean,
+        'user_type_bitmask': q_user_type_bitmask,
+        'bigram_lm_ppl': q_bigram_lm_ppl,
+        'bpe_merges': q_bpe_merges,
         'late_shipment_counts': q_late_shipment_counts,
         'promo_revenue': q_promo_revenue,
         'small_quantity_revenue': q_small_quantity_revenue,
@@ -9374,6 +9532,8 @@ def oracle_sql() -> dict[str, str]:
         'sessions_per_user_dist': _SESSIONS_PER_USER_SQL,
         'brand_weighted_avg_price': _BRAND_WAVG_SQL,
         'winsorized_mean': _WINSORIZED_MEAN_SQL,
+        'user_type_bitmask': _user_type_bitmask_sql(),
+        'bigram_lm_ppl': _BIGRAM_LM_PPL_SQL,
         'late_shipment_counts': _LATE_SHIPMENT_SQL,
         'promo_revenue': _PROMO_REVENUE_SQL,
         'small_quantity_revenue': _SMALL_QUANTITY_SQL,

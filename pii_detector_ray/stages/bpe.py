@@ -1,0 +1,138 @@
+"""Distributed byte-pair-encoding merge learning over a Ray Dataset.
+
+BPE (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+with Subword Units") learns merges from the WORD-FREQUENCY table, not
+the raw corpus: one narrow distributed count collapses arbitrarily much
+text to (word, freq) — vocabulary-bounded — and every merge iteration is
+then a map_batches pair-count partial + a tiny driver fold + a
+map_batches rewrite of the symbol table.  Nothing corpus-proportional
+ever recurs after the first pass, which is what makes the classic
+serial algorithm scale: at 100 TB the only full-data pass is the word
+count's narrow (word, n) shuffle.
+
+Determinism contract: the winning pair each step is max by
+(count desc, pair lexicographic asc); merge application is the standard
+greedy left-to-right non-overlapping scan.  Both are asserted
+parallelism-invariant in tests/test_bpe.py against a serial reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Sum
+
+SEP = '\x1f'
+END_OF_WORD = '</w>'
+
+
+def _word_freqs(docs: ray.data.Dataset, text_col: str) -> ray.data.Dataset:
+    def partial(batch: pa.Table) -> pa.Table:
+        cnt: dict[str, int] = {}
+        for t in batch.column(text_col).to_pylist():
+            for w in (t or '').split(' '):
+                if w:
+                    cnt[w] = cnt.get(w, 0) + 1
+        return pa.table({'_w': pa.array(list(cnt), pa.string()),
+                         '_n': pa.array(list(cnt.values()), pa.int64())})
+
+    return docs.map_batches(partial, batch_format='pyarrow') \
+        .groupby('_w').aggregate(Sum('_n', alias_name='_n'))
+
+
+def _to_symbols(t: pa.Table) -> pa.Table:
+    syms = [SEP.join(list(w) + [END_OF_WORD])
+            for w in t.column('_w').to_pylist()]
+    return pa.table({'_s': pa.array(syms, pa.string()),
+                     '_n': t.column('_n')})
+
+
+def _pair_partial(t: pa.Table) -> pa.Table:
+    cnt: dict[str, int] = {}
+    for s, n in zip(t.column('_s').to_pylist(),
+                    t.column('_n').to_pylist()):
+        syms = s.split(SEP)
+        for a, b in zip(syms, syms[1:]):
+            k = a + SEP + b
+            cnt[k] = cnt.get(k, 0) + int(n)
+    return pa.table({'_p': pa.array(list(cnt), pa.string()),
+                     '_c': pa.array(list(cnt.values()), pa.int64())})
+
+
+def merge_symbols(syms: list[str], left: str, right: str) -> list[str]:
+    """Greedy left-to-right non-overlapping merge of (left, right)."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if (i + 1 < len(syms) and syms[i] == left
+                and syms[i + 1] == right):
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def learn_bpe(docs: ray.data.Dataset, *, text_col: str = 'text',
+              n_merges: int = 10) -> pd.DataFrame:
+    """Learn the first ``n_merges`` BPE merges from ``docs[text_col]``.
+
+    Returns a DataFrame (step, left, right, count) in merge order."""
+    symt = _word_freqs(docs, text_col) \
+        .map_batches(_to_symbols, batch_format='pyarrow').materialize()
+    merges: list[dict] = []
+    for step in range(n_merges):
+        parts = symt.map_batches(_pair_partial,
+                                 batch_format='pyarrow').to_pandas()
+        if not len(parts):
+            break
+        fold = parts.groupby('_p', as_index=False)['_c'].sum()
+        # deterministic winner: count desc, pair lexicographic asc
+        fold = fold.sort_values(['_c', '_p'], ascending=[False, True],
+                                kind='mergesort')
+        best_p, best_c = fold.iloc[0]['_p'], int(fold.iloc[0]['_c'])
+        if best_c < 2:
+            break            # nothing left worth merging
+        left, right = best_p.split(SEP)
+        merges.append({'step': step, 'left': left, 'right': right,
+                       'count': best_c})
+
+        def apply(t: pa.Table, left=left, right=right) -> pa.Table:
+            out = [SEP.join(merge_symbols(s.split(SEP), left, right))
+                   for s in t.column('_s').to_pylist()]
+            return pa.table({'_s': pa.array(out, pa.string()),
+                             '_n': t.column('_n')})
+
+        symt = symt.map_batches(apply, batch_format='pyarrow') \
+            .materialize()
+    return pd.DataFrame(merges, columns=['step', 'left', 'right', 'count'])
+
+
+def learn_bpe_serial(texts: list[str], n_merges: int = 10) -> pd.DataFrame:
+    """Single-process reference implementation (test oracle)."""
+    freqs: dict[str, int] = {}
+    for t in texts:
+        for w in (t or '').split(' '):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    tab = {w: list(w) + [END_OF_WORD] for w in freqs}
+    merges: list[dict] = []
+    for step in range(n_merges):
+        cnt: dict[tuple, int] = {}
+        for w, syms in tab.items():
+            for pair in zip(syms, syms[1:]):
+                cnt[pair] = cnt.get(pair, 0) + freqs[w]
+        if not cnt:
+            break
+        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), c = best
+        if c < 2:
+            break
+        merges.append({'step': step, 'left': left, 'right': right,
+                       'count': c})
+        tab = {w: merge_symbols(s, left, right) for w, s in tab.items()}
+    return pd.DataFrame(merges, columns=['step', 'left', 'right', 'count'])

@@ -1,0 +1,48 @@
+"""Distributed BPE merge learning: classic hand-checked example, serial
+reference equivalence, parallelism invariance, greedy merge semantics."""
+
+import pandas as pd
+import ray
+
+from pii_detector_ray.stages.bpe import (
+    learn_bpe,
+    learn_bpe_serial,
+    merge_symbols,
+)
+
+
+def _docs(texts, blocks=4):
+    return ray.data.from_pandas(pd.DataFrame({'text': texts})) \
+        .repartition(blocks)
+
+
+def test_merge_symbols_greedy_nonoverlapping():
+    assert merge_symbols(['a', 'a', 'a'], 'a', 'a') == ['aa', 'a']
+    assert merge_symbols(['a', 'a', 'a', 'a'], 'a', 'a') == ['aa', 'aa']
+    assert merge_symbols(['x', 'a', 'b', 'y'], 'a', 'b') == ['x', 'ab', 'y']
+
+
+def test_bpe_classic_example(ray_session):
+    # Sennrich et al.'s canonical toy: low/lower/newest/widest
+    texts = (['low'] * 5 + ['lower'] * 2 + ['newest'] * 6 + ['widest'] * 3)
+    got = learn_bpe(_docs([' '.join(texts)]), n_merges=4)
+    # 'es' (newest 6 + widest 3 = 9) wins first, then 'est', then 'est</w>'
+    assert got.iloc[0][['left', 'right', 'count']].tolist() == ['e', 's', 9]
+    assert got.iloc[1][['left', 'right', 'count']].tolist() == ['es', 't', 9]
+    assert got.iloc[2][['left', 'right', 'count']].tolist() == \
+        ['est', '</w>', 9]
+
+
+def test_bpe_matches_serial_reference(ray_session):
+    texts = ['the cat sat on the mat', 'the cats eat fat rats',
+             'matting and batting', 'cat mat bat ' * 10, '', 'the the the']
+    exp = learn_bpe_serial(texts, n_merges=8)
+    got = learn_bpe(_docs(texts), n_merges=8)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_bpe_parallelism_invariant(ray_session):
+    texts = [f'token{i % 7} repeat repeat word{i % 3}' for i in range(200)]
+    a = learn_bpe(_docs(texts, blocks=2), n_merges=6)
+    b = learn_bpe(_docs(texts, blocks=11), n_merges=6)
+    pd.testing.assert_frame_equal(a, b)
