@@ -8905,6 +8905,72 @@ def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
     return learn_bpe(read_documents(sf_dir, ['text']), n_merges=12)
 
 
+def q_bpe_token_counts(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc token counts under the 12-merge BPE tokenizer learned from
+    this corpus — learn + encode composed (the tokenizer-budget
+    measurement).  Iterative learning -> rows-only; encoder semantics
+    are pinned against the serial reference in tests/test_bpe.py."""
+    from pii_detector_ray.stages.bpe import encode_token_counts, learn_bpe
+    docs = read_documents(sf_dir, ['doc_id', 'text'])
+    merges = learn_bpe(docs, n_merges=12)
+    return encode_token_counts(docs, merges)
+
+
+def q_dedup_keep_best(sf_dir: str) -> ray.data.Dataset:
+    """Near-exact dedup that keeps the HIGHEST-QUALITY copy — not the
+    first: groups key on normalized text (the dedup_normalized contract)
+    and the winner is argmax(n_chars, tie min doc_id), i.e. the
+    least-degraded variant (case/whitespace-mangled copies are shorter).
+
+    The argmax packs (n_chars << 40 | (2^40-1 - doc_id)) into ONE int64
+    Max — associative, no row co-location (doc_id < 2^40 asserted; a
+    deployment past that re-packs into two-level folds).  One narrow
+    (16-byte key) shuffle, never text."""
+    from pii_detector_ray.functions.textnorm import normalize_ws_nfc
+
+    B = 1 << 40
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column('doc_id').to_numpy(zero_copy_only=False)
+        nch = batch.column('n_chars').to_numpy(zero_copy_only=False)
+        if len(ids) and (ids.max() >= B or nch.max() >= (1 << 23)):
+            raise AssertionError('keep-best pack domain exceeded')
+        keys = [hashlib.md5(normalize_ws_nfc(t).lower().encode())
+                .hexdigest()
+                for t in batch.column('text').to_pylist()]
+        pk = nch.astype(np.int64) * B + (B - 1 - ids.astype(np.int64))
+        return pa.table({'_k': pa.array(keys, pa.string()),
+                         '_pk': pa.array(pk, pa.int64())})
+
+    agg = (read_documents(sf_dir, ['doc_id', 'text', 'n_chars'])
+           .map_batches(keyed, batch_format='pyarrow')
+           .groupby('_k')
+           .aggregate(Max('_pk', alias_name='_pk'),
+                      Count(alias_name='n_dups')))
+
+    def fin(t: pa.Table) -> pa.Table:
+        pk = t.column('_pk').to_numpy(zero_copy_only=False)
+        return pa.table({
+            'doc_id': pa.array(B - 1 - (pk % B), type=pa.int64()),
+            'n_chars': pa.array(pk // B, type=pa.int64()),
+            'n_dups': pc.cast(t.column('n_dups'), pa.int64())})
+
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    return drop_empty_blocks(agg).map_batches(fin, batch_format='pyarrow')
+
+
+_DEDUP_KEEP_BEST_SQL = (
+    'WITH k AS (SELECT doc_id, n_chars, '
+    "md5(lower(trim(regexp_replace(nfc_normalize(text), "
+    "'[ \\t\\n\\r\\f]+', ' ', 'g'), ' '))) AS key FROM documents), "
+    'm AS (SELECT key, count(*) AS n_dups, '
+    'max(n_chars * 1099511627776 + (1099511627775 - doc_id)) AS pk '
+    'FROM k GROUP BY key) '
+    'SELECT 1099511627775 - (pk % 1099511627776) AS doc_id, '
+    'pk // 1099511627776 AS n_chars, n_dups FROM m'
+)
+
+
 # ---------------------------------------------------------------------------
 # Round-4 wave 14: market-basket co-occurrence, session-count distribution,
 # weighted means, and winsorized statistics.
@@ -9338,6 +9404,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'user_type_bitmask': q_user_type_bitmask,
         'bigram_lm_ppl': q_bigram_lm_ppl,
         'bpe_merges': q_bpe_merges,
+        'bpe_token_counts': q_bpe_token_counts,
+        'dedup_keep_best': q_dedup_keep_best,
         'late_shipment_counts': q_late_shipment_counts,
         'promo_revenue': q_promo_revenue,
         'small_quantity_revenue': q_small_quantity_revenue,
@@ -9534,6 +9602,7 @@ def oracle_sql() -> dict[str, str]:
         'winsorized_mean': _WINSORIZED_MEAN_SQL,
         'user_type_bitmask': _user_type_bitmask_sql(),
         'bigram_lm_ppl': _BIGRAM_LM_PPL_SQL,
+        'dedup_keep_best': _DEDUP_KEEP_BEST_SQL,
         'late_shipment_counts': _LATE_SHIPMENT_SQL,
         'promo_revenue': _PROMO_REVENUE_SQL,
         'small_quantity_revenue': _SMALL_QUANTITY_SQL,

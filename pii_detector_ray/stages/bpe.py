@@ -112,6 +112,47 @@ def learn_bpe(docs: ray.data.Dataset, *, text_col: str = 'text',
     return pd.DataFrame(merges, columns=['step', 'left', 'right', 'count'])
 
 
+def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply learned merges to one word, in merge order (the standard
+    BPE encoder: each rule replays the greedy left-to-right scan)."""
+    syms = list(word) + [END_OF_WORD]
+    for left, right in merges:
+        if len(syms) == 1:
+            break
+        syms = merge_symbols(syms, left, right)
+    return syms
+
+
+def encode_token_counts(docs: ray.data.Dataset, merges: pd.DataFrame,
+                        *, text_col: str = 'text',
+                        id_col: str = 'doc_id') -> ray.data.Dataset:
+    """Per-document BPE token counts under the learned merge table —
+    the tokenizer-budget measurement step.  The merge list broadcasts
+    once (it is n_merges rows); per-word encodings are memoized per
+    batch so repeated words cost one scan."""
+    rules = ray.put(list(zip(merges['left'], merges['right'])))
+
+    def enc(batch: pa.Table) -> pa.Table:
+        rs = ray.get(rules)
+        memo: dict[str, int] = {}
+        n_tok = np.zeros(len(batch), np.int64)
+        n_words = np.zeros(len(batch), np.int64)
+        for i, t in enumerate(batch.column(text_col).to_pylist()):
+            ws = [w for w in (t or '').split(' ') if w]
+            n_words[i] = len(ws)
+            s = 0
+            for w in ws:
+                if w not in memo:
+                    memo[w] = len(encode_word(w, rs))
+                s += memo[w]
+            n_tok[i] = s
+        return pa.table({id_col: batch.column(id_col),
+                         'n_words': pa.array(n_words),
+                         'n_bpe_tokens': pa.array(n_tok)})
+
+    return docs.map_batches(enc, batch_format='pyarrow')
+
+
 def learn_bpe_serial(texts: list[str], n_merges: int = 10) -> pd.DataFrame:
     """Single-process reference implementation (test oracle)."""
     freqs: dict[str, int] = {}

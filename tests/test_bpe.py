@@ -46,3 +46,22 @@ def test_bpe_parallelism_invariant(ray_session):
     a = learn_bpe(_docs(texts, blocks=2), n_merges=6)
     b = learn_bpe(_docs(texts, blocks=11), n_merges=6)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_bpe_encode_matches_serial(ray_session):
+    from pii_detector_ray.stages.bpe import encode_token_counts, encode_word
+    texts = ['low lower newest widest', 'the newest low', '']
+    merges = learn_bpe_serial(texts, n_merges=5)
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {'doc_id': [0, 1, 2], 'text': texts})).repartition(2)
+    got = encode_token_counts(docs, merges).to_pandas() \
+        .sort_values('doc_id').reset_index(drop=True)
+    rules = list(zip(merges['left'], merges['right']))
+    for i, t in enumerate(texts):
+        ws = [w for w in t.split(' ') if w]
+        exp_tok = sum(len(encode_word(w, rules)) for w in ws)
+        assert got.loc[i, 'n_words'] == len(ws)
+        assert got.loc[i, 'n_bpe_tokens'] == exp_tok
+    # with merges applied, doc 0 must tokenize shorter than char-level
+    assert got.loc[0, 'n_bpe_tokens'] < sum(
+        len(w) + 1 for w in texts[0].split(' '))
