@@ -7723,15 +7723,10 @@ def q_source_vocab_overlap(sf_dir: str) -> pd.DataFrame:
              .select_columns(['_t', '_b'])
              .groupby('_t').aggregate(Sum('_b', alias_name='_m')))
 
-    def hist(t: pa.Table) -> pa.Table:
-        m = t.column('_m').to_numpy(zero_copy_only=False)
-        vals, counts = np.unique(m, return_counts=True)
-        return pa.table({'_m': pa.array(vals, pa.int64()),
-                         '_c': pa.array(counts, pa.int64())})
-
     from pii_detector_ray.stages.dedup import drop_empty_blocks
     h = drop_empty_blocks(masks) \
-        .map_batches(hist, batch_format='pyarrow', batch_size=None) \
+        .map_batches(_hist_partial('_m', '_m', '_c'),
+                     batch_format='pyarrow', batch_size=None) \
         .to_pandas().groupby('_m', as_index=False)['_c'].sum()
     mvals = h['_m'].to_numpy(np.int64)
     mcnts = h['_c'].to_numpy(np.int64)
@@ -7772,6 +7767,38 @@ _SOURCE_VOCAB_SQL = (
 # ---------------------------------------------------------------------------
 
 
+def _hist_partial(col_in: str, col_key: str, col_cnt: str):
+    """Per-block count-of-counts fold: int values in ``col_in`` ->
+    (value, occurrences) partial rows — the shared second-aggregate step
+    of every count-distribution query (the alphabet of distinct counts
+    is tiny, so partials fold on the driver)."""
+    def hist(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({col_key: pa.array([], pa.int64()),
+                             col_cnt: pa.array([], pa.int64())})
+        vals, counts = np.unique(
+            t.column(col_in).to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({col_key: pa.array(vals.astype(np.int64)),
+                         col_cnt: pa.array(counts.astype(np.int64))})
+    return hist
+
+
+def _cents_by_bucket(unit: str):
+    """Per-block exact integer-cent revenue fold by truncated o_orderdate
+    bucket ('M' months / 'D' days — both bounded alphabets)."""
+    def partial(t: pa.Table) -> pa.Table:
+        dt = t.column('o_orderdate').to_numpy(zero_copy_only=False)
+        bucket = dt.astype(f'datetime64[{unit}]')
+        cents = np.rint(t.column('o_totalprice')
+                        .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        df = pd.DataFrame({'_d': bucket.astype('datetime64[us]'),
+                           '_c': cents}).groupby('_d', as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+    return partial
+
+
 def q_monthly_revenue_growth(sf_dir: str) -> pd.DataFrame:
     """Month-over-month revenue growth — the LAG() percent-change window
     over a time-bucketed aggregate.
@@ -7786,19 +7813,10 @@ def q_monthly_revenue_growth(sf_dir: str) -> pd.DataFrame:
     orders = read_parquet_clean(os.path.join(sf_dir, 'orders.parquet'),
                                 columns=['o_orderdate', 'o_totalprice'])
 
-    def partial(t: pa.Table) -> pa.Table:
-        dt = t.column('o_orderdate').to_numpy(zero_copy_only=False)
-        month = dt.astype('datetime64[M]')
-        cents = np.rint(t.column('o_totalprice')
-                        .to_numpy(zero_copy_only=False) * 100.0) \
-            .astype(np.int64)
-        df = pd.DataFrame({'_m': month.astype('datetime64[us]'),
-                           '_c': cents}).groupby('_m', as_index=False).sum()
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    parts = orders.map_batches(partial, batch_format='pyarrow').to_pandas()
-    m = parts.groupby('_m', as_index=False)['_c'].sum() \
-        .sort_values('_m', kind='mergesort').reset_index(drop=True)
+    parts = orders.map_batches(_cents_by_bucket('M'),
+                               batch_format='pyarrow').to_pandas()
+    m = parts.groupby('_d', as_index=False)['_c'].sum() \
+        .sort_values('_d', kind='mergesort').reset_index(drop=True)
     c = m['_c'].to_numpy(np.int64)
     growth = np.full(len(c), np.nan)
     if len(c) > 1:
@@ -7806,7 +7824,7 @@ def q_monthly_revenue_growth(sf_dir: str) -> pd.DataFrame:
             (c[1:] - c[:-1]).astype(np.float64) / c[:-1].astype(np.float64),
             6)
     return pd.DataFrame({
-        'month': m['_m'],
+        'month': m['_d'],
         'revenue': sql_round_np(c.astype(np.float64) / 100.0, 2),
         'growth': growth})
 
@@ -7858,7 +7876,12 @@ def q_dedup_normalized(sf_dir: str) -> ray.data.Dataset:
     """Near-exact dedup keyed on NORMALIZED text (NFC + whitespace collapse
     + trim + casefold-to-lower) — catches re-encoded/re-wrapped copies the
     byte-exact dedup_exact misses.  Same winner-key aggregate shape as
-    dedup_exact: one narrow (16-byte key) shuffle, never text."""
+    dedup_exact: one narrow (16-byte key) shuffle, never text.
+
+    Known contract limit: Python str.lower() and DuckDB lower() diverge
+    on one-to-many case mappings (e.g. U+0130 'İ' -> 'i' + combining dot
+    in Python, 'i' in DuckDB); no such codepoint exists in the corpus
+    alphabet (verified), so the oracle is exact here."""
     from pii_detector_ray.functions.textnorm import normalize_ws_nfc
 
     def keyed(batch: pa.Table) -> pa.Table:
@@ -8147,12 +8170,26 @@ def q_order_count_distribution(sf_dir: str) -> pd.DataFrame:
     counts) is tiny, so each block folds a bincount partial and the
     driver sums.  The zero row needs only two scalars — total customers
     (pruned count) and customers-with-orders (size of the first
-    aggregate) — never a customer-side join."""
+    aggregate) — never a customer-side join.  LEFT-JOIN parity: orders
+    whose custkey has no customer row drop map-side against a broadcast
+    key set (the oracle starts FROM customer, so a phantom key must not
+    count)."""
     import os
+    cust_keys = np.sort(read_parquet_clean(
+        os.path.join(sf_dir, 'customer.parquet'),
+        columns=['c_custkey']).to_pandas()['c_custkey'].to_numpy(np.int64))
+    ckeys_ref = ray.put(cust_keys)
     orders = read_parquet_clean(os.path.join(sf_dir, 'orders.parquet'),
                                 columns=['o_custkey'])
 
     def partial(t: pa.Table) -> pa.Table:
+        ck = ray.get(ckeys_ref)
+        keys = t.column('o_custkey').to_numpy(zero_copy_only=False)
+        if len(ck) == 0 or len(keys) == 0:
+            return pa.table({'_ck': pa.array([], pa.int64()),
+                             '_n': pa.array([], pa.int64())})
+        idx = np.minimum(np.searchsorted(ck, keys), len(ck) - 1)
+        t = t.filter(pa.array(ck[idx] == keys))
         agg = t.group_by('o_custkey').aggregate([('o_custkey', 'count')])
         return pa.table({'_ck': agg.column('o_custkey'),
                          '_n': pc.cast(agg.column('o_custkey_count'),
@@ -8161,20 +8198,10 @@ def q_order_count_distribution(sf_dir: str) -> pd.DataFrame:
     per_cust = (orders.map_batches(partial, batch_format='pyarrow')
                 .groupby('_ck').aggregate(Sum('_n', alias_name='_n')))
 
-    def hist(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return pa.table({'_c': pa.array([], pa.int64()),
-                             '_d': pa.array([], pa.int64())})
-        vc = pd.Series(t.column('_n').to_numpy(zero_copy_only=False)) \
-            .value_counts()
-        return pa.table({'_c': pa.array(vc.index.to_numpy(np.int64)),
-                         '_d': pa.array(vc.to_numpy(np.int64))})
-
-    parts = per_cust.map_batches(hist, batch_format='pyarrow').to_pandas()
+    parts = per_cust.map_batches(_hist_partial('_n', '_c', '_d'),
+                                 batch_format='pyarrow').to_pandas()
     fold = parts.groupby('_c', as_index=False)['_d'].sum()
-    n_cust = read_parquet_clean(os.path.join(sf_dir, 'customer.parquet'),
-                                columns=['c_custkey']).count()
-    n_zero = n_cust - int(fold['_d'].sum())
+    n_zero = len(cust_keys) - int(fold['_d'].sum())
     out = pd.DataFrame({'c_count': fold['_c'].astype('int64'),
                         'custdist': fold['_d'].astype('int64')})
     if n_zero > 0:
@@ -8254,7 +8281,10 @@ def q_waiting_suppliers(sf_dir: str) -> ray.data.Dataset:
         q = t.column('_q').to_numpy(zero_copy_only=False)
         keep = (ns >= 2) & (nr == 1)
         names = ray.get(name_ref)
-        vc = pd.Series([names[int(s)] for s in q[keep]]).value_counts()
+        # .get: a suppkey absent from supplier drops, as the oracle's
+        # inner join does
+        vc = pd.Series([n for n in (names.get(int(s)) for s in q[keep])
+                        if n is not None]).value_counts()
         return pa.table({'s_name': pa.array(vc.index.tolist(), pa.string()),
                          '_w': pa.array(vc.to_numpy(np.int64))})
 
@@ -8402,17 +8432,8 @@ def q_daily_revenue_ma7(sf_dir: str) -> pd.DataFrame:
     orders = read_parquet_clean(os.path.join(sf_dir, 'orders.parquet'),
                                 columns=['o_orderdate', 'o_totalprice'])
 
-    def partial(t: pa.Table) -> pa.Table:
-        dt = t.column('o_orderdate').to_numpy(zero_copy_only=False)
-        day = dt.astype('datetime64[D]')
-        cents = np.rint(t.column('o_totalprice')
-                        .to_numpy(zero_copy_only=False) * 100.0) \
-            .astype(np.int64)
-        df = pd.DataFrame({'_d': day.astype('datetime64[us]'),
-                           '_c': cents}).groupby('_d', as_index=False).sum()
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    parts = orders.map_batches(partial, batch_format='pyarrow').to_pandas()
+    parts = orders.map_batches(_cents_by_bucket('D'),
+                               batch_format='pyarrow').to_pandas()
     d = parts.groupby('_d', as_index=False)['_c'].sum() \
         .sort_values('_d', kind='mergesort').reset_index(drop=True)
     c = d['_c'].to_numpy(np.int64)
@@ -8446,7 +8467,10 @@ def q_user_first_last_event(sf_dir: str) -> ray.data.Dataset:
     sort or co-location: (ts, type) packs into ONE lexicographically
     ordered string (zero-padded 20-digit epoch-micros + '|' + type), so
     first/last reduce to Min/Max — associative, parallelism-invariant,
-    pre-folded per block and closed by one narrow groupby."""
+    pre-folded per block and closed by one narrow groupby.  Domain:
+    non-negative epochs only (zero-padding inverts lexicographic order
+    for negatives — and the oracle's lpad breaks differently there), so
+    pre-1970 timestamps are asserted out rather than silently wrong."""
 
     def partial(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -8455,6 +8479,9 @@ def q_user_first_last_event(sf_dir: str) -> ray.data.Dataset:
                              '_mx': pa.array([], pa.string())})
         us = t.column('ts').to_numpy(zero_copy_only=False) \
             .astype('datetime64[us]').astype(np.int64)
+        if us.min() < 0:
+            raise AssertionError('pre-1970 timestamp: the packed-string '
+                                 'ordering only holds for epochs >= 0')
         typ = t.column('event_type').to_pylist()
         pk = [f'{u:020d}|{ty}' for u, ty in zip(us, typ)]
         df = pd.DataFrame({'user_id': t.column('user_id')
@@ -8606,7 +8633,10 @@ _DOC_NGRAM_NOVELTY_SQL = (
 )
 
 
-def q_oov_rate(sf_dir: str, vocab_k: int = 100) -> ray.data.Dataset:
+_OOV_VOCAB_K = 100
+
+
+def q_oov_rate(sf_dir: str, vocab_k: int = _OOV_VOCAB_K) -> ray.data.Dataset:
     """Per-document out-of-vocabulary rate against the corpus's exact
     top-K token vocabulary — the coverage signal a tokenizer-budget
     decision reads.
@@ -8656,7 +8686,8 @@ _OOV_RATE_SQL = (
     'FROM documents), '
     't AS (SELECT doc_id, unnest(ws) AS tok FROM w), '
     'c AS (SELECT tok, count(*) AS c FROM t GROUP BY tok), '
-    'v AS (SELECT tok FROM c ORDER BY c DESC, tok ASC LIMIT 100) '
+    'v AS (SELECT tok FROM c ORDER BY c DESC, tok ASC '
+    f'LIMIT {_OOV_VOCAB_K}) '
     'SELECT doc_id, count(*) AS n_tokens, '
     'CAST(sum(CASE WHEN tok NOT IN (SELECT tok FROM v) THEN 1 ELSE 0 END) '
     'AS BIGINT) AS n_oov, '
@@ -8767,7 +8798,9 @@ def q_user_type_bitmask(sf_dir: str) -> ray.data.Dataset:
 
     def partial(t: pa.Table) -> pa.Table:
         u = t.column('user_id').to_numpy(zero_copy_only=False)
-        bits = np.array([1 << tid[x] for x in
+        # unknown/NULL types fold to bit 0 == skipped, mirroring the
+        # oracle's CASE -> NULL -> bit_or-ignores path
+        bits = np.array([1 << tid[x] if x in tid else 0 for x in
                          t.column('event_type').to_pylist()], np.int64)
         df = pd.DataFrame({'user_id': u, '_bit': bits}).drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
@@ -8831,22 +8864,27 @@ def q_bigram_lm_ppl(sf_dir: str) -> ray.data.Dataset:
                          '_c': pa.array(list(cnt.values()), pa.int64())})
 
     def bi_partial(batch: pa.Table) -> pa.Table:
-        cnt: dict[str, int] = {}
+        # keyed on the (w1, w2) PAIR — two shuffle columns, not a joined
+        # string, so a delimiter char inside a token can never collide
+        # two distinct bigrams the oracle's GROUP BY w1, w2 keeps apart
+        cnt: dict[tuple, int] = {}
         for t in batch.column('text').to_pylist():
             ws = (t or '').split(' ')
-            for a, b in zip(ws, ws[1:]):
-                k = a + '\x1f' + b
+            for k in zip(ws, ws[1:]):
                 cnt[k] = cnt.get(k, 0) + 1
-        return pa.table({'_w': pa.array(list(cnt), pa.string()),
+        return pa.table({'_w1': pa.array([k[0] for k in cnt], pa.string()),
+                         '_w2': pa.array([k[1] for k in cnt], pa.string()),
                          '_c': pa.array(list(cnt.values()), pa.int64())})
 
     uni = docs.map_batches(uni_partial, batch_format='pyarrow') \
         .groupby('_w').aggregate(Sum('_c', alias_name='_c')).to_pandas()
     bi = docs.map_batches(bi_partial, batch_format='pyarrow') \
-        .groupby('_w').aggregate(Sum('_c', alias_name='_c')).to_pandas()
+        .groupby(['_w1', '_w2']).aggregate(Sum('_c', alias_name='_c')) \
+        .to_pandas()
     V = len(uni)
     uni_ref = ray.put(dict(zip(uni['_w'], uni['_c'].astype(int))))
-    bi_ref = ray.put(dict(zip(bi['_w'], bi['_c'].astype(int))))
+    bi_ref = ray.put({(a, b): int(c) for a, b, c in
+                      zip(bi['_w1'], bi['_w2'], bi['_c'])})
 
     def score(batch: pa.Table) -> pa.Table:
         from pii_detector_ray.stages.dsir import _qln
@@ -8860,7 +8898,7 @@ def q_bigram_lm_ppl(sf_dir: str) -> ray.data.Dataset:
             ws = (t or '').split(' ')
             if len(ws) < 2:
                 continue
-            p = np.array([(c2[a + '\x1f' + b] + 1.0) / (c1[a] + V)
+            p = np.array([(c2[(a, b)] + 1.0) / (c1[a] + V)
                           for a, b in zip(ws, ws[1:])], np.float64)
             out_doc.append(did)
             out_n.append(len(p))
@@ -9126,16 +9164,8 @@ def q_sessions_per_user_dist(sf_dir: str) -> pd.DataFrame:
     per_user = (sess.map_batches(partial, batch_format='pyarrow')
                 .groupby('_u').aggregate(Sum('_n', alias_name='_n')))
 
-    def hist(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return pa.table({'_c': pa.array([], pa.int64()),
-                             '_d': pa.array([], pa.int64())})
-        vc = pd.Series(t.column('_n').to_numpy(zero_copy_only=False)) \
-            .value_counts()
-        return pa.table({'_c': pa.array(vc.index.to_numpy(np.int64)),
-                         '_d': pa.array(vc.to_numpy(np.int64))})
-
-    parts = per_user.map_batches(hist, batch_format='pyarrow').to_pandas()
+    parts = per_user.map_batches(_hist_partial('_n', '_c', '_d'),
+                                 batch_format='pyarrow').to_pandas()
     fold = parts.groupby('_c', as_index=False)['_d'].sum()
     return pd.DataFrame({'n_sessions': fold['_c'].astype('int64'),
                          'n_users': fold['_d'].astype('int64')})

@@ -29,12 +29,20 @@ SEP = '\x1f'
 END_OF_WORD = '</w>'
 
 
+def _valid_word(w: str) -> bool:
+    # words containing the reserved symbol separator or a substring that
+    # could merge into the end-of-word marker are excluded from LEARNING
+    # (the packed representation cannot express them); encode_word still
+    # handles them since encoding never packs
+    return bool(w) and SEP not in w and END_OF_WORD not in w
+
+
 def _word_freqs(docs: ray.data.Dataset, text_col: str) -> ray.data.Dataset:
     def partial(batch: pa.Table) -> pa.Table:
         cnt: dict[str, int] = {}
         for t in batch.column(text_col).to_pylist():
             for w in (t or '').split(' '):
-                if w:
+                if _valid_word(w):
                     cnt[w] = cnt.get(w, 0) + 1
         return pa.table({'_w': pa.array(list(cnt), pa.string()),
                          '_n': pa.array(list(cnt.values()), pa.int64())})
@@ -158,7 +166,7 @@ def learn_bpe_serial(texts: list[str], n_merges: int = 10) -> pd.DataFrame:
     freqs: dict[str, int] = {}
     for t in texts:
         for w in (t or '').split(' '):
-            if w:
+            if _valid_word(w):
                 freqs[w] = freqs.get(w, 0) + 1
     tab = {w: list(w) + [END_OF_WORD] for w in freqs}
     merges: list[dict] = []
