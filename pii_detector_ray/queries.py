@@ -9307,6 +9307,233 @@ _WINSORIZED_MEAN_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q11 / Q20 analogues — the last two join shapes from the classic set
+# ---------------------------------------------------------------------------
+
+
+def q_important_parts(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q11 shape (fraction-of-total HAVING): per-part revenue from one
+    region's suppliers, keeping parts whose value exceeds the mean part
+    value.  (Q11's ``> fraction * total`` is scale-sensitive on a fixed
+    fraction; ``> total // n_parts`` is the scale-invariant equivalent and
+    stays exact in int64.)
+
+    Plan (100 TB shape): region x nation resolve driver-side (tiny); the
+    region's supplier keyset broadcasts once via ``ray.put`` (suppliers are
+    ~1e-4 of lineitem; past the broadcast budget it shards like
+    stages/similarity.py).  Lineitem streams ONE pass of integer-cents
+    partials grouped per partkey inside each batch, then one narrow
+    (partkey, cents) groupby; the mean threshold is a single scalar from a
+    second pass over the materialized narrow stats, so nothing
+    part-proportional ever reaches the driver — the filtered result stays a
+    Dataset (≤ half the part cardinality by construction)."""
+    import os
+    nation = read_parquet_clean(os.path.join(sf_dir, 'nation.parquet'),
+                                columns=['n_nationkey', 'n_regionkey']
+                                ).to_pandas()
+    region = read_parquet_clean(os.path.join(sf_dir, 'region.parquet'),
+                                columns=['r_regionkey', 'r_name']
+                                ).to_pandas()
+    rk = int(region.loc[region['r_name'] == 'EUROPE',
+                        'r_regionkey'].iloc[0])
+    nkeys = np.asarray(
+        nation.loc[nation['n_regionkey'] == rk, 'n_nationkey'], np.int64)
+
+    supp = read_parquet_clean(os.path.join(sf_dir, 'supplier.parquet'),
+                              columns=['s_suppkey', 's_nationkey'])
+
+    def supp_side(t: pa.Table) -> pa.Table:
+        nk = t.column('s_nationkey').to_numpy(zero_copy_only=False)
+        return t.select(['s_suppkey']).filter(pa.array(np.isin(nk, nkeys)))
+
+    skeys = np.sort(np.asarray(
+        supp.map_batches(supp_side, batch_format='pyarrow')
+        .to_pandas()['s_suppkey'], np.int64))
+    skeys_ref = ray.put(skeys)
+
+    line = read_parquet_clean(
+        os.path.join(sf_dir, 'lineitem.parquet'),
+        columns=['l_partkey', 'l_suppkey', 'l_extendedprice'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk = ray.get(skeys_ref)
+        lk = t.column('l_suppkey').to_numpy(zero_copy_only=False)
+        if len(sk) == 0:
+            keep = np.zeros(len(lk), bool)
+        else:
+            idx = np.minimum(np.searchsorted(sk, lk), len(sk) - 1)
+            keep = sk[idx] == lk
+        cents = np.rint(t.column('l_extendedprice')
+                        .to_numpy(zero_copy_only=False)[keep]
+                        * 100.0).astype(np.int64)
+        tbl = pa.table({
+            'p_partkey': pc.cast(t.column('l_partkey'), pa.int64())
+            .filter(pa.array(keep)),
+            '_cents': pa.array(cents, pa.int64())})
+        return tbl.group_by('p_partkey').aggregate([('_cents', 'sum')]) \
+            .rename_columns(['p_partkey', '_cents'])
+
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    stats = drop_empty_blocks(
+        line.map_batches(partial, batch_format='pyarrow')
+        .groupby('p_partkey').aggregate(Sum('_cents', alias_name='_cents'))
+    ).materialize()                       # narrow: (int64, int64) per part
+    tot = stats.groupby(None).aggregate(
+        Sum('_cents', alias_name='_t'), Count(alias_name='_n')).to_pandas()
+    if len(tot) == 0 or int(tot['_n'].iloc[0]) == 0:
+        return ray.data.from_arrow(pa.table(
+            {'p_partkey': pa.array([], pa.int64()),
+             'value': pa.array([], pa.float64())}))
+    thresh = int(tot['_t'].iloc[0]) // int(tot['_n'].iloc[0])
+
+    def close(t: pa.Table) -> pa.Table:
+        cents = t.column('_cents').to_numpy(zero_copy_only=False)
+        keep = cents > thresh
+        return pa.table({
+            'p_partkey': t.column('p_partkey').filter(pa.array(keep)),
+            'value': pa.array(sql_round_np(cents[keep] / 100.0, 2),
+                              pa.float64())})
+
+    return stats.map_batches(close, batch_format='pyarrow')
+
+
+_IMPORTANT_PARTS_SQL = (
+    'WITH v AS (SELECT l_partkey AS p_partkey, '
+    'SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents '
+    'FROM lineitem JOIN supplier ON s_suppkey = l_suppkey '
+    'JOIN nation ON n_nationkey = s_nationkey '
+    'JOIN region ON r_regionkey = n_regionkey '
+    "WHERE r_name = 'EUROPE' GROUP BY l_partkey) "
+    'SELECT p_partkey, round(cents / 100.0, 2) AS value '
+    'FROM v WHERE cents > (SELECT SUM(cents) // COUNT(*) FROM v)'
+)
+
+
+def q_seasonal_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q20 shape (nested semi-join chain): suppliers in one region who
+    shipped more than 30% of their all-time quantity of some 'cold '-named
+    part inside one two-year window — part-name semi-join into a
+    per-(supplier, part) conditional aggregate, closed by a dim join.
+
+    Plan (100 TB shape): the 'cold %' part keyset and the region's
+    (suppkey -> name) map broadcast once via ``ray.put`` (both are ~1e-4 of
+    lineitem rows; the sharded-broadcast fallback applies past the budget).
+    Lineitem streams ONE pass: batch-local membership filters, then
+    in-batch (suppkey, partkey, window-qty, total-qty) integer partials;
+    one narrow two-int64-key groupby closes the sums; the 30% test is the
+    exact integer predicate ``10 * qw > 3 * qt`` (quantities are integral).
+    Qualifying suppliers dedup through a second narrow groupby — output is
+    supplier-bounded, so the final frame is small by construction."""
+    import os
+    d0 = np.datetime64('1995-01-01')
+    d1 = np.datetime64('1997-01-01')
+    nation = read_parquet_clean(os.path.join(sf_dir, 'nation.parquet'),
+                                columns=['n_nationkey', 'n_regionkey']
+                                ).to_pandas()
+    region = read_parquet_clean(os.path.join(sf_dir, 'region.parquet'),
+                                columns=['r_regionkey', 'r_name']
+                                ).to_pandas()
+    rk = int(region.loc[region['r_name'] == 'ASIA', 'r_regionkey'].iloc[0])
+    nkeys = np.asarray(
+        nation.loc[nation['n_regionkey'] == rk, 'n_nationkey'], np.int64)
+
+    supp = read_parquet_clean(os.path.join(sf_dir, 'supplier.parquet'),
+                              columns=['s_suppkey', 's_name', 's_nationkey'])
+
+    def supp_side(t: pa.Table) -> pa.Table:
+        nk = t.column('s_nationkey').to_numpy(zero_copy_only=False)
+        return t.select(['s_suppkey', 's_name']) \
+            .filter(pa.array(np.isin(nk, nkeys)))
+
+    sd = supp.map_batches(supp_side, batch_format='pyarrow').to_pandas()
+    skeys = np.asarray(sd['s_suppkey'], np.int64)
+    order = np.argsort(skeys, kind='stable')
+    skeys = skeys[order]
+    snames = np.asarray(sd['s_name'], object)[order]
+    skeys_ref = ray.put(skeys)
+
+    part = read_parquet_clean(os.path.join(sf_dir, 'part.parquet'),
+                              columns=['p_partkey', 'p_name'])
+
+    def part_side(t: pa.Table) -> pa.Table:
+        m = pc.starts_with(t.column('p_name'), 'cold ')
+        return t.select(['p_partkey']).filter(m)
+
+    pkeys = np.sort(np.asarray(
+        part.map_batches(part_side, batch_format='pyarrow')
+        .to_pandas()['p_partkey'], np.int64))
+    pkeys_ref = ray.put(pkeys)
+
+    line = read_parquet_clean(
+        os.path.join(sf_dir, 'lineitem.parquet'),
+        columns=['l_suppkey', 'l_partkey', 'l_quantity', 'l_shipdate'])
+
+    def _member(keys: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(len(vals), bool)
+        idx = np.minimum(np.searchsorted(keys, vals), len(keys) - 1)
+        return keys[idx] == vals
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk = ray.get(skeys_ref)
+        pk = ray.get(pkeys_ref)
+        lsk = t.column('l_suppkey').to_numpy(zero_copy_only=False)
+        lpk = t.column('l_partkey').to_numpy(zero_copy_only=False)
+        keep = _member(sk, lsk) & _member(pk, lpk)
+        q = np.rint(t.column('l_quantity').to_numpy(zero_copy_only=False)
+                    [keep]).astype(np.int64)
+        dt = t.column('l_shipdate').to_numpy(zero_copy_only=False)[keep]
+        inwin = ((dt >= d0) & (dt < d1)).astype(np.int64)
+        tbl = pa.table({'s_suppkey': pa.array(lsk[keep], pa.int64()),
+                        'p_partkey': pa.array(lpk[keep], pa.int64()),
+                        '_qw': pa.array(q * inwin, pa.int64()),
+                        '_qt': pa.array(q, pa.int64())})
+        return tbl.group_by(['s_suppkey', 'p_partkey']).aggregate(
+            [('_qw', 'sum'), ('_qt', 'sum')]) \
+            .rename_columns(['s_suppkey', 'p_partkey', '_qw', '_qt'])
+
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    agg = drop_empty_blocks(
+        line.map_batches(partial, batch_format='pyarrow')) \
+        .groupby(['s_suppkey', 'p_partkey']).aggregate(
+            Sum('_qw', alias_name='_qw'), Sum('_qt', alias_name='_qt'))
+
+    def qualify(t: pa.Table) -> pa.Table:
+        qw = t.column('_qw').to_numpy(zero_copy_only=False)
+        qt = t.column('_qt').to_numpy(zero_copy_only=False)
+        keys = t.column('s_suppkey').to_numpy(zero_copy_only=False)
+        return pa.table({'s_suppkey': pa.array(
+            np.unique(keys[10 * qw > 3 * qt]), pa.int64())})
+
+    hits = drop_empty_blocks(
+        agg.map_batches(qualify, batch_format='pyarrow')) \
+        .groupby('s_suppkey').aggregate(Count(alias_name='_n')) \
+        .to_pandas()                              # supplier-bounded
+    out_keys = np.sort(np.asarray(hits.get('s_suppkey', []), np.int64))
+    names = snames[np.searchsorted(skeys, out_keys)] if len(out_keys) \
+        else np.array([], object)
+    return pd.DataFrame({'s_suppkey': out_keys,
+                         's_name': pd.array(names, dtype='string')})
+
+
+_SEASONAL_SUPPLIERS_SQL = (
+    "WITH cold AS (SELECT p_partkey FROM part WHERE p_name LIKE 'cold %'), "
+    'agg AS (SELECT l_suppkey, l_partkey, '
+    "SUM(CASE WHEN l_shipdate >= TIMESTAMP '1995-01-01' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01' "
+    'THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END) AS qw, '
+    'SUM(CAST(round(l_quantity) AS BIGINT)) AS qt '
+    'FROM lineitem JOIN cold ON p_partkey = l_partkey '
+    'GROUP BY l_suppkey, l_partkey) '
+    'SELECT DISTINCT s.s_suppkey, s.s_name '
+    'FROM agg JOIN supplier s ON s.s_suppkey = agg.l_suppkey '
+    'JOIN nation n ON n.n_nationkey = s.s_nationkey '
+    'JOIN region r ON r.r_regionkey = n.n_regionkey '
+    "WHERE r.r_name = 'ASIA' AND 10 * qw > 3 * qt"
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -9463,6 +9690,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'sequence_packing': q_sequence_packing,
         'avro_roundtrip': q_avro_roundtrip,
         'video_frame_stats': q_video_frame_stats,
+        'important_parts': q_important_parts,
+        'seasonal_suppliers': q_seasonal_suppliers,
         # rows-only
         'scrub_documents': q_scrub_documents,
         'langid_documents': q_langid_documents,
@@ -9637,6 +9866,8 @@ def oracle_sql() -> dict[str, str]:
         'promo_revenue': _PROMO_REVENUE_SQL,
         'small_quantity_revenue': _SMALL_QUANTITY_SQL,
         'big_order_customers': _BIG_ORDER_SQL,
+        'important_parts': _IMPORTANT_PARTS_SQL,
+        'seasonal_suppliers': _SEASONAL_SUPPLIERS_SQL,
         'order_ship_daily': _ORDER_SHIP_DAILY_SQL,
         'returned_item_customers': _RETURNED_ITEM_SQL,
         'priority_return_orders': _PRIORITY_RETURN_SQL,
