@@ -9534,6 +9534,96 @@ _SEASONAL_SUPPLIERS_SQL = (
 )
 
 
+def q_part_triangles(sf_dir: str,
+                     broadcast_edge_limit: int = 2_000_000
+                     ) -> pd.DataFrame:
+    """Distributed triangle counting (node-iterator, ordered orientation)
+    over the co-purchase part graph — the verified ``part_pairs_count``
+    edge set, so the oracle composes that query's SQL.
+
+    Plan (100 TB shape): edges arrive oriented low->high partkey, so a
+    triangle a<b<c is exactly ONE wedge (a-b, a-c with b<c) whose closing
+    edge (b,c) exists.  Wedges come from a co-partitioned SELF equi-join of
+    the narrow materialized edge table on the low endpoint (input-sized
+    aggregator fleet); the closing-edge membership test packs (b<<32 | c)
+    into one int64 and broadcasts the sorted edge keyset under the guard —
+    above it the packed wedge and edge keys meet in a second co-partitioned
+    join instead, so nothing edge-proportional reaches the driver.  Both
+    paths frame-equal (tests/test_analytics_paths.py).  Skew note: ordered
+    orientation bounds wedge fan-out by per-node degree; a power-law graph
+    would swap in degree-ordered orientation (edge points at the
+    higher-degree endpoint), capping out-degree at O(sqrt(m)) — the
+    standard mitigation, unneeded for this basket graph."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks, \
+        join_partitions
+
+    edges = drop_empty_blocks(
+        q_part_pairs_count(sf_dir).select_columns(['part_a', 'part_b']))
+    n_edges = edges.count()
+    if n_edges == 0:
+        return pd.DataFrame({'n_triangles': pd.array([0], dtype='int64')})
+
+    right = edges.map_batches(
+        lambda t: t.rename_columns(['part_a', 'part_c']),
+        batch_format='pyarrow')
+    wedges = edges.join(right, join_type='inner',
+                        num_partitions=join_partitions(rows=n_edges),
+                        on=('part_a',))
+
+    if n_edges <= broadcast_edge_limit:
+        ep = edges.to_pandas()                      # edge-bounded, guarded
+        ekeys = np.sort((np.asarray(ep['part_a'], np.int64) << 32)
+                        | np.asarray(ep['part_b'], np.int64))
+        ekeys_ref = ray.put(ekeys)
+
+        def close_count(t: pa.Table) -> pa.Table:
+            b = t.column('part_b').to_numpy(zero_copy_only=False)
+            c = t.column('part_c').to_numpy(zero_copy_only=False)
+            keep = b < c
+            k = (b[keep] << 32) | c[keep]
+            ek = ray.get(ekeys_ref)
+            idx = np.minimum(np.searchsorted(ek, k), len(ek) - 1)
+            n = int(np.count_nonzero(ek[idx] == k)) if len(k) else 0
+            return pa.table({'_n': pa.array([n], pa.int64())})
+
+        tot = (wedges.map_batches(close_count, batch_format='pyarrow')
+               .groupby(None)
+               .aggregate(Sum('_n', alias_name='n_triangles')).to_pandas())
+        n_tri = int(tot['n_triangles'].iloc[0]) if len(tot) else 0
+    else:
+        def pack_wedge(t: pa.Table) -> pa.Table:
+            b = t.column('part_b').to_numpy(zero_copy_only=False)
+            c = t.column('part_c').to_numpy(zero_copy_only=False)
+            keep = b < c
+            return pa.table({'_k': pa.array((b[keep] << 32) | c[keep],
+                                            pa.int64())})
+
+        def pack_edge(t: pa.Table) -> pa.Table:
+            a = t.column('part_a').to_numpy(zero_copy_only=False)
+            b = t.column('part_b').to_numpy(zero_copy_only=False)
+            return pa.table({'_k': pa.array((a << 32) | b, pa.int64())})
+
+        wk = drop_empty_blocks(
+            wedges.map_batches(pack_wedge, batch_format='pyarrow'))
+        ek = drop_empty_blocks(
+            edges.map_batches(pack_edge, batch_format='pyarrow'))
+        # edge keys are unique (group keys) and wedges are unique per
+        # (a,b,c), so the inner join emits exactly one row per triangle
+        n_tri = wk.join(ek, join_type='inner',
+                        num_partitions=join_partitions(rows=n_edges),
+                        on=('_k',)).count()
+    return pd.DataFrame({'n_triangles': pd.array([n_tri], dtype='int64')})
+
+
+_PART_TRIANGLES_SQL = (
+    'WITH pc AS (' + _PART_PAIRS_SQL + '), '
+    'e AS (SELECT part_a AS a, part_b AS b FROM pc) '
+    'SELECT count(*)::BIGINT AS n_triangles '
+    'FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b '
+    'JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b'
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -9692,6 +9782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'video_frame_stats': q_video_frame_stats,
         'important_parts': q_important_parts,
         'seasonal_suppliers': q_seasonal_suppliers,
+        'part_triangles': q_part_triangles,
         # rows-only
         'scrub_documents': q_scrub_documents,
         'langid_documents': q_langid_documents,
@@ -9868,6 +9959,7 @@ def oracle_sql() -> dict[str, str]:
         'big_order_customers': _BIG_ORDER_SQL,
         'important_parts': _IMPORTANT_PARTS_SQL,
         'seasonal_suppliers': _SEASONAL_SUPPLIERS_SQL,
+        'part_triangles': _PART_TRIANGLES_SQL,
         'order_ship_daily': _ORDER_SHIP_DAILY_SQL,
         'returned_item_customers': _RETURNED_ITEM_SQL,
         'priority_return_orders': _PRIORITY_RETURN_SQL,

@@ -179,3 +179,12 @@ def test_disjunctive_revenue_paths_equal(ray_session):
     jn = _normf(q_disjunctive_revenue(SF, broadcast_part_limit=0))
     assert bc.equals(jn)
     assert (bc['revenue'] > 0).all()
+
+
+def test_part_triangles_paths_equal(ray_session):
+    from pii_detector_ray.queries import q_part_triangles
+    bc = q_part_triangles(SF)
+    jn = q_part_triangles(SF, broadcast_edge_limit=0)
+    assert int(bc['n_triangles'][0]) == int(jn['n_triangles'][0])
+    # the sf0.001 basket graph is dense enough to close many wedges
+    assert int(bc['n_triangles'][0]) > 0
