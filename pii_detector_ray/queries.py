@@ -9624,6 +9624,42 @@ _PART_TRIANGLES_SQL = (
 )
 
 
+_DEBOUNCE_S = 3600
+
+
+def q_events_debounced(sf_dir: str) -> ray.data.Dataset:
+    """Streaming throttle/debounce: kept events per type, where an event is
+    kept iff it is its user's first or >= 1 hour after the previous raw
+    event in (ts, event_id) order — the rate-limit operator an event
+    ingest pipeline runs before expensive downstream stages.  One per-user
+    map_groups pass emits type-bounded kept-count partials; mega-users
+    route through the day-bucketed salted variant
+    (stages/skew.debounce_counts_salted — local decisions for everything
+    but bucket-first events, one boundary row per bucket).  The final
+    aggregate is type-bounded, so partials coalesce to one block first
+    (the bounded-partials pattern)."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    from pii_detector_ray.stages.skew import debounce_counts
+    partials = debounce_counts(
+        _events(sf_dir, ['user_id', 'event_id', 'ts', 'event_type']),
+        threshold_us=_DEBOUNCE_S * 1_000_000,
+        hot_key_threshold=_events_hot_threshold(sf_dir))
+    agg = (partials.repartition(1)
+           .groupby('event_type')
+           .aggregate(Sum('_n', alias_name='n_kept')))
+    return drop_empty_blocks(agg)
+
+
+_EVENTS_DEBOUNCED_SQL = (
+    'SELECT event_type, count(*) AS n_kept FROM ('
+    'SELECT event_type, epoch_us(ts) - lag(epoch_us(ts)) OVER ('
+    'PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS d '
+    'FROM events) '
+    f'WHERE d IS NULL OR d >= {_DEBOUNCE_S * 1_000_000} '
+    'GROUP BY event_type'
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -9783,6 +9819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'important_parts': q_important_parts,
         'seasonal_suppliers': q_seasonal_suppliers,
         'part_triangles': q_part_triangles,
+        'events_debounced': q_events_debounced,
         # rows-only
         'scrub_documents': q_scrub_documents,
         'langid_documents': q_langid_documents,
@@ -9960,6 +9997,7 @@ def oracle_sql() -> dict[str, str]:
         'important_parts': _IMPORTANT_PARTS_SQL,
         'seasonal_suppliers': _SEASONAL_SUPPLIERS_SQL,
         'part_triangles': _PART_TRIANGLES_SQL,
+        'events_debounced': _EVENTS_DEBOUNCED_SQL,
         'order_ship_daily': _ORDER_SHIP_DAILY_SQL,
         'returned_item_customers': _RETURNED_ITEM_SQL,
         'priority_return_orders': _PRIORITY_RETURN_SQL,

@@ -433,6 +433,107 @@ def event_transitions_salted(ds: ray.data.Dataset, *,
     return interior.union(border)
 
 
+def debounce_counts_salted(ds: ray.data.Dataset, *, threshold_us: int,
+                           bucket_us: int = DEFAULT_BUCKET_US
+                           ) -> ray.data.Dataset:
+    """Exact per-user debounce with bounded per-task memory: within a
+    (user, day-bucket) group every event except the bucket's FIRST decides
+    locally (kept iff the gap from the previous raw event >= threshold);
+    one boundary row per bucket carries the first event's type + ts and
+    the bucket's last ts, and the per-user pass decides the bucket-first
+    events (a user's globally-first event is always kept).  Output matches
+    the plain path: (event_type, _n) kept-count partials."""
+    def prep(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column('ts'), pa.int64())
+        return pa.table({'user_id': t.column('user_id'),
+                         'event_id': t.column('event_id'),
+                         'event_type': t.column('event_type'), '_ts': ts,
+                         '_bucket': pc.divide(ts, bucket_us)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['_ts', 'event_id'], kind='mergesort')
+        tp = g['event_type'].to_numpy()
+        ts = g['_ts'].to_numpy()
+        kept = np.diff(ts) >= threshold_us     # decided: all but first
+        out = pd.DataFrame({'event_type': tp[1:][kept]}) \
+            .groupby('event_type', sort=False).size() \
+            .rename('_n').reset_index()
+        out['_first_ts'] = np.int64(0)
+        out['_last_ts'] = np.int64(0)
+        out['_b'] = np.int64(-1)
+        head = pd.DataFrame({
+            'event_type': tp[:1],              # bucket's FIRST event
+            '_n': np.int64(0),
+            '_first_ts': ts[:1],
+            '_last_ts': ts[-1:],
+            '_b': g['_bucket'].iloc[:1].astype('int64')})
+        out = pd.concat([head, out], ignore_index=True)
+        out.insert(0, 'user_id', g['user_id'].iloc[0])
+        return out
+
+    local = ds.map_batches(prep, batch_format='pyarrow') \
+        .groupby(['user_id', '_bucket']) \
+        .map_groups(per_bucket, batch_format='pandas')
+
+    interior = local.filter(expr='_b == -1') \
+        .select_columns(['event_type', '_n'])
+
+    def merge_user(g: pd.DataFrame) -> pd.DataFrame:
+        # one row per bucket: first event's type/ts + bucket's last ts
+        g = g.sort_values('_b', kind='mergesort')
+        first_ts = g['_first_ts'].to_numpy()
+        last_ts = g['_last_ts'].to_numpy()
+        tp = g['event_type'].to_numpy()
+        kept = np.ones(len(g), bool)           # global first: always kept
+        kept[1:] = first_ts[1:] - last_ts[:-1] >= threshold_us
+        return pd.DataFrame({'event_type': tp[kept]}) \
+            .groupby('event_type', sort=False).size() \
+            .rename('_n').reset_index()
+
+    border = local.filter(expr='_b >= 0') \
+        .groupby('user_id').map_groups(merge_user, batch_format='pandas') \
+        .select_columns(['event_type', '_n'])
+    return interior.union(border)
+
+
+def debounce_counts(ds: ray.data.Dataset, *, threshold_us: int,
+                    hot_key_threshold: int | None = 1_000_000,
+                    bucket_us: int = DEFAULT_BUCKET_US) -> ray.data.Dataset:
+    """Streaming throttle/debounce: an event is KEPT iff it is its user's
+    first event or the gap from the previous raw event (in (ts, event_id)
+    order) is >= ``threshold_us``.  Input columns: user_id, event_id, ts,
+    event_type.  Output: (event_type, _n) kept-count PARTIALS — the caller
+    closes the type-bounded aggregate.  Mega-users route through
+    :func:`debounce_counts_salted` (the event_deltas hot-key contract)."""
+    hot_parts, (ds,) = split_hot([ds], 'user_id', hot_key_threshold)
+    salted = None
+    if hot_parts is not None:
+        salted = debounce_counts_salted(hot_parts[0],
+                                        threshold_us=threshold_us,
+                                        bucket_us=bucket_us)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({'user_id': t.column('user_id'),
+                         'event_id': t.column('event_id'),
+                         'event_type': t.column('event_type'),
+                         '_ts': pc.cast(t.column('ts'), pa.int64())})
+
+    def kept_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['_ts', 'event_id'], kind='mergesort')
+        ts = g['_ts'].to_numpy()
+        kept = np.ones(len(g), bool)
+        kept[1:] = np.diff(ts) >= threshold_us
+        return pd.DataFrame({'event_type':
+                             g['event_type'].to_numpy()[kept]}) \
+            .groupby('event_type', sort=False).size() \
+            .rename('_n').reset_index()
+
+    plain = (ds.map_batches(prep, batch_format='pyarrow')
+             .groupby('user_id').map_groups(kept_counts,
+                                            batch_format='pandas'))
+    return plain.union(salted) if salted is not None else plain
+
+
 # ---------------------------------------------------------------------------
 # Salted backward as-of join: groups become (by, bucket); a left row's match
 # is either an in-bucket right row or the carried latest-right-row from an

@@ -325,3 +325,37 @@ def test_event_transitions_salted_equals_plain():
     tot = ds.count()
     users = ds.groupby('user_id').count().count()
     assert int(plain['n'].sum()) == tot - users
+
+
+def _with_types(ds):
+    def addtype(t):
+        eid = t.column('event_id').to_numpy(zero_copy_only=False)
+        types = np.array(['view', 'click', 'purchase'], object)[eid % 3]
+        return t.append_column('event_type', pa.array(types, pa.string()))
+    return ds.map_batches(addtype, batch_format='pyarrow')
+
+
+def _close_debounce(partials) -> pd.DataFrame:
+    df = partials.to_pandas()
+    return df.groupby('event_type', as_index=False)['_n'].sum() \
+        .sort_values('event_type').reset_index(drop=True)
+
+
+def test_debounce_salted_equals_plain():
+    ds = _with_types(_events_ds(mega_user=99, mega_n=2500))
+    th = 90 * MIN_US          # cold gaps are 1..2000 min: straddles 90 min
+    plain = _close_debounce(
+        skew.debounce_counts(ds, threshold_us=th, hot_key_threshold=None))
+    routed = _close_debounce(
+        skew.debounce_counts(ds, threshold_us=th, hot_key_threshold=800))
+    salted_only = _close_debounce(skew.debounce_counts_salted(
+        ds.select_columns(['user_id', 'event_id', 'ts', 'event_type']),
+        threshold_us=th))
+    assert plain.equals(routed)
+    assert plain.equals(salted_only)
+    # the 1/min mega-user never clears the 90-min window: exactly one of
+    # its events (the global first) survives across all types
+    no_mega = _close_debounce(skew.debounce_counts(
+        ds.filter(expr='user_id != 99'), threshold_us=th,
+        hot_key_threshold=None))
+    assert int(plain['_n'].sum()) == int(no_mega['_n'].sum()) + 1
