@@ -9660,6 +9660,40 @@ _EVENTS_DEBOUNCED_SQL = (
 )
 
 
+def q_jaccard_join_exact(sf_dir: str) -> ray.data.Dataset:
+    """EXACT all-pairs similarity join over the planted near-dup corpus:
+    every document pair with word-3-gram Jaccard >= 0.7, via prefix
+    filtering (stages/dedup.jaccard_pairs_prefix) — the lossless
+    counterpart of the MinHash-LSH ``ngram_jaccard_dedup``, so this one
+    carries a full SQL oracle (unnest + self-join intersection counts)."""
+    from pii_detector_ray.stages.dedup import jaccard_pairs_prefix
+    return jaccard_pairs_prefix(_docs_with_near_dups(sf_dir),
+                                threshold=(7, 10), n=3)
+
+
+_JACCARD_JOIN_SQL = (
+    'WITH docs AS (SELECT doc_id, text FROM documents UNION ALL '
+    "SELECT doc_id + 1000000 AS doc_id, "
+    "text || ' extra words appended here' AS text "
+    'FROM documents WHERE doc_id % 20 = 0), '
+    "arr AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS a "
+    'FROM docs), '
+    "tok AS (SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || "
+    'a[i+2] AS tk '
+    'FROM arr, UNNEST(generate_series(1, greatest(len(a) - 2, 0))) '
+    'AS t(i)), '
+    'sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id), '
+    'inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, '
+    'count(*) AS i FROM tok a JOIN tok b '
+    'ON a.tk = b.tk AND a.doc_id < b.doc_id GROUP BY 1, 2) '
+    'SELECT doc_a, doc_b, '
+    'round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard '
+    'FROM inter JOIN sz sa ON sa.doc_id = inter.doc_a '
+    'JOIN sz sb ON sb.doc_id = inter.doc_b '
+    'WHERE 10 * i >= 7 * (sa.n + sb.n - i)'
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -9820,6 +9854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'seasonal_suppliers': q_seasonal_suppliers,
         'part_triangles': q_part_triangles,
         'events_debounced': q_events_debounced,
+        'jaccard_join_exact': q_jaccard_join_exact,
         # rows-only
         'scrub_documents': q_scrub_documents,
         'langid_documents': q_langid_documents,
@@ -9998,6 +10033,7 @@ def oracle_sql() -> dict[str, str]:
         'seasonal_suppliers': _SEASONAL_SUPPLIERS_SQL,
         'part_triangles': _PART_TRIANGLES_SQL,
         'events_debounced': _EVENTS_DEBOUNCED_SQL,
+        'jaccard_join_exact': _JACCARD_JOIN_SQL,
         'order_ship_daily': _ORDER_SHIP_DAILY_SQL,
         'returned_item_customers': _RETURNED_ITEM_SQL,
         'priority_return_orders': _PRIORITY_RETURN_SQL,

@@ -268,6 +268,162 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, *, threshold: float = 0.7,
 
 
 # ---------------------------------------------------------------------------
+# Exact similarity join: prefix-filtered all-pairs word-n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+_WORD_RE = None
+
+
+def word_shingles(text: str, n: int = 3) -> set[str]:
+    """Distinct word n-gram shingles under the engine's RE2 token contract
+    (maximal runs outside RE2's \\s class — the ``token_counts`` oracle's
+    ``regexp_extract_all(text, '\\S+')``)."""
+    global _WORD_RE
+    if _WORD_RE is None:
+        import re
+        from pii_detector_ray.functions.re2compat import RE2_WORD
+        _WORD_RE = re.compile(RE2_WORD)
+    toks = _WORD_RE.findall(text or '')
+    return {' '.join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def word_jaccard_exact(text_a: str, text_b: str, n: int = 3
+                       ) -> tuple[int, int]:
+    """(intersection, union) sizes of the two texts' word-n-gram shingle
+    sets — integers, so threshold tests stay exact rationals."""
+    sa = word_shingles(text_a, n)
+    sb = word_shingles(text_b, n)
+    i = len(sa & sb)
+    return i, len(sa) + len(sb) - i
+
+
+def jaccard_pairs_prefix(ds: ray.data.Dataset, *,
+                         threshold: tuple[int, int] = (7, 10), n: int = 3,
+                         text_col: str = 'text', id_col: str = 'doc_id',
+                         broadcast_df_limit: int = 2_000_000
+                         ) -> ray.data.Dataset:
+    """EXACT all-pairs similarity join: every (doc_a, doc_b, jaccard) with
+    word-n-gram Jaccard >= threshold (a rational tn/td, so the cut is an
+    integer predicate ``td*i >= tn*union`` — no float boundary).
+
+    Unlike :func:`ngram_jaccard_pairs` (MinHash-LSH candidates,
+    probabilistic recall) this is LOSSLESS: candidates come from PREFIX
+    FILTERING (Bayardo/Xiao all-pairs) — order the shingle universe by
+    ascending document frequency; a set of size m only needs its first
+    ``m - ceil(t*m) + 1`` shingles indexed, because two sets with Jaccard
+    >= t must share an element inside both prefixes under any global order.
+    Rare-shingle prefixes keep posting lists short where df-ordering
+    matters most.
+
+    Hashing note: shingles key by stable 64-bit FNV-1a.  A collision only
+    MERGES universe elements, which can only grow hashed-set intersections
+    and shrink unions — hashed Jaccard >= true Jaccard, so the hashed-space
+    prefix index stays a SUPERSET of the true-space candidates and the
+    exact string-shingle verify pass keeps the output exact.
+
+    Scale shape: the posting table is (doc_id, sh) int64 pairs only; df
+    attaches via a broadcast dict under ``broadcast_df_limit`` distinct
+    shingles and a co-partitioned join above it (both paths frame-equal,
+    tests/test_dedup.py); per-doc prefix selection is one narrow
+    ``map_groups``; candidate pairs dedup narrow; only candidate texts are
+    fetched (broadcast semi-join) for the verify stage."""
+    tn, td = threshold
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        sh_out: list[int] = []
+        for did, tx in zip(batch.column(id_col).to_pylist(),
+                           batch.column(text_col).to_pylist()):
+            hs = {_fnv1a(s) for s in word_shingles(tx or '', n)}
+            ids_out.extend([did] * len(hs))
+            sh_out.extend(hs)
+        sh = np.array(sh_out, np.uint64).astype(np.int64) if sh_out \
+            else np.empty(0, np.int64)
+        return pa.table({id_col: pa.array(ids_out, pa.int64()),
+                         'sh': pa.array(sh, pa.int64())})
+
+    posting = drop_empty_blocks(ds.map_batches(
+        explode, batch_format='pyarrow')).materialize()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        agg = t.select(['sh']).group_by('sh').aggregate([([], 'count_all')])
+        return agg.rename_columns(['sh', '_df'])
+
+    from ray.data.aggregate import Sum
+    df_tbl = posting.map_batches(df_partial, batch_format='pyarrow') \
+        .groupby('sh').aggregate(Sum('_df', alias_name='_df'))
+
+    n_shingles = posting.count()
+    if n_shingles == 0:
+        return ray.data.from_arrow(pa.table(
+            {'doc_a': pa.array([], pa.int64()),
+             'doc_b': pa.array([], pa.int64()),
+             'jaccard': pa.array([], pa.float64())}))
+
+    if n_shingles <= broadcast_df_limit:
+        import ray as _ray
+        dfp = df_tbl.to_pandas()             # vocabulary-bounded, guarded
+        keys = np.asarray(dfp['sh'], np.int64)
+        order = np.argsort(keys, kind='stable')
+        df_ref = _ray.put((keys[order],
+                           np.asarray(dfp['_df'], np.int64)[order]))
+
+        def attach(t: pa.Table) -> pa.Table:
+            ks, dfs = _ray.get(df_ref)
+            sh = t.column('sh').to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(ks, sh)
+            return t.append_column('_df', pa.array(dfs[idx], pa.int64()))
+
+        with_df = posting.map_batches(attach, batch_format='pyarrow')
+    else:
+        with_df = posting.join(
+            drop_empty_blocks(df_tbl), join_type='inner',
+            num_partitions=_join_partitions(rows=n_shingles), on=('sh',))
+
+    def prefix_emit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['_df', 'sh'], kind='mergesort')
+        m = len(g)
+        p = m - (-(-tn * m) // td) + 1       # m - ceil(t*m) + 1, exact
+        return pd.DataFrame({
+            'sh': g['sh'].to_numpy()[:p],
+            id_col: g[id_col].to_numpy()[:p]})
+
+    prefixes = with_df.groupby(id_col).map_groups(prefix_emit,
+                                                  batch_format='pandas')
+
+    pairs = drop_empty_blocks(
+        _candidate_pairs_from_keys(prefixes, ['sh'], id_col))
+    cand_ids = _collect_candidate_ids(pairs)
+    empty = pa.table({'doc_a': pa.array([], pa.int64()),
+                      'doc_b': pa.array([], pa.int64()),
+                      'jaccard': pa.array([], pa.float64())})
+    if not cand_ids:
+        return ray.data.from_arrow(empty)
+    texts = _semi_join_payload(ds, cand_ids, id_col, text_col)
+    joined = _attach_pair_payloads(pairs, texts, text_col)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        a = t.column('doc_a').to_pylist()
+        b = t.column('doc_b').to_pylist()
+        ta = t.column(f'{text_col}_a').to_pylist()
+        tb = t.column(f'{text_col}_b').to_pylist()
+        oa, ob, oj = [], [], []
+        for aa, bb, x, y in zip(a, b, ta, tb):
+            i, u = word_jaccard_exact(x or '', y or '', n)
+            if u > 0 and td * i >= tn * u:
+                oa.append(aa)
+                ob.append(bb)
+                oj.append(sql_round_scalar(i / u, 4))
+        return pa.table({'doc_a': pa.array(oa, pa.int64()),
+                         'doc_b': pa.array(ob, pa.int64()),
+                         'jaccard': pa.array(oj, pa.float64())})
+
+    return joined.map_batches(verify, batch_format='pyarrow')
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

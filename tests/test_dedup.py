@@ -183,3 +183,61 @@ def test_embedding_lsh_join_mode_equals_bucket_mode():
     assert b[['vec_a', 'vec_b']].equals(j[['vec_a', 'vec_b']])
     import numpy as np
     assert np.allclose(b['sim'], j['sim'], atol=1e-9)
+
+
+# --- exact prefix-filtered Jaccard join --------------------------------------
+
+def _pf_corpus(n_docs=40, seed=3):
+    """Random small-vocab docs + planted near-dups: a workload where the
+    prefix filter must not lose any qualifying pair."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array(['alpha beta gamma delta epsilon zeta eta theta iota '
+                      'kappa lam mu nu xi omicron pi rho sigma tau'.split()])[0]
+    ids, texts = [], []
+    for i in range(n_docs):
+        w = rng.choice(vocab, size=int(rng.integers(8, 40)))
+        ids.append(i)
+        texts.append(' '.join(w))
+    for i in range(0, n_docs, 7):                       # planted near-dups
+        ids.append(1000 + i)
+        texts.append(texts[i] + ' extra tail words')
+    return ids, texts
+
+
+def test_jaccard_prefix_join_lossless_vs_bruteforce(ray_session):
+    from pii_detector_ray.stages.dedup import (jaccard_pairs_prefix,
+                                               word_jaccard_exact)
+    ids, texts = _pf_corpus()
+    ds = ray.data.from_arrow(pa.table({
+        'doc_id': pa.array(ids, pa.int64()),
+        'text': pa.array(texts, pa.string())})).repartition(4)
+    got = jaccard_pairs_prefix(ds, threshold=(1, 2), n=2).to_pandas()
+    got = got.sort_values(['doc_a', 'doc_b']).reset_index(drop=True)
+    # brute force over every pair
+    exp_rows = []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sorted((ids[x], ids[y]))
+            i, u = word_jaccard_exact(texts[x], texts[y], 2)
+            if u > 0 and 2 * i >= u:
+                exp_rows.append((a, b, round(i / u, 4)))
+    exp = pd.DataFrame(sorted(exp_rows),
+                       columns=['doc_a', 'doc_b', 'jaccard'])
+    assert len(exp) > 0                       # planted dups must qualify
+    assert got['doc_a'].astype('int64').tolist() == exp['doc_a'].tolist()
+    assert got['doc_b'].astype('int64').tolist() == exp['doc_b'].tolist()
+    assert np.allclose(got['jaccard'], exp['jaccard'], atol=1e-9)
+
+
+def test_jaccard_prefix_join_paths_equal(ray_session):
+    from pii_detector_ray.stages.dedup import jaccard_pairs_prefix
+    ids, texts = _pf_corpus(seed=11)
+    ds = ray.data.from_arrow(pa.table({
+        'doc_id': pa.array(ids, pa.int64()),
+        'text': pa.array(texts, pa.string())})).repartition(3)
+    kw = dict(threshold=(7, 10), n=2)
+    bc = jaccard_pairs_prefix(ds, **kw).to_pandas() \
+        .sort_values(['doc_a', 'doc_b']).reset_index(drop=True)
+    jn = jaccard_pairs_prefix(ds, broadcast_df_limit=0, **kw).to_pandas() \
+        .sort_values(['doc_a', 'doc_b']).reset_index(drop=True)
+    assert bc.equals(jn)
