@@ -8479,16 +8479,29 @@ def q_user_first_last_event(sf_dir: str) -> ray.data.Dataset:
                              '_mx': pa.array([], pa.string())})
         us = t.column('ts').to_numpy(zero_copy_only=False) \
             .astype('datetime64[us]').astype(np.int64)
-        if us.min() < 0:
+        typ = t.column('event_type').to_pylist()
+        uid = t.column('user_id').to_numpy(zero_copy_only=False)
+        # NULL ts (NaT -> INT64_MIN) / NULL type rows build a NULL packed
+        # key, which the oracle's min/max skip — mirror that (the user row
+        # itself survives with NULL first/last when ALL its keys are NULL)
+        valid = np.array([u != np.iinfo(np.int64).min and ty is not None
+                          for u, ty in zip(us, typ)], bool)
+        if valid.any() and us[valid].min() < 0:
             raise AssertionError('pre-1970 timestamp: the packed-string '
                                  'ordering only holds for epochs >= 0')
-        typ = t.column('event_type').to_pylist()
-        pk = [f'{u:020d}|{ty}' for u, ty in zip(us, typ)]
-        df = pd.DataFrame({'user_id': t.column('user_id')
-                           .to_numpy(zero_copy_only=False), '_pk': pk})
-        g = df.groupby('user_id', as_index=False).agg(
-            _mn=('_pk', 'min'), _mx=('_pk', 'max'))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        pk = [f'{u:020d}|{ty}' for u, ty in
+              zip(us[valid], (ty for ty, v in zip(typ, valid) if v))]
+        gv = pd.DataFrame({'user_id': uid[valid], '_pk': pk}) \
+            .groupby('user_id', as_index=False) \
+            .agg(_mn=('_pk', 'min'), _mx=('_pk', 'max'))
+        g = pd.DataFrame({'user_id': np.unique(uid)}) \
+            .merge(gv, on='user_id', how='left')
+        return pa.table({
+            'user_id': pa.array(g['user_id'].to_numpy(), pa.int64()),
+            '_mn': pa.array([x if isinstance(x, str) else None
+                             for x in g['_mn']], pa.string()),
+            '_mx': pa.array([x if isinstance(x, str) else None
+                             for x in g['_mx']], pa.string())})
 
     # Min/Max over the packed partials fold associatively; one narrow
     # groupby closes first AND last together
@@ -8502,10 +8515,13 @@ def q_user_first_last_event(sf_dir: str) -> ray.data.Dataset:
             return pa.table({'user_id': pa.array([], pa.int64()),
                              'first_type': pa.array([], pa.string()),
                              'last_type': pa.array([], pa.string())})
+        # all-null groups come back as a null-typed column — cast first
+        mn = pc.cast(t.column('_mn'), pa.string())
+        mx = pc.cast(t.column('_mx'), pa.string())
         return pa.table({
             'user_id': pc.cast(t.column('user_id'), pa.int64()),
-            'first_type': pc.utf8_slice_codeunits(t.column('_mn'), 21),
-            'last_type': pc.utf8_slice_codeunits(t.column('_mx'), 21)})
+            'first_type': pc.utf8_slice_codeunits(mn, 21),
+            'last_type': pc.utf8_slice_codeunits(mx, 21)})
 
     from pii_detector_ray.stages.dedup import drop_empty_blocks
     return drop_empty_blocks(agg).map_batches(fin, batch_format='pyarrow')
@@ -8818,11 +8834,14 @@ def q_user_type_bitmask(sf_dir: str) -> ray.data.Dataset:
 
     def fin(t: pa.Table) -> pa.Table:
         mask = t.column('type_mask').to_numpy(zero_copy_only=False)
+        # a user whose every event_type is unknown/NULL folds to mask 0;
+        # the oracle's bit_or over an all-NULL group is NULL — mirror it
         return pa.table({
             'user_id': pc.cast(t.column('user_id'), pa.int64()),
-            'type_mask': pa.array(mask.astype(np.int64)),
-            'n_types': pa.array([int(m).bit_count() for m in mask],
-                                pa.int64())})
+            'type_mask': pa.array([int(m) if m else None for m in mask],
+                                  pa.int64()),
+            'n_types': pa.array([int(m).bit_count() if m else None
+                                 for m in mask], pa.int64())})
 
     from pii_detector_ray.stages.dedup import drop_empty_blocks
     return drop_empty_blocks(agg).map_batches(fin, batch_format='pyarrow')

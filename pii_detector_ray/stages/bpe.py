@@ -99,8 +99,14 @@ def learn_bpe(docs: ray.data.Dataset, *, text_col: str = 'text',
         if not len(parts):
             break
         fold = parts.groupby('_p', as_index=False)['_c'].sum()
-        # deterministic winner: count desc, pair lexicographic asc
-        fold = fold.sort_values(['_c', '_p'], ascending=[False, True],
+        # deterministic winner: count desc, then (left, right) TUPLE order
+        # — sorting the packed string would rank a left symbol containing
+        # a char below U+001F (tab/newline survive the space-only split)
+        # differently from the serial oracle's tuple compare
+        lr = fold['_p'].str.split(SEP, n=1, expand=True)
+        fold['_l'], fold['_r'] = lr[0], lr[1]
+        fold = fold.sort_values(['_c', '_l', '_r'],
+                                ascending=[False, True, True],
                                 kind='mergesort')
         best_p, best_c = fold.iloc[0]['_p'], int(fold.iloc[0]['_c'])
         if best_c < 2:
