@@ -99,18 +99,31 @@ _PHI_KEYWORDS = ('health', 'medical', 'immun', 'pharmacy', 'disease',
                  'patient', 'insura', 'rh', 'mrn', 'phi')
 
 
+# RE2 form of the keyword gate: every _PHI_RE match CONTAINS one of the
+# keywords case-insensitively (the boundary groups only constrain), and both
+# engines use Unicode simple case folding for (?i), so one vectorized RE2
+# pass is a sound prefilter for the exact Python search.
+_PHI_GATE_RE2 = '(?i)(?:' + '|'.join(_PHI_KEYWORDS) + ')'
+
+
 def is_phi_batch(names: list[str], texts: list[str]) -> list[bool]:
-    """Vectorized :func:`is_phi`: keyword-gated per-row regex.  Equals
-    ``[is_phi(n, t) ...]`` (asserted in tests)."""
-    out = []
-    for nm, t in zip(names, texts):
-        low = t.lower()
-        hit = False
-        if any(k in low for k in _PHI_KEYWORDS):
-            hit = bool(_PHI_RE.search(t))
-        if not hit and nm:
+    """Vectorized :func:`is_phi`: one RE2 keyword-gate pass over the batch,
+    exact per-row regex only on gated rows.  Equals ``[is_phi(n, t) ...]``
+    (asserted in tests)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out = [False] * len(texts)
+    if texts:
+        gate = pc.match_substring_regex(
+            pa.array(texts, pa.string()), _PHI_GATE_RE2) \
+            .to_numpy(zero_copy_only=False)
+        for i in np.flatnonzero(gate):
+            out[i] = bool(_PHI_RE.search(texts[i]))
+    for i, nm in enumerate(names):
+        if not out[i] and nm:
             lnm = nm.lower()
             if any(k in lnm for k in _PHI_KEYWORDS):
-                hit = bool(_PHI_RE.search(nm))
-        out.append(hit)
+                out[i] = bool(_PHI_RE.search(nm))
     return out

@@ -55,15 +55,6 @@ UNSUPPORTED_EXTENSIONS = ('.png', '.jpg', '.jpeg', '.gif', '.bmp', '.svg',
                           '.tif', '.tiff', '.ico', '.mbox', '.webm')
 
 
-def _require(module: str) -> Any:
-    try:
-        return __import__(module)
-    except ImportError as e:
-        raise NotImplementedError(
-            f'{module} is not installed in this container; the {module} '
-            f'parse path is stubbed (dispatch is real, codec is not)') from e
-
-
 _W_NS = '{http://schemas.openxmlformats.org/wordprocessingml/2006/main}'
 _S_NS = '{http://schemas.openxmlformats.org/spreadsheetml/2006/main}'
 

@@ -171,16 +171,18 @@ class PerplexityModel:
         if langs is None:
             sums = np.bincount(doc_ids, weights=self.table[tris], minlength=n)
         else:
-            # per-language tables: one bincount per distinct language present
+            # per-language tables, fused: map each doc to its table's row in
+            # a stacked (K, V) array, gather per-trigram values with ONE 2-D
+            # fancy index, and sum with ONE bincount.  Per doc this adds the
+            # same float32 values in the same (trigram-stream) order as the
+            # per-language masked-bincount loop it replaces — bit-identical,
+            # and the O(T·K) ``np.isin`` passes are gone.
             lang_arr = np.array([l if l in self.lang_tables else '*' for l in langs])
-            sums = np.zeros(n)
-            for lang in np.unique(lang_arr):
-                table = self.lang_tables.get(lang, self.table)
-                rows = np.nonzero(lang_arr == lang)[0]
-                mask = np.isin(doc_ids, rows)
-                if mask.any():
-                    sums += np.bincount(doc_ids[mask], weights=table[tris[mask]],
-                                        minlength=n)
+            uniq, code_per_doc = np.unique(lang_arr, return_inverse=True)
+            stacked = np.stack([self.lang_tables.get(lang, self.table)
+                                for lang in uniq])                     # (K, V)
+            vals = stacked[code_per_doc[doc_ids], tris]
+            sums = np.bincount(doc_ids, weights=vals, minlength=n)
         valid = n_tris > 0
         mean_nll = np.where(valid, -sums / np.maximum(n_tris, 1), 0.0)
         # clip the exponent: a fully-unseen-trigram doc hits the smoothing
@@ -199,6 +201,12 @@ class ToxicityModel:
                  midpoint: float = 0.02, steepness: float = 120.0) -> None:
         alts = '|'.join(re.escape(w) for w in sorted(lexicon, key=len, reverse=True))
         self.pattern = re.compile(r'\b(?:' + alts + r')\b', re.IGNORECASE)
+        # candidate prefilter: SUBSTRING presence (no \b) is a strict
+        # superset of the boundary-anchored Python matches, so docs the RE2
+        # kernel rejects provably have 0 hits — the (slow, Unicode-\b-exact)
+        # Python scan then runs only on the candidate subset.  RE2 (?i) on
+        # this ASCII lexicon folds identically to Python re.IGNORECASE.
+        self.prefilter = '(?i)(?:' + alts + ')'
         self.word = re.compile(r'\S+')
         self.midpoint = midpoint
         self.steepness = steepness
@@ -207,26 +215,36 @@ class ToxicityModel:
                     n_words: np.ndarray | None = None) -> np.ndarray:
         """``n_words`` (whitespace-token counts) may be passed in to reuse a
         count an earlier stage already produced; lexicon hits come from ONE
-        megastring scan (matches cannot span the NUL separator — every
-        lexicon term is NUL-free)."""
+        megastring scan over the RE2-prefiltered candidate docs (matches
+        cannot span the NUL separator — every lexicon term is NUL-free)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         n = len(texts)
         if n == 0:
             return np.empty(0)
         hits = np.zeros(n, dtype=np.float64)
-        big = '\x00'.join(texts)
-        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
-        offsets = np.zeros(n, dtype=np.int64)
-        if n > 1:
-            np.cumsum(lens[:-1] + 1, out=offsets[1:])
-        starts = [m.start() for m in self.pattern.finditer(big)]
-        if starts:
-            # one vectorized doc assignment instead of a per-match
-            # np.searchsorted call (scalar searchsorted is ~1µs of numpy
-            # dispatch per hit — dominated dense batches, measured)
-            di = np.searchsorted(offsets,
-                                 np.asarray(starts, dtype=np.int64),
-                                 side='right') - 1
-            np.add.at(hits, di, 1.0)
+        cand = pc.match_substring_regex(
+            pa.array(texts, pa.string()), self.prefilter) \
+            .to_numpy(zero_copy_only=False)
+        cidx = np.flatnonzero(cand)
+        if cidx.size:
+            docs = [texts[i] for i in cidx]
+            big = '\x00'.join(docs)
+            lens = np.fromiter((len(t) for t in docs), dtype=np.int64,
+                               count=len(docs))
+            offsets = np.zeros(len(docs), dtype=np.int64)
+            if len(docs) > 1:
+                np.cumsum(lens[:-1] + 1, out=offsets[1:])
+            starts = [m.start() for m in self.pattern.finditer(big)]
+            if starts:
+                # one vectorized doc assignment instead of a per-match
+                # np.searchsorted call (scalar searchsorted is ~1µs of numpy
+                # dispatch per hit — dominated dense batches, measured)
+                di = np.searchsorted(offsets,
+                                     np.asarray(starts, dtype=np.int64),
+                                     side='right') - 1
+                np.add.at(hits, cidx[di], 1.0)
         if n_words is None:
             n_words = np.fromiter(
                 (len(self.word.findall(t)) for t in texts), dtype=np.float64, count=n)

@@ -22,6 +22,7 @@ Stage order is chosen for scale (SURVEY.md §7):
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -182,19 +183,51 @@ def build_pipeline(
         )
         ds = ds.map_batches(keepdrop, batch_format='pandas')
     else:
-        # fuse the three pandas stages into ONE map_batches: a single
-        # arrow->pandas->arrow conversion per batch instead of three
-        from pii_detector_ray.stages.scorers import score_batch_stateless
+        # Arrow-native fused stage: heuristics + repetition + scorers +
+        # keep/drop in ONE map_batches with NO pandas round-trip — the input
+        # pa.Table passes through untouched and feature/score/decision
+        # columns are appended as typed Arrow arrays.  The only
+        # Python-object materialization is a single ``to_pylist()`` of the
+        # text column, shared by the three kernels that need Python strings
+        # (trigram hashing, the stopword megastring, per-doc line dedup).
+        # vs the r4 pandas round-trip (``t.to_pandas()`` +
+        # ``pa.Table.from_pandas``): the url/warc_ts/lang columns and the
+        # text re-conversion back to Arrow no longer pay object-array costs.
+        import pyarrow.compute as pc
+
+        from pii_detector_ray.stages.heuristics import heuristics_arrays
+        from pii_detector_ray.stages.keepdrop import keepdrop_arrays
+        from pii_detector_ray.stages.repetition import repetition_arrays
 
         def quality_stage(t: pa.Table) -> pa.Table:
-            # arrow in/out with ONE pandas roundtrip inside: same conversion
-            # count as a pandas-format stage, but the output schema is
-            # stripped of the b'pandas' metadata blob that otherwise makes
-            # every mid-chain batch concat log "Failed to hash the schemas"
-            df = keepdrop(score_batch_stateless(features_batch(
-                t.to_pandas())))
-            return pa.Table.from_pandas(df, preserve_index=False) \
-                .replace_schema_metadata(None)
+            arr = pc.fill_null(
+                t.column('extracted_text').cast(pa.string()), '') \
+                .combine_chunks()
+            texts = arr.to_pylist()
+            feat = heuristics_arrays(arr, texts)
+            if rep_on:
+                feat.update(repetition_arrays(texts))
+            scores = QualityScorers.process_cached().score_arrays(
+                texts, n_words=feat['n_words'])
+            feat['lang_conf'] = scores['lang_conf']
+            feat['perplexity'] = scores['perplexity']
+            feat['toxicity'] = scores['toxicity']
+            langs_np = np.asarray(scores['lang_pred'], dtype=object)
+            keep, reason = keepdrop_arrays(
+                thr, feat, np.asarray(texts, dtype=object), langs_np)
+            for name, vals in feat.items():
+                if name in ('lang_conf', 'perplexity', 'toxicity'):
+                    continue        # appended below in pandas-path order
+                t = t.append_column(name, pa.array(vals))
+            t = t.append_column('lang_pred',
+                                pa.array(scores['lang_pred'], pa.string()))
+            for name in ('lang_conf', 'perplexity', 'toxicity'):
+                t = t.append_column(
+                    name, pa.array(feat[name], pa.float64()))
+            t = t.append_column('keep', pa.array(keep, pa.bool_()))
+            t = t.append_column('drop_reason',
+                                pa.array(reason.tolist(), pa.string()))
+            return t
 
         ds = ds.map_batches(quality_stage, batch_format='pyarrow',
                             batch_size=cfg.scorer_batch_size)

@@ -2603,6 +2603,110 @@ _NOSQL_COLUMN_SCAN_SQL = (
 )
 
 
+def q_repo_tree_scan(sf_dir: str) -> ray.data.Dataset:
+    """S8 repo-API walker surface (``sources/repotree.py``; reference
+    github.py:80-177 / gitlab.py:64-86 / bitbucket.py:92-114): a local
+    repository tree — built once per corpus as a FIXTURE from
+    ``documents.parquet`` (txt blobs per doc, every 5th stored base64
+    API-style, a csv table shard per 9th doc, png assets per 10th that the
+    F1 extension blocklist must drop) — is walked with the recursive
+    listing contract, fetched + ``prepare_file``-dispatched inside
+    map_batches, EMAIL-scanned, and grouped per top-level directory."""
+    import hashlib
+    import os
+    src = os.path.join(sf_dir, 'documents.parquet')
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f'{src}:{st.st_mtime_ns}:{st.st_size}:{SQL_AUG_EXPR}:v1'.encode()
+    ).hexdigest()[:10]
+    root = f'/tmp/pii_ray_repotree_{tag}'
+    if not os.path.isdir(root):
+        import base64 as _b64
+
+        import duckdb
+        tmp = f'{root}.build-{os.getpid()}'
+        con = duckdb.connect()
+        rows = con.execute(
+            f'SELECT doc_id, {SQL_AUG_EXPR} AS text '
+            f"FROM read_parquet('{src}') ORDER BY doc_id").fetchall()
+        con.close()
+        for doc_id, text in rows:
+            d = os.path.join(tmp, f'dir{doc_id % 4}', f'sub{(doc_id // 4) % 3}')
+            os.makedirs(d, exist_ok=True)
+            raw = text.encode('utf-8')
+            if doc_id % 5 == 0:
+                with open(os.path.join(d, f'doc{doc_id}.txt.b64'), 'wb') as f:
+                    f.write(_b64.b64encode(raw))
+            else:
+                with open(os.path.join(d, f'doc{doc_id}.txt'), 'wb') as f:
+                    f.write(raw)
+            if doc_id % 9 == 0:
+                td = os.path.join(tmp, 'tables')
+                os.makedirs(td, exist_ok=True)
+                with open(os.path.join(td, f't{doc_id}.csv'), 'w',
+                          encoding='utf-8') as f:
+                    f.write(f'a,b\nx{doc_id},y{doc_id}\nx{doc_id + 1},'
+                            f'y{doc_id + 1}\n')
+            if doc_id % 10 == 0:
+                ad = os.path.join(tmp, 'assets')
+                os.makedirs(ad, exist_ok=True)
+                with open(os.path.join(ad, f'img{doc_id}.png'), 'wb') as f:
+                    f.write(b'\x89PNG\r\n\x1a\n not a real image')
+        try:
+            os.rename(tmp, root)         # atomic: concurrent builders race
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    from pii_detector_ray.sources.repotree import (
+        make_fetch_prepare_stage,
+        walk_repo_tree,
+    )
+    blocklist = tuple(PipelineConfig().url_extension_blocklist)
+    listing = walk_repo_tree(root, owner='acme', repo='corpus', branch='main')
+
+    def unblocked(t: pa.Table) -> pa.Table:
+        names = t.column('object_name')
+        drop = np.zeros(len(t), dtype=bool)
+        for ext in blocklist:
+            drop |= pc.ends_with(names, pattern=ext) \
+                .to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(~drop))
+
+    fetch = make_fetch_prepare_stage({('corpus', 'main'): root})
+    pat = PII_PATTERNS['EMAIL_ADDRESS']
+
+    def bucket_matches(t: pa.Table) -> pa.Table:
+        buckets = pc.struct_field(
+            pc.extract_regex(t.column('full_path'),
+                             r':(?P<bucket>[^/:]+)/[^:]*$'), 'bucket') \
+            if len(t) else pa.array([], pa.string())
+        n = pc.fill_null(pc.count_substring_regex(
+            pc.fill_null(t.column('content_text'), ''), pat), 0)
+        return pa.table({'bucket': buckets,
+                         '_n': pc.cast(n, pa.int64()),
+                         '_one': pa.array([1] * len(t), pa.int64())})
+
+    return (listing
+            .map_batches(unblocked, batch_format='pyarrow')
+            .map_batches(fetch, batch_format='pyarrow')
+            .map_batches(bucket_matches, batch_format='pyarrow')
+            .groupby('bucket')
+            .aggregate(Sum('_one', alias_name='n_files'),
+                       Sum('_n', alias_name='n_matches')))
+
+
+_REPO_TREE_SCAN_SQL = (
+    'WITH augr AS (SELECT doc_id, {expr} AS text FROM documents), '
+    "tx AS (SELECT 'dir' || (doc_id % 4) AS bucket, "
+    "len(regexp_extract_all(text, '{p}')) AS n FROM augr), "
+    "cs AS (SELECT 'tables' AS bucket, 0 AS n FROM documents "
+    'WHERE doc_id % 9 = 0) '
+    'SELECT bucket, count(*)::BIGINT AS n_files, sum(n)::BIGINT AS n_matches '
+    'FROM (SELECT * FROM tx UNION ALL SELECT * FROM cs) GROUP BY bucket'
+)
+
+
 def q_exact_substr_spans(sf_dir: str) -> ray.data.Dataset:
     """ExactSubstr-style duplicated spans (stages/exactsubstr.py; Lee et
     al. 2022): maximal character spans covered by a 24-char substring that
@@ -9553,6 +9657,18 @@ _SEASONAL_SUPPLIERS_SQL = (
 )
 
 
+def _pack32(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    """Pack two non-negative < 2^32 int64 key vectors into one int64
+    ``hi << 32 | lo``, asserting the domain (same guard as pack_dedup's
+    'pair pack domain exceeded' — a key outside [0, 2^32) would silently
+    corrupt packed keys and miscount downstream)."""
+    if len(hi) and (int(hi.min()) < 0 or int(lo.min()) < 0
+                    or int(hi.max()) >= (1 << 32)
+                    or int(lo.max()) >= (1 << 32)):
+        raise AssertionError('pair pack domain exceeded')
+    return (hi << 32) | lo
+
+
 def q_part_triangles(sf_dir: str,
                      broadcast_edge_limit: int = 2_000_000
                      ) -> pd.DataFrame:
@@ -9591,15 +9707,15 @@ def q_part_triangles(sf_dir: str,
 
     if n_edges <= broadcast_edge_limit:
         ep = edges.to_pandas()                      # edge-bounded, guarded
-        ekeys = np.sort((np.asarray(ep['part_a'], np.int64) << 32)
-                        | np.asarray(ep['part_b'], np.int64))
+        ekeys = np.sort(_pack32(np.asarray(ep['part_a'], np.int64),
+                                np.asarray(ep['part_b'], np.int64)))
         ekeys_ref = ray.put(ekeys)
 
         def close_count(t: pa.Table) -> pa.Table:
             b = t.column('part_b').to_numpy(zero_copy_only=False)
             c = t.column('part_c').to_numpy(zero_copy_only=False)
             keep = b < c
-            k = (b[keep] << 32) | c[keep]
+            k = _pack32(b[keep], c[keep])
             ek = ray.get(ekeys_ref)
             idx = np.minimum(np.searchsorted(ek, k), len(ek) - 1)
             n = int(np.count_nonzero(ek[idx] == k)) if len(k) else 0
@@ -9614,13 +9730,13 @@ def q_part_triangles(sf_dir: str,
             b = t.column('part_b').to_numpy(zero_copy_only=False)
             c = t.column('part_c').to_numpy(zero_copy_only=False)
             keep = b < c
-            return pa.table({'_k': pa.array((b[keep] << 32) | c[keep],
+            return pa.table({'_k': pa.array(_pack32(b[keep], c[keep]),
                                             pa.int64())})
 
         def pack_edge(t: pa.Table) -> pa.Table:
             a = t.column('part_a').to_numpy(zero_copy_only=False)
             b = t.column('part_b').to_numpy(zero_copy_only=False)
-            return pa.table({'_k': pa.array((a << 32) | b, pa.int64())})
+            return pa.table({'_k': pa.array(_pack32(a, b), pa.int64())})
 
         wk = drop_empty_blocks(
             wedges.map_batches(pack_wedge, batch_format='pyarrow'))
@@ -9797,6 +9913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'scan_table_columns': q_scan_table_columns,
         'db_column_scan': q_db_column_scan,
         'nosql_column_scan': q_nosql_column_scan,
+        'repo_tree_scan': q_repo_tree_scan,
         'exact_substr_spans': q_exact_substr_spans,
         'embedding_dup_pairs': q_embedding_dup_pairs,
         'components_exact': q_components_exact,
@@ -10002,6 +10119,9 @@ def oracle_sql() -> dict[str, str]:
             '{expr}', SQL_AUG_EXPR).replace(
             '{p}', _sql_quote(PII_PATTERNS['EMAIL_ADDRESS'])),
         'nosql_column_scan': _NOSQL_COLUMN_SCAN_SQL.replace(
+            '{expr}', SQL_AUG_EXPR).replace(
+            '{p}', _sql_quote(PII_PATTERNS['EMAIL_ADDRESS'])),
+        'repo_tree_scan': _REPO_TREE_SCAN_SQL.replace(
             '{expr}', SQL_AUG_EXPR).replace(
             '{p}', _sql_quote(PII_PATTERNS['EMAIL_ADDRESS'])),
         'embedding_dup_pairs': _EMBEDDING_DUP_SQL,

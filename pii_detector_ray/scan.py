@@ -51,6 +51,130 @@ _SECRET_EXCLUDE_RE = re.compile(SECRET_EXCLUDE, re.IGNORECASE)
 _SYSTEM_ENTITIES = frozenset(system_entities())
 _CREDENTIAL_NAMES = frozenset(CREDENTIAL_PATTERNS)
 
+# ---------------------------------------------------------------------------
+# RE2 superset prefilter: per detector, transform the Python-re pattern into
+# an RE2 pattern whose match LANGUAGE PROVABLY CONTAINS the original's, run
+# it as a vectorized pyarrow kernel to select candidate rows, and Python-scan
+# only those.  False positives only cost time; false negatives are impossible
+# by construction:
+#   - ``\b``/``\B`` are DROPPED (removing an assertion enlarges the language);
+#   - Python's Unicode ``\d``/``\w``/``\s`` are WIDENED to RE2 supersets
+#     (``\p{Nd}``; non-RE2-space — no whitespace char is a Python word char;
+#     the explicit Unicode-space union);
+#   - ``\D``/``\W``/``\S`` and class elements inside NEGATED classes stay
+#     as-is: RE2's ASCII base sets are subsets of Python's, so their
+#     complements are supersets;
+#   - patterns with ``^``/``$`` (different default semantics), lookarounds,
+#     backrefs, or Python-only flags return None → no prefilter (unchanged
+#     behavior).  Exactness is asserted by
+#     tests/test_scan.py (megastring == per-row) + unicode-digit adversaria.
+# This mirrors the reference's hyperscan-prefilter architecture
+# (hyperscan as the fast first pass, exact engine confirms;
+# app/services/hyperscan_service.py) in Arrow/RE2 terms.
+# ---------------------------------------------------------------------------
+
+_PY_SPACE_RE2_ELEMS = r'\t-\r \x1c-\x1f\x85\xa0\p{Z}'
+
+
+def _re2_superset(pattern: str) -> str | None:
+    if re.search(r'\(\?[aLuxm]', pattern):       # Python-only / ^$-shifting
+        return None
+    out: list[str] = []
+    i, n = 0, len(pattern)
+    in_class = False
+    _class_negated = False
+    while i < n:
+        c = pattern[i]
+        if c == '\\' and i + 1 < n:
+            nxt = pattern[i + 1]
+            if not in_class:
+                if nxt in 'bB':
+                    i += 2
+                    continue
+                if nxt == 'd':
+                    out.append(r'[\p{Nd}]')
+                    i += 2
+                    continue
+                if nxt == 'w':
+                    out.append(r'[^\t\n\f\r ]')
+                    i += 2
+                    continue
+                if nxt == 's':
+                    out.append('[' + _PY_SPACE_RE2_ELEMS + ']')
+                    i += 2
+                    continue
+                if nxt in 'AZz' or nxt.isdigit():   # anchors / backrefs
+                    return None
+            else:
+                # inside a class: widen only in POSITIVE classes (widening
+                # inside [^...] would SHRINK the language)
+                if not _class_negated:
+                    if nxt == 'd':
+                        out.append(r'\p{Nd}')
+                        i += 2
+                        continue
+                    if nxt == 's':
+                        out.append(_PY_SPACE_RE2_ELEMS)
+                        i += 2
+                        continue
+                    if nxt == 'w':
+                        # superset: every Python word char is non-space
+                        out.append(r'\S')
+                        i += 2
+                        continue
+            out.append(c)
+            out.append(nxt)
+            i += 2
+            continue
+        if not in_class:
+            if c == '[':
+                in_class = True
+                _class_negated = pattern[i + 1:i + 2] == '^'
+                out.append(c)
+                i += 1
+                if _class_negated:
+                    out.append('^')
+                    i += 1
+                if pattern[i:i + 1] == ']':     # literal ] as first element
+                    return None
+                continue
+            if c == '$':
+                # Python's default $ also matches before a TRAILING \n;
+                # RE2's is end-of-text only — consume the optional \n
+                out.append(r'\n?$')
+                i += 1
+                continue
+            # '^' keeps RE2 semantics (start-of-text, same as Python default)
+            if pattern[i:i + 3] in ('(?=', '(?!'):
+                return None
+            if pattern[i:i + 4] in ('(?<=', '(?<!'):
+                return None
+        elif c == ']':
+            in_class = False
+        out.append(c)
+        i += 1
+    return ''.join(out)
+
+
+_PREFILTER_CACHE: dict[str, str | None] = {}
+
+
+def re2_prefilter(pattern: str) -> str | None:
+    """Cached :func:`_re2_superset`, validated against RE2 once (a pattern
+    RE2 cannot compile yields None → the scan runs unfiltered)."""
+    if pattern in _PREFILTER_CACHE:
+        return _PREFILTER_CACHE[pattern]
+    pf = _re2_superset(pattern)
+    if pf is not None:
+        try:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            pc.match_substring_regex(pa.array([''], pa.string()), pf)
+        except Exception:
+            pf = None
+    _PREFILTER_CACHE[pattern] = pf
+    return pf
+
 
 @dataclass(frozen=True)
 class Span:
@@ -228,6 +352,24 @@ def scan_texts(texts: list[str], detectors: list[Detector], *, ner: bool = False
             row, base = sub.locate(m.start())
             _emit(det, m.start() - base, m.end() - base, m.group(), per_row[row])
 
+    def prefilter_rows(pattern: str, rows: list[int] | None) -> list[int] | None:
+        """Intersect a gate's candidate rows with the RE2-superset prefilter
+        (see ``_re2_superset``); returns ``rows`` unchanged when the pattern
+        has no safe prefilter.  The RE2 scan is a single vectorized C++ pass
+        over the batch — rows it rejects provably contain no Python match."""
+        pf = re2_prefilter(pattern)
+        if pf is None:
+            return rows
+        import pyarrow.compute as pc
+        try:
+            mask = pc.match_substring_regex(_raw(), pf) \
+                .to_numpy(zero_copy_only=False)
+        except Exception:
+            return rows
+        if rows is None:
+            return np.flatnonzero(mask).tolist()
+        return [i for i in rows if mask[i]]
+
     for det in detectors:
         g = det.gate
         if isinstance(g, tuple) and g and g[0] == 'split':
@@ -242,15 +384,30 @@ def scan_texts(texts: list[str], detectors: list[Detector], *, ner: bool = False
                 if digit_rows else list(range(n))
             try:
                 if digit_rows:
-                    scan_sub(det, det.pattern, ('digit',), digit_rows)
+                    drows = prefilter_rows(det.pattern, digit_rows)
+                    if drows:
+                        scan_sub(det, det.pattern, ('pfd', det.pattern), drows)
                 if nondigit:
-                    scan_sub(det, g[1], ('nondigit',), nondigit)
+                    ndrows = prefilter_rows(g[1], nondigit)
+                    if ndrows:
+                        scan_sub(det, g[1], ('pfn', g[1]), ndrows)
             except Exception:
                 pass
             continue
         key, rows = eligible(det)
         if rows is not None and not rows:
             continue
+        # Registry patterns get the RE2 prefilter, EXCEPT literal-gated ones:
+        # a 'lit' gate already pruned rows with a cheap substring pass, and
+        # for those (mostly anchored credential) patterns the full-batch RE2
+        # scan costs more than the remaining per-row Python scan (measured).
+        if det.megastring_safe and not (isinstance(key, tuple) and key
+                                        and key[0] == 'lit'):
+            pf_rows = prefilter_rows(det.pattern, rows)
+            if pf_rows is not rows:
+                key, rows = ('pf', det.pattern), pf_rows
+                if not rows:
+                    continue
         try:
             if credential_keep_longest and det.suppress_codelike:
                 for row in (rows if rows is not None else range(n)):

@@ -1,0 +1,217 @@
+"""S8: repo-API walker semantics (GitHub / GitLab / Bitbucket contents
+APIs), re-expressed Ray-Data-first over a local repository checkout /
+exported file tree.
+
+Reference semantics (app/services/github.py; gitlab.py:64-86 and
+bitbucket.py:92-114 are the same walk with different field names):
+
+- ``get_all_files_by_branch`` / ``get_folder_files`` (github.py:96-177):
+  recursive directory walk; every ``type == 'file'`` entry yields an
+  ObjectContents row with ``full_path == fetch_path ==
+  f'{owner}::{repo}/{branch}:{path}'``, ``object_name`` (basename),
+  ``etag`` (the API's blob sha), ``size``; every ``type == 'dir'`` entry
+  recurses.
+- ``read_data`` (github.py:80-94): parse the fetch path back —
+  ``fetch_path.split('::')[-1]`` then ``repo_branch_path, file_path =
+  fetch_path.split(':')`` then ``repository, branch =
+  repo_branch_path.rsplit('/', maxsplit=1)`` — fetch the contents object
+  and ``base64.b64decode(response['content'])`` into bytes.
+
+Ray-native translation (the ``sources/sqldb.py`` / ``sources/nosql.py``
+pattern): the LISTING pass is metadata-only and fans out one task per
+top-level directory — each task walks its subtree and emits (path, name,
+size) rows; file BYTES are fetched inside downstream ``map_batches`` tasks
+(``make_fetch_prepare_stage``) and flow straight into the ``prepare_file``
+dispatch + scan, so contents never visit the driver.
+
+Base64 contract: a tree exported through a contents API stores blobs as
+base64 text (the reference always decodes).  A file stored as
+``<path>.b64`` is transparently decoded by ``read_data``; a plain file is
+read raw.  Both forms produce identical downstream bytes (tested).
+
+Scale notes: listing cost is one stat per file, sharded per top-level
+directory (a monorepo's fan-out unit); a tree with millions of files per
+top dir should pre-shard its export.  The fetch stage is one open+read per
+file inside the task — batch size bounds resident bytes, and
+``max_doc_bytes``-style guards belong downstream in the filter stage.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import os
+
+import pyarrow as pa
+
+import ray.data
+
+LISTING_SCHEMA = pa.schema([
+    ('full_path', pa.string()),
+    ('fetch_path', pa.string()),
+    ('object_name', pa.string()),
+    ('etag', pa.string()),
+    ('size', pa.int64()),
+])
+
+
+def _blob_sha(data: bytes) -> str:
+    """git blob sha1 — what the contents API reports as ``sha``."""
+    return hashlib.sha1(b'blob %d\x00' % len(data) + data).hexdigest()
+
+
+def _walk_rows(root: str, rel_base: str, prefix: str,
+               compute_etag: bool) -> list[dict]:
+    rows: list[dict] = []
+    base = os.path.join(root, rel_base) if rel_base else root
+    for dirpath, dirnames, filenames in os.walk(base):
+        dirnames.sort()
+        for name in sorted(filenames):
+            fs_path = os.path.join(dirpath, name)
+            rel = os.path.relpath(fs_path, root).replace(os.sep, '/')
+            api_rel, is_b64 = (rel[:-4], True) if rel.endswith('.b64') \
+                else (rel, False)
+            etag = ''
+            size = os.path.getsize(fs_path)
+            if compute_etag:
+                with open(fs_path, 'rb') as f:
+                    data = f.read()
+                if is_b64:
+                    data = base64.b64decode(data)
+                    size = len(data)
+                etag = _blob_sha(data)
+            elif is_b64:
+                # base64 inflates 4/3: report the decoded size like the API
+                size = (size // 4) * 3    # upper bound sans padding scan
+            rows.append({'full_path': prefix + api_rel,
+                         'fetch_path': prefix + api_rel,
+                         'object_name': os.path.basename(api_rel),
+                         'etag': etag,
+                         'size': int(size)})
+    return rows
+
+
+def walk_repo_tree(root: str, *, owner: str = 'local', repo: str = 'repo',
+                   branch: str = 'main',
+                   compute_etag: bool = False) -> ray.data.Dataset:
+    """Recursive tree walk → listing Dataset (github.py:96-177 contract).
+
+    The driver lists only the ROOT's direct entries; each top-level
+    directory becomes one Ray task that walks its own subtree, so listing
+    parallelism scales with repo fan-out and the driver ships no file
+    contents (and no file rows beyond the root's own files)."""
+    prefix = f'{owner}::{repo}/{branch}:'
+    top_files: list[dict] = []
+    top_dirs: list[str] = []
+    for name in sorted(os.listdir(root)):
+        p = os.path.join(root, name)
+        if os.path.isdir(p):
+            top_dirs.append(name)
+        else:
+            rel = name
+            api_rel, is_b64 = (rel[:-4], True) if rel.endswith('.b64') \
+                else (rel, False)
+            etag = ''
+            size = os.path.getsize(p)
+            if compute_etag:
+                with open(p, 'rb') as f:
+                    data = f.read()
+                if is_b64:
+                    data = base64.b64decode(data)
+                    size = len(data)
+                etag = _blob_sha(data)
+            elif is_b64:
+                size = (size // 4) * 3
+            top_files.append({'full_path': prefix + api_rel,
+                              'fetch_path': prefix + api_rel,
+                              'object_name': os.path.basename(api_rel),
+                              'etag': etag,
+                              'size': int(size)})
+
+    parts: list[ray.data.Dataset] = []
+    if top_files:
+        parts.append(ray.data.from_arrow(
+            pa.Table.from_pylist(top_files, schema=LISTING_SCHEMA)))
+    if top_dirs:
+        seeds = ray.data.from_items(
+            [{'dir': d} for d in top_dirs],
+            override_num_blocks=len(top_dirs))
+
+        def walk_dir(batch: pa.Table) -> pa.Table:
+            rows: list[dict] = []
+            for d in batch.column('dir').to_pylist():
+                rows.extend(_walk_rows(root, d, prefix, compute_etag))
+            return pa.Table.from_pylist(rows, schema=LISTING_SCHEMA)
+
+        parts.append(seeds.map_batches(walk_dir, batch_format='pyarrow'))
+    if not parts:
+        return ray.data.from_arrow(LISTING_SCHEMA.empty_table())
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
+
+
+def read_data(fetch_path: str, roots: dict[tuple[str, str], str]) -> bytes | None:
+    """github.py:80-94 contract: parse ``owner::repo/branch:path``, fetch
+    the blob, base64-decode when the store holds it API-style
+    (``<path>.b64``).  ``roots`` maps ``(repository, branch)`` — where
+    ``repository`` is the reference's ``repo`` segment (its own
+    ``read_data`` splits off the owner) — to a local tree root."""
+    tail = fetch_path.split('::')[-1]
+    try:
+        repo_branch_path, file_path = tail.split(':')
+        repository, branch = repo_branch_path.rsplit('/', maxsplit=1)
+    except ValueError:
+        return None
+    root = roots.get((repository, branch))
+    if root is None:
+        return None
+    fs_path = os.path.join(root, file_path.replace('/', os.sep))
+    try:
+        if os.path.exists(fs_path):
+            with open(fs_path, 'rb') as f:
+                return f.read()
+        b64_path = fs_path + '.b64'
+        if os.path.exists(b64_path):
+            with open(b64_path, 'rb') as f:
+                return base64.b64decode(f.read())
+    except OSError:
+        return None
+    return None
+
+
+def make_fetch_prepare_stage(roots: dict[tuple[str, str], str]):
+    """Listing rows → ``content_text`` via :func:`read_data` +
+    ``prepare_file`` dispatch (the reference's fetch → file_service
+    pipeline).  DataFrame results (csv/xlsx/xls) flatten column-major to
+    one cell-per-line text — the same value stream the reference's
+    column-wise DataFrame scan walks (data_analysis_service.py:184-190).
+    Unreadable / parser-failed files yield NULL (reference: None)."""
+    import pandas as pd
+
+    from pii_detector_ray.functions.prepare import prepare_file
+
+    def fetch_prepare(batch: pa.Table) -> pa.Table:
+        texts: list[str | None] = []
+        for fp, name in zip(batch.column('fetch_path').to_pylist(),
+                            batch.column('object_name').to_pylist()):
+            data = read_data(fp, roots)
+            if data is None:
+                texts.append(None)
+                continue
+            content = prepare_file(data, name)
+            if content is None:
+                texts.append(None)
+            elif isinstance(content, pd.DataFrame):
+                cells: list[str] = []
+                for col in content.columns:
+                    cells.extend(str(v) for v in content[col].tolist()
+                                 if v is not None and v == v)
+                texts.append('\n'.join(cells))
+            else:
+                texts.append(str(content))
+        return batch.append_column('content_text',
+                                   pa.array(texts, pa.string()))
+
+    return fetch_prepare

@@ -383,7 +383,7 @@ def jaccard_pairs_prefix(ds: ray.data.Dataset, *,
     def prefix_emit(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(['_df', 'sh'], kind='mergesort')
         m = len(g)
-        p = m - (-(-tn * m) // td) + 1       # m - ceil(t*m) + 1, exact
+        p = m - ((tn * m + td - 1) // td) + 1    # m - ceil(t*m) + 1, exact
         return pd.DataFrame({
             'sh': g['sh'].to_numpy()[:p],
             id_col: g[id_col].to_numpy()[:p],

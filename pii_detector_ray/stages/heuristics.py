@@ -88,17 +88,20 @@ def _space_word_counts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return n_spaces, cs2[off[1:]] - cs2[off[:-1]]
 
 
-def heuristics_batch(df: pd.DataFrame) -> pd.DataFrame:
-    """Adds feature columns: n_chars, n_words, mean_word_len,
-    symbol_word_ratio, bullet_line_frac, ellipsis_line_frac, dup_line_frac,
-    alpha_word_frac.
+FEATURE_ORDER = ('n_chars', 'n_words', 'mean_word_len', 'symbol_word_ratio',
+                 'bullet_line_frac', 'ellipsis_line_frac', 'alpha_word_frac',
+                 'dup_line_frac')
 
-    All counting features run as pyarrow RE2 kernels (vectorized C++, no
-    per-row Python) — measured 5x faster than the pandas ``.str.count``
-    object-array fallback on the bench corpus; the RE2 class semantics are
-    exactly what the DuckDB oracles mirror (re2compat.py)."""
-    s = df['extracted_text'].astype('string').fillna('')
-    arr = pa.Array.from_pandas(s, type=pa.string())
+
+def heuristics_arrays(arr: pa.Array, texts: list[str]) -> dict[str, np.ndarray]:
+    """Array-level core: feature vectors from a NULL-FREE Arrow string array.
+
+    ``texts`` is the same array as Python strings (computed once by the
+    caller and shared with the scorer/keepdrop kernels that genuinely need
+    Python strings).  All counting features run as pyarrow RE2 kernels
+    (vectorized C++, no per-row Python) — measured 5x faster than the pandas
+    ``.str.count`` object-array fallback on the bench corpus; the RE2 class
+    semantics are exactly what the DuckDB oracles mirror (re2compat.py)."""
 
     def rcount(pattern: str) -> np.ndarray:
         return pc.count_substring_regex(arr, pattern) \
@@ -111,20 +114,34 @@ def heuristics_batch(df: pd.DataFrame) -> pd.DataFrame:
     # \S-char count == len - \s-char count (every char is one or the other)
     nonspace = n_chars - n_spaces
 
-    # no defensive copy: stages only append new columns to the batch
-    df['n_chars'] = n_chars
-    df['n_words'] = n_words
-    df['mean_word_len'] = nonspace / n_words_safe
-    df['symbol_word_ratio'] = rcount(_SYMBOL).astype(np.float64) / n_words_safe
     n_lines = pc.count_substring(arr, '\n') \
         .to_numpy(zero_copy_only=False).astype(np.int64) + 1
     bullet = rcount(_BULLET_NL_RE2) + pc.match_substring_regex(
         arr, _BULLET_FIRST_RE2).to_numpy(zero_copy_only=False).astype(np.int64)
-    df['bullet_line_frac'] = bullet.astype(np.float64) / n_lines
-    df['ellipsis_line_frac'] = rcount(_ELLIPSIS_LINE).astype(np.float64) / n_lines
-    df['alpha_word_frac'] = rcount(_ALPHA_WORD_RE2).astype(np.float64) / n_words_safe
-    df['dup_line_frac'] = np.fromiter(
-        (_dup_line_frac(t) for t in s), dtype=np.float64, count=len(s))
+    return {
+        'n_chars': n_chars,
+        'n_words': n_words,
+        'mean_word_len': nonspace / n_words_safe,
+        'symbol_word_ratio': rcount(_SYMBOL).astype(np.float64) / n_words_safe,
+        'bullet_line_frac': bullet.astype(np.float64) / n_lines,
+        'ellipsis_line_frac': rcount(_ELLIPSIS_LINE).astype(np.float64) / n_lines,
+        'alpha_word_frac': rcount(_ALPHA_WORD_RE2).astype(np.float64) / n_words_safe,
+        'dup_line_frac': np.fromiter(
+            (_dup_line_frac(t) for t in texts), dtype=np.float64,
+            count=len(texts)),
+    }
+
+
+def heuristics_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Adds feature columns: n_chars, n_words, mean_word_len,
+    symbol_word_ratio, bullet_line_frac, ellipsis_line_frac, dup_line_frac,
+    alpha_word_frac (pandas wrapper over :func:`heuristics_arrays`; the
+    flagship's fused task mode uses the Arrow-native core directly)."""
+    s = df['extracted_text'].astype('string').fillna('')
+    arr = pa.Array.from_pandas(s, type=pa.string())
+    # no defensive copy: stages only append new columns to the batch
+    for name, vals in heuristics_arrays(arr, list(s)).items():
+        df[name] = vals
     return df
 
 

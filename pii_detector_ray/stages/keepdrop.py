@@ -37,10 +37,17 @@ _GID_STRIDE = 64          # > max stopwords per language
 
 def stopword_hits(texts: pd.Series, langs: pd.Series) -> np.ndarray:
     """Distinct-stopword count for each doc, using its predicted language's
-    list; -1 where the language has no list (rule skipped)."""
-    hits = np.full(len(texts), -1, dtype=np.int64)
+    list; -1 where the language has no list (rule skipped).  (pandas wrapper
+    over :func:`stopword_hits_arrays`.)"""
     langs_np = langs.fillna('und').to_numpy(dtype=object)
     texts_np = texts.to_numpy(dtype=object)
+    return stopword_hits_arrays(texts_np, langs_np)
+
+
+def stopword_hits_arrays(texts_np: np.ndarray, langs_np: np.ndarray) -> np.ndarray:
+    """Array-level core of :func:`stopword_hits` (object-dtype inputs;
+    None/non-str texts count as empty, None langs must be pre-filled)."""
+    hits = np.full(len(texts_np), -1, dtype=np.int64)
     for lang, pat in _STOP_PATTERNS.items():
         idx = np.flatnonzero(langs_np == lang)
         if idx.size == 0:
@@ -70,51 +77,87 @@ def stopword_hits(texts: pd.Series, langs: pd.Series) -> np.ndarray:
     return hits
 
 
+def stopword_rule_fail(texts_np: np.ndarray, langs_np: np.ndarray,
+                       min_hits: int) -> np.ndarray:
+    """The stopword RULE evaluated directly: True where the doc's predicted
+    language has a stopword list and fewer than ``min_hits`` DISTINCT
+    stopwords occur.  Equivalent to ``(sw >= 0) & (sw < min_hits)`` over
+    :func:`stopword_hits_arrays` (property-tested), but each doc's scan
+    EARLY-EXITS once ``min_hits`` distinct words are seen — on natural text
+    that is within the first sentence, vs the full-document megastring scan
+    the exact count needs (~7x less keepdrop time on the bench corpus)."""
+    fail = np.zeros(len(texts_np), dtype=bool)
+    for lang, pat in _STOP_PATTERNS.items():
+        idx = np.flatnonzero(langs_np == lang)
+        for i in idx:
+            t = texts_np[i]
+            seen: set[int] = set()
+            for m in pat.finditer(t if isinstance(t, str) else ''):
+                seen.add(m.lastindex)
+                if len(seen) >= min_hits:
+                    break
+            fail[i] = len(seen) < min_hits
+    return fail
+
+
+def keepdrop_arrays(thr, feat, texts_np: np.ndarray,
+                    langs_np: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Array-level keep/drop core: ``feat`` maps feature name -> numpy
+    vector, ``texts_np``/``langs_np`` are object arrays (null-filled).
+    Returns ``(keep: bool[n], drop_reason: object[n] of str|None)``.
+    Shared by the pandas wrapper (actor mode / tests) and the flagship's
+    Arrow-native fused stage."""
+    rules: list[tuple[str, np.ndarray]] = [
+        ('too_short', feat['n_chars'] < thr.min_chars),
+        ('too_long', feat['n_chars'] > thr.max_chars),
+        ('mean_word_length',
+         (feat['mean_word_len'] < thr.min_mean_word_len)
+         | (feat['mean_word_len'] > thr.max_mean_word_len)),
+        ('symbol_ratio', feat['symbol_word_ratio'] > thr.max_symbol_word_ratio),
+        ('bullet_lines', feat['bullet_line_frac'] > thr.max_bullet_line_frac),
+        ('ellipsis_lines', feat['ellipsis_line_frac'] > thr.max_ellipsis_line_frac),
+        ('dup_lines', feat['dup_line_frac'] > thr.max_dup_line_frac),
+    ]
+    # Gopher n-gram repetition rules (opt-in; stages/repetition.py
+    # computes the feature columns only when a threshold is set)
+    for col, limit in (
+            ('top_2gram_char_frac', thr.max_top_2gram_char_frac),
+            ('top_3gram_char_frac', thr.max_top_3gram_char_frac),
+            ('top_4gram_char_frac', thr.max_top_4gram_char_frac),
+            ('dup_5gram_char_frac', thr.max_dup_5gram_char_frac),
+            ('dup_10gram_char_frac', thr.max_dup_10gram_char_frac)):
+        if limit is not None:
+            rules.append((col.replace('_char_frac', '_chars'),
+                          feat[col] > limit))
+    rules += [
+        ('alpha_ratio', feat['alpha_word_frac'] < thr.min_alpha_word_frac),
+        ('stopwords',
+         stopword_rule_fail(texts_np, langs_np, thr.min_stopword_hits)),
+        ('lang_confidence', feat['lang_conf'] < thr.min_lang_confidence),
+        ('perplexity', feat['perplexity'] > thr.max_perplexity),
+        ('toxicity', feat['toxicity'] > thr.max_toxicity),
+    ]
+    if thr.allowed_langs is not None:
+        rules.append(('disallowed_lang',
+                      ~np.isin(langs_np, list(thr.allowed_langs))))
+
+    conds = [np.asarray(fail, dtype=bool) for _, fail in rules]
+    names = [name for name, _ in rules]
+    reason = np.select(conds, names, default=None)
+    keep = ~np.logical_or.reduce(conds)
+    return keep, reason
+
+
 def make_keepdrop_stage(cfg: PipelineConfig):
     thr = cfg.thresholds
 
     def keepdrop_batch(df: pd.DataFrame) -> pd.DataFrame:
         # no defensive copy: stages only append new columns to the batch
         s = df['extracted_text'].astype('string').fillna('')
-        sw = stopword_hits(s, df['lang_pred'])
-
-        rules: list[tuple[str, np.ndarray]] = [
-            ('too_short', (df['n_chars'] < thr.min_chars).to_numpy()),
-            ('too_long', (df['n_chars'] > thr.max_chars).to_numpy()),
-            ('mean_word_length',
-             ((df['mean_word_len'] < thr.min_mean_word_len)
-              | (df['mean_word_len'] > thr.max_mean_word_len)).to_numpy()),
-            ('symbol_ratio', (df['symbol_word_ratio'] > thr.max_symbol_word_ratio).to_numpy()),
-            ('bullet_lines', (df['bullet_line_frac'] > thr.max_bullet_line_frac).to_numpy()),
-            ('ellipsis_lines', (df['ellipsis_line_frac'] > thr.max_ellipsis_line_frac).to_numpy()),
-            ('dup_lines', (df['dup_line_frac'] > thr.max_dup_line_frac).to_numpy()),
-        ]
-        # Gopher n-gram repetition rules (opt-in; stages/repetition.py
-        # computes the feature columns only when a threshold is set)
-        for col, limit in (
-                ('top_2gram_char_frac', thr.max_top_2gram_char_frac),
-                ('top_3gram_char_frac', thr.max_top_3gram_char_frac),
-                ('top_4gram_char_frac', thr.max_top_4gram_char_frac),
-                ('dup_5gram_char_frac', thr.max_dup_5gram_char_frac),
-                ('dup_10gram_char_frac', thr.max_dup_10gram_char_frac)):
-            if limit is not None:
-                rules.append((col.replace('_char_frac', '_chars'),
-                              (df[col] > limit).to_numpy()))
-        rules += [
-            ('alpha_ratio', (df['alpha_word_frac'] < thr.min_alpha_word_frac).to_numpy()),
-            ('stopwords', (sw >= 0) & (sw < thr.min_stopword_hits)),
-            ('lang_confidence', (df['lang_conf'] < thr.min_lang_confidence).to_numpy()),
-            ('perplexity', (df['perplexity'] > thr.max_perplexity).to_numpy()),
-            ('toxicity', (df['toxicity'] > thr.max_toxicity).to_numpy()),
-        ]
-        if thr.allowed_langs is not None:
-            rules.append(('disallowed_lang',
-                          ~df['lang_pred'].isin(thr.allowed_langs).to_numpy()))
-
-        conds = [fail for _, fail in rules]
-        names = [name for name, _ in rules]
-        reason = np.select(conds, names, default=None)
-        df['keep'] = ~np.logical_or.reduce(conds)
+        keep, reason = keepdrop_arrays(
+            thr, df, s.to_numpy(dtype=object),
+            df['lang_pred'].fillna('und').to_numpy(dtype=object))
+        df['keep'] = keep
         df['drop_reason'] = pd.array(
             [r if r is not None else None for r in reason], dtype='string')
         return df

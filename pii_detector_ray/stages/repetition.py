@@ -183,13 +183,21 @@ def _batch_repetition(texts: list[str]) -> np.ndarray:
     return out
 
 
+def repetition_arrays(texts: list[str]) -> dict[str, np.ndarray]:
+    """Array-level core: the five repetition feature vectors for a batch of
+    (null-filled) Python strings."""
+    if not texts:
+        return {col: np.empty(0, dtype=np.float64) for col in FEATURE_COLUMNS}
+    vals = _batch_repetition(texts)
+    return {col: sql_round_np(vals[:, j], 4)
+            for j, col in enumerate(FEATURE_COLUMNS)}
+
+
 def repetition_batch(df: pd.DataFrame,
                      text_col: str = 'extracted_text') -> pd.DataFrame:
-    """Adds the five repetition feature columns (see module docstring)."""
+    """Adds the five repetition feature columns (see module docstring;
+    pandas wrapper over :func:`repetition_arrays`)."""
     s = df[text_col].astype('string').fillna('')
-    vals = _batch_repetition(list(s)) if len(s) else \
-        np.empty((0, len(FEATURE_COLUMNS)))
-    for j, col in enumerate(FEATURE_COLUMNS):
-        df[col] = sql_round_np(vals[:, j], 4) if len(s) else \
-            np.empty(0, dtype=np.float64)
+    for col, vals in repetition_arrays(list(s)).items():
+        df[col] = vals
     return df

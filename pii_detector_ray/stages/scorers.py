@@ -41,24 +41,37 @@ class QualityScorers:
             _PROCESS_SCORERS = cls()
         return _PROCESS_SCORERS
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+    def score_arrays(self, texts: list[str], n_words=None) -> dict:
+        """Array-level core: ``{'lang_pred': list[str], 'lang_conf': f64,
+        'perplexity': f64, 'toxicity': f64}`` for a batch of (null-filled)
+        Python strings.  Shared by the pandas wrapper (``__call__``, actor
+        mode) and the flagship's Arrow-native fused stage."""
+        import numpy as np
+
         from pii_detector_ray.models.textmodel import _batch_trigrams, cap_texts
-        texts = df['extracted_text'].fillna('').tolist()
         n = len(texts)
-        tri = _batch_trigrams(cap_texts(texts)) if n else None   # computed once, shared
+        if not n:
+            z = np.empty(0, dtype=np.float64)
+            return {'lang_pred': [], 'lang_conf': z, 'perplexity': z,
+                    'toxicity': z}
+        tri = _batch_trigrams(cap_texts(texts))   # computed once, shared
+        langs, conf = self.langid.predict_from_trigrams(n, *tri)
+        return {
+            'lang_pred': langs,
+            'lang_conf': conf,
+            'perplexity': self.ppl.ppl_from_trigrams(n, *tri, langs=langs),
+            'toxicity': self.tox.score_batch(texts, n_words=n_words),
+        }
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        texts = df['extracted_text'].fillna('').tolist()
+        n_words = df['n_words'].to_numpy() if 'n_words' in df.columns else None
+        out = self.score_arrays(texts, n_words=n_words)
         # no defensive copy: stages only append new columns to the batch
-        if n:
-            langs, conf = self.langid.predict_from_trigrams(n, *tri)
-            df['lang_pred'] = pd.array(langs, dtype='string')
-            df['lang_conf'] = conf
-            df['perplexity'] = self.ppl.ppl_from_trigrams(n, *tri, langs=langs)
-            n_words = df['n_words'].to_numpy() if 'n_words' in df.columns else None
-            df['toxicity'] = self.tox.score_batch(texts, n_words=n_words)
-        else:
-            df['lang_pred'] = pd.array([], dtype='string')
-            df['lang_conf'] = pd.array([], dtype='float64')
-            df['perplexity'] = pd.array([], dtype='float64')
-            df['toxicity'] = pd.array([], dtype='float64')
+        df['lang_pred'] = pd.array(out['lang_pred'], dtype='string')
+        df['lang_conf'] = out['lang_conf']
+        df['perplexity'] = out['perplexity']
+        df['toxicity'] = out['toxicity']
         return df
 
 

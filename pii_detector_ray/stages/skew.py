@@ -456,7 +456,7 @@ def debounce_counts_salted(ds: ray.data.Dataset, *, threshold_us: int,
         ts = g['_ts'].to_numpy()
         kept = np.diff(ts) >= threshold_us     # decided: all but first
         out = pd.DataFrame({'event_type': tp[1:][kept]}) \
-            .groupby('event_type', sort=False).size() \
+            .groupby('event_type', sort=False, dropna=False).size() \
             .rename('_n').reset_index()
         out['_first_ts'] = np.int64(0)
         out['_last_ts'] = np.int64(0)
@@ -487,7 +487,7 @@ def debounce_counts_salted(ds: ray.data.Dataset, *, threshold_us: int,
         kept = np.ones(len(g), bool)           # global first: always kept
         kept[1:] = first_ts[1:] - last_ts[:-1] >= threshold_us
         return pd.DataFrame({'event_type': tp[kept]}) \
-            .groupby('event_type', sort=False).size() \
+            .groupby('event_type', sort=False, dropna=False).size() \
             .rename('_n').reset_index()
 
     border = local.filter(expr='_b >= 0') \
@@ -525,7 +525,7 @@ def debounce_counts(ds: ray.data.Dataset, *, threshold_us: int,
         kept[1:] = np.diff(ts) >= threshold_us
         return pd.DataFrame({'event_type':
                              g['event_type'].to_numpy()[kept]}) \
-            .groupby('event_type', sort=False).size() \
+            .groupby('event_type', sort=False, dropna=False).size() \
             .rename('_n').reset_index()
 
     plain = (ds.map_batches(prep, batch_format='pyarrow')

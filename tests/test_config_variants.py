@@ -115,6 +115,50 @@ def test_scorer_actor_mode_equals_task_mode():
         assert a[col].tolist() == b[col].tolist(), col
 
 
+def test_arrow_fused_stage_equals_pandas_stages_all_columns():
+    """The Arrow-native fused quality stage (scorer_mode='tasks', r5) must
+    equal the pandas per-stage path (scorer_mode='actors') on EVERY feature,
+    score, and decision column — incl. repetition features (thresholds on),
+    non-English docs, empty and bullet/ellipsis-heavy texts."""
+    import math
+
+    en = ('The children walk to the market and the weather is pleasant '
+          'this morning and the teacher explains the lesson slowly. ' * 3)
+    rows = [
+        ('https://a.com/en', 101, None, en, 'en'),
+        ('https://a.com/rep', 102, None, 'spam ham ' * 40, 'en'),
+        ('https://a.com/ru', 103, None,
+         'Дети идут на рынок и погода сегодня приятная и тёплая. ' * 6, 'ru'),
+        ('https://a.com/empty', 104, None, '', 'en'),
+        ('https://a.com/bullets', 105, None,
+         '- one\n- two\n- three...\nplain tail ' + en, 'en'),
+        ('https://a.com/dup', 106, None, 'same line\nsame line\nother\n' + en,
+         'en'),
+    ]
+    tbl = _pages_table(rows)
+    thr = QualityThresholds(max_top_2gram_char_frac=0.5,
+                            max_dup_5gram_char_frac=0.5)
+    tasks = PipelineConfig(thresholds=thr)
+    actors = PipelineConfig(thresholds=thr, scorer_mode='actors')
+    import ray.data as rd
+    a = build_pipeline(rd.from_arrow(tbl), tasks, concurrency=(1, 2)) \
+        .to_pandas().sort_values('url').reset_index(drop=True)
+    b = build_pipeline(rd.from_arrow(tbl), actors, concurrency=(1, 2)) \
+        .to_pandas().sort_values('url').reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    for col in a.columns:
+        av, bv = a[col].tolist(), b[col].tolist()
+        for x, y in zip(av, bv):
+            if isinstance(x, float) and isinstance(y, float):
+                assert (math.isnan(x) and math.isnan(y)) or x == y, (col, x, y)
+            elif col == 'pii_spans':
+                assert list(x) == list(y), col
+            else:
+                ok = (x == y) or (x is None and y is None) \
+                    or (x != x and y != y)
+                assert ok, (col, x, y)
+
+
 def test_config_json_roundtrip():
     cfg = PipelineConfig(scrub_entities=['US_SSN'],
                          custom_patterns={'X': r'\bX\d\b'},

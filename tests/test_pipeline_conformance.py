@@ -132,6 +132,70 @@ def test_big_conformance_correctness_corpus():
     assert bad == 0, f'{bad}/{len(expected)} rows diverged'
 
 
+def test_stopword_rule_fail_equals_exact_counts():
+    """The early-exit rule evaluator must equal the exact-count rule
+    ``(sw >= 0) & (sw < min_hits)`` on adversarial texts, at several
+    thresholds."""
+    import numpy as np
+
+    from pii_detector_ray.models.seeds import STOPWORDS
+    from pii_detector_ray.stages.keepdrop import (
+        stopword_hits_arrays,
+        stopword_rule_fail,
+    )
+    samples = []
+    for lang, ws in STOPWORDS.items():
+        ws = list(ws)
+        samples += [
+            ('', lang),
+            (ws[0], lang),                                   # 1 distinct
+            (ws[0] + ' ' + ws[0], lang),                     # still 1 distinct
+            (ws[0] + ' ' + ws[1], lang),                     # 2 distinct
+            (' '.join(ws), lang),                            # all distinct
+            ('x' * 50 + ' ' + ws[2], lang),                  # late single hit
+            ('no hits at all 123', lang),
+        ]
+    samples.append(('any text', 'zz'))                        # no list -> skip
+    texts = np.asarray([t for t, _ in samples], dtype=object)
+    langs = np.asarray([l for _, l in samples], dtype=object)
+    sw = stopword_hits_arrays(texts, langs)
+    for min_hits in (1, 2, 3, 10):
+        got = stopword_rule_fail(texts, langs, min_hits)
+        exp = (sw >= 0) & (sw < min_hits)
+        assert (got == exp).all(), (min_hits, list(zip(samples, got, exp)))
+
+
+def test_toxicity_prefilter_equals_full_scan():
+    """The RE2-prefiltered toxicity scan must equal a full Python megastring
+    scan — incl. case variants, boundary-adjacent unicode (Python \\b is
+    Unicode-aware: 'éhate' has NO boundary), and multi-hit docs."""
+    import numpy as np
+
+    from pii_detector_ray.models.textmodel import ToxicityModel
+    tox = ToxicityModel()
+    texts = [
+        'clean document about markets and weather',
+        'you are stupid and an idiot',
+        'HATE Hate hate',                       # case folding, 3 hits
+        'éhate xhate hateé',                    # unicode/word-adjacent: 0 hits
+        'shut up please',                       # two-token lexicon entry
+        'whitehate',                            # substring but no boundary
+        '',
+        'trash. garbage! loser?',               # punctuation boundaries
+    ]
+    got = tox.score_batch(texts)
+    # expected via the unfiltered per-doc scan with the same pattern
+    exp_hits = np.array([len(tox.pattern.findall(t)) for t in texts],
+                        dtype=np.float64)
+    n_words = np.array([len(tox.word.findall(t)) for t in texts],
+                       dtype=np.float64)
+    density = exp_hits / np.maximum(n_words, 1.0)
+    exp = 1.0 / (1.0 + np.exp(-tox.steepness * (density - tox.midpoint)))
+    assert np.allclose(got, exp, rtol=0, atol=0)
+    assert exp_hits[3] == 0 and exp_hits[5] == 0     # the tricky rows
+    assert exp_hits[2] == 3 and exp_hits[7] == 3
+
+
 def test_keepdrop_stopwords_combined_equals_per_word():
     """The combined-alternation megastring stopword scan equals the per-word
     oracle count on adversarial cases (prefix words, punctuation boundaries,

@@ -1,0 +1,95 @@
+"""S8 repo-API walker adapter (sources/repotree.py): recursive listing
+contract (reference github.py:96-177), fetch-path parsing + base64 blob
+decode (github.py:80-94), prepare_file dispatch, blob-sha etags."""
+
+import base64
+import hashlib
+import os
+
+from pii_detector_ray.sources.repotree import (
+    _blob_sha,
+    make_fetch_prepare_stage,
+    read_data,
+    walk_repo_tree,
+)
+
+
+def _mk(root, rel, data: bytes):
+    p = os.path.join(root, rel.replace('/', os.sep))
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, 'wb') as f:
+        f.write(data)
+
+
+def _fixture(tmp_path) -> str:
+    root = str(tmp_path / 'repo')
+    _mk(root, 'README.md', b'hello mail me at a@b.co')
+    _mk(root, 'src/deep/nested/mod.txt', b'nested text')
+    _mk(root, 'src/main.txt', b'main file')
+    # API-style base64 blob: listed/fetched as data/blob.txt
+    _mk(root, 'data/blob.txt.b64', base64.b64encode(b'secret x@y.io body'))
+    _mk(root, 'data/table.csv', b'a,b\n1,hi\n2,yo\n')
+    return root
+
+
+def test_walk_listing_contract(ray_session, tmp_path):
+    root = _fixture(tmp_path)
+    out = walk_repo_tree(root, owner='o', repo='r', branch='dev') \
+        .to_pandas().sort_values('full_path').reset_index(drop=True)
+    assert out['full_path'].tolist() == [
+        'o::r/dev:README.md',
+        'o::r/dev:data/blob.txt',
+        'o::r/dev:data/table.csv',
+        'o::r/dev:src/deep/nested/mod.txt',
+        'o::r/dev:src/main.txt',
+    ]
+    assert (out['full_path'] == out['fetch_path']).all()
+    assert out['object_name'].tolist() == ['README.md', 'blob.txt',
+                                           'table.csv', 'mod.txt', 'main.txt']
+    # root file listed driver-side, subtrees walked in tasks — same schema
+    assert out['size'].tolist()[0] == len(b'hello mail me at a@b.co')
+
+
+def test_walk_etags_are_git_blob_shas(ray_session, tmp_path):
+    root = _fixture(tmp_path)
+    out = walk_repo_tree(root, compute_etag=True).to_pandas() \
+        .set_index('object_name')
+    data = b'hello mail me at a@b.co'
+    expect = hashlib.sha1(b'blob %d\x00' % len(data) + data).hexdigest()
+    assert out.loc['README.md', 'etag'] == expect == _blob_sha(data)
+    # the b64 blob's etag and size refer to the DECODED bytes (API contract)
+    assert out.loc['blob.txt', 'etag'] == _blob_sha(b'secret x@y.io body')
+    assert out.loc['blob.txt', 'size'] == len(b'secret x@y.io body')
+
+
+def test_read_data_parses_fetch_path_and_decodes_b64(tmp_path):
+    root = _fixture(tmp_path)
+    roots = {('r', 'dev'): root}
+    assert read_data('o::r/dev:README.md', roots) == b'hello mail me at a@b.co'
+    assert read_data('o::r/dev:data/blob.txt', roots) == b'secret x@y.io body'
+    assert read_data('r/dev:src/main.txt', roots) == b'main file'  # no owner
+    assert read_data('o::r/dev:absent.txt', roots) is None
+    assert read_data('o::other/dev:README.md', roots) is None
+    assert read_data('garbage', roots) is None
+
+
+def test_fetch_prepare_stage_dispatch(ray_session, tmp_path):
+    root = _fixture(tmp_path)
+    ds = walk_repo_tree(root, owner='o', repo='r', branch='dev')
+    stage = make_fetch_prepare_stage({('r', 'dev'): root})
+    out = ds.map_batches(stage, batch_format='pyarrow').to_pandas() \
+        .set_index('object_name')
+    assert out.loc['README.md', 'content_text'] == 'hello mail me at a@b.co'
+    assert out.loc['blob.txt', 'content_text'] == 'secret x@y.io body'
+    # csv dispatch: cells flatten column-major, one per line (the sniffed
+    # parse is headerless — reference file_service reads raw cells)
+    assert out.loc['table.csv', 'content_text'] == 'a\n1\n2\nb\nhi\nyo'
+
+
+def test_empty_tree(ray_session, tmp_path):
+    root = str(tmp_path / 'empty')
+    os.makedirs(root)
+    ds = walk_repo_tree(root)
+    assert ds.count() == 0
+    assert set(ds.schema().names) == {'full_path', 'fetch_path',
+                                      'object_name', 'etag', 'size'}
