@@ -95,7 +95,8 @@ def cmd_traindata(args: argparse.Namespace) -> int:
         read_parquet_clean(files, columns=[args.id_col, args.text_col]),
         cfg, id_col=args.id_col, text_col=args.text_col,
         span_dedup_enabled=not args.no_span_dedup,
-        c4_enabled=not args.no_c4)
+        c4_enabled=not args.no_c4,
+        near_dedup_enabled=not args.no_near_dedup)
     # write_parquet APPENDS into an existing directory (Ray 2.49): truncate
     # so a re-run replaces rather than duplicates the previous output
     import shutil
@@ -107,6 +108,24 @@ def cmd_traindata(args: argparse.Namespace) -> int:
     n_kept = rd.read_parquet(os.path.join(args.output, 'corpus')).count()
     n_drop = rd.read_parquet(os.path.join(args.output, 'dropped')).count()
     print(json.dumps({'kept': n_kept, 'dropped': n_drop}))
+    return 0
+
+
+def cmd_watch(args: argparse.Namespace) -> int:
+    _ray_init(args.num_cpus)
+    import time as _time
+
+    from pii_detector_ray.pipelines.watch import watch_once
+    cfg = _load_cfg(args)
+    cycles = 1 if args.once else args.max_cycles
+    for i in range(cycles):
+        summary = watch_once(args.input, args.output, cfg,
+                             num_partitions=args.partitions,
+                             dedup_urls=args.dedup_urls,
+                             keep_only=args.keep_only)
+        print(json.dumps(summary))
+        if i + 1 < cycles:
+            _time.sleep(args.interval)
     return 0
 
 
@@ -152,9 +171,31 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument('--text-col', default='text')
     t.add_argument('--no-span-dedup', action='store_true')
     t.add_argument('--no-c4', action='store_true')
+    t.add_argument('--no-near-dedup', action='store_true',
+                   help='skip the exact Jaccard near-dup join stage')
     t.add_argument('--num-cpus', type=int, default=None)
     t.add_argument('--config')
     t.set_defaults(fn=cmd_traindata)
+
+    w = sub.add_parser(
+        'watch',
+        help='incremental scan: diff input shards against the committed '
+             'ledger, run only new/changed shards as a new generation '
+             '(the reference\'s 15-min rescheduler, Ray-native)')
+    w.add_argument('--input', required=True, help='directory of pages parquet')
+    w.add_argument('--output', required=True)
+    w.add_argument('--once', action='store_true',
+                   help='run one cycle and exit (external timers own cadence)')
+    w.add_argument('--interval', type=float, default=900.0,
+                   help='seconds between cycles when looping (default 900, '
+                        'the reference\'s 15 minutes)')
+    w.add_argument('--max-cycles', type=int, default=1_000_000)
+    w.add_argument('--partitions', type=int, default=8)
+    w.add_argument('--num-cpus', type=int, default=None)
+    w.add_argument('--config')
+    w.add_argument('--dedup-urls', action='store_true')
+    w.add_argument('--keep-only', action='store_true')
+    w.set_defaults(fn=cmd_watch)
 
     g = sub.add_parser('synth', help='generate a synthetic pages corpus')
     g.add_argument('--size', choices=['smoke', 'correctness', 'bench'],

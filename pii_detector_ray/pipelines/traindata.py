@@ -56,13 +56,23 @@ def build_traindata_pipeline(
     text_col: str = 'text',
     span_dedup_enabled: bool = True,
     c4_enabled: bool = True,
+    near_dedup_enabled: bool = True,
+    near_threshold: tuple[int, int] = (4, 5),
 ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """Returns ``(corpus, dropped)``:
 
     - ``corpus``: (id_col, final_text, n_tokens_ws, n_tokens_bpe,
-      n_spans_dropped) — cleaned, scrubbed, twice-deduped documents;
+      n_spans_dropped) — cleaned, scrubbed, deduped documents;
     - ``dropped``: (id_col, drop_stage, drop_reason) — one row per input
       document that did not survive.
+
+    ``near_dedup_enabled`` adds the exact prefix-filtered Jaccard join
+    (``stages/dedup.jaccard_pairs_prefix``) between exact dedup and span
+    dedup: any doc with word-3-gram Jaccard >= ``near_threshold`` (a
+    rational tn/td, default 4/5) to a LOWER-id doc is dropped with its own
+    ledger entry — the greedy keep-lowest-id policy (no transitive
+    closure: B~A and C~B drops both B and C even if C!~A, deterministic
+    and batching-invariant because the pair set is exact).
     """
     cfg = cfg or PipelineConfig()
     keepdrop = make_keepdrop_stage(cfg)
@@ -169,6 +179,48 @@ def build_traindata_pipeline(
                 pa.string())),
         batch_format='pyarrow')
     dropped = dropped_early.union(drop_empty_blocks(dup_ledger))
+
+    # --- near dedup: exact Jaccard join, drop the higher-id side of every
+    # qualifying pair (lossless candidates, so the policy is deterministic
+    # under any partitioning) ---
+    if near_dedup_enabled:
+        from pii_detector_ray.stages.dedup import jaccard_pairs_prefix
+        kept_rows = kept_rows.materialize()   # feeds the join AND the filter
+        pairs = jaccard_pairs_prefix(kept_rows, threshold=near_threshold,
+                                     id_col=id_col, text_col=text_col)
+        losers = drop_empty_blocks(
+            pairs.map_batches(
+                lambda t: pa.table({id_col: t.column('doc_b')}),
+                batch_format='pyarrow')
+            .groupby(id_col).aggregate(Min(id_col, alias_name='_w')))
+        if losers.count():
+            marked = losers.map_batches(
+                lambda t: pa.table({id_col: t.column(id_col),
+                                    '_nd': pa.array([True] * len(t))}),
+                batch_format='pyarrow')
+            nd_joined = drop_empty_blocks(kept_rows).join(
+                marked, join_type='left_outer',
+                num_partitions=join_partitions(), on=(id_col,))
+            nd_ledger = nd_joined.map_batches(
+                lambda t: pa.table({
+                    id_col: t.filter(pc.is_valid(t.column('_nd')))
+                             .column(id_col)}),
+                batch_format='pyarrow').map_batches(
+                lambda t: t.append_column(
+                    'drop_stage', pa.array(['near_dedup'] * len(t),
+                                           pa.string()))
+                .append_column(
+                    'drop_reason', pa.array(['jaccard_near_duplicate'] * len(t),
+                                            pa.string())),
+                batch_format='pyarrow')
+            kept_rows = nd_joined.map_batches(
+                lambda t: pa.table({
+                    id_col: t.filter(pc.is_null(t.column('_nd')))
+                             .column(id_col),
+                    text_col: t.filter(pc.is_null(t.column('_nd')))
+                               .column(text_col)}),
+                batch_format='pyarrow')
+            dropped = dropped.union(drop_empty_blocks(nd_ledger))
 
     # --- global span dedup, then stats ---
     if span_dedup_enabled:

@@ -1,0 +1,156 @@
+"""Incremental "watch" lifecycle: the Ray-native analogue of the
+reference's periodic rescheduler.
+
+Reference semantics: ``customer_worker.py:73-91`` re-runs every customer's
+scan on a 15-minute APScheduler loop, and ``redis_jobs.py:35-108`` detects
+new tasks so only NEW work executes.  The Ray-native translation drops the
+in-process scheduler (an external timer — cron, Airflow, ``--interval`` —
+owns cadence) and keeps the semantics: each invocation diffs the CURRENT
+input listing against a committed per-file ledger, runs the flagship
+pipeline over only the new/changed shards as a fresh numbered GENERATION of
+output (``out/gen=K/part=NNNNN/``), and commits the ledger only after the
+whole generation is durable.
+
+Crash safety composes with the partitioned runner (``runner.py`` /
+``state/manifest.py``):
+
+- killed mid-generation → the ledger was not advanced, so the next
+  invocation recomputes the same todo set, lands on the same generation
+  directory (generation choice is a pure function of the ledger + the
+  per-generation run manifest), and ``run_partitioned`` skips its committed
+  partitions — only unfinished partitions execute;
+- inputs changed between the kill and the retry → the half-built
+  generation's pinned input set no longer matches, so the watcher SKIPS
+  that directory (it stays on disk for inspection, its ledger entries were
+  never committed) and opens the next free generation.
+
+At 100 TB scale the listing is the only driver-side work (one stat per
+shard); everything else is the partitioned streaming pipeline.  A changed
+shard's rows are RE-EMITTED in the new generation — replacement vs the old
+generation's rows is a downstream keep-latest dedup on (url, generation),
+the same exact-dedup operator the engine already ships.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import tempfile
+from typing import Any
+
+from pii_detector_ray.config import PipelineConfig
+
+_LEDGER = 'watch_ledger.json'
+
+
+def _ledger_path(out_dir: str) -> str:
+    return os.path.join(out_dir, _LEDGER)
+
+
+def read_ledger(out_dir: str) -> dict[str, dict[str, Any]]:
+    """{path: {'bytes': int, 'mtime_ns': int, 'gen': int}} for every shard
+    some completed generation has fully processed."""
+    path = _ledger_path(out_dir)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def _write_ledger(out_dir: str, ledger: dict[str, dict[str, Any]]) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=out_dir, prefix='.ledger.', suffix='.tmp')
+    try:
+        with os.fdopen(fd, 'w') as f:
+            json.dump(ledger, f, sort_keys=True, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, _ledger_path(out_dir))
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def _fingerprint(path: str) -> dict[str, int]:
+    st = os.stat(path)
+    return {'bytes': st.st_size, 'mtime_ns': st.st_mtime_ns}
+
+
+def list_input_shards(input_dir: str) -> list[str]:
+    files = sorted(glob.glob(os.path.join(input_dir, '*.parquet'))) \
+        or sorted(glob.glob(os.path.join(input_dir, '**', '*.parquet'),
+                            recursive=True))
+    return files
+
+
+def _gen_dir(out_dir: str, gen: int) -> str:
+    return os.path.join(out_dir, f'gen={gen:05d}')
+
+
+def _pick_generation(out_dir: str, ledger: dict, todo: list[str]) -> int:
+    """Deterministic generation choice: the first index after every
+    ledger-committed generation whose directory is either absent (fresh) or
+    was pinned to exactly this todo set (a crashed attempt to resume).
+    A stale half-built directory pinned to a DIFFERENT input set is skipped,
+    never mixed into."""
+    import hashlib
+    base = 1 + max((e['gen'] for e in ledger.values()), default=-1)
+    todo_hash = hashlib.sha256(
+        '\n'.join(sorted(todo)).encode()).hexdigest()[:16]
+    gen = base
+    while True:
+        run_path = os.path.join(_gen_dir(out_dir, gen), 'manifests',
+                                '_run.json')
+        if not os.path.exists(run_path):
+            return gen
+        with open(run_path) as f:
+            pinned = json.load(f)
+        if pinned.get('input_set_hash') == todo_hash:
+            return gen          # resume the crashed generation
+        gen += 1
+
+
+def watch_once(
+    input_dir: str,
+    out_dir: str,
+    cfg: PipelineConfig | None = None,
+    *,
+    num_partitions: int | None = None,
+    dedup_urls: bool = False,
+    keep_only: bool = False,
+    fail_after_partitions: int | None = None,
+) -> dict[str, Any]:
+    """One watch cycle: scan only shards that are new or changed since the
+    last COMMITTED generation.  Returns a summary; ``generation`` is None
+    when there was nothing to do.  ``fail_after_partitions`` is the test
+    hook forwarded to ``run_partitioned`` (simulated mid-cycle kill)."""
+    from pii_detector_ray.pipelines.runner import run_partitioned
+
+    cfg = cfg or PipelineConfig()
+    files = list_input_shards(input_dir)
+    ledger = read_ledger(out_dir)
+    todo = [f for f in files
+            if {k: v for k, v in ledger.get(f, {}).items() if k != 'gen'}
+            != _fingerprint(f)]
+    unchanged = len(files) - len(todo)
+    if not todo:
+        return {'generation': None, 'files_total': len(files),
+                'files_new': 0, 'files_unchanged': unchanged,
+                'partitions_run': 0, 'partitions_skipped': 0,
+                'rows': 0, 'kept': 0}
+
+    gen = _pick_generation(out_dir, ledger, todo)
+    summary = run_partitioned(
+        todo, _gen_dir(out_dir, gen), cfg,
+        num_partitions=num_partitions,
+        dedup_urls=dedup_urls, keep_only=keep_only,
+        fail_after_partitions=fail_after_partitions)
+
+    # the generation is fully durable — only now do its shards enter the
+    # ledger (a kill anywhere above re-derives the same todo next cycle)
+    for f in todo:
+        ledger[f] = {**_fingerprint(f), 'gen': gen}
+    _write_ledger(out_dir, ledger)
+    return {'generation': gen, 'files_total': len(files),
+            'files_new': len(todo), 'files_unchanged': unchanged, **summary}

@@ -31,6 +31,10 @@ def _fixture_rows(n=40):
 
 
 def _run(rows, parts, **kw):
+    # the fixture docs deliberately share a long boilerplate prefix, so the
+    # near-dup join would collapse them all — stage-focused tests disable it
+    # (test_near_dedup_stage covers it explicitly)
+    kw.setdefault('near_dedup_enabled', False)
     ds = ray.data.from_items(rows).repartition(parts)
     corpus, dropped = build_traindata_pipeline(ds, **kw)
     return corpus.to_pandas(), dropped.to_pandas()
@@ -69,6 +73,35 @@ def test_span_dedup_toggle(ray_session):
     assert (c_off['n_spans_dropped'] == 0).all()
     # without span dedup the shared prefix stays in every doc
     assert c_off['final_text'].str.startswith(GOOD[:40]).all()
+
+
+def test_near_dedup_stage(ray_session):
+    """Near-dup docs (high word-3-gram Jaccard, NOT byte-identical) drop to
+    the greedy lowest-id winner with their own ledger stage; accounting
+    stays closed; the pair policy is batching-invariant."""
+    distinct = ('Completely different material discussing oceanography and '
+                'tidal currents with ample unique vocabulary throughout. '
+                'Waves carry energy across basins over long distances. '
+                'Moon gravity drives the dominant semidiurnal cycle. '
+                'Observations come from satellite altimetry records. '
+                'Researchers publish the gridded products every year.')
+    rows = [
+        {'doc_id': 0, 'text': GOOD + ' Unique tail number zero here.'},
+        {'doc_id': 1, 'text': GOOD + ' Unique tail number one here.'},
+        {'doc_id': 2, 'text': GOOD + ' Unique tail number two here.'},
+        {'doc_id': 3, 'text': distinct},
+    ]
+    for parts in (1, 3):
+        ds = ray.data.from_items(rows).repartition(parts)
+        corpus, dropped = build_traindata_pipeline(
+            ds, span_dedup_enabled=False)
+        c = corpus.to_pandas()
+        d = dropped.to_pandas()
+        assert len(c) + len(d) == len(rows)
+        nd = d[d['drop_stage'] == 'near_dedup']
+        assert sorted(nd['doc_id']) == [1, 2]          # keep lowest id
+        assert set(nd['drop_reason']) == {'jaccard_near_duplicate'}
+        assert sorted(c['doc_id']) == [0, 3]
 
 
 def test_empty_input_short_circuit(ray_session):
