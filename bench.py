@@ -29,7 +29,8 @@ NUM_CPUS = int(os.environ.get('RAY_GRAFT_CPUS', '32'))
 # is used by the scaling levels so per-session fixed costs weigh half as
 # much — closer to the 10^12-document regime the criterion models.
 BENCH_CORPUS = os.environ.get('GRAFT_BENCH_CORPUS', 'bench')
-BENCH_ROWS = {'bench': 600_000, 'bench2x': 1_200_000}[BENCH_CORPUS]
+BENCH_ROWS = {'bench': 600_000, 'bench2x': 1_200_000,
+              'bench4x': 2_400_000}[BENCH_CORPUS]
 
 
 def run_bench() -> dict:
@@ -148,8 +149,11 @@ def run_scaling() -> dict:
     # BASELINE.md) and 8→32 (the driver's stated pair, reported alongside).
     # Min-of-3 per level after a discarded warm-up run is the standard
     # noise-robust estimator here.
-    levels = [4, 8, 16, 32]
-    repeats = 3
+    # GRAFT_SCALING_LEVELS=8,32 narrows the sweep to one N-vs-4N pair
+    # (e.g. a dedicated 8v32 run on the 4x corpus)
+    levels = [int(x) for x in os.environ.get(
+        'GRAFT_SCALING_LEVELS', '4,8,16,32').split(',')]
+    repeats = int(os.environ.get('GRAFT_SCALING_REPEATS', '3'))
     first = run(levels[-1])   # discarded warm-up: first run is always cold
     rows = first.get('rows', BENCH_ROWS)       # (imports, page cache, plasma)
     runs = {n: [] for n in levels}
@@ -159,6 +163,8 @@ def run_scaling() -> dict:
     sec = {n: min(runs[n]) for n in levels}
     pairs = []
     for lo, hi in ((4, 16), (8, 32)):
+        if lo not in sec or hi not in sec:
+            continue
         pairs.append({
             'cpus_lo': lo, 'cpus_hi': hi,
             'sec_lo': sec[lo], 'sec_hi': sec[hi],
@@ -174,7 +180,9 @@ def run_scaling() -> dict:
         'sec_runs': {str(n): runs[n] for n in levels},
         'pairs': pairs,
         'scaling_efficiency': primary['scaling_efficiency'],
-        'scaling_efficiency_8v32': pairs[1]['scaling_efficiency'],
+        'scaling_efficiency_8v32': next(
+            (p['scaling_efficiency'] for p in pairs if p['cpus_lo'] == 8),
+            None),
     }
 
 

@@ -3284,10 +3284,49 @@ def q_term_doc_frequencies(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_embedding_pca(sf_dir: str) -> ray.data.Dataset:
-    """Distributed PCA projection of the embeddings table onto its top-8
-    principal components (stages/pca.py; rows-only — no SQL eigensolver)."""
+    """Distributed PCA of the embeddings table onto its top-8 components
+    (stages/pca.py: streamed sufficient statistics, driver eigh on the
+    d×d covariance, sign-fixed components, broadcast projection).
+    SQL-checked (r5): DuckDB has no eigensolver, so the query digests the
+    FULL rounded projection matrix per component — (component, n_vecs,
+    sum_abs, sum_sq), rounded AFTER the global sum — and the oracle pins
+    the digests per driver corpus (``oracle_pins.EMBEDDING_PCA_SQL``,
+    dispatching on a corpus fingerprint since the embeddings tables are
+    fixed files).  The per-vector projection itself stays conformance-
+    tested against a single-process numpy PCA in tests/test_pca.py."""
     from pii_detector_ray.stages.pca import pca_project
-    return pca_project(_embeddings(sf_dir, ['vec_id', 'embedding']), k=8)
+    proj = pca_project(_embeddings(sf_dir, ['vec_id', 'embedding']), k=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = np.asarray(t.column('proj').to_pylist(), dtype=np.float64)
+        if p.size == 0:
+            return pa.table({'component': pa.array([], pa.int64()),
+                             '_n': pa.array([], pa.int64()),
+                             '_sa': pa.array([], pa.float64()),
+                             '_sq': pa.array([], pa.float64())})
+        k = p.shape[1]
+        return pa.table({
+            'component': pa.array(np.arange(k, dtype=np.int64)),
+            '_n': pa.array(np.full(k, p.shape[0], dtype=np.int64)),
+            '_sa': pa.array(np.abs(p).sum(axis=0)),
+            '_sq': pa.array((p * p).sum(axis=0))})
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            'component': t.column('component'),
+            'n_vecs': t.column('_n'),
+            'sum_abs': pa.array(sql_round_np(
+                t.column('_sa').to_numpy(zero_copy_only=False), 4)),
+            'sum_sq': pa.array(sql_round_np(
+                t.column('_sq').to_numpy(zero_copy_only=False), 4))})
+
+    return (proj.map_batches(partial, batch_format='pyarrow')
+            .repartition(1)
+            .groupby('component')
+            .aggregate(Sum('_n', alias_name='_n'),
+                       Sum('_sa', alias_name='_sa'),
+                       Sum('_sq', alias_name='_sq'))
+            .map_batches(finish, batch_format='pyarrow'))
 
 
 def q_span_dedup(sf_dir: str) -> ray.data.Dataset:
@@ -3313,10 +3352,53 @@ def q_c4_filtered_docs(sf_dir: str) -> ray.data.Dataset:
                              'n_lines_kept', 'n_sentences']))
 
 
+def _media_row_digest(t: pa.Table, *, with_resized: bool) -> pa.Table:
+    """Per-row digest of a decoded-media batch: rounded feature scalars
+    (+ resized-payload size and sha256 prefix), so the rows pin to literal
+    constants — the binary/list columns still flow through the actor pool
+    upstream; only the final projection digests them."""
+    import hashlib as _hl
+    feats = np.asarray(t.column('features').to_pylist(), dtype=np.float64)
+    if feats.size == 0:
+        feats = np.zeros((len(t), 16))
+    cols: dict[str, pa.Array] = {
+        'media_id': t.column('media_id').combine_chunks()
+        if isinstance(t.column('media_id'), pa.ChunkedArray)
+        else t.column('media_id'),
+        'media_type': t.column('media_type').combine_chunks()
+        if isinstance(t.column('media_type'), pa.ChunkedArray)
+        else t.column('media_type'),
+        'feat0': pa.array(sql_round_np(feats[:, 0], 4), pa.float64()),
+        'feat_sum': pa.array(sql_round_np(feats.sum(axis=1), 4),
+                             pa.float64()),
+    }
+    if with_resized:
+        for c in ('resized', 'n_payload', 'payload_sha'):
+            col = t.column(c)
+            cols[c] = col.combine_chunks() \
+                if isinstance(col, pa.ChunkedArray) else col
+    return pa.table(cols)
+
+
+def _payload_digest(t: pa.Table) -> pa.Table:
+    """Appends (n_payload, payload_sha) while the binary column is still in
+    flight — the decode stage downstream drops the heavy bytes."""
+    import hashlib as _hl
+    blobs = t.column('payload').to_pylist()
+    t = t.append_column('n_payload', pa.array(
+        [len(b) if b is not None else 0 for b in blobs], pa.int64()))
+    return t.append_column('payload_sha', pa.array(
+        [_hl.sha256(b or b'').hexdigest()[:12] for b in blobs], pa.string()))
+
+
 def q_media_decode(sf_dir: str) -> ray.data.Dataset:
     """Multimodal REAL-decode path: gradient PNGs + sine WAVs built with the
     stdlib codecs, decoded (not faked) by the actor-pool stage into feature
-    vectors, then resized thumbnails for the image rows."""
+    vectors, then resized thumbnails for the image rows.  SQL-checked (r5):
+    the fixture is deterministic and sf-independent, so the per-row digest
+    (feature scalars rounded AFTER decode + resized-bytes size/sha256) pins
+    to literal constants (``oracle_pins.MEDIA_DECODE_SQL``), the
+    ``video_frame_stats`` construction at per-row granularity."""
     from pii_detector_ray.stages.multimodal import (
         MediaDecodeStage,
         ResizeStage,
@@ -3324,21 +3406,28 @@ def q_media_decode(sf_dir: str) -> ray.data.Dataset:
     )
     ds = ray.data.from_arrow(synth_real_media_table(120))
     resized = ds.map_batches(ResizeStage, batch_format='pyarrow', batch_size=32,
-                             concurrency=2, num_cpus=1)
+                             concurrency=2, num_cpus=1) \
+        .map_batches(_payload_digest, batch_format='pyarrow')
     out = resized.map_batches(MediaDecodeStage, batch_format='pyarrow',
                               batch_size=32, concurrency=2, num_cpus=1,
                               fn_constructor_kwargs={'use_fake_decoder': False})
-    return out.select_columns(['media_id', 'media_type', 'resized', 'features'])
+    return out.map_batches(
+        lambda t: _media_row_digest(t, with_resized=True),
+        batch_format='pyarrow')
 
 
 def q_media_features(sf_dir: str) -> ray.data.Dataset:
     """Multimodal plumbing: synthetic binary media → actor-pool decode stage
-    (deterministic fake decoder; real codecs absent in this container)."""
+    (deterministic fake decoder; real codecs live in ``media_decode``).
+    SQL-checked (r5) by the same per-row digest pinning as
+    ``media_decode``."""
     from pii_detector_ray.stages.multimodal import MediaDecodeStage, synth_media_table
     ds = ray.data.from_arrow(synth_media_table(200))
     out = ds.map_batches(MediaDecodeStage, batch_format='pyarrow', batch_size=64,
                          concurrency=2, num_cpus=1)
-    return out.select_columns(['media_id', 'media_type', 'features'])
+    return out.map_batches(
+        lambda t: _media_row_digest(t, with_resized=False),
+        batch_format='pyarrow')
 
 
 def _media_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
@@ -3477,6 +3566,15 @@ def q_scrub_documents(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_langid_documents(sf_dir: str) -> ray.data.Dataset:
+    """Actor-pool language-ID over documents — SQL-checked (r5): the oracle
+    REPLAYS the trigram model end-to-end in DuckDB from the embedded seed
+    corpora (``_langid_sql``): per-codepoint unnest, the
+    ``(c0*1000003+c1)*1000003+c2 % 32768`` trigram hash (max value < 2^64,
+    so no wraparound arithmetic is needed), add-one-smoothed ``ln`` weights
+    cast to FLOAT exactly like ``_profile``'s float32 table, per-doc
+    float64 sums over the first 800 chars, argmax with the alphabetical
+    tie-break of ``np.argmax`` over the sorted language list, and 'und'
+    for trigram-free docs.  Verified mismatch-free at sf0.001/0.01/0.1."""
     from pii_detector_ray.stages.scorers import QualityScorers, scorer_concurrency
 
     def rename(df: pd.DataFrame) -> pd.DataFrame:
@@ -3487,6 +3585,56 @@ def q_langid_documents(sf_dir: str) -> ray.data.Dataset:
           .map_batches(QualityScorers, batch_format='pandas', batch_size=1024,
                        concurrency=scorer_concurrency(), num_cpus=1))
     return ds.select_columns(['doc_id', 'lang', 'lang_pred'])
+
+
+def _media_pins():
+    from pii_detector_ray import oracle_pins
+    return oracle_pins
+
+
+def _langid_sql() -> str:
+    """DuckDB replay of ``models/textmodel.LangIdModel`` (see
+    ``q_langid_documents``).  Caveat (documented, matches the corpus): docs
+    containing NUL codepoints would need the Python path's NUL-trigram
+    exclusion; the driver corpus contains none."""
+    from pii_detector_ray.models.seeds import SEED_CORPORA
+    seed_vals = ', '.join(
+        "('{}', '{}')".format(lang, txt.replace("'", "''"))
+        for lang, txt in sorted(SEED_CORPORA.items()))
+    return (
+        f'WITH seeds(lang, raw) AS (VALUES {seed_vals}), '
+        'sl AS (SELECT lang, lower(raw) AS s FROM seeds), '
+        'sc AS (SELECT lang, i, unicode(substr(s,i,1))::HUGEINT AS c, '
+        'length(s) AS n FROM sl, LATERAL unnest(range(1, length(s)+1)) u(i)), '
+        'sh AS (SELECT lang, ((c*1000003 + lead(c,1) OVER w)*1000003 '
+        '+ lead(c,2) OVER w) % 32768 AS h, i, n '
+        'FROM sc WINDOW w AS (PARTITION BY lang ORDER BY i)), '
+        'scnt AS (SELECT lang, h, count(*)::DOUBLE AS cnt FROM sh '
+        'WHERE i <= n-2 GROUP BY lang, h), '
+        'stot AS (SELECT lang, sum(cnt) AS tot FROM scnt GROUP BY lang), '
+        'wt AS (SELECT scnt.lang, h, ln((cnt+1.0)/(tot+32768.0))::FLOAT AS w '
+        'FROM scnt JOIN stot ON scnt.lang = stot.lang), '
+        'dflt AS (SELECT lang, ln(1.0/(tot+32768.0))::FLOAT AS w0 FROM stot), '
+        'd AS (SELECT doc_id, lang AS lang_true, '
+        "lower(substr(coalesce(text,''),1,800)) AS t FROM documents), "
+        'dc AS (SELECT doc_id, i, unicode(substr(t,i,1))::HUGEINT AS c, '
+        'length(t) AS n FROM d, LATERAL unnest(range(1, length(t)+1)) u(i)), '
+        'dh AS (SELECT doc_id, ((c*1000003 + lead(c,1) OVER w)*1000003 '
+        '+ lead(c,2) OVER w) % 32768 AS h '
+        'FROM dc WINDOW w AS (PARTITION BY doc_id ORDER BY i) '
+        'QUALIFY i <= n-2), '
+        'scored AS (SELECT dh.doc_id, dflt.lang, '
+        'sum(coalesce(wt.w, dflt.w0)::DOUBLE) AS s, count(*) AS m '
+        'FROM dh CROSS JOIN dflt LEFT JOIN wt '
+        'ON wt.lang = dflt.lang AND wt.h = dh.h '
+        'GROUP BY dh.doc_id, dflt.lang), '
+        'best AS (SELECT doc_id, lang AS lang_pred FROM ('
+        'SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id '
+        'ORDER BY s/m DESC, lang ASC) AS rn FROM scored) WHERE rn = 1) '
+        'SELECT d.doc_id, d.lang_true AS lang, '
+        "coalesce(b.lang_pred, 'und') AS lang_pred "
+        'FROM d LEFT JOIN best b ON d.doc_id = b.doc_id'
+    )
 
 
 def q_pages_pipeline(sf_dir: str) -> ray.data.Dataset:
@@ -10124,6 +10272,10 @@ def oracle_sql() -> dict[str, str]:
         'repo_tree_scan': _REPO_TREE_SCAN_SQL.replace(
             '{expr}', SQL_AUG_EXPR).replace(
             '{p}', _sql_quote(PII_PATTERNS['EMAIL_ADDRESS'])),
+        'langid_documents': _langid_sql(),
+        'media_decode': _media_pins().MEDIA_DECODE_SQL,
+        'media_features': _media_pins().MEDIA_FEATURES_SQL,
+        'embedding_pca': _media_pins().EMBEDDING_PCA_SQL,
         'embedding_dup_pairs': _EMBEDDING_DUP_SQL,
         'components_exact': _COMPONENTS_EXACT_SQL,
         'daily_active_users': _DAILY_ACTIVE_SQL,

@@ -259,6 +259,10 @@ SIZES = {
     # costs (pool spawn, read/write setup) weigh half as much — closer to
     # the 10^12-document regime the efficiency criterion models
     'bench2x': PagesSpec(n_rows=1_200_000, n_shards=256),
+    # 4x: the r5 flagship is ~2x faster, so the 2x corpus finishes a 32-CPU
+    # run in ~20s and session-fixed costs re-inflate the wide level; 4x
+    # restores a >=40s wide-level run for the 8v32 pair
+    'bench4x': PagesSpec(n_rows=2_400_000, n_shards=512),
 }
 
 
