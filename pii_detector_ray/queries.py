@@ -1386,11 +1386,68 @@ def q_approx_distinct_hll(sf_dir: str) -> ray.data.Dataset:
     beside the exact q_distinct_users: one 2^12-byte register row per
     (type, batch) crosses the shuffle regardless of cardinality; the
     deterministic hash makes the estimate parallelism-invariant (same
-    answer at 8 and 32 CPUs).  Rows-only driver check (approximate by
-    design; tolerance vs exact asserted in tests/test_hll.py)."""
+    answer at 8 and 32 CPUs).  SQL-checked (r5): the sketch is a pure
+    function of the value set, so the oracle REPLAYS it — splitmix64 in
+    HUGEINT (32-bit-limb multiply mod 2^64), register index/rank via
+    ``length(bin(w))``, max-merge, and the exact estimator incl. the
+    linear-counting branch (``_hll_sql``) — value-identical at all three
+    scales.  Tolerance vs exact counts stays asserted in tests/test_hll.py."""
     from pii_detector_ray.stages.sketches import hll_distinct_by
     return hll_distinct_by(_events(sf_dir, ['event_type', 'user_id']),
                            'event_type', 'user_id', p=12)
+
+
+def _hll_sql() -> str:
+    """DuckDB replay of stages/sketches.py HLL (see q_approx_distinct_hll).
+    splitmix64's two 64x64->64 multiplies run as 32-bit limbs in HUGEINT
+    (a full product would overflow int128); right shifts are floor
+    divisions (operands are non-negative); rank = 53 - bit_length(w) via
+    ``bin()`` is exact where float log2 would round at powers of two."""
+    m64 = '18446744073709551616'
+    m32 = '4294967296'
+
+    def mulmod(h: str, c: str) -> str:
+        return (f'((({h}) % {m32}) * {c} + '
+                f'(((({h}) // {m32}) * {c}) % {m32}) * {m32}) % {m64}')
+
+    def xorshift(h: str, k: int) -> str:
+        return (f'xor(({h})::UBIGINT, (({h}) // {2 ** k})::UBIGINT)'
+                '::HUGEINT')
+
+    gold = str(0x9E3779B97F4A7C15)
+    k1 = str(0xBF58476D1CE4E5B9)
+    k2 = str(0x94D049BB133111EB)
+    h0 = f'((user_id::HUGEINT % {m64} + {m64}) % {m64} + {gold}) % {m64}'
+    return (
+        'WITH s0 AS (SELECT event_type, user_id FROM events '
+        'WHERE user_id IS NOT NULL), '
+        f'h1 AS (SELECT event_type, {h0} AS h FROM s0), '
+        f'h2 AS (SELECT event_type, {xorshift("h", 30)} AS h FROM h1), '
+        f'h3 AS (SELECT event_type, {mulmod("h", k1)} AS h FROM h2), '
+        f'h4 AS (SELECT event_type, {xorshift("h", 27)} AS h FROM h3), '
+        f'h5 AS (SELECT event_type, {mulmod("h", k2)} AS h FROM h4), '
+        f'h6 AS (SELECT event_type, {xorshift("h", 31)} AS h FROM h5), '
+        'rw AS (SELECT event_type, (h % 4096)::BIGINT AS idx, '
+        '(h // 4096)::HUGEINT AS w FROM h6), '
+        'rk AS (SELECT event_type, idx, CASE WHEN w = 0 THEN 53 '
+        'ELSE 53 - length(bin(w)) END AS rank FROM rw), '
+        'regs AS (SELECT event_type, idx, max(rank) AS r FROM rk '
+        'GROUP BY event_type, idx), '
+        'fr AS (SELECT e.event_type, g.idx, coalesce(r.r, 0) AS r '
+        'FROM (SELECT DISTINCT event_type FROM s0) e '
+        'CROSS JOIN (SELECT unnest(range(4096)) AS idx) g '
+        'LEFT JOIN regs r ON r.event_type = e.event_type '
+        'AND r.idx = g.idx), '
+        'agg AS (SELECT event_type, sum(power(2.0, -r)) AS denom, '
+        'sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros FROM fr '
+        'GROUP BY event_type), '
+        'est AS (SELECT event_type, '
+        '(0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0 / denom AS e, '
+        'zeros FROM agg) '
+        'SELECT event_type, round(CASE WHEN e <= 2.5 * 4096 AND zeros > 0 '
+        'THEN 4096.0 * ln(4096.0 / zeros) ELSE e END)::BIGINT '
+        'AS approx_distinct FROM est'
+    )
 
 
 def q_type_cooccurrence(sf_dir: str) -> ray.data.Dataset:
@@ -2351,12 +2408,17 @@ _EVENTS_SLIDING_SQL = (
 
 
 def q_dedup_components(sf_dir: str) -> ray.data.Dataset:
-    """Near-dup pairs → connected components → canonical keep/drop decisions
-    (the end-to-end dedup story: LSH candidates, Jaccard verify, min-label
-    propagation)."""
+    """Near-dup pairs → connected components → canonical keep/drop
+    decisions (the end-to-end dedup story).  SQL-checked (r5): the pair
+    source is the EXACT prefix-filtered Jaccard join (lossless — the same
+    pair set ``_JACCARD_JOIN_SQL`` derives), so the oracle replays
+    min-label propagation as a recursive reachability closure over those
+    pairs.  The MinHash-LSH candidate path stays covered by
+    ``minhash_dedup`` / ``ngram_jaccard_dedup`` + recall property tests."""
     from pii_detector_ray.stages.components import dedup_decisions
-    from pii_detector_ray.stages.dedup import ngram_jaccard_pairs
-    pairs = ngram_jaccard_pairs(_docs_with_near_dups(sf_dir), threshold=0.7)
+    from pii_detector_ray.stages.dedup import jaccard_pairs_prefix
+    pairs = jaccard_pairs_prefix(_docs_with_near_dups(sf_dir),
+                                 threshold=(7, 10), n=3)
     return dedup_decisions(pairs)
 
 
@@ -9976,6 +10038,37 @@ _JACCARD_JOIN_SQL = (
     'WHERE 10 * i >= 7 * (sa.n + sb.n - i)'
 )
 
+# connected components over the exact jaccard pair set: symmetric edge
+# closure by recursive reachability, label = min reachable doc id
+# (identical to stages/components.py min-label propagation fixpoint)
+_DEDUP_COMPONENTS_SQL = (
+    'WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents UNION ALL '
+    'SELECT doc_id + 1000000 AS doc_id, '
+    "text || ' extra words appended here' AS text "
+    'FROM documents WHERE doc_id % 20 = 0), '
+    "arr AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS a "
+    'FROM docs), '
+    "tok AS (SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || "
+    'a[i+2] AS tk '
+    'FROM arr, UNNEST(generate_series(1, greatest(len(a) - 2, 0))) '
+    'AS t(i)), '
+    'sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id), '
+    'inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, '
+    'count(*) AS i FROM tok a JOIN tok b '
+    'ON a.tk = b.tk AND a.doc_id < b.doc_id GROUP BY 1, 2), '
+    'pairs AS (SELECT doc_a, doc_b FROM inter '
+    'JOIN sz sa ON sa.doc_id = inter.doc_a '
+    'JOIN sz sb ON sb.doc_id = inter.doc_b '
+    'WHERE 10 * i >= 7 * (sa.n + sb.n - i)), '
+    'edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs '
+    'UNION SELECT doc_b, doc_a FROM pairs), '
+    'reach(node, r) AS (SELECT DISTINCT a, a FROM edges '
+    'UNION SELECT e.a, reach.r FROM edges e '
+    'JOIN reach ON reach.node = e.b) '
+    'SELECT node AS doc_id, min(r) AS component, '
+    'node = min(r) AS keep FROM reach GROUP BY node'
+)
+
 
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
@@ -10325,6 +10418,8 @@ def oracle_sql() -> dict[str, str]:
         'part_triangles': _PART_TRIANGLES_SQL,
         'events_debounced': _EVENTS_DEBOUNCED_SQL,
         'jaccard_join_exact': _JACCARD_JOIN_SQL,
+        'dedup_components': _DEDUP_COMPONENTS_SQL,
+        'approx_distinct_hll': _hll_sql(),
         'order_ship_daily': _ORDER_SHIP_DAILY_SQL,
         'returned_item_customers': _RETURNED_ITEM_SQL,
         'priority_return_orders': _PRIORITY_RETURN_SQL,

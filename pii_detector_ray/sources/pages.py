@@ -263,6 +263,9 @@ SIZES = {
     # run in ~20s and session-fixed costs re-inflate the wide level; 4x
     # restores a >=40s wide-level run for the 8v32 pair
     'bench4x': PagesSpec(n_rows=2_400_000, n_shards=512),
+    # stress.py: the 10x flagship run (~5 GB parquet) behind BASELINE.md's
+    # measured-at-scale evidence
+    'bench10x': PagesSpec(n_rows=6_000_000, n_shards=1024),
 }
 
 

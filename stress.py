@@ -1,0 +1,154 @@
+"""10x-scale stress harness (BASELINE.md 'sf1 stress' section).
+
+Runs the flagship pipeline over a 6M-page corpus and the three most
+expensive operators (span_dedup, jaccard_join_exact, events_segment_join)
+over a 10x-replicated sf1 table set, recording wall time, object-store
+usage and spill — the measured evidence behind the "designed for 100x"
+scale notes.  Usage::
+
+    python stress.py                 # full: flagship + 3 operators
+    python stress.py --ops-only      # skip the 6M-page flagship
+
+Replication: sf0.1 documents/events are stacked 10x with id strides wide
+enough to keep every packed-key domain intact (doc_id stride 2_000_000
+clears the jaccard fixture's +1_000_000 planted near-dups; everything
+stays far below 2^32).  DuckDB oracles are attempted with a soft time
+budget — the jaccard oracle is an unnest self-join that scales
+quadratically in DuckDB, so at sf1 it may be recorded as wall-time-only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+NUM_CPUS = int(os.environ.get('RAY_GRAFT_CPUS', '32'))
+STRESS_DIR = '/tmp/pii_ray_stress/sf1'
+REPLICAS = 10
+DOC_STRIDE = 2_000_000
+EVENT_STRIDE = 10_000_000
+USER_STRIDE = 1_000_000
+SRC = os.environ.get('GRAFT_SF_DIR', '/root/testdata/sf0.1')
+
+
+def build_stress_tables() -> None:
+    import duckdb
+    os.makedirs(STRESS_DIR, exist_ok=True)
+    con = duckdb.connect()
+    if not os.path.exists(f'{STRESS_DIR}/documents.parquet'):
+        con.execute(
+            f"COPY (SELECT doc_id + r * {DOC_STRIDE} AS doc_id, text, lang, "
+            'source, n_chars '
+            f"FROM read_parquet('{SRC}/documents.parquet'), "
+            f'LATERAL unnest(range({REPLICAS})) u(r) ORDER BY doc_id) '
+            f"TO '{STRESS_DIR}/documents.parquet' (FORMAT PARQUET)")
+    if not os.path.exists(f'{STRESS_DIR}/events.parquet'):
+        con.execute(
+            f"COPY (SELECT event_id + r * {EVENT_STRIDE} AS event_id, ts, "
+            f'user_id + r * {USER_STRIDE} AS user_id, event_type, value, '
+            'props '
+            f"FROM read_parquet('{SRC}/events.parquet'), "
+            f'LATERAL unnest(range({REPLICAS})) u(r) ORDER BY event_id) '
+            f"TO '{STRESS_DIR}/events.parquet' (FORMAT PARQUET)")
+    con.close()
+
+
+def mem_probe() -> dict:
+    """Object-store usage + cumulative spill from the running session."""
+    import re
+
+    from ray._private.internal_api import memory_summary
+    txt = memory_summary(stats_only=True)
+    out = {'raw': txt.strip().splitlines()[-6:]}
+    m = re.search(r'Plasma memory usage (\d+) MiB', txt)
+    if m:
+        out['plasma_mib'] = int(m.group(1))
+    m = re.search(r'Spilled (\d+) MiB', txt)
+    out['spilled_mib'] = int(m.group(1)) if m else 0
+    return out
+
+
+def main() -> None:
+    import ray
+
+    results: dict = {'num_cpus': NUM_CPUS, 'replicas': REPLICAS, 'src': SRC}
+
+    t0 = time.monotonic()
+    build_stress_tables()
+    results['table_build_sec'] = round(time.monotonic() - t0, 1)
+
+    ray.init(address='local', num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level='ERROR')
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    if '--ops-only' not in sys.argv:
+        import shutil
+
+        from pii_detector_ray.config import PipelineConfig
+        from pii_detector_ray.pipelines.quality_filter import (
+            build_pipeline,
+            read_pages,
+        )
+        from pii_detector_ray.sources.pages import ensure_corpus
+        pages = ensure_corpus('bench10x')
+        out_dir = '/tmp/stress_out/flagship'
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.monotonic()
+        ds = read_pages(pages, override_num_blocks=max(4 * NUM_CPUS, 256))
+        build_pipeline(ds, PipelineConfig()).write_parquet(out_dir)
+        sec = round(time.monotonic() - t0, 1)
+        results['flagship_6m'] = {
+            'rows': 6_000_000, 'sec': sec,
+            'docs_per_sec': round(6_000_000 / sec, 1), 'mem': mem_probe()}
+        print(json.dumps({'flagship_6m': results['flagship_6m']}), flush=True)
+
+    from pii_detector_ray import queries as q
+    for name in ('span_dedup', 'jaccard_join_exact', 'events_segment_join'):
+        t0 = time.monotonic()
+        res = q.queries()[name](STRESS_DIR)
+        n = res.count() if hasattr(res, 'count') else len(res)
+        sec = round(time.monotonic() - t0, 1)
+        results[name] = {'sec': sec, 'rows': int(n), 'mem': mem_probe()}
+        print(json.dumps({name: results[name]}), flush=True)
+
+    # oracle check where DuckDB stays tractable at this scale
+    import duckdb
+    sql_map = q.oracle_sql()
+    for name, budget in (('span_dedup', 600), ('events_segment_join', 600)):
+        sql = sql_map.get(name)
+        if not sql:
+            continue
+        con = duckdb.connect()
+        for t in ('documents', 'events'):
+            con.execute(f'CREATE VIEW {t} AS SELECT * FROM '
+                        f"read_parquet('{STRESS_DIR}/{t}.parquet')")
+        t0 = time.monotonic()
+        try:
+            exp = con.execute(sql).df()
+            got = q.queries()[name](STRESS_DIR)
+            got = got.to_pandas() if hasattr(got, 'to_pandas') else got
+            cols = sorted(exp.columns)
+            a = got[cols].sort_values(cols).reset_index(drop=True)
+            b = exp[cols].sort_values(cols).reset_index(drop=True)
+            match = a.shape == b.shape and \
+                all((a[c].round(6) == b[c].round(6)).all()
+                    if a[c].dtype.kind == 'f' else (a[c] == b[c]).all()
+                    for c in cols)
+            results[f'{name}_oracle'] = {
+                'match': bool(match), 'rows': len(b),
+                'oracle_sec': round(time.monotonic() - t0, 1)}
+        except Exception as e:          # oracle infeasible at this scale
+            results[f'{name}_oracle'] = {'error': str(e)[:200]}
+        con.close()
+        print(json.dumps({f'{name}_oracle': results[f'{name}_oracle']}),
+              flush=True)
+
+    ray.shutdown()
+    print(json.dumps(results))
+
+
+if __name__ == '__main__':
+    main()
