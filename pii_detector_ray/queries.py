@@ -3174,6 +3174,9 @@ def _docs_with_near_dups(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_minhash_dedup(sf_dir: str) -> ray.data.Dataset:
+    """MinHash-LSH bucket groups.  SQL-checked (r5): the banding is a pure
+    function of the text given the fixed permutation constants, so the
+    oracle replays it end-to-end (``_minhash_cte``)."""
     from pii_detector_ray.stages.dedup import minhash_dup_groups
     out = minhash_dup_groups(_docs_with_near_dups(sf_dir))
 
@@ -3184,9 +3187,145 @@ def q_minhash_dedup(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(fmt, batch_format='pandas')
 
 
+def _minhash_cte() -> str:
+    """Shared DuckDB replay of the MinHash-LSH banding over the planted
+    near-dup corpus (stages/dedup.py): the k=5 rolling shingle hash with
+    uint64 wraparound (the doc_fingerprints construction), per-doc
+    DISTINCT shingles, the 64 fixed (a, b) permutation constants embedded
+    as VALUES, ``(sh*a mod 2^64 + b) mod 2^64 mod (2^61-1)`` EXACTLY as
+    numpy wraps it, per-band xor-mix with the golden-ratio constant via
+    32-bit-limb multiplies, and the 2^63-1 mask.  Ends with CTEs ``bh``
+    (doc_id, band_id, band_hash) and ``dsh``/``sz`` for the verify step."""
+    from pii_detector_ray.stages.dedup import _minhash_params
+    a, b = _minhash_params(64)
+    perm_vals = ', '.join(f'({i}, {int(a[i])}, {int(b[i])})'
+                          for i in range(64))
+    m64 = '18446744073709551616'
+    p61 = str((1 << 61) - 1)
+    gold = str(0x9E3779B97F4A7C15)
+
+    def mulmod(h: str, c: str) -> str:
+        return (f'((({h}) % 4294967296) * {c} + '
+                f'(((({h}) // 4294967296) * {c}) % 4294967296) '
+                f'* 4294967296) % {m64}')
+
+    return (
+        'WITH docs AS (SELECT doc_id, text FROM documents UNION ALL '
+        'SELECT doc_id + 1000000 AS doc_id, '
+        "text || ' extra words appended here' AS text "
+        'FROM documents WHERE doc_id % 20 = 0), '
+        "d AS (SELECT doc_id, lower(coalesce(text,'')) AS t FROM docs), "
+        'chars AS (SELECT doc_id, i, unicode(substr(t, i, 1))::HUGEINT AS c, '
+        'length(t) AS n FROM d, LATERAL unnest(range(1, length(t)+1)) '
+        'AS u(i)), '
+        'h AS (SELECT doc_id, i, n, '
+        '(((((((((c * 1000003 + lead(c,1) OVER w) % 18446744073709551616) '
+        '* 1000003 + lead(c,2) OVER w) % 18446744073709551616) '
+        '* 1000003 + lead(c,3) OVER w) % 18446744073709551616) '
+        '* 1000003 + lead(c,4) OVER w) % 18446744073709551616)) AS hash '
+        'FROM chars WINDOW w AS (PARTITION BY doc_id ORDER BY i)), '
+        'dsh AS (SELECT DISTINCT doc_id, hash FROM h WHERE i <= n - 4), '
+        'ush AS (SELECT DISTINCT hash FROM dsh), '
+        f'perms(pid, pa, pb) AS (VALUES {perm_vals}), '
+        f'pv AS (SELECT u.hash, p.pid, '
+        f'(({mulmod("u.hash", "p.pa")} + p.pb) % {m64}) % {p61} AS v '
+        'FROM ush u CROSS JOIN perms p), '
+        'sig AS (SELECT d.doc_id, pv.pid, min(pv.v) AS s '
+        'FROM dsh d JOIN pv ON pv.hash = d.hash GROUP BY d.doc_id, pv.pid), '
+        'mx AS (SELECT doc_id, pid // 4 AS band_id, pid % 4 AS r, '
+        f'{mulmod("s", gold)} AS m FROM sig), '
+        'bh AS (SELECT doc_id, band_id, '
+        'xor(xor(max(CASE WHEN r=0 THEN m END)::UBIGINT, '
+        'max(CASE WHEN r=1 THEN m END)::UBIGINT), '
+        'xor(max(CASE WHEN r=2 THEN m END)::UBIGINT, '
+        'max(CASE WHEN r=3 THEN m END)::UBIGINT))::HUGEINT '
+        '% 9223372036854775808 AS band_hash FROM mx '
+        'GROUP BY doc_id, band_id), '
+        'sz AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id)'
+    )
+
+
+def _minhash_groups_sql() -> str:
+    return (
+        _minhash_cte() + ' '
+        'SELECT band_id::INTEGER AS band_id, band_hash::BIGINT AS band_hash, '
+        'count(*)::BIGINT AS group_size, '
+        "string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids "
+        'FROM bh GROUP BY band_id, band_hash HAVING count(*) >= 2'
+    )
+
+
+def _ngram_jaccard_sql() -> str:
+    return (
+        _minhash_cte() + ', '
+        'cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b '
+        'FROM bh x JOIN bh y ON x.band_id = y.band_id '
+        'AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id), '
+        'inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c '
+        'JOIN dsh s1 ON s1.doc_id = c.doc_a '
+        'JOIN dsh s2 ON s2.doc_id = c.doc_b AND s1.hash = s2.hash '
+        'GROUP BY c.doc_a, c.doc_b) '
+        'SELECT c.doc_a, c.doc_b, '
+        'round(CAST(coalesce(i.i,0) AS DOUBLE) / '
+        '(sa.n + sb.n - coalesce(i.i,0)), 4) AS jaccard '
+        'FROM cand c LEFT JOIN inter i ON i.doc_a = c.doc_a '
+        'AND i.doc_b = c.doc_b '
+        'JOIN sz sa ON sa.doc_id = c.doc_a '
+        'JOIN sz sb ON sb.doc_id = c.doc_b '
+        'WHERE 10 * coalesce(i.i,0) >= 7 * (sa.n + sb.n - coalesce(i.i,0))'
+    )
+
+
 def q_simhash_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Charikar SimHash near-dup pairs (hamming <= 3 via 16-bit-block
+    pigeonhole buckets).  SQL-checked (r5): the block candidates are
+    COMPLETE for hamming <= 3, so the pair set is a pure function of the
+    fingerprints and the oracle replays it — word FNV-1a as a recursive
+    CTE over hex-extracted UTF-8 bytes (the engine's exact offset basis),
+    per-bit vote sums, fingerprint assembly in HUGEINT, and an all-pairs
+    ``bit_count(xor(...)) <= 3`` join — value-identical at all three
+    scales."""
     from pii_detector_ray.stages.dedup import simhash_dup_pairs
     return simhash_dup_pairs(_docs_with_near_dups(sf_dir))
+
+
+_SIMHASH_DEDUP_SQL = (
+    "WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, "
+    "text || ' extra words appended here' AS text "
+    "FROM documents WHERE doc_id % 20 = 0), "
+    "dw AS (SELECT doc_id, unnest(regexp_split_to_array("
+    "lower(coalesce(text,'')), '\\s+')) AS w FROM docs), "
+    "dwx AS (SELECT doc_id, w FROM dw WHERE w <> ''), "
+    "uw AS (SELECT DISTINCT w FROM dwx), "
+    "uwh AS (SELECT w, upper(hex(encode(w))) AS hx, "
+    "octet_length(encode(w)) AS n FROM uw), "
+    "step(w, i, n, h) AS ("
+    "SELECT w, 0, n, 1469598103934665603::HUGEINT FROM uwh "
+    "UNION ALL "
+    "SELECT s.w, s.i + 1, s.n, "
+    "(xor(s.h::UBIGINT, ((strpos('0123456789ABCDEF', "
+    "substr(u.hx, 2*s.i+1, 1))-1)*16 "
+    "+ strpos('0123456789ABCDEF', substr(u.hx, 2*s.i+2, 1))-1)::UBIGINT"
+    ")::HUGEINT * 1099511628211) % 18446744073709551616 "
+    "FROM step s JOIN uwh u ON u.w = s.w WHERE s.i < s.n), "
+    "wh AS (SELECT w, h FROM step WHERE i = n), "
+    "inst AS (SELECT d.doc_id, wh.h FROM dwx d JOIN wh ON wh.w = d.w), "
+    "nw AS (SELECT doc_id, count(*) AS n_words FROM inst GROUP BY doc_id), "
+    "bits AS (SELECT i.doc_id, b.b, "
+    "sum(((i.h // power(2::HUGEINT, b.b)::HUGEINT) % 2)::BIGINT) AS ones "
+    "FROM inst i CROSS JOIN (SELECT unnest(range(64)) AS b) b "
+    "GROUP BY i.doc_id, b.b), "
+    "fp0 AS (SELECT bits.doc_id, sum(CASE WHEN 2*ones > n_words "
+    "THEN power(2::HUGEINT, b)::HUGEINT ELSE 0::HUGEINT END) AS fp "
+    "FROM bits JOIN nw ON nw.doc_id = bits.doc_id GROUP BY bits.doc_id), "
+    "allfp AS (SELECT d.doc_id, coalesce(f.fp, 0::HUGEINT) AS fp "
+    "FROM docs d LEFT JOIN fp0 f ON f.doc_id = d.doc_id) "
+    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "bit_count(xor(a.fp::UBIGINT, b.fp::UBIGINT))::BIGINT AS hamming "
+    "FROM allfp a JOIN allfp b ON a.doc_id < b.doc_id "
+    "WHERE bit_count(xor(a.fp::UBIGINT, b.fp::UBIGINT)) <= 3"
+)
 
 
 def q_ngram_jaccard_dedup(sf_dir: str) -> ray.data.Dataset:
@@ -3453,14 +3592,9 @@ def _payload_digest(t: pa.Table) -> pa.Table:
         [_hl.sha256(b or b'').hexdigest()[:12] for b in blobs], pa.string()))
 
 
-def q_media_decode(sf_dir: str) -> ray.data.Dataset:
-    """Multimodal REAL-decode path: gradient PNGs + sine WAVs built with the
-    stdlib codecs, decoded (not faked) by the actor-pool stage into feature
-    vectors, then resized thumbnails for the image rows.  SQL-checked (r5):
-    the fixture is deterministic and sf-independent, so the per-row digest
-    (feature scalars rounded AFTER decode + resized-bytes size/sha256) pins
-    to literal constants (``oracle_pins.MEDIA_DECODE_SQL``), the
-    ``video_frame_stats`` construction at per-row granularity."""
+def _media_decode_raw(sf_dir: str) -> ray.data.Dataset:
+    """REAL stdlib decode pipeline, pre-digest: resize → payload digest
+    columns (bytes still in flight) → decode (features replace bytes)."""
     from pii_detector_ray.stages.multimodal import (
         MediaDecodeStage,
         ResizeStage,
@@ -3470,10 +3604,28 @@ def q_media_decode(sf_dir: str) -> ray.data.Dataset:
     resized = ds.map_batches(ResizeStage, batch_format='pyarrow', batch_size=32,
                              concurrency=2, num_cpus=1) \
         .map_batches(_payload_digest, batch_format='pyarrow')
-    out = resized.map_batches(MediaDecodeStage, batch_format='pyarrow',
-                              batch_size=32, concurrency=2, num_cpus=1,
-                              fn_constructor_kwargs={'use_fake_decoder': False})
-    return out.map_batches(
+    return resized.map_batches(
+        MediaDecodeStage, batch_format='pyarrow',
+        batch_size=32, concurrency=2, num_cpus=1,
+        fn_constructor_kwargs={'use_fake_decoder': False})
+
+
+def _media_features_raw(sf_dir: str) -> ray.data.Dataset:
+    from pii_detector_ray.stages.multimodal import MediaDecodeStage, synth_media_table
+    ds = ray.data.from_arrow(synth_media_table(200))
+    return ds.map_batches(MediaDecodeStage, batch_format='pyarrow',
+                          batch_size=64, concurrency=2, num_cpus=1)
+
+
+def q_media_decode(sf_dir: str) -> ray.data.Dataset:
+    """Multimodal REAL-decode path: gradient PNGs + sine WAVs built with the
+    stdlib codecs, decoded (not faked) by the actor-pool stage into feature
+    vectors, then resized thumbnails for the image rows.  SQL-checked (r5):
+    the fixture is deterministic and sf-independent, so the per-row digest
+    (feature scalars rounded AFTER decode + resized-bytes size/sha256) pins
+    to literal constants (``oracle_pins.MEDIA_DECODE_SQL``), the
+    ``video_frame_stats`` construction at per-row granularity."""
+    return _media_decode_raw(sf_dir).map_batches(
         lambda t: _media_row_digest(t, with_resized=True),
         batch_format='pyarrow')
 
@@ -3483,11 +3635,7 @@ def q_media_features(sf_dir: str) -> ray.data.Dataset:
     (deterministic fake decoder; real codecs live in ``media_decode``).
     SQL-checked (r5) by the same per-row digest pinning as
     ``media_decode``."""
-    from pii_detector_ray.stages.multimodal import MediaDecodeStage, synth_media_table
-    ds = ray.data.from_arrow(synth_media_table(200))
-    out = ds.map_batches(MediaDecodeStage, batch_format='pyarrow', batch_size=64,
-                         concurrency=2, num_cpus=1)
-    return out.map_batches(
+    return _media_features_raw(sf_dir).map_batches(
         lambda t: _media_row_digest(t, with_resized=False),
         batch_format='pyarrow')
 
@@ -3536,14 +3684,14 @@ def q_media_feature_stats(sf_dir: str) -> ray.data.Dataset:
     deterministic and sf-independent, so the per-type digests are constants
     — the oracle is a pinned VALUES list; any codec/plumbing regression
     breaks the hash."""
-    return _media_stats(q_media_features(sf_dir))
+    return _media_stats(_media_features_raw(sf_dir))
 
 
 def q_media_decode_stats(sf_dir: str) -> ray.data.Dataset:
     """Value-pinned oracle for the REAL stdlib PNG/GIF/WAV decode path
     (decode → mean-pool resize → feature extraction), same construction as
     q_media_feature_stats."""
-    return _media_stats(q_media_decode(sf_dir))
+    return _media_stats(_media_decode_raw(sf_dir))
 
 
 def q_video_frame_stats(sf_dir: str) -> ray.data.Dataset:
@@ -10420,6 +10568,9 @@ def oracle_sql() -> dict[str, str]:
         'jaccard_join_exact': _JACCARD_JOIN_SQL,
         'dedup_components': _DEDUP_COMPONENTS_SQL,
         'approx_distinct_hll': _hll_sql(),
+        'simhash_dedup': _SIMHASH_DEDUP_SQL,
+        'minhash_dedup': _minhash_groups_sql(),
+        'ngram_jaccard_dedup': _ngram_jaccard_sql(),
         'order_ship_daily': _ORDER_SHIP_DAILY_SQL,
         'returned_item_customers': _RETURNED_ITEM_SQL,
         'priority_return_orders': _PRIORITY_RETURN_SQL,
