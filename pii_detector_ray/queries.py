@@ -3337,10 +3337,77 @@ def q_embedding_dup_lsh(sf_dir: str) -> ray.data.Dataset:
     """Banded multi-table LSH near-dup pairs.  At this low threshold (0.45,
     chosen so the random driver embeddings yield pairs at all) the banding
     math wants few planes and many tables: p_agree = 1 - arccos(0.45)/pi ≈
-    0.65, recall ≈ 1 - (1 - 0.65^3)^12 ≈ 0.98 vs the exact query's pairs."""
+    0.65, recall ≈ 1 - (1 - 0.65^3)^12 ≈ 0.98 vs the exact query's pairs.
+    SQL-checked (r5): the hyperplanes are fixed seed-11 constants, so the
+    oracle replays the banding — planes as VALUES, sign-bit buckets per
+    table, same-bucket candidates, exact cosine verify
+    (``_embedding_lsh_sql``) — value-identical at all three scales."""
     from pii_detector_ray.stages.dedup import embedding_dup_pairs_lsh
     return embedding_dup_pairs_lsh(_embeddings(sf_dir, ['vec_id', 'embedding']),
                                    threshold=0.45, n_tables=12, n_planes=3)
+
+
+def _embedding_lsh_sql() -> str:
+    planes = np.random.default_rng(11).standard_normal((12, 64, 3))
+    plane_vals = ', '.join(
+        f'({t}, {p}, {d}, {planes[t, d, p]!r})'
+        for t in range(12) for d in range(64) for p in range(3))
+    return (
+        f'WITH planes(t, p, d, v) AS (VALUES {plane_vals}), '
+        'dots AS (SELECT e.vec_id, pl.t, pl.p, '
+        'sum(e.embedding[pl.d + 1]::DOUBLE * pl.v) AS s '
+        'FROM embeddings e, planes pl GROUP BY e.vec_id, pl.t, pl.p), '
+        'bits AS (SELECT vec_id, t, '
+        'sum(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END) AS b FROM dots '
+        'GROUP BY vec_id, t), '
+        'cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b '
+        'FROM bits a JOIN bits b ON a.t = b.t AND a.b = b.b '
+        'AND a.vec_id < b.vec_id) '
+        'SELECT c.vec_a, c.vec_b, '
+        'round(list_cosine_similarity(ea.embedding::DOUBLE[], '
+        'eb.embedding::DOUBLE[]), 4) AS sim '
+        'FROM cand c JOIN embeddings ea ON ea.vec_id = c.vec_a '
+        'JOIN embeddings eb ON eb.vec_id = c.vec_b '
+        'WHERE list_cosine_similarity(ea.embedding::DOUBLE[], '
+        'eb.embedding::DOUBLE[]) >= 0.45'
+    )
+
+
+def _similarity_ann_sql() -> str:
+    """DuckDB replay of the LSH-ANN query (both variants return identical
+    results — one oracle serves both): seed-11 hyperplanes as VALUES,
+    sign-bit buckets (scale-invariant, so unnormalized dots decide them),
+    the base bucket plus the 3 lowest-|margin| bit flips (multi-probe,
+    ``p``-tiebreak matching argsort on distinct keys), then exact cosine
+    top-10 over the probed buckets ordered by raw sim DESC, vec_id ASC
+    with round-last — verified value-identical at all three scales."""
+    planes = np.random.default_rng(11).standard_normal((64, 8))
+    plane_vals = ', '.join(f'({d}, {p}, {planes[d, p]!r})'
+                           for d in range(64) for p in range(8))
+    return (
+        f'WITH planes(d, p, v) AS (VALUES {plane_vals}), '
+        'q AS (SELECT embedding FROM embeddings WHERE vec_id = 0), '
+        'qd AS (SELECT pl.p, sum((SELECT embedding FROM q)[pl.d+1]::DOUBLE '
+        '* pl.v) AS s FROM planes pl GROUP BY pl.p), '
+        'qbase AS (SELECT sum(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END)'
+        '::BIGINT AS base FROM qd), '
+        'qflip AS (SELECT p FROM (SELECT p, row_number() OVER '
+        '(ORDER BY abs(s), p) AS rn FROM qd) WHERE rn <= 3), '
+        'bset AS (SELECT base AS b FROM qbase UNION '
+        'SELECT xor((SELECT base FROM qbase)::UBIGINT, '
+        '(1 << p)::UBIGINT)::BIGINT FROM qflip), '
+        'vd AS (SELECT e.vec_id, pl.p, '
+        'sum(e.embedding[pl.d+1]::DOUBLE * pl.v) AS s '
+        'FROM embeddings e, planes pl GROUP BY e.vec_id, pl.p), '
+        'vb AS (SELECT vec_id, sum(CASE WHEN s > 0 THEN (1 << p) '
+        'ELSE 0 END)::BIGINT AS b FROM vd GROUP BY vec_id), '
+        'hits AS (SELECT vec_id FROM vb WHERE b IN (SELECT b FROM bset)) '
+        'SELECT e.vec_id, round(list_cosine_similarity('
+        'e.embedding::DOUBLE[], (SELECT embedding FROM q)::DOUBLE[]), 4) '
+        'AS sim FROM embeddings e JOIN hits h ON h.vec_id = e.vec_id '
+        'ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], '
+        '(SELECT embedding FROM q)::DOUBLE[]) DESC, e.vec_id LIMIT 10'
+    )
 
 
 def q_similarity_ann(sf_dir: str) -> pd.DataFrame:
@@ -3349,7 +3416,9 @@ def q_similarity_ann(sf_dir: str) -> pd.DataFrame:
     VERDICT r2 #2): bucketized vectors stay a Ray Dataset, only k rows per
     block reach the driver.  The driver-side LshIndex survives as a test
     baseline (tests/test_similarity.py asserts identical results for the
-    same seed/n_planes)."""
+    same seed/n_planes).  SQL-checked (r5): ``_similarity_ann_sql``
+    replays planes, multi-probe bucket selection, and the raw-sim-ordered
+    round-last top-10."""
     from pii_detector_ray.stages.similarity import ShardedLshIndex
     ds = _embeddings(sf_dir, ['vec_id', 'embedding'])
     index = ShardedLshIndex(ds, n_planes=8)
@@ -3371,9 +3440,75 @@ def q_similarity_ann_sharded(sf_dir: str) -> pd.DataFrame:
                          'sim': [h[1] for h in hits]})
 
 
+def _similarity_ivf_sql() -> str:
+    """DuckDB replay of the IVF-ANN query (both variants identical — one
+    oracle serves both): 5 unrolled spherical-Lloyd iterations as
+    MATERIALIZED CTE chains (init = vec_id 0..15 normalized; assignment =
+    argmax dot with cid tie-break; empty clusters keep their previous
+    centroid), final posting assignment, nprobe=4 centroid selection, and
+    the raw-sim-ordered round-last top-10.  Float caveat: centroid means
+    sum members in SQL order vs the engine's sorted-partial order — an
+    assignment would only flip on a ~1e-12 argmax tie, none of which occur
+    in the driver corpora (verified value-identical at all three scales)."""
+    iters, n_lists, nprobe, k = 5, 16, 4, 10
+    c = []
+    c.append('vn AS MATERIALIZED (SELECT e.vec_id, u.d, '
+             'e.embedding[u.d+1]::DOUBLE / nrm.n AS x '
+             'FROM embeddings e '
+             'JOIN (SELECT vec_id, CASE WHEN sqrt(sum(y*y)) = 0 THEN 1.0 '
+             'ELSE sqrt(sum(y*y)) END AS n FROM (SELECT vec_id, '
+             'unnest(embedding)::DOUBLE AS y FROM embeddings) '
+             'GROUP BY vec_id) nrm ON nrm.vec_id = e.vec_id, '
+             '(SELECT unnest(range(64)) AS d) u)')
+    c.append(f'c0 AS MATERIALIZED (SELECT vec_id AS cid, d, x AS cv FROM vn '
+             f'WHERE vec_id < {n_lists})')
+    prev = 'c0'
+    for it in range(iters):
+        dots, asg, nxt = f'dt{it}', f'as{it}', f'c{it + 1}'
+        c.append(f'{dots} AS MATERIALIZED (SELECT v.vec_id, p.cid, '
+                 f'sum(v.x * p.cv) AS s FROM vn v JOIN {prev} p ON p.d = v.d '
+                 f'GROUP BY v.vec_id, p.cid)')
+        c.append(f'{asg} AS MATERIALIZED (SELECT vec_id, cid FROM ('
+                 f'SELECT vec_id, cid, row_number() OVER (PARTITION BY '
+                 f'vec_id ORDER BY s DESC, cid) AS rn FROM {dots}) '
+                 f'WHERE rn = 1)')
+        c.append(
+            f'{nxt} AS MATERIALIZED (SELECT p.cid, p.d, '
+            f'coalesce(m.cv, p.cv) AS cv FROM {prev} p LEFT JOIN ('
+            f'SELECT mm.cid, mm.d, CASE WHEN nz.n = 0 THEN NULL '
+            f'ELSE mm.m / nz.n END AS cv FROM ('
+            f'SELECT a.cid, v.d, avg(v.x) AS m FROM {asg} a '
+            f'JOIN vn v ON v.vec_id = a.vec_id GROUP BY a.cid, v.d) mm '
+            f'JOIN (SELECT cid, sqrt(sum(m*m)) AS n FROM ('
+            f'SELECT a.cid, v.d, avg(v.x) AS m FROM {asg} a '
+            f'JOIN vn v ON v.vec_id = a.vec_id GROUP BY a.cid, v.d) '
+            f'GROUP BY cid) nz ON nz.cid = mm.cid) m '
+            f'ON m.cid = p.cid AND m.d = p.d)')
+        prev = nxt
+    c.append(f'dtf AS MATERIALIZED (SELECT v.vec_id, p.cid, '
+             f'sum(v.x * p.cv) AS s FROM vn v JOIN {prev} p ON p.d = v.d '
+             f'GROUP BY v.vec_id, p.cid)')
+    c.append('asf AS MATERIALIZED (SELECT vec_id, cid FROM ('
+             'SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id '
+             'ORDER BY s DESC, cid) AS rn FROM dtf) WHERE rn = 1)')
+    c.append(f'qp AS (SELECT cid FROM (SELECT p.cid, row_number() OVER ('
+             f'ORDER BY sum(q.x * p.cv) DESC, p.cid) AS rn FROM {prev} p '
+             f'JOIN (SELECT d, x FROM vn WHERE vec_id = 0) q ON q.d = p.d '
+             f'GROUP BY p.cid) WHERE rn <= {nprobe})')
+    c.append('hits AS (SELECT a.vec_id FROM asf a JOIN qp ON qp.cid = a.cid)')
+    sims = ('SELECT h.vec_id, sum(v.x * q.x) AS s FROM hits h '
+            'JOIN vn v ON v.vec_id = h.vec_id '
+            'JOIN (SELECT d, x FROM vn WHERE vec_id = 0) q ON q.d = v.d '
+            'GROUP BY h.vec_id')
+    return ('WITH ' + ', '.join(c) +
+            f' SELECT vec_id, round(s, 4) AS sim FROM ({sims}) '
+            f'ORDER BY s DESC, vec_id LIMIT {k}')
+
+
 def q_similarity_ivf_sharded(sf_dir: str) -> pd.DataFrame:
     """Distributed IVF ANN: centroids via distributed k-means (per-batch
-    partial sums only cross the driver), posting lists stay a Ray Dataset."""
+    partial sums only cross the driver), posting lists stay a Ray Dataset.
+    SQL-checked (r5) by ``_similarity_ivf_sql``'s unrolled-Lloyd replay."""
     from pii_detector_ray.stages.similarity import ShardedIvfIndex
     ds = _embeddings(sf_dir, ['vec_id', 'embedding'])
     index = ShardedIvfIndex(ds, n_lists=16, iters=5)
@@ -10571,6 +10706,11 @@ def oracle_sql() -> dict[str, str]:
         'simhash_dedup': _SIMHASH_DEDUP_SQL,
         'minhash_dedup': _minhash_groups_sql(),
         'ngram_jaccard_dedup': _ngram_jaccard_sql(),
+        'embedding_dup_lsh': _embedding_lsh_sql(),
+        'similarity_ann': _similarity_ann_sql(),
+        'similarity_ann_sharded': _similarity_ann_sql(),
+        'similarity_ivf': _similarity_ivf_sql(),
+        'similarity_ivf_sharded': _similarity_ivf_sql(),
         'order_ship_daily': _ORDER_SHIP_DAILY_SQL,
         'returned_item_customers': _RETURNED_ITEM_SQL,
         'priority_return_orders': _PRIORITY_RETURN_SQL,
