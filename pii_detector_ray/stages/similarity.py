@@ -58,7 +58,8 @@ class LshIndex:
     """
 
     def __init__(self, ds: ray.data.Dataset, *, n_planes: int = 10, seed: int = 11,
-                 id_col: str = 'vec_id', vec_col: str = 'embedding') -> None:
+                 id_col: str = 'vec_id', vec_col: str = 'embedding',
+                 persist_dir: str | None = None) -> None:
         rows = ds.select_columns([id_col, vec_col]).take_all()
         self.ids = np.array([r[id_col] for r in rows])
         self.mat = _normalize(np.array([np.asarray(r[vec_col], dtype=np.float64)
@@ -164,7 +165,8 @@ class ShardedLshIndex:
     """
 
     def __init__(self, ds: ray.data.Dataset, *, n_planes: int = 10, seed: int = 11,
-                 id_col: str = 'vec_id', vec_col: str = 'embedding') -> None:
+                 id_col: str = 'vec_id', vec_col: str = 'embedding',
+                 persist_dir: str | None = None) -> None:
         self.id_col, self.vec_col = id_col, vec_col
         first = ds.take(1)[0]                      # one row: probe the dim
         dim = len(np.asarray(first[vec_col]))
@@ -183,9 +185,10 @@ class ShardedLshIndex:
                 'vec_bytes': pa.array([row.tobytes() for row in mat], pa.binary()),
             })
 
-        self._data = ds.select_columns([id_col, vec_col]) \
-            .map_batches(bucketize, batch_format='pyarrow') \
-            .sort('bucket').materialize()
+        self._data = _persist_or_materialize(
+            ds.select_columns([id_col, vec_col])
+            .map_batches(bucketize, batch_format='pyarrow'),
+            'bucket', persist_dir)
 
     def query(self, vec: np.ndarray, k: int = 10,
               probes: int = 1) -> list[tuple[int, float]]:
@@ -214,6 +217,25 @@ class ShardedLshIndex:
 
         parts = self._data.map_batches(topk, batch_format='pyarrow').to_pandas()
         return _merge_topk(parts, k, id_col)
+
+
+def _persist_or_materialize(ds: 'ray.data.Dataset', key_col: str,
+                            persist_dir: str | None) -> 'ray.data.Dataset':
+    """Index-build storage policy: the default keeps the sorted bucket/
+    posting dataset MATERIALIZED in the object store (spillable); passing
+    ``persist_dir`` instead writes it as key-partitioned parquet shards and
+    reads it back lazily — at true scale (index >> aggregate plasma) the
+    parquet form survives process restarts, costs no object-store quota,
+    and queries still prune by the key column's row-group statistics
+    (``sort`` before write keeps each file key-clustered)."""
+    if persist_dir is None:
+        return ds.sort(key_col).materialize()
+    import os
+    import shutil
+    shutil.rmtree(persist_dir, ignore_errors=True)   # write_parquet appends
+    os.makedirs(persist_dir, exist_ok=True)
+    ds.sort(key_col).write_parquet(persist_dir)
+    return ray.data.read_parquet(persist_dir)
 
 
 def distributed_kmeans(ds: ray.data.Dataset, *, n_lists: int, iters: int = 10,
@@ -271,7 +293,8 @@ class ShardedIvfIndex:
     data-adaptive sibling of :class:`ShardedLshIndex`."""
 
     def __init__(self, ds: ray.data.Dataset, *, n_lists: int = 16, iters: int = 10,
-                 id_col: str = 'vec_id', vec_col: str = 'embedding') -> None:
+                 id_col: str = 'vec_id', vec_col: str = 'embedding',
+                 persist_dir: str | None = None) -> None:
         self.id_col = id_col
         self.centroids = distributed_kmeans(ds, n_lists=n_lists, iters=iters,
                                             vec_col=vec_col)
@@ -289,9 +312,10 @@ class ShardedIvfIndex:
                 'vec_bytes': pa.array([row.tobytes() for row in mat], pa.binary()),
             })
 
-        self._data = ds.select_columns([id_col, vec_col]) \
-            .map_batches(post, batch_format='pyarrow') \
-            .sort('list_id').materialize()
+        self._data = _persist_or_materialize(
+            ds.select_columns([id_col, vec_col])
+            .map_batches(post, batch_format='pyarrow'),
+            'list_id', persist_dir)
 
     def query(self, vec: np.ndarray, k: int = 10,
               nprobe: int = 2) -> list[tuple[int, float]]:
