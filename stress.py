@@ -56,17 +56,42 @@ def build_stress_tables() -> None:
 
 
 def mem_probe() -> dict:
-    """Object-store usage + cumulative spill from the running session."""
+    """Object-store usage + cumulative spill from the running session.
+    ``memory_summary`` needs grpcio (absent in this container), so fall
+    back to the raylet's own spill/usage log lines."""
+    import glob
     import re
-
-    from ray._private.internal_api import memory_summary
-    txt = memory_summary(stats_only=True)
-    out = {'raw': txt.strip().splitlines()[-6:]}
-    m = re.search(r'Plasma memory usage (\d+) MiB', txt)
-    if m:
-        out['plasma_mib'] = int(m.group(1))
-    m = re.search(r'Spilled (\d+) MiB', txt)
-    out['spilled_mib'] = int(m.group(1)) if m else 0
+    out: dict = {}
+    try:
+        from ray._private.internal_api import memory_summary
+        txt = memory_summary(stats_only=True)
+        out['raw'] = txt.strip().splitlines()[-6:]
+        m = re.search(r'Plasma memory usage (\d+) MiB', txt)
+        if m:
+            out['plasma_mib'] = int(m.group(1))
+        m = re.search(r'Spilled (\d+) MiB', txt)
+        out['spilled_mib'] = int(m.group(1)) if m else 0
+        return out
+    except Exception:
+        pass
+    spilled = 0
+    peak_used = None
+    for path in glob.glob('/tmp/ray/session_latest/logs/raylet.out'):
+        try:
+            with open(path, errors='replace') as f:
+                for line in f:
+                    m = re.search(r'Spilled (\d+) MiB, (\d+) objects', line)
+                    if m:
+                        spilled = max(spilled, int(m.group(1)))
+                    m = re.search(r'object store.{0,40}?(\d+)% full', line)
+                    if m:
+                        pct = int(m.group(1))
+                        peak_used = max(peak_used or 0, pct)
+        except OSError:
+            continue
+    out['spilled_mib'] = spilled
+    if peak_used is not None:
+        out['peak_store_pct'] = peak_used
     return out
 
 
