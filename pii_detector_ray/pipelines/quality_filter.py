@@ -75,11 +75,20 @@ def dedup_exact_by_url(ds: ray.data.Dataset) -> ray.data.Dataset:
     _TS_OFFSET = 1 << 62
 
     def wkey(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         ts = batch.column('warc_ts').cast(pa.int64()).to_pylist()
-        texts = batch.column('extracted_text').to_pylist()
+        # md5 straight off the Arrow utf8 buffer: NULL-filled string cast to
+        # binary is zero-copy, and each row hashes a memoryview SLICE — no
+        # per-row Python str materialization or re-encode (VERDICT r4 nit)
+        txt = pc.cast(pc.fill_null(batch.column('extracted_text'), ''),
+                      pa.binary()).combine_chunks()
+        bufs = txt.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int32,
+                             count=txt.offset + len(txt) + 1)[txt.offset:]
+        data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b'')
         keys = [('~' if t is None else f'{t + _TS_OFFSET:020d}')
-                + f'|{hashlib.md5((x or "").encode()).hexdigest()}'
-                for t, x in zip(ts, texts)]
+                + '|' + hashlib.md5(data[offs[i]:offs[i + 1]]).hexdigest()
+                for i, t in enumerate(ts)]
         return batch.append_column('_wkey', pa.array(keys, pa.string()))
 
     from pii_detector_ray.stages.dedup import drop_empty_blocks
