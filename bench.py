@@ -29,8 +29,16 @@ NUM_CPUS = int(os.environ.get('RAY_GRAFT_CPUS', '32'))
 # is used by the scaling levels so per-session fixed costs weigh half as
 # much — closer to the 10^12-document regime the criterion models.
 BENCH_CORPUS = os.environ.get('GRAFT_BENCH_CORPUS', 'bench')
-BENCH_ROWS = {'bench': 600_000, 'bench2x': 1_200_000,
-              'bench4x': 2_400_000}[BENCH_CORPUS]
+
+
+def _bench_rows(corpus: str) -> int:
+    # single source of truth for corpus sizes (covers bench10x etc. for
+    # GRAFT_SCALING_PAIRS overrides without a second table to keep in sync)
+    from pii_detector_ray.sources.pages import SIZES
+    return SIZES[corpus].n_rows
+
+
+BENCH_ROWS = _bench_rows(BENCH_CORPUS)
 
 
 def run_bench() -> dict:

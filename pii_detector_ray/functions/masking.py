@@ -100,10 +100,14 @@ _PHI_KEYWORDS = ('health', 'medical', 'immun', 'pharmacy', 'disease',
 
 
 # RE2 form of the keyword gate: every _PHI_RE match CONTAINS one of the
-# keywords case-insensitively (the boundary groups only constrain), and both
-# engines use Unicode simple case folding for (?i), so one vectorized RE2
-# pass is a sound prefilter for the exact Python search.
-_PHI_GATE_RE2 = '(?i)(?:' + '|'.join(_PHI_KEYWORDS) + ')'
+# keywords case-insensitively (the boundary groups only constrain).  RE2's
+# (?i) uses Unicode SIMPLE folding, which deliberately excludes the
+# dotted/dotless-I orbit that Python's re folds (İ U+0130 and ı U+0131 both
+# match ``i`` under re.IGNORECASE) — a full-BMP sweep shows that is the ONLY
+# per-letter divergence for this alphabet — so ``i`` is widened to the
+# explicit orbit class to keep the gate a provable superset of _PHI_RE.
+_PHI_GATE_RE2 = '(?i)(?:' + '|'.join(
+    k.replace('i', '[iİı]') for k in _PHI_KEYWORDS) + ')'
 
 
 def is_phi_batch(names: list[str], texts: list[str]) -> list[bool]:

@@ -188,39 +188,43 @@ def build_traindata_pipeline(
         kept_rows = kept_rows.materialize()   # feeds the join AND the filter
         pairs = jaccard_pairs_prefix(kept_rows, threshold=near_threshold,
                                      id_col=id_col, text_col=text_col)
+        # materialize the LOSER ids (tiny: one int64 per dropped doc) so the
+        # expensive Jaccard chain executes exactly once — lazy, the chain
+        # would re-run for every downstream consumer (review r5: count +
+        # ledger + survivor filter each re-executed it).  The ledger derives
+        # from losers DIRECTLY (every loser id is a kept_rows id by
+        # construction), so only the survivor anti-join touches the corpus,
+        # and it has a single consumer.
         losers = drop_empty_blocks(
             pairs.map_batches(
                 lambda t: pa.table({id_col: t.column('doc_b')}),
                 batch_format='pyarrow')
-            .groupby(id_col).aggregate(Min(id_col, alias_name='_w')))
+            .groupby(id_col).aggregate(Min(id_col, alias_name='_w'))) \
+            .materialize()
         if losers.count():
+            nd_ledger = losers.map_batches(
+                lambda t: pa.table({
+                    id_col: t.column(id_col),
+                    'drop_stage': pa.array(['near_dedup'] * len(t),
+                                           pa.string()),
+                    'drop_reason': pa.array(
+                        ['jaccard_near_duplicate'] * len(t), pa.string())}),
+                batch_format='pyarrow')
             marked = losers.map_batches(
                 lambda t: pa.table({id_col: t.column(id_col),
                                     '_nd': pa.array([True] * len(t))}),
                 batch_format='pyarrow')
-            nd_joined = drop_empty_blocks(kept_rows).join(
+            kept_rows = drop_empty_blocks(kept_rows).join(
                 marked, join_type='left_outer',
-                num_partitions=join_partitions(), on=(id_col,))
-            nd_ledger = nd_joined.map_batches(
-                lambda t: pa.table({
-                    id_col: t.filter(pc.is_valid(t.column('_nd')))
-                             .column(id_col)}),
-                batch_format='pyarrow').map_batches(
-                lambda t: t.append_column(
-                    'drop_stage', pa.array(['near_dedup'] * len(t),
-                                           pa.string()))
-                .append_column(
-                    'drop_reason', pa.array(['jaccard_near_duplicate'] * len(t),
-                                            pa.string())),
-                batch_format='pyarrow')
-            kept_rows = nd_joined.map_batches(
+                num_partitions=join_partitions(), on=(id_col,)) \
+                .map_batches(
                 lambda t: pa.table({
                     id_col: t.filter(pc.is_null(t.column('_nd')))
                              .column(id_col),
                     text_col: t.filter(pc.is_null(t.column('_nd')))
                                .column(text_col)}),
                 batch_format='pyarrow')
-            dropped = dropped.union(drop_empty_blocks(nd_ledger))
+            dropped = dropped.union(nd_ledger)
 
     # --- global span dedup, then stats ---
     if span_dedup_enabled:

@@ -72,16 +72,23 @@ def _write_ledger(out_dir: str, ledger: dict[str, dict[str, Any]]) -> None:
             os.unlink(tmp)
 
 
-def _fingerprint(path: str) -> dict[str, int]:
-    st = os.stat(path)
+def _fingerprint(path: str) -> dict[str, int] | None:
+    """Stat fingerprint, or None when the shard vanished between the glob
+    listing and the stat (a producer-side rename/delete race — the shard is
+    simply not part of this cycle)."""
+    try:
+        st = os.stat(path)
+    except FileNotFoundError:
+        return None
     return {'bytes': st.st_size, 'mtime_ns': st.st_mtime_ns}
 
 
 def list_input_shards(input_dir: str) -> list[str]:
-    files = sorted(glob.glob(os.path.join(input_dir, '*.parquet'))) \
-        or sorted(glob.glob(os.path.join(input_dir, '**', '*.parquet'),
+    # one recursive glob: `**` matches zero directories too, so this covers
+    # both root-level shards and arbitrarily nested date/key partitions in
+    # the same listing (a mixed layout must not hide its nested shards)
+    return sorted(glob.glob(os.path.join(input_dir, '**', '*.parquet'),
                             recursive=True))
-    return files
 
 
 def _gen_dir(out_dir: str, gen: int) -> str:
@@ -130,9 +137,16 @@ def watch_once(
     cfg = cfg or PipelineConfig()
     files = list_input_shards(input_dir)
     ledger = read_ledger(out_dir)
+    # fingerprints are taken ONCE, here: the same snapshot decides the todo
+    # set AND enters the ledger after the run, so a shard overwritten while
+    # the generation executes still compares as changed next cycle (the
+    # ledger records the content-version this generation actually read).
+    # A shard deleted between glob and stat is skipped this cycle.
+    prints = {f: _fingerprint(f) for f in files}
+    files = [f for f in files if prints[f] is not None]
     todo = [f for f in files
             if {k: v for k, v in ledger.get(f, {}).items() if k != 'gen'}
-            != _fingerprint(f)]
+            != prints[f]]
     unchanged = len(files) - len(todo)
     if not todo:
         return {'generation': None, 'files_total': len(files),
@@ -148,9 +162,12 @@ def watch_once(
         fail_after_partitions=fail_after_partitions)
 
     # the generation is fully durable — only now do its shards enter the
-    # ledger (a kill anywhere above re-derives the same todo next cycle)
+    # ledger, with the PRE-RUN fingerprints (a kill anywhere above
+    # re-derives the same todo next cycle; a shard overwritten mid-run
+    # re-enters the todo set next cycle because the ledger holds the old
+    # fingerprint, not a fresh re-stat)
     for f in todo:
-        ledger[f] = {**_fingerprint(f), 'gen': gen}
+        ledger[f] = {**prints[f], 'gen': gen}
     _write_ledger(out_dir, ledger)
     return {'generation': gen, 'files_total': len(files),
             'files_new': len(todo), 'files_unchanged': unchanged, **summary}

@@ -108,6 +108,13 @@ def _re2_superset(pattern: str) -> str | None:
             else:
                 # inside a class: widen only in POSITIVE classes (widening
                 # inside [^...] would SHRINK the language)
+                if _class_negated and nxt in 'DWS':
+                    # [^...\W...]: double negation — RE2's \W ⊃ Python's \W
+                    # (RE2 \w ⊂ Python \w), so the negated class would be a
+                    # SUBSET of Python's (e.g. [^\W\d_] is Unicode-letters in
+                    # Python, ASCII-letters in RE2).  No safe widening exists
+                    # element-wise; disable the prefilter for this pattern.
+                    return None
                 if not _class_negated:
                     if nxt == 'd':
                         out.append(r'\p{Nd}')

@@ -60,6 +60,32 @@ def _blob_sha(data: bytes) -> str:
     return hashlib.sha1(b'blob %d\x00' % len(data) + data).hexdigest()
 
 
+def _file_row(fs_path: str, rel: str, prefix: str,
+              compute_etag: bool) -> dict:
+    """One listing row for a file (shared by the per-subtree walk tasks and
+    the driver's root-level loop — the .b64/size/etag contract lives here
+    only)."""
+    api_rel, is_b64 = (rel[:-4], True) if rel.endswith('.b64') \
+        else (rel, False)
+    etag = ''
+    size = os.path.getsize(fs_path)
+    if compute_etag:
+        with open(fs_path, 'rb') as f:
+            data = f.read()
+        if is_b64:
+            data = base64.b64decode(data)
+            size = len(data)
+        etag = _blob_sha(data)
+    elif is_b64:
+        # base64 inflates 4/3: report the decoded size like the API
+        size = (size // 4) * 3    # upper bound sans padding scan
+    return {'full_path': prefix + api_rel,
+            'fetch_path': prefix + api_rel,
+            'object_name': os.path.basename(api_rel),
+            'etag': etag,
+            'size': int(size)}
+
+
 def _walk_rows(root: str, rel_base: str, prefix: str,
                compute_etag: bool) -> list[dict]:
     rows: list[dict] = []
@@ -69,25 +95,7 @@ def _walk_rows(root: str, rel_base: str, prefix: str,
         for name in sorted(filenames):
             fs_path = os.path.join(dirpath, name)
             rel = os.path.relpath(fs_path, root).replace(os.sep, '/')
-            api_rel, is_b64 = (rel[:-4], True) if rel.endswith('.b64') \
-                else (rel, False)
-            etag = ''
-            size = os.path.getsize(fs_path)
-            if compute_etag:
-                with open(fs_path, 'rb') as f:
-                    data = f.read()
-                if is_b64:
-                    data = base64.b64decode(data)
-                    size = len(data)
-                etag = _blob_sha(data)
-            elif is_b64:
-                # base64 inflates 4/3: report the decoded size like the API
-                size = (size // 4) * 3    # upper bound sans padding scan
-            rows.append({'full_path': prefix + api_rel,
-                         'fetch_path': prefix + api_rel,
-                         'object_name': os.path.basename(api_rel),
-                         'etag': etag,
-                         'size': int(size)})
+            rows.append(_file_row(fs_path, rel, prefix, compute_etag))
     return rows
 
 
@@ -108,25 +116,7 @@ def walk_repo_tree(root: str, *, owner: str = 'local', repo: str = 'repo',
         if os.path.isdir(p):
             top_dirs.append(name)
         else:
-            rel = name
-            api_rel, is_b64 = (rel[:-4], True) if rel.endswith('.b64') \
-                else (rel, False)
-            etag = ''
-            size = os.path.getsize(p)
-            if compute_etag:
-                with open(p, 'rb') as f:
-                    data = f.read()
-                if is_b64:
-                    data = base64.b64decode(data)
-                    size = len(data)
-                etag = _blob_sha(data)
-            elif is_b64:
-                size = (size // 4) * 3
-            top_files.append({'full_path': prefix + api_rel,
-                              'fetch_path': prefix + api_rel,
-                              'object_name': os.path.basename(api_rel),
-                              'etag': etag,
-                              'size': int(size)})
+            top_files.append(_file_row(p, name, prefix, compute_etag))
 
     parts: list[ray.data.Dataset] = []
     if top_files:

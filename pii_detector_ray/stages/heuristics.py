@@ -88,11 +88,6 @@ def _space_word_counts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return n_spaces, cs2[off[1:]] - cs2[off[:-1]]
 
 
-FEATURE_ORDER = ('n_chars', 'n_words', 'mean_word_len', 'symbol_word_ratio',
-                 'bullet_line_frac', 'ellipsis_line_frac', 'alpha_word_frac',
-                 'dup_line_frac')
-
-
 def heuristics_arrays(arr: pa.Array, texts: list[str]) -> dict[str, np.ndarray]:
     """Array-level core: feature vectors from a NULL-FREE Arrow string array.
 

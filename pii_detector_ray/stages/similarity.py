@@ -58,8 +58,9 @@ class LshIndex:
     """
 
     def __init__(self, ds: ray.data.Dataset, *, n_planes: int = 10, seed: int = 11,
-                 id_col: str = 'vec_id', vec_col: str = 'embedding',
-                 persist_dir: str | None = None) -> None:
+                 id_col: str = 'vec_id', vec_col: str = 'embedding') -> None:
+        # (no persist_dir here: parquet-backed persistence is a property of
+        # the SHARDED indexes; this driver-side form is the test baseline)
         rows = ds.select_columns([id_col, vec_col]).take_all()
         self.ids = np.array([r[id_col] for r in rows])
         self.mat = _normalize(np.array([np.asarray(r[vec_col], dtype=np.float64)

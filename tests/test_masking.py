@@ -60,3 +60,14 @@ def test_phi_batch_equals_scalar():
     names = ['patient_records.csv', 'notes.txt', '', 'x', 'phi_dump']
     texts = ['', 'a walk in the park', 'the MRN is 12345', 'health_check ok', '']
     assert is_phi_batch(names, texts) == [is_phi(n, t) for n, t in zip(names, texts)]
+
+
+def test_phi_batch_unicode_ifold_orbit():
+    # Python re.IGNORECASE folds İ (U+0130) and ı (U+0131) to `i`; RE2's
+    # simple folding does not, so the vectorized gate widens `i` to the
+    # orbit class.  These rows would be silently mis-flagged otherwise.
+    from pii_detector_ray.functions.masking import is_phi_batch
+    texts = ['phİ', 'patİent zero', 'medıcal file', 'phı', 'walk ın park']
+    names = [''] * len(texts)
+    assert is_phi_batch(names, texts) == [is_phi(n, t) for n, t in zip(names, texts)]
+    assert is_phi_batch(names, texts)[:4] == [True, True, True, True]

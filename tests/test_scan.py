@@ -213,3 +213,36 @@ def test_person_boundary_ascii_matches_re2():
     # both sides see the same candidate runs (2: one per 'John Smith' region)
     assert len(sql) == 2
     assert [s.value for s in spans] == ['John Smith', 'John Smith']
+
+
+def test_re2_superset_property_adversarial():
+    """The RE2 prefilter must NEVER reject a row the Python regex matches
+    (false negatives impossible by construction).  Battery includes the
+    negated-class double-negation trap ([^\\W\\d_] is Unicode-letters in
+    Python, ASCII-letters in RE2 — must yield no prefilter) and the
+    Unicode digit/space/word widenings."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pii_detector_ray.scan import _re2_superset
+
+    import re
+
+    texts = ['ééé', 'phİ', '١٢٣', 'a b', 'foo\n', 'foo', 'x9y',
+             'Ωmega word', 'tab\tsep', '', 'i̇dot']
+    patterns = [r'[^\W\d_]+', r'[^\W]', r'[^\S\n]', r'\d+', r'\w+', r'\s',
+                r'\bfoo$', r'[\d ]+', r'[\w-]+', r'ph\w', r'[^\d]',
+                r'x\dy', r'\AΩ']
+    for pat in patterns:
+        pf = _re2_superset(pat)
+        if pf is None:
+            continue
+        py = re.compile(pat)
+        mask = pc.match_substring_regex(
+            pa.array(texts, pa.string()), pf).to_pylist()
+        for t, m in zip(texts, mask):
+            if py.search(t):
+                assert m, (pat, pf, t)
+    # the negated-class trap specifically must disable the prefilter
+    assert _re2_superset(r'[^\W\d_]+') is None
+    assert _re2_superset(r'[^\S]') is None

@@ -116,3 +116,43 @@ def test_watch_skips_stale_foreign_generation(ray_session, shards, tmp_path):
     assert s['generation'] == 1               # gen 0 left as-is, not resumed
     assert s['files_new'] == 4
     assert len(read_ledger(out)) == 4
+
+
+def test_watch_mixed_layout_lists_nested_shards(ray_session, shards, tmp_path):
+    """A mixed layout (root-level shards AND date-partitioned subdirs) must
+    list every shard — one stray root file must not hide the nested ones."""
+    sub = os.path.join(shards, 'date=2026-08-19')
+    os.makedirs(sub)
+    src = sorted(glob.glob(os.path.join(shards, '*.parquet')))
+    shutil.move(src[1], os.path.join(sub, 'nested.parquet'))
+    shutil.move(src[2], os.path.join(sub, 'nested2.parquet'))
+    out = str(tmp_path / 'out')
+    s = watch_once(shards, out, PipelineConfig(), num_partitions=2)
+    assert s['files_total'] == 3 and s['files_new'] == 3
+
+
+def test_watch_ledger_records_prerun_fingerprint(
+        ray_session, shards, tmp_path, monkeypatch):
+    """A shard overwritten WHILE the generation runs must be re-processed
+    next cycle: the ledger records the fingerprint captured when the todo
+    set was computed, not a post-run re-stat."""
+    import pii_detector_ray.pipelines.runner as runner_mod
+
+    out = str(tmp_path / 'out')
+    cfg = PipelineConfig()
+    target = sorted(glob.glob(os.path.join(shards, '*.parquet')))[0]
+    real = runner_mod.run_partitioned
+
+    def racing(files, *a, **kw):
+        res = real(files, *a, **kw)
+        os.utime(target, ns=(123456789, 123456789))   # producer overwrite
+        return res
+
+    monkeypatch.setattr(runner_mod, 'run_partitioned', racing)
+    s1 = watch_once(shards, out, cfg, num_partitions=2)
+    assert s1['generation'] == 0
+    monkeypatch.setattr(runner_mod, 'run_partitioned', real)
+    # next cycle must see the mid-run change and re-run exactly that shard
+    s2 = watch_once(shards, out, cfg, num_partitions=2)
+    assert s2['generation'] == 1
+    assert s2['files_new'] == 1 and s2['files_unchanged'] == 2
