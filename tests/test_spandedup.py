@@ -70,3 +70,31 @@ def test_matches_duckdb_oracle_both_paths():
         for col in ('deduped_text', 'n_spans', 'n_spans_dropped'):
             assert got[col].astype(want[col].dtype).tolist() == \
                 want[col].tolist(), (limit, col)
+
+
+def test_doc_spans_equals_findall_form():
+    """doc_spans' O(n) split must match the documented ``[^.!?]*[.!?]``
+    findall semantics (the DuckDB oracle's form) on adversarial strings —
+    the findall form itself is quadratic on punctuation-free text, which
+    is why the implementation uses the split."""
+    import random
+    import re
+
+    from pii_detector_ray.stages.spandedup import doc_spans
+
+    find = re.compile(r'[^.!?]*[.!?]')
+
+    def findall_form(text):
+        sents = find.findall(text)
+        tail = text[sum(len(s) for s in sents):]
+        n = len(sents) // 3
+        return ([''.join(sents[3 * i:3 * i + 3]) for i in range(n)],
+                ''.join(sents[3 * n:]) + tail)
+
+    rng = random.Random(7)
+    alpha = 'ab .!?\n\t.'
+    for _ in range(3000):
+        s = ''.join(rng.choice(alpha) for _ in range(rng.randrange(0, 40)))
+        assert findall_form(s) == doc_spans(s), repr(s)
+    for s in ('', '.', '!?', 'no terminal marks at all', 'a.b!c?d'):
+        assert findall_form(s) == doc_spans(s), repr(s)
