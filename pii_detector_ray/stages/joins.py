@@ -45,7 +45,13 @@ def _empty_asof_frame(lschema, rschema, left_cols: list[str],
         if pa.types.is_boolean(t):
             return pd.Series([], dtype='bool')
         if pa.types.is_timestamp(t):
-            return pd.Series([], dtype='datetime64[us]')
+            # match the input's unit/tz: pyarrow>=13 to_pandas PRESERVES the
+            # timestamp unit, so a hardcoded [us] here would give empty
+            # groups a different block schema than non-empty ones — the
+            # exact RefBundle mismatch this helper exists to prevent
+            if t.tz is not None:
+                return pd.Series([], dtype=pd.DatetimeTZDtype(t.unit, t.tz))
+            return pd.Series([], dtype=f'datetime64[{t.unit}]')
         return pd.Series([], dtype='object')
 
     out = {c: series(ltypes[c]) for c in left_cols}
@@ -53,6 +59,51 @@ def _empty_asof_frame(lschema, rschema, left_cols: list[str],
         out[f'prior_{c}'] = series(rtypes[c])
     out['prior_' + on] = series(rtypes[on])
     return pd.DataFrame(out)
+
+
+def make_asof_merge(*, left_cols: list[str], right_value_cols: list[str],
+                    on: str, tiebreak: list[str],
+                    tolerance_us: int | None,
+                    left_int: set[str], right_int: set[str],
+                    empty_out: pd.DataFrame, right_side_min: int = 1):
+    """The per-key as-of merge shared by the plain (``joins.asof_join``)
+    and salted (``skew.asof_join_salted``) paths — ONE body so a semantics
+    fix can never leave the two paths inconsistent.  ``right_side_min``:
+    rows with ``_side >= right_side_min`` are right rows (the salted path
+    adds carry rows with ``_side == 2``)."""
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g['_side'] == 0]
+        rg = g[g['_side'] >= right_side_min].sort_values(
+            ['_on'] + tiebreak, kind='mergesort')
+        if lg.empty or rg.empty:
+            # typed zero-row frame, NOT pd.DataFrame(): schema-less empty
+            # blocks trip the executor's RefBundle schema check and poison
+            # downstream unions (VERDICT r2 'what's wrong' #5)
+            return empty_out.copy()
+        lt = lg['_on'].to_numpy()
+        rt = rg['_on'].to_numpy()
+        idx = np.searchsorted(rt, lt, side='right') - 1
+        ok = idx >= 0
+        if tolerance_us is not None:
+            ok &= (lt - rt[np.clip(idx, 0, None)]) <= tolerance_us
+        lg = lg[ok]
+        picked = rg.iloc[idx[ok]]
+        out = lg[left_cols].reset_index(drop=True)   # no right-only NaN leaks
+        for c in right_value_cols:
+            out[f'prior_{c}'] = picked[c].to_numpy()
+        out['prior_' + on] = picked[on].to_numpy()
+        for c in left_cols:
+            if c in left_int:
+                out[c] = out[c].astype('int64')
+        if on in right_int:
+            out['prior_' + on] = out['prior_' + on].astype('int64')
+        for c in right_value_cols:
+            if c in right_int:
+                out[f'prior_{c}'] = out[f'prior_{c}'].astype('int64')
+        return out
+
+    return merge
 
 
 def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
@@ -88,6 +139,13 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
         assert not clash, (
             f'asof_join reserves columns {sorted(clash)} but the {name} '
             f'side already has them — rename them before joining')
+
+    # only {by, on, value, tiebreak} right columns are ever read — project
+    # BEFORE the hot-split/union/shuffle so a wide right table doesn't pay
+    # its full width through the co-partitioning (the salted path already
+    # projects; this keeps the plain path symmetric)
+    right = right.select_columns(
+        sorted({by, on, *right_value_cols, *(right_tiebreak or [])}))
 
     from pii_detector_ray.stages import skew
     hot_parts, (left, right) = skew.split_hot([left, right], by,
@@ -132,6 +190,13 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
 
     def tag_arrow(side: int, have: set[str]):
         def f(t: pa.Table) -> pa.Table:
+            # SQL ASOF semantics: the equality on ``by`` and the inequality
+            # on ``on`` never match NULL — drop such rows up front (a null
+            # ts would otherwise become NaN in the per-group frame and
+            # searchsorted would fabricate a match against the LAST right
+            # row; review r5)
+            t = t.filter(pc.and_(pc.is_valid(t.column(by)),
+                                 pc.is_valid(t.column(on))))
             n = len(t)
             cols = {}
             for name, typ in all_fields:
@@ -158,36 +223,10 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     empty_out = _empty_asof_frame(lschema, rschema, left_cols,
                                   right_value_cols, on)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g['_side'] == 0]
-        rg = g[g['_side'] == 1].sort_values(['_on'] + tiebreak,
-                                            kind='mergesort')
-        if lg.empty or rg.empty:
-            # typed zero-row frame, NOT pd.DataFrame(): schema-less empty
-            # blocks trip the executor's RefBundle schema check and poison
-            # downstream unions (VERDICT r2 'what's wrong' #5)
-            return empty_out.copy()
-        lt = lg['_on'].to_numpy()
-        rt = rg['_on'].to_numpy()
-        idx = np.searchsorted(rt, lt, side='right') - 1
-        ok = idx >= 0
-        if tolerance_us is not None:
-            ok &= (lt - rt[np.clip(idx, 0, None)]) <= tolerance_us
-        lg = lg[ok]
-        picked = rg.iloc[idx[ok]]
-        out = lg[left_cols].reset_index(drop=True)   # no right-only NaN leaks
-        for c in right_value_cols:
-            out[f'prior_{c}'] = picked[c].to_numpy()
-        out['prior_' + on] = picked[on].to_numpy()
-        for c in left_cols:
-            if c in left_int:
-                out[c] = out[c].astype('int64')
-        if on in right_int:
-            out['prior_' + on] = out['prior_' + on].astype('int64')
-        for c in right_value_cols:
-            if c in right_int:
-                out[f'prior_{c}'] = out[f'prior_{c}'].astype('int64')
-        return out
+    merge = make_asof_merge(
+        left_cols=left_cols, right_value_cols=right_value_cols, on=on,
+        tiebreak=tiebreak, tolerance_us=tolerance_us, left_int=left_int,
+        right_int=right_int, empty_out=empty_out)
 
     plain = tagged.groupby(by).map_groups(merge, batch_format='pandas')
     return plain.union(salted) if salted is not None else plain
@@ -203,6 +242,10 @@ def range_join_broadcast(ds: ray.data.Dataset, *, value_col: str,
     the 100 TB shape for small-side non-equi joins."""
     edges = np.asarray(bounds, dtype=np.float64)
     names = list(labels)
+    assert len(bounds) in (len(names), len(names) + 1), (
+        f'range_join_broadcast: {len(bounds)} bounds need {len(bounds)} '
+        f'(open-ended) or {len(bounds) - 1} labels, got {len(names)} — '
+        'a silent mismatch would clip rows into the wrong band')
 
     def assign(t: pa.Table) -> pa.Table:
         v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
@@ -233,23 +276,43 @@ def sliding_window_agg(ds: ray.data.Dataset, *, key_col: str, ts_col: str,
     assert k * slide_us == window_us, 'window must be a multiple of slide'
 
     def explode(t: pa.Table) -> pa.Table:
-        ts = pc.cast(t.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
-        keys = t.column(key_col).to_numpy(zero_copy_only=False)
-        vals = t.column(value_col).to_numpy(zero_copy_only=False)
+        # Arrow-native null parity (review r5): a null ts means NULL window
+        # arithmetic in SQL — the row still explodes into k copies, all
+        # landing in ONE NULL window_start group (GROUP BY over the
+        # generate_series cross join); converting via numpy instead flipped
+        # the batch to float64 (schema-mismatched blocks) and turned null
+        # values into NaN, which arrow counts as valid.  ``take`` keeps the
+        # key/value columns arrow-typed (nulls preserved, no object arrays).
+        ts_a = pc.cast(t.column(ts_col), pa.int64())
+        valid = pc.is_valid(ts_a)
+        n_null = len(t) - pc.sum(pc.cast(valid, pa.int8())).as_py()
+        tv, ts_v = t.filter(valid), ts_a.filter(valid)
+        ts = ts_v.to_numpy()
         base = (ts // slide_us) * slide_us
         starts = (base[:, None] - np.arange(k, dtype=np.int64)[None, :] * slide_us)
+        idx = np.repeat(np.arange(len(tv), dtype=np.int64), k)
         tbl = pa.table({
-            key_col: pa.array(np.repeat(keys, k)),
+            key_col: tv.column(key_col).take(idx),
             'window_start': pa.array(starts.reshape(-1)),
-            value_col: pa.array(np.repeat(vals, k)),
+            value_col: tv.column(value_col).take(idx),
         })
-        # per-batch partial aggregate: one row per (key, window) per batch
+        if n_null:
+            tn = t.filter(pc.invert(valid))
+            idxn = np.repeat(np.arange(n_null, dtype=np.int64), k)
+            tbl = pa.concat_tables([tbl, pa.table({
+                key_col: tn.column(key_col).take(idxn),
+                'window_start': pa.nulls(n_null * k, pa.int64()),
+                value_col: tn.column(value_col).take(idxn),
+            })])
+        # per-batch partial aggregate: one row per (key, window) per batch;
+        # count_all (== SQL count(*)) so null values still count rows,
+        # while arrow's null-skipping sum matches SQL sum(value)
         agg = tbl.group_by([key_col, 'window_start']).aggregate(
-            [(value_col, 'count'), (value_col, 'sum')])
+            [([], 'count_all'), (value_col, 'sum')])
         return pa.table({
             key_col: agg.column(key_col),
             'window_start': agg.column('window_start'),
-            '_n': pc.cast(agg.column(f'{value_col}_count'), pa.int64()),
+            '_n': pc.cast(agg.column('count_all'), pa.int64()),
             '_sum': agg.column(f'{value_col}_sum'),
         })
 

@@ -150,7 +150,13 @@ def hot_keys(ds: ray.data.Dataset, key_col: str, threshold: int) -> set:
     counts = (narrow.map_batches(partial, batch_format='pyarrow')
               .groupby(key_col).aggregate(Sum('_n', alias_name='n')))
     rows = counts.filter(expr=f'n >= {int(threshold)}').take_all()
-    return {r[key_col] for r in rows}
+    # NULL keys never route hot: SQL equality joins drop them, so the cold
+    # co-partitioned path (Ray's native join) already gives the right
+    # semantics; including None here would also poison sorted() in
+    # split_by_keys.  (A pathologically null-heavy GROUPBY key would need
+    # its own mitigation — none of the salted operators key on nullable
+    # columns today.)
+    return {r[key_col] for r in rows if r[key_col] is not None}
 
 
 def split_by_keys(ds: ray.data.Dataset, key_col: str,
@@ -158,8 +164,16 @@ def split_by_keys(ds: ray.data.Dataset, key_col: str,
     """(rows with key in ``keys``, rows without).  The (small) key set is
     broadcast once via ``ray.put``; both outputs re-execute the lazy
     upstream — measured cheaper than a materialize barrier for narrow
-    pruned reads (see memory: lazy double-execution beat materialization)."""
-    ref = ray.put(pa.array(sorted(keys)))
+    pruned reads (see memory: lazy double-execution beat materialization).
+
+    NULL handling: rows with a null key always land on the WITHOUT side
+    (``pc.is_in`` returns False for null inputs when the value set has no
+    null — verified); a None in ``keys`` is sorted last rather than
+    tripping ``sorted()`` on a mixed set."""
+    non_null = sorted(k for k in keys if k is not None)
+    if len(non_null) < len(keys):        # None was in the set
+        non_null.append(None)
+    ref = ray.put(pa.array(non_null))
 
     def mk(keep_in: bool):
         def f(t: pa.Table) -> pa.Table:
@@ -566,10 +580,16 @@ def asof_join_salted(left: ray.data.Dataset, right: ray.data.Dataset, *,
 
     def tag(side: int, cols: list[str]):
         def f(df: pd.DataFrame) -> pd.DataFrame:
+            # SQL ASOF semantics: the ``by`` equality and ``on`` inequality
+            # never match NULL — drop such rows before the int64 cast
+            # (mirrors joins.asof_join.tag_arrow)
+            df = df[df[by].notna() & df[on].notna()]
             for c in _at_risk.intersection(cols):
-                v = df[c].to_numpy()
-                if v.size:
-                    check_float_exact(c, int(v.min()), int(v.max()))
+                # pandas min/max skip NaN (a nullable int column arrives as
+                # float64-with-NaN here); all-null columns skip the guard
+                mn, mx = df[c].min(), df[c].max()
+                if pd.notna(mn):
+                    check_float_exact(c, int(mn), int(mx))
             out = df[cols].copy()
             out['_side'] = side
             out['_on'] = df[on].astype('int64')
@@ -616,37 +636,16 @@ def asof_join_salted(left: ray.data.Dataset, right: ray.data.Dataset, *,
     carries = carry_in.groupby(by).map_groups(make_carries,
                                               batch_format='pandas')
 
-    from pii_detector_ray.stages.joins import _empty_asof_frame
+    from pii_detector_ray.stages.joins import _empty_asof_frame, \
+        make_asof_merge
     empty_out = _empty_asof_frame(lschema, rschema, left_cols,
                                   right_value_cols, on)
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g['_side'] == 0]
-        rg = g[g['_side'] != 0].sort_values(['_on'] + tiebreak,
-                                            kind='mergesort')
-        if lg.empty or rg.empty:
-            return empty_out.copy()  # typed empty — keeps the block schema
-        lt = lg['_on'].to_numpy()
-        rt = rg['_on'].to_numpy()
-        idx = np.searchsorted(rt, lt, side='right') - 1
-        ok = idx >= 0
-        if tolerance_us is not None:
-            ok &= (lt - rt[np.clip(idx, 0, None)]) <= tolerance_us
-        lg = lg[ok]
-        picked = rg.iloc[idx[ok]]
-        out = lg[left_cols].reset_index(drop=True)
-        for c in right_value_cols:
-            out[f'prior_{c}'] = picked[c].to_numpy()
-        out['prior_' + on] = picked[on].to_numpy()
-        for c in left_cols:
-            if c in left_int:
-                out[c] = out[c].astype('int64')
-        if on in right_int:
-            out['prior_' + on] = out['prior_' + on].astype('int64')
-        for c in right_value_cols:
-            if c in right_int:
-                out[f'prior_{c}'] = out[f'prior_{c}'].astype('int64')
-        return out
+    # ONE merge body shared with joins.asof_join (review r5: the two copies
+    # had already diverged once); carry rows are _side == 2, hence min 1
+    merge = make_asof_merge(
+        left_cols=left_cols, right_value_cols=right_value_cols, on=on,
+        tiebreak=tiebreak, tolerance_us=tolerance_us, left_int=left_int,
+        right_int=right_int, empty_out=empty_out, right_side_min=1)
 
     return tagged_l.union(tagged_r, carries) \
         .groupby([by, '_bucket']).map_groups(merge, batch_format='pandas')
@@ -717,12 +716,15 @@ def cumulative_sum_salted(ds: ray.data.Dataset, *, val_col: str,
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(['_ts', 'event_id'], kind='mergesort')
         v = g[val_col].to_numpy(np.int64).cumsum()
+        # user_id keeps its input dtype (string keys are valid partition
+        # keys — the plain path never coerces, so hot routing must not
+        # start crashing on them; review r5)
         out = pd.DataFrame({
-            'user_id': g['user_id'].astype('int64'),
-            '_bucket': g['_bucket'].astype('int64'),
-            'event_id': g['event_id'].astype('int64'),
+            'user_id': g['user_id'].reset_index(drop=True),
+            '_bucket': g['_bucket'].astype('int64').reset_index(drop=True),
+            'event_id': g['event_id'].astype('int64').reset_index(drop=True),
             '_local': v, '_tag': np.int64(0)})
-        summ = pd.DataFrame({'user_id': [int(g['user_id'].iloc[0])],
+        summ = pd.DataFrame({'user_id': [g['user_id'].iloc[0]],
                              '_bucket': [int(g['_bucket'].iloc[0])],
                              'event_id': [np.int64(-1)],
                              '_local': [v[-1]], '_tag': [np.int64(1)]})
@@ -736,8 +738,9 @@ def cumulative_sum_salted(ds: ray.data.Dataset, *, val_col: str,
         g = g.sort_values('_bucket', kind='mergesort')
         tot = g['_local'].to_numpy(np.int64)
         off = np.concatenate(([np.int64(0)], tot.cumsum()[:-1]))
-        return pd.DataFrame({'user_id': g['user_id'].astype('int64'),
-                             '_bucket': g['_bucket'].astype('int64'),
+        return pd.DataFrame({'user_id': g['user_id'].reset_index(drop=True),
+                             '_bucket': g['_bucket'].astype('int64')
+                                         .reset_index(drop=True),
                              '_off': off})
 
     # summaries are one narrow row per (user, bucket) — bounded per task
@@ -826,7 +829,7 @@ def rolling_sum_salted(ds: ray.data.Dataset, *, val_col: str,
         w = c[1:] - c[np.maximum(np.arange(n) + 1 - window, 0)]
         eid = g['event_id'].to_numpy(np.int64)
         ts = g['_ts'].to_numpy(np.int64)
-        uid = np.int64(g['user_id'].iloc[0])
+        uid = g['user_id'].iloc[0]      # input dtype preserved (str keys ok)
         bkt = np.int64(g['_bucket'].iloc[0])
         n_pend = min(carry, n)
         frames = [pd.DataFrame({          # final rows (index >= carry)
@@ -852,6 +855,12 @@ def rolling_sum_salted(ds: ray.data.Dataset, *, val_col: str,
 
     final = local.filter(expr='_tag == 0') \
         .select_columns(['event_id', out_col])
+
+    if window == 1:
+        # carry == 0: every row is final within its own bucket — there are
+        # no pending/tail rows at all, and unioning the (empty) 8-column
+        # resolved stream would mix block schemas (review r5)
+        return final
 
     def resolve(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(['_bucket', '_ts', 'event_id'], kind='mergesort')

@@ -195,3 +195,91 @@ def test_skew_join_hot_rows_only_in_late_partitions(ray_session):
                         broadcast_limit=0).to_pandas()
         assert len(out) == len(ks)
         assert (out.loc[out['k'] == 7, 'name'] == 'n7').all()
+
+
+def test_asof_join_null_keys_and_ts_dropped():
+    """SQL ASOF semantics: the by-equality and on-inequality never match
+    NULL.  A null left ts must NOT fabricate a match against the latest
+    right row, and a null right ts must never be picked as a prior
+    (review r5 — searchsorted treated NaN as +inf)."""
+    left = _ds({'k': pa.array([1, 1, None, 1], pa.int64()),
+                'ts_us': pa.array([10, None, 20, 30], pa.int64()),
+                'v': [1.0, 2.0, 3.0, 4.0]})
+    right = _ds({'k': pa.array([1, 1, None], pa.int64()),
+                 'ts_us': pa.array([5, None, 1], pa.int64()),
+                 'w': [9.0, 8.0, 7.0]})
+    out = asof_join(left, right, by='k', on='ts_us', right_value_cols=['w']) \
+        .to_pandas().sort_values('ts_us').reset_index(drop=True)
+    # only the two non-null left rows of k=1 survive, both matched to the
+    # single valid right row (5, 9.0); the null-ts right row is invisible
+    assert [tuple(r) for r in
+            out[['k', 'ts_us', 'prior_ts_us']].to_numpy()] == \
+        [(1, 10, 5), (1, 30, 5)]
+    assert list(out['prior_w']) == [9.0, 9.0]
+    assert str(out['prior_ts_us'].dtype) == 'int64'
+
+
+def test_asof_join_salted_null_parity(ray_session):
+    """The salted (hot-key) path must drop null by/on rows identically to
+    the plain path."""
+    n = 60
+    left = _ds({'k': pa.array([1] * n + [None], pa.int64()),
+                'ts_us': pa.array(list(range(10, 10 + n)) + [None],
+                                  pa.int64()),
+                'v': [float(i) for i in range(n + 1)]})
+    right = _ds({'k': pa.array([1, 1, 1, None], pa.int64()),
+                 'ts_us': pa.array([5, None, 15, 2], pa.int64()),
+                 'w': [9.0, 8.0, 7.0, 6.0]})
+    plain = asof_join(left, right, by='k', on='ts_us',
+                      right_value_cols=['w'], hot_key_threshold=None) \
+        .to_pandas().sort_values('ts_us').reset_index(drop=True)
+    hot = asof_join(left, right, by='k', on='ts_us',
+                    right_value_cols=['w'], hot_key_threshold=10,
+                    bucket_us=7) \
+        .to_pandas().sort_values('ts_us').reset_index(drop=True)
+    pd.testing.assert_frame_equal(plain, hot)
+    assert len(plain) == n                     # null left rows dropped
+    assert set(plain['prior_ts_us']) == {5, 15}
+
+
+def test_sliding_window_null_ts_and_value_match_sql():
+    """Null parity with the SQL oracle shape: null ts lands in ONE NULL
+    window group (exploded k times, counted by count(*)); null values
+    count rows but are skipped by sum."""
+    import duckdb
+
+    ds = _ds({'k': ['a', 'a', 'a', 'b'],
+              'ts': pa.array([100, None, 150, None], pa.int64()),
+              'v': pa.array([1.0, 2.0, None, None], pa.float64())})
+    out = sliding_window_agg(ds, key_col='k', ts_col='ts', value_col='v',
+                             window_us=40, slide_us=10).to_pandas()
+    con = duckdb.connect()
+    con.register('t', pd.DataFrame({
+        'k': ['a', 'a', 'a', 'b'],
+        'ts': pd.array([100, None, 150, None], dtype='Int64'),
+        'v': pd.array([1.0, 2.0, None, None], dtype='Float64')}))
+    sql = con.sql(
+        "SELECT k, ((ts // 10) - j) * 10 AS window_start, "
+        "count(*) AS n_events, round(sum(v), 2) AS sum_value "
+        "FROM t, generate_series(0, 3) AS s(j) GROUP BY 1, 2").df()
+    key = ['k', 'window_start']
+    out_s = out.sort_values(key, na_position='last').reset_index(drop=True)
+    sql_s = sql.sort_values(key, na_position='last').reset_index(drop=True)
+    assert len(out_s) == len(sql_s)
+    for a, b in zip(out_s.itertuples(index=False),
+                    sql_s.itertuples(index=False)):
+        assert a.k == b.k
+        assert (pd.isna(a.window_start) and pd.isna(b.window_start)) or \
+            int(a.window_start) == int(b.window_start)
+        assert int(a.n_events) == int(b.n_events)
+        assert (pd.isna(a.sum_value) and pd.isna(b.sum_value)) or \
+            abs(float(a.sum_value) - float(b.sum_value)) < 1e-9
+
+
+def test_range_join_bounds_labels_mismatch_is_loud():
+    import pytest
+
+    ds = _ds({'id': [1], 'x': [25.0]})
+    with pytest.raises(AssertionError, match='range_join_broadcast'):
+        range_join_broadcast(ds, value_col='x', bounds=[0.0, 10.0, 20.0, 30.0],
+                             labels=['a', 'b'])

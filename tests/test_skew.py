@@ -359,3 +359,56 @@ def test_debounce_salted_equals_plain():
         ds.filter(expr='user_id != 99'), threshold_us=th,
         hot_key_threshold=None))
     assert int(plain['_n'].sum()) == int(no_mega['_n'].sum()) + 1
+
+
+def test_rolling_sum_salted_window1_schema_and_values():
+    """window=1: the salted path has no pending/tail rows; it must not
+    union an empty 8-column stream into the 2-column result (review r5)."""
+    ds = _with_cents(_events_ds(n_users=3, seed=17, mega_user=99, mega_n=400))
+    plain = skew.rolling_sum(ds, val_col='cents', window=1,
+                             hot_key_threshold=None).to_pandas()
+    salted = skew.rolling_sum_salted(ds, val_col='cents',
+                                     window=1).to_pandas()
+    assert list(salted.columns) == ['event_id', 'win_cents']
+    key = ['event_id']
+    assert _sorted(plain, key).equals(_sorted(salted, key))
+
+
+def test_salted_windows_string_keys():
+    """String partition keys work on the salted paths too — hot routing
+    must not start crashing on key types the plain path accepts
+    (review r5: int64 coercions on user_id)."""
+    ds = _with_cents(_events_ds(n_users=4, seed=19, mega_user=99, mega_n=300))
+
+    def to_str(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index('user_id'), 'user_id',
+            pa.compute.binary_join_element_wise(
+                'u', pa.compute.cast(t.column('user_id'), pa.string()), ''))
+    sds = ds.map_batches(to_str, batch_format='pyarrow')
+
+    for plain_fn, salted_fn, kw in (
+            (skew.cumulative_sum, skew.cumulative_sum_salted, {}),
+            (skew.rolling_sum, skew.rolling_sum_salted, {'window': 3})):
+        plain = plain_fn(sds, val_col='cents', hot_key_threshold=None,
+                         **kw).to_pandas()
+        salted = salted_fn(sds, val_col='cents', **kw).to_pandas()
+        key = ['event_id']
+        assert _sorted(plain, key).equals(_sorted(salted, key)), plain_fn
+
+
+def test_hot_keys_exclude_null_and_split_handles_none():
+    """A null-heavy key column must not crash the screen/split machinery:
+    hot_keys never returns None, and split_by_keys sorts a None-bearing
+    set without TypeError (null rows route to the WITHOUT side)."""
+    tbl = pa.table({'k': pa.array([1] * 50 + [None] * 50, pa.int64()),
+                    'v': pa.array(range(100), pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    hot = skew.hot_keys(ds, 'k', 30)
+    assert hot == {1}                       # null key counted but excluded
+    inside, outside = skew.split_by_keys(ds, 'k', {1, None})
+    ins, outs = inside.to_pandas(), outside.to_pandas()
+    assert len(ins) == 100 and len(outs) == 0   # None in set matches nulls
+    inside2, outside2 = skew.split_by_keys(ds, 'k', {1})
+    assert len(inside2.to_pandas()) == 50
+    assert len(outside2.to_pandas()) == 50      # null rows: WITHOUT side
