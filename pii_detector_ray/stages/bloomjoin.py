@@ -51,7 +51,15 @@ def _key_hash64(keys: pa.Array) -> np.ndarray:
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
     if pa.types.is_integer(keys.type):
-        base = keys.to_numpy(zero_copy_only=False).astype(np.uint64)
+        # fill nulls at the ARROW level and stay integer end-to-end: a
+        # null-bearing column's to_numpy() otherwise detours through
+        # float64, where keys >= 2^53 round and hash DIFFERENTLY than the
+        # same key in a null-free array (breaking the bloom's
+        # definitely-absent invariant), and NaN->uint64 is an undefined
+        # cast.  Null keys hash as the sentinel 0 — callers apply SQL null
+        # semantics (null matches nothing) before/after the hash.
+        base = pc.cast(pc.fill_null(keys, 0), pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
     else:
         # blake2b-8 per row: O(sum of key lengths) C-speed hashing — a
         # per-position padded-matrix approach would cost n×max(len) and
@@ -129,12 +137,18 @@ def bloom_anti_join(big: ray.data.Dataset, keys_ds: ray.data.Dataset,
     keys_narrow = keys_ds.select_columns([on]).materialize()
     n_keys = keys_narrow.count()
     if n_keys <= exact_broadcast_limit:
+        # SQL anti-join NULL semantics on BOTH internal paths (review r5:
+        # they diverged): a null big-side key equals nothing, so the row is
+        # always KEPT — which is also what the left-outer-join path does
+        # naturally (null matches no marker row).  Null keys in keys_ds
+        # are likewise inert.
         key_ref = ray.put(frozenset(
-            r[on] for r in keys_narrow.iter_rows()))
+            v for r in keys_narrow.iter_rows()
+            if (v := r[on]) is not None))
 
         def anti(batch: pa.Table) -> pa.Table:
             ks = ray.get(key_ref)
-            mask = pa.array([v not in ks
+            mask = pa.array([v is None or v not in ks
                              for v in batch.column(on).to_pylist()])
             return batch.filter(mask)
 

@@ -88,11 +88,25 @@ class SessionShard:
     def __init__(self) -> None:
         self.carry: dict[int, tuple[int, int, int, float]] = {}
         self._replies: dict[bytes, list] = {}
+        self._token_epoch: dict[bytes, int] = {}
+        self._cur_epoch = -1
 
-    def update(self, token: bytes | None, rows: list, chunk_end: int,
-               gap_us: int) -> list:
+    def update(self, token: bytes | None, epoch: int, rows: list,
+               chunk_end: int, gap_us: int) -> list:
         """rows: (uid, f_start, f_last, f_n, f_sum, single, has_open,
-        o_start, o_last, o_n, o_sum); returns closed-session tuples."""
+        o_start, o_last, o_n, o_sum); returns closed-session tuples.
+
+        Reply memos are kept for the current and previous epoch only
+        (bounded memory on a long stream); a retried route task for the
+        CURRENT chunk always hits its memo.  Re-execution of an older
+        chunk's task is out of contract — crash recovery is the
+        snapshot()/restore() path."""
+        if epoch > self._cur_epoch:
+            self._cur_epoch = epoch
+            stale = [t for t, e in self._token_epoch.items() if e < epoch - 1]
+            for t in stale:
+                self._token_epoch.pop(t, None)
+                self._replies.pop(t, None)
         if token is not None:
             prior = self._replies.get(token)
             if prior is not None:
@@ -123,12 +137,14 @@ class SessionShard:
                     self.carry[uid] = (o_start, o_last, o_n, o_sum)
         if token is not None:
             self._replies[token] = closed
+            self._token_epoch[token] = epoch
         return closed
 
     def flush_table(self) -> pa.Table:
         rows = sorted(self.carry.items())
         self.carry = {}
         self._replies = {}
+        self._token_epoch = {}
         return pa.table({
             'user_id': pa.array([u for u, _ in rows], pa.int64()),
             'session_start': pa.array([c[0] for _, c in rows], pa.int64()),
@@ -143,14 +159,11 @@ class SessionShard:
     def restore(self, carry: dict) -> None:
         self.carry = dict(carry)
         self._replies = {}
+        self._token_epoch = {}
+        self._cur_epoch = -1
 
     def size(self) -> int:
         return len(self.carry)
-
-
-# per-worker-process batch ordinals, keyed by task id (retry-stable tokens,
-# same scheme as state/dedupindex.py)
-_TASK_BATCH_SEQ: dict = {}
 
 
 class IncrementalSessionizer:
@@ -168,13 +181,15 @@ class IncrementalSessionizer:
         self.num_shards = num_shards
         self.shards = [SessionShard.remote() for _ in range(num_shards)]
         self._last_chunk_end: int | None = None
+        self._epoch = 0                 # one per processed chunk
 
     # -- checkpointing -----------------------------------------------------
     def snapshot(self) -> dict:
         return {'gap_us': self.gap_us,
                 'num_shards': self.num_shards,
                 'carries': ray.get([s.snapshot.remote() for s in self.shards]),
-                'last_chunk_end': self._last_chunk_end}
+                'last_chunk_end': self._last_chunk_end,
+                'epoch': self._epoch}
 
     @classmethod
     def restore(cls, snap: dict) -> 'IncrementalSessionizer':
@@ -182,6 +197,7 @@ class IncrementalSessionizer:
                   num_shards=snap['num_shards'])
         obj.gap_us = snap['gap_us']
         obj._last_chunk_end = snap['last_chunk_end']
+        obj._epoch = snap.get('epoch', 0)
         ray.get([s.restore.remote(c)
                  for s, c in zip(obj.shards, snap['carries'])])
         return obj
@@ -213,9 +229,14 @@ class IncrementalSessionizer:
         if len(span) == 0:
             return _empty_out_ds()
         chunk_start, chunk_end = int(span['lo'].min()), int(span['hi'].max())
-        if self._last_chunk_end is not None:
-            assert chunk_start >= self._last_chunk_end, \
-                'chunks must be non-overlapping and time-ordered'
+        if self._last_chunk_end is not None \
+                and chunk_start < self._last_chunk_end:
+            # explicit raise, not assert: this guard protects carry
+            # correctness and must survive python -O
+            raise ValueError(
+                'chunks must be non-overlapping and time-ordered: chunk '
+                f'starts at {chunk_start} < previous chunk end '
+                f'{self._last_chunk_end}')
 
         def per_user(g: pd.DataFrame) -> pd.DataFrame:
             g = g.sort_values('ts', kind='mergesort')
@@ -286,6 +307,8 @@ class IncrementalSessionizer:
 
         shards = self.shards
         num_shards = self.num_shards
+        epoch = self._epoch
+        self._epoch += 1
 
         def route(t: pa.Table) -> pa.Table:
             b = t.filter(t.column('_b'))
@@ -305,21 +328,22 @@ class IncrementalSessionizer:
                 b.column('_o_n').to_pylist(),
                 b.column('_o_sum').to_pylist()))
             shard_of = [_splitmix_one(int(u)) % num_shards for u in uid]
-            try:
-                tid = ray.get_runtime_context().get_task_id() or 'driver'
-            except Exception:
-                tid = 'driver'
-            seq = _TASK_BATCH_SEQ.get(tid, 0)
-            _TASK_BATCH_SEQ[tid] = seq + 1
             futures = []
             for s in range(num_shards):
                 sub = [r for r, sh in zip(rows, shard_of) if sh == s]
                 if not sub:
                     continue
+                # CONTENT-keyed retry token: within a chunk each user's
+                # boundary row exists exactly once, so (epoch, shard,
+                # row content) is unique per update — a re-executed task
+                # regenerates the identical token from the identical rows
+                # and hits the memo regardless of which worker process
+                # re-runs it (a per-process ordinal would keep counting on
+                # a reused worker and double-apply; review r5)
                 token = hashlib.blake2b(
-                    f'{tid}:{seq}:{s}'.encode(), digest_size=16).digest()
+                    f'{epoch}:{s}:{sub!r}'.encode(), digest_size=16).digest()
                 futures.append(shards[s].update.remote(
-                    token, sub, chunk_end, gap_us))
+                    token, epoch, sub, chunk_end, gap_us))
             closed: list[tuple[int, int, int, float]] = []
             for res in ray.get(futures):
                 closed.extend(res)

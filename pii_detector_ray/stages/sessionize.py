@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -35,9 +37,20 @@ def sessionize(ds: ray.data.Dataset, *, gap_minutes: int = 30,
             hot_parts[0], gap_us=gap_us,
             bucket_us=bucket_us or skew.DEFAULT_BUCKET_US)
 
+    def prep(t: pa.Table) -> pa.Table:
+        # cast ts->int64 MICROSECONDS on the arrow side, like every other
+        # per-key operator (skew.sessionize_salted, event_deltas, ...): a
+        # pandas astype('int64') inside map_groups would silently yield
+        # NANOseconds on any stack where to_pandas coerces the us unit,
+        # making the gap cut 1000x too aggressive and the plain/salted
+        # units diverge (review r5)
+        return pa.table({'user_id': t.column('user_id'),
+                         'ts': pc.cast(t.column('ts'), pa.int64()),
+                         'value': t.column('value')})
+
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values('ts', kind='mergesort')
-        ts = g['ts'].astype('int64').to_numpy()
+        ts = g['ts'].to_numpy()
         new_session = np.ones(len(ts), dtype=bool)
         new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
         sid = np.cumsum(new_session) - 1
@@ -52,5 +65,6 @@ def sessionize(ds: ray.data.Dataset, *, gap_minutes: int = 30,
         agg['sum_value'] = sql_round_np(agg['sum_value'].to_numpy(), 2)
         return agg
 
-    plain = ds.groupby('user_id').map_groups(per_user, batch_format='pandas')
+    plain = ds.map_batches(prep, batch_format='pyarrow') \
+        .groupby('user_id').map_groups(per_user, batch_format='pandas')
     return plain.union(salted) if salted is not None else plain

@@ -53,7 +53,9 @@ def misra_gries(values: list, capacity: int) -> tuple[dict, bool]:
 
 
 def _order_stat_single(ds, col: str, rank: int, lo: float, hi: float,
-                       buckets: int = 128, rounds: int = 8) -> float:
+                       buckets: int = 128, rounds: int = 64,
+                       pull_limit: int = 100_000,
+                       census_limit: int = 5_000_000) -> float:
     """Exact 0-based order statistic of ``col`` by iterative range
     refinement: each round histograms the current [lo, hi] slice into
     ``buckets`` with a narrow per-batch partial (one bucket-count row per
@@ -91,14 +93,42 @@ def _order_stat_single(ds, col: str, rank: int, lo: float, hi: float,
         if b > 0:
             n_below_lo = int(cum[b - 1])
         lo, hi = new_lo, new_hi
-        if in_span <= 100_000 or not progressed:
+        if in_span <= pull_limit or not progressed:
             break
 
-    if in_span is not None and in_span > 5_000_000:
-        # span cannot shrink further (float resolution) yet holds a huge
-        # duplicate mass — every value in it is within one bucket width of
-        # lo, so return the edge instead of collecting millions of rows
-        return float(lo)
+    if in_span is not None and in_span > census_limit:
+        # The span is un-splittable (the loop exits with `not progressed`
+        # only once [lo, hi] is at float resolution — with rounds=64 the
+        # span has shrunk by up to 128^64, far past any double's ulp) yet
+        # holds a huge duplicate mass.  The representable floats inside
+        # such a span number at most ~buckets, so an exact per-batch
+        # value-count partial resolves the rank without collecting rows —
+        # returning the edge `lo` here (pre-r5 behavior) was WRONG when
+        # the mass sat at an interior value.
+        span_ref = ray.put((lo, hi))
+
+        def value_counts(batch: pa.Table) -> pa.Table:
+            import numpy as np
+            l, h = ray.get(span_ref)
+            v = batch.column(col).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            v = v[np.isfinite(v)]
+            v = v[(v >= l) & (v <= h)]
+            u, c = np.unique(v, return_counts=True)
+            return pa.table({'u': pa.array(u, pa.float64()),
+                             'c': pa.array(c.astype(np.int64), pa.int64())})
+
+        agg: dict[float, int] = {}
+        for r in ds.map_batches(value_counts,
+                                batch_format='pyarrow').iter_rows():
+            agg[r['u']] = agg.get(r['u'], 0) + r['c']
+        vals = sorted(agg)
+        cum = n_below_lo
+        for v in vals:
+            cum += agg[v]
+            if cum >= rank + 1:
+                return float(v)
+        return float(vals[-1]) if vals else float(lo)
 
     span_ref = ray.put((lo, hi))
 
@@ -296,7 +326,14 @@ def hll_distinct_by(ds: ray.data.Dataset, key_col: str, col: str,
     """Approximate distinct count of ``col`` per ``key_col``: per-batch
     per-group register rows (one 2^p-byte row per group per batch), a
     groupby max-merge per group, estimate in the group task.  Output:
-    (key_col, approx_distinct)."""
+    (key_col, approx_distinct).
+
+    CONTRACT: ``key_col`` must be a BOUNDED alphabet (event types, status
+    codes, languages — at most a few thousand groups): the pre-merge
+    register table is |groups| x blocks x 2^p bytes and the final merge
+    repartitions to one block.  A high-cardinality key (user ids) would
+    make that single task the memory bottleneck — use the exact two-phase
+    count (heavy_hitters' fallback shape) or shard by key hash instead."""
     def batch_regs(batch: pa.Table) -> pa.Table:
         keys_out, regs_out = [], []
         tbl = pa.table({key_col: batch.column(key_col),

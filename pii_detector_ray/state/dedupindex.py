@@ -101,8 +101,26 @@ class DedupShard:
         self._replies = {}
 
 
-# per-worker-process batch ordinals, keyed by task id (see filter_new)
-_TASK_BATCH_SEQ: dict = {}
+# per-worker-process batch ordinal for the CURRENTLY executing task.
+# Workers execute tasks serially, so one (tid, seq) pair suffices — and
+# resetting the ordinal whenever the executing task id CHANGES means a
+# re-executed task (lineage reconstruction on a fresh worker, or on a
+# reused worker after any interleaved task) replays ordinals from 0 and
+# regenerates its original tokens (review r5: a keyed-by-tid dict kept
+# counting on a reused worker, so retry tokens never matched).  Residual
+# gap, documented: a worker that re-runs the SAME task back-to-back with
+# no interleaved task keeps counting — snapshot()/restore() remains the
+# recovery path for hard failures.
+_CUR_TASK: dict = {'tid': None, 'seq': 0}
+
+
+def _task_batch_ordinal(tid: str) -> int:
+    if _CUR_TASK['tid'] != tid:
+        _CUR_TASK['tid'] = tid
+        _CUR_TASK['seq'] = 0
+    seq = _CUR_TASK['seq']
+    _CUR_TASK['seq'] = seq + 1
+    return seq
 
 
 class DedupIndex:
@@ -154,8 +172,7 @@ class DedupIndex:
                 tid = ray.get_runtime_context().get_task_id() or 'driver'
             except Exception:
                 tid = 'driver'
-            seq = _TASK_BATCH_SEQ.get(tid, 0)
-            _TASK_BATCH_SEQ[tid] = seq + 1
+            seq = _task_batch_ordinal(tid)
             token = hashlib.blake2b(f'{tid}:{seq}'.encode(),
                                     digest_size=16).digest()
             return batch.filter(pa.array(

@@ -92,3 +92,40 @@ def test_broadcast_guard_path_equals_join_path(ray_session):
     a = sorted((r['k'], r['v']) for r in via_guard.take_all())
     b = sorted((r['k'], r['v']) for r in via_join.take_all())
     assert a == b == _exact_anti(rows, set(key_list))
+
+
+def test_bloom_hash_exact_past_2_53_with_nulls(ray_session):
+    """A null anywhere in the big side's key column must not detour the
+    int64 hash through float64: keys >= 2^53 would hash differently than
+    at build time and a TRUE member could test definitely-absent
+    (review r5)."""
+    import pyarrow as pa
+
+    big_k = (1 << 53) + 1
+    keys = ray.data.from_arrow(pa.table({'k': pa.array([big_k], pa.int64())}))
+    big = ray.data.from_arrow(pa.table({
+        'k': pa.array([big_k, (1 << 53) + 3, None], pa.int64()),
+        'v': pa.array([1, 2, 3], pa.int64())}))
+    for limit in (0, 100):        # join path and exact-broadcast path
+        out = bloom_anti_join(big, keys, 'k', exact_broadcast_limit=limit,
+                              num_partitions=2).to_pandas()
+        got = sorted(out['v'].tolist())
+        # member (v=1) dropped; non-member (v=2) kept; null key kept (SQL)
+        assert got == [2, 3], (limit, got)
+
+
+def test_bloom_anti_join_null_semantics_both_paths(ray_session):
+    """Null big-side keys are KEPT on both internal paths even when
+    keys_ds itself contains a null (review r5: the broadcast path dropped
+    them while the join path kept them)."""
+    import pyarrow as pa
+
+    keys = ray.data.from_arrow(pa.table(
+        {'k': pa.array([7, None], pa.int64())}))
+    big = ray.data.from_arrow(pa.table({
+        'k': pa.array([7, 8, None], pa.int64()),
+        'v': pa.array([1, 2, 3], pa.int64())}))
+    for limit in (0, 100):
+        out = bloom_anti_join(big, keys, 'k', exact_broadcast_limit=limit,
+                              num_partitions=2).to_pandas()
+        assert sorted(out['v'].tolist()) == [2, 3], limit

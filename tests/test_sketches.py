@@ -117,3 +117,23 @@ def test_distributed_quantile_inf_and_bimodal():
     got = distributed_quantile(ds, 'x', [0.5, 0.1, 0.9])
     exp = [float(np.quantile(finite, q)) for q in (0.5, 0.1, 0.9)]
     assert np.allclose(got, exp, atol=1e-9), (got, exp)
+
+
+def test_order_stat_census_path_duplicate_mass(ray_session):
+    """Review r5: when refinement exhausts with a huge duplicate mass in
+    the final bucket, the old code returned the bucket edge `lo` instead
+    of the true value.  Force the census path with tiny limits and assert
+    the exact order statistic (min 0, huge max, interior duplicate mass —
+    the adversarial shape from the review)."""
+    import numpy as np
+
+    from pii_detector_ray.stages.sketches import _order_stat_single
+
+    vals = np.concatenate([np.zeros(1), np.full(600, 1e-7),
+                           np.array([1e12])])
+    ds = ray.data.from_arrow(pa.table({'v': pa.array(vals, pa.float64())}))
+    arr = np.sort(vals)
+    for rank in (0, 1, 300, 600, 601):
+        got = _order_stat_single(ds, 'v', rank, 0.0, 1e12,
+                                 pull_limit=10, census_limit=50)
+        assert got == float(arr[rank]), (rank, got, float(arr[rank]))
