@@ -444,7 +444,8 @@ def jaccard_pairs_prefix(ds: ray.data.Dataset, *,
     def pack_dedup(t: pa.Table) -> pa.Table:
         a = t.column('doc_a').to_numpy(zero_copy_only=False)
         b = t.column('doc_b').to_numpy(zero_copy_only=False)
-        if len(a) and max(int(a.max()), int(b.max())) >= (1 << 32):
+        if len(a) and (min(int(a.min()), int(b.min())) < 0
+                       or max(int(a.max()), int(b.max())) >= (1 << 32)):
             raise AssertionError('pair pack domain exceeded')
         return pa.table({'_pk': pa.array(np.unique((a << 32) | b),
                                          pa.int64())})
