@@ -127,7 +127,14 @@ def is_phi_batch(names: list[str], texts: list[str]) -> list[bool]:
             out[i] = bool(_PHI_RE.search(texts[i]))
     for i, nm in enumerate(names):
         if not out[i] and nm:
-            lnm = nm.lower()
+            # Python re.IGNORECASE folds ı/İ with i and ſ with s (the same
+            # orbit the RE2 text gate widens above); plain lower() leaves
+            # ı/ſ in place and İ becomes 'i'+U+0307, so normalize those
+            # orbits or the gate misses names the exact regex matches.
+            # Deleting U+0307 / mapping ı→i, ſ→s only widens the gate —
+            # the _PHI_RE check below stays the decider.
+            lnm = nm.lower().replace('\u0307', '') \
+                .replace('\u0131', 'i').replace('\u017f', 's')
             if any(k in lnm for k in _PHI_KEYWORDS):
                 out[i] = bool(_PHI_RE.search(nm))
     return out

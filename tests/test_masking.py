@@ -71,3 +71,16 @@ def test_phi_batch_unicode_ifold_orbit():
     names = [''] * len(texts)
     assert is_phi_batch(names, texts) == [is_phi(n, t) for n, t in zip(names, texts)]
     assert is_phi_batch(names, texts)[:4] == [True, True, True, True]
+
+
+def test_phi_batch_name_fold_orbit():
+    # the NAME gate lowercases in Python, which leaves ı/ſ in place and
+    # turns İ into 'i'+U+0307 — all three fold to i/s under re.IGNORECASE,
+    # so the gate normalizes those orbits before the substring test
+    from pii_detector_ray.functions.masking import is_phi_batch
+    names = ['İMMUN.csv', 'ıMMUN.txt', 'DIſEASE.log', 'PHı_dump',
+             'patİent.db', 'clean.txt']
+    texts = [''] * len(names)
+    got = is_phi_batch(names, texts)
+    assert got == [is_phi(n, t) for n, t in zip(names, texts)]
+    assert got == [True, True, True, True, True, False]
