@@ -361,6 +361,47 @@ def test_debounce_salted_equals_plain():
     assert int(plain['_n'].sum()) == int(no_mega['_n'].sum()) + 1
 
 
+def test_debounce_null_event_type_counted():
+    """NULL event_type rows form their own group (SQL GROUP BY emits a NULL
+    group); the pandas groupby inside debounce must run dropna=False or the
+    kept NULL rows silently vanish from the partials (ADVICE r5)."""
+    def nullify(t: pa.Table) -> pa.Table:
+        eid = t.column('event_id').to_numpy(zero_copy_only=False)
+        types = np.array(['view', 'click', 'purchase'], object)[eid % 3]
+        types = np.where(eid % 5 == 0, None, types)
+        return t.append_column('event_type', pa.array(types, pa.string()))
+
+    ds = _events_ds(mega_user=99, mega_n=1200).map_batches(
+        nullify, batch_format='pyarrow')
+    th = 90 * MIN_US
+    plain = skew.debounce_counts(ds, threshold_us=th,
+                                 hot_key_threshold=None).to_pandas()
+    routed = skew.debounce_counts(ds, threshold_us=th,
+                                  hot_key_threshold=800).to_pandas()
+
+    def close(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby('event_type', as_index=False, dropna=False)[
+            '_n'].sum().sort_values('event_type', na_position='last') \
+            .reset_index(drop=True)
+
+    p, r = close(plain), close(routed)
+    assert p.equals(r)
+    # the NULL group exists and its rows are counted
+    assert p['event_type'].isna().any()
+    # reference: per-user kept rows computed serially, including NULL types
+    raw = ds.to_pandas().sort_values(['user_id', 'ts', 'event_id'])
+    kept_total = 0
+    null_kept = 0
+    for _, g in raw.groupby('user_id'):
+        ts = g['ts'].astype('int64').to_numpy()
+        kept = np.ones(len(g), bool)
+        kept[1:] = np.diff(ts) >= th
+        kept_total += int(kept.sum())
+        null_kept += int(g['event_type'].isna().to_numpy()[kept].sum())
+    assert int(p['_n'].sum()) == kept_total
+    assert int(p.loc[p['event_type'].isna(), '_n'].sum()) == null_kept
+
+
 def test_rolling_sum_salted_window1_schema_and_values():
     """window=1: the salted path has no pending/tail rows; it must not
     union an empty 8-column stream into the 2-column result (review r5)."""
