@@ -378,13 +378,25 @@ def event_transitions(ds: ray.data.Dataset, *,
                                  '_n': []}).astype(
                 {'prev_type': 'object', 'next_type': 'object',
                  '_n': 'int64'})
-        return pd.DataFrame({'prev_type': tp[:-1], 'next_type': tp[1:]}) \
-            .groupby(['prev_type', 'next_type'], sort=False).size() \
-            .rename('_n').reset_index()
+        return _pair_counts(tp[:-1], tp[1:])
 
     plain = (ds.map_batches(prep, batch_format='pyarrow')
              .groupby('user_id').map_groups(pairs, batch_format='pandas'))
     return plain.union(salted) if salted is not None else plain
+
+
+def _pair_counts(prev: np.ndarray, nxt: np.ndarray) -> pd.DataFrame:
+    """(prev_type, next_type, _n) counts under the transition operators'
+    NULL contract (the `_EVENT_TRANSITIONS_SQL` oracle): a pair whose
+    PREV type is NULL never counts (`WHERE prev_type IS NOT NULL` — it
+    conflates lag-at-first-row with a genuinely NULL-typed prev event),
+    while a NULL NEXT type forms its own group (SQL GROUP BY emits the
+    NULL group; pandas' default dropna=True silently dropped it — the
+    debounce NULL-group divergence class, ADVICE r5)."""
+    keep = pd.notna(prev)
+    return pd.DataFrame({'prev_type': prev[keep], 'next_type': nxt[keep]}) \
+        .groupby(['prev_type', 'next_type'], sort=False, dropna=False) \
+        .size().rename('_n').reset_index()
 
 
 def event_transitions_salted(ds: ray.data.Dataset, *,
@@ -406,9 +418,7 @@ def event_transitions_salted(ds: ray.data.Dataset, *,
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(['_ts', 'event_id'], kind='mergesort')
         tp = g['event_type'].to_numpy()
-        out = pd.DataFrame({'prev_type': tp[:-1], 'next_type': tp[1:]}) \
-            .groupby(['prev_type', 'next_type'], sort=False).size() \
-            .rename('_n').reset_index()
+        out = _pair_counts(tp[:-1], tp[1:])
         out['_b'] = np.int64(-1)
         head = pd.DataFrame({
             'prev_type': tp[-1:],           # bucket's LAST type
@@ -436,10 +446,7 @@ def event_transitions_salted(ds: ray.data.Dataset, *,
                                  '_n': []}).astype(
                 {'prev_type': 'object', 'next_type': 'object',
                  '_n': 'int64'})
-        return pd.DataFrame({'prev_type': last_tp[:-1],
-                             'next_type': first_tp[1:]}) \
-            .groupby(['prev_type', 'next_type'], sort=False).size() \
-            .rename('_n').reset_index()
+        return _pair_counts(last_tp[:-1], first_tp[1:])
 
     border = local.filter(expr='_b >= 0') \
         .groupby('user_id').map_groups(merge_user, batch_format='pandas') \

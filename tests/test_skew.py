@@ -327,6 +327,52 @@ def test_event_transitions_salted_equals_plain():
     assert int(plain['n'].sum()) == tot - users
 
 
+def test_event_transitions_null_type_parity():
+    """SQL-oracle NULL contract (`_EVENT_TRANSITIONS_SQL`): a pair whose
+    PREV type is NULL never counts (WHERE prev_type IS NOT NULL), but a
+    NULL NEXT type forms its own group — pandas' default dropna=True
+    silently dropped those pairs (the debounce divergence class, ADVICE
+    r5).  Plain, routed and salted paths must all agree with a serial
+    reference on NULL-bearing streams."""
+    def nullify(t: pa.Table) -> pa.Table:
+        eid = t.column('event_id').to_numpy(zero_copy_only=False)
+        types = np.array(['view', 'click', 'purchase'], object)[eid % 3]
+        types = np.where(eid % 5 == 0, None, types)
+        return t.append_column('event_type', pa.array(types, pa.string()))
+
+    ds = _events_ds(mega_user=99, mega_n=1200).map_batches(
+        nullify, batch_format='pyarrow')
+
+    def close(partials) -> pd.DataFrame:
+        df = partials.to_pandas()
+        return df.groupby(['prev_type', 'next_type'], dropna=False)[
+            '_n'].sum().rename('n').reset_index() \
+            .sort_values(['prev_type', 'next_type'], na_position='last') \
+            .reset_index(drop=True)
+
+    plain = close(skew.event_transitions(ds, hot_key_threshold=None))
+    routed = close(skew.event_transitions(ds, hot_key_threshold=800))
+    salted_only = close(skew.event_transitions_salted(ds))
+    assert plain.equals(routed)
+    assert plain.equals(salted_only)
+    # NULL-next group exists; no NULL-prev group survives
+    assert plain['next_type'].isna().any()
+    assert not plain['prev_type'].isna().any()
+    # serial reference under the SQL semantics
+    raw = ds.to_pandas().sort_values(['user_id', 'ts', 'event_id'])
+    from collections import Counter
+    norm = lambda x: None if pd.isna(x) else x
+    ref = Counter()
+    for _, g in raw.groupby('user_id'):
+        tp = g['event_type'].to_numpy()
+        for a, b in zip(tp[:-1], tp[1:]):
+            if not pd.isna(a):
+                ref[(a, norm(b))] += 1
+    got = {(r.prev_type, norm(r.next_type)): int(r.n)
+           for r in plain.itertuples()}
+    assert got == dict(ref)
+
+
 def _with_types(ds):
     def addtype(t):
         eid = t.column('event_id').to_numpy(zero_copy_only=False)
