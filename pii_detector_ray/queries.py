@@ -6694,10 +6694,17 @@ def q_kmeans_embeddings(sf_dir: str, k: int = 4,
     return out
 
 
-def _kmeans_sql(k: int = 4, iters: int = 3, dim: int = 64) -> str:
+def _kmeans_dist_expr(dim: int) -> str:
+    """Left-associated squared-distance chain (matches the engine's
+    dimension-loop accumulation order; see q_kmeans_embeddings)."""
+    return ' + '.join(
+        f'(e.x{i} - c.s{i} / c.n) * (e.x{i} - c.s{i} / c.n)'
+        for i in range(dim))
+
+
+def _kmeans_ctes(k: int = 4, iters: int = 3, dim: int = 64) -> list:
     """Unrolled Lloyd's iterations as chained CTEs (semantics documented
-    on q_kmeans_embeddings; the ``+`` chains are left-associated to match
-    the engine's dimension-loop accumulation)."""
+    on q_kmeans_embeddings); shared by the kmeans and semdedup oracles."""
     # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at every
     # use site, and the e/a/c chain re-references each other — the inlined
     # plan grows exponentially in iters and OOMs the allocator
@@ -6710,9 +6717,7 @@ def _kmeans_sql(k: int = 4, iters: int = 3, dim: int = 64) -> str:
             + ', CAST(1 AS BIGINT) AS n FROM '
             f'(SELECT * FROM e ORDER BY vec_id LIMIT {k}))']
     for t in range(1, iters + 1):
-        dist = ' + '.join(
-            f'(e.x{i} - c.s{i} / c.n) * (e.x{i} - c.s{i} / c.n)'
-            for i in range(dim))
+        dist = _kmeans_dist_expr(dim)
         ctes.append(
             f'a{t} AS MATERIALIZED (SELECT vec_id, cid FROM '
             f'(SELECT e.vec_id, c.cid, '
@@ -6725,6 +6730,11 @@ def _kmeans_sql(k: int = 4, iters: int = 3, dim: int = 64) -> str:
                         for i in range(dim))
             + f', count(*) AS n FROM e JOIN a{t} USING (vec_id) '
             f'GROUP BY a{t}.cid)')
+    return ctes
+
+
+def _kmeans_sql(k: int = 4, iters: int = 3, dim: int = 64) -> str:
+    ctes = _kmeans_ctes(k, iters, dim)
     arms = ' UNION ALL '.join(
         f'SELECT cid, n, {i} AS dim, '
         f'round(s{i} / n / 1000000.0, 6) AS centroid FROM c{iters}'
@@ -6733,6 +6743,161 @@ def _kmeans_sql(k: int = 4, iters: int = 3, dim: int = 64) -> str:
 
 
 _KMEANS_SQL = _kmeans_sql()
+
+
+def q_semdedup(sf_dir: str, k: int = 4, iters: int = 3,
+               threshold: float = 0.45) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    k-means over embeddings, then WITHIN-CLUSTER cosine near-dup pruning.
+    A vector is dropped when some smaller-vec_id vector in its cluster has
+    cosine similarity >= ``threshold``; output is every vector tagged
+    ``(vec_id, cid, keep)``.
+
+    Clusters come from the same bit-exact Lloyd loop as
+    :func:`q_kmeans_embeddings` (integer micro-unit sums, left-associated
+    distance accumulation, argmin ties to the smallest cid), plus ONE more
+    assignment pass under the FINAL centroids — the oracle unrolls that as
+    CTE ``a{iters+1}``.  Cosine runs on the ORIGINAL float embeddings; the
+    0.45 threshold is data-safe (nearest within-cluster sim is >=1e-4 away
+    at sf0.001/0.01/0.1, vs ~1e-12 float-association noise).
+
+    Scale shape: clustering is the kmeans shape (broadcast k x d state,
+    one shuffle-free partial-sum pass per round over a materialized
+    quantized working set).  Pruning is ONE groupby(cid) shuffle of narrow
+    (vec_id, cid, embedding) rows, then per-cluster O(|c|^2) matmul inside
+    map_groups — SemDeDup's premise is k scales with n so clusters stay
+    small/bounded (the paper caps cluster size); a skewed giant cluster
+    would need the sharded-matmul fallback of embedding_dup_pairs_exact
+    within the group.  Reference anchor: the keep/drop labeling mirrors the
+    reference's per-row classify-then-filter contract
+    (/root/reference/app/services/data_analysis_service.py) lifted to
+    semantic document identity."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
+    ds = _embeddings(sf_dir, ['vec_id', 'embedding'])
+
+    def quant(t: pa.Table) -> pa.Table:
+        arr = t.column('embedding').combine_chunks()
+        v = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        x = sql_round_np(v * 1e6, 0).astype(np.int64)
+        dim = len(x) // len(t) if len(t) else 0
+        return pa.table({
+            'vec_id': t.column('vec_id'),
+            'embedding': t.column('embedding'),
+            '_q': pa.FixedSizeListArray.from_arrays(pa.array(x), dim)})
+
+    mat = drop_empty_blocks(
+        ds.map_batches(quant, batch_format='pyarrow')).materialize()
+
+    def block_head(t: pa.Table) -> pa.Table:
+        ids = t.column('vec_id').to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind='stable')[:k]
+        return t.select(['vec_id', '_q']).take(pa.array(order))
+
+    head = mat.map_batches(block_head, batch_format='pyarrow').to_pandas()
+    head = head.sort_values('vec_id', kind='mergesort').head(k)
+    if len(head) == 0:
+        return ray.data.from_arrow(pa.table({
+            'vec_id': pa.array([], pa.int64()),
+            'cid': pa.array([], pa.int64()),
+            'keep': pa.array([], pa.bool_())}))
+    sums = np.stack([np.asarray(q, np.int64) for q in head['_q']])
+    ns = np.ones(len(head), np.int64)
+    cids = np.arange(len(head), dtype=np.int64)
+    dim = sums.shape[1]
+
+    def quant_matrix(t: pa.Table, d: int) -> np.ndarray:
+        q = t.column('_q').combine_chunks()
+        return q.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(len(t), d)
+
+    def nearest(x: np.ndarray, c: np.ndarray, d: int) -> np.ndarray:
+        # dimension-by-dimension accumulation: float64 addition order equals
+        # the oracle's left-associated `+` chain (see q_kmeans_embeddings)
+        d2 = np.zeros((len(x), len(c)), np.float64)
+        for i in range(d):
+            diff = x[:, i:i + 1] - c[None, :, i].reshape(1, -1)
+            d2 += diff * diff
+        return np.argmin(d2, axis=1)
+
+    for _ in range(iters):
+        cent = sums.astype(np.float64) / ns[:, None]
+        ref = ray.put((cent, cids, dim))
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            c, cid_v, d = ray.get(_ref)
+            x = quant_matrix(t, d)
+            a = nearest(x, c, d)
+            rows = []
+            for j in range(len(c)):
+                m = a == j
+                if not m.any():
+                    continue
+                s = x[m].sum(axis=0)   # sums of exact ints, still exact
+                rows.append({'cid': int(cid_v[j]), '_n': int(m.sum()),
+                             **{f's{i}': int(s[i]) for i in range(d)}})
+            return pa.Table.from_pylist(rows)
+
+        parts = mat.map_batches(partial, batch_format='pyarrow').to_pandas()
+        agg = parts.groupby('cid', sort=True).sum()
+        cids = agg.index.to_numpy(np.int64)
+        ns = agg['_n'].to_numpy(np.int64)
+        sums = agg[[f's{i}' for i in range(dim)]].to_numpy(np.int64)
+
+    # one more assignment pass under the FINAL centroids (= oracle a{iters+1})
+    cent = sums.astype(np.float64) / ns[:, None]
+    final_ref = ray.put((cent, cids, dim))
+
+    def tag(t: pa.Table) -> pa.Table:
+        c, cid_v, d = ray.get(final_ref)
+        a = nearest(quant_matrix(t, d), c, d)
+        return pa.table({'vec_id': t.column('vec_id'),
+                         'embedding': t.column('embedding'),
+                         'cid': pa.array(cid_v[a], pa.int64())})
+
+    tagged = mat.map_batches(tag, batch_format='pyarrow')
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        emb = np.array([np.asarray(v, np.float64) for v in g['embedding']])
+        nrm = np.linalg.norm(emb, axis=1)
+        nm = emb / np.where(nrm == 0, 1.0, nrm)[:, None]
+        ids = g['vec_id'].to_numpy(np.int64)
+        sims = nm @ nm.T
+        dup = (sims >= threshold) & (ids[:, None] < ids[None, :])
+        return pd.DataFrame({'vec_id': ids,
+                             'cid': g['cid'].to_numpy(np.int64),
+                             'keep': ~dup.any(axis=0)})
+
+    return tagged.groupby('cid').map_groups(prune, batch_format='pandas')
+
+
+def _semdedup_sql(k: int = 4, iters: int = 3, dim: int = 64,
+                  threshold: float = 0.45) -> str:
+    """Composed oracle: the kmeans CTE chain + a final assignment under
+    c{iters} + within-cluster cosine pruning via NOT IN."""
+    ctes = _kmeans_ctes(k, iters, dim)
+    t = iters
+    dist = _kmeans_dist_expr(dim)
+    ctes.append(
+        f'a{t + 1} AS MATERIALIZED (SELECT vec_id, cid FROM '
+        f'(SELECT e.vec_id, c.cid, '
+        f'row_number() OVER (PARTITION BY e.vec_id '
+        f'ORDER BY {dist}, c.cid) AS rn '
+        f'FROM e CROSS JOIN c{t} c) WHERE rn = 1)')
+    ctes.append(
+        f'dup AS (SELECT DISTINCT b.vec_id FROM a{t + 1} a '
+        f'JOIN a{t + 1} b ON a.cid = b.cid AND a.vec_id < b.vec_id '
+        f'JOIN embeddings ea ON ea.vec_id = a.vec_id '
+        f'JOIN embeddings eb ON eb.vec_id = b.vec_id '
+        f'WHERE list_cosine_similarity(ea.embedding::DOUBLE[], '
+        f'eb.embedding::DOUBLE[]) >= {threshold})')
+    return ('WITH ' + ', '.join(ctes)
+            + f' SELECT a.vec_id, a.cid, '
+            f'a.vec_id NOT IN (SELECT vec_id FROM dup) AS keep '
+            f'FROM a{t + 1} a')
+
+
+_SEMDEDUP_SQL = _semdedup_sql()
 
 
 def q_cohort_retention(sf_dir: str,
@@ -10505,6 +10670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'click_purchase_days': q_click_purchase_days,
         'above_avg_orders': q_above_avg_orders,
         'kmeans_embeddings': q_kmeans_embeddings,
+        'semdedup': q_semdedup,
         'lang_mix_sample': q_lang_mix_sample,
         'props_value_deciles': q_props_value_deciles,
         'sequence_packing': q_sequence_packing,
@@ -10729,6 +10895,7 @@ def oracle_sql() -> dict[str, str]:
         'click_purchase_days': _CLICK_PURCHASE_SQL,
         'above_avg_orders': _ABOVE_AVG_SQL,
         'kmeans_embeddings': _KMEANS_SQL,
+        'semdedup': _SEMDEDUP_SQL,
         'lang_mix_sample': _LANG_MIX_SAMPLE_SQL,
         'props_value_deciles': _PROPS_DECILES_SQL,
         'sequence_packing': _SEQUENCE_PACKING_SQL,
