@@ -241,3 +241,22 @@ def test_jaccard_prefix_join_paths_equal(ray_session):
     jn = jaccard_pairs_prefix(ds, broadcast_df_limit=0, **kw).to_pandas() \
         .sort_values(['doc_a', 'doc_b']).reset_index(drop=True)
     assert bc.equals(jn)
+
+
+def test_semdedup_nondefault_params_match_oracle(ray_session):
+    """k=3, iters=2 exercises the generic CTE builder (the registry pins
+    k=4, iters=3); engine and composed SQL must agree exactly."""
+    import duckdb
+    from pii_detector_ray.queries import q_semdedup, _semdedup_sql
+
+    sf = '/root/testdata/sf0.001'
+    got = (q_semdedup(sf, k=3, iters=2).to_pandas()
+           .sort_values('vec_id').reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    exp = (con.execute(_semdedup_sql(k=3, iters=2)).df()
+           .sort_values('vec_id').reset_index(drop=True))
+    assert got['cid'].astype('int64').tolist() == exp['cid'].astype('int64').tolist()
+    assert got['keep'].astype(bool).tolist() == exp['keep'].astype(bool).tolist()
+    assert got['keep'].sum() < len(got)       # pruning must actually fire
