@@ -9717,7 +9717,9 @@ _BIGRAM_LM_PPL_SQL = (
 
 def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
     """First 12 BPE merges learned from the documents corpus
-    (stages/bpe.py) — iterative, so no SQL oracle; determinism,
+    (stages/bpe.py) — iterative, so the oracle is VALUE-PINNED per sf
+    level (``oracle_pins.BPE_MERGES_SQL``: two independent fresh-process
+    runs verified byte-identical before pinning); determinism,
     parallelism-invariance, and serial-reference equivalence are pinned
     in tests/test_bpe.py."""
     from pii_detector_ray.stages.bpe import learn_bpe
@@ -9727,8 +9729,10 @@ def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
 def q_bpe_token_counts(sf_dir: str) -> ray.data.Dataset:
     """Per-doc token counts under the 12-merge BPE tokenizer learned from
     this corpus — learn + encode composed (the tokenizer-budget
-    measurement).  Iterative learning -> rows-only; encoder semantics
-    are pinned against the serial reference in tests/test_bpe.py."""
+    measurement).  Iterative learning, so the oracle is VALUE-PINNED per
+    sf level (``oracle_pins.BPE_TOKEN_COUNTS_SQL``, double-run verified);
+    encoder semantics are additionally pinned against the serial
+    reference in tests/test_bpe.py."""
     from pii_detector_ray.stages.bpe import encode_token_counts, learn_bpe
     docs = read_documents(sf_dir, ['doc_id', 'text'])
     merges = learn_bpe(docs, n_merges=12)
@@ -10818,6 +10822,8 @@ def oracle_sql() -> dict[str, str]:
         'media_decode': _media_pins().MEDIA_DECODE_SQL,
         'media_features': _media_pins().MEDIA_FEATURES_SQL,
         'embedding_pca': _media_pins().EMBEDDING_PCA_SQL,
+        'bpe_merges': _media_pins().BPE_MERGES_SQL,
+        'bpe_token_counts': _media_pins().BPE_TOKEN_COUNTS_SQL,
         'embedding_dup_pairs': _EMBEDDING_DUP_SQL,
         'components_exact': _COMPONENTS_EXACT_SQL,
         'daily_active_users': _DAILY_ACTIVE_SQL,
