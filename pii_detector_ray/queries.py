@@ -2271,6 +2271,22 @@ def q_incremental_sessions(sf_dir: str, n_chunks: int = 6) -> pd.DataFrame:
                        'n_events': 'int64', 'sum_value': 'float64'})
 
 
+def q_session_overlap(sf_dir: str) -> ray.data.Dataset:
+    """Per-session concurrency: for every gap-based session window, the
+    number of OTHER sessions (any user) whose [start, end] interval
+    overlaps it (stages/intervals.py).  Never an interval self-join:
+    two global rank lookups over the narrow start/end columns — a
+    size-guarded broadcast of the two sorted int64 arrays, with the
+    bucketed-histogram + tagged-union-groupby path above the guard
+    (both paths frame-equal, tests/test_intervals.py)."""
+    from pii_detector_ray.stages.intervals import (interval_overlap_counts,
+                                                   sessions_with_bounds)
+    sess = sessions_with_bounds(
+        _events(sf_dir, ['user_id', 'ts']), gap_minutes=30,
+        hot_key_threshold=_events_hot_threshold(sf_dir))
+    return interval_overlap_counts(sess)
+
+
 _EVENTS_SESSIONS_SQL = (
     "WITH e AS (SELECT user_id, epoch_us(ts) AS ts, value FROM events), "
     "g AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL "
@@ -2280,6 +2296,23 @@ _EVENTS_SESSIONS_SQL = (
     "ROWS UNBOUNDED PRECEDING) AS sid FROM g) "
     "SELECT user_id, min(ts) AS session_start, count(*) AS n_events, "
     "round(sum(value), 2) AS sum_value FROM s GROUP BY user_id, sid"
+)
+
+
+_SESSION_OVERLAP_SQL = (
+    "WITH e AS (SELECT user_id, epoch_us(ts) AS ts FROM events), "
+    "g AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL "
+    "OR ts - lag(ts) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s FROM e "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+    "s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS UNBOUNDED PRECEDING) AS sid FROM g), "
+    "sess AS (SELECT user_id, min(ts) AS session_start, "
+    "max(ts) AS session_end FROM s GROUP BY user_id, sid) "
+    "SELECT a.user_id, a.session_start, "
+    "count(*) - 1 AS n_concurrent FROM sess a JOIN sess b "
+    "ON b.session_start <= a.session_end "
+    "AND b.session_end >= a.session_start "
+    "GROUP BY a.user_id, a.session_start"
 )
 
 
@@ -10556,6 +10589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'price_quartile_counts': q_price_quartile_counts,
         'customer_ltv_deciles': q_customer_ltv_deciles,
         'events_sessions': q_events_sessions,
+        'session_overlap': q_session_overlap,
         'incremental_sessions': q_incremental_sessions,
         'events_asof': q_events_asof,
         'events_sliding': q_events_sliding,
@@ -10755,6 +10789,7 @@ def oracle_sql() -> dict[str, str]:
         'price_quartile_counts': _PRICE_QUARTILE_SQL,
         'customer_ltv_deciles': _LTV_DECILES_SQL,
         'events_sessions': _EVENTS_SESSIONS_SQL,
+        'session_overlap': _SESSION_OVERLAP_SQL,
         'incremental_sessions': _EVENTS_SESSIONS_SQL,
         'events_asof': _EVENTS_ASOF_SQL,
         'events_sliding': _EVENTS_SLIDING_SQL,

@@ -1,0 +1,271 @@
+"""Interval operators: concurrent-session overlap counting.
+
+The reference has no interval analytics (SURVEY.md §2.10 — its streaming
+surface is empty); this is the standard events-table capability a
+training-data / product-analytics pipeline needs: for every session
+window, how many OTHER sessions (any user) overlap it in time.
+
+The naive shape is an interval self-join (quadratic blow-up on dense
+timelines).  This operator never joins intervals: with closed intervals,
+
+    n_overlap(i) = #{j : start_j <= end_i} - #{j : end_j < start_i} - 1
+
+(the two excluded sets — sessions starting after i ends and sessions
+ending before i starts — are disjoint, and the -1 removes self), so the
+whole problem reduces to two GLOBAL RANK lookups over the narrow start /
+end columns:
+
+- **broadcast path** (default below ``broadcast_limit`` sessions): the
+  two sorted int64 arrays ship once via ``ray.put`` and every block
+  answers its own ranks with ``np.searchsorted`` — zero shuffle.
+- **bucketed path** (at scale): one bounded equi-width histogram pass
+  over starts/ends gives exact below-bucket prefix counts (B ints,
+  broadcast); a single tagged-union groupby on the bucket key co-locates
+  each bucket's start/end values with the queries that land in it
+  (the ``events_asof`` tagged-union pattern), answering the within-bucket
+  rank locally; a final narrow groupby sums each session's two
+  contributions.  Nothing session-proportional is ever collected on the
+  driver; the only shuffles are (bucket, int64) and (session-key, int64)
+  rows.  Partitioning assumption: sessions are not all concentrated in
+  O(1) histogram buckets — ``n_buckets`` bounds the expected group size
+  (time-uniform corpora get ~n/B rows per bucket).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def sessions_with_bounds(ds: ray.data.Dataset, *, gap_minutes: int = 30,
+                         hot_key_threshold: int | None = 1_000_000,
+                         bucket_us: int | None = None) -> ray.data.Dataset:
+    """Gap-based sessions emitting (user_id, session_start, session_end)
+    in int64 microseconds — the bounds-only sibling of
+    ``sessionize.sessionize`` (same gap cut, same mega-key guard routing
+    users at/above ``hot_key_threshold`` through a per-(user, day-bucket)
+    local pass plus a bounded boundary merge)."""
+    gap_us = gap_minutes * 60_000_000
+
+    from pii_detector_ray.stages import skew
+    hot_parts, (ds,) = skew.split_hot([ds], 'user_id', hot_key_threshold)
+    salted = None
+    if hot_parts is not None:
+        salted = _bounds_salted(hot_parts[0], gap_us=gap_us,
+                                bucket_us=bucket_us or skew.DEFAULT_BUCKET_US)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({'user_id': t.column('user_id'),
+                         'ts': pc.cast(t.column('ts'), pa.int64())})
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g['ts'].to_numpy())
+        new_s = np.ones(len(ts), dtype=bool)
+        new_s[1:] = (ts[1:] - ts[:-1]) > gap_us
+        starts = ts[new_s]
+        # a session's end is the event before the next session's start
+        ends = np.append(ts[:-1][new_s[1:]], ts[-1])
+        return pd.DataFrame({'user_id': g['user_id'].iloc[0],
+                             'session_start': starts, 'session_end': ends})
+
+    plain = ds.map_batches(prep, batch_format='pyarrow') \
+        .groupby('user_id').map_groups(per_user, batch_format='pandas')
+    return plain.union(salted) if salted is not None else plain
+
+
+def _bounds_salted(ds: ray.data.Dataset, *, gap_us: int,
+                   bucket_us: int) -> ray.data.Dataset:
+    """Bounds-only variant of ``skew.sessionize_salted``: per-(user,
+    day-bucket) local sessions, interior sessions emit directly, the <=2
+    border sessions per bucket re-merge in one per-user pass."""
+    def prep(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column('ts'), pa.int64())
+        return pa.table({'user_id': t.column('user_id'), '_ts': ts,
+                         '_bucket': pc.divide(ts, bucket_us)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g['_ts'].to_numpy())
+        new_s = np.ones(len(ts), dtype=bool)
+        new_s[1:] = (ts[1:] - ts[:-1]) > gap_us
+        starts = ts[new_s]
+        ends = np.append(ts[:-1][new_s[1:]], ts[-1])
+        border = np.zeros(len(starts), dtype=bool)
+        border[0] = border[-1] = True
+        return pd.DataFrame({'user_id': g['user_id'].iloc[0],
+                             'session_start': starts, 'session_end': ends,
+                             '_border': border})
+
+    local = ds.map_batches(prep, batch_format='pyarrow') \
+        .groupby(['user_id', '_bucket']) \
+        .map_groups(per_bucket, batch_format='pandas')
+
+    interior = local.filter(expr='_border == False') \
+        .drop_columns(['_border'])
+
+    def merge_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values('session_start', kind='mergesort')
+        starts = g['session_start'].to_numpy()
+        ends = g['session_end'].to_numpy()
+        new_s = np.ones(len(g), dtype=bool)
+        new_s[1:] = (starts[1:] - ends[:-1]) > gap_us
+        sid = np.cumsum(new_s) - 1
+        agg = pd.DataFrame({'sid': sid, 'session_start': starts,
+                            'session_end': ends}) \
+            .groupby('sid').agg(session_start=('session_start', 'min'),
+                                session_end=('session_end', 'max')) \
+            .reset_index(drop=True)
+        agg.insert(0, 'user_id', g['user_id'].iloc[0])
+        return agg
+
+    border = local.filter(expr='_border == True') \
+        .drop_columns(['_border']) \
+        .groupby('user_id').map_groups(merge_user, batch_format='pandas')
+    return interior.union(border)
+
+
+def interval_overlap_counts(sessions: ray.data.Dataset, *,
+                            broadcast_limit: int = 4_000_000,
+                            n_buckets: int = 4096) -> ray.data.Dataset:
+    """One row per session: (user_id, session_start, n_concurrent) where
+    n_concurrent counts the OTHER sessions whose [start, end] closed
+    interval overlaps this one's.  Input columns: user_id,
+    session_start, session_end (int64 us).  Path choice is the
+    ``broadcast_limit`` size guard (module docstring)."""
+    sessions = sessions.materialize()       # consumed by 2-3 passes below
+    n = sessions.count()
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            'user_id': pa.array([], pa.int64()),
+            'session_start': pa.array([], pa.int64()),
+            'n_concurrent': pa.array([], pa.int64())}))
+    if n <= broadcast_limit:
+        return _overlap_broadcast(sessions)
+    return _overlap_bucketed(sessions, n_buckets=n_buckets)
+
+
+def _overlap_broadcast(sessions: ray.data.Dataset) -> ray.data.Dataset:
+    narrow = sessions.select_columns(['session_start', 'session_end'])
+    parts = narrow.take_all()
+    starts = np.sort(np.array([r['session_start'] for r in parts], np.int64))
+    ends = np.sort(np.array([r['session_end'] for r in parts], np.int64))
+    ref = ray.put((starts, ends))
+
+    def count(t: pa.Table) -> pa.Table:
+        s_sorted, e_sorted = ray.get(ref)
+        s = t.column('session_start').to_numpy(zero_copy_only=False)
+        e = t.column('session_end').to_numpy(zero_copy_only=False)
+        le_starts = np.searchsorted(s_sorted, e, side='right')
+        lt_ends = np.searchsorted(e_sorted, s, side='left')
+        return pa.table({
+            'user_id': pc.cast(t.column('user_id'), pa.int64()),
+            'session_start': pa.array(s, pa.int64()),
+            'n_concurrent': pa.array(le_starts - lt_ends - 1, pa.int64())})
+
+    return sessions.map_batches(count, batch_format='pyarrow')
+
+
+def _overlap_bucketed(sessions: ray.data.Dataset, *,
+                      n_buckets: int) -> ray.data.Dataset:
+    # pass 1: global [lo, hi] of all boundary values (tiny partials)
+    def mm(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return pa.table({'lo': pa.array([], pa.int64()),
+                             'hi': pa.array([], pa.int64())})
+        s = t.column('session_start')
+        e = t.column('session_end')
+        return pa.table({'lo': pa.array([pc.min(s).as_py()], pa.int64()),
+                         'hi': pa.array([pc.max(e).as_py()], pa.int64())})
+
+    stats = sessions.map_batches(mm, batch_format='pyarrow').take_all()
+    lo = min(r['lo'] for r in stats)
+    hi = max(r['hi'] for r in stats)
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+
+    # pass 2: bounded histogram of starts and ends per bucket -> exact
+    # below-bucket prefix counts, broadcast once (2 * n_buckets int64)
+    def hist(t: pa.Table) -> pa.Table:
+        s = t.column('session_start').to_numpy(zero_copy_only=False)
+        e = t.column('session_end').to_numpy(zero_copy_only=False)
+        hs = np.bincount((s - lo) // width, minlength=n_buckets)
+        he = np.bincount((e - lo) // width, minlength=n_buckets)
+        return pa.table({'hs': pa.array(hs, pa.int64()),
+                         'he': pa.array(he, pa.int64())})
+
+    # fold the per-block histograms (each block emitted n_buckets rows)
+    folded = sessions.map_batches(hist, batch_format='pyarrow').to_pandas()
+    blocks = len(folded) // n_buckets
+    hs = folded['hs'].to_numpy().reshape(blocks, n_buckets).sum(axis=0)
+    he = folded['he'].to_numpy().reshape(blocks, n_buckets).sum(axis=0)
+    cum_s = np.concatenate([[0], np.cumsum(hs)[:-1]])   # starts below bucket
+    cum_e = np.concatenate([[0], np.cumsum(he)[:-1]])
+    pref = ray.put((cum_s, cum_e))
+
+    # pass 3: ONE tagged-union groupby on the bucket key.  Four row kinds:
+    # kind 0 = a start value, kind 1 = an end value (the data being
+    # ranked), kind 2 = query "rank starts <= end_i", kind 3 = query
+    # "count ends < start_i".  Queries carry their session key.
+    def tag(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t.column('user_id'), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        s = t.column('session_start').to_numpy(zero_copy_only=False)
+        e = t.column('session_end').to_numpy(zero_copy_only=False)
+        z = np.zeros(len(s), np.int64)
+        frames = [
+            {'_bucket': (s - lo) // width, '_kind': z, '_val': s,
+             'user_id': z, 'session_start': z},
+            {'_bucket': (e - lo) // width, '_kind': z + 1, '_val': e,
+             'user_id': z, 'session_start': z},
+            {'_bucket': (e - lo) // width, '_kind': z + 2, '_val': e,
+             'user_id': uid, 'session_start': s},
+            {'_bucket': (s - lo) // width, '_kind': z + 3, '_val': s,
+             'user_id': uid, 'session_start': s},
+        ]
+        return pa.table({k: pa.array(np.concatenate([f[k] for f in frames]),
+                                     pa.int64())
+                         for k in frames[0]})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g['_bucket'].iloc[0])
+        cs, ce = ray.get(pref)
+        kind = g['_kind'].to_numpy()
+        val = g['_val'].to_numpy()
+        starts = np.sort(val[kind == 0])
+        ends = np.sort(val[kind == 1])
+        out = []
+        qa = kind == 2
+        if qa.any():
+            contrib = cs[b] + np.searchsorted(starts, val[qa], side='right')
+            out.append(pd.DataFrame({
+                'user_id': g['user_id'].to_numpy()[qa],
+                'session_start': g['session_start'].to_numpy()[qa],
+                '_c': contrib}))
+        qb = kind == 3
+        if qb.any():
+            contrib = -(ce[b] + np.searchsorted(ends, val[qb], side='left'))
+            out.append(pd.DataFrame({
+                'user_id': g['user_id'].to_numpy()[qb],
+                'session_start': g['session_start'].to_numpy()[qb],
+                '_c': contrib}))
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {'user_id': [], 'session_start': [], '_c': []})
+
+    contribs = sessions.map_batches(tag, batch_format='pyarrow') \
+        .groupby('_bucket').map_groups(per_bucket, batch_format='pandas')
+
+    # pass 4: narrow per-session sum of the two contributions, -1 for self
+    agg = contribs.groupby(['user_id', 'session_start']).sum('_c')
+
+    def fin(t: pa.Table) -> pa.Table:
+        total = t.column('sum(_c)').to_numpy(zero_copy_only=False)
+        return pa.table({
+            'user_id': pc.cast(t.column('user_id'), pa.int64()),
+            'session_start': pc.cast(t.column('session_start'), pa.int64()),
+            'n_concurrent': pa.array(total.astype(np.int64) - 1, pa.int64())})
+
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    return drop_empty_blocks(agg).map_batches(fin, batch_format='pyarrow')

@@ -1,0 +1,89 @@
+"""Interval overlap counting (stages/intervals.py): broadcast vs
+bucketed path equality, brute-force parity, salted sessionizer parity."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from pii_detector_ray.stages.intervals import (interval_overlap_counts,
+                                               sessions_with_bounds)
+
+
+def _brute(df: pd.DataFrame) -> pd.DataFrame:
+    s = df['session_start'].to_numpy()
+    e = df['session_end'].to_numpy()
+    n = np.array([((s <= e[i]) & (e >= s[i])).sum() - 1
+                  for i in range(len(df))], np.int64)
+    return pd.DataFrame({'user_id': df['user_id'], 'session_start': s,
+                         'n_concurrent': n})
+
+
+def _sessions_table(seed: int = 7, n: int = 400) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    start = rng.integers(0, 10_000_000, n).astype(np.int64)
+    dur = rng.integers(0, 50_000, n).astype(np.int64)
+    return pd.DataFrame({'user_id': np.arange(n, dtype=np.int64),
+                         'session_start': start,
+                         'session_end': start + dur})
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(['user_id', 'session_start']) \
+        .reset_index(drop=True).astype('int64')
+
+
+@pytest.mark.usefixtures('ray_session')
+class TestIntervalOverlap:
+    def test_broadcast_matches_bruteforce(self):
+        df = _sessions_table()
+        got = interval_overlap_counts(
+            ray.data.from_pandas(df)).to_pandas()
+        pd.testing.assert_frame_equal(_norm(got), _norm(_brute(df)))
+
+    def test_bucketed_matches_broadcast(self):
+        df = _sessions_table(seed=11)
+        ds = ray.data.from_pandas(df).repartition(8)
+        wide = interval_overlap_counts(ds).to_pandas()
+        # broadcast_limit=0 forces the bucketed path; a tiny n_buckets
+        # forces many values per bucket (the within-bucket rank branch)
+        deep = interval_overlap_counts(
+            ds, broadcast_limit=0, n_buckets=16).to_pandas()
+        pd.testing.assert_frame_equal(_norm(deep), _norm(wide))
+
+    def test_bucketed_single_value_domain(self):
+        # degenerate timeline: every boundary identical (width clamps to 1)
+        df = pd.DataFrame({'user_id': np.arange(5, dtype=np.int64),
+                           'session_start': np.full(5, 42, np.int64),
+                           'session_end': np.full(5, 42, np.int64)})
+        got = interval_overlap_counts(
+            ray.data.from_pandas(df), broadcast_limit=0,
+            n_buckets=8).to_pandas()
+        assert sorted(got['n_concurrent']) == [4] * 5
+
+    def test_empty_input(self):
+        ds = ray.data.from_arrow(pa.table({
+            'user_id': pa.array([], pa.int64()),
+            'session_start': pa.array([], pa.int64()),
+            'session_end': pa.array([], pa.int64())}))
+        assert interval_overlap_counts(ds).count() == 0
+
+    def test_sessions_with_bounds_salted_parity(self):
+        rng = np.random.default_rng(3)
+        n = 2000
+        ts = np.sort(rng.integers(0, 20 * 86_400_000_000, n))
+        uid = rng.integers(0, 7, n)
+        df = pd.DataFrame({'user_id': uid.astype(np.int64),
+                           'ts': ts.astype(np.int64)})
+        ds = ray.data.from_pandas(df).repartition(6)
+        plain = sessions_with_bounds(
+            ds, gap_minutes=30, hot_key_threshold=None).to_pandas()
+        # threshold 1 routes every user through the salted path
+        salted = sessions_with_bounds(
+            ds, gap_minutes=30, hot_key_threshold=1).to_pandas()
+        key = ['user_id', 'session_start', 'session_end']
+        pd.testing.assert_frame_equal(
+            plain[key].sort_values(key).reset_index(drop=True).astype('int64'),
+            salted[key].sort_values(key).reset_index(drop=True).astype('int64'))
