@@ -1925,6 +1925,74 @@ _CUSTOMER_ORDER_COUNTS_SQL = (
 )
 
 
+def q_bucketed_join(sf_dir: str) -> ray.data.Dataset:
+    """Shuffle-free bucketed join (stages/bucketed.py): customer and
+    orders are first WRITTEN hash-clustered by custkey (hive
+    ``_bucket=k`` partitions + a layout manifest), then joined with one
+    Ray task per bucket pair — pyarrow hash join over that bucket's
+    files only, no query-time exchange.  The scale story: the
+    partitioning shuffle is paid once at ingest and amortized over every
+    subsequent join/groupby on the clustered key.  Result: per-nation
+    order count + exact integer-cents revenue."""
+    import os
+    import shutil
+    import tempfile
+
+    from pii_detector_ray.stages.bucketed import bucketed_join, write_bucketed
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
+    root = tempfile.mkdtemp(prefix='bucketed_join_', dir='/tmp')
+    try:
+        cust = read_parquet_clean(os.path.join(sf_dir, 'customer.parquet'),
+                                  columns=['c_custkey', 'c_nationkey'])
+        orders = read_parquet_clean(os.path.join(sf_dir, 'orders.parquet'),
+                                    columns=['o_custkey', 'o_totalprice'])
+        pa_dir = write_bucketed(orders, key='o_custkey', n_buckets=8,
+                                path=os.path.join(root, 'orders'))
+        pb_dir = write_bucketed(cust, key='c_custkey', n_buckets=8,
+                                path=os.path.join(root, 'customer'))
+        joined = bucketed_join(pa_dir, pb_dir, key_a='o_custkey',
+                               key_b='c_custkey')
+
+        def partial(t: pa.Table) -> pa.Table:
+            if not len(t):
+                return pa.table({'c_nationkey': pa.array([], pa.int64()),
+                                 '_n': pa.array([], pa.int64()),
+                                 '_c': pa.array([], pa.int64())})
+            price = t.column('o_totalprice').to_numpy(zero_copy_only=False)
+            cents = sql_round_np(price * 100.0, 0).astype(np.int64)
+            tt = pa.table({'c_nationkey': pc.cast(t.column('c_nationkey'),
+                                                  pa.int64()),
+                           '_c': pa.array(cents, pa.int64())})
+            agg = tt.group_by('c_nationkey').aggregate(
+                [('_c', 'sum'), ([], 'count_all')])
+            return agg.rename_columns(['c_nationkey', '_c', '_n'])
+
+        agg = (joined.map_batches(partial, batch_format='pyarrow')
+               .groupby('c_nationkey')
+               .aggregate(Sum('_n', alias_name='n_orders'),
+                          Sum('_c', alias_name='sum_cents')))
+
+        def fin(t: pa.Table) -> pa.Table:
+            return pa.table({
+                'c_nationkey': pc.cast(t.column('c_nationkey'), pa.int64()),
+                'n_orders': pc.cast(t.column('n_orders'), pa.int64()),
+                'sum_cents': pc.cast(t.column('sum_cents'), pa.int64())})
+
+        return drop_empty_blocks(agg) \
+            .map_batches(fin, batch_format='pyarrow').materialize()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_BUCKETED_JOIN_SQL = (
+    'SELECT c.c_nationkey, count(*)::BIGINT AS n_orders, '
+    'sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS sum_cents '
+    'FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey '
+    'GROUP BY c.c_nationkey'
+)
+
+
 def q_distinct_users(sf_dir: str) -> ray.data.Dataset:
     """Exact distinct-count per event_type, two-phase: per-batch dedupe of
     (event_type, user_id) pairs first, then a groupby over the already-
@@ -10590,6 +10658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'customer_ltv_deciles': q_customer_ltv_deciles,
         'events_sessions': q_events_sessions,
         'session_overlap': q_session_overlap,
+        'bucketed_join': q_bucketed_join,
         'incremental_sessions': q_incremental_sessions,
         'events_asof': q_events_asof,
         'events_sliding': q_events_sliding,
@@ -10790,6 +10859,7 @@ def oracle_sql() -> dict[str, str]:
         'customer_ltv_deciles': _LTV_DECILES_SQL,
         'events_sessions': _EVENTS_SESSIONS_SQL,
         'session_overlap': _SESSION_OVERLAP_SQL,
+        'bucketed_join': _BUCKETED_JOIN_SQL,
         'incremental_sessions': _EVENTS_SESSIONS_SQL,
         'events_asof': _EVENTS_ASOF_SQL,
         'events_sliding': _EVENTS_SLIDING_SQL,

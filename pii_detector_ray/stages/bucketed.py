@@ -1,0 +1,122 @@
+"""Bucketed (hash-clustered) storage layout + shuffle-free bucketed join.
+
+The 100 TB warehouse technique the reference's pull-scanner never needed
+but any relational stage at scale does: pay the partitioning shuffle ONCE
+at write time — every row lands in bucket ``splitmix64(key) % B`` of a
+hive-partitioned parquet layout — and every subsequent equi-join or
+groupby on that key is embarrassingly parallel: bucket k of table A can
+only match bucket k of table B, so the join runs as B independent
+bucket-local hash joins with NO query-time all-to-all exchange.
+
+Ray mapping: the write is ``map_batches`` (stable uint64 bucket column)
++ ``write_parquet(partition_cols=['_bucket'])``.  The join is the one
+place the Dataset API genuinely can't express "co-read two different
+tables' matching partitions in one task" (SURVEY.md §2 custom-operator
+rule (c)), so each bucket pair joins inside a plain Ray task (pyarrow
+Acero hash join, zero-copy in) and the results re-enter Dataset-land via
+``from_arrow_refs`` — streaming onward, never driver-resident.
+
+Partitioning assumptions (documented per the custom-operator rule):
+- both sides were bucketed with the SAME ``n_buckets`` and hash (the
+  layout manifest written next to the data pins both and is checked);
+- one bucket pair fits a worker's heap (`n_buckets` chosen so the
+  BIGGER side's bucket is a few hundred MB; skewed join keys salt into
+  the existing `joins.skew_join` instead — bucket layout keys should be
+  near-uniform ids).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def bucket_ids(keys: pa.Array | pa.ChunkedArray, n_buckets: int) -> np.ndarray:
+    """Stable bucket id per key: splitmix64 of the int/string key, mod
+    ``n_buckets``.  Process-independent (never Python ``hash``)."""
+    from pii_detector_ray.stages.bloomjoin import _key_hash64, _splitmix
+    h = _splitmix(_key_hash64(keys), 0x9E3779B97F4A7C15)
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
+def write_bucketed(ds: ray.data.Dataset, *, key: str, n_buckets: int,
+                   path: str) -> str:
+    """Write ``ds`` hash-clustered by ``key`` into ``path/_bucket=k/``
+    hive partitions, plus a layout manifest pinning (key, n_buckets,
+    hash) so joins can verify both sides agree."""
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            '_bucket', pa.array(bucket_ids(t.column(key), n_buckets),
+                                pa.int64()))
+
+    os.makedirs(path, exist_ok=True)
+    ds.map_batches(tag, batch_format='pyarrow') \
+        .write_parquet(path, partition_cols=['_bucket'])
+    manifest = {'key': key, 'n_buckets': n_buckets, 'hash': 'splitmix64'}
+    with open(os.path.join(path, '_layout.json'), 'w') as f:
+        json.dump(manifest, f)
+    return path
+
+
+def _load_layout(path: str) -> dict:
+    with open(os.path.join(path, '_layout.json')) as f:
+        return json.load(f)
+
+
+@ray.remote
+def _join_bucket(path_a: str, path_b: str, bucket: int, key_a: str,
+                 key_b: str, columns_a: list[str] | None,
+                 columns_b: list[str] | None) -> pa.Table:
+    import pyarrow.dataset as pads
+
+    def rd(path, cols):
+        d = os.path.join(path, f'_bucket={bucket}')
+        if os.path.isdir(d):
+            return pads.dataset(d).to_table(columns=cols)
+        # a bucket absent on one side joins to nothing, but the block
+        # must keep the joined schema for from_arrow_refs: synthesize an
+        # empty table from any leaf file's schema (metadata-only read;
+        # root-level hive discovery would ignore the '_'-prefixed dirs)
+        import pyarrow.parquet as pq
+        leaf = next((os.path.join(r, f) for r, _, fs in os.walk(path)
+                     for f in fs if f.endswith('.parquet')), None)
+        if leaf is None:
+            raise ValueError(f'bucketed layout at {path} has no data files')
+        full = pq.read_schema(leaf)
+        names = cols or [n for n in full.names if n != '_bucket']
+        return pa.table({n: pa.array([], full.field(n).type) for n in names})
+
+    ta = rd(path_a, columns_a)
+    tb = rd(path_b, columns_b)
+    return ta.join(tb, keys=key_a, right_keys=key_b, join_type='inner')
+
+
+def bucketed_join(path_a: str, path_b: str, *, key_a: str,
+                  key_b: str | None = None,
+                  columns_a: list[str] | None = None,
+                  columns_b: list[str] | None = None) -> ray.data.Dataset:
+    """Inner-join two bucketed layouts on their bucket keys with no
+    query-time shuffle: one Ray task per bucket pair, each a local
+    pyarrow hash join over that bucket's files only."""
+    key_b = key_b or key_a
+    la, lb = _load_layout(path_a), _load_layout(path_b)
+    if la['n_buckets'] != lb['n_buckets'] or la['hash'] != lb['hash']:
+        raise ValueError(
+            f'incompatible bucket layouts: {la} vs {lb} — rewrite one side '
+            f'with write_bucketed(n_buckets={la["n_buckets"]})')
+    if la['key'] != key_a or lb['key'] != key_b:
+        raise ValueError('join key does not match the clustered layout key; '
+                         'a bucketed join on a different key would be wrong '
+                         '— use joins.skew_join / a co-partitioned join')
+    n = la['n_buckets']
+    refs = [_join_bucket.remote(path_a, path_b, k, key_a, key_b,
+                                columns_a, columns_b) for k in range(n)]
+    # blocks stay in the object store — the driver never sees rows
+    return ray.data.from_arrow_refs(refs)

@@ -1,0 +1,71 @@
+"""Bucketed storage layout + shuffle-free bucketed join
+(stages/bucketed.py)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from pii_detector_ray.stages.bucketed import (bucket_ids, bucketed_join,
+                                              write_bucketed)
+
+
+def _mk(tmpdir, name, df, key, n_buckets=4):
+    return write_bucketed(ray.data.from_pandas(df).repartition(3),
+                          key=key, n_buckets=n_buckets,
+                          path=os.path.join(str(tmpdir), name))
+
+
+@pytest.mark.usefixtures('ray_session')
+class TestBucketed:
+    def test_join_matches_pandas(self, tmp_path):
+        rng = np.random.default_rng(5)
+        a = pd.DataFrame({'k': rng.integers(0, 50, 300).astype(np.int64),
+                          'x': np.arange(300, dtype=np.int64)})
+        b = pd.DataFrame({'k': np.arange(0, 60, dtype=np.int64),
+                          'y': np.arange(0, 600, 10, dtype=np.int64)})
+        pa_dir = _mk(tmp_path, 'a', a, 'k')
+        pb_dir = _mk(tmp_path, 'b', b, 'k')
+        got = bucketed_join(pa_dir, pb_dir, key_a='k').to_pandas()
+        exp = a.merge(b, on='k')
+        cols = ['k', 'x', 'y']
+        pd.testing.assert_frame_equal(
+            got[cols].sort_values(cols).reset_index(drop=True),
+            exp[cols].sort_values(cols).reset_index(drop=True))
+
+    def test_bucket_layout_on_disk(self, tmp_path):
+        df = pd.DataFrame({'k': np.arange(20, dtype=np.int64),
+                           'v': np.arange(20, dtype=np.int64)})
+        d = _mk(tmp_path, 'lay', df, 'k', n_buckets=4)
+        dirs = sorted(p for p in os.listdir(d) if p.startswith('_bucket='))
+        assert dirs and all(p.split('=')[1].isdigit() for p in dirs)
+        # every row is in the bucket its key hashes to
+        import pyarrow.dataset as pads
+        for p in dirs:
+            bk = int(p.split('=')[1])
+            t = pads.dataset(os.path.join(d, p)).to_table(columns=['k'])
+            assert (bucket_ids(t.column('k'), 4) == bk).all()
+
+    def test_mismatched_layouts_refused(self, tmp_path):
+        df = pd.DataFrame({'k': np.arange(10, dtype=np.int64),
+                           'v': np.arange(10, dtype=np.int64)})
+        d4 = _mk(tmp_path, 'four', df, 'k', n_buckets=4)
+        d8 = _mk(tmp_path, 'eight', df.rename(columns={'v': 'w'}), 'k',
+                 n_buckets=8)
+        with pytest.raises(ValueError, match='incompatible bucket layouts'):
+            bucketed_join(d4, d8, key_a='k')
+        with pytest.raises(ValueError, match='clustered layout key'):
+            bucketed_join(d4, d4, key_a='v')
+
+    def test_string_keys_and_empty_buckets(self, tmp_path):
+        # two keys only: most of the 8 buckets are empty on both sides
+        a = pd.DataFrame({'k': ['x', 'y', 'x'], 'u': [1, 2, 3]})
+        b = pd.DataFrame({'k': ['y', 'z'], 'w': [10, 20]})
+        pa_dir = _mk(tmp_path, 'sa', a, 'k', n_buckets=8)
+        pb_dir = _mk(tmp_path, 'sb', b, 'k', n_buckets=8)
+        got = bucketed_join(pa_dir, pb_dir, key_a='k').to_pandas()
+        assert got.to_dict('records') == [{'k': 'y', 'u': 2, 'w': 10}]
