@@ -3923,6 +3923,22 @@ def q_media_feature_stats(sf_dir: str) -> ray.data.Dataset:
     return _media_stats(_media_features_raw(sf_dir))
 
 
+def q_image_dup_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Perceptual image near-dup mining (stages/imagehash.py): dHash over
+    the REAL stdlib PNG/JPEG decode of a deterministic fixture with
+    PLANTED dups (same pixels, different codec/quality — invisible to
+    byte or exact-hash dedup), then banded candidate generation + exact
+    XOR-popcount verify (lossless for hamming <= 7 by the 8-band
+    pigeonhole).  The oracle pins the 160 dhash values
+    (``oracle_pins.IMAGE_DUP_PAIRS_SQL``, double-run verified) and
+    derives the pairs IN SQL via bit_count(xor(...)) <= 7 — so the pair
+    logic itself is SQL-checked, not pinned."""
+    from pii_detector_ray.stages.imagehash import (dhash_table, dup_pairs,
+                                                   synth_dup_image_table)
+    media = ray.data.from_arrow(synth_dup_image_table(160)).repartition(8)
+    return dup_pairs(dhash_table(media))
+
+
 def q_media_decode_stats(sf_dir: str) -> ray.data.Dataset:
     """Value-pinned oracle for the REAL stdlib PNG/GIF/WAV decode path
     (decode → mean-pool resize → feature extraction), same construction as
@@ -10815,6 +10831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'embedding_pca': q_embedding_pca,
         'media_features': q_media_features,
         'media_decode': q_media_decode,
+        'image_dup_pairs': q_image_dup_pairs,
         'media_feature_stats': q_media_feature_stats,
         'media_decode_stats': q_media_decode_stats,
     })
@@ -10925,6 +10942,7 @@ def oracle_sql() -> dict[str, str]:
             '{p}', _sql_quote(PII_PATTERNS['EMAIL_ADDRESS'])),
         'langid_documents': _langid_sql(),
         'media_decode': _media_pins().MEDIA_DECODE_SQL,
+        'image_dup_pairs': _media_pins().IMAGE_DUP_PAIRS_SQL,
         'media_features': _media_pins().MEDIA_FEATURES_SQL,
         'embedding_pca': _media_pins().EMBEDDING_PCA_SQL,
         'bpe_merges': _media_pins().BPE_MERGES_SQL,

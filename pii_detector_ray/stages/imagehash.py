@@ -1,0 +1,207 @@
+"""Perceptual image hashing (dHash) + near-duplicate pair mining.
+
+Image near-dup is the multimodal sibling of the text MinHash/SimHash
+family (SURVEY.md beyond-reference operators): re-encoded, recompressed
+or slightly-noised copies of an image survive byte-level dedup, but their
+difference-hash agrees to within a few bits.
+
+dHash (public algorithm: Krawetz, "Kind of Like That", 2013): decode →
+integer ITU-R 601 luma → mean-pool to 8x9 → each bit is "left pixel
+brighter than its right neighbour" → 64-bit hash.  Everything stdlib +
+numpy on the repo's own PNG/GIF/JPEG codecs.
+
+Pair mining never does all-pairs: the 64-bit hash splits into EIGHT
+8-bit bands; by pigeonhole any pair within Hamming distance <= 7 agrees
+exactly on at least one band, so a band-keyed groupby (band_id << 8 |
+band_value int64 keys — narrow shuffle) generates a candidate superset,
+and an exact XOR-popcount verify keeps true pairs.  LOSSLESS for the
+default threshold 7 (bands > threshold); raising the threshold past
+n_bands - 1 would break the guarantee, so it is asserted.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+N_BANDS = 8
+
+
+def luma(img: np.ndarray) -> np.ndarray:
+    """(h, w[, ch]) uint8 → (h, w) int32 integer ITU-R 601 luma."""
+    if img.ndim == 2:
+        return img.astype(np.int32)
+    img = img.astype(np.int32)
+    if img.shape[2] == 1:
+        return img[:, :, 0]
+    r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+    return (299 * r + 587 * g + 114 * b) // 1000
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash of a decoded image (returned as a SIGNED
+    int64 so the value round-trips through Arrow/DuckDB BIGINT)."""
+    from pii_detector_ray.stages.multimodal import mean_pool
+    g = mean_pool(luma(img).astype(np.float64), 8, 9)
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.uint64).ravel()   # 8x8 row-major
+    h = np.uint64(0)
+    for b in bits:
+        h = (h << np.uint64(1)) | b
+    return int(h.astype(np.int64))
+
+
+def decode_image(payload: bytes, media_type: str) -> np.ndarray:
+    from pii_detector_ray.functions.gifcodec import decode_gif
+    from pii_detector_ray.functions.jpegcodec import decode_jpeg
+    from pii_detector_ray.stages.multimodal import decode_png
+    if media_type == 'image/png':
+        return decode_png(payload)
+    if media_type == 'image/jpeg':
+        return decode_jpeg(payload)
+    if media_type == 'image/gif':
+        return decode_gif(payload)
+    raise ValueError(f'not an image type: {media_type}')
+
+
+class DHashStage:
+    """Actor-pool stage: (media_id, media_type, payload) → (media_id,
+    dhash int64).  Decode is the hot cost → callable class so a real
+    codec swap-in can cache model state in ``__init__``."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column('media_id').to_pylist()
+        types = batch.column('media_type').to_pylist()
+        payloads = batch.column('payload').to_pylist()
+        out_id, out_h = [], []
+        for i, t, p in zip(ids, types, payloads):
+            if not t.startswith('image/') or not p:
+                continue
+            out_id.append(i)
+            out_h.append(dhash64(decode_image(p, t)))
+        return pa.table({'media_id': pa.array(out_id, pa.int64()),
+                         'dhash': pa.array(out_h, pa.int64())})
+
+
+def dhash_table(media: ray.data.Dataset, *, concurrency=(2, 8),
+                batch_size: int = 64) -> ray.data.Dataset:
+    return media.map_batches(DHashStage, concurrency=concurrency,
+                             batch_size=batch_size, batch_format='pyarrow')
+
+
+def dup_pairs(hashes: ray.data.Dataset, *,
+              max_hamming: int = 7) -> ray.data.Dataset:
+    """(id_a, id_b, hamming) for every pair with XOR popcount <=
+    ``max_hamming`` (id_a < id_b).  Banded candidate generation is
+    provably lossless while ``max_hamming < N_BANDS`` (module doc)."""
+    if max_hamming >= N_BANDS:
+        raise AssertionError(
+            f'max_hamming {max_hamming} breaks the {N_BANDS}-band '
+            f'pigeonhole guarantee — raise N_BANDS instead')
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column('media_id').to_numpy(zero_copy_only=False)
+        h = t.column('dhash').to_numpy(zero_copy_only=False) \
+            .astype(np.int64).view(np.uint64)
+        outk, outi, outh = [], [], []
+        for band in range(N_BANDS):
+            bv = (h >> np.uint64(8 * band)) & np.uint64(0xFF)
+            key = (np.uint64(band) << np.uint64(8)) | bv
+            outk.append(key.astype(np.int64))
+            outi.append(ids)
+            outh.append(h.view(np.int64))
+        return pa.table({'_band': pa.array(np.concatenate(outk), pa.int64()),
+                         'media_id': pa.array(np.concatenate(outi), pa.int64()),
+                         'dhash': pa.array(np.concatenate(outh), pa.int64())})
+
+    def per_band(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g['media_id'].to_numpy()
+        h = g['dhash'].to_numpy().view(np.uint64)
+        order = np.argsort(ids, kind='mergesort')
+        ids, h = ids[order], h[order]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({'id_a': [], 'id_b': [], 'hamming': []})
+        ia, ib = np.triu_indices(n, k=1)
+        x = h[ia] ^ h[ib]
+        ham = np.unpackbits(x.view(np.uint8)).reshape(len(x), 8 * 8) \
+            .sum(axis=1).astype(np.int64)
+        keep = ham <= max_hamming
+        return pd.DataFrame({'id_a': ids[ia[keep]].astype(np.int64),
+                             'id_b': ids[ib[keep]].astype(np.int64),
+                             'hamming': ham[keep]})
+
+    cand = hashes.map_batches(explode, batch_format='pyarrow') \
+        .groupby('_band').map_groups(per_band, batch_format='pandas')
+    # a pair can match in several bands — exact dedup on the packed pair key
+    def key(t: pa.Table) -> pa.Table:
+        a = t.column('id_a').to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column('id_b').to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(a) and (a.min() < 0 or max(a.max(), b.max()) >= (1 << 31)):
+            raise AssertionError('pair pack domain exceeded')
+        return pa.table({'_k': pa.array((a << 31) | b, pa.int64()),
+                         'hamming': t.column('hamming')})
+
+    from ray.data.aggregate import Min
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    uniq = drop_empty_blocks(
+        cand.map_batches(key, batch_format='pyarrow')
+            .groupby('_k').aggregate(Min('hamming', alias_name='hamming')))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        k = t.column('_k').to_numpy(zero_copy_only=False)
+        return pa.table({'id_a': pa.array(k >> 31, pa.int64()),
+                         'id_b': pa.array(k & ((1 << 31) - 1), pa.int64()),
+                         'hamming': pa.array(
+                             t.column('hamming').to_numpy(
+                                 zero_copy_only=False).astype(np.int64),
+                             pa.int64())})
+
+    return uniq.map_batches(unpack, batch_format='pyarrow')
+
+
+def synth_dup_image_table(n: int = 160, seed: int = 29) -> pa.Table:
+    """Deterministic image fixture with PLANTED near-duplicates: groups of
+    four rows [unique PNG, unique JPEG, base PNG, JPEG re-encode of the
+    same pixels].  The (4k+2, 4k+3) pairs are perceptual dups that exact
+    byte/hash dedup cannot see."""
+    from pii_detector_ray.functions.jpegcodec import encode_jpeg
+    from pii_detector_ray.stages.multimodal import MEDIA_SCHEMA, encode_png
+    rng = np.random.default_rng(seed)
+    ids, types, payloads, widths, heights, durs = [], [], [], [], [], []
+
+    def blocky(w, h):
+        # kron-upsampled random blocks: non-monotone luma so dHash bits are
+        # informative (a pure gradient pools to an all-ones hash), smooth
+        # enough that a q92 JPEG re-encode stays within a few hash bits
+        base = rng.integers(0, 256, size=(h // 8 + 1, w // 8 + 1, 3))
+        return np.kron(base, np.ones((8, 8, 1)))[:h, :w].astype(np.uint8)
+
+    for i in range(n):
+        k = i // 4
+        w, h = 48 + int(rng.integers(0, 16)), 48 + int(rng.integers(0, 16))
+        if i % 4 == 0:
+            payloads.append(encode_png(blocky(w, h), filter_type=k % 5))
+            types.append('image/png')
+        elif i % 4 == 1:
+            payloads.append(encode_jpeg(blocky(w, h), quality=85))
+            types.append('image/jpeg')
+        elif i % 4 == 2:
+            self_base = blocky(w, h)
+            payloads.append(encode_png(self_base, filter_type=(k + 1) % 5))
+            types.append('image/png')
+        else:
+            # same pixels as row i-1, lossy re-encode: the planted near-dup
+            payloads.append(encode_jpeg(self_base, quality=92))
+            types.append('image/jpeg')
+        ids.append(i)
+        widths.append(w if i % 4 != 3 else widths[-1])
+        heights.append(h if i % 4 != 3 else heights[-1])
+        durs.append(None)
+    return pa.Table.from_arrays([
+        pa.array(ids, pa.int64()), pa.array(types, pa.string()),
+        pa.array(payloads, pa.binary()), pa.array(widths, pa.int32()),
+        pa.array(heights, pa.int32()), pa.array(durs, pa.int32()),
+    ], schema=MEDIA_SCHEMA)

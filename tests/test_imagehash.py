@@ -1,0 +1,60 @@
+"""dHash perceptual image near-dup (stages/imagehash.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from pii_detector_ray.stages.imagehash import (N_BANDS, dhash64, dhash_table,
+                                               dup_pairs,
+                                               synth_dup_image_table)
+
+
+def _brute_pairs(hs: pd.DataFrame, t: int) -> set:
+    ids = hs['media_id'].to_numpy()
+    h = hs['dhash'].to_numpy().view(np.uint64)
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if int(h[i] ^ h[j]).bit_count() <= t:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                out.add((a, b))
+    return out
+
+
+@pytest.mark.usefixtures('ray_session')
+class TestImageHash:
+    def test_planted_dups_found_exactly(self):
+        media = ray.data.from_arrow(synth_dup_image_table(160)).repartition(4)
+        pairs = dup_pairs(dhash_table(media)).to_pandas()
+        found = set(zip(pairs['id_a'], pairs['id_b']))
+        planted = {(4 * k + 2, 4 * k + 3) for k in range(40)}
+        assert found == planted
+
+    def test_banded_equals_bruteforce(self):
+        media = ray.data.from_arrow(synth_dup_image_table(80)).repartition(3)
+        hs = dhash_table(media).to_pandas()
+        got = dup_pairs(ray.data.from_pandas(hs)).to_pandas()
+        assert set(zip(got['id_a'], got['id_b'])) == _brute_pairs(hs, 7)
+
+    def test_threshold_guard(self):
+        media = ray.data.from_arrow(synth_dup_image_table(8))
+        with pytest.raises(AssertionError, match='pigeonhole'):
+            dup_pairs(dhash_table(media), max_hamming=N_BANDS)
+
+    def test_dhash_flat_image_is_zero(self):
+        img = np.full((32, 36, 3), 77, np.uint8)
+        assert dhash64(img) == 0
+
+    def test_dhash_codec_invariance_on_planted_pair(self):
+        from pii_detector_ray.stages.imagehash import decode_image
+        t = synth_dup_image_table(8)
+        ids = t.column('media_id').to_pylist()
+        types = t.column('media_type').to_pylist()
+        pay = t.column('payload').to_pylist()
+        h = {i: dhash64(decode_image(p, ty))
+             for i, ty, p in zip(ids, types, pay)}
+        # planted pair (2, 3): same pixels, PNG vs q92 JPEG
+        d = int(np.uint64(np.int64(h[2])) ^ np.uint64(np.int64(h[3])))
+        assert d.bit_count() <= 7
