@@ -3939,6 +3939,21 @@ def q_image_dup_pairs(sf_dir: str) -> ray.data.Dataset:
     return dup_pairs(dhash_table(media))
 
 
+def q_audio_dup_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Audio near-dup mining (stages/audiofp.py): Haitsma-Kalker-style
+    64-bit spectral fingerprints (framed FFT band-energy double-difference
+    signs — scale-invariant by construction) over a deterministic WAV
+    fixture with PLANTED volume-rescaled + noised copies, paired by the
+    same lossless 8-band miner as ``image_dup_pairs``.  Oracle pins the
+    160 fingerprints (``oracle_pins.AUDIO_DUP_PAIRS_SQL``, double-run
+    verified) and derives the pairs in SQL via bit_count(xor(...)) <= 7."""
+    from pii_detector_ray.stages.audiofp import (audio_dup_pairs,
+                                                 audio_fp_table,
+                                                 synth_dup_audio_table)
+    media = ray.data.from_arrow(synth_dup_audio_table(160)).repartition(8)
+    return audio_dup_pairs(audio_fp_table(media))
+
+
 def q_media_decode_stats(sf_dir: str) -> ray.data.Dataset:
     """Value-pinned oracle for the REAL stdlib PNG/GIF/WAV decode path
     (decode → mean-pool resize → feature extraction), same construction as
@@ -10832,6 +10847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'media_features': q_media_features,
         'media_decode': q_media_decode,
         'image_dup_pairs': q_image_dup_pairs,
+        'audio_dup_pairs': q_audio_dup_pairs,
         'media_feature_stats': q_media_feature_stats,
         'media_decode_stats': q_media_decode_stats,
     })
@@ -10943,6 +10959,7 @@ def oracle_sql() -> dict[str, str]:
         'langid_documents': _langid_sql(),
         'media_decode': _media_pins().MEDIA_DECODE_SQL,
         'image_dup_pairs': _media_pins().IMAGE_DUP_PAIRS_SQL,
+        'audio_dup_pairs': _media_pins().AUDIO_DUP_PAIRS_SQL,
         'media_features': _media_pins().MEDIA_FEATURES_SQL,
         'embedding_pca': _media_pins().EMBEDDING_PCA_SQL,
         'bpe_merges': _media_pins().BPE_MERGES_SQL,

@@ -1,0 +1,146 @@
+"""Audio spectral fingerprinting + near-duplicate pair mining.
+
+The audio sibling of the dHash image path (stages/imagehash.py): volume-
+rescaled or lightly-noised re-encodes of a clip defeat byte/exact-hash
+dedup, but their spectral ENERGY-DIFFERENCE signs agree.
+
+Fingerprint (public algorithm shape: Haitsma & Kalker, "A Highly Robust
+Audio Fingerprinting System", ISMIR 2002): frame the int16 samples
+(256-sample windows, hop 128, Hann), per-frame FFT energy in 9
+log-spaced bands, and bit(n, m) = sign of the band-difference delta
+between consecutive frames:
+
+    bit = (E[n,m] - E[n,m+1]) - (E[n-1,m] - E[n-1,m+1]) > 0
+
+The first 9 frames x 9 bands give an 8x8 = 64-bit sub-fingerprint.
+Uniform amplitude scaling multiplies every energy by c^2, so the signs
+— and the fingerprint — are scale-invariant by construction.
+
+Pair mining reuses ``imagehash.dup_pairs`` (8-band pigeonhole, exact
+XOR-popcount verify — lossless for hamming <= 7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+N_FRAMES = 9          # -> 8 difference rows
+N_BANDS_FP = 9        # -> 8 difference cols
+FRAME = 256
+HOP = 128
+
+
+def audio_fingerprint64(samples: np.ndarray, rate: int = 16_000) -> int:
+    """64-bit spectral fingerprint of int16 mono samples (signed int64 so
+    the value round-trips through Arrow/DuckDB BIGINT).  Clips shorter
+    than the 9-frame span zero-pad (deterministic)."""
+    need = FRAME + HOP * (N_FRAMES - 1)
+    x = np.asarray(samples, np.float64)
+    if x.ndim == 2:            # decode_wav returns (n, channels)
+        x = x[:, 0]
+    if len(x) < need:
+        x = np.pad(x, (0, need - len(x)))
+    win = np.hanning(FRAME)
+    # log-spaced band edges over [300 Hz, rate/2), fixed per rate
+    lo, hi = 300.0, rate / 2.0
+    edges = lo * (hi / lo) ** (np.arange(N_BANDS_FP + 1) / N_BANDS_FP)
+    freqs = np.fft.rfftfreq(FRAME, d=1.0 / rate)
+    band_of = np.searchsorted(edges, freqs, side='right') - 1
+    energies = np.zeros((N_FRAMES, N_BANDS_FP))
+    for n in range(N_FRAMES):
+        frame = x[n * HOP:n * HOP + FRAME] * win
+        power = np.abs(np.fft.rfft(frame)) ** 2
+        for m in range(N_BANDS_FP):
+            energies[n, m] = power[band_of == m].sum()
+    d = energies[:, :-1] - energies[:, 1:]          # (frames, 8)
+    bits = (d[1:] - d[:-1] > 0).astype(np.uint64).ravel()   # 8x8 row-major
+    h = np.uint64(0)
+    for b in bits:
+        h = (h << np.uint64(1)) | b
+    return int(h.astype(np.int64))
+
+
+class AudioFpStage:
+    """Actor-pool stage: (media_id, media_type, payload WAV bytes) →
+    (media_id, afp int64)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from pii_detector_ray.stages.multimodal import decode_wav
+        ids = batch.column('media_id').to_pylist()
+        types = batch.column('media_type').to_pylist()
+        payloads = batch.column('payload').to_pylist()
+        out_id, out_h = [], []
+        for i, t, p in zip(ids, types, payloads):
+            if t != 'audio/wav' or not p:
+                continue
+            samples, rate = decode_wav(p)
+            out_id.append(i)
+            out_h.append(audio_fingerprint64(samples, rate))
+        return pa.table({'media_id': pa.array(out_id, pa.int64()),
+                         'afp': pa.array(out_h, pa.int64())})
+
+
+def audio_fp_table(media: ray.data.Dataset, *, concurrency=(2, 8),
+                   batch_size: int = 64) -> ray.data.Dataset:
+    return media.map_batches(AudioFpStage, concurrency=concurrency,
+                             batch_size=batch_size, batch_format='pyarrow')
+
+
+def audio_dup_pairs(fps: ray.data.Dataset, *,
+                    max_hamming: int = 7) -> ray.data.Dataset:
+    from pii_detector_ray.stages.imagehash import dup_pairs
+    return dup_pairs(fps, max_hamming=max_hamming, hash_col='afp')
+
+
+def synth_dup_audio_table(n: int = 160, seed: int = 31) -> pa.Table:
+    """Deterministic WAV fixture with PLANTED near-duplicates: groups of
+    four clips [unique, unique, base, volume-scaled + lightly-noised copy
+    of the base].  Each clip is a 3-sine mixture with seeded frequencies,
+    phases and a slow amplitude envelope."""
+    from pii_detector_ray.stages.multimodal import MEDIA_SCHEMA, encode_wav
+    rng = np.random.default_rng(seed)
+    rate = 16_000
+    t = np.arange(1600) / rate
+    ids, types, payloads, widths, heights, durs = [], [], [], [], [], []
+
+    def clip():
+        # 8 log-spaced sines with per-sine tremolo: spectrally rich enough
+        # that every band carries decisive energy (a sparse mixture leaves
+        # near-zero band differences whose bit signs are noise)
+        y = np.zeros_like(t)
+        for _ in range(8):
+            f = float(np.exp(rng.uniform(np.log(350), np.log(7000))))
+            ph = float(rng.uniform(0, 2 * np.pi))
+            amp = float(rng.uniform(1500, 4000))
+            fm = float(rng.uniform(1, 6))
+            y += amp * (1 + 0.6 * np.sin(2 * np.pi * fm * t)) \
+                * np.sin(2 * np.pi * f * t + ph)
+        # normalize below the int16 ceiling: a clipped peak distorts the
+        # spectrum NONLINEARLY, so base and scaled copy would clip
+        # differently and the planted pair drifts apart
+        return y * (28000.0 / np.abs(y).max())
+
+    for i in range(n):
+        if i % 4 == 3:
+            scale = float(rng.uniform(0.7, 0.95))
+            noisy = self_base * scale + rng.normal(0, 5.0, len(t))
+            samples = np.clip(noisy, -32768, 32767).astype(np.int16)
+        else:
+            base = clip()
+            if i % 4 == 2:
+                self_base = base
+            samples = np.clip(base, -32768, 32767).astype(np.int16)
+        ids.append(i)
+        types.append('audio/wav')
+        payloads.append(encode_wav(samples, rate))
+        widths.append(None)
+        heights.append(None)
+        durs.append(100)
+    return pa.Table.from_arrays([
+        pa.array(ids, pa.int64()), pa.array(types, pa.string()),
+        pa.array(payloads, pa.binary()), pa.array(widths, pa.int32()),
+        pa.array(heights, pa.int32()), pa.array(durs, pa.int32()),
+    ], schema=MEDIA_SCHEMA)

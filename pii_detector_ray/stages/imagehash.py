@@ -91,11 +91,13 @@ def dhash_table(media: ray.data.Dataset, *, concurrency=(2, 8),
                              batch_size=batch_size, batch_format='pyarrow')
 
 
-def dup_pairs(hashes: ray.data.Dataset, *,
-              max_hamming: int = 7) -> ray.data.Dataset:
+def dup_pairs(hashes: ray.data.Dataset, *, max_hamming: int = 7,
+              hash_col: str = 'dhash') -> ray.data.Dataset:
     """(id_a, id_b, hamming) for every pair with XOR popcount <=
     ``max_hamming`` (id_a < id_b).  Banded candidate generation is
-    provably lossless while ``max_hamming < N_BANDS`` (module doc)."""
+    provably lossless while ``max_hamming < N_BANDS`` (module doc).
+    Works over ANY 64-bit perceptual hash column (the audio spectral
+    fingerprint in stages/audiofp.py reuses it via ``hash_col``)."""
     if max_hamming >= N_BANDS:
         raise AssertionError(
             f'max_hamming {max_hamming} breaks the {N_BANDS}-band '
@@ -103,7 +105,7 @@ def dup_pairs(hashes: ray.data.Dataset, *,
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t.column('media_id').to_numpy(zero_copy_only=False)
-        h = t.column('dhash').to_numpy(zero_copy_only=False) \
+        h = t.column(hash_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64).view(np.uint64)
         outk, outi, outh = [], [], []
         for band in range(N_BANDS):

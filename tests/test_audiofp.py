@@ -1,0 +1,47 @@
+"""Audio spectral fingerprint near-dup (stages/audiofp.py)."""
+
+import numpy as np
+import pytest
+
+import ray.data
+
+from pii_detector_ray.stages.audiofp import (audio_dup_pairs,
+                                             audio_fingerprint64,
+                                             audio_fp_table,
+                                             synth_dup_audio_table)
+
+
+@pytest.mark.usefixtures('ray_session')
+class TestAudioFp:
+    def test_planted_dups_no_false_positives(self):
+        media = ray.data.from_arrow(synth_dup_audio_table(160)).repartition(4)
+        pairs = audio_dup_pairs(audio_fp_table(media)).to_pandas()
+        found = set(zip(pairs['id_a'], pairs['id_b']))
+        planted = {(4 * k + 2, 4 * k + 3) for k in range(40)}
+        assert found <= planted           # zero false positives
+        # perceptual hashing is approximate: recall is high, not perfect
+        assert len(found) >= 38
+
+    def test_scale_invariance_exact(self):
+        # pure rescale without requantization flips NO bits: energies all
+        # multiply by c^2, double-differences keep their signs
+        rng = np.random.default_rng(2)
+        t = np.arange(1600) / 16_000
+        y = np.zeros_like(t)
+        for _ in range(6):
+            y += float(rng.uniform(500, 3000)) * np.sin(
+                2 * np.pi * float(rng.uniform(400, 6000)) * t
+                + float(rng.uniform(0, 6)))
+        h1 = audio_fingerprint64(y)
+        h2 = audio_fingerprint64(y * 0.37)
+        assert h1 == h2
+
+    def test_short_clip_pads(self):
+        h = audio_fingerprint64(np.zeros(100, np.int16))
+        assert isinstance(h, int)
+
+    def test_stereo_uses_first_channel(self):
+        rng = np.random.default_rng(4)
+        mono = (1000 * np.sin(2 * np.pi * 440 * np.arange(1600) / 16_000))
+        stereo = np.stack([mono, rng.normal(0, 500, 1600)], axis=1)
+        assert audio_fingerprint64(stereo) == audio_fingerprint64(mono)
