@@ -10553,6 +10553,98 @@ _PART_TRIANGLES_SQL = (
 )
 
 
+_BFS_MAX_HOPS = 3
+
+
+def q_part_bfs_reach(sf_dir: str,
+                     max_hops: int = _BFS_MAX_HOPS) -> ray.data.Dataset:
+    """BFS hop distance from the minimum part key over the co-purchase
+    part graph (the verified ``part_pairs_count`` edge set) — iterative
+    distributed graph traversal, the reach/impact-analysis shape.
+
+    Plan (100 TB shape): the symmetric edge list is materialized ONCE
+    (16 B/edge, spillable) and re-joined against the frontier each round,
+    co-partitioned on the source endpoint — the min-label-propagation loop
+    of stages/components.py specialized to hop counting.  No visited-set
+    anti-join is needed for correctness: the shortest WALK to a node is
+    its BFS distance, so each round's frontier is simply the distinct
+    neighbor set of the previous frontier, every round is tagged with its
+    hop number, and the final ``groupby(part).min(hops)`` recovers exact
+    distances.  Frontiers are node-bounded (never edge-bounded) and the
+    only driver traffic is the scalar seed + per-round empty check; a
+    deep-BFS variant (max_hops >> diameter) would thin frontiers with the
+    bloom anti-join (stages/bloomjoin.py) to avoid re-expanding settled
+    nodes, unnecessary at 3 hops."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks, \
+        join_partitions
+
+    oriented = drop_empty_blocks(
+        q_part_pairs_count(sf_dir).select_columns(['part_a', 'part_b']))
+    n_edges = oriented.count()
+    empty = pa.table({'part': pa.array([], pa.int64()),
+                      'hops': pa.array([], pa.int64())})
+    if n_edges == 0:
+        return ray.data.from_arrow(empty)
+    # edges are oriented part_a < part_b, so min(part_a) is the global
+    # min node — the deterministic seed the SQL oracle uses
+    seed = int(oriented.min('part_a'))
+
+    edges = oriented.map_batches(
+        lambda t: pa.table({
+            'a': pa.concat_arrays([
+                t.column('part_a').combine_chunks().cast(pa.int64()),
+                t.column('part_b').combine_chunks().cast(pa.int64())]),
+            'b': pa.concat_arrays([
+                t.column('part_b').combine_chunks().cast(pa.int64()),
+                t.column('part_a').combine_chunks().cast(pa.int64())])}),
+        batch_format='pyarrow').materialize()
+
+    def tag(ds: ray.data.Dataset, k: int) -> ray.data.Dataset:
+        return ds.map_batches(
+            lambda t, _k=k: pa.table({
+                'part': t.column('a').combine_chunks().cast(pa.int64()),
+                'hops': pa.array([_k] * len(t), pa.int64())}),
+            batch_format='pyarrow')
+
+    nparts = join_partitions(rows=n_edges)
+    frontier = ray.data.from_arrow(
+        pa.table({'a': pa.array([seed], pa.int64())}))
+    levels = [tag(frontier, 0)]
+    for k in range(1, max_hops + 1):
+        joined = edges.join(frontier, join_type='inner',
+                            num_partitions=nparts, on=('a',))
+        nbrs = joined.map_batches(
+            lambda t: pa.table({'a': t.column('b').combine_chunks()}),
+            batch_format='pyarrow')
+        frontier = drop_empty_blocks(
+            nbrs.groupby('a').aggregate(Count())) \
+            .select_columns(['a']).materialize()
+        if frontier.count() == 0:
+            break
+        levels.append(tag(frontier, k))
+
+    reach = levels[0]
+    for lvl in levels[1:]:
+        reach = reach.union(lvl)
+    out = reach.groupby('part').aggregate(Min('hops', alias_name='hops'))
+    return drop_empty_blocks(out)
+
+
+_PART_BFS_SQL = (
+    'WITH RECURSIVE pc AS (' + _PART_PAIRS_SQL + '), '
+    'e AS (SELECT part_a AS a, part_b AS b FROM pc '
+    'UNION ALL SELECT part_b, part_a FROM pc), '
+    'seed AS (SELECT min(part_a) AS node FROM pc), '
+    'walk(node, hops) AS ('
+    'SELECT node, 0 FROM seed WHERE node IS NOT NULL '
+    'UNION ALL '
+    'SELECT e.b, walk.hops + 1 FROM walk JOIN e ON e.a = walk.node '
+    f'WHERE walk.hops < {_BFS_MAX_HOPS}) '
+    'SELECT CAST(node AS BIGINT) AS part, '
+    'CAST(min(hops) AS BIGINT) AS hops FROM walk GROUP BY node'
+)
+
+
 _DEBOUNCE_S = 3600
 
 
@@ -10817,6 +10909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'important_parts': q_important_parts,
         'seasonal_suppliers': q_seasonal_suppliers,
         'part_triangles': q_part_triangles,
+        'part_bfs_reach': q_part_bfs_reach,
         'events_debounced': q_events_debounced,
         'jaccard_join_exact': q_jaccard_join_exact,
         # rows-only
@@ -11011,6 +11104,7 @@ def oracle_sql() -> dict[str, str]:
         'important_parts': _IMPORTANT_PARTS_SQL,
         'seasonal_suppliers': _SEASONAL_SUPPLIERS_SQL,
         'part_triangles': _PART_TRIANGLES_SQL,
+        'part_bfs_reach': _PART_BFS_SQL,
         'events_debounced': _EVENTS_DEBOUNCED_SQL,
         'jaccard_join_exact': _JACCARD_JOIN_SQL,
         'dedup_components': _DEDUP_COMPONENTS_SQL,
