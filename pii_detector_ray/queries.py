@@ -3071,6 +3071,104 @@ def q_sequence_packing(sf_dir: str, bin_tokens: int = 2048
                        Sum('_toks', alias_name='n_tokens')))
 
 
+_TOKEN_BUDGET = 20_000
+
+
+def q_token_budget_selection(sf_dir: str,
+                             budget: int = _TOKEN_BUDGET
+                             ) -> ray.data.Dataset:
+    """Greedy quality-ranked corpus selection under a global token budget —
+    the "take the best N tokens" step a training-data pipeline runs after
+    scoring: rank documents by quality score (desc, doc_id tie-break) and
+    keep every document whose cumulative token count BEFORE it is still
+    under the budget (the same first-token-lands-inside contract as
+    ``sequence_packing``, mirrored by the oracle's window cumsum).
+
+    Scale shape: one scoring pass emits a narrow (packed sort key, doc_id,
+    score, tok) table — the key packs ``(10000 - score*1e4) << 32 |
+    doc_id`` into ONE int64 (quality_score is sql-rounded to 4 decimals,
+    so the integer quantization is exact on both sides), making the rank
+    order a single ascending int64 sort.  Then the sequence_packing
+    DISTRIBUTED PREFIX SUM: pass 1 reduces each sorted block to one
+    (min-key, max-key, sum-tok) summary, the driver prefix-sums the
+    block-count-sized list (asserting key-range disjointness), pass 2
+    re-maps the same blocks adding offset + within-block cumsum and keeps
+    rows with cum-before < budget.  Nothing row-proportional reaches the
+    driver; text never survives the scoring pass."""
+    from pii_detector_ray.stages.heuristics import heuristics_batch
+    from pii_detector_ray.stages.textstats import quality_score_batch
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={'text': 'extracted_text'})
+        df = quality_score_batch(heuristics_batch(df))
+        toks = df['extracted_text'].astype('string').fillna('') \
+            .str.count(_RE2_WORD).astype('int64')
+        si = np.round(df['quality_score'].to_numpy() * 10000) \
+            .astype(np.int64)
+        ids = df['doc_id'].to_numpy()
+        return pd.DataFrame({
+            '_k': _pack32(10000 - si, ids.astype(np.int64)),
+            'doc_id': ids, 'quality_score': df['quality_score'],
+            '_tok': toks})
+
+    mat = (read_documents(sf_dir, ['doc_id', 'text'])
+           .map_batches(feats, batch_format='pandas')
+           .sort('_k').materialize())
+
+    def summary(t: pa.Table) -> pa.Table:
+        k = t.column('_k').to_numpy(zero_copy_only=False)
+        tk = t.column('_tok').to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ('_min', '_max', '_sum')})
+        return pa.table({'_min': pa.array([int(k.min())], pa.int64()),
+                         '_max': pa.array([int(k.max())], pa.int64()),
+                         '_sum': pa.array([int(tk.sum())], pa.int64())})
+
+    summ = sorted(
+        mat.map_batches(summary, batch_format='pyarrow',
+                        batch_size=None).take_all(),
+        key=lambda r: r['_min'])
+    offsets: dict[int, tuple[int, int, int]] = {}
+    run = 0
+    prev_max = None
+    for s in summ:
+        if prev_max is not None and s['_min'] <= prev_max:
+            raise AssertionError('blocks are not key-range-disjoint')
+        prev_max = s['_max']
+        offsets[s['_min']] = (run, s['_max'], s['_sum'])
+        run += s['_sum']
+    off_ref = ray.put(offsets)
+
+    def select(t: pa.Table) -> pa.Table:
+        k = t.column('_k').to_numpy(zero_copy_only=False)
+        empty = pa.table({'doc_id': pa.array([], pa.int64()),
+                          'quality_score': pa.array([], pa.float64()),
+                          'n_tokens': pa.array([], pa.int64())})
+        if len(k) == 0:
+            return empty
+        order = np.argsort(k, kind='stable')
+        tk = t.column('_tok').to_numpy(zero_copy_only=False)[order]
+        base, exp_max, exp_sum = ray.get(off_ref)[int(k.min())]
+        # a pass-2 batch must be exactly one pass-1 block — a merged or
+        # re-split batch would silently corrupt the prefix sum
+        if int(k.max()) != exp_max or int(tk.sum()) != exp_sum:
+            raise AssertionError('pass-2 batch does not match its '
+                                 'pass-1 block summary')
+        cumb = base + np.concatenate(([0], np.cumsum(tk)))[:-1]
+        keep = cumb < budget
+        ids = t.column('doc_id').to_numpy(zero_copy_only=False)[order]
+        qs = t.column('quality_score').to_numpy(
+            zero_copy_only=False)[order]
+        return pa.table({
+            'doc_id': pa.array(ids[keep].astype(np.int64)),
+            'quality_score': pa.array(qs[keep], pa.float64()),
+            'n_tokens': pa.array(tk[keep].astype(np.int64))})
+
+    return mat.map_batches(select, batch_format='pyarrow',
+                           batch_size=None)
+
+
 _SEQUENCE_PACKING_SQL = (
     "WITH t AS (SELECT doc_id, "
     "COALESCE(len(regexp_extract_all(text, '\\S+')), 0)::BIGINT AS tok "
@@ -6242,6 +6340,22 @@ _QUALITY_SCORES_SQL = (
     "* least(greatest(n_alpha::DOUBLE / nw, 0.0), 1.0) "
     "* (CASE WHEN nonspace::DOUBLE / nw >= 2.0 AND nonspace::DOUBLE / nw <= 12.0 "
     "THEN 1.0 ELSE 0.2 END), 4) AS quality_score FROM g"
+)
+
+
+_TOKEN_BUDGET_SQL = (
+    'WITH q AS (' + _QUALITY_SCORES_SQL + '), '
+    "t AS (SELECT doc_id, "
+    "COALESCE(len(regexp_extract_all(coalesce(text, ''), '\\S+')), 0)"
+    '::BIGINT AS tok FROM documents), '
+    'j AS (SELECT q.doc_id, q.quality_score, t.tok FROM q '
+    'JOIN t ON q.doc_id = t.doc_id), '
+    'c AS (SELECT doc_id, quality_score, tok, '
+    'COALESCE(SUM(tok) OVER (ORDER BY quality_score DESC, doc_id '
+    'ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb '
+    'FROM j) '
+    'SELECT doc_id, quality_score, tok AS n_tokens FROM c '
+    f'WHERE cumb < {_TOKEN_BUDGET}'
 )
 
 
@@ -10904,6 +11018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'lang_mix_sample': q_lang_mix_sample,
         'props_value_deciles': q_props_value_deciles,
         'sequence_packing': q_sequence_packing,
+        'token_budget_selection': q_token_budget_selection,
         'avro_roundtrip': q_avro_roundtrip,
         'video_frame_stats': q_video_frame_stats,
         'important_parts': q_important_parts,
@@ -11139,6 +11254,7 @@ def oracle_sql() -> dict[str, str]:
         'lang_mix_sample': _LANG_MIX_SAMPLE_SQL,
         'props_value_deciles': _PROPS_DECILES_SQL,
         'sequence_packing': _SEQUENCE_PACKING_SQL,
+        'token_budget_selection': _TOKEN_BUDGET_SQL,
         'avro_roundtrip': _AVRO_ROUNDTRIP_SQL,
         'video_frame_stats': _VIDEO_FRAME_STATS_SQL,
         'big_spender_segments': _BIG_SPENDER_SQL,
