@@ -10667,6 +10667,77 @@ _PART_TRIANGLES_SQL = (
 )
 
 
+def _skyline2d_keep(price: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Keep mask of the 2D Pareto skyline: row i survives iff no row has
+    (price <=, size >=) with at least one strict.  O(n log n): sort by
+    (price asc, size desc); within a price group only the max size
+    survives, and it must strictly beat the running max over all smaller
+    prices."""
+    if len(price) == 0:
+        return np.zeros(0, bool)
+    order = np.lexsort((-size, price))
+    p, s = price[order], size[order]
+    grp_start = np.ones(len(p), bool)
+    grp_start[1:] = p[1:] != p[:-1]
+    gid = np.cumsum(grp_start) - 1
+    gmax = s[grp_start]                  # size desc in group → first = max
+    run = np.maximum.accumulate(gmax)
+    prev = np.where(gid > 0, run[np.maximum(gid - 1, 0)],
+                    np.iinfo(np.int64).min)
+    keep_sorted = (s == gmax[gid]) & (s > prev)
+    keep = np.empty(len(p), bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def q_part_skyline(sf_dir: str) -> ray.data.Dataset:
+    """Pareto skyline of the part catalog: parts not dominated on
+    (cheaper price, larger size) — the maxima-of-a-partial-order shape
+    (multi-objective "best tradeoff" selection).
+
+    Plan (100 TB shape): domination removal is MONOTONE and transitive,
+    so skyline(union of block-local skylines) = skyline(all) — pass 1
+    runs the vectorized O(n log n) 2D kernel per block (local maxima
+    only survive, typically a tiny fraction), and pass 2 re-runs the
+    same kernel once over the coalesced candidate union.  Nothing
+    row-proportional reaches the driver; the candidate set is the sum
+    of block skylines, which for randomly partitioned data concentrates
+    near the true skyline size.  A d>2 variant would swap the kernel
+    for a block-nested-loop over the (still tiny) candidate set."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
+    def kern(t: pa.Table) -> pa.Table:
+        price = t.column('p_retailprice').to_numpy(zero_copy_only=False)
+        size = t.column('p_size').to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = _skyline2d_keep(price, size)
+        return pa.table({
+            'p_partkey': pa.array(t.column('p_partkey').to_numpy(
+                zero_copy_only=False)[keep], pa.int64()),
+            'p_retailprice': pa.array(price[keep], pa.float64()),
+            'p_size': pa.array(size[keep], pa.int64())})
+
+    import os
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, 'part.parquet'),
+        columns=['p_partkey', 'p_retailprice', 'p_size'])
+    cand = drop_empty_blocks(ds.map_batches(kern, batch_format='pyarrow'))
+    return cand.repartition(1).map_batches(kern, batch_format='pyarrow',
+                                           batch_size=None)
+
+
+_PART_SKYLINE_SQL = (
+    'WITH g AS (SELECT p_retailprice AS pr, max(p_size) AS gm '
+    'FROM part GROUP BY 1), '
+    'r AS (SELECT pr, gm, max(gm) OVER (ORDER BY pr '
+    'ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax FROM g) '
+    'SELECT p.p_partkey, p.p_retailprice, '
+    'CAST(p.p_size AS BIGINT) AS p_size '
+    'FROM part p JOIN r ON p.p_retailprice = r.pr '
+    'WHERE p.p_size = r.gm AND (r.prevmax IS NULL OR p.p_size > r.prevmax)'
+)
+
+
 _BFS_MAX_HOPS = 3
 
 
@@ -11025,6 +11096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'seasonal_suppliers': q_seasonal_suppliers,
         'part_triangles': q_part_triangles,
         'part_bfs_reach': q_part_bfs_reach,
+        'part_skyline': q_part_skyline,
         'events_debounced': q_events_debounced,
         'jaccard_join_exact': q_jaccard_join_exact,
         # rows-only
@@ -11220,6 +11292,7 @@ def oracle_sql() -> dict[str, str]:
         'seasonal_suppliers': _SEASONAL_SUPPLIERS_SQL,
         'part_triangles': _PART_TRIANGLES_SQL,
         'part_bfs_reach': _PART_BFS_SQL,
+        'part_skyline': _PART_SKYLINE_SQL,
         'events_debounced': _EVENTS_DEBOUNCED_SQL,
         'jaccard_join_exact': _JACCARD_JOIN_SQL,
         'dedup_components': _DEDUP_COMPONENTS_SQL,
