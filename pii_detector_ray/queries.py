@@ -10667,6 +10667,129 @@ _PART_TRIANGLES_SQL = (
 )
 
 
+def q_value_ks_test(sf_dir: str, group_a: str = 'click',
+                    group_b: str = 'purchase') -> pd.DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the ``value``
+    distributions of two event types — the distribution-drift check a
+    data pipeline runs between corpus snapshots.
+
+    Plan (100 TB shape): one narrow groupby collapses the stream to
+    per-distinct-value counts for both groups; a global sort + the
+    sequence_packing block-summary prefix sum turns those into exact
+    cumulative counts WITHOUT any row reaching the driver.  The CDF gap
+    is compared in INTEGER cross-multiplied form (|ca*tb - cb*ta|, exact
+    int64 — asserted < 2^63, which holds to ~3e9 events per group; past
+    that the comparison would move to float128/uint128 pairs), so the
+    max is bit-deterministic and the single final division happens once
+    on the driver.  Only block summaries and one scalar max travel."""
+    from pii_detector_ray.functions.rounding import sql_round_np
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
+    ev = _events(sf_dir, ['event_type', 'value'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.and_(
+            pc.is_in(t.column('event_type'),
+                     value_set=pa.array([group_a, group_b])),
+            pc.is_valid(t.column('value'))))
+        tab = pa.table({
+            'value': sel.column('value'),
+            '_ia': pc.cast(pc.equal(sel.column('event_type'), group_a),
+                           pa.int64()),
+            '_ib': pc.cast(pc.equal(sel.column('event_type'), group_b),
+                           pa.int64())})
+        return tab.group_by('value').aggregate(
+            [('_ia', 'sum'), ('_ib', 'sum')]) \
+            .rename_columns(['value', '_ia', '_ib'])
+
+    g = (ev.map_batches(partial, batch_format='pyarrow')
+         .groupby('value')
+         .aggregate(Sum('_ia', alias_name='_na'),
+                    Sum('_ib', alias_name='_nb')))
+    mat = drop_empty_blocks(g).sort('value').materialize()
+
+    def summary(t: pa.Table) -> pa.Table:
+        v = t.column('value').to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return pa.table({'_min': pa.array([], pa.float64()),
+                             '_max': pa.array([], pa.float64()),
+                             '_sa': pa.array([], pa.int64()),
+                             '_sb': pa.array([], pa.int64())})
+        na = t.column('_na').to_numpy(zero_copy_only=False)
+        nb = t.column('_nb').to_numpy(zero_copy_only=False)
+        return pa.table({'_min': pa.array([float(v.min())]),
+                         '_max': pa.array([float(v.max())]),
+                         '_sa': pa.array([int(na.sum())], pa.int64()),
+                         '_sb': pa.array([int(nb.sum())], pa.int64())})
+
+    summ = sorted(
+        mat.map_batches(summary, batch_format='pyarrow',
+                        batch_size=None).take_all(),
+        key=lambda r: r['_min'])
+    empty = pd.DataFrame({'ks_stat': pd.array([], dtype='float64'),
+                          'n_a': pd.array([], dtype='int64'),
+                          'n_b': pd.array([], dtype='int64')})
+    if not summ:
+        return empty
+    offsets: dict[float, tuple[int, int, float, int, int]] = {}
+    run_a = run_b = 0
+    prev_max = None
+    for s in summ:
+        if prev_max is not None and s['_min'] <= prev_max:
+            raise AssertionError('blocks are not value-range-disjoint')
+        prev_max = s['_max']
+        offsets[s['_min']] = (run_a, run_b, s['_max'], s['_sa'], s['_sb'])
+        run_a += s['_sa']
+        run_b += s['_sb']
+    ta, tb = run_a, run_b
+    if ta == 0 or tb == 0:
+        return empty
+    if ta * tb >= (1 << 63):           # int64 cross-multiply domain
+        raise AssertionError('KS cross-multiply domain exceeded')
+    off_ref = ray.put(offsets)
+
+    def block_max(t: pa.Table) -> pa.Table:
+        v = t.column('value').to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return pa.table({'_m': pa.array([], pa.int64())})
+        order = np.argsort(v, kind='stable')
+        na = t.column('_na').to_numpy(zero_copy_only=False)[order]
+        nb = t.column('_nb').to_numpy(zero_copy_only=False)[order]
+        base_a, base_b, exp_max, exp_sa, exp_sb = \
+            ray.get(off_ref)[float(v.min())]
+        if float(v.max()) != exp_max or int(na.sum()) != exp_sa \
+                or int(nb.sum()) != exp_sb:
+            raise AssertionError('pass-2 batch does not match its '
+                                 'pass-1 block summary')
+        ca = base_a + np.cumsum(na)
+        cb = base_b + np.cumsum(nb)
+        m = int(np.abs(ca * tb - cb * ta).max())
+        return pa.table({'_m': pa.array([m], pa.int64())})
+
+    maxnum = mat.map_batches(block_max, batch_format='pyarrow',
+                             batch_size=None).max('_m')
+    ks = float(sql_round_np(np.array([maxnum / (ta * tb)]), 6)[0])
+    return pd.DataFrame({'ks_stat': pd.array([ks], dtype='float64'),
+                         'n_a': pd.array([ta], dtype='int64'),
+                         'n_b': pd.array([tb], dtype='int64')})
+
+
+_VALUE_KS_SQL = (
+    "WITH e AS (SELECT value, "
+    "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia, "
+    "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib "
+    "FROM events WHERE event_type IN ('click', 'purchase') "
+    'AND value IS NOT NULL), '
+    'g AS (SELECT value, sum(ia)::BIGINT AS na, sum(ib)::BIGINT AS nb '
+    'FROM e GROUP BY value), '
+    'c AS (SELECT sum(na) OVER (ORDER BY value) AS ca, '
+    'sum(nb) OVER (ORDER BY value) AS cb FROM g), '
+    't AS (SELECT sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb FROM g) '
+    'SELECT round(max(abs(ca * tb - cb * ta))::DOUBLE / (ta * tb), 6) '
+    'AS ks_stat, ta AS n_a, tb AS n_b FROM c, t GROUP BY ta, tb'
+)
+
+
 def _skyline2d_keep(price: np.ndarray, size: np.ndarray) -> np.ndarray:
     """Keep mask of the 2D Pareto skyline: row i survives iff no row has
     (price <=, size >=) with at least one strict.  O(n log n): sort by
@@ -11097,6 +11220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'part_triangles': q_part_triangles,
         'part_bfs_reach': q_part_bfs_reach,
         'part_skyline': q_part_skyline,
+        'value_ks_test': q_value_ks_test,
         'events_debounced': q_events_debounced,
         'jaccard_join_exact': q_jaccard_join_exact,
         # rows-only
@@ -11293,6 +11417,7 @@ def oracle_sql() -> dict[str, str]:
         'part_triangles': _PART_TRIANGLES_SQL,
         'part_bfs_reach': _PART_BFS_SQL,
         'part_skyline': _PART_SKYLINE_SQL,
+        'value_ks_test': _VALUE_KS_SQL,
         'events_debounced': _EVENTS_DEBOUNCED_SQL,
         'jaccard_join_exact': _JACCARD_JOIN_SQL,
         'dedup_components': _DEDUP_COMPONENTS_SQL,
