@@ -4476,6 +4476,84 @@ _DAILY_ACTIVE_SQL = (
 )
 
 
+_ROLLING_WINDOW_DAYS = 7
+
+
+def q_rolling_active_users(sf_dir: str,
+                           window_days: int = _ROLLING_WINDOW_DAYS
+                           ) -> ray.data.Dataset:
+    """Trailing-7-day distinct active users per calendar day — a windowed
+    COUNT DISTINCT, which no single groupby expresses (distinct sets
+    don't sum across window positions).
+
+    Plan (100 TB shape): the raw stream first collapses to the distinct
+    (day, user) table (narrow 16 B rows — the only event-proportional
+    shuffle); each row then EXPLODES to the <= 7 window-end days it
+    contributes to (an offset-explosion rewrite of the range join the
+    oracle runs), pre-filtered against the broadcast actual-day set
+    (calendar-bounded, driver-safe) so phantom trailing days never enter
+    the second distinct.  A final (day, user) dedup + per-day partial
+    counts finishes it.  Total traffic: <= 7x the distinct activity
+    table, never 7x the event stream."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
+    def dd(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column('ts'), pa.int64()),
+                        86_400_000_000)
+        return pa.table({'day': day, 'user_id': t.column('user_id')}) \
+            .group_by(['day', 'user_id']).aggregate([])
+
+    dedup = (_events(sf_dir, ['ts', 'user_id'])
+             .map_batches(dd, batch_format='pyarrow')
+             .groupby(['day', 'user_id'])
+             .aggregate(Count(alias_name='_c'))).materialize()
+
+    # actual-day set: calendar-bounded (one row per day with any event)
+    days = np.sort(np.array(
+        [r['day'] for r in drop_empty_blocks(dedup)
+         .groupby('day').aggregate(Count(alias_name='_n')).take_all()],
+        dtype=np.int64))
+    days_ref = ray.put(days)
+
+    def explode(t: pa.Table) -> pa.Table:
+        day = t.column('day').to_numpy(zero_copy_only=False)
+        user = t.column('user_id').to_numpy(zero_copy_only=False)
+        if len(day) == 0:
+            return pa.table({'day': pa.array([], pa.int64()),
+                             'user_id': pa.array([], pa.int64())})
+        tgt = (day[:, None] + np.arange(window_days)[None, :]).ravel()
+        usr = np.repeat(user, window_days)
+        dset = ray.get(days_ref)
+        idx = np.minimum(np.searchsorted(dset, tgt), len(dset) - 1)
+        keep = dset[idx] == tgt
+        return pa.table({'day': pa.array(tgt[keep], pa.int64()),
+                         'user_id': pa.array(usr[keep], pa.int64())}) \
+            .group_by(['day', 'user_id']).aggregate([])
+
+    win = (dedup.map_batches(explode, batch_format='pyarrow')
+           .groupby(['day', 'user_id']).aggregate(Count(alias_name='_c')))
+
+    def cnt(t: pa.Table) -> pa.Table:
+        agg = pa.table({'day': t.column('day')}).group_by('day') \
+            .aggregate([([], 'count_all')])
+        return pa.table({'day': agg.column('day'),
+                         '_n': pc.cast(agg.column('count_all'), pa.int64())})
+
+    return (win.map_batches(cnt, batch_format='pyarrow')
+            .groupby('day').aggregate(Sum('_n', alias_name='n_users')))
+
+
+_ROLLING_ACTIVE_SQL = (
+    'WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, '
+    'user_id FROM events), '
+    'days AS (SELECT DISTINCT day FROM du) '
+    'SELECT d.day, count(DISTINCT u.user_id) AS n_users '
+    'FROM days d JOIN du u ON u.day '
+    f'BETWEEN d.day - {_ROLLING_WINDOW_DAYS - 1} AND d.day '
+    'GROUP BY d.day'
+)
+
+
 def q_discount_revenue(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q6 shape: filtered scalar aggregate — per-batch masked partial
     sums, ONE tiny row per batch crosses the wire."""
@@ -11145,6 +11223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'embedding_dup_pairs': q_embedding_dup_pairs,
         'components_exact': q_components_exact,
         'daily_active_users': q_daily_active_users,
+        'rolling_active_users': q_rolling_active_users,
         'discount_revenue': q_discount_revenue,
         'big_spender_segments': q_big_spender_segments,
         'top_order_per_cust': q_top_order_per_cust,
@@ -11371,6 +11450,7 @@ def oracle_sql() -> dict[str, str]:
         'embedding_dup_pairs': _EMBEDDING_DUP_SQL,
         'components_exact': _COMPONENTS_EXACT_SQL,
         'daily_active_users': _DAILY_ACTIVE_SQL,
+        'rolling_active_users': _ROLLING_ACTIVE_SQL,
         'discount_revenue': _DISCOUNT_REVENUE_SQL,
         'local_supplier_volume': _LOCAL_SUPPLIER_VOLUME_SQL,
         'nation_trade_volume': _NATION_TRADE_SQL,
