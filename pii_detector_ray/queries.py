@@ -7069,6 +7069,171 @@ def _kmeans_sql(k: int = 4, iters: int = 3, dim: int = 64) -> str:
 _KMEANS_SQL = _kmeans_sql()
 
 
+def q_pq_codes(sf_dir: str, m: int = 4, k: int = 4,
+               iters: int = 2) -> pd.DataFrame:
+    """Product quantization: split the 64-dim embedding into ``m``
+    contiguous subspaces, learn a ``k``-centroid codebook per subspace
+    (Lloyd's, fixed ``iters`` rounds, deterministic smallest-vec_ids
+    init), and encode every vector as its per-subspace nearest-centroid
+    codes — the memory-compression step an IVF-PQ ANN index runs so a
+    100 TB vector corpus fits in RAM as m bytes/vector.
+
+    Bit-exactness is inherited from q_kmeans_embeddings (integer
+    micro-unit quantization, left-associated per-dimension distance
+    accumulation matching SQL's ``+`` chain, argmin ties to the smallest
+    cid, empty clusters dropping out of the state).  Scale shape: the
+    quantized working set materializes ONCE; every training round is a
+    SINGLE fused pass assigning all m subspaces at once and emitting
+    <= m*k bounded partial-sum rows per batch (not m separate scans);
+    the driver folds an (m*k) x (d/m) integer table per round and the
+    final encode pass emits one narrow (vec_id, m codes) row per
+    vector."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
+    ds = _embeddings(sf_dir, ['vec_id', 'embedding'])
+
+    def quant(t: pa.Table) -> pa.Table:
+        arr = t.column('embedding').combine_chunks()
+        v = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        x = sql_round_np(v * 1e6, 0).astype(np.int64)
+        dim = len(x) // len(t)
+        return pa.table({
+            'vec_id': t.column('vec_id'),
+            '_q': pa.FixedSizeListArray.from_arrays(pa.array(x), dim)})
+
+    mat = drop_empty_blocks(
+        ds.map_batches(quant, batch_format='pyarrow')).materialize()
+
+    def block_head(t: pa.Table) -> pa.Table:
+        ids = t.column('vec_id').to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind='stable')[:k]
+        return t.take(pa.array(order))
+
+    head = mat.map_batches(block_head, batch_format='pyarrow').to_pandas()
+    head = head.sort_values('vec_id', kind='mergesort').head(k)
+    code_cols = {f'code{s}': pd.Series([], dtype='int64')
+                 for s in range(m)}
+    if len(head) == 0:
+        return pd.DataFrame({'vec_id': pd.Series([], dtype='int64'),
+                             **code_cols})
+    full = np.stack([np.asarray(q, np.int64) for q in head['_q']])
+    dim = full.shape[1]
+    if dim % m:
+        raise ValueError(f'dim {dim} not divisible into {m} subspaces')
+    sub = dim // m
+    # per-subspace codebook state: (cids, ns, integer sums)
+    state = [(np.arange(len(head), dtype=np.int64),
+              np.ones(len(head), np.int64),
+              full[:, s * sub:(s + 1) * sub].copy()) for s in range(m)]
+
+    def _d2(xs: np.ndarray, cent: np.ndarray) -> np.ndarray:
+        # left-associated accumulation — matches the oracle's + chain
+        d2 = np.zeros((len(xs), len(cent)), np.float64)
+        for i in range(xs.shape[1]):
+            diff = xs[:, i:i + 1] - cent[None, :, i].reshape(1, -1)
+            d2 += diff * diff
+        return d2
+
+    for _ in range(iters):
+        cents = [(cids, sums.astype(np.float64) / ns[:, None])
+                 for cids, ns, sums in state]
+        ref = ray.put((cents, sub))
+
+        def train(t: pa.Table) -> pa.Table:
+            cs, sb = ray.get(ref)
+            q = t.column('_q').combine_chunks()
+            x = q.flatten().to_numpy(zero_copy_only=False) \
+                .astype(np.float64).reshape(len(t), sb * len(cs))
+            rows = []
+            for s, (cid_v, cent) in enumerate(cs):
+                xs = x[:, s * sb:(s + 1) * sb]
+                a = np.argmin(_d2(xs, cent), axis=1)
+                for j in range(len(cent)):
+                    msk = a == j
+                    if not msk.any():
+                        continue
+                    tot = xs[msk].sum(axis=0)  # sums of exact ints
+                    rows.append({'sub': s, 'cid': int(cid_v[j]),
+                                 '_n': int(msk.sum()),
+                                 **{f's{i}': int(tot[i])
+                                    for i in range(sb)}})
+            return pa.Table.from_pylist(rows)
+
+        parts = mat.map_batches(train, batch_format='pyarrow').to_pandas()
+        agg = parts.groupby(['sub', 'cid'], sort=True).sum()
+        state = []
+        for s in range(m):
+            g = agg.loc[s]
+            state.append((g.index.to_numpy(np.int64),
+                          g['_n'].to_numpy(np.int64),
+                          g[[f's{i}' for i in range(sub)]]
+                          .to_numpy(np.int64)))
+
+    cents = [(cids, sums.astype(np.float64) / ns[:, None])
+             for cids, ns, sums in state]
+    fref = ray.put((cents, sub))
+
+    def encode(t: pa.Table) -> pa.Table:
+        cs, sb = ray.get(fref)
+        q = t.column('_q').combine_chunks()
+        x = q.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(len(t), sb * len(cs))
+        out = {'vec_id': pc.cast(t.column('vec_id'), pa.int64())}
+        for s, (cid_v, cent) in enumerate(cs):
+            a = np.argmin(_d2(x[:, s * sb:(s + 1) * sb], cent), axis=1)
+            out[f'code{s}'] = pa.array(cid_v[a], pa.int64())
+        return pa.table(out)
+
+    return mat.map_batches(encode, batch_format='pyarrow').to_pandas()
+
+
+def _pq_sql(m: int = 4, k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled per-subspace Lloyd's chains + final per-subspace
+    assignment, joined back to one (vec_id, code0..codem-1) row — the
+    same CTE construction as _kmeans_ctes, prefixed per subspace."""
+    sub = dim // m
+    xs = ', '.join(f'CAST(round(embedding[{i + 1}]::DOUBLE * 1000000) '
+                   f'AS BIGINT) AS x{i}' for i in range(dim))
+    ctes = [f'e AS MATERIALIZED (SELECT vec_id, {xs} FROM embeddings)']
+    for s in range(m):
+        dims = range(s * sub, (s + 1) * sub)
+        dist_from = ' + '.join(
+            f'(e.x{i} - c.s{i} / c.n) * (e.x{i} - c.s{i} / c.n)'
+            for i in dims)
+        ctes.append(
+            f'p{s}c0 AS MATERIALIZED (SELECT row_number() OVER '
+            '(ORDER BY vec_id) - 1 AS cid, '
+            + ', '.join(f'x{i} AS s{i}' for i in dims)
+            + ', CAST(1 AS BIGINT) AS n FROM '
+            f'(SELECT * FROM e ORDER BY vec_id LIMIT {k}))')
+        for t in range(1, iters + 1):
+            ctes.append(
+                f'p{s}a{t} AS MATERIALIZED (SELECT vec_id, cid FROM '
+                f'(SELECT e.vec_id, c.cid, '
+                f'row_number() OVER (PARTITION BY e.vec_id '
+                f'ORDER BY {dist_from}, c.cid) AS rn '
+                f'FROM e CROSS JOIN p{s}c{t - 1} c) WHERE rn = 1)')
+            ctes.append(
+                f'p{s}c{t} AS MATERIALIZED (SELECT p{s}a{t}.cid, '
+                + ', '.join(f'CAST(sum(e.x{i}) AS BIGINT) AS s{i}'
+                            for i in dims)
+                + f', count(*) AS n FROM e JOIN p{s}a{t} USING (vec_id) '
+                f'GROUP BY p{s}a{t}.cid)')
+        ctes.append(
+            f'p{s}f AS MATERIALIZED (SELECT vec_id, cid FROM '
+            f'(SELECT e.vec_id, c.cid, '
+            f'row_number() OVER (PARTITION BY e.vec_id '
+            f'ORDER BY {dist_from}, c.cid) AS rn '
+            f'FROM e CROSS JOIN p{s}c{iters} c) WHERE rn = 1)')
+    joins = ' '.join(f'JOIN p{s}f USING (vec_id)' for s in range(m))
+    codes = ', '.join(f'p{s}f.cid AS code{s}' for s in range(m))
+    return ('WITH ' + ', '.join(ctes)
+            + f' SELECT e.vec_id, {codes} FROM e {joins}')
+
+
+_PQ_SQL = _pq_sql()
+
+
 def q_semdedup(sf_dir: str, k: int = 4, iters: int = 3,
                threshold: float = 0.45) -> ray.data.Dataset:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
@@ -11287,6 +11452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'click_purchase_days': q_click_purchase_days,
         'above_avg_orders': q_above_avg_orders,
         'kmeans_embeddings': q_kmeans_embeddings,
+        'pq_codes': q_pq_codes,
         'semdedup': q_semdedup,
         'lang_mix_sample': q_lang_mix_sample,
         'props_value_deciles': q_props_value_deciles,
@@ -11528,6 +11694,7 @@ def oracle_sql() -> dict[str, str]:
         'click_purchase_days': _CLICK_PURCHASE_SQL,
         'above_avg_orders': _ABOVE_AVG_SQL,
         'kmeans_embeddings': _KMEANS_SQL,
+        'pq_codes': _PQ_SQL,
         'semdedup': _SEMDEDUP_SQL,
         'lang_mix_sample': _LANG_MIX_SAMPLE_SQL,
         'props_value_deciles': _PROPS_DECILES_SQL,
