@@ -7069,25 +7069,23 @@ def _kmeans_sql(k: int = 4, iters: int = 3, dim: int = 64) -> str:
 _KMEANS_SQL = _kmeans_sql()
 
 
-def q_pq_codes(sf_dir: str, m: int = 4, k: int = 4,
-               iters: int = 2) -> pd.DataFrame:
-    """Product quantization: split the 64-dim embedding into ``m``
-    contiguous subspaces, learn a ``k``-centroid codebook per subspace
-    (Lloyd's, fixed ``iters`` rounds, deterministic smallest-vec_ids
-    init), and encode every vector as its per-subspace nearest-centroid
-    codes — the memory-compression step an IVF-PQ ANN index runs so a
-    100 TB vector corpus fits in RAM as m bytes/vector.
+def _pq_d2(xs: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Squared distances with LEFT-ASSOCIATED per-dimension accumulation
+    (matches the oracle's ``+`` chain; numpy's pairwise .sum() would
+    not)."""
+    d2 = np.zeros((len(xs), len(cent)), np.float64)
+    for i in range(xs.shape[1]):
+        diff = xs[:, i:i + 1] - cent[None, :, i].reshape(1, -1)
+        d2 += diff * diff
+    return d2
 
-    Bit-exactness is inherited from q_kmeans_embeddings (integer
-    micro-unit quantization, left-associated per-dimension distance
-    accumulation matching SQL's ``+`` chain, argmin ties to the smallest
-    cid, empty clusters dropping out of the state).  Scale shape: the
-    quantized working set materializes ONCE; every training round is a
-    SINGLE fused pass assigning all m subspaces at once and emitting
-    <= m*k bounded partial-sum rows per batch (not m separate scans);
-    the driver folds an (m*k) x (d/m) integer table per round and the
-    final encode pass emits one narrow (vec_id, m codes) row per
-    vector."""
+
+def _pq_train(sf_dir: str, m: int, k: int, iters: int):
+    """Learn per-subspace PQ codebooks (see q_pq_codes for semantics).
+
+    Returns ``(mat, cents, sub)``: the materialized quantized working
+    set, the per-subspace ``(cid_vector, float centroid matrix)`` list
+    (empty list if the table is empty), and the subspace width."""
     from pii_detector_ray.stages.dedup import drop_empty_blocks
 
     ds = _embeddings(sf_dir, ['vec_id', 'embedding'])
@@ -7111,11 +7109,8 @@ def q_pq_codes(sf_dir: str, m: int = 4, k: int = 4,
 
     head = mat.map_batches(block_head, batch_format='pyarrow').to_pandas()
     head = head.sort_values('vec_id', kind='mergesort').head(k)
-    code_cols = {f'code{s}': pd.Series([], dtype='int64')
-                 for s in range(m)}
     if len(head) == 0:
-        return pd.DataFrame({'vec_id': pd.Series([], dtype='int64'),
-                             **code_cols})
+        return mat, [], 0
     full = np.stack([np.asarray(q, np.int64) for q in head['_q']])
     dim = full.shape[1]
     if dim % m:
@@ -7125,14 +7120,7 @@ def q_pq_codes(sf_dir: str, m: int = 4, k: int = 4,
     state = [(np.arange(len(head), dtype=np.int64),
               np.ones(len(head), np.int64),
               full[:, s * sub:(s + 1) * sub].copy()) for s in range(m)]
-
-    def _d2(xs: np.ndarray, cent: np.ndarray) -> np.ndarray:
-        # left-associated accumulation — matches the oracle's + chain
-        d2 = np.zeros((len(xs), len(cent)), np.float64)
-        for i in range(xs.shape[1]):
-            diff = xs[:, i:i + 1] - cent[None, :, i].reshape(1, -1)
-            d2 += diff * diff
-        return d2
+    _d2 = _pq_d2
 
     for _ in range(iters):
         cents = [(cids, sums.astype(np.float64) / ns[:, None])
@@ -7171,6 +7159,33 @@ def q_pq_codes(sf_dir: str, m: int = 4, k: int = 4,
 
     cents = [(cids, sums.astype(np.float64) / ns[:, None])
              for cids, ns, sums in state]
+    return mat, cents, sub
+
+
+def q_pq_codes(sf_dir: str, m: int = 4, k: int = 4,
+               iters: int = 2) -> pd.DataFrame:
+    """Product quantization: split the 64-dim embedding into ``m``
+    contiguous subspaces, learn a ``k``-centroid codebook per subspace
+    (Lloyd's, fixed ``iters`` rounds, deterministic smallest-vec_ids
+    init), and encode every vector as its per-subspace nearest-centroid
+    codes — the memory-compression step an IVF-PQ ANN index runs so a
+    100 TB vector corpus fits in RAM as m bytes/vector.
+
+    Bit-exactness is inherited from q_kmeans_embeddings (integer
+    micro-unit quantization, left-associated per-dimension distance
+    accumulation matching SQL's ``+`` chain, argmin ties to the smallest
+    cid, empty clusters dropping out of the state).  Scale shape: the
+    quantized working set materializes ONCE; every training round is a
+    SINGLE fused pass assigning all m subspaces at once and emitting
+    <= m*k bounded partial-sum rows per batch (not m separate scans);
+    the driver folds an (m*k) x (d/m) integer table per round and the
+    final encode pass emits one narrow (vec_id, m codes) row per
+    vector."""
+    mat, cents, sub = _pq_train(sf_dir, m, k, iters)
+    if not cents:
+        return pd.DataFrame({'vec_id': pd.Series([], dtype='int64'),
+                             **{f'code{s}': pd.Series([], dtype='int64')
+                                for s in range(m)}})
     fref = ray.put((cents, sub))
 
     def encode(t: pa.Table) -> pa.Table:
@@ -7180,11 +7195,65 @@ def q_pq_codes(sf_dir: str, m: int = 4, k: int = 4,
             .astype(np.float64).reshape(len(t), sb * len(cs))
         out = {'vec_id': pc.cast(t.column('vec_id'), pa.int64())}
         for s, (cid_v, cent) in enumerate(cs):
-            a = np.argmin(_d2(x[:, s * sb:(s + 1) * sb], cent), axis=1)
+            a = np.argmin(_pq_d2(x[:, s * sb:(s + 1) * sb], cent), axis=1)
             out[f'code{s}'] = pa.array(cid_v[a], pa.int64())
         return pa.table(out)
 
     return mat.map_batches(encode, batch_format='pyarrow').to_pandas()
+
+
+def q_pq_ann_topk(sf_dir: str, m: int = 4, k: int = 4, iters: int = 2,
+                  topk: int = 10) -> pd.DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes: the query
+    (the smallest vec_id's vector) precomputes an m x k lookup table of
+    subspace distances to every codebook centroid; each database vector's
+    approximate distance is then just m table lookups summed — the way an
+    IVF-PQ index scans a posting list without touching raw vectors.
+
+    Plan: codebooks from _pq_train; the m x k LUT is built ON THE DRIVER
+    (bounded) with the same left-associated accumulation as the oracle's
+    ``+`` chain, then broadcast; one pass assigns codes and sums LUT
+    entries in subspace order (bit-deterministic — floats identical to
+    the SQL chain), keeping a per-block local top-k so the driver merge
+    sees <= topk rows per block.  Ranking uses the UNROUNDED distance
+    with vec_id tie-break; the reported column rounds to 6 dp."""
+    mat, cents, sub = _pq_train(sf_dir, m, k, iters)
+    if not cents:
+        return pd.DataFrame({'vec_id': pd.Series([], dtype='int64'),
+                             'adc': pd.Series([], dtype='float64')})
+
+    def block_min(t: pa.Table) -> pa.Table:
+        ids = t.column('vec_id').to_numpy(zero_copy_only=False)
+        return t.take(pa.array(np.argsort(ids, kind='stable')[:1]))
+
+    qrow = mat.map_batches(block_min, batch_format='pyarrow').to_pandas() \
+        .sort_values('vec_id', kind='mergesort').head(1)
+    qx = np.asarray(qrow['_q'].iloc[0], np.int64).astype(np.float64)
+    # m x n_centroids LUT, same accumulation order as the oracle
+    lut = [_pq_d2(qx[s * sub:(s + 1) * sub][None, :], cent)[0]
+           for s, (_cids, cent) in enumerate(cents)]
+    ref = ray.put((cents, lut, sub))
+
+    def scan(t: pa.Table) -> pa.Table:
+        cs, lt, sb = ray.get(ref)
+        q = t.column('_q').combine_chunks()
+        x = q.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(len(t), sb * len(cs))
+        adc = np.zeros(len(t), np.float64)
+        for s, (_cid_v, cent) in enumerate(cs):
+            a = np.argmin(_pq_d2(x[:, s * sb:(s + 1) * sb], cent), axis=1)
+            adc = adc + lt[s][a]          # left-assoc subspace sum
+        ids = t.column('vec_id').to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, adc))[:topk]
+        return pa.table({'vec_id': pa.array(ids[order], pa.int64()),
+                         '_adc': pa.array(adc[order], pa.float64())})
+
+    parts = mat.map_batches(scan, batch_format='pyarrow').to_pandas()
+    parts = parts.sort_values(['_adc', 'vec_id'], kind='mergesort') \
+        .head(topk).reset_index(drop=True)
+    return pd.DataFrame({
+        'vec_id': parts['vec_id'].astype('int64'),
+        'adc': sql_round_np(parts['_adc'].to_numpy(np.float64), 6)})
 
 
 def _pq_sql(m: int = 4, k: int = 4, iters: int = 2, dim: int = 64) -> str:
@@ -7232,6 +7301,38 @@ def _pq_sql(m: int = 4, k: int = 4, iters: int = 2, dim: int = 64) -> str:
 
 
 _PQ_SQL = _pq_sql()
+
+
+def _pq_ann_sql(m: int = 4, k: int = 4, iters: int = 2, dim: int = 64,
+                topk: int = 10) -> str:
+    """ADC top-k on the _pq_sql chains: the query row is the smallest
+    vec_id; each subspace's distance is the same left-associated chain
+    evaluated at the ASSIGNED centroid (join code -> final codebook),
+    and the total is the left-associated sum of the m subspace chains —
+    float-identical to the engine's LUT accumulation."""
+    sub = dim // m
+    base = _pq_sql(m, k, iters, dim)
+    ctes_part = base[len('WITH '):base.rindex(' SELECT ')]
+    terms = []
+    for s in range(m):
+        dims = range(s * sub, (s + 1) * sub)
+        terms.append('(' + ' + '.join(
+            f'(qq.x{i} - c{s}.s{i} / c{s}.n) * '
+            f'(qq.x{i} - c{s}.s{i} / c{s}.n)' for i in dims) + ')')
+    dist = ' + '.join(terms)
+    joins = ' '.join(
+        f'JOIN p{s}f USING (vec_id) '
+        f'JOIN p{s}c{iters} c{s} ON c{s}.cid = p{s}f.cid'
+        for s in range(m))
+    return ('WITH ' + ctes_part
+            + ', qq AS (SELECT * FROM e ORDER BY vec_id LIMIT 1) '
+            + f'SELECT vec_id, round(adc_raw, 6) AS adc FROM '
+            f'(SELECT e.vec_id, {dist} AS adc_raw '
+            f'FROM e {joins} CROSS JOIN qq) '
+            f'ORDER BY adc_raw, vec_id LIMIT {topk}')
+
+
+_PQ_ANN_SQL = _pq_ann_sql()
 
 
 def q_semdedup(sf_dir: str, k: int = 4, iters: int = 3,
@@ -11453,6 +11554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'above_avg_orders': q_above_avg_orders,
         'kmeans_embeddings': q_kmeans_embeddings,
         'pq_codes': q_pq_codes,
+        'pq_ann_topk': q_pq_ann_topk,
         'semdedup': q_semdedup,
         'lang_mix_sample': q_lang_mix_sample,
         'props_value_deciles': q_props_value_deciles,
@@ -11695,6 +11797,7 @@ def oracle_sql() -> dict[str, str]:
         'above_avg_orders': _ABOVE_AVG_SQL,
         'kmeans_embeddings': _KMEANS_SQL,
         'pq_codes': _PQ_SQL,
+        'pq_ann_topk': _PQ_ANN_SQL,
         'semdedup': _SEMDEDUP_SQL,
         'lang_mix_sample': _LANG_MIX_SAMPLE_SQL,
         'props_value_deciles': _PROPS_DECILES_SQL,
