@@ -11205,6 +11205,116 @@ _PART_SKYLINE_SQL = (
 )
 
 
+def q_degree_assortativity(sf_dir: str,
+                           broadcast_node_limit: int = 5_000_000
+                           ) -> pd.DataFrame:
+    """Degree assortativity of the co-purchase part graph: the Pearson
+    correlation of endpoint degrees over the symmetric edge list — the
+    "do hubs connect to hubs" diagnostic that decides whether a power-law
+    mitigation (degree-ordered orientation, hot-key salting) is needed.
+
+    Plan (100 TB shape): degrees are one narrow groupby over the edge
+    list; attaching them to both endpoints is the triangles-style
+    size-guarded choice — broadcast the sorted (node, degree) arrays
+    under the limit (one shuffle-free pass), two co-partitioned joins
+    above it.  All five sufficient statistics are INTEGER sums (exact
+    int64, order-independent on both sides); only the final correlation
+    arithmetic is float, computed once on the driver in the same
+    expression shape as the oracle."""
+    from pii_detector_ray.functions.rounding import sql_round_scalar
+    from pii_detector_ray.stages.dedup import drop_empty_blocks, \
+        join_partitions
+
+    oriented = drop_empty_blocks(
+        q_part_pairs_count(sf_dir).select_columns(['part_a', 'part_b']))
+    n_edges = oriented.count()
+    if n_edges == 0:
+        return pd.DataFrame(
+            {'assortativity': pd.array([], dtype='float64')})
+
+    edges = oriented.map_batches(
+        lambda t: pa.table({
+            'a': pa.concat_arrays([
+                t.column('part_a').combine_chunks().cast(pa.int64()),
+                t.column('part_b').combine_chunks().cast(pa.int64())]),
+            'b': pa.concat_arrays([
+                t.column('part_b').combine_chunks().cast(pa.int64()),
+                t.column('part_a').combine_chunks().cast(pa.int64())])}),
+        batch_format='pyarrow').materialize()
+    deg = drop_empty_blocks(
+        edges.groupby('a').aggregate(Count(alias_name='deg')))
+
+    def stats(jk: pa.Table) -> pa.Table:
+        j = jk.column('_j').to_numpy(zero_copy_only=False)
+        kk = jk.column('_k').to_numpy(zero_copy_only=False)
+        return pa.table({
+            '_m': pa.array([len(j)], pa.int64()),
+            '_sj': pa.array([int(j.sum())], pa.int64()),
+            '_sk': pa.array([int(kk.sum())], pa.int64()),
+            '_sjk': pa.array([int((j * kk).sum())], pa.int64()),
+            '_sjj': pa.array([int((j * j).sum())], pa.int64()),
+            '_skk': pa.array([int((kk * kk).sum())], pa.int64())})
+
+    n_nodes = deg.count()
+    if n_nodes <= broadcast_node_limit:
+        dp = deg.to_pandas()                     # node-bounded, guarded
+        nodes = dp['a'].to_numpy(np.int64)
+        order = np.argsort(nodes, kind='stable')
+        nodes = nodes[order]
+        degv = dp['deg'].to_numpy(np.int64)[order]
+        dref = ray.put((nodes, degv))
+
+        def attach(t: pa.Table) -> pa.Table:
+            nd, dg = ray.get(dref)
+            a = t.column('a').to_numpy(zero_copy_only=False)
+            b = t.column('b').to_numpy(zero_copy_only=False)
+            # every endpoint appears in deg (built from these edges)
+            return stats(pa.table({
+                '_j': pa.array(dg[np.searchsorted(nd, a)], pa.int64()),
+                '_k': pa.array(dg[np.searchsorted(nd, b)], pa.int64())}))
+
+        parts = edges.map_batches(attach, batch_format='pyarrow') \
+            .to_pandas()
+    else:
+        nparts = join_partitions(rows=n_edges)
+        degb = deg.map_batches(
+            lambda t: t.rename_columns(['b', 'degb']),
+            batch_format='pyarrow')
+        jk = (edges.join(deg, join_type='inner', num_partitions=nparts,
+                         on=('a',))
+              .join(degb, join_type='inner', num_partitions=nparts,
+                    on=('b',)))
+        parts = jk.map_batches(
+            lambda t: stats(pa.table({'_j': t.column('deg'),
+                                      '_k': t.column('degb')})),
+            batch_format='pyarrow').to_pandas()
+
+    tot = parts.sum()
+    m, sj, sk = int(tot['_m']), int(tot['_sj']), int(tot['_sk'])
+    sjk, sjj, skk = int(tot['_sjk']), int(tot['_sjj']), int(tot['_skk'])
+    num = float(m * sjk - sj * sk)
+    den = np.sqrt(float(m * sjj - sj * sj) * float(m * skk - sk * sk))
+    r = sql_round_scalar(num / den, 6) if den else None
+    return pd.DataFrame({'assortativity': pd.array([r], dtype='float64')})
+
+
+_ASSORTATIVITY_SQL = (
+    'WITH pc AS (' + _PART_PAIRS_SQL + '), '
+    'e AS (SELECT part_a AS a, part_b AS b FROM pc '
+    'UNION ALL SELECT part_b, part_a FROM pc), '
+    'd AS (SELECT a, count(*)::BIGINT AS deg FROM e GROUP BY a), '
+    'x AS (SELECT da.deg AS j, db.deg AS k FROM e '
+    'JOIN d da ON da.a = e.a JOIN d db ON db.a = e.b), '
+    's AS (SELECT count(*)::BIGINT AS m, sum(j)::BIGINT AS sj, '
+    'sum(k)::BIGINT AS sk, sum(j * k)::BIGINT AS sjk, '
+    'sum(j * j)::BIGINT AS sjj, sum(k * k)::BIGINT AS skk FROM x) '
+    'SELECT CASE WHEN (m * sjj - sj * sj) = 0 OR (m * skk - sk * sk) = 0 '
+    'THEN NULL ELSE round((m * sjk - sj * sk)::DOUBLE / '
+    'sqrt((m * sjj - sj * sj)::DOUBLE * (m * skk - sk * sk)::DOUBLE), 6) '
+    'END AS assortativity FROM s'
+)
+
+
 _BFS_MAX_HOPS = 3
 
 
@@ -11566,6 +11676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'seasonal_suppliers': q_seasonal_suppliers,
         'part_triangles': q_part_triangles,
         'part_bfs_reach': q_part_bfs_reach,
+        'degree_assortativity': q_degree_assortativity,
         'part_skyline': q_part_skyline,
         'value_ks_test': q_value_ks_test,
         'events_debounced': q_events_debounced,
@@ -11764,6 +11875,7 @@ def oracle_sql() -> dict[str, str]:
         'seasonal_suppliers': _SEASONAL_SUPPLIERS_SQL,
         'part_triangles': _PART_TRIANGLES_SQL,
         'part_bfs_reach': _PART_BFS_SQL,
+        'degree_assortativity': _ASSORTATIVITY_SQL,
         'part_skyline': _PART_SKYLINE_SQL,
         'value_ks_test': _VALUE_KS_SQL,
         'events_debounced': _EVENTS_DEBOUNCED_SQL,

@@ -54,3 +54,10 @@ def test_skyline_window_oracle_matches_not_exists():
         'AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)) '
         'ORDER BY p_partkey').fetchdf().reset_index(drop=True)
     pd.testing.assert_frame_equal(win, ne)
+
+
+def test_assortativity_paths_equal(ray_session):
+    from pii_detector_ray.queries import q_degree_assortativity
+    broadcast = q_degree_assortativity(SF)
+    joined = q_degree_assortativity(SF, broadcast_node_limit=0)
+    pd.testing.assert_frame_equal(broadcast, joined)
