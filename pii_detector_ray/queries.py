@@ -11205,6 +11205,106 @@ _PART_SKYLINE_SQL = (
 )
 
 
+def q_user_activity_gini(sf_dir: str) -> pd.DataFrame:
+    """Gini coefficient of per-user event counts — the traffic-inequality
+    diagnostic that tells a pipeline whether per-user partitioning will
+    skew (Gini → 1 means a few mega-users own the stream).
+
+    Plan (100 TB shape): one narrow groupby yields (user, count); the
+    rank-weighted sum Σ rank·count the Gini needs is a third flavor of
+    the block-summary DISTRIBUTED PREFIX SUM — counts pack with user_id
+    into one int64 sort key, pass 1 gives each sorted block its global
+    base rank (a prefix COUNT this time), pass 2 computes the exact
+    integer Σ (base + local_rank)·count per block.  Everything is int64
+    until the single driver-side division (domain-asserted: n·total <
+    2^62, which holds to ~10^9 users × 10^9 events)."""
+    from pii_detector_ray.functions.rounding import sql_round_scalar
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
+    counts = drop_empty_blocks(
+        _events(sf_dir, ['user_id'])
+        .groupby('user_id').aggregate(Count(alias_name='n_ev')))
+
+    def pack(t: pa.Table) -> pa.Table:
+        u = t.column('user_id').to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c = t.column('n_ev').to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({'_k': pa.array(_pack32(c, u), pa.int64()),
+                         '_c': pa.array(c, pa.int64())})
+
+    mat = counts.map_batches(pack, batch_format='pyarrow') \
+        .sort('_k').materialize()
+
+    def summary(t: pa.Table) -> pa.Table:
+        k = t.column('_k').to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ('_min', '_max', '_n', '_sum')})
+        c = t.column('_c').to_numpy(zero_copy_only=False)
+        return pa.table({'_min': pa.array([int(k.min())], pa.int64()),
+                         '_max': pa.array([int(k.max())], pa.int64()),
+                         '_n': pa.array([len(k)], pa.int64()),
+                         '_sum': pa.array([int(c.sum())], pa.int64())})
+
+    summ = sorted(
+        mat.map_batches(summary, batch_format='pyarrow',
+                        batch_size=None).take_all(),
+        key=lambda r: r['_min'])
+    empty = pd.DataFrame({'gini': pd.array([], dtype='float64'),
+                          'n_users': pd.array([], dtype='int64')})
+    if not summ:
+        return empty
+    offsets: dict[int, tuple[int, int, int, int]] = {}
+    rank = tot = 0
+    prev_max = None
+    for s in summ:
+        if prev_max is not None and s['_min'] <= prev_max:
+            raise AssertionError('blocks are not key-range-disjoint')
+        prev_max = s['_max']
+        offsets[s['_min']] = (rank, s['_max'], s['_n'], s['_sum'])
+        rank += s['_n']
+        tot += s['_sum']
+    n = rank
+    if n * tot >= (1 << 62):
+        raise AssertionError('gini rank-weight domain exceeded')
+    off_ref = ray.put(offsets)
+
+    def wsum(t: pa.Table) -> pa.Table:
+        k = t.column('_k').to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table({'_w': pa.array([], pa.int64())})
+        order = np.argsort(k, kind='stable')
+        c = t.column('_c').to_numpy(zero_copy_only=False)[order]
+        base, exp_max, exp_n, exp_sum = ray.get(off_ref)[int(k.min())]
+        if int(k.max()) != exp_max or len(k) != exp_n \
+                or int(c.sum()) != exp_sum:
+            raise AssertionError('pass-2 batch does not match its '
+                                 'pass-1 block summary')
+        rk = base + np.arange(1, len(c) + 1, dtype=np.int64)
+        return pa.table({'_w': pa.array([int((rk * c).sum())], pa.int64())})
+
+    w = mat.map_batches(wsum, batch_format='pyarrow',
+                        batch_size=None).sum('_w')
+    # float-then-divide matches the oracle's ::DOUBLE / BIGINT promotion
+    gini = sql_round_scalar(float(2 * w - (n + 1) * tot)
+                            / float(n * tot), 6)
+    return pd.DataFrame({'gini': pd.array([gini], dtype='float64'),
+                         'n_users': pd.array([n], dtype='int64')})
+
+
+_USER_GINI_SQL = (
+    'WITH c AS (SELECT user_id, count(*)::BIGINT AS n_ev FROM events '
+    'GROUP BY user_id), '
+    'r AS (SELECT n_ev, row_number() OVER (ORDER BY n_ev, user_id) AS rk '
+    'FROM c), '
+    's AS (SELECT count(*)::BIGINT AS n, sum(n_ev)::BIGINT AS tot, '
+    'sum(rk * n_ev)::BIGINT AS wsum FROM r) '
+    'SELECT round((2 * wsum - (n + 1) * tot)::DOUBLE / (n * tot), 6) '
+    'AS gini, n AS n_users FROM s'
+)
+
+
 def q_degree_assortativity(sf_dir: str,
                            broadcast_node_limit: int = 5_000_000
                            ) -> pd.DataFrame:
@@ -11677,6 +11777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'part_triangles': q_part_triangles,
         'part_bfs_reach': q_part_bfs_reach,
         'degree_assortativity': q_degree_assortativity,
+        'user_activity_gini': q_user_activity_gini,
         'part_skyline': q_part_skyline,
         'value_ks_test': q_value_ks_test,
         'events_debounced': q_events_debounced,
@@ -11876,6 +11977,7 @@ def oracle_sql() -> dict[str, str]:
         'part_triangles': _PART_TRIANGLES_SQL,
         'part_bfs_reach': _PART_BFS_SQL,
         'degree_assortativity': _ASSORTATIVITY_SQL,
+        'user_activity_gini': _USER_GINI_SQL,
         'part_skyline': _PART_SKYLINE_SQL,
         'value_ks_test': _VALUE_KS_SQL,
         'events_debounced': _EVENTS_DEBOUNCED_SQL,
