@@ -4212,6 +4212,36 @@ def _langid_sql() -> str:
     )
 
 
+def q_langid_confusion(sf_dir: str) -> ray.data.Dataset:
+    """Language-ID confusion matrix: (labeled lang, predicted lang) counts
+    over the documents table — the model-quality gate a langid stage
+    publishes with every corpus snapshot.  Composes the actor-pool
+    trigram scorer (q_langid_documents) with one BOUNDED groupby
+    (#langs² cells), so partials coalesce to one block first; the oracle
+    stacks the same bounded groupby on the full in-SQL model replay."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    pred = q_langid_documents(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by(['lang', 'lang_pred']) \
+            .aggregate([([], 'count_all')])
+        return pa.table({'lang': agg.column('lang'),
+                         'lang_pred': agg.column('lang_pred'),
+                         '_n': pc.cast(agg.column('count_all'), pa.int64())})
+
+    out = (pred.map_batches(partial, batch_format='pyarrow')
+           .repartition(1)
+           .groupby(['lang', 'lang_pred'])
+           .aggregate(Sum('_n', alias_name='n')))
+    return drop_empty_blocks(out)
+
+
+def _langid_confusion_sql() -> str:
+    return ('WITH p AS (' + _langid_sql() + ') '
+            'SELECT lang, lang_pred, count(*) AS n FROM p '
+            'GROUP BY lang, lang_pred')
+
+
 def q_pages_pipeline(sf_dir: str) -> ray.data.Dataset:
     """The flagship quality-filter pipeline over pages derived from the
     driver's documents table."""
@@ -11785,6 +11815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only
         'scrub_documents': q_scrub_documents,
         'langid_documents': q_langid_documents,
+        'langid_confusion': q_langid_confusion,
         'pages_pipeline': q_pages_pipeline,
         'traindata_pipeline': q_traindata_pipeline,
         'minhash_dedup': q_minhash_dedup,
@@ -11920,6 +11951,7 @@ def oracle_sql() -> dict[str, str]:
             '{expr}', SQL_AUG_EXPR).replace(
             '{p}', _sql_quote(PII_PATTERNS['EMAIL_ADDRESS'])),
         'langid_documents': _langid_sql(),
+        'langid_confusion': _langid_confusion_sql(),
         'media_decode': _media_pins().MEDIA_DECODE_SQL,
         'image_dup_pairs': _media_pins().IMAGE_DUP_PAIRS_SQL,
         'audio_dup_pairs': _media_pins().AUDIO_DUP_PAIRS_SQL,
