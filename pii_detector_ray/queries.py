@@ -106,6 +106,59 @@ def _pii_counts_sql(pattern: str) -> str:
             f"FROM aug WHERE len(regexp_extract_all(text, '{p}')) > 0")
 
 
+def q_source_pii_density(sf_dir: str) -> ray.data.Dataset:
+    """PII findings per 1000 characters by source — the scrub-pressure
+    report a privacy pipeline publishes per host so reviewers can see
+    which feeds leak.  Sums the five north-star detectors' raw match
+    counts (same no-suppression contract as the pii_*_counts gates) and
+    the augmented char mass per source in ONE pass of integer partials
+    (bounded by #sources), so the final groupby coalesces to one block;
+    the single float division is per output row with exact int inputs."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    rexes = [compiled(p) for p in _QUERY_PATTERNS.values()]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column('aug_text').to_pylist()
+        m = pa.array([sum(len(r.findall(t)) for r in rexes)
+                      for t in texts], pa.int64())
+        c = pa.array([len(t) for t in texts], pa.int64())
+        t = pa.table({'source': batch.column('source'),
+                      '_m': m, '_c': c})
+        agg = t.group_by('source').aggregate([('_m', 'sum'), ('_c', 'sum')])
+        return agg.rename_columns(['source', '_m', '_c'])
+
+    agg = (read_documents(sf_dir, ['doc_id', 'text', 'source'])
+           .map_batches(augment_batch, batch_format='pyarrow')
+           .map_batches(partial, batch_format='pyarrow')
+           .repartition(1)
+           .groupby('source')
+           .aggregate(Sum('_m', alias_name='_m'),
+                      Sum('_c', alias_name='_c')))
+
+    def fin(t: pa.Table) -> pa.Table:
+        m = t.column('_m').to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column('_c').to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            'source': t.column('source'),
+            'n_findings': pa.array(m, pa.int64()),
+            'density_per_1k': pa.array(
+                sql_round_np(1000.0 * m / c, 6), pa.float64())})
+
+    return drop_empty_blocks(agg).map_batches(fin, batch_format='pyarrow')
+
+
+def _source_pii_density_sql() -> str:
+    counts = ' + '.join(
+        f"len(regexp_extract_all(a.text, '{_sql_quote(p)}'))"
+        for p in _QUERY_PATTERNS.values())
+    return (f'{SQL_AUG_CTE} '
+            f'SELECT d.source, sum({counts})::BIGINT AS n_findings, '
+            f'round(1000.0 * sum({counts}) / sum(length(a.text)), 6) '
+            'AS density_per_1k '
+            'FROM aug a JOIN documents d USING (doc_id) '
+            'GROUP BY d.source')
+
+
 # ---------------------------------------------------------------------------
 # D4 PERSON NER (deterministic gazetteer NER, pii_detector_ray/ner.py):
 # person-shaped augmentation with a gazetteer-positive name pair AND a
@@ -11662,6 +11715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'conversion_latency': q_conversion_latency,
         'email_domain_counts': q_email_domain_counts,
         'pii_region_counts': q_pii_region_counts,
+        'source_pii_density': q_source_pii_density,
         'click_days_no_purchase': q_click_days_no_purchase,
         'cohort_retention': q_cohort_retention,
         'token_edit_pairs': q_token_edit_pairs,
@@ -11952,6 +12006,7 @@ def oracle_sql() -> dict[str, str]:
             '{p}', _sql_quote(PII_PATTERNS['EMAIL_ADDRESS'])),
         'langid_documents': _langid_sql(),
         'langid_confusion': _langid_confusion_sql(),
+        'source_pii_density': _source_pii_density_sql(),
         'media_decode': _media_pins().MEDIA_DECODE_SQL,
         'image_dup_pairs': _media_pins().IMAGE_DUP_PAIRS_SQL,
         'audio_dup_pairs': _media_pins().AUDIO_DUP_PAIRS_SQL,
