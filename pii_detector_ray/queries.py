@@ -2392,6 +2392,74 @@ def q_incremental_sessions(sf_dir: str, n_chunks: int = 6) -> pd.DataFrame:
                        'n_events': 'int64', 'sum_value': 'float64'})
 
 
+def q_session_type_pairs(sf_dir: str, gap_minutes: int = 30
+                         ) -> ray.data.Dataset:
+    """Market-basket mining over SESSIONS: for every unordered pair of
+    event types, the number of gap-based sessions containing both — the
+    part_pairs_count co-occurrence shape stacked on the sessionizer
+    (which intents co-occur in one visit).
+
+    Plan: one per-user map_groups pass replays the gap cut and emits a
+    <= C(#types,2)-row partial per user (bounded, never per-event), so
+    the final pair groupby moves a few rows per user.  Same per-key
+    co-location contract as user_value_ntile (a mega-user lands in one
+    task; session grouping is a global per-key property, documented)."""
+    from itertools import combinations
+
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    gap_us = gap_minutes * 60_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({'user_id': t.column('user_id'),
+                         'ts': pc.cast(t.column('ts'), pa.int64()),
+                         'event_type': t.column('event_type')})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values('ts', kind='mergesort')
+        ts = g['ts'].to_numpy()
+        brk = np.ones(len(ts), bool)
+        brk[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sid = np.cumsum(brk)
+        et = g['event_type'].to_numpy()
+        counts: dict[tuple[str, str], int] = {}
+        for s in np.unique(sid):
+            kinds = sorted(set(et[sid == s]))
+            for a, b in combinations(kinds, 2):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            return pd.DataFrame({'type_a': pd.array([], dtype='string'),
+                                 'type_b': pd.array([], dtype='string'),
+                                 '_n': pd.array([], dtype='int64')})
+        ks = sorted(counts)
+        return pd.DataFrame({'type_a': [k[0] for k in ks],
+                             'type_b': [k[1] for k in ks],
+                             '_n': [counts[k] for k in ks]})
+
+    partials = (_events(sf_dir, ['user_id', 'ts', 'event_type'])
+                .map_batches(prep, batch_format='pyarrow')
+                .groupby('user_id').map_groups(pairs))
+    out = (partials.repartition(1)
+           .groupby(['type_a', 'type_b'])
+           .aggregate(Sum('_n', alias_name='n_sessions')))
+    return drop_empty_blocks(out)
+
+
+_SESSION_TYPE_PAIRS_SQL = (
+    "WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type "
+    'FROM events), '
+    "g AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL "
+    "OR ts - lag(ts) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s FROM e "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+    "s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS UNBOUNDED PRECEDING) AS sid FROM g), "
+    'st AS (SELECT DISTINCT user_id, sid, event_type FROM s) '
+    'SELECT a.event_type AS type_a, b.event_type AS type_b, '
+    'count(*) AS n_sessions FROM st a JOIN st b '
+    'ON a.user_id = b.user_id AND a.sid = b.sid '
+    'AND a.event_type < b.event_type GROUP BY 1, 2'
+)
+
+
 def q_session_overlap(sf_dir: str) -> ray.data.Dataset:
     """Per-session concurrency: for every gap-based session window, the
     number of OTHER sessions (any user) whose [start, end] interval
@@ -11727,6 +11795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'customer_ltv_deciles': q_customer_ltv_deciles,
         'events_sessions': q_events_sessions,
         'session_overlap': q_session_overlap,
+        'session_type_pairs': q_session_type_pairs,
         'bucketed_join': q_bucketed_join,
         'incremental_sessions': q_incremental_sessions,
         'events_asof': q_events_asof,
@@ -11940,6 +12009,7 @@ def oracle_sql() -> dict[str, str]:
         'customer_ltv_deciles': _LTV_DECILES_SQL,
         'events_sessions': _EVENTS_SESSIONS_SQL,
         'session_overlap': _SESSION_OVERLAP_SQL,
+        'session_type_pairs': _SESSION_TYPE_PAIRS_SQL,
         'bucketed_join': _BUCKETED_JOIN_SQL,
         'incremental_sessions': _EVENTS_SESSIONS_SQL,
         'events_asof': _EVENTS_ASOF_SQL,
