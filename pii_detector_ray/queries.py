@@ -2460,6 +2460,70 @@ _SESSION_TYPE_PAIRS_SQL = (
 )
 
 
+def q_session_paths(sf_dir: str, gap_minutes: int = 30
+                    ) -> ray.data.Dataset:
+    """Session path mining: counts of every 3-step consecutive event-type
+    sequence inside gap-based sessions — the navigation-pattern n-gram a
+    product pipeline feeds into funnel design.
+
+    Plan: the session_type_pairs shape with an ORDERED kernel — one
+    per-user map_groups pass replays the gap cut over the (ts, event_id)
+    total order and emits bounded per-user trigram partials; the final
+    groupby moves a few rows per user.  Same per-key co-location
+    contract (mega-user in one task, documented)."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    gap_us = gap_minutes * 60_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({'user_id': t.column('user_id'),
+                         'event_id': t.column('event_id'),
+                         'ts': pc.cast(t.column('ts'), pa.int64()),
+                         'event_type': t.column('event_type')})
+
+    def trigrams(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['ts', 'event_id'], kind='mergesort')
+        ts = g['ts'].to_numpy()
+        brk = np.ones(len(ts), bool)
+        brk[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sid = np.cumsum(brk)
+        et = g['event_type'].to_numpy()
+        counts: dict[tuple[str, str, str], int] = {}
+        for i in range(len(et) - 2):
+            if sid[i] == sid[i + 2]:       # all three in one session
+                k = (et[i], et[i + 1], et[i + 2])
+                counts[k] = counts.get(k, 0) + 1
+        ks = sorted(counts)
+        return pd.DataFrame({'t1': [k[0] for k in ks],
+                             't2': [k[1] for k in ks],
+                             't3': [k[2] for k in ks],
+                             '_n': [counts[k] for k in ks]})
+
+    partials = (_events(sf_dir, ['user_id', 'event_id', 'ts',
+                                 'event_type'])
+                .map_batches(prep, batch_format='pyarrow')
+                .groupby('user_id').map_groups(trigrams))
+    out = (partials.repartition(1)
+           .groupby(['t1', 't2', 't3'])
+           .aggregate(Sum('_n', alias_name='n')))
+    return drop_empty_blocks(out)
+
+
+_SESSION_PATHS_SQL = (
+    'WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts, '
+    'event_type FROM events), '
+    'g AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL '
+    'OR ts - lag(ts) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s '
+    'FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), '
+    's AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id '
+    'ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g), '
+    'p AS (SELECT event_type AS t1, lead(event_type, 1) OVER w2 AS t2, '
+    'lead(event_type, 2) OVER w2 AS t3 FROM s '
+    'WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts, event_id)) '
+    'SELECT t1, t2, t3, count(*) AS n FROM p WHERE t3 IS NOT NULL '
+    'GROUP BY 1, 2, 3'
+)
+
+
 def q_session_overlap(sf_dir: str) -> ray.data.Dataset:
     """Per-session concurrency: for every gap-based session window, the
     number of OTHER sessions (any user) whose [start, end] interval
@@ -11796,6 +11860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'events_sessions': q_events_sessions,
         'session_overlap': q_session_overlap,
         'session_type_pairs': q_session_type_pairs,
+        'session_paths': q_session_paths,
         'bucketed_join': q_bucketed_join,
         'incremental_sessions': q_incremental_sessions,
         'events_asof': q_events_asof,
@@ -12010,6 +12075,7 @@ def oracle_sql() -> dict[str, str]:
         'events_sessions': _EVENTS_SESSIONS_SQL,
         'session_overlap': _SESSION_OVERLAP_SQL,
         'session_type_pairs': _SESSION_TYPE_PAIRS_SQL,
+        'session_paths': _SESSION_PATHS_SQL,
         'bucketed_join': _BUCKETED_JOIN_SQL,
         'incremental_sessions': _EVENTS_SESSIONS_SQL,
         'events_asof': _EVENTS_ASOF_SQL,
