@@ -111,7 +111,9 @@ def run_bench() -> dict:
                      'user_rolling3', 'host_p95', 'events_segment_join',
                      'approx_distinct_hll', 'bm25_topk', 'token_edit_pairs',
                      'funnel_stages', 'cohort_retention',
-                     'local_supplier_volume']:
+                     'local_supplier_volume', 'token_budget_selection',
+                     'rolling_active_users', 'pq_codes', 'value_ks_test',
+                     'user_activity_gini']:
             fn = q.queries()[name]
             t0 = time.monotonic()
             res = fn(SF_DIR)
