@@ -11420,6 +11420,104 @@ _PART_SKYLINE_SQL = (
 )
 
 
+def q_order_total_audit(sf_dir: str) -> pd.DataFrame:
+    """Cross-table data-quality audit: does each order's header total
+    equal the sum of its line amounts (price x (1-disc) x (1+tax)) — the
+    referential/consistency check a pipeline runs before trusting a
+    feed.  Reports order count, orders with NO lineitems, orders whose
+    recomputed total misses by > 0.01, and the max absolute error.
+
+    Exactness: every per-line amount rounds to 1e-4 integer units with
+    the same left-associated product order as the oracle, so per-order
+    sums are order-independent int64 and every comparison is integer.
+    Scale shape: per-batch partial line sums collapse the lineitem table
+    to one row per orderkey before a single co-partitioned LEFT OUTER
+    join against the header projection; the audit stats fold from one
+    bounded partial row per batch."""
+    import os
+
+    from pii_detector_ray.stages.dedup import drop_empty_blocks, \
+        join_partitions
+
+    line = read_parquet_clean(
+        os.path.join(sf_dir, 'lineitem.parquet'),
+        columns=['l_orderkey', 'l_extendedprice', 'l_discount', 'l_tax'])
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        p = t.column('l_extendedprice').to_numpy(zero_copy_only=False)
+        d = t.column('l_discount').to_numpy(zero_copy_only=False)
+        x = t.column('l_tax').to_numpy(zero_copy_only=False)
+        amt = sql_round_np(((p * (1 - d)) * (1 + x)) * 10000, 0) \
+            .astype(np.int64)
+        tab = pa.table({'o_orderkey': pc.cast(t.column('l_orderkey'),
+                                              pa.int64()),
+                        '_amt': pa.array(amt, pa.int64())})
+        return tab.group_by('o_orderkey').aggregate([('_amt', 'sum')]) \
+            .rename_columns(['o_orderkey', '_amt'])
+
+    calc = drop_empty_blocks(
+        line.map_batches(line_partial, batch_format='pyarrow')
+        .groupby('o_orderkey').aggregate(Sum('_amt', alias_name='calc_e4')))
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, 'orders.parquet'),
+        columns=['o_orderkey', 'o_totalprice']).map_batches(
+        lambda t: pa.table({
+            'o_orderkey': pc.cast(t.column('o_orderkey'), pa.int64()),
+            '_tot': pa.array(sql_round_np(
+                t.column('o_totalprice').to_numpy(
+                    zero_copy_only=False) * 10000, 0).astype(np.int64),
+                pa.int64())}),
+        batch_format='pyarrow')
+    n_orders = orders.count()
+    joined = orders.join(calc, join_type='left_outer',
+                         num_partitions=join_partitions(rows=n_orders),
+                         on=('o_orderkey',))
+
+    def audit(t: pa.Table) -> pa.Table:
+        tot = t.column('_tot').to_numpy(zero_copy_only=False)
+        calc_np = t.column('calc_e4')
+        null = pc.is_null(calc_np).to_numpy(zero_copy_only=False)
+        cv = calc_np.to_numpy(zero_copy_only=False)
+        err = np.where(null, 0, np.abs(
+            tot - np.where(null, 0, cv).astype(np.int64)))
+        return pa.table({
+            '_n': pa.array([len(tot)], pa.int64()),
+            '_orphan': pa.array([int(null.sum())], pa.int64()),
+            '_mism': pa.array([int(((~null) & (err > 100)).sum())],
+                              pa.int64()),
+            '_maxerr': pa.array(
+                [int(err[~null].max()) if (~null).any() else 0],
+                pa.int64())})
+
+    parts = joined.map_batches(audit, batch_format='pyarrow').to_pandas()
+    return pd.DataFrame({
+        'n_orders': pd.array([int(parts['_n'].sum())], dtype='int64'),
+        'n_orphan': pd.array([int(parts['_orphan'].sum())],
+                             dtype='int64'),
+        'n_mismatched': pd.array([int(parts['_mism'].sum())],
+                                 dtype='int64'),
+        'max_abs_err_e4': pd.array([int(parts['_maxerr'].max())
+                                    if len(parts) else 0], dtype='int64')})
+
+
+_ORDER_AUDIT_SQL = (
+    'WITH lc AS (SELECT l_orderkey, '
+    'sum(CAST(round(((l_extendedprice * (1 - l_discount)) * (1 + l_tax)) '
+    '* 10000) AS BIGINT)) AS calc_e4 FROM lineitem GROUP BY l_orderkey), '
+    'j AS (SELECT CAST(round(o.o_totalprice * 10000) AS BIGINT) AS tot_e4, '
+    'lc.calc_e4 FROM orders o '
+    'LEFT JOIN lc ON o.o_orderkey = lc.l_orderkey) '
+    'SELECT count(*)::BIGINT AS n_orders, '
+    'sum(CASE WHEN calc_e4 IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphan, '
+    'sum(CASE WHEN calc_e4 IS NOT NULL '
+    'AND abs(tot_e4 - calc_e4) > 100 THEN 1 ELSE 0 END)::BIGINT '
+    'AS n_mismatched, '
+    'coalesce(max(CASE WHEN calc_e4 IS NOT NULL '
+    'THEN abs(tot_e4 - calc_e4) END), 0)::BIGINT AS max_abs_err_e4 FROM j'
+)
+
+
 def q_user_activity_gini(sf_dir: str) -> pd.DataFrame:
     """Gini coefficient of per-user event counts — the traffic-inequality
     diagnostic that tells a pipeline whether per-user partitioning will
@@ -11996,6 +12094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'part_bfs_reach': q_part_bfs_reach,
         'degree_assortativity': q_degree_assortativity,
         'user_activity_gini': q_user_activity_gini,
+        'order_total_audit': q_order_total_audit,
         'part_skyline': q_part_skyline,
         'value_ks_test': q_value_ks_test,
         'events_debounced': q_events_debounced,
@@ -12201,6 +12300,7 @@ def oracle_sql() -> dict[str, str]:
         'part_bfs_reach': _PART_BFS_SQL,
         'degree_assortativity': _ASSORTATIVITY_SQL,
         'user_activity_gini': _USER_GINI_SQL,
+        'order_total_audit': _ORDER_AUDIT_SQL,
         'part_skyline': _PART_SKYLINE_SQL,
         'value_ks_test': _VALUE_KS_SQL,
         'events_debounced': _EVENTS_DEBOUNCED_SQL,
