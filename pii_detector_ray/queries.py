@@ -3538,6 +3538,47 @@ _COMPONENTS_EXACT_SQL = (
 )
 
 
+def q_dup_cluster_sizes(sf_dir: str) -> ray.data.Dataset:
+    """Duplicate-cluster size distribution (count of clusters per size)
+    over the exact embedding near-dup components — the dedup report that
+    says whether duplication is pairwise noise or giant templated
+    clusters (which decide salting strategy downstream).  Two bounded
+    groupbys on the verified components operator: per-component sizes,
+    then count-of-sizes (the Q13 double-aggregate shape)."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    comp = q_components_exact(sf_dir).select_columns(['component'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by('component').aggregate([([], 'count_all')])
+        return pa.table({'component': agg.column('component'),
+                         '_n': pc.cast(agg.column('count_all'),
+                                       pa.int64())})
+
+    sizes = (comp.map_batches(partial, batch_format='pyarrow')
+             .groupby('component')
+             .aggregate(Sum('_n', alias_name='size')))
+
+    def count_sizes(t: pa.Table) -> pa.Table:
+        agg = pa.table({'size': t.column('size')}).group_by('size') \
+            .aggregate([([], 'count_all')])
+        return pa.table({'size': agg.column('size'),
+                         '_c': pc.cast(agg.column('count_all'),
+                                       pa.int64())})
+
+    out = (drop_empty_blocks(sizes)
+           .map_batches(count_sizes, batch_format='pyarrow')
+           .groupby('size').aggregate(Sum('_c', alias_name='n_clusters')))
+    return drop_empty_blocks(out)
+
+
+_DUP_CLUSTER_SIZES_SQL = (
+    'WITH comp AS (' + _COMPONENTS_EXACT_SQL + '), '
+    's AS (SELECT component, count(*)::BIGINT AS size FROM comp '
+    'GROUP BY component) '
+    'SELECT size, count(*) AS n_clusters FROM s GROUP BY size'
+)
+
+
 def _docs_with_near_dups(sf_dir: str) -> ray.data.Dataset:
     """documents ∪ deterministic near-copies (doc_id%20==0 → id+1_000_000,
     text + ' extra words appended here') — gives the near-dup operators a
@@ -12014,6 +12055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'exact_substr_spans': q_exact_substr_spans,
         'embedding_dup_pairs': q_embedding_dup_pairs,
         'components_exact': q_components_exact,
+        'dup_cluster_sizes': q_dup_cluster_sizes,
         'daily_active_users': q_daily_active_users,
         'rolling_active_users': q_rolling_active_users,
         'discount_revenue': q_discount_revenue,
@@ -12251,6 +12293,7 @@ def oracle_sql() -> dict[str, str]:
         'bpe_token_counts': _media_pins().BPE_TOKEN_COUNTS_SQL,
         'embedding_dup_pairs': _EMBEDDING_DUP_SQL,
         'components_exact': _COMPONENTS_EXACT_SQL,
+        'dup_cluster_sizes': _DUP_CLUSTER_SIZES_SQL,
         'daily_active_users': _DAILY_ACTIVE_SQL,
         'rolling_active_users': _ROLLING_ACTIVE_SQL,
         'discount_revenue': _DISCOUNT_REVENUE_SQL,
