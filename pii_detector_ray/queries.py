@@ -11962,6 +11962,131 @@ _DEDUP_COMPONENTS_SQL = (
 )
 
 
+def q_score_auc(sf_dir: str, positive: str = 'purchase') -> pd.DataFrame:
+    """ROC AUC of the event ``value`` treated as a score predicting the
+    binary label ``event_type = 'purchase'`` — the rank-statistic quality
+    gate a filtering pipeline runs on any learned or heuristic score
+    before trusting its threshold (is the score actually separating the
+    classes, ties included?).
+
+    AUC is computed as the tie-corrected Mann-Whitney statistic over
+    midranks: with per-distinct-value positive/negative counts
+    ``(na_v, nb_v)`` sorted by value ascending,
+
+        2*U  =  sum_v  na_v * (2 * cum_nb_below(v) + nb_v)
+        AUC  =  U / (n_pos * n_neg)
+
+    which is the exact midrank form (each tied pair contributes 1/2).
+
+    Plan (100 TB shape, shared with ``value_ks_test``): one narrow
+    ``groupby(value)`` collapses the stream to per-distinct-value label
+    counts; a global sort + block summaries give exact cross-block
+    negative-count offsets WITHOUT any row reaching the driver; each
+    block then emits ONE int64 partial of 2*U (domain-asserted — 2*U <
+    2^63 holds to ~2e9 rows per class), and the single final division
+    happens once on the driver."""
+    from pii_detector_ray.functions.rounding import sql_round_np
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
+    ev = _events(sf_dir, ['event_type', 'value'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.is_valid(t.column('value')))
+        pos = pc.cast(pc.equal(sel.column('event_type'), positive),
+                      pa.int64())
+        tab = pa.table({'value': sel.column('value'),
+                        '_p': pos,
+                        '_n': pc.subtract(pa.scalar(1, pa.int64()), pos)})
+        return tab.group_by('value').aggregate(
+            [('_p', 'sum'), ('_n', 'sum')]) \
+            .rename_columns(['value', '_p', '_n'])
+
+    g = (ev.map_batches(partial, batch_format='pyarrow')
+         .groupby('value')
+         .aggregate(Sum('_p', alias_name='_na'),
+                    Sum('_n', alias_name='_nb')))
+    mat = drop_empty_blocks(g).sort('value').materialize()
+
+    def summary(t: pa.Table) -> pa.Table:
+        v = t.column('value').to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return pa.table({'_min': pa.array([], pa.float64()),
+                             '_max': pa.array([], pa.float64()),
+                             '_sa': pa.array([], pa.int64()),
+                             '_sb': pa.array([], pa.int64())})
+        na = t.column('_na').to_numpy(zero_copy_only=False)
+        nb = t.column('_nb').to_numpy(zero_copy_only=False)
+        return pa.table({'_min': pa.array([float(v.min())]),
+                         '_max': pa.array([float(v.max())]),
+                         '_sa': pa.array([int(na.sum())], pa.int64()),
+                         '_sb': pa.array([int(nb.sum())], pa.int64())})
+
+    summ = sorted(
+        mat.map_batches(summary, batch_format='pyarrow',
+                        batch_size=None).take_all(),
+        key=lambda r: r['_min'])
+    empty = pd.DataFrame({'auc': pd.array([], dtype='float64'),
+                          'n_pos': pd.array([], dtype='int64'),
+                          'n_neg': pd.array([], dtype='int64')})
+    if not summ:
+        return empty
+    offsets: dict[float, tuple[int, float, int, int]] = {}
+    run_b = 0
+    prev_max = None
+    for s in summ:
+        if prev_max is not None and s['_min'] <= prev_max:
+            raise AssertionError('blocks are not value-range-disjoint')
+        prev_max = s['_max']
+        offsets[s['_min']] = (run_b, s['_max'], s['_sa'], s['_sb'])
+        run_b += s['_sb']
+    n_pos = sum(s['_sa'] for s in summ)
+    n_neg = run_b
+    if n_pos == 0 or n_neg == 0:
+        return empty
+    if 2 * n_pos * n_neg >= (1 << 63):    # int64 2*U domain
+        raise AssertionError('AUC rank-sum domain exceeded')
+    off_ref = ray.put(offsets)
+
+    def block_u2(t: pa.Table) -> pa.Table:
+        v = t.column('value').to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return pa.table({'_u2': pa.array([], pa.int64())})
+        order = np.argsort(v, kind='stable')
+        na = t.column('_na').to_numpy(zero_copy_only=False)[order]
+        nb = t.column('_nb').to_numpy(zero_copy_only=False)[order]
+        base_b, exp_max, exp_sa, exp_sb = ray.get(off_ref)[float(v.min())]
+        if float(v.max()) != exp_max or int(na.sum()) != exp_sa \
+                or int(nb.sum()) != exp_sb:
+            raise AssertionError('pass-2 batch does not match its '
+                                 'pass-1 block summary')
+        cum_below = base_b + np.cumsum(nb) - nb    # negatives strictly below
+        u2 = int((na * (2 * cum_below + nb)).sum())
+        return pa.table({'_u2': pa.array([u2], pa.int64())})
+
+    u2_total = mat.map_batches(block_u2, batch_format='pyarrow',
+                               batch_size=None).sum('_u2')
+    auc = float(sql_round_np(
+        np.array([u2_total / (2.0 * n_pos * n_neg)]), 6)[0])
+    return pd.DataFrame({'auc': pd.array([auc], dtype='float64'),
+                         'n_pos': pd.array([n_pos], dtype='int64'),
+                         'n_neg': pd.array([n_neg], dtype='int64')})
+
+
+_SCORE_AUC_SQL = (
+    'WITH e AS (SELECT value, '
+    "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p "
+    'FROM events WHERE value IS NOT NULL), '
+    'g AS (SELECT value, sum(p)::BIGINT AS na, '
+    'sum(1 - p)::BIGINT AS nb FROM e GROUP BY value), '
+    'c AS (SELECT na, nb, coalesce(sum(nb) OVER (ORDER BY value '
+    'ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb '
+    'FROM g), '
+    't AS (SELECT sum(na)::BIGINT AS n1, sum(nb)::BIGINT AS n0 FROM g) '
+    'SELECT round(sum(na * (2 * cnb + nb))::DOUBLE / (2.0 * n1 * n0), 6) '
+    'AS auc, n1 AS n_pos, n0 AS n_neg FROM c, t GROUP BY n1, n0'
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -12139,6 +12264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'order_total_audit': q_order_total_audit,
         'part_skyline': q_part_skyline,
         'value_ks_test': q_value_ks_test,
+        'score_auc': q_score_auc,
         'events_debounced': q_events_debounced,
         'jaccard_join_exact': q_jaccard_join_exact,
         # rows-only
@@ -12346,6 +12472,7 @@ def oracle_sql() -> dict[str, str]:
         'order_total_audit': _ORDER_AUDIT_SQL,
         'part_skyline': _PART_SKYLINE_SQL,
         'value_ks_test': _VALUE_KS_SQL,
+        'score_auc': _SCORE_AUC_SQL,
         'events_debounced': _EVENTS_DEBOUNCED_SQL,
         'jaccard_join_exact': _JACCARD_JOIN_SQL,
         'dedup_components': _DEDUP_COMPONENTS_SQL,
