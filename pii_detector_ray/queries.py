@@ -12087,6 +12087,86 @@ _SCORE_AUC_SQL = (
 )
 
 
+def q_lang_source_chi2(sf_dir: str) -> pd.DataFrame:
+    """Pearson chi-squared independence test between ``source`` and
+    ``lang`` over the documents table — the corpus-composition audit
+    ("is the language mix independent of the crawl source?") a pipeline
+    runs before stratified sampling can assume exchangeable shards.
+
+    Covers the FULL contingency cross product (unobserved cells
+    contribute their expectation), not just observed pairs.
+
+    Plan (100 TB shape): one narrow two-phase ``groupby(source, lang)``
+    count collapses the corpus to an alphabet-bounded contingency table
+    (sources × langs), which is the only thing that reaches the driver;
+    the chi2 fold runs there over cells in ASCENDING (source, lang)
+    order with every float op mirrored by the oracle's
+    ``list_sum(list(term ORDER BY source, lang))`` so even the sum
+    order matches bit-for-bit."""
+    from pii_detector_ray.functions.rounding import sql_round_scalar
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = pa.table({'source': t.column('source'),
+                        'lang': t.column('lang')}) \
+            .group_by(['source', 'lang']).aggregate([([], 'count_all')])
+        return pa.table({'source': agg.column('source'),
+                         'lang': agg.column('lang'),
+                         '_n': pc.cast(agg.column('count_all'), pa.int64())})
+
+    rows = drop_empty_blocks(
+        read_documents(sf_dir, ['source', 'lang'])
+        .map_batches(partial, batch_format='pyarrow')
+        .groupby(['source', 'lang'])
+        .aggregate(Sum('_n', alias_name='n'))).take_all()
+    empty = pd.DataFrame({'chi2': pd.array([], dtype='float64'),
+                          'dof': pd.array([], dtype='int64'),
+                          'n_docs': pd.array([], dtype='int64')})
+    if not rows:
+        return empty
+    cell = {(r['source'], r['lang']): int(r['n']) for r in rows}
+    rt: dict[str, int] = {}
+    ct: dict[str, int] = {}
+    for (s, l), o in cell.items():
+        rt[s] = rt.get(s, 0) + o
+        ct[l] = ct.get(l, 0) + o
+    n = sum(rt.values())
+    chi2 = 0.0
+    # ascending (source, lang) over the FULL cross product, each term's
+    # op order mirroring the oracle expression exactly
+    for s in sorted(rt):
+        for l in sorted(ct):
+            e = (float(rt[s]) * ct[l]) / n
+            dx = float(cell.get((s, l), 0)) - e
+            chi2 += (dx * dx) / e
+    dof = (len(rt) - 1) * (len(ct) - 1)
+    return pd.DataFrame({
+        'chi2': pd.array([sql_round_scalar(chi2, 6)], dtype='float64'),
+        'dof': pd.array([dof], dtype='int64'),
+        'n_docs': pd.array([n], dtype='int64')})
+
+
+_LANG_SOURCE_CHI2_SQL = (
+    'WITH c AS (SELECT source, lang, count(*)::BIGINT AS o '
+    'FROM documents GROUP BY source, lang), '
+    'r AS (SELECT source, sum(o)::BIGINT AS rt FROM c GROUP BY source), '
+    'l AS (SELECT lang, sum(o)::BIGINT AS ct FROM c GROUP BY lang), '
+    't AS (SELECT sum(o)::BIGINT AS n FROM c), '
+    'x AS (SELECT r.source, l.lang, '
+    '(r.rt::DOUBLE * l.ct) / t.n AS e, '
+    'coalesce(c.o, 0)::DOUBLE AS o FROM r CROSS JOIN l CROSS JOIN t '
+    'LEFT JOIN c ON c.source = r.source AND c.lang = l.lang), '
+    'terms AS (SELECT source, lang, '
+    '((o - e) * (o - e)) / e AS term FROM x), '
+    'd AS (SELECT ((SELECT count(*) FROM r) - 1) * '
+    '((SELECT count(*) FROM l) - 1) AS dof, '
+    '(SELECT n FROM t) AS n_docs) '
+    'SELECT round(list_sum(list(term ORDER BY source, lang)), 6) AS chi2, '
+    'dof::BIGINT AS dof, n_docs::BIGINT AS n_docs '
+    'FROM terms, d GROUP BY dof, n_docs'
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -12265,6 +12345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'part_skyline': q_part_skyline,
         'value_ks_test': q_value_ks_test,
         'score_auc': q_score_auc,
+        'lang_source_chi2': q_lang_source_chi2,
         'events_debounced': q_events_debounced,
         'jaccard_join_exact': q_jaccard_join_exact,
         # rows-only
@@ -12473,6 +12554,7 @@ def oracle_sql() -> dict[str, str]:
         'part_skyline': _PART_SKYLINE_SQL,
         'value_ks_test': _VALUE_KS_SQL,
         'score_auc': _SCORE_AUC_SQL,
+        'lang_source_chi2': _LANG_SOURCE_CHI2_SQL,
         'events_debounced': _EVENTS_DEBOUNCED_SQL,
         'jaccard_join_exact': _JACCARD_JOIN_SQL,
         'dedup_components': _DEDUP_COMPONENTS_SQL,
