@@ -12167,6 +12167,78 @@ _LANG_SOURCE_CHI2_SQL = (
 )
 
 
+def q_benford_orders(sf_dir: str) -> pd.DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fraud/synthetic-data screen: does the leading significant digit of
+    ``o_totalprice`` follow log10(1 + 1/d)?
+
+    Exactness: amounts convert to int64 1e-4 units with the shared
+    ``sql_round_np`` contract (multiplying by a power of ten preserves
+    the leading digit), and the leading digit is extracted by exact
+    integer division against a powers-of-ten table found via
+    ``searchsorted`` — no float log10 on data values, so no ulp risk at
+    decade boundaries.  Scale shape: each batch collapses to a <=9-cell
+    digit histogram partial; one tiny groupby reaches the driver."""
+    import math
+    import os
+
+    from pii_detector_ray.functions.rounding import sql_round_np
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, 'orders.parquet'), columns=['o_totalprice'])
+    powers = 10 ** np.arange(19, dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = t.column('o_totalprice').to_numpy(zero_copy_only=False)
+        p = p[~np.isnan(p) & (p > 0)]
+        if len(p) == 0:
+            return pa.table({'digit': pa.array([], pa.int64()),
+                             '_n': pa.array([], pa.int64())})
+        e4 = sql_round_np(p * 10000, 0).astype(np.int64)
+        e4 = e4[e4 > 0]          # sub-5e-5 amounts round to 0: no digit
+        idx = np.searchsorted(powers, e4, side='right') - 1
+        digit = e4 // powers[idx]
+        dg, cnt = np.unique(digit, return_counts=True)
+        return pa.table({'digit': pa.array(dg, pa.int64()),
+                         '_n': pa.array(cnt.astype(np.int64), pa.int64())})
+
+    rows = drop_empty_blocks(
+        orders.map_batches(partial, batch_format='pyarrow')
+        .groupby('digit').aggregate(Sum('_n', alias_name='n_orders'))) \
+        .take_all()
+    if not rows:
+        return pd.DataFrame({'digit': pd.array([], dtype='int64'),
+                             'n_orders': pd.array([], dtype='int64'),
+                             'freq': pd.array([], dtype='float64'),
+                             'benford_p': pd.array([], dtype='float64')})
+    rows.sort(key=lambda r: r['digit'])
+    n = sum(r['n_orders'] for r in rows)
+    dg = np.array([r['digit'] for r in rows], dtype=np.int64)
+    cnt = np.array([r['n_orders'] for r in rows], dtype=np.int64)
+    return pd.DataFrame({
+        'digit': pd.array(dg, dtype='int64'),
+        'n_orders': pd.array(cnt, dtype='int64'),
+        'freq': pd.array(sql_round_np(cnt.astype(np.float64) / n, 6),
+                         dtype='float64'),
+        'benford_p': pd.array(
+            sql_round_np(np.array([math.log10(1.0 + 1.0 / d)
+                                   for d in dg]), 6), dtype='float64')})
+
+
+_BENFORD_ORDERS_SQL = (
+    'WITH v AS (SELECT CAST(round(o_totalprice * 10000) AS BIGINT) AS e4 '
+    'FROM orders WHERE o_totalprice > 0), '
+    'd AS (SELECT CAST(substr(CAST(e4 AS VARCHAR), 1, 1) AS BIGINT) '
+    'AS digit FROM v WHERE e4 > 0), '
+    'g AS (SELECT digit, count(*)::BIGINT AS n_orders FROM d '
+    'GROUP BY digit), '
+    't AS (SELECT sum(n_orders)::BIGINT AS n FROM g) '
+    'SELECT digit, n_orders, round(n_orders::DOUBLE / n, 6) AS freq, '
+    'round(log10(1.0 + 1.0 / digit), 6) AS benford_p FROM g, t'
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -12346,6 +12418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'value_ks_test': q_value_ks_test,
         'score_auc': q_score_auc,
         'lang_source_chi2': q_lang_source_chi2,
+        'benford_orders': q_benford_orders,
         'events_debounced': q_events_debounced,
         'jaccard_join_exact': q_jaccard_join_exact,
         # rows-only
@@ -12555,6 +12628,7 @@ def oracle_sql() -> dict[str, str]:
         'value_ks_test': _VALUE_KS_SQL,
         'score_auc': _SCORE_AUC_SQL,
         'lang_source_chi2': _LANG_SOURCE_CHI2_SQL,
+        'benford_orders': _BENFORD_ORDERS_SQL,
         'events_debounced': _EVENTS_DEBOUNCED_SQL,
         'jaccard_join_exact': _JACCARD_JOIN_SQL,
         'dedup_components': _DEDUP_COMPONENTS_SQL,
