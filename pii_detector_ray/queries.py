@@ -12239,6 +12239,133 @@ _BENFORD_ORDERS_SQL = (
 )
 
 
+def q_log_odds_terms(sf_dir: str) -> ray.data.Dataset:
+    """Distinctive vocabulary per source via the Monroe et al. 2008
+    ("Fightin' Words") weighted log-odds z-score with a corpus-shaped
+    informative Dirichlet prior of fixed strength (a0 = 200 pseudo-
+    counts, a_w = a0 * corpus_count/corpus_total — a0 = corpus size
+    would shrink every z below 1) — the source-profiling report a
+    webtext pipeline uses
+    to spot shard-specific boilerplate.  Same ``[A-Za-z0-9]+`` lowercased
+    term contract as the TF-IDF family (stages/tfidf.py docstring).
+
+    Emitted rows: observed (source, term) pairs over the >=50-corpus-
+    count candidate vocabulary whose ROUNDED |z| >= 2 (the cut uses the
+    rounded value so both sides agree even at the boundary).
+
+    Float parity: ln/sqrt are evaluated per term with ``math.log`` /
+    ``math.sqrt`` — glibc libm, bit-identical to DuckDB's ln/sqrt on
+    this platform, whereas numpy's SIMD np.log diverges on ~1 in 4
+    inputs — and every ratio is an exact-int to double division mirrored
+    by the oracle's expression order.
+
+    Plan (100 TB shape): per-batch token Counters collapse to narrow
+    (source, term, y) partials; ONE narrow groupby builds the count
+    table; per-source totals are alphabet-bounded and broadcast; the
+    candidate vocabulary is a second narrow groupby joined back on
+    ``term`` (hash-partitioned, never driver-resident); the z kernel
+    and the |z| cut run inside map_batches so only significant rows
+    leave the cluster."""
+    import math
+    from collections import Counter
+
+    from pii_detector_ray.functions.rounding import sql_round_np
+    from pii_detector_ray.stages.dedup import drop_empty_blocks, \
+        join_partitions
+    from pii_detector_ray.stages.tfidf import doc_terms
+
+    def partials(t: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for src, text in zip(t.column('source').to_pylist(),
+                             t.column('text').to_pylist()):
+            for term in doc_terms(text):
+                counts[(src, term)] += 1
+        items = list(counts.items())
+        return pa.table({
+            'source': pa.array([k[0] for k, _ in items], pa.string()),
+            'term': pa.array([k[1] for k, _ in items], pa.string()),
+            '_y': pa.array([v for _, v in items], pa.int64())})
+
+    counts = drop_empty_blocks(
+        read_documents(sf_dir, ['source', 'text'])
+        .map_batches(partials, batch_format='pyarrow')
+        .groupby(['source', 'term']).aggregate(Sum('_y', alias_name='y')))
+
+    totals = drop_empty_blocks(counts.map_batches(
+        lambda t: pa.table({'source': t.column('source'),
+                            '_y': t.column('y')}),
+        batch_format='pyarrow')
+        .groupby('source').aggregate(Sum('_y', alias_name='ns'))).take_all()
+    ns_map = {r['source']: int(r['ns']) for r in totals}
+    n = sum(ns_map.values())
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            'source': pa.array([], pa.string()),
+            'term': pa.array([], pa.string()),
+            'n_term': pa.array([], pa.int64()),
+            'z': pa.array([], pa.float64())}))
+    ns_ref = ray.put((ns_map, n))
+
+    vocab = drop_empty_blocks(
+        counts.map_batches(
+            lambda t: pa.table({'term': t.column('term'),
+                                '_y': t.column('y')}),
+            batch_format='pyarrow')
+        .groupby('term').aggregate(Sum('_y', alias_name='yw'))
+        .filter(expr='yw >= 50'))
+    joined = counts.join(vocab, join_type='inner',
+                         num_partitions=join_partitions(), on=('term',))
+
+    def zscore(t: pa.Table) -> pa.Table:
+        ns_m, n_tot = ray.get(ns_ref)
+        src = t.column('source').to_pylist()
+        y = t.column('y').to_pylist()
+        yw = t.column('yw').to_pylist()
+        zs = np.empty(len(y), dtype=np.float64)
+        for i in range(len(y)):
+            ns = ns_m[src[i]]
+            # expression order mirrors the oracle exactly (libm ln/sqrt)
+            aw = (200.0 * yw[i]) / n_tot
+            delta = math.log((y[i] + aw) / (ns + 200.0 - y[i] - aw)) \
+                - math.log(((yw[i] - y[i]) + aw)
+                           / ((n_tot - ns) + 200.0 - (yw[i] - y[i]) - aw))
+            sd = math.sqrt(1.0 / (y[i] + aw)
+                           + 1.0 / ((yw[i] - y[i]) + aw))
+            zs[i] = delta / sd
+        z = sql_round_np(zs, 6)
+        keep = np.abs(z) >= 2.0
+        return pa.table({'source': pa.array(np.asarray(src, object)[keep]),
+                         'term': pa.array(
+                             np.asarray(t.column('term').to_pylist(),
+                                        object)[keep]),
+                         'n_term': pa.array(
+                             np.asarray(y, np.int64)[keep], pa.int64()),
+                         'z': pa.array(z[keep], pa.float64())})
+
+    return joined.map_batches(zscore, batch_format='pyarrow')
+
+
+_LOG_ODDS_TERMS_SQL = (
+    "WITH terms AS (SELECT source, lower(unnest(regexp_extract_all("
+    "coalesce(text,''), '[A-Za-z0-9]+'))) AS term FROM documents), "
+    'c AS (SELECT source, term, count(*)::BIGINT AS y FROM terms '
+    'GROUP BY source, term), '
+    's AS (SELECT source, sum(y)::BIGINT AS ns FROM c GROUP BY source), '
+    'w AS (SELECT term, sum(y)::BIGINT AS yw FROM c GROUP BY term '
+    'HAVING sum(y) >= 50), '
+    't AS (SELECT sum(y)::BIGINT AS n FROM c), '
+    'a AS (SELECT term, yw, (200.0 * yw) / t.n AS aw FROM w, t), '
+    'z AS (SELECT c.source, c.term, c.y, '
+    'ln((c.y + a.aw) / (s.ns + 200.0 - c.y - a.aw)) - '
+    'ln(((a.yw - c.y) + a.aw) / '
+    '((t.n - s.ns) + 200.0 - (a.yw - c.y) - a.aw)) AS delta, '
+    'sqrt(1.0 / (c.y + a.aw) + 1.0 / ((a.yw - c.y) + a.aw)) AS sd '
+    'FROM c JOIN a USING (term) JOIN s USING (source), t) '
+    'SELECT source, term, y AS n_term, round(delta / sd, 6) AS z '
+    'FROM z WHERE abs(round(delta / sd, 6)) >= 2.0'
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -12419,6 +12546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'score_auc': q_score_auc,
         'lang_source_chi2': q_lang_source_chi2,
         'benford_orders': q_benford_orders,
+        'log_odds_terms': q_log_odds_terms,
         'events_debounced': q_events_debounced,
         'jaccard_join_exact': q_jaccard_join_exact,
         # rows-only
@@ -12629,6 +12757,7 @@ def oracle_sql() -> dict[str, str]:
         'score_auc': _SCORE_AUC_SQL,
         'lang_source_chi2': _LANG_SOURCE_CHI2_SQL,
         'benford_orders': _BENFORD_ORDERS_SQL,
+        'log_odds_terms': _LOG_ODDS_TERMS_SQL,
         'events_debounced': _EVENTS_DEBOUNCED_SQL,
         'jaccard_join_exact': _JACCARD_JOIN_SQL,
         'dedup_components': _DEDUP_COMPONENTS_SQL,
