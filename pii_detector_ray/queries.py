@@ -12366,6 +12366,64 @@ _LOG_ODDS_TERMS_SQL = (
 )
 
 
+def q_rrf_fusion(sf_dir: str, k_each: int = 20, k_out: int = 10,
+                 rrf_k: int = 60) -> pd.DataFrame:
+    """Hybrid-search reciprocal-rank fusion: the BM25 top-20 for the
+    fixed lexical query and the cosine top-20 for the query vector are
+    fused with the standard RRF score 1/(60 + rank) summed over the two
+    lists (missing rank contributes 0) — the canonical lexical+dense
+    retrieval merge.  The synthetic corpus aligns ``vec_id`` 1:1 with
+    ``doc_id``, so the two rankings share an id space (documented
+    assumption, mirrored by the oracle).
+
+    Scale shape: both input rankings are k-bounded driver-side results
+    of already-distributed operators (stages/bm25.py two-pass partial
+    top-k; the broadcast-query cosine scan), so the fusion itself is a
+    2k-row driver merge — the correct shape for top-k post-processing.
+    Ranks come from the round(4) scores with (score DESC, id ASC)
+    tie-break, identical to each ranking's own contract; selection uses
+    the RAW fused double (bit-equal both sides: two exact reciprocal
+    divisions added in the same order)."""
+    from pii_detector_ray.functions.rounding import sql_round_np
+    from pii_detector_ray.stages.bm25 import bm25_topk
+
+    a = bm25_topk(read_documents(sf_dir, ['doc_id', 'text']),
+                  list(_BM25_TERMS), k=k_each)
+    b = q_similarity_topk(sf_dir, k=k_each)
+    rank_a = {int(d): i + 1 for i, d in enumerate(a['doc_id'])}
+    rank_b = {int(v): i + 1 for i, v in enumerate(b['vec_id'])}
+    ids = sorted(set(rank_a) | set(rank_b))
+    raw = {d: (1.0 / (rrf_k + rank_a[d]) if d in rank_a else 0.0)
+           + (1.0 / (rrf_k + rank_b[d]) if d in rank_b else 0.0)
+           for d in ids}
+    top = sorted(ids, key=lambda d: (-raw[d], d))[:k_out]
+    return pd.DataFrame({
+        'doc_id': pd.array(top, dtype='int64'),
+        'rrf': pd.array(sql_round_np(
+            np.array([raw[d] for d in top]), 6), dtype='float64')})
+
+
+def _rrf_fusion_sql() -> str:
+    bm25 = _bm25_sql().replace('LIMIT 10', 'LIMIT 20')
+    return (
+        f'WITH b25 AS ({bm25}), '
+        'ra AS (SELECT doc_id, row_number() OVER '
+        '(ORDER BY bm25 DESC, doc_id) AS r FROM b25), '
+        'cos AS (SELECT vec_id, '
+        'round(list_cosine_similarity(embedding::DOUBLE[], '
+        '(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) '
+        'AS sim FROM embeddings ORDER BY sim DESC, vec_id LIMIT 20), '
+        'rb AS (SELECT vec_id AS doc_id, row_number() OVER '
+        '(ORDER BY sim DESC, vec_id) AS r FROM cos), '
+        'u AS (SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id, '
+        'coalesce(1.0 / (60 + ra.r), 0.0) + '
+        'coalesce(1.0 / (60 + rb.r), 0.0) AS rrf_raw '
+        'FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id) '
+        'SELECT doc_id, round(rrf_raw, 6) AS rrf FROM u '
+        'ORDER BY rrf_raw DESC, doc_id LIMIT 10'
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -12547,6 +12605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'lang_source_chi2': q_lang_source_chi2,
         'benford_orders': q_benford_orders,
         'log_odds_terms': q_log_odds_terms,
+        'rrf_fusion': q_rrf_fusion,
         'events_debounced': q_events_debounced,
         'jaccard_join_exact': q_jaccard_join_exact,
         # rows-only
@@ -12758,6 +12817,7 @@ def oracle_sql() -> dict[str, str]:
         'lang_source_chi2': _LANG_SOURCE_CHI2_SQL,
         'benford_orders': _BENFORD_ORDERS_SQL,
         'log_odds_terms': _LOG_ODDS_TERMS_SQL,
+        'rrf_fusion': _rrf_fusion_sql(),
         'events_debounced': _EVENTS_DEBOUNCED_SQL,
         'jaccard_join_exact': _JACCARD_JOIN_SQL,
         'dedup_components': _DEDUP_COMPONENTS_SQL,
