@@ -12424,6 +12424,64 @@ def _rrf_fusion_sql() -> str:
     )
 
 
+def q_user_burstiness(sf_dir: str) -> ray.data.Dataset:
+    """Per-user inter-arrival burstiness B = (σ − μ)/(σ + μ) over the
+    gaps between consecutive events (Goh & Barabási 2008): B → −1 for
+    periodic users, 0 for Poisson, → 1 for bursty — the traffic-shape
+    profile behind bot/spam triage.  Users need ≥ 2 gaps (3 events) and
+    a non-degenerate σ + μ.
+
+    Gap multiset depends only on the SORTED timestamp values, so tied
+    timestamps cannot flip the result.  Gaps convert ns→seconds by one
+    exact-int-to-double cast and one correctly-rounded division (equal
+    reals to the oracle's µs/1e6).  σ from (n, Σg, Σg²) sufficient
+    stats; round(4) absorbs summation-order jitter vs DuckDB
+    stddev_samp (the ``value_stddev`` precedent).  Scale shape: one
+    hash shuffle co-locates each user, then every group collapses to a
+    single row."""
+    from pii_detector_ray.functions.rounding import sql_round_scalar
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g['ts'].to_numpy().astype('datetime64[ns]')
+                     .astype(np.int64))
+        gaps = np.diff(ts).astype(np.float64) / 1e9
+        empty = pd.DataFrame({'user_id': pd.array([], dtype='int64'),
+                              'n_gaps': pd.array([], dtype='int64'),
+                              'burstiness': pd.array([], dtype='float64')})
+        n = len(gaps)
+        if n < 2:
+            return empty
+        s = float(gaps.sum())
+        ss = float((gaps * gaps).sum())
+        mu = s / n
+        var = (ss - s * s / n) / (n - 1)
+        sd = float(np.sqrt(max(var, 0.0)))
+        if sd + mu <= 0:
+            return empty
+        return pd.DataFrame({
+            'user_id': pd.array([int(g['user_id'].iloc[0])], dtype='int64'),
+            'n_gaps': pd.array([n], dtype='int64'),
+            'burstiness': pd.array(
+                [sql_round_scalar((sd - mu) / (sd + mu), 4)],
+                dtype='float64')})
+
+    return (_events(sf_dir, ['user_id', 'ts'])
+            .groupby('user_id').map_groups(per_user, batch_format='pandas'))
+
+
+_USER_BURSTINESS_SQL = (
+    'WITH d AS (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER '
+    '(PARTITION BY user_id ORDER BY ts) AS g FROM events), '
+    'g2 AS (SELECT user_id, g / 1000000.0 AS gs FROM d '
+    'WHERE g IS NOT NULL), '
+    's AS (SELECT user_id, count(*)::BIGINT AS n_gaps, avg(gs) AS mu, '
+    'stddev_samp(gs) AS sd FROM g2 GROUP BY user_id '
+    'HAVING count(*) >= 2) '
+    'SELECT user_id, n_gaps, round((sd - mu) / (sd + mu), 4) '
+    'AS burstiness FROM s WHERE sd + mu > 0'
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -12606,6 +12664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'benford_orders': q_benford_orders,
         'log_odds_terms': q_log_odds_terms,
         'rrf_fusion': q_rrf_fusion,
+        'user_burstiness': q_user_burstiness,
         'events_debounced': q_events_debounced,
         'jaccard_join_exact': q_jaccard_join_exact,
         # rows-only
@@ -12818,6 +12877,7 @@ def oracle_sql() -> dict[str, str]:
         'benford_orders': _BENFORD_ORDERS_SQL,
         'log_odds_terms': _LOG_ODDS_TERMS_SQL,
         'rrf_fusion': _rrf_fusion_sql(),
+        'user_burstiness': _USER_BURSTINESS_SQL,
         'events_debounced': _EVENTS_DEBOUNCED_SQL,
         'jaccard_join_exact': _JACCARD_JOIN_SQL,
         'dedup_components': _DEDUP_COMPONENTS_SQL,
