@@ -12482,6 +12482,461 @@ _USER_BURSTINESS_SQL = (
 )
 
 
+def q_theil_index(sf_dir: str) -> pd.DataFrame:
+    """Theil T inequality index over per-user total event value — the
+    entropy-based complement to ``user_activity_gini``: T = (1/N) Σ
+    (x/μ)·ln(x/μ) over users with positive totals (0 = perfectly even,
+    ln N = one user holds everything).  Scale shape: one narrow
+    (user, Σvalue) shuffle, a 2-scalar global aggregate for (N, μ),
+    then per-block partial term sums — nothing user-proportional
+    reaches the driver.  round(6) absorbs summation-order jitter vs
+    the oracle (the ``value_stddev`` precedent)."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
+    def valid(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column('value')))
+
+    totals = drop_empty_blocks(
+        _events(sf_dir, ['user_id', 'value'])
+        .map_batches(valid, batch_format='pyarrow')
+        .groupby('user_id').aggregate(Sum('value', alias_name='x'))
+        .filter(expr='x > 0'))
+    g = totals.aggregate(Sum('x'), Count())
+    n = int(g['count()'] or 0)
+    if n == 0:
+        return pd.DataFrame({'n_users': pd.array([0], dtype='int64'),
+                             'theil': pd.array([np.nan], dtype='float64')})
+    mu = float(g['sum(x)']) / n
+
+    def partial(t: pa.Table) -> pa.Table:
+        r = t.column('x').to_numpy(zero_copy_only=False) / mu
+        return pa.table({'_t': pa.array([float((r * np.log(r)).sum())],
+                                        pa.float64())})
+
+    s = totals.map_batches(partial, batch_format='pyarrow') \
+        .aggregate(Sum('_t'))['sum(_t)']
+    return pd.DataFrame({
+        'n_users': pd.array([n], dtype='int64'),
+        'theil': pd.array([sql_round_scalar(float(s) / n, 6)],
+                          dtype='float64')})
+
+
+_THEIL_INDEX_SQL = (
+    'WITH u AS (SELECT user_id, sum(value) AS x FROM events '
+    'WHERE value IS NOT NULL GROUP BY user_id HAVING sum(value) > 0), '
+    'm AS (SELECT count(*)::BIGINT AS n, avg(x) AS mu FROM u) '
+    'SELECT m.n AS n_users, '
+    'round(sum((u.x / m.mu) * ln(u.x / m.mu)) / m.n, 6) AS theil '
+    'FROM u, m GROUP BY m.n'
+)
+
+
+def q_daily_count_anomaly(sf_dir: str) -> pd.DataFrame:
+    """Daily event-volume anomaly z-scores — the operational alarm over
+    ingest volume: z = (n_day − mean)/stddev over the full day series.
+    Scale shape: per-block day partials collapse the stream to a
+    CALENDAR-BOUNDED (day, n) table (thousands of rows at any corpus
+    size), which the driver finishes exactly; the stream itself is
+    touched once with no payload shuffle.  round(4) absorbs the
+    stddev-algorithm difference vs DuckDB's stddev_samp (the
+    ``value_stddev`` precedent)."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column('ts'), pa.int64()), 86_400_000_000)
+        agg = pa.table({'day': day}).group_by('day') \
+            .aggregate([([], 'count_all')])
+        return pa.table({'day': agg.column('day'),
+                         '_n': pc.cast(agg.column('count_all'), pa.int64())})
+
+    rows = drop_empty_blocks(
+        _events(sf_dir, ['ts'])
+        .map_batches(partial, batch_format='pyarrow')
+        .groupby('day').aggregate(Sum('_n', alias_name='n_events'))
+    ).take_all()                                   # calendar-bounded
+    days = np.array([r['day'] for r in rows], np.int64)
+    n = np.array([r['n_events'] for r in rows], np.int64)
+    if len(n) < 2:
+        return pd.DataFrame({'day': pd.array([], dtype='int64'),
+                             'n_events': pd.array([], dtype='int64'),
+                             'z': pd.array([], dtype='float64')})
+    mu = float(n.mean())
+    sd = float(n.std(ddof=1))
+    if sd <= 0:
+        return pd.DataFrame({'day': pd.array([], dtype='int64'),
+                             'n_events': pd.array([], dtype='int64'),
+                             'z': pd.array([], dtype='float64')})
+    return pd.DataFrame({'day': days, 'n_events': n,
+                         'z': sql_round_np((n - mu) / sd, 4)})
+
+
+_DAILY_COUNT_ANOMALY_SQL = (
+    'WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, '
+    'count(*)::BIGINT AS n_events FROM events GROUP BY 1), '
+    's AS (SELECT avg(n_events) AS mu, stddev_samp(n_events) AS sd FROM d) '
+    'SELECT d.day, d.n_events, round((d.n_events - s.mu) / s.sd, 4) AS z '
+    'FROM d, s WHERE s.sd > 0'
+)
+
+
+def q_segment_hhi(sf_dir: str) -> ray.data.Dataset:
+    """Herfindahl–Hirschman concentration of customer spend within each
+    market segment: HHI = Σ_i share_i² over each customer's fraction of
+    the segment's order revenue (1/N_seg = even, 1.0 = monopoly).
+    Scale shape: one narrow (custkey, Σprice) shuffle; the custkey →
+    segment map broadcasts once via ``ray.put`` (the ``nation_revenue``
+    precedent — at a scale where the customer map outgrows broadcast,
+    the lookup becomes a co-partitioned join on the already-narrow
+    totals); the segment rollup carries 3 doubles per (segment, block)."""
+    import os
+    cust = read_parquet_clean(os.path.join(sf_dir, 'customer.parquet'),
+                              columns=['c_custkey', 'c_mktsegment']) \
+        .to_pandas()
+    seg_map = ray.put(dict(zip(cust['c_custkey'], cust['c_mktsegment'])))
+
+    totals = (read_parquet_clean(os.path.join(sf_dir, 'orders.parquet'),
+                                 columns=['o_custkey', 'o_totalprice'])
+              .groupby('o_custkey')
+              .aggregate(Sum('o_totalprice', alias_name='x')))
+
+    def partial(t: pa.Table) -> pa.Table:
+        smap = ray.get(seg_map)
+        keys = t.column('o_custkey').to_numpy(zero_copy_only=False)
+        segs = [smap.get(int(k)) for k in keys]       # miss == inner join
+        x = t.column('x').to_numpy(zero_copy_only=False)
+        tbl = pa.table({'segment': pa.array(segs, pa.string()),
+                        '_x': pa.array(x, pa.float64()),
+                        '_xx': pa.array(x * x, pa.float64())})
+        tbl = tbl.filter(pc.is_valid(tbl.column('segment')))
+        agg = tbl.group_by('segment').aggregate(
+            [('_x', 'sum'), ('_xx', 'sum'), ([], 'count_all')])
+        return pa.table({'segment': agg.column('segment'),
+                         '_x': agg.column('_x_sum'),
+                         '_xx': agg.column('_xx_sum'),
+                         '_n': pc.cast(agg.column('count_all'), pa.int64())})
+
+    agg = (totals.map_batches(partial, batch_format='pyarrow')
+           .groupby('segment')
+           .aggregate(Sum('_x', alias_name='sx'),
+                      Sum('_xx', alias_name='sxx'),
+                      Sum('_n', alias_name='n_customers')))
+
+    def fin(t: pa.Table) -> pa.Table:
+        sx = t.column('sx').to_numpy(zero_copy_only=False)
+        sxx = t.column('sxx').to_numpy(zero_copy_only=False)
+        return pa.table({'segment': t.column('segment'),
+                         'n_customers': t.column('n_customers'),
+                         'hhi': pa.array(sql_round_np(sxx / (sx * sx), 6),
+                                         pa.float64())})
+    return agg.map_batches(fin, batch_format='pyarrow')
+
+
+_SEGMENT_HHI_SQL = (
+    'WITH cs AS (SELECT c.c_mktsegment AS segment, o.o_custkey, '
+    'sum(o.o_totalprice) AS x FROM orders o '
+    'JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1, 2) '
+    'SELECT segment, count(*)::BIGINT AS n_customers, '
+    'round(sum(x * x) / (sum(x) * sum(x)), 6) AS hhi '
+    'FROM cs GROUP BY segment'
+)
+
+
+def q_user_type_entropy(sf_dir: str) -> ray.data.Dataset:
+    """Shannon entropy of each user's event-type mix, H = −Σ p·ln p —
+    the behavioural-diversity score (0 = single-type user).  Scale
+    shape: per-block (user, type) partials, one narrow count shuffle,
+    then a per-user map_groups whose groups are type-alphabet-bounded.
+    The term sum runs in ASCENDING event_type order on both sides
+    (ORDER BY inside the oracle's list aggregation — the
+    ``source_lang_kl`` precedent) so even float sum order matches."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = pa.table({'user_id': t.column('user_id'),
+                        'event_type': t.column('event_type')}) \
+            .group_by(['user_id', 'event_type']).aggregate([([], 'count_all')])
+        return pa.table({'user_id': agg.column('user_id'),
+                         'event_type': agg.column('event_type'),
+                         '_n': pc.cast(agg.column('count_all'), pa.int64())})
+
+    counts = drop_empty_blocks(
+        _events(sf_dir, ['user_id', 'event_type'])
+        .map_batches(partial, batch_format='pyarrow')
+        .groupby(['user_id', 'event_type'])
+        .aggregate(Sum('_n', alias_name='n')))
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values('event_type', kind='mergesort')   # NaN sorts last
+        tot = int(g['n'].sum())
+        h = 0.0
+        for nn in g['n']:
+            p = int(nn) / tot
+            h += -p * float(np.log(p))
+        return pd.DataFrame({
+            'user_id': pd.array([int(g['user_id'].iloc[0])], dtype='int64'),
+            'n_events': pd.array([tot], dtype='int64'),
+            'entropy': pd.array([sql_round_scalar(h, 6)], dtype='float64')})
+
+    return counts.groupby('user_id').map_groups(per_user,
+                                                batch_format='pandas')
+
+
+_USER_TYPE_ENTROPY_SQL = (
+    'WITH c AS (SELECT user_id, event_type, count(*)::DOUBLE AS n '
+    'FROM events GROUP BY 1, 2), '
+    'u AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY 1) '
+    'SELECT c.user_id, CAST(u.tot AS BIGINT) AS n_events, '
+    'round(list_sum(list(-(c.n / u.tot) * ln(c.n / u.tot) '
+    'ORDER BY c.event_type)), 6) AS entropy '
+    'FROM c JOIN u USING (user_id) GROUP BY c.user_id, u.tot'
+)
+
+
+def q_revenue_autocorr(sf_dir: str) -> pd.DataFrame:
+    """Lag-1 autocorrelation of the daily revenue series — the
+    time-series persistence check behind forecasting/seasonality work:
+    r1 = Σ(x_t−x̄)(x_{t+1}−x̄) / Σ(x_t−x̄)².  Scale shape: per-block
+    (day, Σprice) partials collapse orders to a CALENDAR-BOUNDED day
+    table; the driver finishes the lag product exactly in day order.
+    round(6) absorbs summation-order jitter."""
+    import os
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column('o_orderdate'), pa.int64()),
+                        86_400_000_000)
+        agg = pa.table({'day': day, '_r': t.column('o_totalprice')}) \
+            .group_by('day').aggregate([('_r', 'sum')])
+        return agg.rename_columns(['day', '_r'])
+
+    rows = drop_empty_blocks(
+        read_parquet_clean(
+            os.path.join(sf_dir, 'orders.parquet'),
+            columns=['o_orderdate', 'o_totalprice'])
+        .map_batches(partial, batch_format='pyarrow')
+        .groupby('day').aggregate(Sum('_r', alias_name='rev'))
+    ).take_all()                                   # calendar-bounded
+    rows.sort(key=lambda r: r['day'])
+    rev = np.array([r['rev'] for r in rows], np.float64)
+    if len(rev) < 2:
+        return pd.DataFrame({'n_days': pd.array([len(rev)], dtype='int64'),
+                             'acf1': pd.array([np.nan], dtype='float64')})
+    c = rev - rev.mean()
+    denom = float((c * c).sum())
+    acf1 = float((c[:-1] * c[1:]).sum()) / denom if denom > 0 else np.nan
+    return pd.DataFrame({
+        'n_days': pd.array([len(rev)], dtype='int64'),
+        'acf1': pd.array([sql_round_scalar(acf1, 6)], dtype='float64')})
+
+
+_REVENUE_AUTOCORR_SQL = (
+    'WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day, '
+    'sum(o_totalprice) AS rev FROM orders GROUP BY 1), '
+    'm AS (SELECT avg(rev) AS mu, count(*)::BIGINT AS n FROM d), '
+    'x AS (SELECT rev - m.mu AS c, '
+    'lead(rev - m.mu) OVER (ORDER BY day) AS cn FROM d, m) '
+    'SELECT m.n AS n_days, '
+    'round(sum(x.c * x.cn) / sum(x.c * x.c), 6) AS acf1 '
+    'FROM x, m GROUP BY m.n'
+)
+
+
+def q_hapax_ratio(sf_dir: str) -> ray.data.Dataset:
+    """Hapax-legomena ratio per source — the share of the source's
+    vocabulary that occurs exactly once, the classic corpus-freshness /
+    OCR-noise signal (clean prose ≈ 0.4–0.6, templated spam ≪).
+    Tokens are the repo's literal single-space split contract
+    (``type_token_ratio``), empty tokens dropped.  Scale shape:
+    per-block (source, token) partials bound block output by block
+    vocabulary; ONE narrow (source, token, n) shuffle — the same
+    vocabulary-proportional exchange every DF/TF-IDF query already
+    pays — then per-block hapax/type partials collapse to one row per
+    source."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        srcs: list[str] = []
+        toks: list[str] = []
+        for s, txt in zip(t.column('source').to_pylist(),
+                          t.column('text').to_pylist()):
+            for w in (txt or '').split(' '):
+                if w:
+                    srcs.append(s)
+                    toks.append(w)
+        agg = pa.table({'source': pa.array(srcs, pa.string()),
+                        'tok': pa.array(toks, pa.string())}) \
+            .group_by(['source', 'tok']).aggregate([([], 'count_all')])
+        return pa.table({'source': agg.column('source'),
+                         'tok': agg.column('tok'),
+                         '_n': pc.cast(agg.column('count_all'), pa.int64())})
+
+    counts = drop_empty_blocks(
+        read_documents(sf_dir, ['source', 'text'])
+        .map_batches(tok_partial, batch_format='pyarrow')
+        .groupby(['source', 'tok']).aggregate(Sum('_n', alias_name='n')))
+
+    def hx_partial(t: pa.Table) -> pa.Table:
+        one = pc.cast(pc.equal(t.column('n'), 1), pa.int64())
+        agg = pa.table({'source': t.column('source'), '_h': one}) \
+            .group_by('source').aggregate([('_h', 'sum'), ([], 'count_all')])
+        return pa.table({'source': agg.column('source'),
+                         '_h': agg.column('_h_sum'),
+                         '_t': pc.cast(agg.column('count_all'), pa.int64())})
+
+    agg = (counts.map_batches(hx_partial, batch_format='pyarrow')
+           .groupby('source')
+           .aggregate(Sum('_h', alias_name='n_hapax'),
+                      Sum('_t', alias_name='n_types')))
+
+    def fin(t: pa.Table) -> pa.Table:
+        h = t.column('n_hapax').to_numpy(zero_copy_only=False)
+        ty = t.column('n_types').to_numpy(zero_copy_only=False)
+        return pa.table({'source': t.column('source'),
+                         'n_hapax': t.column('n_hapax'),
+                         'n_types': t.column('n_types'),
+                         'hapax_ratio': pa.array(
+                             sql_round_np(h / ty.astype(np.float64), 6),
+                             pa.float64())})
+    return agg.map_batches(fin, batch_format='pyarrow')
+
+
+_HAPAX_RATIO_SQL = (
+    "WITH w AS (SELECT source, unnest(string_split(coalesce(text, ''), "
+    "' ')) AS tok FROM documents), "
+    "c AS (SELECT source, tok, count(*) AS n FROM w WHERE tok <> '' "
+    'GROUP BY 1, 2) '
+    'SELECT source, '
+    'CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, '
+    'count(*)::BIGINT AS n_types, '
+    'round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6) '
+    'AS hapax_ratio FROM c GROUP BY source'
+)
+
+
+def _source_lang_counts(sf_dir: str) -> list[dict]:
+    """Shared narrow (source, lang, n) contingency census — sources ×
+    language alphabet is BOUNDED at any corpus size, so the driver may
+    finish divergence arithmetic exactly after one partial-count pass
+    (the ``source_lang_kl`` lang-marginal precedent)."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = pa.table({'source': t.column('source'),
+                        'lang': t.column('lang')}) \
+            .group_by(['source', 'lang']).aggregate([([], 'count_all')])
+        return pa.table({'source': agg.column('source'),
+                         'lang': agg.column('lang'),
+                         '_n': pc.cast(agg.column('count_all'), pa.int64())})
+
+    return drop_empty_blocks(
+        read_documents(sf_dir, ['source', 'lang'])
+        .map_batches(partial, batch_format='pyarrow')
+        .groupby(['source', 'lang']).aggregate(Sum('_n', alias_name='n'))
+    ).take_all()
+
+
+def q_source_js_divergence(sf_dir: str) -> pd.DataFrame:
+    """Pairwise Jensen–Shannon divergence between the sources' language
+    mixes — the symmetric, bounded cousin of ``source_lang_kl`` used to
+    rank which shards differ most: JS(p,q) = ½KL(p‖m) + ½KL(q‖m),
+    m = (p+q)/2, natural log.  One distributed contingency census; the
+    pairwise arithmetic is (sources × langs)-bounded driver work.  Term
+    sums run in ASCENDING lang order on both sides."""
+    rows = _source_lang_counts(sf_dir)
+    tot: dict[str, int] = {}
+    dist: dict[str, dict[str, int]] = {}
+    for r in rows:
+        dist.setdefault(r['source'], {})[r['lang']] = r['n']
+        tot[r['source']] = tot.get(r['source'], 0) + r['n']
+    sources = sorted(dist)
+    langs = sorted({r['lang'] for r in rows})
+    out_a, out_b, out_js = [], [], []
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            js = 0.0
+            for lang in langs:
+                pa_ = dist[a].get(lang, 0) / tot[a]
+                pb_ = dist[b].get(lang, 0) / tot[b]
+                if pa_ + pb_ <= 0:
+                    continue
+                m = (pa_ + pb_) / 2
+                term = 0.0
+                if pa_ > 0:
+                    term += 0.5 * pa_ * float(np.log(pa_ / m))
+                if pb_ > 0:
+                    term += 0.5 * pb_ * float(np.log(pb_ / m))
+                js += term
+            out_a.append(a)
+            out_b.append(b)
+            out_js.append(sql_round_scalar(js, 6))
+    return pd.DataFrame({'source_a': pd.array(out_a, dtype='string'),
+                         'source_b': pd.array(out_b, dtype='string'),
+                         'js': pd.array(out_js, dtype='float64')})
+
+
+_SOURCE_JS_SQL = (
+    'WITH c AS (SELECT source, lang, count(*)::DOUBLE AS n FROM documents '
+    'GROUP BY 1, 2), '
+    's AS (SELECT source, sum(n) AS tot FROM c GROUP BY 1), '
+    'd AS (SELECT c.source, c.lang, c.n / s.tot AS p FROM c '
+    'JOIN s ON c.source = s.source), '
+    'pr AS (SELECT a.source AS sa, b.source AS sb FROM s a '
+    'JOIN s b ON a.source < b.source), '
+    'langs AS (SELECT DISTINCT lang FROM c), '
+    'al AS (SELECT pr.sa, pr.sb, langs.lang, '
+    'coalesce(da.p, 0) AS pa, coalesce(db.p, 0) AS pb '
+    'FROM pr CROSS JOIN langs '
+    'LEFT JOIN d da ON da.source = pr.sa AND da.lang = langs.lang '
+    'LEFT JOIN d db ON db.source = pr.sb AND db.lang = langs.lang), '
+    't AS (SELECT sa, sb, lang, '
+    'CASE WHEN pa > 0 THEN 0.5 * pa * ln(pa / ((pa + pb) / 2)) ELSE 0 END + '
+    'CASE WHEN pb > 0 THEN 0.5 * pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END '
+    'AS term FROM al WHERE pa + pb > 0) '
+    'SELECT sa AS source_a, sb AS source_b, '
+    'round(list_sum(list(term ORDER BY lang)), 6) AS js '
+    'FROM t GROUP BY 1, 2'
+)
+
+
+def q_source_lang_mi(sf_dir: str) -> pd.DataFrame:
+    """Mutual information I(source; lang) in nats — the single-number
+    association strength behind the ``lang_source_chi2`` independence
+    test: Σ p(s,l)·ln(p(s,l) / (p(s)p(l))).  Same bounded contingency
+    census as the JS query; term sum ordered by (source, lang) on both
+    sides so float order matches."""
+    rows = _source_lang_counts(sf_dir)
+    total = sum(r['n'] for r in rows)
+    ns: dict[str, int] = {}
+    nl: dict[str, int] = {}
+    for r in rows:
+        ns[r['source']] = ns.get(r['source'], 0) + r['n']
+        nl[r['lang']] = nl.get(r['lang'], 0) + r['n']
+    mi = 0.0
+    for r in sorted(rows, key=lambda r: (r['source'], r['lang'])):
+        p = r['n'] / total
+        mi += p * float(np.log((r['n'] * total)
+                               / (ns[r['source']] * nl[r['lang']])))
+    return pd.DataFrame({
+        'n_docs': pd.array([total], dtype='int64'),
+        'mi': pd.array([sql_round_scalar(mi, 6)], dtype='float64')})
+
+
+_SOURCE_LANG_MI_SQL = (
+    'WITH c AS (SELECT source, lang, count(*)::DOUBLE AS n FROM documents '
+    'GROUP BY 1, 2), '
+    's AS (SELECT source, sum(n) AS ns FROM c GROUP BY 1), '
+    'l AS (SELECT lang, sum(n) AS nl FROM c GROUP BY 1), '
+    't AS (SELECT sum(n) AS total FROM c), '
+    'terms AS (SELECT c.source, c.lang, '
+    '(c.n / t.total) * ln((c.n * t.total) / (s.ns * l.nl)) AS term '
+    'FROM c JOIN s ON c.source = s.source '
+    'JOIN l ON c.lang = l.lang CROSS JOIN t) '
+    'SELECT (SELECT CAST(total AS BIGINT) FROM t) AS n_docs, '
+    'round(list_sum(list(term ORDER BY source, lang)), 6) AS mi '
+    'FROM terms'
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -12665,6 +13120,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'log_odds_terms': q_log_odds_terms,
         'rrf_fusion': q_rrf_fusion,
         'user_burstiness': q_user_burstiness,
+        'theil_index': q_theil_index,
+        'daily_count_anomaly': q_daily_count_anomaly,
+        'segment_hhi': q_segment_hhi,
+        'user_type_entropy': q_user_type_entropy,
+        'revenue_autocorr': q_revenue_autocorr,
+        'hapax_ratio': q_hapax_ratio,
+        'source_js_divergence': q_source_js_divergence,
+        'source_lang_mi': q_source_lang_mi,
         'events_debounced': q_events_debounced,
         'jaccard_join_exact': q_jaccard_join_exact,
         # rows-only
@@ -12878,6 +13341,14 @@ def oracle_sql() -> dict[str, str]:
         'log_odds_terms': _LOG_ODDS_TERMS_SQL,
         'rrf_fusion': _rrf_fusion_sql(),
         'user_burstiness': _USER_BURSTINESS_SQL,
+        'theil_index': _THEIL_INDEX_SQL,
+        'daily_count_anomaly': _DAILY_COUNT_ANOMALY_SQL,
+        'segment_hhi': _SEGMENT_HHI_SQL,
+        'user_type_entropy': _USER_TYPE_ENTROPY_SQL,
+        'revenue_autocorr': _REVENUE_AUTOCORR_SQL,
+        'hapax_ratio': _HAPAX_RATIO_SQL,
+        'source_js_divergence': _SOURCE_JS_SQL,
+        'source_lang_mi': _SOURCE_LANG_MI_SQL,
         'events_debounced': _EVENTS_DEBOUNCED_SQL,
         'jaccard_join_exact': _JACCARD_JOIN_SQL,
         'dedup_components': _DEDUP_COMPONENTS_SQL,
