@@ -12937,6 +12937,196 @@ _SOURCE_LANG_MI_SQL = (
 )
 
 
+def q_cross_source_leakage(sf_dir: str) -> pd.DataFrame:
+    """Train/eval leakage census: for every source pair, how many
+    DISTINCT document texts (by md5) appear in BOTH sources — the
+    cross-shard contamination check run before any split ships.  Scale
+    shape: per-block distinct (md5, source) partials, ONE narrow 32-B+key
+    shuffle, then per-hash groups are SOURCE-ALPHABET-bounded so the
+    pair explosion is ≤ C(n_sources, 2) rows per hash; the final pair
+    count is another narrow groupby.  Document payloads never shuffle."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
+    def hash_partial(t: pa.Table) -> pa.Table:
+        texts = t.column('text').to_pylist()
+        srcs = t.column('source').to_pylist()
+        hs, ss = [], []
+        for txt, s in zip(texts, srcs):
+            if txt is None:
+                continue                  # md5(NULL) joins nothing
+            hs.append(hashlib.md5(txt.encode('utf-8')).hexdigest())
+            ss.append(s)
+        return pa.table({'h': pa.array(hs, pa.string()),
+                         'source': pa.array(ss, pa.string())}) \
+            .group_by(['h', 'source']).aggregate([])
+
+    distinct = drop_empty_blocks(
+        read_documents(sf_dir, ['source', 'text'])
+        .map_batches(hash_partial, batch_format='pyarrow')
+        .groupby(['h', 'source']).aggregate(Count(alias_name='_c')))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ss = sorted(g['source'])
+        if len(ss) < 2:
+            return pd.DataFrame({'source_a': pd.array([], dtype='string'),
+                                 'source_b': pd.array([], dtype='string'),
+                                 '_n': pd.array([], dtype='int64')})
+        a = [ss[i] for i in range(len(ss)) for _ in range(i + 1, len(ss))]
+        b = [ss[j] for i in range(len(ss)) for j in range(i + 1, len(ss))]
+        return pd.DataFrame({'source_a': pd.array(a, dtype='string'),
+                             'source_b': pd.array(b, dtype='string'),
+                             '_n': pd.array([1] * len(a), dtype='int64')})
+
+    rows = (distinct.groupby('h').map_groups(pairs, batch_format='pandas')
+            .groupby(['source_a', 'source_b'])
+            .aggregate(Sum('_n', alias_name='n_shared'))
+            ).take_all()                 # ≤ C(n_sources, 2) rows — bounded
+    return pd.DataFrame({
+        'source_a': pd.array([r['source_a'] for r in rows], dtype='string'),
+        'source_b': pd.array([r['source_b'] for r in rows], dtype='string'),
+        'n_shared': pd.array([r['n_shared'] for r in rows], dtype='int64')})
+
+
+_CROSS_SOURCE_LEAKAGE_SQL = (
+    'WITH h AS (SELECT DISTINCT md5(text) AS h, source FROM documents '
+    'WHERE text IS NOT NULL) '
+    'SELECT a.source AS source_a, b.source AS source_b, '
+    'count(*)::BIGINT AS n_shared FROM h a '
+    'JOIN h b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2'
+)
+
+
+def q_events_heatmap(sf_dir: str) -> ray.data.Dataset:
+    """Weekday × hour traffic heatmap — the 7×24 load matrix behind
+    capacity planning.  Pure integer arithmetic off the epoch
+    (1970-01-01 was a Thursday, DuckDB dayofweek Sunday=0 ⇒ +4 mod 7);
+    per-block partials collapse each block to ≤ 168 rows before the
+    (bounded) groupby."""
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column('ts'), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        dow = (us // 86_400_000_000 + 4) % 7
+        hr = (us % 86_400_000_000) // 3_600_000_000
+        agg = pa.table({'dow': pa.array(dow, pa.int64()),
+                        'hr': pa.array(hr, pa.int64())}) \
+            .group_by(['dow', 'hr']).aggregate([([], 'count_all')])
+        return pa.table({'dow': agg.column('dow'), 'hr': agg.column('hr'),
+                         '_n': pc.cast(agg.column('count_all'), pa.int64())})
+
+    return (_events(sf_dir, ['ts'])
+            .map_batches(partial, batch_format='pyarrow')
+            .groupby(['dow', 'hr']).aggregate(Sum('_n', alias_name='n')))
+
+
+_EVENTS_HEATMAP_SQL = (
+    'SELECT dayofweek(ts)::BIGINT AS dow, hour(ts)::BIGINT AS hr, '
+    'count(*) AS n FROM events GROUP BY 1, 2'
+)
+
+
+def q_part_price_cv(sf_dir: str) -> ray.data.Dataset:
+    """Per-part price dispersion: coefficient of variation
+    stddev_samp/mean of lineitem extended prices, parts with ≥ 2 sales —
+    the pricing-consistency audit.  Per-block (part, n, Σx, Σx²)
+    sufficient-stat partials, one narrow groupby, vectorized finish;
+    round(4) absorbs the sufficient-stats-vs-streaming-stddev float gap
+    (the ``value_stddev`` precedent), and the variance clamps at 0 so
+    constant-price parts emit exactly 0."""
+    import os
+    line = read_parquet_clean(os.path.join(sf_dir, 'lineitem.parquet'),
+                              columns=['l_partkey', 'l_extendedprice'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column('l_extendedprice').to_numpy(zero_copy_only=False)
+        tbl = pa.table({'pk': t.column('l_partkey'),
+                        '_s': pa.array(x, pa.float64()),
+                        '_ss': pa.array(x * x, pa.float64())})
+        agg = tbl.group_by('pk').aggregate(
+            [('_s', 'sum'), ('_ss', 'sum'), ([], 'count_all')])
+        return pa.table({'pk': agg.column('pk'),
+                         '_s': agg.column('_s_sum'),
+                         '_ss': agg.column('_ss_sum'),
+                         '_n': pc.cast(agg.column('count_all'), pa.int64())})
+
+    agg = (line.map_batches(partial, batch_format='pyarrow')
+           .groupby('pk')
+           .aggregate(Sum('_s', alias_name='s'),
+                      Sum('_ss', alias_name='ss'),
+                      Sum('_n', alias_name='n')))
+
+    def fin(t: pa.Table) -> pa.Table:
+        s = t.column('s').to_numpy(zero_copy_only=False)
+        ss = t.column('ss').to_numpy(zero_copy_only=False)
+        n = t.column('n').to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = n >= 2
+        s, ss, n = s[keep], ss[keep], n[keep]
+        var = np.maximum((ss - s * s / n) / (n - 1), 0.0)
+        cv = np.sqrt(var) / (s / n)
+        return pa.table({
+            'l_partkey': pc.cast(
+                t.column('pk').filter(pa.array(keep)), pa.int64()),
+            'n': pa.array(n.astype(np.int64)),
+            'cv': pa.array(sql_round_np(cv, 4), pa.float64())})
+    return agg.map_batches(fin, batch_format='pyarrow')
+
+
+_PART_PRICE_CV_SQL = (
+    'SELECT l_partkey, count(*)::BIGINT AS n, '
+    'round(stddev_samp(l_extendedprice) / avg(l_extendedprice), 4) AS cv '
+    'FROM lineitem GROUP BY 1 HAVING count(*) >= 2'
+)
+
+
+def q_top1pct_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """Pareto concentration point: the share of total order revenue held
+    by customers at or above the 99th-percentile lifetime total — the
+    one-number whale-dependence metric.  Scale shape: ONE narrow
+    (custkey, Σprice) shuffle; the 0.99 threshold comes from the exact
+    distributed histogram-refinement quantile (stages/sketches.py — no
+    sort, no collect); two scalar aggregates finish.  round(6) absorbs
+    summation-order jitter."""
+    import os
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    from pii_detector_ray.stages.sketches import distributed_quantile
+
+    totals = drop_empty_blocks(
+        read_parquet_clean(os.path.join(sf_dir, 'orders.parquet'),
+                           columns=['o_custkey', 'o_totalprice'])
+        .groupby('o_custkey')
+        .aggregate(Sum('o_totalprice', alias_name='x'))).materialize()
+    g = totals.aggregate(Sum('x'), Count())
+    n = int(g['count()'] or 0)
+    if n == 0:
+        return pd.DataFrame({'n_customers': pd.array([0], dtype='int64'),
+                             'top_share': pd.array([np.nan],
+                                                   dtype='float64')})
+    thr = distributed_quantile(totals, 'x', [0.99])[0]
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column('x').to_numpy(zero_copy_only=False)
+        return pa.table({'_t': pa.array([float(x[x >= thr].sum())],
+                                        pa.float64())})
+
+    topx = totals.map_batches(partial, batch_format='pyarrow') \
+        .aggregate(Sum('_t'))['sum(_t)']
+    return pd.DataFrame({
+        'n_customers': pd.array([n], dtype='int64'),
+        'top_share': pd.array(
+            [sql_round_scalar(float(topx) / float(g['sum(x)']), 6)],
+            dtype='float64')})
+
+
+_TOP1PCT_REVENUE_SHARE_SQL = (
+    'WITH u AS (SELECT o_custkey, sum(o_totalprice) AS x FROM orders '
+    'GROUP BY 1), '
+    't AS (SELECT quantile_cont(x, 0.99) AS thr FROM u), '
+    's AS (SELECT sum(x) AS tot, count(*)::BIGINT AS n FROM u), '
+    'k AS (SELECT sum(x) AS topx FROM u, t WHERE u.x >= t.thr) '
+    'SELECT s.n AS n_customers, round(k.topx / s.tot, 6) AS top_share '
+    'FROM s, k'
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -13128,6 +13318,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'hapax_ratio': q_hapax_ratio,
         'source_js_divergence': q_source_js_divergence,
         'source_lang_mi': q_source_lang_mi,
+        'cross_source_leakage': q_cross_source_leakage,
+        'events_heatmap': q_events_heatmap,
+        'part_price_cv': q_part_price_cv,
+        'top1pct_revenue_share': q_top1pct_revenue_share,
         'events_debounced': q_events_debounced,
         'jaccard_join_exact': q_jaccard_join_exact,
         # rows-only
@@ -13349,6 +13543,10 @@ def oracle_sql() -> dict[str, str]:
         'hapax_ratio': _HAPAX_RATIO_SQL,
         'source_js_divergence': _SOURCE_JS_SQL,
         'source_lang_mi': _SOURCE_LANG_MI_SQL,
+        'cross_source_leakage': _CROSS_SOURCE_LEAKAGE_SQL,
+        'events_heatmap': _EVENTS_HEATMAP_SQL,
+        'part_price_cv': _PART_PRICE_CV_SQL,
+        'top1pct_revenue_share': _TOP1PCT_REVENUE_SHARE_SQL,
         'events_debounced': _EVENTS_DEBOUNCED_SQL,
         'jaccard_join_exact': _JACCARD_JOIN_SQL,
         'dedup_components': _DEDUP_COMPONENTS_SQL,
