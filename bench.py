@@ -113,7 +113,8 @@ def run_bench() -> dict:
                      'funnel_stages', 'cohort_retention',
                      'local_supplier_volume', 'token_budget_selection',
                      'rolling_active_users', 'pq_codes', 'value_ks_test',
-                     'user_activity_gini']:
+                     'user_activity_gini', 'hapax_ratio', 'segment_hhi',
+                     'cross_source_leakage']:
             fn = q.queries()[name]
             t0 = time.monotonic()
             res = fn(SF_DIR)
