@@ -13127,6 +13127,128 @@ _TOP1PCT_REVENUE_SHARE_SQL = (
 )
 
 
+def q_rfm_segments(sf_dir: str) -> ray.data.Dataset:
+    """RFM customer segmentation — the classic marketing cut: per-customer
+    Recency (last order day), Frequency (order count) and Monetary (total
+    spend) each scored 1–5 against the population's exact 20/40/60/80
+    quantile thresholds (strict > on every boundary, mirrored in the
+    oracle), rolled up to segment counts.  Scale shape: ONE narrow
+    (custkey, day, n, Σprice) shuffle; thresholds come from the exact
+    distributed histogram-refinement quantile (no sort, no collect);
+    scoring is a stateless vectorized pass and the rollup is ≤ 125 rows."""
+    import os
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    from pii_detector_ray.stages.sketches import distributed_quantile
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column('o_orderdate'), pa.int64()),
+                        86_400_000_000)
+        return pa.table({'ck': t.column('o_custkey'),
+                         '_d': day,
+                         '_p': t.column('o_totalprice'),
+                         '_n': pa.array(np.ones(len(t), np.int64))})
+
+    rfm = drop_empty_blocks(
+        read_parquet_clean(os.path.join(sf_dir, 'orders.parquet'),
+                           columns=['o_custkey', 'o_orderdate',
+                                    'o_totalprice'])
+        .map_batches(day_partial, batch_format='pyarrow')
+        .groupby('ck')
+        .aggregate(Max('_d', alias_name='last_day'),
+                   Sum('_n', alias_name='freq'),
+                   Sum('_p', alias_name='mon'))).materialize()
+
+    cuts = [0.2, 0.4, 0.6, 0.8]
+    rq = distributed_quantile(rfm, 'last_day', cuts)
+    fq = distributed_quantile(rfm, 'freq', cuts)
+    mq = distributed_quantile(rfm, 'mon', cuts)
+
+    def score(t: pa.Table) -> pa.Table:
+        def sc(col: str, th: list[float]) -> np.ndarray:
+            v = t.column(col).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            s = np.ones(len(v), np.int64)
+            for q in th:
+                s += (v > q)
+            return s
+        agg = pa.table({'r_score': pa.array(sc('last_day', rq)),
+                        'f_score': pa.array(sc('freq', fq)),
+                        'm_score': pa.array(sc('mon', mq))}) \
+            .group_by(['r_score', 'f_score', 'm_score']) \
+            .aggregate([([], 'count_all')])
+        return pa.table({'r_score': agg.column('r_score'),
+                         'f_score': agg.column('f_score'),
+                         'm_score': agg.column('m_score'),
+                         '_n': pc.cast(agg.column('count_all'), pa.int64())})
+
+    return (rfm.map_batches(score, batch_format='pyarrow')
+            .groupby(['r_score', 'f_score', 'm_score'])
+            .aggregate(Sum('_n', alias_name='n_customers')))
+
+
+_RFM_SEGMENTS_SQL = (
+    'WITH c AS (SELECT o_custkey, '
+    'max(epoch_us(o_orderdate) // 86400000000) AS last_day, '
+    'count(*)::DOUBLE AS freq, sum(o_totalprice) AS mon FROM orders '
+    'GROUP BY 1), '
+    'q AS (SELECT '
+    + ', '.join(f'quantile_cont(last_day, {q}) AS r{i + 1}, '
+                f'quantile_cont(freq, {q}) AS f{i + 1}, '
+                f'quantile_cont(mon, {q}) AS m{i + 1}'
+                for i, q in enumerate([0.2, 0.4, 0.6, 0.8]))
+    + ' FROM c) '
+    'SELECT (1 + (last_day > r1)::INT + (last_day > r2)::INT '
+    '+ (last_day > r3)::INT + (last_day > r4)::INT)::BIGINT AS r_score, '
+    '(1 + (freq > f1)::INT + (freq > f2)::INT + (freq > f3)::INT '
+    '+ (freq > f4)::INT)::BIGINT AS f_score, '
+    '(1 + (mon > m1)::INT + (mon > m2)::INT + (mon > m3)::INT '
+    '+ (mon > m4)::INT)::BIGINT AS m_score, '
+    'count(*)::BIGINT AS n_customers FROM c, q GROUP BY 1, 2, 3'
+)
+
+
+def q_monthly_seasonality(sf_dir: str) -> ray.data.Dataset:
+    """Month-of-year revenue seasonality index: each calendar month's
+    share of total revenue normalized so 1.0 = flat (share × 12) — the
+    first-order seasonal decomposition used to deseasonalize forecasts.
+    Per-block (month, Σprice) partials collapse to ≤ 12 rows per block;
+    the grand total folds from the same bounded aggregate, so the stream
+    is touched once."""
+    import os
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column('o_orderdate')
+        mon = pc.cast(pc.month(ts), pa.int64())
+        agg = pa.table({'month': mon, '_r': t.column('o_totalprice')}) \
+            .group_by('month').aggregate([('_r', 'sum')])
+        return agg.rename_columns(['month', '_r'])
+
+    agg = drop_empty_blocks(
+        read_parquet_clean(os.path.join(sf_dir, 'orders.parquet'),
+                           columns=['o_orderdate', 'o_totalprice'])
+        .map_batches(partial, batch_format='pyarrow')
+        .groupby('month').aggregate(Sum('_r', alias_name='rev'))).materialize()
+    total = float(agg.aggregate(Sum('rev'))['sum(rev)'])
+
+    def fin(t: pa.Table) -> pa.Table:
+        r = t.column('rev').to_numpy(zero_copy_only=False)
+        return pa.table({'month': t.column('month'),
+                         'revenue': pa.array(sql_round_np(r, 2)),
+                         'seasonality': pa.array(
+                             sql_round_np(r / total * 12.0, 6))})
+    return agg.map_batches(fin, batch_format='pyarrow')
+
+
+_MONTHLY_SEASONALITY_SQL = (
+    'WITH m AS (SELECT month(o_orderdate)::BIGINT AS month, '
+    'sum(o_totalprice) AS rev FROM orders GROUP BY 1), '
+    't AS (SELECT sum(rev) AS tot FROM m) '
+    'SELECT m.month, round(m.rev, 2) AS revenue, '
+    'round(m.rev / t.tot * 12.0, 6) AS seasonality FROM m, t'
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -13322,6 +13444,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'events_heatmap': q_events_heatmap,
         'part_price_cv': q_part_price_cv,
         'top1pct_revenue_share': q_top1pct_revenue_share,
+        'rfm_segments': q_rfm_segments,
+        'monthly_seasonality': q_monthly_seasonality,
         'events_debounced': q_events_debounced,
         'jaccard_join_exact': q_jaccard_join_exact,
         # rows-only
@@ -13547,6 +13671,8 @@ def oracle_sql() -> dict[str, str]:
         'events_heatmap': _EVENTS_HEATMAP_SQL,
         'part_price_cv': _PART_PRICE_CV_SQL,
         'top1pct_revenue_share': _TOP1PCT_REVENUE_SHARE_SQL,
+        'rfm_segments': _RFM_SEGMENTS_SQL,
+        'monthly_seasonality': _MONTHLY_SEASONALITY_SQL,
         'events_debounced': _EVENTS_DEBOUNCED_SQL,
         'jaccard_join_exact': _JACCARD_JOIN_SQL,
         'dedup_components': _DEDUP_COMPONENTS_SQL,
