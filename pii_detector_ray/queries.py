@@ -13249,6 +13249,99 @@ _MONTHLY_SEASONALITY_SQL = (
 )
 
 
+def q_nation_lead_time(sf_dir: str) -> ray.data.Dataset:
+    """Fulfilment lead time (ship day − order day) per supplier nation —
+    the logistics SLA rollup needing the BIG-BIG lineitem × orders join.
+    Scale shape: both sides project to narrow int columns before a
+    co-partitioned equi-join on orderkey (the ``order_total_audit``
+    shape — no broadcast of anything order-proportional); the
+    supplier→nation map is nation-alphabet-small and broadcasts once;
+    per-batch sufficient-stat partials make the final groupby bounded.
+    Lead-day sums are exact int64, so avg matches the oracle to the
+    division."""
+    import os
+    from pii_detector_ray.stages.dedup import drop_empty_blocks, \
+        join_partitions
+
+    supp = read_parquet_clean(os.path.join(sf_dir, 'supplier.parquet'),
+                              columns=['s_suppkey', 's_nationkey']) \
+        .to_pandas()
+    nation = read_parquet_clean(os.path.join(sf_dir, 'nation.parquet'),
+                                columns=['n_nationkey', 'n_name']) \
+        .to_pandas()
+    nk = dict(zip(nation['n_nationkey'], nation['n_name']))
+    s2n = ray.put({int(s): nk.get(int(n))
+                   for s, n in zip(supp['s_suppkey'], supp['s_nationkey'])})
+
+    line = read_parquet_clean(
+        os.path.join(sf_dir, 'lineitem.parquet'),
+        columns=['l_orderkey', 'l_suppkey', 'l_shipdate']).map_batches(
+        lambda t: pa.table({
+            'o_orderkey': pc.cast(t.column('l_orderkey'), pa.int64()),
+            '_sk': pc.cast(t.column('l_suppkey'), pa.int64()),
+            '_sd': pc.divide(pc.cast(t.column('l_shipdate'), pa.int64()),
+                             86_400_000_000)}),
+        batch_format='pyarrow')
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, 'orders.parquet'),
+        columns=['o_orderkey', 'o_orderdate']).map_batches(
+        lambda t: pa.table({
+            'o_orderkey': pc.cast(t.column('o_orderkey'), pa.int64()),
+            '_od': pc.divide(pc.cast(t.column('o_orderdate'), pa.int64()),
+                             86_400_000_000)}),
+        batch_format='pyarrow')
+    n_lines = line.count()
+    joined = line.join(orders, join_type='inner',
+                       num_partitions=join_partitions(rows=n_lines),
+                       on=('o_orderkey',))
+
+    def partial(t: pa.Table) -> pa.Table:
+        smap = ray.get(s2n)
+        lead = (t.column('_sd').to_numpy(zero_copy_only=False)
+                - t.column('_od').to_numpy(zero_copy_only=False))
+        names = [smap.get(int(k)) for k in
+                 t.column('_sk').to_numpy(zero_copy_only=False)]
+        tab = pa.table({'n_name': pa.array(names, pa.string()),
+                        '_l': pa.array(lead, pa.int64()),
+                        '_n': pa.array(np.ones(len(lead), np.int64))})
+        tab = tab.filter(pc.is_valid(tab.column('n_name')))
+        agg = tab.group_by('n_name').aggregate(
+            [('_l', 'sum'), ('_l', 'max'), ('_n', 'sum')])
+        return pa.table({'n_name': agg.column('n_name'),
+                         '_ls': agg.column('_l_sum'),
+                         '_lm': agg.column('_l_max'),
+                         '_n': agg.column('_n_sum')})
+
+    agg = drop_empty_blocks(
+        joined.map_batches(partial, batch_format='pyarrow')
+        .groupby('n_name')
+        .aggregate(Sum('_ls', alias_name='ls'),
+                   Max('_lm', alias_name='max_lead_days'),
+                   Sum('_n', alias_name='n_lines')))
+
+    def fin(t: pa.Table) -> pa.Table:
+        ls = t.column('ls').to_numpy(zero_copy_only=False)
+        n = t.column('n_lines').to_numpy(zero_copy_only=False)
+        return pa.table({'n_name': t.column('n_name'),
+                         'n_lines': t.column('n_lines'),
+                         'avg_lead_days': pa.array(
+                             sql_round_np(ls / n.astype(np.float64), 6)),
+                         'max_lead_days': t.column('max_lead_days')})
+    return agg.map_batches(fin, batch_format='pyarrow')
+
+
+_NATION_LEAD_TIME_SQL = (
+    'SELECT n.n_name, count(*)::BIGINT AS n_lines, '
+    'round(avg((epoch_us(l.l_shipdate) // 86400000000) '
+    '- (epoch_us(o.o_orderdate) // 86400000000)), 6) AS avg_lead_days, '
+    'max((epoch_us(l.l_shipdate) // 86400000000) '
+    '- (epoch_us(o.o_orderdate) // 86400000000))::BIGINT AS max_lead_days '
+    'FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey '
+    'JOIN supplier s ON l.l_suppkey = s.s_suppkey '
+    'JOIN nation n ON s.s_nationkey = n.n_nationkey GROUP BY 1'
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -13446,6 +13539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'top1pct_revenue_share': q_top1pct_revenue_share,
         'rfm_segments': q_rfm_segments,
         'monthly_seasonality': q_monthly_seasonality,
+        'nation_lead_time': q_nation_lead_time,
         'events_debounced': q_events_debounced,
         'jaccard_join_exact': q_jaccard_join_exact,
         # rows-only
@@ -13673,6 +13767,7 @@ def oracle_sql() -> dict[str, str]:
         'top1pct_revenue_share': _TOP1PCT_REVENUE_SHARE_SQL,
         'rfm_segments': _RFM_SEGMENTS_SQL,
         'monthly_seasonality': _MONTHLY_SEASONALITY_SQL,
+        'nation_lead_time': _NATION_LEAD_TIME_SQL,
         'events_debounced': _EVENTS_DEBOUNCED_SQL,
         'jaccard_join_exact': _JACCARD_JOIN_SQL,
         'dedup_components': _DEDUP_COMPONENTS_SQL,
