@@ -13342,6 +13342,127 @@ _NATION_LEAD_TIME_SQL = (
 )
 
 
+def q_xml_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """Record-oriented XML ingest (sources/xmlsrc.py — stdlib iterparse,
+    one Ray task per shard): the corpus round-trips through 8 XML shard
+    files, decodes inside Ray tasks, and the per-lang doc/char census
+    must survive the text round-trip exactly (NULL lang included — the
+    adapter omits the attribute and restores None)."""
+    import hashlib as _hl
+    import os
+
+    from pii_detector_ray.sources.xmlsrc import encode_xml, read_xml
+
+    src = os.path.join(sf_dir, 'documents.parquet')
+    st = os.stat(src)
+    tag = _hl.md5(f'{src}:{st.st_mtime_ns}:{st.st_size}:xml1'.encode()) \
+        .hexdigest()[:10]
+    n_shards = 8
+    paths = [f'/tmp/pii_ray_xml_{tag}_{i}.xml' for i in range(n_shards)]
+    if not all(os.path.exists(p) for p in paths):
+        import pyarrow.parquet as pq
+        t = pq.read_table(src, columns=['doc_id', 'lang', 'text'])
+        recs = [{'doc_id': i, 'lang': l, 'text': x}
+                for i, l, x in zip(t.column('doc_id').to_pylist(),
+                                   t.column('lang').to_pylist(),
+                                   t.column('text').to_pylist())]
+        for i, path in enumerate(paths):
+            tmp = f'{path}.{os.getpid()}'
+            with open(tmp, 'wb') as f:
+                f.write(encode_xml(
+                    [r for r in recs if r['doc_id'] % n_shards == i]))
+            os.replace(tmp, path)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        chars = pc.fill_null(pc.utf8_length(batch.column('text')), 0)
+        tbl = pa.table({'lang': batch.column('lang'), '_c': chars})
+        agg = tbl.group_by('lang').aggregate([([], 'count_all'),
+                                              ('_c', 'sum')])
+        return pa.table({'lang': agg.column('lang'),
+                         '_n': pc.cast(agg.column('count_all'), pa.int64()),
+                         '_c': pc.cast(agg.column('_c_sum'), pa.int64())})
+
+    return (read_xml(paths).map_batches(partial, batch_format='pyarrow')
+            .groupby('lang').aggregate(Sum('_n', alias_name='n_docs'),
+                                       Sum('_c', alias_name='total_chars')))
+
+
+_XML_ROUNDTRIP_SQL = (
+    'SELECT lang, count(*)::BIGINT AS n_docs, '
+    "CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars "
+    'FROM documents GROUP BY lang'
+)
+
+
+def q_value_zscore_by_type(sf_dir: str) -> ray.data.Dataset:
+    """Per-type z-score normalization of event values, emitted for EVERY
+    event — the feature-standardization transform (not an aggregate):
+    z = (v − μ_type)/σ_type.  Scale shape: the type alphabet is bounded,
+    so per-type (n, Σv, Σv²) sufficient stats come from one bounded
+    partial pass and broadcast via ``ray.put``; the transform itself is
+    a stateless vectorized map — the stream is never shuffled.  round(4)
+    absorbs the sufficient-stats-vs-streaming-stddev float gap (the
+    ``value_stddev`` precedent)."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column('value')))
+        v = t.column('value').to_numpy(zero_copy_only=False)
+        tbl = pa.table({'event_type': t.column('event_type'),
+                        '_s': pa.array(v, pa.float64()),
+                        '_ss': pa.array(v * v, pa.float64()),
+                        '_n': pa.array(np.ones(len(v), np.int64))})
+        agg = tbl.group_by('event_type').aggregate(
+            [('_s', 'sum'), ('_ss', 'sum'), ('_n', 'sum')])
+        return agg.rename_columns(['event_type', '_s', '_ss', '_n'])
+
+    stats_rows = drop_empty_blocks(
+        _events(sf_dir, ['event_type', 'value'])
+        .map_batches(stat_partial, batch_format='pyarrow')
+        .groupby('event_type')
+        .aggregate(Sum('_s', alias_name='s'),
+                   Sum('_ss', alias_name='ss'),
+                   Sum('_n', alias_name='n'))).take_all()   # type-bounded
+    mu_sd: dict[str, tuple[float, float]] = {}
+    for r in stats_rows:
+        n = int(r['n'])
+        if n < 2:
+            continue
+        mu = r['s'] / n
+        var = (r['ss'] - r['s'] * r['s'] / n) / (n - 1)
+        sd = float(np.sqrt(max(var, 0.0)))
+        if sd > 0:
+            mu_sd[r['event_type']] = (mu, sd)
+    ref = ray.put(mu_sd)
+
+    def transform(t: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        t = t.filter(pc.is_valid(t.column('value')))
+        types = t.column('event_type').to_pylist()
+        v = t.column('value').to_numpy(zero_copy_only=False)
+        mu = np.array([st.get(ty, (np.nan, np.nan))[0] for ty in types])
+        sd = np.array([st.get(ty, (np.nan, np.nan))[1] for ty in types])
+        keep = ~np.isnan(sd)
+        z = sql_round_np((v[keep] - mu[keep]) / sd[keep], 4)
+        return pa.table({
+            'event_id': pc.cast(t.column('event_id'), pa.int64())
+            .filter(pa.array(keep)),
+            'z': pa.array(z, pa.float64())})
+
+    return _events(sf_dir, ['event_id', 'event_type', 'value']) \
+        .map_batches(transform, batch_format='pyarrow')
+
+
+_VALUE_ZSCORE_SQL = (
+    'WITH s AS (SELECT event_type, avg(value) AS mu, '
+    'stddev_samp(value) AS sd FROM events WHERE value IS NOT NULL '
+    'GROUP BY 1 HAVING count(value) >= 2) '
+    'SELECT e.event_id, round((e.value - s.mu) / s.sd, 4) AS z '
+    'FROM events e JOIN s ON e.event_type IS NOT DISTINCT FROM '
+    's.event_type WHERE e.value IS NOT NULL AND s.sd > 0'
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -13540,6 +13661,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'rfm_segments': q_rfm_segments,
         'monthly_seasonality': q_monthly_seasonality,
         'nation_lead_time': q_nation_lead_time,
+        'xml_roundtrip': q_xml_roundtrip,
+        'value_zscore_by_type': q_value_zscore_by_type,
         'events_debounced': q_events_debounced,
         'jaccard_join_exact': q_jaccard_join_exact,
         # rows-only
@@ -13768,6 +13891,8 @@ def oracle_sql() -> dict[str, str]:
         'rfm_segments': _RFM_SEGMENTS_SQL,
         'monthly_seasonality': _MONTHLY_SEASONALITY_SQL,
         'nation_lead_time': _NATION_LEAD_TIME_SQL,
+        'xml_roundtrip': _XML_ROUNDTRIP_SQL,
+        'value_zscore_by_type': _VALUE_ZSCORE_SQL,
         'events_debounced': _EVENTS_DEBOUNCED_SQL,
         'jaccard_join_exact': _JACCARD_JOIN_SQL,
         'dedup_components': _DEDUP_COMPONENTS_SQL,
