@@ -1,0 +1,51 @@
+"""XML shard adapter: escaping, NULL lang, shard-granular round-trip."""
+
+import pyarrow as pa
+
+from pii_detector_ray.sources.xmlsrc import encode_xml, read_xml
+
+
+ROWS = [
+    {'doc_id': 1, 'lang': 'en', 'text': 'plain text'},
+    {'doc_id': 2, 'lang': None, 'text': 'a < b && "q" \'s\' > c'},
+    {'doc_id': 3, 'lang': 'd"e', 'text': ''},          # attr needs quoting
+    {'doc_id': 4, 'lang': 'fr', 'text': 'ünïcødé ✓ 中文'},
+    {'doc_id': 5, 'lang': 'en', 'text': '</doc><doc id="99">injected'},
+]
+
+
+def test_roundtrip_values_exact(tmp_path):
+    p1 = tmp_path / 'a.xml'
+    p2 = tmp_path / 'b.xml'
+    p1.write_bytes(encode_xml(ROWS[:3]))
+    p2.write_bytes(encode_xml(ROWS[3:]))
+    got = read_xml([str(p1), str(p2)]).to_pandas() \
+        .sort_values('doc_id').reset_index(drop=True)
+    assert got['doc_id'].tolist() == [1, 2, 3, 4, 5]
+    assert got['lang'].tolist()[1] is None or got['lang'].isna()[1]
+    assert got['lang'].tolist()[2] == 'd"e'
+    for i, r in enumerate(ROWS):
+        assert got['text'][i] == r['text'], r
+
+
+def test_empty_shard(tmp_path):
+    p = tmp_path / 'empty.xml'
+    p.write_bytes(encode_xml([]))
+    got = read_xml([str(p)])
+    assert got.count() == 0
+    assert set(got.schema().names) == {'doc_id', 'lang', 'text'}
+
+
+def test_one_task_per_shard(tmp_path):
+    paths = []
+    for i in range(4):
+        p = tmp_path / f's{i}.xml'
+        p.write_bytes(encode_xml(
+            [{'doc_id': i * 10 + j, 'lang': 'en', 'text': f't{j}'}
+             for j in range(3)]))
+        paths.append(str(p))
+    ds = read_xml(paths)
+    assert ds.count() == 12
+    tbl = pa.concat_tables(ds.iter_batches(batch_format='pyarrow'))
+    assert len(tbl) == 12 and sorted(tbl.column('doc_id').to_pylist()) == \
+        sorted(i * 10 + j for i in range(4) for j in range(3))
