@@ -13463,6 +13463,56 @@ _VALUE_ZSCORE_SQL = (
 )
 
 
+def q_purchase_attribution(sf_dir: str) -> ray.data.Dataset:
+    """Last-touch attribution: for every purchase, the user's most recent
+    PRECEDING non-purchase event type gets the credit — the marketing
+    attribution rollup, a SELF as-of join within each user's stream.
+    Scale shape: one hash shuffle co-locates each user; inside the group
+    a vectorized forward-fill scan (no Python loop over events) finds
+    the last non-purchase index per purchase; only bounded (type, n)
+    partials leave the groups.  Ordering is (ts, event_id) on both
+    sides so same-timestamp ties attribute identically."""
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['ts', 'event_id'], kind='mergesort')
+        types = g['event_type'].to_numpy()
+        is_p = types == 'purchase'
+        # index of the most recent non-purchase at or before each row
+        idx = np.arange(len(types))
+        src = np.where(~is_p, idx, -1)
+        last_np = np.maximum.accumulate(src)
+        # strictly PRECEDING: row i attributes to last_np[i-1]
+        prev = np.empty(len(types), np.int64)
+        prev[0] = -1
+        prev[1:] = last_np[:-1]
+        hit = is_p & (prev >= 0)
+        attr = types[prev[hit]]
+        if len(attr) == 0:
+            return pd.DataFrame({
+                'attributed_type': pd.array([], dtype='string'),
+                '_n': pd.array([], dtype='int64')})
+        vals, counts = np.unique(attr, return_counts=True)
+        return pd.DataFrame({
+            'attributed_type': pd.array(vals, dtype='string'),
+            '_n': pd.array(counts, dtype='int64')})
+
+    return (_events(sf_dir, ['user_id', 'ts', 'event_id', 'event_type'])
+            .groupby('user_id').map_groups(per_user, batch_format='pandas')
+            .groupby('attributed_type')
+            .aggregate(Sum('_n', alias_name='n_purchases')))
+
+
+_PURCHASE_ATTRIBUTION_SQL = (
+    'WITH w AS (SELECT event_type, last_value('
+    "CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS) "
+    'OVER (PARTITION BY user_id ORDER BY ts, event_id '
+    'ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) '
+    'AS attributed_type FROM events) '
+    'SELECT attributed_type, count(*)::BIGINT AS n_purchases FROM w '
+    "WHERE event_type = 'purchase' AND attributed_type IS NOT NULL "
+    'GROUP BY 1'
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -13663,6 +13713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'nation_lead_time': q_nation_lead_time,
         'xml_roundtrip': q_xml_roundtrip,
         'value_zscore_by_type': q_value_zscore_by_type,
+        'purchase_attribution': q_purchase_attribution,
         'events_debounced': q_events_debounced,
         'jaccard_join_exact': q_jaccard_join_exact,
         # rows-only
@@ -13893,6 +13944,7 @@ def oracle_sql() -> dict[str, str]:
         'nation_lead_time': _NATION_LEAD_TIME_SQL,
         'xml_roundtrip': _XML_ROUNDTRIP_SQL,
         'value_zscore_by_type': _VALUE_ZSCORE_SQL,
+        'purchase_attribution': _PURCHASE_ATTRIBUTION_SQL,
         'events_debounced': _EVENTS_DEBOUNCED_SQL,
         'jaccard_join_exact': _JACCARD_JOIN_SQL,
         'dedup_components': _DEDUP_COMPONENTS_SQL,
