@@ -13513,6 +13513,54 @@ _PURCHASE_ATTRIBUTION_SQL = (
 )
 
 
+def q_key_skew_report(sf_dir: str) -> pd.DataFrame:
+    """Shuffle-planning introspection: the rows-per-key distribution for
+    the events table's user_id partitioning key — n_keys, mean, p50,
+    p95, p99 (exact, quantile_cont semantics) and max rows per key.
+    This is the report the engine's own skew mitigations (salting,
+    mega-key isolation in stages/skew.py) are tuned from.  Scale shape:
+    ONE narrow (key, n) shuffle; quantiles via the exact distributed
+    histogram-refinement sketch; max/mean from scalar aggregates —
+    nothing key-proportional reaches the driver."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    from pii_detector_ray.stages.sketches import distributed_quantile
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = pa.table({'k': t.column('user_id')}).group_by('k') \
+            .aggregate([([], 'count_all')])
+        return pa.table({'k': agg.column('k'),
+                         '_n': pc.cast(agg.column('count_all'), pa.int64())})
+
+    per_key = drop_empty_blocks(
+        _events(sf_dir, ['user_id'])
+        .map_batches(partial, batch_format='pyarrow')
+        .groupby('k').aggregate(Sum('_n', alias_name='n'))).materialize()
+    g = per_key.aggregate(Sum('n'), Count(), Max('n'))
+    n_keys = int(g['count()'])
+    qs = distributed_quantile(per_key, 'n', [0.5, 0.95, 0.99])
+    return pd.DataFrame({
+        'n_keys': pd.array([n_keys], dtype='int64'),
+        'mean_rows': pd.array(
+            [sql_round_scalar(float(g['sum(n)']) / n_keys, 6)],
+            dtype='float64'),
+        'p50': pd.array([sql_round_scalar(qs[0], 6)], dtype='float64'),
+        'p95': pd.array([sql_round_scalar(qs[1], 6)], dtype='float64'),
+        'p99': pd.array([sql_round_scalar(qs[2], 6)], dtype='float64'),
+        'max_rows': pd.array([int(g['max(n)'])], dtype='int64')})
+
+
+_KEY_SKEW_REPORT_SQL = (
+    'WITH k AS (SELECT user_id, count(*)::BIGINT AS n FROM events '
+    'GROUP BY 1) '
+    'SELECT count(*)::BIGINT AS n_keys, '
+    'round(sum(n) / count(*)::DOUBLE, 6) AS mean_rows, '
+    'round(quantile_cont(n, 0.5), 6) AS p50, '
+    'round(quantile_cont(n, 0.95), 6) AS p95, '
+    'round(quantile_cont(n, 0.99), 6) AS p99, '
+    'max(n) AS max_rows FROM k'
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -13714,6 +13762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'xml_roundtrip': q_xml_roundtrip,
         'value_zscore_by_type': q_value_zscore_by_type,
         'purchase_attribution': q_purchase_attribution,
+        'key_skew_report': q_key_skew_report,
         'events_debounced': q_events_debounced,
         'jaccard_join_exact': q_jaccard_join_exact,
         # rows-only
@@ -13945,6 +13994,7 @@ def oracle_sql() -> dict[str, str]:
         'xml_roundtrip': _XML_ROUNDTRIP_SQL,
         'value_zscore_by_type': _VALUE_ZSCORE_SQL,
         'purchase_attribution': _PURCHASE_ATTRIBUTION_SQL,
+        'key_skew_report': _KEY_SKEW_REPORT_SQL,
         'events_debounced': _EVENTS_DEBOUNCED_SQL,
         'jaccard_join_exact': _JACCARD_JOIN_SQL,
         'dedup_components': _DEDUP_COMPONENTS_SQL,
