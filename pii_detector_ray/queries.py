@@ -13561,6 +13561,120 @@ _KEY_SKEW_REPORT_SQL = (
 )
 
 
+def q_event_run_lengths(sf_dir: str) -> ray.data.Dataset:
+    """Run-length encoding over each user's time-ordered event stream:
+    consecutive same-type events collapse into runs, and the output is
+    the global (event_type, run_len, n_runs) census — the event-stream
+    sibling of the Gopher repetition census (SQL solves it with the
+    gaps-and-islands LAG + cumulative-break-sum idiom).  Scale shape: ONE
+    hash shuffle co-locates each user's stream; inside the group run
+    boundaries come from one vectorized factorize + shift compare (no
+    Python loop over events; NULL types form their own runs, matching the
+    oracle's IS DISTINCT FROM); only bounded (type, len, n) partials
+    leave the groups, folded by a tiny final groupby."""
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['ts', 'event_id'], kind='mergesort')
+        codes, _ = pd.factorize(g['event_type'], use_na_sentinel=True)
+        brk = np.ones(len(codes), bool)
+        brk[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.append(starts, len(codes)))
+        types = g['event_type'].astype('string').to_numpy(dtype=object)
+        df = pd.DataFrame({
+            'event_type': pd.array(types[starts], dtype='string'),
+            'run_len': pd.array(lens, dtype='int64')})
+        out = df.groupby(['event_type', 'run_len'], as_index=False,
+                         sort=False, dropna=False).size()
+        return pd.DataFrame({
+            'event_type': out['event_type'].astype('string'),
+            'run_len': out['run_len'].astype('int64'),
+            '_n': out['size'].astype('int64')})
+
+    return (_events(sf_dir, ['user_id', 'ts', 'event_id', 'event_type'])
+            .groupby('user_id').map_groups(per_user, batch_format='pandas')
+            .groupby(['event_type', 'run_len'])
+            .aggregate(Sum('_n', alias_name='n_runs')))
+
+
+_EVENT_RUN_LENGTHS_SQL = (
+    'WITH o AS (SELECT user_id, ts, event_id, event_type, '
+    'CASE WHEN lag(event_type) OVER '
+    '(PARTITION BY user_id ORDER BY ts, event_id) '
+    'IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS brk FROM events), '
+    'r AS (SELECT user_id, event_type, sum(brk) OVER '
+    '(PARTITION BY user_id ORDER BY ts, event_id '
+    'ROWS UNBOUNDED PRECEDING) AS rid FROM o), '
+    'runs AS (SELECT user_id, rid, any_value(event_type) AS event_type, '
+    'count(*)::BIGINT AS run_len FROM r GROUP BY 1, 2) '
+    'SELECT event_type, run_len, count(*)::BIGINT AS n_runs '
+    'FROM runs GROUP BY 1, 2'
+)
+
+
+def q_events_ohlc(sf_dir: str) -> ray.data.Dataset:
+    """Per-(event_type, day) OHLC bars over event values — the financial
+    time-series downsample: open/close are the first/last value by the
+    deterministic (ts, event_id) order, high/low the extremes.  Scale
+    shape: per-block partials carry ONE candidate row per (type, day)
+    with its first/last order keys, so only bounded bars (types x days),
+    never event rows, reach the merge groupby; the merge resolves
+    cross-block open/close by comparing the carried keys — all picks are
+    bit-exact copies of stored doubles (no arithmetic, no rounding)."""
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column('value')))
+        ts = t.column('ts').cast(pa.timestamp('us')).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            'event_type': t.column('event_type').to_pandas()
+            .astype('string'),
+            'day': ts // 86_400_000_000,
+            '_ts': ts,
+            '_eid': t.column('event_id').to_numpy(zero_copy_only=False),
+            '_v': t.column('value').to_numpy(zero_copy_only=False)})
+        df = df.sort_values(['_ts', '_eid'], kind='mergesort')
+        g = df.groupby(['event_type', 'day'], sort=False, dropna=False)
+        out = g.agg(_ots=('_ts', 'first'), _oeid=('_eid', 'first'),
+                    open=('_v', 'first'), _cts=('_ts', 'last'),
+                    _ceid=('_eid', 'last'), close=('_v', 'last'),
+                    high=('_v', 'max'), low=('_v', 'min'),
+                    _n=('_v', 'size')).reset_index()
+        out['_n'] = out['_n'].astype('int64')
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.sort_values(['_ots', '_oeid'], kind='mergesort').iloc[0]
+        last = g.sort_values(['_cts', '_ceid'], kind='mergesort').iloc[-1]
+        return pd.DataFrame({
+            'event_type': pd.array([g['event_type'].iloc[0]],
+                                   dtype='string'),
+            'day': pd.array([int(g['day'].iloc[0])], dtype='int64'),
+            'open': pd.array([float(first['open'])], dtype='float64'),
+            'high': pd.array([float(g['high'].max())], dtype='float64'),
+            'low': pd.array([float(g['low'].min())], dtype='float64'),
+            'close': pd.array([float(last['close'])], dtype='float64'),
+            'n_events': pd.array([int(g['_n'].sum())], dtype='int64')})
+
+    return (_events(sf_dir, ['event_id', 'ts', 'event_type', 'value'])
+            .map_batches(partial, batch_format='pyarrow')
+            .groupby(['event_type', 'day'])
+            .map_groups(merge, batch_format='pandas'))
+
+
+_EVENTS_OHLC_SQL = (
+    'WITH b AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, '
+    'ts, event_id, value FROM events WHERE value IS NOT NULL), '
+    'w AS (SELECT event_type, day, value, '
+    'first_value(value) OVER '
+    '(PARTITION BY event_type, day ORDER BY ts, event_id) AS open, '
+    'first_value(value) OVER '
+    '(PARTITION BY event_type, day ORDER BY ts DESC, event_id DESC) '
+    'AS close FROM b) '
+    'SELECT event_type, day, any_value(open) AS open, '
+    'max(value) AS high, min(value) AS low, any_value(close) AS close, '
+    'count(*)::BIGINT AS n_events FROM w GROUP BY 1, 2'
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -13797,6 +13911,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'audio_dup_pairs': q_audio_dup_pairs,
         'media_feature_stats': q_media_feature_stats,
         'media_decode_stats': q_media_decode_stats,
+        'event_run_lengths': q_event_run_lengths,
+        'events_ohlc': q_events_ohlc,
     })
     return out
 
@@ -14044,5 +14160,7 @@ def oracle_sql() -> dict[str, str]:
         'c4_filtered_docs': _C4_FILTER_SQL,
         'ngram_counts': _NGRAM_COUNTS_SQL,
         'span_dedup': _SPAN_DEDUP_SQL,
+        'event_run_lengths': _EVENT_RUN_LENGTHS_SQL,
+        'events_ohlc': _EVENTS_OHLC_SQL,
     })
     return out
