@@ -13572,28 +13572,44 @@ def q_event_run_lengths(sf_dir: str) -> ray.data.Dataset:
     Python loop over events; NULL types form their own runs, matching the
     oracle's IS DISTINCT FROM); only bounded (type, len, n) partials
     leave the groups, folded by a tiny final groupby."""
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+    def per_user(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(['ts', 'event_id'], kind='mergesort')
         codes, _ = pd.factorize(g['event_type'], use_na_sentinel=True)
         brk = np.ones(len(codes), bool)
         brk[1:] = codes[1:] != codes[:-1]
         starts = np.flatnonzero(brk)
         lens = np.diff(np.append(starts, len(codes)))
-        types = g['event_type'].astype('string').to_numpy(dtype=object)
-        df = pd.DataFrame({
-            'event_type': pd.array(types[starts], dtype='string'),
-            'run_len': pd.array(lens, dtype='int64')})
-        out = df.groupby(['event_type', 'run_len'], as_index=False,
-                         sort=False, dropna=False).size()
-        return pd.DataFrame({
-            'event_type': out['event_type'].astype('string'),
-            'run_len': out['run_len'].astype('int64'),
-            '_n': out['size'].astype('int64')})
+        # NULL types ride the Ray groupby as ('', 1) sentinel pairs —
+        # Ray 2.49's sort-partition aggregate cannot ORDER null string
+        # keys (None < str TypeError) — and are restored after the fold.
+        etvals = g['event_type'].iloc[starts]
+        tbl = pa.table({
+            '_et': pa.array(etvals.fillna('').to_numpy(object),
+                            pa.string()),
+            '_etn': pa.array(etvals.isna().to_numpy().astype(np.int64),
+                             pa.int64()),
+            'run_len': pa.array(lens, pa.int64())})
+        agg = tbl.group_by(['_et', '_etn', 'run_len']) \
+            .aggregate([([], 'count_all')])
+        return pa.table({'_et': agg.column('_et'),
+                         '_etn': agg.column('_etn'),
+                         'run_len': agg.column('run_len'),
+                         '_n': pc.cast(agg.column('count_all'), pa.int64())})
 
-    return (_events(sf_dir, ['user_id', 'ts', 'event_id', 'event_type'])
-            .groupby('user_id').map_groups(per_user, batch_format='pandas')
-            .groupby(['event_type', 'run_len'])
-            .aggregate(Sum('_n', alias_name='n_runs')))
+    agg = (_events(sf_dir, ['user_id', 'ts', 'event_id', 'event_type'])
+           .groupby('user_id').map_groups(per_user, batch_format='pandas')
+           .groupby(['_et', '_etn', 'run_len'])
+           .aggregate(Sum('_n', alias_name='n_runs')))
+
+    def fin(t: pa.Table) -> pa.Table:
+        isnull = pc.equal(t.column('_etn'), pa.scalar(1, pa.int64()))
+        et = pc.if_else(isnull, pa.scalar(None, pa.string()),
+                        t.column('_et'))
+        return pa.table({'event_type': et,
+                         'run_len': pc.cast(t.column('run_len'), pa.int64()),
+                         'n_runs': pc.cast(t.column('n_runs'), pa.int64())})
+
+    return agg.map_batches(fin, batch_format='pyarrow')
 
 
 _EVENT_RUN_LENGTHS_SQL = (
@@ -13620,43 +13636,48 @@ def q_events_ohlc(sf_dir: str) -> ray.data.Dataset:
     never event rows, reach the merge groupby; the merge resolves
     cross-block open/close by comparing the carried keys — all picks are
     bit-exact copies of stored doubles (no arithmetic, no rounding)."""
-    def partial(t: pa.Table) -> pd.DataFrame:
+    def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t.column('value')))
         ts = t.column('ts').cast(pa.timestamp('us')).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
+        et = t.column('event_type').to_pandas()                 # object+None
         df = pd.DataFrame({
-            'event_type': t.column('event_type').to_pandas()
-            .astype('string'),
+            '_et': et.fillna('').to_numpy(object),   # null-key sentinel
+            '_etn': et.isna().to_numpy().astype(np.int64),
             'day': ts // 86_400_000_000,
             '_ts': ts,
             '_eid': t.column('event_id').to_numpy(zero_copy_only=False),
             '_v': t.column('value').to_numpy(zero_copy_only=False)})
         df = df.sort_values(['_ts', '_eid'], kind='mergesort')
-        g = df.groupby(['event_type', 'day'], sort=False, dropna=False)
+        g = df.groupby(['_et', '_etn', 'day'], sort=False)
         out = g.agg(_ots=('_ts', 'first'), _oeid=('_eid', 'first'),
                     open=('_v', 'first'), _cts=('_ts', 'last'),
                     _ceid=('_eid', 'last'), close=('_v', 'last'),
                     high=('_v', 'max'), low=('_v', 'min'),
                     _n=('_v', 'size')).reset_index()
-        out['_n'] = out['_n'].astype('int64')
-        return out
+        cols = {'_et': pa.array(out['_et'].to_numpy(object), pa.string())}
+        for c in ('_etn', 'day', '_ots', '_oeid', '_cts', '_ceid', '_n'):
+            cols[c] = pa.array(out[c].to_numpy(np.int64), pa.int64())
+        for c in ('open', 'close', 'high', 'low'):
+            cols[c] = pa.array(out[c].to_numpy(np.float64), pa.float64())
+        return pa.table(cols)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge(g: pd.DataFrame) -> pa.Table:
         first = g.sort_values(['_ots', '_oeid'], kind='mergesort').iloc[0]
         last = g.sort_values(['_cts', '_ceid'], kind='mergesort').iloc[-1]
-        return pd.DataFrame({
-            'event_type': pd.array([g['event_type'].iloc[0]],
-                                   dtype='string'),
-            'day': pd.array([int(g['day'].iloc[0])], dtype='int64'),
-            'open': pd.array([float(first['open'])], dtype='float64'),
-            'high': pd.array([float(g['high'].max())], dtype='float64'),
-            'low': pd.array([float(g['low'].min())], dtype='float64'),
-            'close': pd.array([float(last['close'])], dtype='float64'),
-            'n_events': pd.array([int(g['_n'].sum())], dtype='int64')})
+        et = None if int(g['_etn'].iloc[0]) else g['_et'].iloc[0]
+        return pa.table({
+            'event_type': pa.array([et], pa.string()),
+            'day': pa.array([int(g['day'].iloc[0])], pa.int64()),
+            'open': pa.array([float(first['open'])], pa.float64()),
+            'high': pa.array([float(g['high'].max())], pa.float64()),
+            'low': pa.array([float(g['low'].min())], pa.float64()),
+            'close': pa.array([float(last['close'])], pa.float64()),
+            'n_events': pa.array([int(g['_n'].sum())], pa.int64())})
 
     return (_events(sf_dir, ['event_id', 'ts', 'event_type', 'value'])
             .map_batches(partial, batch_format='pyarrow')
-            .groupby(['event_type', 'day'])
+            .groupby(['_et', '_etn', 'day'])
             .map_groups(merge, batch_format='pandas'))
 
 

@@ -1,0 +1,89 @@
+"""NULL-contract coverage for ``event_run_lengths`` and ``events_ohlc``:
+the shipped testdata events tables carry no NULL event_type / value, so the
+sweep never exercises the NULL paths (the debounce divergence class, ADVICE
+r5).  Build a NULL-bearing events.parquet fixture and compare the full Ray
+query against its own DuckDB oracle SQL over the same file."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pii_detector_ray import queries as Q
+
+
+@pytest.fixture(scope='module')
+def null_sf_dir(tmp_path_factory):
+    rng = np.random.default_rng(17)
+    n = 4000
+    eid = np.arange(n, dtype=np.int64)
+    users = rng.integers(0, 40, n).astype(np.int64)
+    # bursts of repeats: quantized timestamps force ts ties (event_id breaks
+    # them) and same-type runs; span several days
+    ts_us = np.sort(rng.integers(0, 5 * 86_400_000_000, n)) // 7_200_000_000 \
+        * 7_200_000_000 + rng.integers(0, 3, n)
+    types = np.array(['view', 'click', 'purchase'], object)[
+        rng.integers(0, 3, n)]
+    types[rng.random(n) < 0.15] = None            # NULL event_type runs too
+    vals = np.round(rng.random(n) * 100, 2)
+    vals_arr = pa.array(vals, pa.float64())
+    null_val = pa.array(rng.random(n) < 0.2)
+    vals_arr = pa.array(
+        [None if m else v for v, m in zip(vals, null_val.to_pylist())],
+        pa.float64())
+    tbl = pa.table({
+        'event_id': pa.array(eid, pa.int64()),
+        'ts': pa.array(ts_us, pa.int64()).cast(pa.timestamp('us')),
+        'user_id': pa.array(users, pa.int64()),
+        'event_type': pa.array(types, pa.string()),
+        'value': vals_arr,
+        'props': pa.array([''] * n, pa.string())})
+    d = tmp_path_factory.mktemp('nullsf')
+    pq.write_table(tbl, os.path.join(str(d), 'events.parquet'))
+    return str(d)
+
+
+def _oracle(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'events.parquet')}')")
+    return con.execute(sql).fetchdf()
+
+
+def _norm(df: pd.DataFrame, key) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype('float64').round(9)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype('int64')
+        else:
+            df[c] = df[c].astype('string')
+    return df.sort_values(sorted(df.columns), na_position='last',
+                          kind='mergesort').reset_index(drop=True)
+
+
+def test_event_run_lengths_null_types_match_oracle(null_sf_dir):
+    got = _norm(Q.q_event_run_lengths(null_sf_dir).to_pandas(),
+                ['event_type', 'run_len'])
+    exp = _norm(_oracle(null_sf_dir, Q._EVENT_RUN_LENGTHS_SQL),
+                ['event_type', 'run_len'])
+    # NULL types must form their own runs (IS DISTINCT FROM semantics)
+    assert exp['event_type'].isna().any()
+    pd.testing.assert_frame_equal(got, exp)
+    # census conserves events: sum(run_len * n_runs) == table rows
+    assert int((got['run_len'] * got['n_runs']).sum()) == 4000
+
+
+def test_events_ohlc_null_values_and_types_match_oracle(null_sf_dir):
+    got = _norm(Q.q_events_ohlc(null_sf_dir).to_pandas(), ['day'])
+    exp = _norm(_oracle(null_sf_dir, Q._EVENTS_OHLC_SQL), ['day'])
+    assert exp['event_type'].isna().any()      # NULL type is its own bar
+    pd.testing.assert_frame_equal(got, exp)
+    # open/close are bit-exact picks of stored doubles
+    assert (got['high'] >= got['low']).all()
