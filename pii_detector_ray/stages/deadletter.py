@@ -1,0 +1,83 @@
+"""Dead-letter (poison-row quarantine) stage.
+
+At 100 TB a single malformed document must not kill a multi-hour job, and
+silently dropping it is as bad (the reference's ``mask_data`` swallows
+per-value errors for the same reason — ``app/services/data_analysis_service.py``
+— but that loses the evidence).  ``safe_map_batches`` wraps any batch
+transform so that a raising batch is BISECTED down to the offending rows:
+healthy sub-batches flow on unchanged, poison rows are written to a
+parquet dead-letter sink together with the repr of their error, and the
+stream never stops.
+
+Scale shape: bisection costs O(failures x log batch_size) extra ``fn``
+applications — zero when nothing fails, bounded and local when something
+does (no shuffle, no driver round-trip).  Each map task writes its own
+dead-letter shard, named by the sha256 of the quarantined row ids, so
+reruns are idempotent (same poison rows -> same shard file) and a resumed
+job can union shards without double counting.  No wall-clock or uuid
+enters the output: filenames and contents are pure functions of the data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Callable
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+
+def _bisect_apply(fn: Callable[[pa.Table], pa.Table], tbl: pa.Table,
+                  dead: list[tuple[pa.Table, str]]) -> list[pa.Table]:
+    """Apply ``fn``; on failure split in half and recurse, collecting
+    single poison rows (with their error repr) into ``dead``."""
+    if tbl.num_rows == 0:
+        return []
+    try:
+        return [fn(tbl)]
+    except Exception as e:                        # noqa: BLE001 — quarantine
+        if tbl.num_rows == 1:
+            dead.append((tbl, repr(e)))
+            return []
+        mid = tbl.num_rows // 2
+        return (_bisect_apply(fn, tbl.slice(0, mid), dead)
+                + _bisect_apply(fn, tbl.slice(mid), dead))
+
+
+def safe_map_batches(ds: ray.data.Dataset, fn: Callable[[pa.Table], pa.Table],
+                     *, dead_dir: str, id_col: str,
+                     **map_kwargs) -> ray.data.Dataset:
+    """``ds.map_batches(fn)`` that quarantines poison rows instead of
+    failing the job.  ``fn`` must be a pyarrow batch transform; rows on
+    which it raises land in ``dead_dir`` as parquet shards carrying the
+    original columns plus ``_error``.  ``id_col`` names a unique column
+    used only for the deterministic shard filename."""
+    os.makedirs(dead_dir, exist_ok=True)
+
+    def guarded(batch: pa.Table) -> pa.Table:
+        dead: list[tuple[pa.Table, str]] = []
+        parts = _bisect_apply(fn, batch, dead)
+        if dead:
+            rows = pa.concat_tables([t for t, _ in dead])
+            shard = rows.append_column(
+                '_error', pa.array([err for _, err in dead], pa.string()))
+            ids = ','.join(str(v) for v in rows.column(id_col).to_pylist())
+            name = hashlib.sha256(ids.encode()).hexdigest()[:24]
+            tmp = os.path.join(dead_dir, f'.{name}.tmp')
+            pq.write_table(shard, tmp)
+            os.replace(tmp, os.path.join(dead_dir, f'{name}.parquet'))
+        if parts:
+            return pa.concat_tables(parts, promote_options='default')
+        # whole batch poisoned: an empty slice through fn yields the
+        # output schema without touching any poison row
+        return fn(batch.slice(0, 0))
+
+    return ds.map_batches(guarded, batch_format='pyarrow', **map_kwargs)
+
+
+def read_dead_letters(dead_dir: str) -> ray.data.Dataset:
+    """The quarantine as a Dataset (original columns + ``_error``)."""
+    return ray.data.read_parquet(dead_dir)

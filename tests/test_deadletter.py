@@ -1,0 +1,72 @@
+"""safe_map_batches: poison rows are quarantined deterministically, the
+healthy stream is untouched, and a rerun reproduces the same shards.
+
+Transforms are defined INSIDE each test so cloudpickle ships them by
+value (the test module itself is not importable on Ray workers)."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from pii_detector_ray.stages.deadletter import (read_dead_letters,
+                                                safe_map_batches)
+
+
+def _input_ds():
+    n = 500
+    return ray.data.from_arrow(pa.table({
+        'doc_id': pa.array(np.arange(n), pa.int64()),
+        'val': pa.array(np.arange(n) * 2, pa.int64())})).repartition(7)
+
+
+def _make_flaky():
+    def flaky(batch: pa.Table) -> pa.Table:
+        ids = batch.column('doc_id').to_numpy(zero_copy_only=False)
+        if np.any(ids % 71 == 3):                 # poison: 3, 74, 145, ...
+            raise ValueError(f'poison in {ids.min()}..{ids.max()}')
+        return pa.table({'doc_id': batch.column('doc_id'),
+                         'out': pc.add(batch.column('val'), 1)})
+    return flaky
+
+
+def test_safe_map_batches_quarantines_poison_rows(tmp_path):
+    dead_dir = str(tmp_path / 'dead')
+    out = safe_map_batches(_input_ds(), _make_flaky(), dead_dir=dead_dir,
+                           id_col='doc_id').to_pandas()
+    poison = set(range(3, 500, 71))
+    assert set(out['doc_id']) == set(range(500)) - poison
+    assert (out['out'] == out['doc_id'] * 2 + 1).all()
+
+    dead = read_dead_letters(dead_dir).to_pandas()
+    assert set(dead['doc_id']) == poison
+    assert dead['_error'].str.contains('poison').all()
+    assert set(dead.columns) == {'doc_id', 'val', '_error'}
+
+
+def test_safe_map_batches_rerun_is_idempotent(tmp_path):
+    dead_dir = str(tmp_path / 'dead')
+    for _ in range(2):
+        safe_map_batches(_input_ds(), _make_flaky(), dead_dir=dead_dir,
+                         id_col='doc_id').materialize()
+    shards = sorted(glob.glob(os.path.join(dead_dir, '*.parquet')))
+    ids = sorted(i for s in shards
+                 for i in pq.read_table(s).column('doc_id').to_pylist())
+    assert ids == sorted(set(ids)) == sorted(range(3, 500, 71))
+
+
+def test_safe_map_batches_all_poison_batch_keeps_schema(tmp_path):
+    def always(batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            raise RuntimeError('nope')
+        return pa.table({'doc_id': batch.column('doc_id')})
+
+    dead_dir = str(tmp_path / 'dead')
+    out = safe_map_batches(_input_ds(), always, dead_dir=dead_dir,
+                           id_col='doc_id')
+    assert out.count() == 0
+    assert read_dead_letters(dead_dir).count() == 500
