@@ -13696,6 +13696,143 @@ _EVENTS_OHLC_SQL = (
 )
 
 
+def _docs_with_fragments(sf_dir: str) -> ray.data.Dataset:
+    """documents ∪ deterministic FRAGMENTS (doc_id%15==0 → id+2_000_000,
+    the first max(3, 3/5·len) whitespace tokens re-joined) — gives the
+    containment join a reproducible fragment-inside-container workload:
+    a token-prefix's word-3-gram set is a subset of the full document's,
+    so containment(fragment → original) = 1.0 by construction."""
+    import re as _re
+    base = read_documents(sf_dir, ['doc_id', 'text'])
+    tok_re = _re.compile(_RE2_WORD)
+
+    def frags(batch: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for did, t in zip(batch.column('doc_id').to_pylist(),
+                          batch.column('text').to_pylist()):
+            if did % 15 == 0:
+                toks = tok_re.findall(t or '')
+                k = max(3, (len(toks) * 3) // 5)
+                ids.append(did + 2_000_000)
+                texts.append(' '.join(toks[:k]))
+        return pa.table({'doc_id': pa.array(ids, pa.int64()),
+                         'text': pa.array(texts, pa.string())})
+
+    return base.union(base.map_batches(frags, batch_format='pyarrow'))
+
+
+def q_containment_join(sf_dir: str) -> ray.data.Dataset:
+    """EXACT directed containment join over the planted fragment corpus:
+    every (containee, container) pair with |S_a ∩ S_b|/|S_a| >= 0.8 over
+    word-3-gram shingles (stages/dedup.containment_join) — the asymmetric
+    near-dup that catches quotes/fragments symmetric Jaccard misses."""
+    from pii_detector_ray.stages.dedup import containment_join
+    return containment_join(_docs_with_fragments(sf_dir),
+                            threshold=(8, 10), n=3)
+
+
+_CONTAINMENT_JOIN_SQL = (
+    'WITH docs AS (SELECT doc_id, text FROM documents UNION ALL '
+    'SELECT doc_id + 2000000 AS doc_id, '
+    "array_to_string((regexp_extract_all(text, '\\S+'))"
+    "[1:greatest(3, len(regexp_extract_all(text, '\\S+')) * 3 // 5)], ' ') "
+    'AS text FROM documents WHERE doc_id % 15 = 0), '
+    "arr AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS a "
+    'FROM docs), '
+    "tok AS (SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || "
+    'a[i+2] AS tk '
+    'FROM arr, UNNEST(generate_series(1, greatest(len(a) - 2, 0))) '
+    'AS t(i)), '
+    'sz AS (SELECT doc_id, count(*) AS m FROM tok GROUP BY doc_id), '
+    'inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, '
+    'count(*) AS i FROM tok a JOIN tok b '
+    'ON a.tk = b.tk AND a.doc_id <> b.doc_id GROUP BY 1, 2) '
+    'SELECT doc_a, doc_b, '
+    'round(CAST(i AS DOUBLE) / sa.m, 4) AS containment '
+    'FROM inter JOIN sz sa ON sa.doc_id = inter.doc_a '
+    'WHERE 10 * i >= 8 * sa.m'
+)
+
+
+_HH_M = 200   # heavy-hitter threshold: tokens with count > N/_HH_M
+
+
+def q_heavy_hitter_tokens(sf_dir: str) -> pd.DataFrame:
+    """EXACT distributed heavy hitters: every token whose corpus frequency
+    exceeds N/200, via the two-pass candidate-pruning pattern — pass 1
+    finds per-block local heavy hitters (count·200 > block tokens; the
+    average argument makes the union a LOSSLESS candidate superset: if
+    f/N > 1/m globally then f_b/n_b > 1/m in at least one block), pass 2
+    recounts ONLY the candidates exactly and filters on the global total.
+
+    Scale shape: the vocabulary never shuffles — pass 1 emits < m
+    candidates per block, pass 2 shuffles only (candidate, partial-count)
+    rows plus one total row per block, so the exchange is O(m · blocks)
+    regardless of vocabulary size (vs ``token_counts``-style full-vocric
+    aggregation)."""
+    import re as _re
+    from collections import Counter
+    from ray.data.aggregate import Sum
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    docs = read_documents(sf_dir, ['text'])
+    tok_re = _re.compile(_RE2_WORD)
+    m = _HH_M
+
+    def local_candidates(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column('text').to_pylist():
+            c.update(tok_re.findall(t or ''))
+        total = sum(c.values())
+        cands = [tk for tk, n in c.items() if n * m > total]
+        return pa.table({'token': pa.array(sorted(cands), pa.string())})
+
+    cand_rows = drop_empty_blocks(
+        docs.map_batches(local_candidates, batch_format='pyarrow')
+        .groupby('token').aggregate(Count(alias_name='_n'))
+    ).select_columns(['token'])
+    cands = frozenset(r['token'] for r in cand_rows.take_all())
+    if not cands:
+        return pd.DataFrame({'token': pd.Series([], dtype='string'),
+                             'n_occurrences': pd.Series([], dtype='int64')})
+    cand_ref = ray.put(cands)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cset = ray.get(cand_ref)
+        c: Counter = Counter()
+        total = 0
+        for t in batch.column('text').to_pylist():
+            toks = tok_re.findall(t or '')
+            total += len(toks)
+            c.update(tk for tk in toks if tk in cset)
+        toks_out = sorted(c) + ['']
+        ns = [c[tk] for tk in sorted(c)] + [total]
+        kinds = [0] * (len(toks_out) - 1) + [1]
+        return pa.table({'token': pa.array(toks_out, pa.string()),
+                         '_n': pa.array(ns, pa.int64()),
+                         '_kind': pa.array(kinds, pa.int64())})
+
+    agg = drop_empty_blocks(
+        docs.map_batches(recount, batch_format='pyarrow')
+        .groupby(['_kind', 'token']).aggregate(Sum('_n', alias_name='n'))
+    ).to_pandas()
+    total_n = int(agg.loc[agg['_kind'] == 1, 'n'].sum())
+    hits = agg[(agg['_kind'] == 0) & (agg['n'] * m > total_n)]
+    return pd.DataFrame({
+        'token': hits['token'].astype('string').to_numpy(),
+        'n_occurrences': hits['n'].astype('int64').to_numpy()})
+
+
+_HEAVY_HITTER_SQL = (
+    "WITH tok AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS token "
+    'FROM documents), '
+    'tot AS (SELECT count(*) AS n FROM tok), '
+    'cnt AS (SELECT token, count(*) AS n_occurrences FROM tok '
+    'GROUP BY token) '
+    'SELECT token, n_occurrences FROM cnt, tot '
+    f'WHERE {_HH_M} * n_occurrences > tot.n'
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -13934,6 +14071,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'media_decode_stats': q_media_decode_stats,
         'event_run_lengths': q_event_run_lengths,
         'events_ohlc': q_events_ohlc,
+        'containment_join': q_containment_join,
+        'heavy_hitter_tokens': q_heavy_hitter_tokens,
     })
     return out
 
@@ -14183,5 +14322,7 @@ def oracle_sql() -> dict[str, str]:
         'span_dedup': _SPAN_DEDUP_SQL,
         'event_run_lengths': _EVENT_RUN_LENGTHS_SQL,
         'events_ohlc': _EVENTS_OHLC_SQL,
+        'containment_join': _CONTAINMENT_JOIN_SQL,
+        'heavy_hitter_tokens': _HEAVY_HITTER_SQL,
     })
     return out

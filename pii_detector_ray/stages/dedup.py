@@ -864,3 +864,196 @@ def embedding_dup_pairs_lsh(ds: ray.data.Dataset, *, threshold: float = 0.95,
                          'sim': pa.array(sql_round_np(sims[keep], 4), pa.float64())})
 
     return joined.map_batches(verify, batch_format='pyarrow')
+
+
+# ---------------------------------------------------------------------------
+# Containment join (asymmetric near-dup: fragment ⊆ container)
+# ---------------------------------------------------------------------------
+
+def containment_join(ds: ray.data.Dataset, *,
+                     threshold: tuple[int, int] = (8, 10), n: int = 3,
+                     text_col: str = 'text', id_col: str = 'doc_id'
+                     ) -> ray.data.Dataset:
+    """EXACT all-pairs CONTAINMENT join: every DIRECTED pair (doc_a, doc_b),
+    a != b, with ``|S_a ∩ S_b| / |S_a| >= threshold`` over word-n-gram
+    shingle sets — the asymmetric cousin of :func:`jaccard_pairs_prefix`
+    that finds fragments/quotes embedded in larger documents (Broder's
+    containment measure), which symmetric Jaccard misses whenever the
+    container is much larger than the fragment.
+
+    Lossless candidate generation, adapted from prefix filtering: order the
+    shingle universe by ascending document frequency; the CONTAINEE side
+    only needs its first ``m_a - ceil(t*m_a) + 1`` shingles indexed (if a
+    pair shares no element inside A's prefix, the intersection fits in A's
+    suffix of size ``ceil(t*m_a) - 1 < t*m_a``), but the CONTAINER side is
+    unprunable — any of B's shingles can witness — so B indexes its full
+    set.  Two prunes make up for the full B index: shingles with global
+    df < 2 can't form a pair and are dropped before the shuffle, and the
+    length filter ``m_b >= ceil(t * m_a)`` (containment needs
+    ``|S_b| >= |S_a ∩ S_b| >= t*m_a``) cuts pairs inside each bucket.
+
+    Scale shape mirrors ``jaccard_pairs_prefix``: the posting table is
+    (doc_id, sh:int64, m:int32, pfx:bool) rows only, candidate mining
+    buckets shingles by low hash bits (cluster-scaled fan-out), pair dedup
+    is a packed-int64 groupby, and only candidate texts are fetched for the
+    exact verify — documents never shuffle.  Hash collisions only merge
+    universe elements, which grows intersections ≥ and can only ADD
+    candidates; the string-shingle verify keeps the output exact."""
+    tn, td = threshold
+    from ray.data.aggregate import Sum
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        sh_out: list[int] = []
+        m_out: list[int] = []
+        for did, tx in zip(batch.column(id_col).to_pylist(),
+                           batch.column(text_col).to_pylist()):
+            hs = {_fnv1a(s) for s in word_shingles(tx or '', n)}
+            ids_out.extend([did] * len(hs))
+            sh_out.extend(hs)
+            m_out.extend([len(hs)] * len(hs))
+        sh = np.array(sh_out, np.uint64).astype(np.int64) if sh_out \
+            else np.empty(0, np.int64)
+        return pa.table({id_col: pa.array(ids_out, pa.int64()),
+                         'sh': pa.array(sh, pa.int64()),
+                         '_m': pa.array(m_out, pa.int64())})
+
+    posting = drop_empty_blocks(ds.map_batches(
+        explode, batch_format='pyarrow')).materialize()
+    empty = pa.table({'doc_a': pa.array([], pa.int64()),
+                      'doc_b': pa.array([], pa.int64()),
+                      'containment': pa.array([], pa.float64())})
+    if posting.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        agg = t.select(['sh']).group_by('sh').aggregate([([], 'count_all')])
+        return agg.rename_columns(['sh', '_df'])
+
+    df_tbl = posting.map_batches(df_partial, batch_format='pyarrow') \
+        .groupby('sh').aggregate(Sum('_df', alias_name='_df'))
+
+    # df attaches co-partitioned (the vocabulary-bounded broadcast variant
+    # of jaccard_pairs_prefix works identically; the join path is the one
+    # that holds at 10^12 docs, and df >= 2 prunes right after it)
+    with_df = posting.join(
+        drop_empty_blocks(df_tbl), join_type='inner',
+        num_partitions=_join_partitions(rows=posting.count()), on=('sh',))
+
+    def prefix_mark(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['_df', 'sh'], kind='mergesort')
+        m = len(g)
+        p = m - ((tn * m + td - 1) // td) + 1    # m - ceil(t*m) + 1, exact
+        keep = g['_df'].to_numpy() >= 2          # df<2 can't pair
+        pfx = np.zeros(m, bool)
+        pfx[:p] = True
+        return pd.DataFrame({
+            'sh': g['sh'].to_numpy()[keep],
+            id_col: g[id_col].to_numpy()[keep],
+            '_m': g['_m'].to_numpy()[keep],
+            '_pfx': pfx[keep]})
+
+    marked = with_df.groupby(id_col).map_groups(prefix_mark,
+                                                batch_format='pandas')
+
+    try:
+        cpus = int(ray.cluster_resources().get('CPU', 4))
+    except Exception:
+        cpus = 4
+    nb = 1 << max(4, min(10, (cpus * 4 - 1).bit_length()))
+    mask = nb - 1
+
+    def bucket(t: pa.Table) -> pa.Table:
+        # strip the map_groups pandas block metadata (defeats Ray's
+        # schema-dedup hashing, the _finalize pattern) before the shuffle
+        t = t.replace_schema_metadata(None)
+        sh = t.column('sh').to_numpy(zero_copy_only=False)
+        return t.append_column('_bk', pa.array(sh & mask, pa.int64()))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['sh', id_col], kind='mergesort')
+        sh = g['sh'].to_numpy()
+        ids = g[id_col].to_numpy()
+        ms = g['_m'].to_numpy()
+        pfx = g['_pfx'].to_numpy()
+        brk = np.ones(len(g), bool)
+        brk[1:] = sh[1:] != sh[:-1]
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(g))
+        lens = ends - starts
+        oa, ob = [], []
+        for s, e in zip(starts[lens >= 2], ends[lens >= 2]):
+            v, m, fx = ids[s:e], ms[s:e], pfx[s:e]
+            ai = np.flatnonzero(fx)
+            if not len(ai):
+                continue
+            k = e - s
+            ii = np.repeat(ai, k)                    # containee (prefix row)
+            jj = np.tile(np.arange(k), len(ai))      # container (any row)
+            keep = (ii != jj) & (td * m[jj] >= tn * m[ii])
+            oa.append(v[ii[keep]])
+            ob.append(v[jj[keep]])
+        a = np.concatenate(oa) if oa else np.empty(0, np.int64)
+        b = np.concatenate(ob) if ob else np.empty(0, np.int64)
+        return pd.DataFrame({'doc_a': a.astype('int64'),
+                             'doc_b': b.astype('int64')})
+
+    raw_pairs = marked.map_batches(bucket, batch_format='pyarrow') \
+        .groupby('_bk').map_groups(bucket_pairs, batch_format='pandas')
+
+    def pack_dedup(t: pa.Table) -> pa.Table:
+        a = t.column('doc_a').to_numpy(zero_copy_only=False)
+        b = t.column('doc_b').to_numpy(zero_copy_only=False)
+        if len(a) and (min(int(a.min()), int(b.min())) < 0
+                       or max(int(a.max()), int(b.max())) >= (1 << 32)):
+            raise AssertionError('pair pack domain exceeded')
+        return pa.table({'_pk': pa.array(np.unique((a << 32) | b),
+                                         pa.int64())})
+
+    def unpack(t: pa.Table) -> pa.Table:
+        pk = t.column('_pk').to_numpy(zero_copy_only=False)
+        return pa.table({'doc_a': pa.array(pk >> 32, pa.int64()),
+                         'doc_b': pa.array(pk & ((1 << 32) - 1),
+                                           pa.int64())})
+
+    distinct = raw_pairs.map_batches(pack_dedup, batch_format='pyarrow') \
+        .groupby('_pk').aggregate(Count(alias_name='_n')) \
+        .map_batches(unpack, batch_format='pyarrow')
+    pairs = drop_empty_blocks(distinct)
+    cand_ids = _collect_candidate_ids(pairs)
+    if not cand_ids:
+        return ray.data.from_arrow(empty)
+    texts = _semi_join_payload(ds, cand_ids, id_col, text_col)
+    joined = _attach_pair_payloads(
+        pairs, texts, text_col,
+        num_partitions=_join_partitions(rows=pairs.count()))
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        memo: dict[int, frozenset] = {}
+
+        def sh_of(did: int, tx: str) -> frozenset:
+            s = memo.get(did)
+            if s is None:
+                s = frozenset(word_shingles(tx or '', n))
+                memo[did] = s
+            return s
+
+        oa, ob, oc = [], [], []
+        for aa, bb, x, y in zip(t.column('doc_a').to_pylist(),
+                                t.column('doc_b').to_pylist(),
+                                t.column(f'{text_col}_a').to_pylist(),
+                                t.column(f'{text_col}_b').to_pylist()):
+            sa = sh_of(aa, x)
+            sb = sh_of(bb, y)
+            i = len(sa & sb)
+            if len(sa) > 0 and td * i >= tn * len(sa):
+                oa.append(aa)
+                ob.append(bb)
+                oc.append(sql_round_scalar(i / len(sa), 4))
+        return pa.table({'doc_a': pa.array(oa, pa.int64()),
+                         'doc_b': pa.array(ob, pa.int64()),
+                         'containment': pa.array(oc, pa.float64())})
+
+    return joined.map_batches(verify, batch_format='pyarrow')

@@ -1,0 +1,145 @@
+"""Containment-join and heavy-hitter tests: brute-force parity for the
+directed containment semantics, candidate-pruning losslessness for the
+two-pass heavy hitters, and block-split invariance for both."""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pii_detector_ray.functions.re2compat import RE2_WORD
+from pii_detector_ray.stages.dedup import containment_join, word_shingles
+
+_TOK = re.compile(RE2_WORD)
+
+
+def _corpus():
+    base = ('alpha beta gamma delta epsilon zeta eta theta iota kappa '
+            'lambda mu nu xi omicron pi rho sigma tau upsilon')
+    toks = base.split()
+    docs = {
+        0: base,                                   # container
+        1: ' '.join(toks[:8]),                     # fragment of 0 (C=1.0)
+        2: ' '.join(toks[5:15]),                   # mid-slice of 0 (C=1.0)
+        3: ' '.join(toks[:6]) + ' zulu yankee xray whiskey victor uniform',
+        4: base,                                   # exact dup of 0 (both dirs)
+        5: 'unrelated words entirely disjoint from the rest of them all',
+        6: 'two words',                            # <3 tokens: no shingles
+        7: '',                                     # empty
+    }
+    return docs
+
+
+def _brute(docs: dict, tn: int, td: int, n: int = 3) -> set:
+    out = set()
+    sh = {k: word_shingles(v, n) for k, v in docs.items()}
+    for a in docs:
+        for b in docs:
+            if a == b or not sh[a]:
+                continue
+            i = len(sh[a] & sh[b])
+            if td * i >= tn * len(sh[a]):
+                out.add((a, b, round(i / len(sh[a]), 4)))
+    return out
+
+
+@pytest.mark.parametrize('blocks', [1, 3])
+def test_containment_matches_bruteforce(blocks):
+    docs = _corpus()
+    ds = ray.data.from_arrow(pa.table({
+        'doc_id': pa.array(list(docs), pa.int64()),
+        'text': pa.array(list(docs.values()), pa.string()),
+    })).repartition(blocks)
+    got = containment_join(ds, threshold=(8, 10)).to_pandas()
+    got_set = set(zip(got['doc_a'].astype(int), got['doc_b'].astype(int),
+                      got['containment'].astype(float)))
+    assert got_set == _brute(docs, 8, 10)
+    # the planted fragments and the exact-dup pair must all surface
+    assert (1, 0, 1.0) in got_set
+    assert (2, 0, 1.0) in got_set
+    assert (0, 4, 1.0) in got_set and (4, 0, 1.0) in got_set
+    # containment is DIRECTED: the container does not point at its fragment
+    assert not any(a == 0 and b == 1 for a, b, _ in got_set)
+
+
+def test_containment_threshold_is_exact_rational():
+    # doc a: 10 shingles, 8 shared with b -> containment exactly 0.8,
+    # which must PASS at threshold (8, 10) (>=, integer predicate)
+    toks = [f'w{i}' for i in range(12)]            # 10 shingles
+    a = ' '.join(toks)
+    b = ' '.join(toks[:10]) + ' qq rr ss tt uu vv'  # shares 3-grams w0..w7*
+    sa, sb = word_shingles(a), word_shingles(b)
+    i = len(sa & sb)
+    assert (len(sa), i) == (10, 8)
+    ds = ray.data.from_arrow(pa.table({
+        'doc_id': pa.array([1, 2], pa.int64()),
+        'text': pa.array([a, b], pa.string())}))
+    got = containment_join(ds, threshold=(8, 10)).to_pandas()
+    pairs = set(zip(got['doc_a'].astype(int), got['doc_b'].astype(int)))
+    assert (1, 2) in pairs
+
+
+def test_containment_empty_input():
+    ds = ray.data.from_arrow(pa.table({
+        'doc_id': pa.array([], pa.int64()),
+        'text': pa.array([], pa.string())}))
+    out = containment_join(ds)
+    # Dataset.to_pandas() drops columns at 0 rows (Ray quirk) — assert on
+    # the Dataset schema, which is what downstream unions/joins consume
+    assert out.schema().names == ['doc_a', 'doc_b', 'containment']
+    assert out.count() == 0
+
+
+def _hh_brute(texts: list, m: int) -> dict:
+    from collections import Counter
+    c = Counter()
+    for t in texts:
+        c.update(_TOK.findall(t or ''))
+    n = sum(c.values())
+    return {tk: v for tk, v in c.items() if v * m > n}
+
+
+@pytest.mark.parametrize('blocks', [1, 4, 16])
+def test_heavy_hitters_block_split_invariant(tmp_path, blocks, monkeypatch):
+    # skewed corpus: 'hot' is ~30% of tokens, long tail of singletons
+    rng = np.random.default_rng(5)
+    texts = []
+    for i in range(60):
+        words = (['hot'] * int(rng.integers(2, 8))
+                 + ['warm'] * int(rng.integers(0, 3))
+                 + [f'tail{i}_{j}' for j in range(int(rng.integers(3, 9)))])
+        rng.shuffle(words)
+        texts.append(' '.join(words))
+    tbl = pa.table({'doc_id': pa.array(range(60), pa.int64()),
+                    'text': pa.array(texts, pa.string()),
+                    'lang': pa.array(['en'] * 60, pa.string()),
+                    'source': pa.array(['t'] * 60, pa.string()),
+                    'n_chars': pa.array([len(t) for t in texts], pa.int64())})
+    import pyarrow.parquet as pq
+    pq.write_table(tbl, tmp_path / 'documents.parquet',
+                   row_group_size=max(1, 60 // blocks))
+    from pii_detector_ray import queries as q
+    got = q.q_heavy_hitter_tokens(str(tmp_path))
+    exp = _hh_brute(texts, 200)
+    assert dict(zip(got['token'], got['n_occurrences'].astype(int))) == exp
+    assert 'hot' in exp          # the test corpus really has a heavy hitter
+
+
+def test_heavy_hitters_local_rule_is_lossless():
+    # the average argument behind pass 1: any token with global freq
+    # > N/m must be a LOCAL heavy hitter in at least one block, for every
+    # way of splitting the corpus into blocks
+    rng = np.random.default_rng(11)
+    toks = ['h'] * 40 + [f't{i}' for i in range(160)]   # h: 40/200 > 1/200
+    rng.shuffle(toks)
+    m = 200
+    for n_blocks in (1, 2, 5, 10):
+        cuts = np.array_split(np.asarray(toks, object), n_blocks)
+        local = set()
+        for blk in cuts:
+            vals, cnt = np.unique(blk, return_counts=True)
+            local |= set(vals[cnt * m > len(blk)])
+        assert 'h' in local
