@@ -17,6 +17,7 @@ where the key cardinality allows.
 from __future__ import annotations
 
 import hashlib
+import math
 import re
 from typing import Any, Callable
 
@@ -13833,6 +13834,212 @@ _HEAVY_HITTER_SQL = (
 )
 
 
+def q_fingerprint_dup_pairs(sf_dir: str) -> ray.data.Dataset:
+    """MOSS-style near-dup pairs over the planted near-dup corpus: every
+    unordered pair sharing >= 50 distinct winnowing fingerprints, with the
+    exact shared count (stages/dedup.fingerprint_dup_pairs) — positional
+    char-level fingerprints catch reordered/partially-edited copies that
+    word-shingle measures dilute.  SQL-checked: the oracle extends the
+    ``doc_fingerprints`` winnowing replay from counts to the fingerprint
+    VALUES (three length regimes: windowed minima for n>=13 chars, single
+    whole-text min for 5..12, the numpy partial-polynomial hash for 1..4)
+    and self-joins them."""
+    from pii_detector_ray.stages.dedup import fingerprint_dup_pairs
+    return fingerprint_dup_pairs(_docs_with_near_dups(sf_dir),
+                                 min_shared=50)
+
+
+_FINGERPRINT_PAIRS_SQL = (
+    'WITH docs AS (SELECT doc_id, text FROM documents UNION ALL '
+    "SELECT doc_id + 1000000 AS doc_id, "
+    "text || ' extra words appended here' AS text "
+    'FROM documents WHERE doc_id % 20 = 0), '
+    "d AS (SELECT doc_id, lower(coalesce(text,'')) AS t FROM docs), "
+    'chars AS (SELECT doc_id, i, unicode(substr(t, i, 1))::HUGEINT AS c, '
+    'length(t) AS n FROM d, LATERAL unnest(range(1, length(t)+1)) AS u(i)), '
+    'h AS (SELECT doc_id, i, n, '
+    '(((((((((c * 1000003 + lead(c,1) OVER w) % 18446744073709551616) '
+    '* 1000003 + lead(c,2) OVER w) % 18446744073709551616) '
+    '* 1000003 + lead(c,3) OVER w) % 18446744073709551616) '
+    '* 1000003 + lead(c,4) OVER w) % 18446744073709551616)) AS hash '
+    'FROM chars WINDOW w AS (PARTITION BY doc_id ORDER BY i)), '
+    'mins AS (SELECT doc_id, i, n, '
+    '(min(hash) OVER (PARTITION BY doc_id ORDER BY i '
+    'ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)) '
+    '% 9223372036854775808 AS mn FROM h WHERE i <= n - 4), '
+    'vals AS ('
+    'SELECT DISTINCT doc_id, mn AS fp FROM mins WHERE i <= n - 11 '
+    'UNION '
+    'SELECT doc_id, min(hash) % 9223372036854775808 FROM h '
+    'WHERE n BETWEEN 5 AND 12 AND i <= n - 4 GROUP BY doc_id '
+    'UNION '
+    'SELECT doc_id, (sum((c * power(1000003::HUGEINT, i-1)::HUGEINT) '
+    '% 18446744073709551616) % 18446744073709551616) '
+    '% 9223372036854775808 FROM chars WHERE n BETWEEN 1 AND 4 '
+    'GROUP BY doc_id) '
+    'SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, '
+    'count(*) AS n_shared '
+    'FROM vals a JOIN vals b ON a.fp = b.fp AND a.doc_id < b.doc_id '
+    'GROUP BY 1, 2 HAVING count(*) >= 50'
+)
+
+
+def q_value_time_spearman(sf_dir: str) -> pd.DataFrame:
+    """Exact tie-corrected Spearman rank correlation between ``value`` and
+    event time per event_type — the distribution-free trend test ("is this
+    metric drifting?") that Pearson (``value_hour_corr``) can't provide
+    under monotone-but-nonlinear drift or heavy tails.
+
+    EXACT distributed ranks via the ``score_auc`` block-summary pattern,
+    once per axis: collapse to distinct (type, v) counts with a narrow
+    groupby, global sort, per-block per-type count summaries give exact
+    cross-block rank offsets without any row reaching the driver, and each
+    distinct value gets its DOUBLED midrank ``2P + g + 1`` — an INTEGER,
+    so every downstream sum is exact int64 arithmetic (Spearman is
+    scale-invariant, so doubling cancels).  Rows then pick up (trx, try)
+    through two co-partitioned joins on the narrow rank tables, and each
+    block emits one integer sufficient-stats row per type (n, Σx, Σy,
+    Σxx, Σyy, Σxy; partials fit int64 to ~1e6 rows/type/block — asserted —
+    and the driver folds them in arbitrary-precision Python ints)."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks, join_partitions
+
+    ev = _events(sf_dir, ['event_type', 'ts', 'value'])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column('ts')),
+                             pc.is_valid(t.column('value'))))
+        return pa.table({'et': t.column('event_type'),
+                         'x': pc.cast(t.column('ts'), pa.int64()),
+                         'y': t.column('value')})
+
+    rows = ev.map_batches(prep, batch_format='pyarrow').materialize()
+
+    def rank_table(col: str, out_col: str) -> ray.data.Dataset:
+        """Narrow (et, col, 2*midrank) table: 2*midrank = 2P + g + 1 with
+        P = count of strictly-smaller values in the type, g = tie size."""
+        cnt = drop_empty_blocks(
+            rows.map_batches(
+                lambda t: t.select(['et', col]).group_by(['et', col])
+                .aggregate([([], 'count_all')])
+                .rename_columns(['et', col, '_g']),
+                batch_format='pyarrow')
+            .groupby(['et', col]).aggregate(Sum('_g', alias_name='_g')))
+        mat = cnt.sort(['et', col]).materialize()
+
+        # per-block (first_key, per-type totals): only summaries cross the
+        # driver, never rank rows.  Block order is PINNED by sorting the
+        # summaries on each block's first (et, col) key rather than trusting
+        # ref-bundle iteration order (the score_auc pattern).
+        import ray as _ray
+
+        def _summary(t: pa.Table) -> dict:
+            agg = t.select(['et', '_g']).group_by('et') \
+                .aggregate([('_g', 'sum')]).rename_columns(['et', '_bs'])
+            first = ((t.column('et')[0].as_py(), t.column(col)[0].as_py())
+                     if len(t) else None)
+            return {'first': first, 'tot': dict(zip(
+                agg.column('et').to_pylist(),
+                (int(v) for v in agg.column('_bs').to_pylist())))}
+
+        blk_refs = []
+        for bundle in mat.iter_internal_ref_bundles():
+            blk_refs.extend(ref for ref, _ in bundle.blocks)
+        summary_task = _ray.remote(_summary)
+        summaries = _ray.get([summary_task.remote(r) for r in blk_refs])
+        order = sorted((i for i, s in enumerate(summaries)
+                        if s['first'] is not None),
+                       key=lambda i: summaries[i]['first'])
+        offsets: dict[int, dict] = {}
+        running: dict = {}
+        for i in order:
+            offsets[i] = dict(running)
+            for et, g in summaries[i]['tot'].items():
+                running[et] = running.get(et, 0) + g
+
+        def _attach(t: pa.Table, off: dict) -> pa.Table:
+            off = dict(off)
+            ets = t.column('et').to_pylist()
+            gs = t.column('_g').to_numpy(zero_copy_only=False)
+            tr = np.empty(len(ets), np.int64)
+            for i, (et, g) in enumerate(zip(ets, gs)):
+                p = off.get(et, 0)
+                tr[i] = 2 * p + int(g) + 1
+                off[et] = p + int(g)
+            return pa.table({'et': t.column('et'), col: t.column(col),
+                             out_col: pa.array(tr, pa.int64())})
+
+        if not order:
+            return ray.data.from_arrow(pa.table(
+                {'et': pa.array([], pa.string()),
+                 col: pa.array([], pa.int64() if col == 'x'
+                               else pa.float64()),
+                 out_col: pa.array([], pa.int64())}))
+        attach_task = _ray.remote(_attach)
+        return ray.data.from_arrow_refs(
+            [attach_task.remote(blk_refs[i], offsets[i]) for i in order])
+
+    nparts = join_partitions(rows=rows.count())
+    with_rx = rows.join(rank_table('x', '_trx'), join_type='inner',
+                        num_partitions=nparts, on=('et', 'x'))
+    with_r = with_rx.join(rank_table('y', '_try'), join_type='inner',
+                          num_partitions=nparts, on=('et', 'y'))
+
+    def partial(t: pa.Table) -> pa.Table:
+        rx = t.column('_trx').to_numpy(zero_copy_only=False)
+        ry = t.column('_try').to_numpy(zero_copy_only=False)
+        if len(rx) and max(int(rx.max()), int(ry.max())) >= (1 << 21):
+            # Σ(2r)² per block caps ~len·(2^21)² = len·4.4e12 < 2^63 up to
+            # ~2e6 rows/block; beyond that switch partials to object dtype
+            raise AssertionError('spearman rank domain exceeded')
+        tab = pa.table({
+            'et': t.column('et'),
+            '_n': pa.array(np.ones(len(rx), np.int64)),
+            '_sx': pa.array(rx), '_sy': pa.array(ry),
+            '_sxx': pa.array(rx * rx), '_syy': pa.array(ry * ry),
+            '_sxy': pa.array(rx * ry)})
+        return tab.group_by('et').aggregate(
+            [('_n', 'sum'), ('_sx', 'sum'), ('_sy', 'sum'),
+             ('_sxx', 'sum'), ('_syy', 'sum'), ('_sxy', 'sum')])
+
+    agg: dict[str, list] = {}
+    for r in with_r.map_batches(partial, batch_format='pyarrow').take_all():
+        cur = agg.setdefault(r['et'], [0, 0, 0, 0, 0, 0])
+        for i, k in enumerate(['_n_sum', '_sx_sum', '_sy_sum',
+                               '_sxx_sum', '_syy_sum', '_sxy_sum']):
+            cur[i] += int(r[k])           # python ints: no overflow
+    out_et, out_rho = [], []
+    for et in sorted(agg):
+        n, sx, sy, sxx, syy, sxy = agg[et]
+        num = n * sxy - sx * sy
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx == 0 or vy == 0:
+            continue                      # constant axis: rho undefined
+        out_et.append(et)
+        out_rho.append(sql_round_scalar(num / math.sqrt(vx) / math.sqrt(vy), 4))
+    return pd.DataFrame({'event_type': out_et,
+                         'spearman': pd.Series(out_rho, dtype='float64')})
+
+
+_VALUE_TIME_SPEARMAN_SQL = (
+    'WITH e AS (SELECT event_type, epoch_us(ts) AS x, value AS y '
+    'FROM events WHERE ts IS NOT NULL AND value IS NOT NULL), '
+    'r AS (SELECT event_type, '
+    '2 * rank() OVER (PARTITION BY event_type ORDER BY x) '
+    '+ count(*) OVER (PARTITION BY event_type, x) - 1 AS trx, '
+    '2 * rank() OVER (PARTITION BY event_type ORDER BY y) '
+    '+ count(*) OVER (PARTITION BY event_type, y) - 1 AS try FROM e), '
+    's AS (SELECT event_type, count(*)::HUGEINT AS n, '
+    'sum(trx::HUGEINT) AS sx, sum(try::HUGEINT) AS sy, '
+    'sum(trx::HUGEINT * trx) AS sxx, sum(try::HUGEINT * try) AS syy, '
+    'sum(trx::HUGEINT * try) AS sxy FROM r GROUP BY event_type) '
+    'SELECT event_type, round((n * sxy - sx * sy) / '
+    'sqrt((n * sxx - sx * sx)::DOUBLE) / '
+    'sqrt((n * syy - sy * sy)::DOUBLE), 4) AS spearman '
+    'FROM s WHERE n * sxx > sx * sx AND n * syy > sy * sy '
+    'ORDER BY event_type'
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -14073,6 +14280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'events_ohlc': q_events_ohlc,
         'containment_join': q_containment_join,
         'heavy_hitter_tokens': q_heavy_hitter_tokens,
+        'fingerprint_dup_pairs': q_fingerprint_dup_pairs,
+        'value_time_spearman': q_value_time_spearman,
     })
     return out
 
@@ -14324,5 +14533,7 @@ def oracle_sql() -> dict[str, str]:
         'events_ohlc': _EVENTS_OHLC_SQL,
         'containment_join': _CONTAINMENT_JOIN_SQL,
         'heavy_hitter_tokens': _HEAVY_HITTER_SQL,
+        'fingerprint_dup_pairs': _FINGERPRINT_PAIRS_SQL,
+        'value_time_spearman': _VALUE_TIME_SPEARMAN_SQL,
     })
     return out

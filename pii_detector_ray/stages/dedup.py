@@ -1057,3 +1057,104 @@ def containment_join(ds: ray.data.Dataset, *,
                          'containment': pa.array(oc, pa.float64())})
 
     return joined.map_batches(verify, batch_format='pyarrow')
+
+
+# ---------------------------------------------------------------------------
+# Winnowing-fingerprint near-dup pairs (MOSS-style)
+# ---------------------------------------------------------------------------
+
+def fingerprint_dup_pairs(ds: ray.data.Dataset, *, min_shared: int = 50,
+                          text_col: str = 'text', id_col: str = 'doc_id'
+                          ) -> ray.data.Dataset:
+    """EXACT near-dup candidate pairs à la MOSS (Schleimer et al. 2003):
+    every unordered pair sharing >= ``min_shared`` DISTINCT winnowing
+    fingerprints (``stages/textstats.winnow_fingerprint``: k=5 char
+    shingles, window=8 masked minima), with the exact shared count.
+
+    Positional fingerprints make this robust to reordering/insertion in a
+    way word-shingle Jaccard is not, and the guarantee is winnowing's: any
+    shared substring of length >= k + window - 1 (12 chars) contributes at
+    least one shared fingerprint.
+
+    Shape: explode DISTINCT (doc_id, fp) — fingerprints are ~|text|/((w+1)/2)
+    ints, so the posting table is a small multiple of the id column, never
+    the text — bucket by fp low bits, count pair instances per bucket
+    vectorized (np.unique on packed int64 keys), then one Sum groupby over
+    packed pairs and a final threshold filter.  Exactness note for 100 TB:
+    the shared-count join is quadratic in per-fingerprint document
+    frequency; on natural text winnow fingerprints are rare across
+    documents, but adversarial/templated corpora want MOSS's classic
+    df-cap (drop fingerprints with df > C before pairing), which turns
+    n_shared into a lower bound — this operator keeps the exact form."""
+    from ray.data.aggregate import Sum
+
+    from pii_detector_ray.stages.textstats import winnow_fingerprint
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        fp_out: list[int] = []
+        for did, tx in zip(batch.column(id_col).to_pylist(),
+                           batch.column(text_col).to_pylist()):
+            s = set(winnow_fingerprint(tx or ''))
+            ids_out.extend([did] * len(s))
+            fp_out.extend(s)
+        return pa.table({id_col: pa.array(ids_out, pa.int64()),
+                         'fp': pa.array(fp_out, pa.int64())})
+
+    posting = ds.map_batches(explode, batch_format='pyarrow')
+    empty = pa.table({'doc_a': pa.array([], pa.int64()),
+                      'doc_b': pa.array([], pa.int64()),
+                      'n_shared': pa.array([], pa.int64())})
+
+    try:
+        cpus = int(ray.cluster_resources().get('CPU', 4))
+    except Exception:
+        cpus = 4
+    nb = 1 << max(4, min(10, (cpus * 4 - 1).bit_length()))
+    mask = nb - 1
+
+    def bucket(t: pa.Table) -> pa.Table:
+        fp = t.column('fp').to_numpy(zero_copy_only=False)
+        return t.append_column('_bk', pa.array(fp & mask, pa.int64()))
+
+    def bucket_pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['fp', id_col], kind='mergesort')
+        fp = g['fp'].to_numpy()
+        ids = g[id_col].to_numpy()
+        if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 32)):
+            raise AssertionError('pair pack domain exceeded')
+        brk = np.ones(len(g), bool)
+        brk[1:] = fp[1:] != fp[:-1]
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(g))
+        lens = ends - starts
+        pks = []
+        for s, e in zip(starts[lens >= 2], ends[lens >= 2]):
+            v = ids[s:e]                      # sorted asc within the run
+            ii, jj = np.triu_indices(e - s, k=1)
+            pks.append((v[ii] << 32) | v[jj])
+        if not pks:
+            return pd.DataFrame({'_pk': pd.Series([], dtype='int64'),
+                                 '_n': pd.Series([], dtype='int64')})
+        pk, n = np.unique(np.concatenate(pks), return_counts=True)
+        return pd.DataFrame({'_pk': pk.astype('int64'),
+                             '_n': n.astype('int64')})
+
+    counts = posting.map_batches(bucket, batch_format='pyarrow') \
+        .groupby('_bk').map_groups(bucket_pair_counts, batch_format='pandas') \
+        .map_batches(lambda t: t.replace_schema_metadata(None),
+                     batch_format='pyarrow') \
+        .groupby('_pk').aggregate(Sum('_n', alias_name='n_shared'))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return empty
+        n = t.column('n_shared').to_numpy(zero_copy_only=False)
+        keep = n >= min_shared
+        pk = t.column('_pk').to_numpy(zero_copy_only=False)[keep]
+        return pa.table({'doc_a': pa.array(pk >> 32, pa.int64()),
+                         'doc_b': pa.array(pk & ((1 << 32) - 1), pa.int64()),
+                         'n_shared': pa.array(n[keep], pa.int64())})
+
+    return drop_empty_blocks(counts).map_batches(finish,
+                                                 batch_format='pyarrow')

@@ -74,7 +74,9 @@ def winnow_fingerprint(text: str, k: int = 5, window: int = 8) -> list[int]:
     if h.size == 0 or not text:
         return []
     if h.size <= window:
-        return [int(h.min() & 0x7FFFFFFFFFFFFFFF)]
+        # mask must be np.uint64: uint64 & python-int raises under NumPy 2
+        # (no safe common type) — latent until sub-13-char docs appeared
+        return [int(h.min() & np.uint64(0x7FFFFFFFFFFFFFFF))]
     view = np.lib.stride_tricks.sliding_window_view(h, window)
     mins = view.min(axis=1)
     out: list[int] = []

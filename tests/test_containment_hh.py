@@ -143,3 +143,118 @@ def test_heavy_hitters_local_rule_is_lossless():
             vals, cnt = np.unique(blk, return_counts=True)
             local |= set(vals[cnt * m > len(blk)])
         assert 'h' in local
+
+
+# ---------------------------------------------------------------------------
+# Winnowing-fingerprint pairs (MOSS-style)
+# ---------------------------------------------------------------------------
+
+def _fp_brute(docs: dict, min_shared: int) -> set:
+    from pii_detector_ray.stages.textstats import winnow_fingerprint
+    fps = {k: set(winnow_fingerprint(v or '')) for k, v in docs.items()}
+    out = set()
+    ks = sorted(docs)
+    for x in range(len(ks)):
+        for y in range(x + 1, len(ks)):
+            a, b = ks[x], ks[y]
+            n = len(fps[a] & fps[b])
+            if n >= min_shared:
+                out.add((a, b, n))
+    return out
+
+
+@pytest.mark.parametrize('blocks', [1, 3])
+def test_fingerprint_pairs_match_bruteforce(blocks):
+    from pii_detector_ray.stages.dedup import fingerprint_dup_pairs
+    base = ('the quick brown fox jumps over the lazy dog while the morning '
+            'sun rises over the quiet hills and people walk to the market '
+            'to buy fresh bread and fruit for the day ahead of them')
+    docs = {
+        0: base,
+        1: base + ' with a small suffix appended',       # near-copy
+        2: base.replace('morning', 'evening'),           # one-word edit
+        3: 'totally different text about railway stations and platform '
+           'announcements echoing in the cold night air of the terminal',
+        4: base,                                         # exact dup
+        5: 'tiny',                                       # 1..4-char regime
+        6: 'middle-size',                                # 5..12-char regime
+        7: '',                                           # empty
+    }
+    ds = ray.data.from_arrow(pa.table({
+        'doc_id': pa.array(list(docs), pa.int64()),
+        'text': pa.array(list(docs.values()), pa.string()),
+    })).repartition(blocks)
+    got = fingerprint_dup_pairs(ds, min_shared=5).to_pandas()
+    got_set = set(zip(got['doc_a'].astype(int), got['doc_b'].astype(int),
+                      got['n_shared'].astype(int)))
+    exp = _fp_brute(docs, 5)
+    assert got_set == exp
+    assert any(a == 0 and b == 4 for a, b, _ in exp)    # exact dup surfaces
+    assert any(a == 0 and b == 1 for a, b, _ in exp)    # near-copy surfaces
+
+
+def test_fingerprint_pairs_threshold_and_empty():
+    from pii_detector_ray.stages.dedup import fingerprint_dup_pairs
+    ds = ray.data.from_arrow(pa.table({
+        'doc_id': pa.array([1, 2], pa.int64()),
+        'text': pa.array(['abcdefghij klmnop qrstu vwxyz',
+                          'entirely different words here'], pa.string())}))
+    out = fingerprint_dup_pairs(ds, min_shared=1000)
+    # all pairs fall below the threshold -> 0 rows (schema() can be None
+    # on an all-filtered dataset, so only the row count is contractual)
+    assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Exact Spearman (value vs time, per event type)
+# ---------------------------------------------------------------------------
+
+def _spearman_brute(x, y):
+    # tie-corrected Spearman = Pearson on average ranks
+    def midranks(v):
+        v = np.asarray(v, dtype=float)
+        order = np.argsort(v, kind='mergesort')
+        r = np.empty(len(v))
+        i = 0
+        while i < len(v):
+            j = i
+            while j < len(v) and v[order[j]] == v[order[i]]:
+                j += 1
+            r[order[i:j]] = (i + j + 1) / 2
+            i = j
+        return r
+    rx, ry = midranks(x), midranks(y)
+    rx, ry = rx - rx.mean(), ry - ry.mean()
+    return float((rx * ry).sum() / np.sqrt((rx * rx).sum() * (ry * ry).sum()))
+
+
+@pytest.mark.parametrize('blocks', [1, 4])
+def test_value_time_spearman_matches_bruteforce(tmp_path, blocks):
+    rng = np.random.default_rng(7)
+    n = 400
+    ts = np.sort(rng.integers(1_600_000_000_000_000, 1_700_000_000_000_000,
+                              n)).astype('datetime64[us]')
+    et = rng.choice(['up', 'down', 'noisy', 'tied'], n)
+    val = np.where(et == 'up', np.arange(n, dtype=float),
+                   np.where(et == 'down', -np.arange(n, dtype=float),
+                            np.where(et == 'tied',
+                                     (np.arange(n) % 3).astype(float),
+                                     rng.standard_normal(n))))
+    tbl = pa.table({'event_id': pa.array(range(n), pa.int64()),
+                    'ts': pa.array(ts),
+                    'user_id': pa.array([1] * n, pa.int64()),
+                    'event_type': pa.array(et.tolist(), pa.string()),
+                    'value': pa.array(val, pa.float64()),
+                    'props': pa.array(['{}'] * n, pa.string())})
+    import pyarrow.parquet as pq
+    pq.write_table(tbl, tmp_path / 'events.parquet',
+                   row_group_size=max(1, n // blocks))
+    from pii_detector_ray import queries as q
+    got = q.q_value_time_spearman(str(tmp_path))
+    got_map = dict(zip(got['event_type'], got['spearman']))
+    xs = tbl.column('ts').cast(pa.int64()).to_numpy()
+    for t in ['up', 'down', 'noisy', 'tied']:
+        mask = et == t
+        exp = round(_spearman_brute(xs[mask], val[mask]), 4)
+        assert got_map[t] == pytest.approx(exp, abs=1e-9), t
+    assert got_map['up'] > 0.99 and got_map['down'] < -0.99
