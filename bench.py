@@ -164,8 +164,11 @@ def run_scaling() -> dict:
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    # per-pair corpora sized so the WIDE level runs >= ~30 s on the current
+    # binary (late-r5: bench4x@32 dropped to ~25 s -> 8v32 moved to bench6x;
+    # measured 0.771 at 25 s vs 0.844 at 37 s the same morning)
     pair_spec = os.environ.get('GRAFT_SCALING_PAIRS',
-                               '4:16:bench2x,8:32:bench4x')
+                               '4:16:bench2x,8:32:bench6x')
     pair_defs = []
     for item in pair_spec.split(','):
         lo, hi, corpus = item.split(':')

@@ -14040,6 +14040,53 @@ _VALUE_TIME_SPEARMAN_SQL = (
 )
 
 
+def q_revenue_theilsen(sf_dir: str) -> pd.DataFrame:
+    """Theil–Sen robust trend slope over daily revenue: the median of all
+    pairwise day-to-day slopes — the outlier-insensitive companion to the
+    rank-based ``value_time_spearman`` trend test (one promo-spike day
+    can't move it, unlike an OLS fit).
+
+    Plan: the distributed work is the same exact integer-cent daily fold
+    the MA7/anomaly queries use (days are a BOUNDED alphabet, so the day
+    table is driver-sized by construction); the O(days²) pairwise-slope
+    median then runs vectorized on ~3M float64 pairs driver-side — bounded
+    by the calendar, not the corpus, so it holds at 10^12 docs.  Slopes
+    are computed in the oracle's exact op order ((Δcents)/100.0/Δdays) so
+    the median is bit-identical."""
+    import os
+    orders = read_parquet_clean(os.path.join(sf_dir, 'orders.parquet'),
+                                columns=['o_orderdate', 'o_totalprice'])
+    parts = orders.map_batches(_cents_by_bucket('D'),
+                               batch_format='pyarrow').to_pandas()
+    d = parts.groupby('_d', as_index=False)['_c'].sum() \
+        .sort_values('_d', kind='mergesort').reset_index(drop=True)
+    c = d['_c'].to_numpy(np.int64)
+    x = d['_d'].to_numpy('datetime64[D]').astype(np.int64)
+    n = len(c)
+    if n < 2:
+        return pd.DataFrame({'n_days': pd.Series([n], dtype='int64'),
+                             'n_pairs': pd.Series([0], dtype='int64'),
+                             'slope': pd.Series([np.nan], dtype='float64')})
+    ii, jj = np.triu_indices(n, k=1)
+    slopes = (c[jj] - c[ii]) / 100.0 / (x[jj] - x[ii])
+    return pd.DataFrame({
+        'n_days': pd.Series([n], dtype='int64'),
+        'n_pairs': pd.Series([len(slopes)], dtype='int64'),
+        'slope': pd.Series([sql_round_scalar(float(np.median(slopes)), 6)],
+                           dtype='float64')})
+
+
+_REVENUE_THEILSEN_SQL = (
+    "WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, "
+    'sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c '
+    'FROM orders GROUP BY 1), '
+    'p AS (SELECT (b.c - a.c) / 100.0 / date_diff(\'day\', a.day, b.day) '
+    'AS slope FROM d a JOIN d b ON a.day < b.day) '
+    'SELECT (SELECT count(*) FROM d) AS n_days, count(*) AS n_pairs, '
+    'round(median(slope), 6) AS slope FROM p'
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -14282,6 +14329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'heavy_hitter_tokens': q_heavy_hitter_tokens,
         'fingerprint_dup_pairs': q_fingerprint_dup_pairs,
         'value_time_spearman': q_value_time_spearman,
+        'revenue_theilsen': q_revenue_theilsen,
     })
     return out
 
@@ -14535,5 +14583,6 @@ def oracle_sql() -> dict[str, str]:
         'heavy_hitter_tokens': _HEAVY_HITTER_SQL,
         'fingerprint_dup_pairs': _FINGERPRINT_PAIRS_SQL,
         'value_time_spearman': _VALUE_TIME_SPEARMAN_SQL,
+        'revenue_theilsen': _REVENUE_THEILSEN_SQL,
     })
     return out

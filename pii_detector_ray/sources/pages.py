@@ -263,6 +263,11 @@ SIZES = {
     # run in ~20s and session-fixed costs re-inflate the wide level; 4x
     # restores a >=40s wide-level run for the 8v32 pair
     'bench4x': PagesSpec(n_rows=2_400_000, n_shards=512),
+    # 6x: the late-r5 binary runs bench4x's 32-wide level in ~25s, again
+    # below the >=30s floor the fixed-cost analysis needs (measured 8v32
+    # 0.771 at 25s vs 0.82-0.89 at 30-33s); 6x restores ~38s wide-level
+    # runs without tipping the job into the sink-bound regime bench10x hits
+    'bench6x': PagesSpec(n_rows=3_600_000, n_shards=768),
     # stress.py: the 10x flagship run (~5 GB parquet) behind BASELINE.md's
     # measured-at-scale evidence
     'bench10x': PagesSpec(n_rows=6_000_000, n_shards=1024),

@@ -258,3 +258,26 @@ def test_value_time_spearman_matches_bruteforce(tmp_path, blocks):
         exp = round(_spearman_brute(xs[mask], val[mask]), 4)
         assert got_map[t] == pytest.approx(exp, abs=1e-9), t
     assert got_map['up'] > 0.99 and got_map['down'] < -0.99
+
+
+def test_revenue_theilsen_bruteforce(tmp_path):
+    # tiny orders table with a known trend and an outlier day
+    days = np.array(['2024-01-01', '2024-01-02', '2024-01-03',
+                     '2024-01-05', '2024-01-09'], dtype='datetime64[us]')
+    price = [10.0, 12.0, 14.0, 500.0, 18.0]       # day 4 is an outlier
+    tbl = pa.table({'o_orderkey': pa.array(range(5), pa.int64()),
+                    'o_custkey': pa.array([1] * 5, pa.int64()),
+                    'o_orderdate': pa.array(days),
+                    'o_totalprice': pa.array(price, pa.float64())})
+    import pyarrow.parquet as pq
+    pq.write_table(tbl, tmp_path / 'orders.parquet')
+    from pii_detector_ray import queries as q
+    got = q.q_revenue_theilsen(str(tmp_path))
+    x = days.astype('datetime64[D]').astype(np.int64)
+    c = np.rint(np.asarray(price) * 100).astype(np.int64)
+    ii, jj = np.triu_indices(5, k=1)
+    exp = float(np.median((c[jj] - c[ii]) / 100.0 / (x[jj] - x[ii])))
+    assert got['n_days'].iloc[0] == 5 and got['n_pairs'].iloc[0] == 10
+    assert got['slope'].iloc[0] == pytest.approx(round(exp, 6), abs=1e-12)
+    # robustness: the outlier day does not drag the slope to its OLS value
+    assert abs(got['slope'].iloc[0]) < 50
