@@ -14087,6 +14087,59 @@ _REVENUE_THEILSEN_SQL = (
 )
 
 
+def q_compression_ratio(sf_dir: str) -> pd.DataFrame:
+    """Per-source zlib compression ratio — the RefinedWeb/Gopher-family
+    repetitiveness signal (template/boilerplate text compresses far below
+    natural prose) aggregated to the source level: ``Σ deflate bytes /
+    Σ utf-8 bytes`` over each source's documents, with level-6 zlib
+    (stdlib, deterministic for a fixed library build).
+
+    Plan: embarrassingly parallel — each block compresses its own docs and
+    ships ONE (source, n_docs, raw_bytes, zlib_bytes) integer partial per
+    source; the final groupby is source-alphabet-bounded.  The ratio
+    divides two exactly-agreed integers, so the result is reproducible
+    bit-for-bit (the pin methodology: ``oracle_pins.COMPRESSION_RATIO_SQL``
+    embeds per-sf VALUES produced by two independent fresh-process runs)."""
+    import zlib
+
+    docs = read_documents(sf_dir, ['source', 'text'])
+
+    def partial(t: pa.Table) -> pa.Table:
+        srcs = t.column('source').to_pylist()
+        texts = t.column('text').to_pylist()
+        agg: dict[str, list] = {}
+        for s, tx in zip(srcs, texts):
+            b = (tx or '').encode('utf-8')
+            cur = agg.setdefault(s, [0, 0, 0])
+            cur[0] += 1
+            cur[1] += len(b)
+            cur[2] += len(zlib.compress(b, 6))
+        ks = sorted(agg)
+        return pa.table({
+            'source': pa.array(ks, pa.string()),
+            '_n': pa.array([agg[k][0] for k in ks], pa.int64()),
+            '_raw': pa.array([agg[k][1] for k in ks], pa.int64()),
+            '_z': pa.array([agg[k][2] for k in ks], pa.int64())})
+
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    agg = drop_empty_blocks(
+        docs.map_batches(partial, batch_format='pyarrow')
+        .groupby('source').aggregate(Sum('_n', alias_name='n_docs'),
+                                     Sum('_raw', alias_name='raw_bytes'),
+                                     Sum('_z', alias_name='zlib_bytes'))
+    ).to_pandas()
+    raw = agg['raw_bytes'].to_numpy(np.int64)
+    z = agg['zlib_bytes'].to_numpy(np.int64)
+    ratio = sql_round_np(
+        np.divide(z, raw, out=np.zeros(len(z)), where=raw > 0), 6)
+    return pd.DataFrame({
+        'source': agg['source'].astype('string'),
+        'n_docs': agg['n_docs'].astype('int64'),
+        'raw_bytes': agg['raw_bytes'].astype('int64'),
+        'zlib_bytes': agg['zlib_bytes'].astype('int64'),
+        'ratio': pd.Series(ratio, dtype='float64')})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -14330,6 +14383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'fingerprint_dup_pairs': q_fingerprint_dup_pairs,
         'value_time_spearman': q_value_time_spearman,
         'revenue_theilsen': q_revenue_theilsen,
+        'compression_ratio': q_compression_ratio,
     })
     return out
 
@@ -14584,5 +14638,6 @@ def oracle_sql() -> dict[str, str]:
         'fingerprint_dup_pairs': _FINGERPRINT_PAIRS_SQL,
         'value_time_spearman': _VALUE_TIME_SPEARMAN_SQL,
         'revenue_theilsen': _REVENUE_THEILSEN_SQL,
+        'compression_ratio': _media_pins().COMPRESSION_RATIO_SQL,
     })
     return out

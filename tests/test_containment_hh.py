@@ -281,3 +281,29 @@ def test_revenue_theilsen_bruteforce(tmp_path):
     assert got['slope'].iloc[0] == pytest.approx(round(exp, 6), abs=1e-12)
     # robustness: the outlier day does not drag the slope to its OLS value
     assert abs(got['slope'].iloc[0]) < 50
+
+
+@pytest.mark.parametrize('blocks', [1, 5])
+def test_compression_ratio_block_invariant(tmp_path, blocks):
+    import zlib
+    rng = np.random.default_rng(3)
+    texts = ['lorem ipsum ' * int(rng.integers(1, 30)) for _ in range(40)]
+    srcs = [f's{i % 4}' for i in range(40)]
+    tbl = pa.table({'doc_id': pa.array(range(40), pa.int64()),
+                    'text': pa.array(texts, pa.string()),
+                    'lang': pa.array(['en'] * 40, pa.string()),
+                    'source': pa.array(srcs, pa.string()),
+                    'n_chars': pa.array([len(t) for t in texts], pa.int64())})
+    import pyarrow.parquet as pq
+    pq.write_table(tbl, tmp_path / 'documents.parquet',
+                   row_group_size=max(1, 40 // blocks))
+    from pii_detector_ray import queries as q
+    got = q.q_compression_ratio(str(tmp_path)).sort_values('source') \
+        .reset_index(drop=True)
+    for i, s in enumerate(sorted(set(srcs))):
+        raw = sum(len(t.encode()) for t, ss in zip(texts, srcs) if ss == s)
+        z = sum(len(zlib.compress(t.encode(), 6))
+                for t, ss in zip(texts, srcs) if ss == s)
+        assert got['raw_bytes'].iloc[i] == raw
+        assert got['zlib_bytes'].iloc[i] == z
+        assert got['ratio'].iloc[i] == round(z / raw, 6)
