@@ -14140,6 +14140,114 @@ def q_compression_ratio(sf_dir: str) -> pd.DataFrame:
         'ratio': pd.Series(ratio, dtype='float64')})
 
 
+def q_weighted_median_price(sf_dir: str) -> pd.DataFrame:
+    """Exact QUANTITY-WEIGHTED median extended price per return flag — the
+    lower weighted median (smallest x with cumweight(<=x) >= W/2), the
+    quantile the unweighted ``price_quantiles`` family can't express when
+    rows carry different mass.
+
+    Plan (third use of the score_auc block-summary pattern): one narrow
+    groupby collapses to per-distinct-price integer weights, a global
+    sort by (flag, price) orders them, per-block per-flag weight totals
+    cross the driver (summaries only, never rows), and the ONE block where
+    each flag's cumulative weight crosses W/2 emits its winner — an input
+    VALUE, so equality with the oracle is exact with no float arithmetic
+    at all (weights are integer units via round(l_quantity))."""
+    import os
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+
+    li = read_parquet_clean(os.path.join(sf_dir, 'lineitem.parquet'),
+                            columns=['l_returnflag', 'l_extendedprice',
+                                     'l_quantity'])
+
+    def fold(t: pa.Table) -> pa.Table:
+        q = np.rint(t.column('l_quantity').to_numpy(zero_copy_only=False)) \
+            .astype(np.int64)
+        tab = pa.table({'flag': t.column('l_returnflag'),
+                        'x': t.column('l_extendedprice'),
+                        '_q': pa.array(q, pa.int64())})
+        return tab.group_by(['flag', 'x']).aggregate([('_q', 'sum')]) \
+            .rename_columns(['flag', 'x', '_q'])
+
+    g = drop_empty_blocks(
+        li.map_batches(fold, batch_format='pyarrow')
+        .groupby(['flag', 'x']).aggregate(Sum('_q', alias_name='_q')))
+    mat = g.sort(['flag', 'x']).materialize()
+
+    import ray as _ray
+
+    def _summary(t: pa.Table) -> dict:
+        agg = t.select(['flag', '_q']).group_by('flag') \
+            .aggregate([('_q', 'sum')]).rename_columns(['flag', '_w'])
+        first = ((t.column('flag')[0].as_py(), t.column('x')[0].as_py())
+                 if len(t) else None)
+        return {'first': first, 'tot': dict(zip(
+            agg.column('flag').to_pylist(),
+            (int(v) for v in agg.column('_w').to_pylist())))}
+
+    blk_refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        blk_refs.extend(ref for ref, _ in bundle.blocks)
+    s_task = _ray.remote(_summary)
+    summaries = _ray.get([s_task.remote(r) for r in blk_refs])
+    order = sorted((i for i, s in enumerate(summaries)
+                    if s['first'] is not None),
+                   key=lambda i: summaries[i]['first'])
+    totals: dict = {}
+    for i in order:
+        for f, w in summaries[i]['tot'].items():
+            totals[f] = totals.get(f, 0) + w
+
+    def _pick(t: pa.Table, off: dict, totals: dict) -> pa.Table:
+        flags = t.column('flag').to_pylist()
+        xs = t.column('x').to_numpy(zero_copy_only=False)
+        qs = t.column('_q').to_numpy(zero_copy_only=False)
+        cum = dict(off)
+        of, ox = [], []
+        hit = set()
+        for f, x, q in zip(flags, xs, qs):
+            c = cum.get(f, 0) + int(q)
+            if f not in hit and 2 * cum.get(f, 0) < totals[f] <= 2 * c:
+                of.append(f)
+                ox.append(float(x))
+                hit.add(f)
+            cum[f] = c
+        return pa.table({'l_returnflag': pa.array(of, pa.string()),
+                         'weighted_median_price': pa.array(ox, pa.float64())})
+
+    pick_task = _ray.remote(_pick)
+    offs: dict = {}
+    running: dict = {}
+    picks = []
+    for i in order:
+        offs[i] = dict(running)
+        for f, w in summaries[i]['tot'].items():
+            running[f] = running.get(f, 0) + w
+        # only blocks whose flag crosses W/2 can contain a winner — skip
+        # the rest (a handful of tasks regardless of corpus size)
+        cross = any(2 * offs[i].get(f, 0) < totals[f] <= 2 * running.get(f, 0)
+                    for f in summaries[i]['tot'])
+        if cross:
+            picks.append(pick_task.remote(blk_refs[i], offs[i], totals))
+    parts = [p for p in _ray.get(picks) if len(p)]
+    out = pa.concat_tables(parts) if parts else pa.table(
+        {'l_returnflag': pa.array([], pa.string()),
+         'weighted_median_price': pa.array([], pa.float64())})
+    return out.to_pandas().sort_values('l_returnflag').reset_index(drop=True)
+
+
+_WEIGHTED_MEDIAN_SQL = (
+    'WITH w AS (SELECT l_returnflag AS flag, l_extendedprice AS x, '
+    'CAST(round(l_quantity) AS BIGINT) AS q FROM lineitem), '
+    'g AS (SELECT flag, x, sum(q) AS q FROM w GROUP BY flag, x), '
+    'c AS (SELECT flag, x, '
+    'sum(q) OVER (PARTITION BY flag ORDER BY x) AS cw, '
+    'sum(q) OVER (PARTITION BY flag) AS tw FROM g) '
+    'SELECT flag AS l_returnflag, min(x) AS weighted_median_price '
+    'FROM c WHERE 2 * cw >= tw GROUP BY flag ORDER BY flag'
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -14384,6 +14492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'value_time_spearman': q_value_time_spearman,
         'revenue_theilsen': q_revenue_theilsen,
         'compression_ratio': q_compression_ratio,
+        'weighted_median_price': q_weighted_median_price,
     })
     return out
 
@@ -14639,5 +14748,6 @@ def oracle_sql() -> dict[str, str]:
         'value_time_spearman': _VALUE_TIME_SPEARMAN_SQL,
         'revenue_theilsen': _REVENUE_THEILSEN_SQL,
         'compression_ratio': _media_pins().COMPRESSION_RATIO_SQL,
+        'weighted_median_price': _WEIGHTED_MEDIAN_SQL,
     })
     return out

@@ -307,3 +307,33 @@ def test_compression_ratio_block_invariant(tmp_path, blocks):
         assert got['raw_bytes'].iloc[i] == raw
         assert got['zlib_bytes'].iloc[i] == z
         assert got['ratio'].iloc[i] == round(z / raw, 6)
+
+
+@pytest.mark.parametrize('blocks', [1, 6])
+def test_weighted_median_price_bruteforce(tmp_path, blocks):
+    rng = np.random.default_rng(9)
+    n = 120
+    flags = rng.choice(['A', 'N', 'R'], n)
+    price = np.round(rng.uniform(10, 1000, n), 2)
+    qty = rng.integers(1, 50, n).astype(float)
+    tbl = pa.table({'l_returnflag': pa.array(flags.tolist(), pa.string()),
+                    'l_extendedprice': pa.array(price, pa.float64()),
+                    'l_quantity': pa.array(qty, pa.float64())})
+    import pyarrow.parquet as pq
+    pq.write_table(tbl, tmp_path / 'lineitem.parquet',
+                   row_group_size=max(1, n // blocks))
+    from pii_detector_ray import queries as q
+    got = q.q_weighted_median_price(str(tmp_path))
+    for f in ['A', 'N', 'R']:
+        m = flags == f
+        # lower weighted median: first x (ascending) with 2*cumw >= total
+        order = np.argsort(price[m], kind='mergesort')
+        xs, ws = price[m][order], qty[m][order].astype(int)
+        # collapse duplicate prices like the distributed fold does
+        ux, inv = np.unique(xs, return_inverse=True)
+        uw = np.bincount(inv, weights=ws).astype(int)
+        cum = np.cumsum(uw)
+        exp = float(ux[np.searchsorted(2 * cum, cum[-1])])
+        got_x = float(got.loc[got['l_returnflag'] == f,
+                              'weighted_median_price'].iloc[0])
+        assert got_x == exp, (f, got_x, exp)
