@@ -14248,6 +14248,65 @@ _WEIGHTED_MEDIAN_SQL = (
 )
 
 
+def q_event_lateness(sf_dir: str) -> ray.data.Dataset:
+    """Watermark out-of-orderness census per event_type: with ``event_id``
+    as the ARRIVAL order, an event is late by ``running_max(ts of earlier
+    arrivals, same user) - ts`` — the distribution a streaming deployment
+    reads to choose its watermark delay / allowed-lateness (SURVEY §2.10's
+    design input).  Reports exact integer (n_events, n_late, sum_late_us,
+    max_late_us) per type.
+
+    Plan: the running max is per-user sequential, so each user's stream is
+    one vectorized ``np.maximum.accumulate`` inside ``map_groups`` that
+    emits BOUNDED per-(user,type) integer partials; the final aggregate is
+    type-alphabet-sized.  Mega-user note: a user too large for one task
+    would need the sessionize-style sharded carry
+    (``stages/microbatch.py``) to thread the running max across shards —
+    the diagnostic keeps the plain path (events tables are far below the
+    ``hot_threshold_for`` guard)."""
+    from pii_detector_ray.stages.dedup import drop_empty_blocks
+    from ray.data.aggregate import Max
+
+    ev = _events(sf_dir, ['user_id', 'event_id', 'ts', 'event_type'])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values('event_id', kind='mergesort')
+        ts = g['ts'].to_numpy('datetime64[us]').astype(np.int64)
+        prev_max = np.empty(len(ts), np.int64)
+        if len(ts):
+            prev_max[0] = ts[0]                 # first arrival: never late
+            np.maximum.accumulate(ts[:-1], out=prev_max[1:])
+        late = np.maximum(prev_max - ts, 0)
+        d = pd.DataFrame({'event_type': g['event_type'].to_numpy(),
+                          '_n': np.ones(len(ts), np.int64),
+                          '_nl': (late > 0).astype(np.int64),
+                          '_sl': late, '_ml': late})
+        return d.groupby('event_type', as_index=False, dropna=False) \
+            .agg(_n=('_n', 'sum'), _nl=('_nl', 'sum'),
+                 _sl=('_sl', 'sum'), _ml=('_ml', 'max'))
+
+    partials = ev.groupby('user_id').map_groups(per_user,
+                                                batch_format='pandas')
+    agg = (partials.repartition(1).groupby('event_type')
+           .aggregate(Sum('_n', alias_name='n_events'),
+                      Sum('_nl', alias_name='n_late'),
+                      Sum('_sl', alias_name='sum_late_us'),
+                      Max('_ml', alias_name='max_late_us')))
+    return drop_empty_blocks(agg)
+
+
+_EVENT_LATENESS_SQL = (
+    'WITH l AS (SELECT event_type, greatest(coalesce('
+    'max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id '
+    'ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) '
+    '- epoch_us(ts), 0), 0) AS late FROM events) '
+    'SELECT event_type, count(*) AS n_events, '
+    'sum(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS n_late, '
+    'sum(late) AS sum_late_us, max(late) AS max_late_us '
+    'FROM l GROUP BY event_type'
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -14493,6 +14552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'revenue_theilsen': q_revenue_theilsen,
         'compression_ratio': q_compression_ratio,
         'weighted_median_price': q_weighted_median_price,
+        'event_lateness': q_event_lateness,
     })
     return out
 
@@ -14749,5 +14809,6 @@ def oracle_sql() -> dict[str, str]:
         'revenue_theilsen': _REVENUE_THEILSEN_SQL,
         'compression_ratio': _media_pins().COMPRESSION_RATIO_SQL,
         'weighted_median_price': _WEIGHTED_MEDIAN_SQL,
+        'event_lateness': _EVENT_LATENESS_SQL,
     })
     return out

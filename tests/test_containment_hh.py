@@ -337,3 +337,40 @@ def test_weighted_median_price_bruteforce(tmp_path, blocks):
         got_x = float(got.loc[got['l_returnflag'] == f,
                               'weighted_median_price'].iloc[0])
         assert got_x == exp, (f, got_x, exp)
+
+
+@pytest.mark.parametrize('blocks', [1, 4])
+def test_event_lateness_bruteforce(tmp_path, blocks):
+    # arrival order = event_id; plant out-of-order events per user
+    rows = [
+        # user 1: 3rd arrival is 50us older than running max -> late 50
+        (0, 1, 1000, 'a'), (1, 1, 2000, 'a'), (2, 1, 1950, 'b'),
+        # user 2: strictly increasing -> never late
+        (3, 2, 100, 'a'), (4, 2, 200, 'b'),
+        # user 3: two late events, one by 10, one by 300
+        (5, 3, 5000, 'b'), (6, 3, 4990, 'b'), (7, 3, 6000, 'a'),
+        (8, 3, 5700, 'a'),
+    ]
+    tbl = pa.table({
+        'event_id': pa.array([r[0] for r in rows], pa.int64()),
+        'ts': pa.array(np.array([r[2] for r in rows], 'datetime64[us]')),
+        'user_id': pa.array([r[1] for r in rows], pa.int64()),
+        'event_type': pa.array([r[3] for r in rows], pa.string()),
+        'value': pa.array([1.0] * len(rows), pa.float64()),
+        'props': pa.array(['{}'] * len(rows), pa.string())})
+    import pyarrow.parquet as pq
+    pq.write_table(tbl, tmp_path / 'events.parquet',
+                   row_group_size=max(1, len(rows) // blocks))
+    from pii_detector_ray import queries as q
+    got = q.q_event_lateness(str(tmp_path)).to_pandas() \
+        .set_index('event_type')
+    # type a: events 0,1,3,7,8 -> late only #8 (6000-5700=300)
+    assert got.loc['a', 'n_events'] == 5
+    assert got.loc['a', 'n_late'] == 1
+    assert got.loc['a', 'sum_late_us'] == 300
+    assert got.loc['a', 'max_late_us'] == 300
+    # type b: events 2,4,5,6 -> late #2 (50) and #6 (10)
+    assert got.loc['b', 'n_events'] == 4
+    assert got.loc['b', 'n_late'] == 2
+    assert got.loc['b', 'sum_late_us'] == 60
+    assert got.loc['b', 'max_late_us'] == 50
