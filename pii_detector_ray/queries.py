@@ -12966,22 +12966,27 @@ def q_cross_source_leakage(sf_dir: str) -> pd.DataFrame:
         .map_batches(hash_partial, batch_format='pyarrow')
         .groupby(['h', 'source']).aggregate(Count(alias_name='_c')))
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        # returns ARROW (typed even at 0 rows): the mostly-empty pandas
+        # outputs of single-source hash groups tripped Ray's pandas block
+        # size estimator ("cannot call vectorize on size 0 inputs") and
+        # spammed the bench tail
         ss = sorted(g['source'])
-        if len(ss) < 2:
-            return pd.DataFrame({'source_a': pd.array([], dtype='string'),
-                                 'source_b': pd.array([], dtype='string'),
-                                 '_n': pd.array([], dtype='int64')})
         a = [ss[i] for i in range(len(ss)) for _ in range(i + 1, len(ss))]
         b = [ss[j] for i in range(len(ss)) for j in range(i + 1, len(ss))]
-        return pd.DataFrame({'source_a': pd.array(a, dtype='string'),
-                             'source_b': pd.array(b, dtype='string'),
-                             '_n': pd.array([1] * len(a), dtype='int64')})
+        return pa.table({'source_a': pa.array(a, pa.string()),
+                         'source_b': pa.array(b, pa.string()),
+                         '_n': pa.array([1] * len(a), pa.int64())})
 
-    rows = (distinct.groupby('h').map_groups(pairs, batch_format='pandas')
-            .groupby(['source_a', 'source_b'])
-            .aggregate(Sum('_n', alias_name='n_shared'))
-            ).take_all()                 # ≤ C(n_sources, 2) rows — bounded
+    # bounded-partials pattern: pair rows are ≤ C(n_sources, 2) per hash,
+    # so they coalesce to ONE block before the final groupby (also keeps
+    # the aggregate from emitting schema-less empty blocks)
+    rows = drop_empty_blocks(
+        distinct.groupby('h').map_groups(pairs, batch_format='pandas')
+        .repartition(1)
+        .groupby(['source_a', 'source_b'])
+        .aggregate(Sum('_n', alias_name='n_shared'))
+    ).take_all()                         # ≤ C(n_sources, 2) rows — bounded
     return pd.DataFrame({
         'source_a': pd.array([r['source_a'] for r in rows], dtype='string'),
         'source_b': pd.array([r['source_b'] for r in rows], dtype='string'),
