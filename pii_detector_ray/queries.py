@@ -14312,6 +14312,55 @@ _EVENT_LATENESS_SQL = (
 )
 
 
+def q_event_markov2(sf_dir: str) -> pd.DataFrame:
+    """Two-step Markov transition weights: P² over the event-type chain,
+    in EXACT integer micro-probability units — "given an `a`, what comes
+    two events later" (the composition the one-step ``event_transitions``
+    census can't answer when paths matter).
+
+    Exactness via the kmeans/micro-nat quantization trick: one-step
+    probabilities quantize to integers ``q(a,b) = round(1e6·n(a,b)/out(a))``
+    (DuckDB round semantics on both sides), and the composition
+    ``w2(a,c) = Σ_b q(a,b)·q(b,c)`` is then a pure INTEGER matrix product —
+    no float summation order anywhere.  Scale shape: the distributed work
+    is the existing transition-count machinery (salted for mega-users);
+    the composition runs on the TYPE-ALPHABET-bounded count table (T²
+    rows), driver-side by construction."""
+    trans = q_event_transitions(sf_dir).to_pandas()
+    out_n = trans.groupby('prev_type', dropna=False)['n_transitions'] \
+        .transform('sum').to_numpy(np.int64)
+    q = sql_round_np(1e6 * trans['n_transitions'].to_numpy(np.int64)
+                     / out_n, 0).astype(np.int64)
+    qt = pd.DataFrame({'a': trans['prev_type'], 'b': trans['next_type'],
+                       'q': q})
+    j = qt.merge(qt.rename(columns={'a': 'b', 'b': 'c', 'q': 'q2'}), on='b')
+    p2 = j.assign(w2=j['q'] * j['q2']) \
+        .groupby(['a', 'c'], as_index=False, dropna=False)['w2'].sum()
+    return pd.DataFrame({
+        'prev_type': p2['a'].astype('string'),
+        'next2_type': p2['c'].astype('string'),
+        'w2': p2['w2'].astype('int64'),
+        'prob2': pd.Series(sql_round_np(p2['w2'].to_numpy(np.int64) / 1e12,
+                                        6), dtype='float64')})
+
+
+_EVENT_MARKOV2_SQL = (
+    'WITH t AS (SELECT prev_type, next_type, count(*) AS n FROM ('
+    'SELECT lag(event_type) OVER (PARTITION BY user_id '
+    'ORDER BY epoch_us(ts), event_id) AS prev_type, '
+    'event_type AS next_type FROM events) '
+    'WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type), '
+    'o AS (SELECT prev_type, sum(n) AS d FROM t GROUP BY prev_type), '
+    'q AS (SELECT t.prev_type AS a, t.next_type AS b, '
+    'CAST(round(1e6 * n / d) AS BIGINT) AS q FROM t '
+    'JOIN o ON o.prev_type = t.prev_type) '
+    'SELECT x.a AS prev_type, y.b AS next2_type, '
+    'sum(x.q * y.q)::BIGINT AS w2, '
+    'round(sum(x.q * y.q) / 1e12, 6) AS prob2 '
+    'FROM q x JOIN q y ON x.b = y.a GROUP BY 1, 2'
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name, pattern in _QUERY_PATTERNS.items():
@@ -14558,6 +14607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'compression_ratio': q_compression_ratio,
         'weighted_median_price': q_weighted_median_price,
         'event_lateness': q_event_lateness,
+        'event_markov2': q_event_markov2,
     })
     return out
 
@@ -14815,5 +14865,6 @@ def oracle_sql() -> dict[str, str]:
         'compression_ratio': _media_pins().COMPRESSION_RATIO_SQL,
         'weighted_median_price': _WEIGHTED_MEDIAN_SQL,
         'event_lateness': _EVENT_LATENESS_SQL,
+        'event_markov2': _EVENT_MARKOV2_SQL,
     })
     return out

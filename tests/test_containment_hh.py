@@ -374,3 +374,21 @@ def test_event_lateness_bruteforce(tmp_path, blocks):
     assert got.loc['b', 'n_late'] == 2
     assert got.loc['b', 'sum_late_us'] == 60
     assert got.loc['b', 'max_late_us'] == 50
+
+
+def test_event_markov2_composition(tmp_path):
+    # chain a->b->c for one user: P(a->b)=1, P(b->c)=1 => P2(a->c)=1
+    ts = np.array([1000, 2000, 3000], dtype='datetime64[us]')
+    tbl = pa.table({'event_id': pa.array([0, 1, 2], pa.int64()),
+                    'ts': pa.array(ts),
+                    'user_id': pa.array([1, 1, 1], pa.int64()),
+                    'event_type': pa.array(['a', 'b', 'c'], pa.string()),
+                    'value': pa.array([1.0] * 3, pa.float64()),
+                    'props': pa.array(['{}'] * 3, pa.string())})
+    import pyarrow.parquet as pq
+    pq.write_table(tbl, tmp_path / 'events.parquet')
+    from pii_detector_ray import queries as q
+    got = q.q_event_markov2(str(tmp_path))
+    row = got[(got['prev_type'] == 'a') & (got['next2_type'] == 'c')]
+    assert len(row) == 1
+    assert row['w2'].iloc[0] == 10 ** 12 and row['prob2'].iloc[0] == 1.0
