@@ -1076,16 +1076,23 @@ def fingerprint_dup_pairs(ds: ray.data.Dataset, *, min_shared: int = 50,
     shared substring of length >= k + window - 1 (12 chars) contributes at
     least one shared fingerprint.
 
-    Shape: explode DISTINCT (doc_id, fp) — fingerprints are ~|text|/((w+1)/2)
-    ints, so the posting table is a small multiple of the id column, never
-    the text — bucket by fp low bits, count pair instances per bucket
-    vectorized (np.unique on packed int64 keys), then one Sum groupby over
-    packed pairs and a final threshold filter.  Exactness note for 100 TB:
-    the shared-count join is quadratic in per-fingerprint document
-    frequency; on natural text winnow fingerprints are rare across
-    documents, but adversarial/templated corpora want MOSS's classic
-    df-cap (drop fingerprints with df > C before pairing), which turns
-    n_shared into a lower bound — this operator keeps the exact form."""
+    LOSSLESS candidate generation via the overlap-predicate prefix filter
+    (Chaudhuri/Ganti/Kaushik SSJoin): under any global total order on the
+    fingerprint universe, two sets with |A∩B| >= F must collide inside
+    BOTH prefixes of length ``m - F + 1`` (if every shared element lay
+    outside A's prefix, A would hold at most F-1 of them).  Ordering the
+    universe by ascending document frequency keeps prefix posting lists
+    short; docs with m < F can't qualify and drop before the shuffle.  A
+    first cut counted ALL shared-fp pair instances and went quadratic on
+    the synthetic small-vocab corpus (every doc pair shares a handful of
+    fps) — the prefix filter bounds pair generation to near-candidates and
+    the exact verify recomputes |A∩B| from the two texts, so the output is
+    unchanged and exact.
+
+    Shape: narrow (doc_id, fp:int64) postings; df via one groupby; prefix
+    marking per doc; candidate pairs from prefix buckets only
+    (packed-int64 dedup); exact verify over broadcast-semi-joined texts —
+    documents never shuffle."""
     from ray.data.aggregate import Sum
 
     from pii_detector_ray.stages.textstats import winnow_fingerprint
@@ -1096,15 +1103,40 @@ def fingerprint_dup_pairs(ds: ray.data.Dataset, *, min_shared: int = 50,
         for did, tx in zip(batch.column(id_col).to_pylist(),
                            batch.column(text_col).to_pylist()):
             s = set(winnow_fingerprint(tx or ''))
+            if len(s) < min_shared:
+                continue                  # |A∩B| >= F needs m >= F
             ids_out.extend([did] * len(s))
             fp_out.extend(s)
         return pa.table({id_col: pa.array(ids_out, pa.int64()),
                          'fp': pa.array(fp_out, pa.int64())})
 
-    posting = ds.map_batches(explode, batch_format='pyarrow')
+    posting = drop_empty_blocks(ds.map_batches(
+        explode, batch_format='pyarrow')).materialize()
     empty = pa.table({'doc_a': pa.array([], pa.int64()),
                       'doc_b': pa.array([], pa.int64()),
                       'n_shared': pa.array([], pa.int64())})
+    if posting.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        agg = t.select(['fp']).group_by('fp').aggregate([([], 'count_all')])
+        return agg.rename_columns(['fp', '_df'])
+
+    df_tbl = posting.map_batches(df_partial, batch_format='pyarrow') \
+        .groupby('fp').aggregate(Sum('_df', alias_name='_df'))
+    with_df = posting.join(
+        drop_empty_blocks(df_tbl), join_type='inner',
+        num_partitions=_join_partitions(rows=posting.count()), on=('fp',))
+
+    def prefix_rows(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(['_df', 'fp'], kind='mergesort')
+        p = len(g) - min_shared + 1       # overlap-predicate prefix length
+        keep = g['_df'].to_numpy()[:p] >= 2
+        return pd.DataFrame({'fp': g['fp'].to_numpy()[:p][keep],
+                             id_col: g[id_col].to_numpy()[:p][keep]})
+
+    prefixes = with_df.groupby(id_col).map_groups(prefix_rows,
+                                                  batch_format='pandas')
 
     try:
         cpus = int(ray.cluster_resources().get('CPU', 4))
@@ -1114,10 +1146,11 @@ def fingerprint_dup_pairs(ds: ray.data.Dataset, *, min_shared: int = 50,
     mask = nb - 1
 
     def bucket(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
         fp = t.column('fp').to_numpy(zero_copy_only=False)
         return t.append_column('_bk', pa.array(fp & mask, pa.int64()))
 
-    def bucket_pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(['fp', id_col], kind='mergesort')
         fp = g['fp'].to_numpy()
         ids = g[id_col].to_numpy()
@@ -1130,31 +1163,60 @@ def fingerprint_dup_pairs(ds: ray.data.Dataset, *, min_shared: int = 50,
         lens = ends - starts
         pks = []
         for s, e in zip(starts[lens >= 2], ends[lens >= 2]):
-            v = ids[s:e]                      # sorted asc within the run
+            v = ids[s:e]                  # sorted asc within the run
             ii, jj = np.triu_indices(e - s, k=1)
             pks.append((v[ii] << 32) | v[jj])
-        if not pks:
-            return pd.DataFrame({'_pk': pd.Series([], dtype='int64'),
-                                 '_n': pd.Series([], dtype='int64')})
-        pk, n = np.unique(np.concatenate(pks), return_counts=True)
-        return pd.DataFrame({'_pk': pk.astype('int64'),
-                             '_n': n.astype('int64')})
+        pk = np.unique(np.concatenate(pks)) if pks \
+            else np.empty(0, np.int64)
+        return pd.DataFrame({'_pk': pk.astype('int64')})
 
-    counts = posting.map_batches(bucket, batch_format='pyarrow') \
-        .groupby('_bk').map_groups(bucket_pair_counts, batch_format='pandas') \
+    distinct = prefixes.map_batches(bucket, batch_format='pyarrow') \
+        .groupby('_bk').map_groups(bucket_pairs, batch_format='pandas') \
         .map_batches(lambda t: t.replace_schema_metadata(None),
                      batch_format='pyarrow') \
-        .groupby('_pk').aggregate(Sum('_n', alias_name='n_shared'))
+        .groupby('_pk').aggregate(Count(alias_name='_n'))
 
-    def finish(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0 or len(t) == 0:
-            return empty
-        n = t.column('n_shared').to_numpy(zero_copy_only=False)
-        keep = n >= min_shared
-        pk = t.column('_pk').to_numpy(zero_copy_only=False)[keep]
+    def unpack(t: pa.Table) -> pa.Table:
+        pk = t.column('_pk').to_numpy(zero_copy_only=False)
         return pa.table({'doc_a': pa.array(pk >> 32, pa.int64()),
-                         'doc_b': pa.array(pk & ((1 << 32) - 1), pa.int64()),
-                         'n_shared': pa.array(n[keep], pa.int64())})
+                         'doc_b': pa.array(pk & ((1 << 32) - 1),
+                                           pa.int64())})
 
-    return drop_empty_blocks(counts).map_batches(finish,
-                                                 batch_format='pyarrow')
+    pairs = drop_empty_blocks(
+        drop_empty_blocks(distinct).map_batches(unpack,
+                                                batch_format='pyarrow'))
+    cand_ids = _collect_candidate_ids(pairs)
+    if not cand_ids:
+        return ray.data.from_arrow(empty)
+    texts = _semi_join_payload(ds, cand_ids, id_col, text_col)
+    joined = _attach_pair_payloads(
+        pairs, texts, text_col,
+        num_partitions=_join_partitions(rows=pairs.count()))
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        memo: dict[int, frozenset] = {}
+
+        def fp_of(did: int, tx: str) -> frozenset:
+            s = memo.get(did)
+            if s is None:
+                s = frozenset(winnow_fingerprint(tx or ''))
+                memo[did] = s
+            return s
+
+        oa, ob, on = [], [], []
+        for aa, bb, x, y in zip(t.column('doc_a').to_pylist(),
+                                t.column('doc_b').to_pylist(),
+                                t.column(f'{text_col}_a').to_pylist(),
+                                t.column(f'{text_col}_b').to_pylist()):
+            n = len(fp_of(aa, x) & fp_of(bb, y))
+            if n >= min_shared:
+                oa.append(aa)
+                ob.append(bb)
+                on.append(n)
+        return pa.table({'doc_a': pa.array(oa, pa.int64()),
+                         'doc_b': pa.array(ob, pa.int64()),
+                         'n_shared': pa.array(on, pa.int64())})
+
+    return joined.map_batches(verify, batch_format='pyarrow')
