@@ -114,7 +114,10 @@ def run_bench() -> dict:
                      'local_supplier_volume', 'token_budget_selection',
                      'rolling_active_users', 'pq_codes', 'value_ks_test',
                      'user_activity_gini', 'hapax_ratio', 'segment_hhi',
-                     'cross_source_leakage']:
+                     'cross_source_leakage', 'heavy_hitter_tokens',
+                     'weighted_median_price', 'compression_ratio',
+                     'event_lateness', 'revenue_theilsen',
+                     'value_time_spearman', 'event_markov2']:
             fn = q.queries()[name]
             t0 = time.monotonic()
             res = fn(SF_DIR)

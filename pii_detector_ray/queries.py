@@ -13794,6 +13794,7 @@ def q_heavy_hitter_tokens(sf_dir: str) -> pd.DataFrame:
 
     cand_rows = drop_empty_blocks(
         docs.map_batches(local_candidates, batch_format='pyarrow')
+        .repartition(1)                  # < m candidate rows per block
         .groupby('token').aggregate(Count(alias_name='_n'))
     ).select_columns(['token'])
     cands = frozenset(r['token'] for r in cand_rows.take_all())
@@ -13817,8 +13818,12 @@ def q_heavy_hitter_tokens(sf_dir: str) -> pd.DataFrame:
                          '_n': pa.array(ns, pa.int64()),
                          '_kind': pa.array(kinds, pa.int64())})
 
+    # bounded-partials: recount emits <= |candidates|+1 rows per block, so
+    # partials coalesce to ONE block before the final groupby (also keeps
+    # the aggregate from emitting schema-less empty blocks)
     agg = drop_empty_blocks(
         docs.map_batches(recount, batch_format='pyarrow')
+        .repartition(1)
         .groupby(['_kind', 'token']).aggregate(Sum('_n', alias_name='n'))
     ).to_pandas()
     total_n = int(agg.loc[agg['_kind'] == 1, 'n'].sum())
@@ -13993,18 +13998,44 @@ def q_value_time_spearman(sf_dir: str) -> pd.DataFrame:
         rx = t.column('_trx').to_numpy(zero_copy_only=False)
         ry = t.column('_try').to_numpy(zero_copy_only=False)
         if len(rx) and max(int(rx.max()), int(ry.max())) >= (1 << 21):
-            # Σ(2r)² per block caps ~len·(2^21)² = len·4.4e12 < 2^63 up to
-            # ~2e6 rows/block; beyond that switch partials to object dtype
-            raise AssertionError('spearman rank domain exceeded')
+            # Σ(2r)² per block is int64-safe only to ~2e6 rows/type
+            # (len·(2^21)² < 2^63); above that, fall back to exact
+            # arbitrary-precision Python-int partials per type — slower,
+            # but partials stay one row per (block, type) either way
+            ets = t.column('et').to_pylist()
+            acc: dict[str, list] = {}
+            for et, x, y in zip(ets, rx.tolist(), ry.tolist()):
+                c = acc.setdefault(et, [0, 0, 0, 0, 0, 0])
+                c[0] += 1
+                c[1] += x
+                c[2] += y
+                c[3] += x * x
+                c[4] += y * y
+                c[5] += x * y
+            ks = sorted(acc)
+            return pa.table({
+                'et': pa.array(ks, pa.string()),
+                **{f'_{c}_sum': pa.array([str(acc[k][i]) for k in ks],
+                                         pa.string())
+                   for i, c in enumerate(['n', 'sx', 'sy',
+                                          'sxx', 'syy', 'sxy'])}})
         tab = pa.table({
             'et': t.column('et'),
             '_n': pa.array(np.ones(len(rx), np.int64)),
             '_sx': pa.array(rx), '_sy': pa.array(ry),
             '_sxx': pa.array(rx * rx), '_syy': pa.array(ry * ry),
             '_sxy': pa.array(rx * ry)})
-        return tab.group_by('et').aggregate(
+        agg = tab.group_by('et').aggregate(
             [('_n', 'sum'), ('_sx', 'sum'), ('_sy', 'sum'),
              ('_sxx', 'sum'), ('_syy', 'sum'), ('_sxy', 'sum')])
+        # sums travel as decimal STRINGS so the big-rank fallback path and
+        # this int64 fast path share one schema; the driver folds exact
+        # Python ints either way
+        for c in ['_n_sum', '_sx_sum', '_sy_sum',
+                  '_sxx_sum', '_syy_sum', '_sxy_sum']:
+            idx = agg.schema.get_field_index(c)
+            agg = agg.set_column(idx, c, agg.column(c).cast(pa.string()))
+        return agg
 
     agg: dict[str, list] = {}
     for r in with_r.map_batches(partial, batch_format='pyarrow').take_all():
@@ -14127,8 +14158,10 @@ def q_compression_ratio(sf_dir: str) -> pd.DataFrame:
             '_z': pa.array([agg[k][2] for k in ks], pa.int64())})
 
     from pii_detector_ray.stages.dedup import drop_empty_blocks
+    # bounded-partials: one row per (block, source) -> coalesce first
     agg = drop_empty_blocks(
         docs.map_batches(partial, batch_format='pyarrow')
+        .repartition(1)
         .groupby('source').aggregate(Sum('_n', alias_name='n_docs'),
                                      Sum('_raw', alias_name='raw_bytes'),
                                      Sum('_z', alias_name='zlib_bytes'))
