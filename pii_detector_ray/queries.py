@@ -10693,7 +10693,8 @@ def q_part_pairs_count(sf_dir: str) -> ray.data.Dataset:
         pk = t.column('_pt').to_numpy(zero_copy_only=False)
         if len(ok) == 0:
             return pa.table({'_pair': pa.array([], pa.int64())})
-        if pk.max() >= (1 << 32):
+        if pk.max() >= (1 << 31):
+            # < 2^31: the packed high half must not reach the sign bit
             raise AssertionError('pair pack domain exceeded')
         brk = np.ones(len(ok), bool)
         brk[1:] = ok[1:] != ok[:-1]
@@ -11172,7 +11173,7 @@ def _pack32(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
     'pair pack domain exceeded' — a key outside [0, 2^32) would silently
     corrupt packed keys and miscount downstream)."""
     if len(hi) and (int(hi.min()) < 0 or int(lo.min()) < 0
-                    or int(hi.max()) >= (1 << 32)
+                    or int(hi.max()) >= (1 << 31)
                     or int(lo.max()) >= (1 << 32)):
         raise AssertionError('pair pack domain exceeded')
     return (hi << 32) | lo
@@ -12978,12 +12979,20 @@ def q_cross_source_leakage(sf_dir: str) -> pd.DataFrame:
                          'source_b': pa.array(b, pa.string()),
                          '_n': pa.array([1] * len(a), pa.int64())})
 
-    # bounded-partials pattern: pair rows are ≤ C(n_sources, 2) per hash,
-    # so they coalesce to ONE block before the final groupby (also keeps
-    # the aggregate from emitting schema-less empty blocks)
+    def block_partial(t: pa.Table) -> pa.Table:
+        # per-block pre-aggregate: total PAIR rows grow with the number of
+        # cross-source-shared hashes (unbounded on a leaky corpus), but a
+        # block's distinct (a, b) keys are ≤ C(n_sources, 2) — so coalesce
+        # to the pair alphabet per block BEFORE the single-block shuffle
+        t = t.replace_schema_metadata(None)
+        agg = t.group_by(['source_a', 'source_b']).aggregate(
+            [('_n', 'sum')])
+        return agg.rename_columns(['source_a', 'source_b', '_n'])
+
     rows = drop_empty_blocks(
         distinct.groupby('h').map_groups(pairs, batch_format='pandas')
-        .repartition(1)
+        .map_batches(block_partial, batch_format='pyarrow')
+        .repartition(1)                  # blocks × C(n_sources, 2) rows
         .groupby(['source_a', 'source_b'])
         .aggregate(Sum('_n', alias_name='n_shared'))
     ).take_all()                         # ≤ C(n_sources, 2) rows — bounded
@@ -13918,7 +13927,13 @@ def q_value_time_spearman(sf_dir: str) -> pd.DataFrame:
     def prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(pc.is_valid(t.column('ts')),
                              pc.is_valid(t.column('value'))))
-        return pa.table({'et': t.column('event_type'),
+        # NULL-key sentinel: Ray sort/groupby/join can't order None string
+        # keys, so types ride encoded ('' = NULL, 'v'+type otherwise —
+        # injective) and decode at the output
+        et = pa.array(['' if v is None else 'v' + v
+                       for v in t.column('event_type').to_pylist()],
+                      pa.string())
+        return pa.table({'et': et,
                          'x': pc.cast(t.column('ts'), pa.int64()),
                          'y': t.column('value')})
 
@@ -14050,9 +14065,9 @@ def q_value_time_spearman(sf_dir: str) -> pd.DataFrame:
         vx, vy = n * sxx - sx * sx, n * syy - sy * sy
         if vx == 0 or vy == 0:
             continue                      # constant axis: rho undefined
-        out_et.append(et)
+        out_et.append(None if et == '' else et[1:])   # decode sentinel
         out_rho.append(sql_round_scalar(num / math.sqrt(vx) / math.sqrt(vy), 4))
-    return pd.DataFrame({'event_type': out_et,
+    return pd.DataFrame({'event_type': pd.array(out_et, dtype='string'),
                          'spearman': pd.Series(out_rho, dtype='float64')})
 
 
@@ -14253,10 +14268,26 @@ def q_weighted_median_price(sf_dir: str) -> pd.DataFrame:
         return pa.table({'l_returnflag': pa.array(of, pa.string()),
                          'weighted_median_price': pa.array(ox, pa.float64())})
 
+    def _minx(t: pa.Table, flags: list) -> pa.Table:
+        # zero-total-weight flags (every quantity rounds to 0): the SQL
+        # predicate 2*cw >= tw holds from the first row, so the oracle
+        # returns min(x) — pick it from the flag's FIRST block (global
+        # (flag, x) sort order makes block-min == global-min)
+        of, ox = [], []
+        for f in flags:
+            sel = t.filter(pc.equal(t.column('flag'), f))
+            if len(sel):
+                of.append(f)
+                ox.append(float(sel.column('x')[0].as_py()))
+        return pa.table({'l_returnflag': pa.array(of, pa.string()),
+                         'weighted_median_price': pa.array(ox, pa.float64())})
+
     pick_task = _ray.remote(_pick)
+    minx_task = _ray.remote(_minx)
     offs: dict = {}
     running: dict = {}
     picks = []
+    zero_seen: set = set()
     for i in order:
         offs[i] = dict(running)
         for f, w in summaries[i]['tot'].items():
@@ -14267,6 +14298,11 @@ def q_weighted_median_price(sf_dir: str) -> pd.DataFrame:
                     for f in summaries[i]['tot'])
         if cross:
             picks.append(pick_task.remote(blk_refs[i], offs[i], totals))
+        zf = [f for f in summaries[i]['tot']
+              if totals[f] == 0 and f not in zero_seen]
+        if zf:
+            zero_seen.update(zf)
+            picks.append(minx_task.remote(blk_refs[i], sorted(zf)))
     parts = [p for p in _ray.get(picks) if len(p)]
     out = pa.concat_tables(parts) if parts else pa.table(
         {'l_returnflag': pa.array([], pa.string()),
@@ -14307,30 +14343,58 @@ def q_event_lateness(sf_dir: str) -> ray.data.Dataset:
 
     ev = _events(sf_dir, ['user_id', 'event_id', 'ts', 'event_type'])
 
+    _NEG = -(1 << 62)   # "no valid prior arrival" (far from int64 wrap)
+
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values('event_id', kind='mergesort')
-        ts = g['ts'].to_numpy('datetime64[us]').astype(np.int64)
+        raw = g['ts'].to_numpy('datetime64[us]')
+        valid = ~np.isnat(raw)
+        ts = np.where(valid, raw.astype(np.int64), _NEG)
         prev_max = np.empty(len(ts), np.int64)
         if len(ts):
-            prev_max[0] = ts[0]                 # first arrival: never late
+            prev_max[0] = _NEG                  # first arrival: never late
             np.maximum.accumulate(ts[:-1], out=prev_max[1:])
-        late = np.maximum(prev_max - ts, 0)
-        d = pd.DataFrame({'event_type': g['event_type'].to_numpy(),
-                          '_n': np.ones(len(ts), np.int64),
-                          '_nl': (late > 0).astype(np.int64),
-                          '_sl': late, '_ml': late})
-        return d.groupby('event_type', as_index=False, dropna=False) \
+        # NULL-ts rows are never late themselves (SQL: NULL late -> 0) and
+        # never raise the running max (SQL max ignores NULLs — _NEG here)
+        late = np.where(valid, np.maximum(prev_max - ts, 0), 0)
+        et = g['event_type']
+        d = pd.DataFrame({
+            # NULL-key sentinel pair (the events_ohlc contract): Ray's
+            # sort/groupby can't order None keys, so NULL rides as ('', 1)
+            '_et': et.fillna('').to_numpy(object),
+            '_etn': et.isna().to_numpy().astype(np.int64),
+            '_n': np.ones(len(ts), np.int64),
+            '_nl': (late > 0).astype(np.int64),
+            '_sl': late, '_ml': late})
+        return d.groupby(['_et', '_etn'], as_index=False, sort=False) \
             .agg(_n=('_n', 'sum'), _nl=('_nl', 'sum'),
                  _sl=('_sl', 'sum'), _ml=('_ml', 'max'))
 
+    def block_partial(t: pa.Table) -> pa.Table:
+        # per-block pre-aggregate: partials are per (user, type); coalesce
+        # to the TYPE alphabet per block so the repartition(1) below holds
+        # blocks x types rows, never O(users) (review r5-final)
+        t = t.replace_schema_metadata(None)
+        agg = t.group_by(['_et', '_etn']).aggregate(
+            [('_n', 'sum'), ('_nl', 'sum'), ('_sl', 'sum'), ('_ml', 'max')])
+        return agg.rename_columns(['_et', '_etn', '_n', '_nl', '_sl', '_ml'])
+
     partials = ev.groupby('user_id').map_groups(per_user,
                                                 batch_format='pandas')
-    agg = (partials.repartition(1).groupby('event_type')
+    agg = (partials.map_batches(block_partial, batch_format='pyarrow')
+           .repartition(1).groupby(['_et', '_etn'])
            .aggregate(Sum('_n', alias_name='n_events'),
                       Sum('_nl', alias_name='n_late'),
                       Sum('_sl', alias_name='sum_late_us'),
                       Max('_ml', alias_name='max_late_us')))
-    return drop_empty_blocks(agg)
+
+    def finish(t: pa.Table) -> pa.Table:
+        et = [None if n else v for v, n in
+              zip(t.column('_et').to_pylist(), t.column('_etn').to_pylist())]
+        out = t.drop_columns(['_et', '_etn'])
+        return out.add_column(0, 'event_type', pa.array(et, pa.string()))
+
+    return drop_empty_blocks(agg).map_batches(finish, batch_format='pyarrow')
 
 
 _EVENT_LATENESS_SQL = (
@@ -14339,8 +14403,8 @@ _EVENT_LATENESS_SQL = (
     'ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) '
     '- epoch_us(ts), 0), 0) AS late FROM events) '
     'SELECT event_type, count(*) AS n_events, '
-    'sum(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS n_late, '
-    'sum(late) AS sum_late_us, max(late) AS max_late_us '
+    'sum(CASE WHEN late > 0 THEN 1 ELSE 0 END)::BIGINT AS n_late, '
+    'sum(late)::BIGINT AS sum_late_us, max(late) AS max_late_us '
     'FROM l GROUP BY event_type'
 )
 

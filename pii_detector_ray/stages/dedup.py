@@ -445,7 +445,10 @@ def jaccard_pairs_prefix(ds: ray.data.Dataset, *,
         a = t.column('doc_a').to_numpy(zero_copy_only=False)
         b = t.column('doc_b').to_numpy(zero_copy_only=False)
         if len(a) and (min(int(a.min()), int(b.min())) < 0
-                       or max(int(a.max()), int(b.max())) >= (1 << 32)):
+                       or max(int(a.max()), int(b.max())) >= (1 << 31)):
+            # high half must stay below 2^31: ids in [2^31, 2^32) would
+            # set the int64 sign bit and the arithmetic >>32 unpack would
+            # emit corrupted negative doc ids (review r5-final)
             raise AssertionError('pair pack domain exceeded')
         return pa.table({'_pk': pa.array(np.unique((a << 32) | b),
                                          pa.int64())})
@@ -1005,7 +1008,10 @@ def containment_join(ds: ray.data.Dataset, *,
         a = t.column('doc_a').to_numpy(zero_copy_only=False)
         b = t.column('doc_b').to_numpy(zero_copy_only=False)
         if len(a) and (min(int(a.min()), int(b.min())) < 0
-                       or max(int(a.max()), int(b.max())) >= (1 << 32)):
+                       or max(int(a.max()), int(b.max())) >= (1 << 31)):
+            # high half must stay below 2^31: ids in [2^31, 2^32) would
+            # set the int64 sign bit and the arithmetic >>32 unpack would
+            # emit corrupted negative doc ids (review r5-final)
             raise AssertionError('pair pack domain exceeded')
         return pa.table({'_pk': pa.array(np.unique((a << 32) | b),
                                          pa.int64())})
@@ -1154,7 +1160,8 @@ def fingerprint_dup_pairs(ds: ray.data.Dataset, *, min_shared: int = 50,
         g = g.sort_values(['fp', id_col], kind='mergesort')
         fp = g['fp'].to_numpy()
         ids = g[id_col].to_numpy()
-        if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 32)):
+        if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 31)):
+            # < 2^31: the packed high half must not reach the sign bit
             raise AssertionError('pair pack domain exceeded')
         brk = np.ones(len(g), bool)
         brk[1:] = fp[1:] != fp[:-1]

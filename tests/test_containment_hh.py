@@ -392,3 +392,62 @@ def test_event_markov2_composition(tmp_path):
     row = got[(got['prev_type'] == 'a') & (got['next2_type'] == 'c')]
     assert len(row) == 1
     assert row['w2'].iloc[0] == 10 ** 12 and row['prob2'].iloc[0] == 1.0
+
+
+def test_event_lateness_null_ts_and_null_type(tmp_path):
+    # review r5-final: NULL first-arrival ts must not overflow to ~9.2e18
+    # lateness, and NULL event_type rows must form their own group (the
+    # SQL oracle's GROUP BY contract), not vanish
+    ts = np.array(['NaT', '2024-01-01T00:00:01', '2024-01-01T00:00:00',
+                   '2024-01-02'], dtype='datetime64[us]')
+    tbl = pa.table({'event_id': pa.array([0, 1, 2, 3], pa.int64()),
+                    'ts': pa.array(ts),
+                    'user_id': pa.array([1, 1, 1, 2], pa.int64()),
+                    'event_type': pa.array(['a', None, 'a', None],
+                                           pa.string()),
+                    'value': pa.array([1.0] * 4, pa.float64()),
+                    'props': pa.array(['{}'] * 4, pa.string())})
+    import pyarrow.parquet as pq
+    pq.write_table(tbl, tmp_path / 'events.parquet')
+    from pii_detector_ray import queries as q
+    got = q.q_event_lateness(str(tmp_path)).to_pandas()
+    byt = {r['event_type']: r for _, r in got.iterrows()}
+    # user 1: NULL-ts arrival 0 (late 0), then ts 00:00:01 (first valid:
+    # late 0), then ts 00:00:00 arriving after -> late 1s
+    assert byt['a']['n_events'] == 2 and byt['a']['n_late'] == 1
+    assert byt['a']['sum_late_us'] == 1_000_000
+    null_row = got[got['event_type'].isna()]
+    assert len(null_row) == 1
+    assert null_row['n_events'].iloc[0] == 2
+    assert null_row['n_late'].iloc[0] == 0          # no 9.2e18 overflow
+
+
+def test_value_time_spearman_null_type(tmp_path):
+    ts = np.arange(10, dtype=np.int64).astype('datetime64[us]')
+    tbl = pa.table({'event_id': pa.array(range(10), pa.int64()),
+                    'ts': pa.array(ts),
+                    'user_id': pa.array([1] * 10, pa.int64()),
+                    'event_type': pa.array([None] * 5 + ['a'] * 5,
+                                           pa.string()),
+                    'value': pa.array(np.arange(10, dtype=float),
+                                      pa.float64()),
+                    'props': pa.array(['{}'] * 10, pa.string())})
+    import pyarrow.parquet as pq
+    pq.write_table(tbl, tmp_path / 'events.parquet')
+    from pii_detector_ray import queries as q
+    got = q.q_value_time_spearman(str(tmp_path))
+    assert len(got) == 2                  # NULL group ranks, not crashes
+    assert (got['spearman'] == 1.0).all()
+    assert got['event_type'].isna().sum() == 1
+
+
+def test_pair_pack_rejects_sign_bit_ids():
+    # ids in [2^31, 2^32) would corrupt the packed int64's sign bit
+    from pii_detector_ray.stages.dedup import fingerprint_dup_pairs
+    big = 1 << 31
+    ds = ray.data.from_arrow(pa.table({
+        'doc_id': pa.array([big, big + 1], pa.int64()),
+        'text': pa.array(['shared text body here repeated words ' * 5] * 2,
+                         pa.string())}))
+    with pytest.raises(Exception, match='pair pack domain'):
+        fingerprint_dup_pairs(ds, min_shared=5).materialize()
